@@ -1,0 +1,288 @@
+"""Aggregation operators A1-A10 (SURVEY.md §2b).
+
+All grouped aggregates are plain ``groupBy().agg`` — Catalyst plans them as
+HashAggregate with a map-side partial, so at 100 TB the shuffle carries one
+row per (partition × group), not per input row. Never ``collect`` inside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import date_s, dec, dsum, o_dsum, t
+
+
+@register(
+    "a1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)           AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)      AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)   AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)        AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="A1 flagship: TPC-H Q1-style pricing summary (scan→filter→agg→sort).",
+)
+def a1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a2_global_agg",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+FROM lineitem
+""",
+    doc="A2: global (no-group) aggregate.",
+)
+def a2_global_agg(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+
+
+@register(
+    "a3_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="A3: exact COUNT(DISTINCT) per group (expand+two-phase agg in Spark).",
+)
+def a3_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "a4_approx_count_distinct",
+    oracle=None,  # HLL params differ from DuckDB → bench-only (SURVEY A4)
+    doc="A4: approx_count_distinct; rows-only check, accuracy asserted in tests vs A3.",
+)
+def a4_approx_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"))
+    )
+
+
+@register(
+    "a5_rollup",
+    oracle="""
+SELECT COALESCE(n_name, '<ALL>') AS nation,
+       COALESCE(c_mktsegment, '<ALL>') AS segment,
+       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY nation, segment, gid
+""",
+    doc="A5: rollup with GROUPING() disambiguator over customer⋈nation.",
+)
+def a5_rollup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("c_mktsegment"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<ALL>")).alias("segment"),
+            "gid",
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("nation", "segment", "gid")
+    )
+
+
+@register(
+    "a6_filtered_agg",
+    oracle="""
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))))
+            FILTER (WHERE p_type LIKE 'PROMO%') AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+""",
+    doc="A6: conditional aggregation (promo revenue per month, TPC-H Q14-style).",
+)
+def a6_filtered_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev)).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "a7_ordered_collect",
+    oracle="""
+SELECT l_orderkey,
+       array_to_string(list(CAST(l_linenumber AS BIGINT) ORDER BY l_linenumber), ',') AS line_numbers,
+       array_to_string(list(CAST(CAST(l_quantity AS INT) AS BIGINT) ORDER BY CAST(l_quantity AS INT)), ',') AS quantities
+FROM lineitem
+WHERE l_orderkey <= 100
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+    doc="A7: ordered collect_list rendered as a string (deterministic).",
+)
+def a7_ordered_collect(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber").cast("bigint"))), ","
+            ).alias("line_numbers"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_quantity").cast("int").cast("bigint"))), ","
+            ).alias("quantities"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "a8_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="A8: statistical aggregates, ROUND(,4) per float caveat (SURVEY §5.3).",
+)
+def a8_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a9_percentile",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+       ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="A9: exact interpolated percentile vs DuckDB quantile_cont.",
+)
+def a9_percentile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "a10_min_max_by",
+    oracle="""
+SELECT o_custkey,
+       CAST(max_by(o_orderkey, o_totalprice + o_orderkey/1e9) AS BIGINT) AS best_order,
+       CAST(min_by(o_orderkey, o_totalprice + o_orderkey/1e9) AS BIGINT) AS worst_order,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order_date
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+    doc="A10: min_by/max_by with a key-based tie-break folded into the ordering expr.",
+)
+def a10_min_max_by(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    # ties on o_totalprice broken deterministically by adding a key epsilon
+    rank_expr = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", rank_expr).alias("best_order"),
+            F.min_by("o_orderkey", rank_expr).alias("worst_order"),
+            date_s(F.max("o_orderdate")).alias("last_order_date"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -1,0 +1,54 @@
+"""Batch sources: parquet/CSV/JSON scans of the testdata tables (S1-S3).
+
+All scans go through ``spark.read`` so Catalyst gets predicate pushdown and
+column pruning for free — tests assert ``PushedFilters`` shows up in plans.
+At 100 TB the same code path works: parquet footers prune row groups, and
+partitioned layouts (S7) prune whole directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ez_cdc_spark.schemas import TABLE_NAMES
+from ez_cdc_spark.session import apply_runtime_conf
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: parquet scan of one testdata table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table present under ``sf_dir``.
+
+    Also pins the determinism-critical runtime confs (UTC session TZ) on the
+    caller's session — the correctness driver supplies its own SparkSession.
+    """
+    apply_runtime_conf(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so queries can use spark.sql."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S2: schema-declared CSV scan (header row expected)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S3: schema-declared JSON-lines scan (envelope fixtures etc.)."""
+    return spark.read.schema(schema).json(path)
