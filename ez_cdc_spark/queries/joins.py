@@ -1,1 +1,272 @@
-"""Placeholder — filled in as operators land."""
+"""Join operators J1-J9 (SURVEY.md §2b). J10/J11 (stream joins) live in
+streaming_equiv.py.
+
+Scale notes per operator are in each docstring; the common rules:
+  * dims (region/nation/supplier/part/customer) are broadcast — no shuffle
+    of the fact table for dim joins;
+  * fact-fact joins (orders⋈lineitem) shuffle on the join key once — at
+    100 TB this is the unavoidable shuffle, kept single by chaining joins on
+    the same key where possible;
+  * the theta/range joins are pre-filtered to equi-join + residual predicate
+    form, so Catalyst plans SortMergeJoin/BHJ with a post-filter, never a
+    cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.operators.asof import asof_join
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import date_s, dec, t
+
+
+@register(
+    "j1_inner_revenue_per_nation",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    doc="J1: customer⋈orders⋈lineitem⋈nation revenue rollup (SMJ on facts, BHJ on dims).",
+)
+def j1_inner_revenue_per_nation(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "j2_broadcast_dim_join",
+    oracle="""
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    doc="J2: explicit broadcast join on region/nation; plan asserted broadcast in tests.",
+)
+def j2_broadcast_dim_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "j3_left_outer_zero_orders",
+    oracle="""
+SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+""",
+    doc="J3: left outer join — customers keep a row even with zero orders.",
+)
+def j3_left_outer_zero_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j4_left_semi",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+    doc="J4: left semi join ↔ WHERE EXISTS.",
+)
+def j4_left_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "leftsemi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j5_left_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+    doc="J5: left anti join ↔ WHERE NOT EXISTS.",
+)
+def j5_left_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j6_theta_join",
+    oracle="""
+SELECT p_partkey, l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) AS price,
+       CAST(p_retailprice AS DOUBLE) AS retail
+FROM part JOIN lineitem
+  ON l_partkey = p_partkey AND l_extendedprice > 2 * p_retailprice
+ORDER BY p_partkey, l_orderkey, l_linenumber
+""",
+    doc="J6: theta join = equi key + residual non-equi predicate (no cartesian).",
+)
+def j6_theta_join(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice > 2 * p.p_retailprice),
+        )
+        .select(
+            "p_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.col("p_retailprice").cast("double").alias("retail"),
+        )
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "j7_range_join",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_id > a.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+ORDER BY eid_a, eid_b
+""",
+    doc="J7: range/interval self-join — equi on user_id, residual time-band predicate.",
+)
+def j7_range_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    a = e.select(
+        F.col("event_id").alias("eid_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("eid_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.user_b)
+            & (F.col("eid_b") > F.col("eid_a"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            "eid_a",
+            "eid_b",
+            "user_id",
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
+        )
+        .orderBy("eid_a", "eid_b")
+    )
+
+
+@register(
+    "j8_asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+       c.click_id AS r_event_id, CAST(c.value AS DOUBLE) AS r_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+    SELECT user_id, ts, max_by(event_id, event_id) AS click_id,
+           max_by(value, event_id) AS value
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+    doc="J8: as-of join (custom union+window op, operators/asof.py) ↔ DuckDB ASOF JOIN.",
+)
+def j8_asof_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe right side to unique (user_id, ts): max event_id wins — keeps
+    # tie semantics identical to the DuckDB oracle's pre-aggregation
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", value_cols=["event_id", "value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        F.col("r_event_id"),
+        F.col("r_value").cast("double").alias("r_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "j9_cross_join",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+    doc="J9: guarded cross join (tiny dims only).",
+)
+def j9_cross_join(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")

@@ -1,1 +1,162 @@
-"""Placeholder — filled in as operators land."""
+"""Projection / filter / predicate operators P1-P6 (SURVEY.md §2b).
+
+Every filter here is expressed declaratively so Catalyst pushes it into the
+parquet scan (plan-asserted in tests/test_plans.py) — at 100 TB these become
+row-group skips, not post-scan filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import date_s, dec, t
+
+
+@register(
+    "p1_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_quantity AS DECIMAL(12,2))
+            * CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS amt
+FROM lineitem
+WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="P1: column projection with computed expression.",
+)
+def p1_projection(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("amt"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "p2_filter_boolean",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS DOUBLE) AS qty
+FROM lineitem
+WHERE (l_quantity > 30 AND l_returnflag = 'R') OR (NOT l_linestatus = 'F' AND l_quantity < 5)
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="P2: comparison + AND/OR/NOT filters.",
+)
+def p2_filter_boolean(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")) | (
+        (~(F.col("l_linestatus") == "F")) & (F.col("l_quantity") < 5)
+    )
+    return (
+        li.filter(cond)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "p3_in_between_null",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+  AND NULLIF(o_orderstatus, 'X') IS NOT NULL
+ORDER BY o_orderkey
+""",
+    doc="P3: IN / BETWEEN / IS NULL predicates.",
+)
+def p3_in_between_null(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+            & F.nullif(F.col("o_orderstatus"), F.lit("X")).isNotNull()
+        )
+        .select("o_orderkey", "o_orderpriority", date_s("o_orderdate").alias("odate"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "p4_like_regex",
+    oracle="""
+SELECT p_partkey, p_type, p_name
+FROM part
+WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-d].*[0-9]$')
+ORDER BY p_partkey
+""",
+    doc="P4: LIKE and (portable-subset) regex predicates.",
+)
+def p4_like_regex(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[a-d].*[0-9]$"))
+        .select("p_partkey", "p_type", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "p5_case_when",
+    oracle="""
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 3000 THEN 'low'
+            WHEN c_acctbal < 7000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY bal_band
+ORDER BY bal_band
+""",
+    doc="P5: CASE WHEN banding histogram.",
+)
+def p5_case_when(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("bal_band")
+    )
+    return (
+        c.groupBy(band)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("bal_band")
+    )
+
+
+@register(
+    "p6_null_safe_eq",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL
+ORDER BY o_orderkey
+""",
+    doc="P6: null-safe equality (<=> / IS NOT DISTINCT FROM).",
+)
+def p6_null_safe_eq(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.nullif(F.col("o_orderstatus"), F.lit("P")).eqNullSafe(F.lit(None)))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )

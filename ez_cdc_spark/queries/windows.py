@@ -1,1 +1,176 @@
-"""Placeholder — filled in as operators land."""
+"""Window-function operators W1-W5 (SURVEY.md §2b).
+
+Window ops shuffle once on the partition key then run as a streaming pass
+per partition — the 100 TB concern is partition-key cardinality vs skew:
+these all partition on high-cardinality keys (custkey/user_id/brand), never
+a global Window.orderBy without partitionBy (which would single-task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import date_s, dec, t
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number()   OVER w AS BIGINT) AS rn,
+       CAST(rank()         OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS prank,
+       ROUND(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rn
+""",
+    doc="W1: ranking family over (custkey, price desc) with total tie-break.",
+)
+def w1_ranking(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "w2_lag_lead",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(value AS DOUBLE) AS value,
+       CAST(lag(value)  OVER w AS DOUBLE) AS prev_value,
+       CAST(lead(value) OVER w AS DOUBLE) AS next_value,
+       CAST(value - lag(value) OVER w AS DOUBLE) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+    doc="W2: lag/lead offsets per user ordered by event time.",
+)
+def w2_lag_lead(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            F.lag("value").over(w).cast("double").alias("prev_value"),
+            F.lead("value").over(w).cast("double").alias("next_value"),
+            (F.col("value") - F.lag("value").over(w)).cast("double").alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w3_running_agg",
+    oracle="""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="W3: running decimal sum per customer (rows frame).",
+)
+def w3_running_agg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            date_s("o_orderdate").alias("odate"),
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "w4_sliding_range",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS events_last_hour
+FROM events
+ORDER BY user_id, event_id
+""",
+    doc="W4: 1-hour trailing count per user via RANGE frame on epoch seconds.",
+)
+def w4_sliding_range(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).cast("bigint").alias("events_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w5_topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, revenue FROM (
+  SELECT p_brand, p_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+         row_number() OVER (
+             PARTITION BY p_brand
+             ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, p_partkey
+         ) AS rn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+) WHERE rn <= 3
+ORDER BY p_brand, p_partkey
+""",
+    doc="W5: top-3 parts by revenue per brand (agg → window rank → filter).",
+)
+def w5_topk_per_group(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev_dec"), "p_partkey")
+    return (
+        per_part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.col("rev_dec").cast("double").alias("revenue"))
+        .orderBy("p_brand", "p_partkey")
+    )

@@ -27,6 +27,9 @@ _BASE_CONF = {
     # dims (region/nation/supplier/part/customer at small SF) broadcast freely
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark has no type for;
+    # read as long and convert in the loader (micros truncation == DuckDB)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic ANSI-ish behavior without hard failures on overflow
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
@@ -62,6 +65,7 @@ def apply_runtime_conf(spark: SparkSession) -> None:
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
     ):
         try:
             spark.conf.set(k, _BASE_CONF[k])

@@ -17,8 +17,20 @@ from ez_cdc_spark.session import apply_runtime_conf
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1: parquet scan of one testdata table."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """S1: parquet scan of one testdata table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark has no type for;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos
+    and is truncated to micros here — the same value DuckDB produces reading
+    the file natively.
+    """
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
