@@ -1,1 +1,262 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar function families (SURVEY.md §2b) — one combined projection query
+per family, restricted to the DuckDB-portable subset (regex dialect, TZ,
+rounding caveats noted per query).
+
+All of these run inside whole-stage codegen (pure pyspark.sql.functions, no
+Python UDFs) — at 100 TB they are a single scan+project stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import t
+
+
+@register(
+    "f_string",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS lo, upper(p_brand) AS up,
+       trim(concat(' ', p_name, ' ')) AS trimmed,
+       ltrim(concat('xx', p_name), 'x') AS lt,
+       rtrim(concat(p_name, 'yy'), 'y') AS rt,
+       CAST(length(p_name) AS BIGINT) AS len,
+       substring(p_name, 2, 5) AS sub,
+       concat_ws('|', p_brand, p_type) AS cw,
+       replace(p_type, 'BRASS', 'brass') AS repl,
+       lpad(p_brand, 12, '.') AS lp, rpad(p_brand, 12, '.') AS rp,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+       reverse(p_brand) AS rev,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+       split_part(p_name, ' ', 1) AS first_token
+FROM part
+ORDER BY p_partkey
+""",
+    doc="F-string: portable string-function family over part.",
+)
+def f_string(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("xx"), F.col("p_name")), F.lit("x")).alias("lt"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("yy")), F.lit("y")).alias("rt"),
+        F.length("p_name").cast("bigint").alias("len"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cw"),
+        F.replace(F.col("p_type"), F.lit("BRASS"), F.lit("brass")).alias("repl"),
+        F.lpad("p_brand", 12, ".").alias("lp"),
+        F.rpad("p_brand", 12, ".").alias("rp"),
+        F.instr("p_name", "a").cast("bigint").alias("pos_a"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.reverse("p_brand").alias("rev"),
+        F.levenshtein("p_brand", "p_type").cast("bigint").alias("lev"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "f_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS d,
+       CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d') AS minus7,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS days_to_98,
+       CAST((1998 - year(o_orderdate)) * 12 - month(o_orderdate) + 1 AS BIGINT) AS whole_months_to_98,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+    doc="F-datetime: portable date/time family (dayofweek declared via dow+1 mapping).",
+)
+def f_datetime(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("y"),
+        F.month(d).cast("bigint").alias("m"),
+        F.dayofmonth(d).cast("bigint").alias("d"),
+        F.dayofweek(d).cast("bigint").alias("dow"),  # Sunday=1 == duckdb dow+1
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.date_sub(d.cast("date"), 7), "yyyy-MM-dd").alias("minus7"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_98"),
+        ((F.lit(1998) - F.year(d)) * 12 - F.month(d) + 1)
+        .cast("bigint")
+        .alias("whole_months_to_98"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "f_math",
+    oracle="""
+SELECT p_partkey,
+       CAST(abs(p_size - 25) AS BIGINT) AS a,
+       CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) / 7, 2) AS DOUBLE) AS r2,
+       CAST(floor(CAST(p_retailprice AS DOUBLE) / 100) AS BIGINT) AS fl,
+       CAST(ceil(CAST(p_retailprice AS DOUBLE) / 100) AS BIGINT) AS ce,
+       ROUND(sqrt(CAST(p_size AS DOUBLE)), 6) AS sq,
+       CAST(pow(CAST(p_size AS DOUBLE), 2) AS DOUBLE) AS p2,
+       ROUND(exp(CAST(p_size AS DOUBLE) / 50), 6) AS ex,
+       ROUND(ln(CAST(p_size + 1 AS DOUBLE)), 6) AS lg,
+       ROUND(log10(CAST(p_size + 1 AS DOUBLE)), 6) AS l10,
+       CAST(p_size % 7 AS BIGINT) AS md,
+       CAST(((p_size - 30) % 7 + 7) % 7 AS BIGINT) AS pmd,
+       CAST(sign(p_size - 25) AS BIGINT) AS sg,
+       CAST(greatest(p_size, 25) AS BIGINT) AS gr,
+       CAST(least(p_size, 25) AS BIGINT) AS le
+FROM part
+ORDER BY p_partkey
+""",
+    doc="F-math: math family; transcendentals ROUND(,6), decimal round exact.",
+)
+def f_math(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    szd = sz.cast("double")
+    return p.select(
+        "p_partkey",
+        F.abs(sz - 25).cast("bigint").alias("a"),
+        F.round(F.col("p_retailprice").cast("decimal(12,2)") / 7, 2)
+        .cast("double")
+        .alias("r2"),
+        F.floor(F.col("p_retailprice").cast("double") / 100).cast("bigint").alias("fl"),
+        F.ceil(F.col("p_retailprice").cast("double") / 100).cast("bigint").alias("ce"),
+        F.round(F.sqrt(szd), 6).alias("sq"),
+        F.pow(szd, 2).alias("p2"),
+        F.round(F.exp(szd / 50), 6).alias("ex"),
+        F.round(F.log((sz + 1).cast("double")), 6).alias("lg"),
+        F.round(F.log10((sz + 1).cast("double")), 6).alias("l10"),
+        (sz % 7).cast("bigint").alias("md"),
+        F.pmod(sz - 30, F.lit(7)).cast("bigint").alias("pmd"),
+        F.signum((sz - 25).cast("double")).cast("bigint").alias("sg"),
+        F.greatest(sz, F.lit(25)).cast("bigint").alias("gr"),
+        F.least(sz, F.lit(25)).cast("bigint").alias("le"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "f_conditional",
+    oracle="""
+SELECT c_custkey,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'was-building') AS seg,
+       NULLIF(c_nationkey, 0) AS nk_nullable,
+       coalesce(NULLIF(c_nationkey, 0), -1) AS nk_filled,
+       CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS sign_band
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="F-conditional: coalesce / nullif / nvl / if.",
+)
+def f_conditional(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("was-building")).alias("seg"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_nullable"),
+        F.nvl(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias("nk_filled"),
+        F.when(F.col("c_acctbal") >= 0, "pos").otherwise("neg").alias("sign_band"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "f_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+       ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_el,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+       CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS total,
+       ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first
+FROM embeddings
+ORDER BY vec_id
+""",
+    doc="F-array: size/element_at/min/max/filter/transform/aggregate on embeddings.",
+)
+def f_array(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_el"),
+        F.round(F.element_at(emb, 64).cast("double"), 6).alias("last_el"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("mn"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("mx"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("total"),
+        F.round(F.element_at(F.sort_array(emb), 1).cast("double"), 6).alias("sorted_first"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "f_map_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+       'k' AS first_key
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    doc="F-map/json: get_json_object / from_json→map / map_keys on events.props.",
+)
+def f_map_json(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.element_at(m, "k").cast("string").alias("k_str"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    ).orderBy("event_id")
+
+
+@register(
+    "f_hash",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS h_md5,
+       sha256(c_name) AS h_sha256
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="F-hash: md5/sha2-256 (portable); xxhash64/crc32 are bench-only (a4-style).",
+)
+def f_hash(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.lower(F.sha2("c_name", 256)).alias("h_sha256"),
+    ).orderBy("c_custkey")
