@@ -1,0 +1,147 @@
+"""Embedding similarity functions (SURVEY.md X3/X6).
+
+Two paths, per the 100 TB design rule:
+  * oracle path — exact brute-force cosine via built-in higher-order
+    functions (zip_with + aggregate), fully JVM-side;
+  * scale path — block-matmul: corpus partitioned, query block broadcast,
+    one numpy GEMM per Arrow batch inside mapInPandas (vectorized, no
+    per-row Python), then a distributed top-k window. For N queries × M
+    corpus this is O(N·M) flops but only O(M) shuffle, and the GEMM runs at
+    memory bandwidth — the standard exact-ANN baseline. An LSH-bucketed
+    approximate variant is in operators/minhash.py (random hyperplanes).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.transform(to_double(a), lambda x: x / n)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    corpus, rank per query. Output: (q_id, c_id, score) with ROUND(,4) and
+    deterministic (rounded-score, id) ordering."""
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(vec).alias("q_vec"))
+    c = corpus.select(F.col(c_id).alias("c_id"), F.col(vec).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def blocked_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Scale path: numpy GEMM per corpus partition against the broadcast,
+    L2-normalized query matrix; per-partition top-k before the final global
+    per-query top-k window (shuffle carries ≤ k rows per query per
+    partition, not the full N×M score matrix)."""
+    import numpy as np
+
+    q_pdf = (
+        queries.select(F.col(q_id).alias("q_id"), normalize(F.col(vec)).alias("q_vec"))
+        .toPandas()
+    )
+    q_ids = q_pdf["q_id"].to_numpy()
+    q_mat = np.vstack(q_pdf["q_vec"].to_numpy()).astype("float64")  # (nq, d)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    c = corpus.select(F.col(c_id).alias("c_id"), normalize(F.col(vec)).alias("c_vec"))
+
+    def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.vstack(pdf["c_vec"].to_numpy()).astype("float64")  # (m, d)
+            scores = mat @ c_mat.T  # (nq, m) one GEMM per Arrow batch
+            nq, m = scores.shape
+            kk = min(k + 1, m)
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "q_id": np.repeat(ids, kk),
+                "c_id": pdf["c_id"].to_numpy()[top].ravel(),
+                "score": np.take_along_axis(scores, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = c.mapInPandas(score_block, "q_id long, c_id long, score double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", F.round("score", 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def centroids(embeddings: DataFrame, label: str = "label", vec: str = "embedding") -> DataFrame:
+    """X6: per-label per-position centroid via posexplode + avg.
+
+    Float sums across partitions are order-nondeterministic at the last ulp;
+    output is ROUND(,4) which absorbs it (SURVEY §5.3 float rule).
+    """
+    ex = embeddings.select(
+        F.col(label).alias("label"), F.posexplode(to_double(F.col(vec)))
+    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("e"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.sum("e") / F.count("*"), 4).alias("centroid"))
+        .orderBy("label", "pos")
+    )

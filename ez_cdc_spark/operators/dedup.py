@@ -1,0 +1,226 @@
+"""Deduplication operators (north-star X1/X2 + training-pipeline dedup set):
+exact hash, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every variant reduces to (fingerprint → shuffle on bucket →
+within-bucket pair join). Nothing here is O(N²) on the full corpus — only
+within-bucket, and bucket width is controlled by band/bit parameters. All
+hashing is xxhash64 with fixed integer seeds → fully deterministic across
+runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ez_cdc_spark.functions.text import word_ngrams, words
+
+# Mersenne prime modulus and fixed seeds for the minhash permutation family
+_P = (1 << 61) - 1
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1: group by content hash; keep min id as canonical, count copies."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def shingle_hashes(text_col, n: int = 3) -> F.Column:
+    """Distinct xxhash64 values of word n-gram shingles."""
+    return F.array_distinct(
+        F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
+    )
+
+
+def minhash_signature(hashes: F.Column, num_hashes: int = 64) -> F.Column:
+    """num_hashes-wide minhash signature via (a*h+b) mod p permutations.
+
+    a/b are derived per-slot from xxhash64 of the slot index (seeded) so the
+    whole family is reproducible from two integer seeds.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(
+                    F.xxhash64(j, F.lit(1)) * h + F.xxhash64(j, F.lit(2)), F.lit(_P)
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2: banding — docs sharing any band signature become candidate pairs.
+
+    rows-per-band = num_hashes / bands. Shuffle key is (band_id, band_sig):
+    at 100 TB this is a single exchange + within-bucket self-join.
+    Output: (id_a, id_b, jaccard) for candidates, exact shingle Jaccard
+    verified (so no false positives leave the operator).
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ),
+    ).select("doc_id", "shingles", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def simhash(text_col, bits: int = 32) -> F.Column:
+    """SimHash: sign-aggregate the bit columns of token hashes.
+
+    For each bit position, sum +1/-1 over token xxhash64 bits; the sign per
+    position forms the fingerprint. Bit positions are unrolled in Python
+    (shiftright needs a literal), producing pure column expressions; 32 bits
+    keeps every mask inside a positive long.
+    """
+    assert bits <= 62, "fingerprint must fit a positive long"
+    tok_hashes = F.transform(words(text_col), lambda w: F.xxhash64(w))
+
+    def bit_counter(i: int):
+        # closure factory: the fold lambda must stay 2-ary (PySpark
+        # dispatches higher-order-function lambdas on arity)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_count = F.aggregate(tok_hashes, F.lit(0).cast("long"), bit_counter(i))
+        out = out.bitwiseOR(F.when(bit_count > 0, F.lit(1 << i)).otherwise(0).cast("long"))
+    return out
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup join: block the 64-bit fingerprint into ``blocks``
+    chunks; pairs within ``max_hamming`` share at least one exact chunk
+    (pigeonhole, since max_hamming < blocks), so the join key is
+    (chunk_id, chunk_value) — no cross join. Output pairs + hamming dist."""
+    assert max_hamming < blocks, "pigeonhole blocking needs max_hamming < blocks"
+    chunk_bits = bits // blocks
+    mask = (1 << chunk_bits) - 1
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    chunked = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(blocks)
+                ]
+            )
+        ),
+    ).select("doc_id", "sh", F.col("pos").alias("chunk_id"), F.col("col").alias("chunk_val"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.cast("bigint").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs of the given docs slice.
+
+    O(N²) in the slice — callers bound the slice (it's the oracle/verify
+    path; the scale path is minhash_lsh_candidates which approximates this).
+    """
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

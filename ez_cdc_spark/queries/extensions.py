@@ -1,1 +1,273 @@
-"""Placeholder — filled in as operators land."""
+"""Extension operators X1-X6 + training-data-pipeline ops (SURVEY.md §2b
+north star): dedup family, similarity search, text analysis, multimodal
+columns, embedding ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.functions import text as TXT
+from ez_cdc_spark.functions.similarity import (
+    blocked_topk,
+    brute_force_topk,
+    centroids,
+    dot,
+    norm,
+)
+from ez_cdc_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from ez_cdc_spark.operators.multimodal import attach_payload, extract_features
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import t
+
+_STOP_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
+
+
+@register(
+    "x1_exact_dedup",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+""",
+    doc="X1: exact dedup via content-hash groupBy (canonical id = min).",
+)
+def x1_exact_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup_groups(d).orderBy("text_hash")
+
+
+@register(
+    "x2_minhash_lsh",
+    oracle=None,  # hash-permutation arithmetic isn't portable SQL; golden-tested
+    doc="X2: MinHash+LSH banding near-dup candidates with exact-Jaccard verify.",
+)
+def x2_minhash_lsh(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d).orderBy("id_a", "id_b")
+
+
+@register(
+    "x2b_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.2
+ORDER BY id_a, id_b
+""",
+    doc="X: exact token-set (1-gram) Jaccard pairs over a bounded slice ↔ DuckDB list ops.",
+)
+def x2b_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(d, n=1, threshold=0.2).orderBy("id_a", "id_b")
+
+
+@register(
+    "x2c_simhash",
+    oracle=None,  # bitwise simhash isn't portable SQL; determinism golden-tested
+    doc="X: SimHash near-dup pairs via pigeonhole chunk blocking (no cross join).",
+)
+def x2c_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+_COS_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+     scored AS (
+       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              ROUND(list_cosine_similarity(q.v, c.v), 4) AS score
+       FROM q JOIN c ON q.vec_id <> c.vec_id),
+     ranked AS (
+       SELECT q_id, c_id, score,
+              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+       FROM scored)
+SELECT q_id, c_id, score FROM ranked WHERE rn <= 5
+ORDER BY q_id, c_id
+"""
+
+
+@register(
+    "x3_cosine_topk",
+    oracle=_COS_ORACLE,
+    doc="X3: exact cosine top-5 (brute force, JVM higher-order fns) ↔ DuckDB list_cosine_similarity.",
+)
+def x3_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(q, e, k=5).orderBy("q_id", "c_id")
+
+
+@register(
+    "x3b_blocked_topk",
+    oracle=_COS_ORACLE,
+    doc="X3 scale path: numpy GEMM per Arrow batch (mapInPandas) + per-query top-k window; same oracle as x3.",
+)
+def x3b_blocked_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return blocked_topk(q, e, k=5).orderBy("q_id", "c_id")
+
+
+@register(
+    "x4_word_count",
+    oracle="""
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 20
+""",
+    doc="X4: corpus word-count top-20 (explode → count → top-k, tie-broken by word).",
+)
+def x4_word_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TXT.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "x4b_text_metrics",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(str_split_regex(text, '[^a-zA-Z0-9]+')) AS BIGINT) AS n_regex_tokens,
+       ROUND(CAST(len(list_filter(string_split(text,' '), w -> list_contains({_STOP_SQL}, lower(w)))) AS DOUBLE)
+             / len(string_split(text,' ')), 6) AS stop_ratio,
+       ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             / len(string_split(text,' ')), 6) AS uniq_ratio,
+       ROUND(CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS DOUBLE)
+             / len(string_split(text,' ')), 6) AS avg_word_len,
+       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+    doc="X4: per-doc quality metrics (token counts, stopword/uniq ratios, fingerprint).",
+)
+def x4b_text_metrics(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    # text is space-separated ASCII words: whitespace tokens == regex tokens
+    # except the regex form also handles punctuation/multispace
+    return d.select(
+        "doc_id",
+        TXT.token_count(txt).cast("bigint").alias("n_tokens"),
+        TXT.regex_token_count(txt).cast("bigint").alias("n_regex_tokens"),
+        F.round(TXT.stopword_ratio(txt), 6).alias("stop_ratio"),
+        F.round(TXT.uniq_ratio(txt), 6).alias("uniq_ratio"),
+        F.round(TXT.avg_word_len(txt), 6).alias("avg_word_len"),
+        TXT.fingerprint(txt).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x4c_lang_quality",
+    oracle=None,  # argmax-with-tiebreak over marker lists: golden/rows-only
+    doc="X4: heuristic language ID + composite quality score (deterministic).",
+)
+def x4c_lang_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id(txt).alias("lang_guess"),
+        TXT.quality_score(txt).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x5_multimodal",
+    oracle="""
+SELECT d.doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(d.text, 1, 1)) AS INT) AS first_byte,
+       CAST(ascii(substr(d.text, length(d.text), 1)) AS INT) AS last_byte,
+       e.label,
+       CAST(len(e.embedding) AS BIGINT) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+""",
+    doc="X5: binary payload + typed metadata, mapInPandas feature extraction, doc⋈embedding join.",
+)
+def x5_multimodal(spark, sf_dir):
+    d = attach_payload(t(spark, sf_dir, "documents"))
+    e = t(spark, sf_dir, "embeddings")
+    feats = extract_features(d)
+    return (
+        d.join(feats, "doc_id")
+        .join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.col("media_meta.media_type").alias("media_type"),
+            F.col("n_bytes").cast("bigint"),
+            "first_byte",
+            "last_byte",
+            "label",
+            F.size("embedding").cast("bigint").alias("dim"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x6_centroids",
+    oracle="""
+SELECT label, CAST(r.range AS BIGINT) AS pos,
+       ROUND(SUM(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)) / COUNT(*), 4) AS centroid
+FROM embeddings, range(1, 65) r
+GROUP BY label, pos
+ORDER BY label, pos
+""",
+    doc="X6: per-label embedding centroid (posexplode + avg, ROUND(,4) float rule).",
+)
+def x6_centroids(spark, sf_dir):
+    return centroids(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x6b_norms",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       ROUND(list_cosine_similarity(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS self_cos
+FROM embeddings
+ORDER BY vec_id
+""",
+    doc="X6: vector norms + self-cosine sanity (normalize building blocks).",
+)
+def x6b_norms(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(norm(emb), 4).alias("l2_norm"),
+        F.round(dot(emb, emb) / (norm(emb) * norm(emb)), 4).alias("self_cos"),
+    ).orderBy("vec_id")

@@ -1,1 +1,142 @@
-"""Placeholder — filled in as operators land."""
+"""Source/sink operators S1-S3, S7 (SURVEY.md §2b). Streaming sources/sinks
+(S4/S5/S8/S9) live in streaming_equiv.py; S6 (JDBC) is covered by the S1
+stand-in per SURVEY (needs a live Postgres).
+
+Round-trip queries write to a scratch dir under /tmp then re-read through the
+engine — proving the sink format is readable and lossless. The oracle reads
+the original parquet only, so a lossy sink shows up as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import dec, t
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "ez_cdc_spark_scratch")
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:12]
+    return os.path.join(_SCRATCH, f"{tag}-{key}")
+
+
+@register(
+    "s1_parquet_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+""",
+    doc="S1: parquet scan with pushed filter (PushedFilters asserted in plan tests).",
+)
+def s1_parquet_scan(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+    )
+
+
+@register(
+    "s2_csv_roundtrip",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="S2: lineitem→CSV→re-read with declared schema→agg; prices carried as DECIMAL strings.",
+)
+def s2_csv_roundtrip(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        # CSV is text — write the monetary value as an exact decimal string
+        dec("l_extendedprice").alias("l_extendedprice"),
+    )
+    path = _scratch(sf_dir, "s2csv")
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(
+        "l_orderkey BIGINT, l_returnflag STRING, l_extendedprice DECIMAL(12,2)"
+    ).option("header", "true").csv(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_extendedprice").cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "s3_jsonl_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="S3: events→JSONL→re-read with declared schema→agg per event_type.",
+)
+def s3_jsonl_roundtrip(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", dec("value").alias("value")
+    )
+    path = _scratch(sf_dir, "s3json")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DECIMAL(12,2)"
+    ).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s7_partitioned_parquet_sink",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc="S7: partitionBy(year) parquet sink → re-read (partition pruning layout) → agg.",
+)
+def s7_partitioned_parquet_sink(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    path = _scratch(sf_dir, "s7parq")
+    # At 100 TB this layout gives static partition pruning on year predicates.
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_year")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("o_year")
+    )
