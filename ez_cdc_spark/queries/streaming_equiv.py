@@ -1,1 +1,264 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming operators T1-T10, S5, S9/T9, U6/T6 (SURVEY.md §2b) checked by
+batch-equivalence: each query replays a deterministic file-source stream
+with trigger(availableNow=True) and returns the final materialized result;
+the oracle is the equivalent batch SQL in DuckDB over the SAME source table
+(envelopes are derived from `events` by the fixed mapping in
+streaming/cdc.py, duplicated rows included, on both sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.queries import register
+from ez_cdc_spark.streaming.cdc import materialize, stream_envelopes
+from ez_cdc_spark.streaming.replay import run_to_memory, stream_events
+
+# Shared oracle CTE: the envelope derivation (cdc.py mapping) in DuckDB SQL.
+ENV_CTE = """
+WITH env AS (
+  SELECT CAST(event_id % 200 AS BIGINT) AS id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         CAST(event_id AS BIGINT) AS lsn,
+         event_type AS first_name,
+         CAST(user_id AS VARCHAR) AS last_name,
+         CAST(user_id AS VARCHAR) || '@' || event_type AS email
+  FROM events
+  UNION ALL
+  SELECT CAST(event_id % 200 AS BIGINT),
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END,
+         CAST(event_id AS BIGINT), event_type, CAST(user_id AS VARCHAR),
+         CAST(user_id AS VARCHAR) || '@' || event_type
+  FROM events WHERE event_id % 97 = 0
+)
+"""
+
+
+@register(
+    "s5_stream_replay",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="S5: file streaming source replay ↔ batch agg (batch-equivalence).",
+)
+def s5_stream_replay(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").cast("double").alias("total")
+    )
+    return run_to_memory(agg, "s5_replay").orderBy("event_type")
+
+
+@register(
+    "t2_tumbling_window",
+    oracle="""
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS wstart,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY wstart
+ORDER BY wstart
+""",
+    doc="T2: 10-minute tumbling event-time window aggregate (complete mode).",
+)
+def t2_tumbling_window(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("total"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory(agg, "t2_tumbling").orderBy("wstart")
+
+
+@register(
+    "t3_sliding_window",
+    oracle="""
+SELECT strftime(to_timestamp(CAST(300 * floor(epoch(ts) / 300) - 300 * k.k AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS wstart,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, (VALUES (0), (1)) k(k)
+GROUP BY wstart
+ORDER BY wstart
+""",
+    doc="T3: 10-min/5-min sliding windows (each event in exactly 2 windows).",
+)
+def t3_sliding_window(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"), "n"
+        )
+    )
+    return run_to_memory(agg, "t3_sliding").orderBy("wstart")
+
+
+@register(
+    "t4_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 14400 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    doc="T4: 4-hour-gap session windows per user ↔ gaps-and-islands SQL.",
+)
+def t4_session_window(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "4 hours"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("total"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory(agg, "t4_session").orderBy("user_id", "session_start")
+
+
+@register(
+    "t1_watermark_append",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY ws
+), wm AS (SELECT epoch(MAX(ts)) - 1800 AS w FROM events)
+SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS wstart, n
+FROM agg, wm
+WHERE ws + 600 < w
+ORDER BY wstart
+""",
+    doc="T1/T7/T8: watermarked tumbling agg in APPEND mode — only windows "
+    "closed by the final watermark (max ts − 30 min) emit.",
+)
+def t1_watermark_append(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"), "n"
+        )
+    )
+    return run_to_memory(agg, "t1_append", output_mode="append").orderBy("wstart")
+
+
+@register(
+    "t5_stream_dedup",
+    oracle=ENV_CTE
+    + """
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT op, lsn FROM env)
+GROUP BY op
+ORDER BY op
+""",
+    doc="T5: streaming dedup on lsn collapses at-least-once duplicates "
+    "(main.py:52 autocommit semantics) ↔ DISTINCT batch SQL.",
+)
+def t5_stream_dedup(spark, sf_dir):
+    env = stream_envelopes(spark, sf_dir)
+    deduped = env.select("op", F.col("source.lsn").alias("lsn")).dropDuplicates(["lsn"])
+    agg = deduped.groupBy("op").agg(F.count("*").alias("n"))
+    return run_to_memory(agg, "t5_dedup").orderBy("op")
+
+
+@register(
+    "t9_cdc_upsert",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T9/S9: CDC upsert materialization — snapshot∪stream → foreachBatch "
+    "merge by PK, last-writer-wins by lsn, idempotent (the one custom "
+    "physical operator, SURVEY §4.2).",
+)
+def t9_cdc_upsert(spark, sf_dir):
+    state = materialize(spark, sf_dir)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        F.col("after.first_name").alias("first_name"),
+        F.col("after.last_name").alias("last_name"),
+        F.col("after.email").alias("email"),
+    ).orderBy("id")
+
+
+@register(
+    "t6_stateful",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="T6/U6: applyInPandasWithState per-key running aggregate ↔ batch groupBy.",
+)
+def t6_stateful(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+
+    def track(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].astype(float).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id BIGINT, n_events BIGINT, total DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "t6_stateful", output_mode="update").orderBy("user_id")

@@ -1,0 +1,213 @@
+"""CDC core: Debezium envelope decode + upsert materialization (SURVEY.md
+§1.2, R6-R9, T5, T9).
+
+The reference consumes Debezium envelopes from Kafka and logs them
+(/root/reference/python/cdc_test/main.py:39-53). Spark-natively that is:
+streaming scan → null-guard filter (main.py:42 ``if value:``) → from_json
+decode (main.py:43) → sink. The custom piece Spark lacks is T9: merge the
+change stream into a current-state table keyed by PK, last-writer-wins by
+lsn, idempotent under at-least-once delivery (main.py:52 autocommit ⇒
+duplicates possible).
+
+For driver-checkable determinism the envelope stream is DERIVED from the
+events table by a fixed mapping (both the engine and the DuckDB oracle
+derive from the same parquet), including injected duplicates to model
+at-least-once:
+
+    key (id)  = event_id % 200
+    op        = signup→'c' | view/click→'u' | purchase→'u' | error→'d'
+    lsn, txId = event_id  (monotone ⇒ commit order)
+    after     = {id, first_name=event_type, last_name=str(user_id),
+                 email=user_id@event_type}   (null when op='d')
+    before    = {id} (null when op='c')      (REPLICA IDENTITY FULL analog)
+    duplicates: every event with event_id % 97 == 0 is emitted twice
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.schemas import envelope_schema
+from ez_cdc_spark.sources.tables import load_table
+from ez_cdc_spark.streaming.replay import _SCRATCH, _dir_for, checkpoint_dir
+
+# JSON wire schema of the derived envelope (matches schemas.envelope_schema
+# modulo the fields the derivation fills)
+ENVELOPE_JSON_SCHEMA = (
+    "before STRUCT<id: INT, first_name: STRING, last_name: STRING, email: STRING>, "
+    "after STRUCT<id: INT, first_name: STRING, last_name: STRING, email: STRING>, "
+    "source STRUCT<version: STRING, connector: STRING, name: STRING, ts_ms: BIGINT, "
+    "snapshot: STRING, db: STRING, sequence: STRING, schema: STRING, table: STRING, "
+    "txId: BIGINT, lsn: BIGINT, xmin: BIGINT>, "
+    "op STRING, ts_ms BIGINT, kafka_timestamp BIGINT"
+)
+
+OP_MAP = {"signup": "c", "view": "u", "click": "u", "purchase": "u", "error": "d"}
+
+
+def derive_envelopes(events: DataFrame) -> DataFrame:
+    """Deterministic events→envelope mapping (module docstring), duplicates
+    included. Pure column expressions so the same logic is one SQL view for
+    the oracle."""
+    op = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in OP_MAP.items()]
+    )
+    key = (F.col("event_id") % 200).cast("int")
+    row_img = F.struct(
+        key.alias("id"),
+        F.col("event_type").alias("first_name"),
+        F.col("user_id").cast("string").alias("last_name"),
+        F.concat_ws("@", F.col("user_id").cast("string"), F.col("event_type")).alias(
+            "email"
+        ),
+    )
+    before_img = F.struct(
+        key.alias("id"),
+        F.lit(None).cast("string").alias("first_name"),
+        F.lit(None).cast("string").alias("last_name"),
+        F.lit(None).cast("string").alias("email"),
+    )
+    ts_ms = (F.unix_micros(F.col("ts")) / 1000).cast("bigint")
+    env = events.select(
+        F.when(op != "c", before_img).alias("before"),
+        F.when(op != "d", row_img).alias("after"),
+        F.struct(
+            F.lit("2.4.0.Final").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("cdctest").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("false").alias("snapshot"),
+            F.lit("cdctest").alias("db"),
+            F.to_json(F.array(F.lit(None).cast("string"), F.col("event_id").cast("string"))).alias("sequence"),
+            F.lit("public").alias("schema"),
+            F.lit("customers").alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+            F.lit(None).cast("bigint").alias("xmin"),
+        ).alias("source"),
+        op.alias("op"),
+        (ts_ms + 120).alias("ts_ms"),
+        (ts_ms + 240).alias("kafka_timestamp"),
+        F.col("event_id"),
+    )
+    dups = env.filter(F.col("event_id") % 97 == 0)
+    return env.unionByName(dups).drop("event_id")
+
+
+def envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize derived envelopes as a JSONL replay dir (idempotent)."""
+    path = _dir_for(sf_dir, "envelopes")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        env = derive_envelopes(load_table(spark, sf_dir, "events"))
+        env.repartition(n_files).write.mode("overwrite").json(path)
+    return path
+
+
+def stream_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 stand-in: the envelope topic as a file stream (value already
+    JSON-decoded via reader schema — decode parity in decode_envelopes)."""
+    path = envelopes_jsonl(spark, sf_dir)
+    return spark.readStream.schema(ENVELOPE_JSON_SCHEMA).json(path)
+
+
+def decode_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """R7/R8: the reference's consumer decode —
+    ``if value: json.loads(value)`` + msg.timestamp (main.py:42-45) — as a
+    library transform over Kafka-shaped rows (value BINARY, timestamp)."""
+    return (
+        raw.filter(F.col(value_col).isNotNull())  # tombstone guard, main.py:42
+        .select(
+            F.from_json(
+                F.col(value_col).cast("string"), envelope_schema()
+            ).alias("e"),
+            F.col("timestamp").alias("kafka_timestamp"),
+        )
+        .select("e.*", "kafka_timestamp")
+    )
+
+
+def upsert_batch(state_dir: str):
+    """T9 foreachBatch merge: last-writer-wins by (lsn) per PK, delete on
+    op='d', idempotent under replays (batchId guard + pure-merge semantics).
+
+    State lives as parquet keyed by id. Each micro-batch:
+      1. dedupe batch on lsn (at-least-once collapse, T5 semantics),
+      2. reduce batch to latest image per key,
+      3. full-outer merge with current state, keep max-lsn row,
+      4. drop keys whose final op is 'd', overwrite state atomically.
+
+    At scale the same logic targets a MERGE-capable table format; the
+    parquet-overwrite state is the dependency-free equivalent with identical
+    semantics (SURVEY §4.2 'the one genuinely custom physical operator').
+    """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        marker = os.path.join(state_dir, f"_batch_{batch_id}")
+        if os.path.exists(marker):  # replayed batch after crash: already merged
+            return
+        changes = (
+            batch.select(
+                F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+                F.col("op"),
+                F.col("source.lsn").alias("lsn"),
+                F.col("after"),
+            )
+            .dropDuplicates(["lsn"])  # at-least-once dedup
+        )
+        w_latest = F.expr(
+            "max_by(struct(lsn, op, after), lsn)"
+        )  # latest change per key in this batch
+        latest = (
+            changes.groupBy("id")
+            .agg(w_latest.alias("ch"))
+            .select("id", F.col("ch.lsn").alias("lsn"), F.col("ch.op").alias("op"), F.col("ch.after").alias("after"))
+        )
+        cur_path = os.path.join(state_dir, "current")
+        if os.path.exists(os.path.join(cur_path, "_SUCCESS")):
+            cur = spark.read.parquet(cur_path)
+        else:
+            cur = latest.limit(0).withColumnRenamed("after", "after")  # empty, same schema
+        merged = (
+            cur.unionByName(latest)
+            .groupBy("id")
+            .agg(F.expr("max_by(struct(lsn, op, after), lsn)").alias("ch"))
+            .select(
+                "id",
+                F.col("ch.lsn").alias("lsn"),
+                F.col("ch.op").alias("op"),
+                F.col("ch.after").alias("after"),
+            )
+            .filter(F.col("op") != "d")
+        )
+        tmp = cur_path + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+        open(marker, "w").close()
+
+    return apply
+
+
+def materialize(spark: SparkSession, sf_dir: str, tag: str = "t9") -> DataFrame:
+    """T9 end-to-end: envelope stream → foreachBatch upsert → final state."""
+    state_dir = _dir_for(sf_dir, f"state-{tag}-{os.getpid()}")
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    env = stream_envelopes(spark, sf_dir)
+    q = (
+        env.writeStream.foreachBatch(upsert_batch(state_dir))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state_dir, "current"))
