@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""BENCH harness (SURVEY.md §6): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "streaming_events_per_s": N}
+
+Execution is forced with the noop sink (full pipeline runs, no driver
+collect), so timings reflect the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Batch headline set: one per operator family, the shapes that dominate at
+# scale (scan-agg, fact-fact join, window, sort, dedup, similarity GEMM).
+BATCH_QUERIES = [
+    "a1_pricing_summary",
+    "a5_rollup",
+    "j1_inner_revenue_per_nation",
+    "j7_range_join",
+    "j8_asof_join",
+    "w1_ranking",
+    "w5_topk_per_group",
+    "o1_global_sort",
+    "x1_exact_dedup",
+    "x2_minhash_lsh",
+    "x3b_blocked_topk",
+    "x4b_text_metrics",
+    "f_string",
+]
+# Streaming headline set: windowed agg + CDC upsert (SURVEY §6 bench target).
+STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ez_cdc_spark.session import get_spark
+    from ez_cdc_spark.queries import load_all
+
+    spark = get_spark("ez_cdc_spark-bench")
+    registry = load_all()
+
+    # Warm the JVM/codegen paths once on a trivial query.
+    registry["a2_global_agg"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BATCH_QUERIES + STREAM_QUERIES:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # Streaming throughput: events/s through the tumbling-window replay
+    # (n events incl. none dropped) using the t2 wall time.
+    try:
+        import duckdb
+
+        n_events = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0]
+        events_per_s = round(n_events / timings["t2_tumbling_window"], 1)
+    except Exception:
+        events_per_s = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "streaming_events_per_s": events_per_s,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
