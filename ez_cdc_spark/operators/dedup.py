@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ez_cdc_spark.functions.text import word_ngrams, words
 
-# Mersenne prime modulus and fixed seeds for the minhash permutation family
-_P = (1 << 61) - 1
+# Mersenne prime modulus for the minhash permutation family. 31-bit so that
+# a*h + b stays well under 2^63 — the driver may run with ANSI mode on
+# (Spark 4 default), where silent long wraparound becomes a runtime error.
+_P = (1 << 31) - 1
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,18 +42,18 @@ def minhash_signature(hashes: F.Column, num_hashes: int = 64) -> F.Column:
     """num_hashes-wide minhash signature via (a*h+b) mod p permutations.
 
     a/b are derived per-slot from xxhash64 of the slot index (seeded) so the
-    whole family is reproducible from two integer seeds.
+    whole family is reproducible from two integer seeds. All operands are
+    reduced mod the 31-bit Mersenne prime first: a ∈ [1, P-1], b/h ∈ [0, P-1],
+    so a*h + b < 2^62 + 2^31 — exact under ANSI mode, no overflow.
     """
+    def perm(j, h):
+        a = F.pmod(F.xxhash64(j, F.lit(1)), F.lit(_P - 1)) + F.lit(1)
+        b = F.pmod(F.xxhash64(j, F.lit(2)), F.lit(_P))
+        return F.pmod(a * F.pmod(h, F.lit(_P)) + b, F.lit(_P))
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(
-                    F.xxhash64(j, F.lit(1)) * h + F.xxhash64(j, F.lit(2)), F.lit(_P)
-                ),
-            )
-        ),
+        lambda j: F.array_min(F.transform(hashes, lambda h: perm(j, h))),
     )
 
 

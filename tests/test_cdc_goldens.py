@@ -1,0 +1,211 @@
+"""CDC golden-fixture tests (FIXTURES.md §4): hand-built Debezium envelopes
+replicating /root/reference/README.md:331-332 shapes — snapshot reads,
+inserts, updates/deletes with full before-images (REPLICA IDENTITY FULL,
+init.sql:10), at-least-once duplicates, and null-value tombstones — driven
+through the engine's decode + upsert path."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.streaming.cdc import ENVELOPE_JSON_SCHEMA, upsert_batch
+from ez_cdc_spark.streaming.replay import checkpoint_dir
+
+
+def _env(op, id_, lsn, first=None, last=None, email=None, before=None, snapshot="false"):
+    row = (
+        None
+        if op == "d"
+        else {"id": id_, "first_name": first, "last_name": last, "email": email}
+    )
+    return {
+        "before": before,
+        "after": row,
+        "source": {
+            "version": "2.4.0.Final",
+            "connector": "postgresql",
+            "name": "cdctest",
+            "ts_ms": 1703166387948 + lsn,
+            "snapshot": snapshot,
+            "db": "cdctest",
+            "sequence": json.dumps([None, str(24284336 + lsn)]),
+            "schema": "public",
+            "table": "customers",
+            "txId": 731 + lsn,
+            "lsn": lsn,
+            "xmin": None,
+        },
+        "op": op,
+        "ts_ms": 1703166388457 + lsn,
+        "kafka_timestamp": 1703166388741 + lsn,
+    }
+
+
+FIXTURE = [
+    # snapshot backfill (op='r'), then interleaved c/u/d in lsn order
+    _env("r", 1, 10, "alex", "foley", "alex.foley", snapshot="true"),
+    _env("r", 2, 11, "axel", "foley", "axel.foley", snapshot="last"),
+    _env("c", 3, 20, "carol", "king", "carol@k"),
+    # update carries the FULL before-image (replica identity full)
+    _env(
+        "u", 1, 30, "alexander", "foley", "alex.foley",
+        before={"id": 1, "first_name": "alex", "last_name": "foley", "email": "alex.foley"},
+    ),
+    # delete carries full before-image too
+    _env("d", 2, 40, before={"id": 2, "first_name": "axel", "last_name": "foley", "email": "axel.foley"}),
+    # at-least-once: duplicate of lsn 30, verbatim
+    _env(
+        "u", 1, 30, "alexander", "foley", "alex.foley",
+        before={"id": 1, "first_name": "alex", "last_name": "foley", "email": "alex.foley"},
+    ),
+    # late re-insert of deleted key
+    _env("c", 2, 50, "axel2", "foley", "axel2@f"),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark):
+    d = tempfile.mkdtemp(prefix="cdc_golden_")
+    with open(os.path.join(d, "part-000.jsonl"), "w") as f:
+        for e in FIXTURE:
+            f.write(json.dumps(e) + "\n")
+        f.write("\n")  # blank line = tombstone-ish null record, reader skips
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_envelope_decode_shapes(spark, fixture_dir):
+    df = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(fixture_dir)
+    collected = df.collect()
+    assert len(collected) == 7  # 6 distinct + 1 duplicate lsn kept at decode stage
+    rows = {r["source"]["lsn"]: r for r in collected}
+    assert len(rows) == 6
+    # insert semantics: before null, after populated (README.md:331)
+    assert rows[20]["before"] is None and rows[20]["after"]["first_name"] == "carol"
+    # update: full before-image present
+    assert rows[30]["before"]["first_name"] == "alex"
+    assert rows[30]["after"]["first_name"] == "alexander"
+    # delete: after null, before full
+    assert rows[40]["after"] is None and rows[40]["before"]["email"] == "axel.foley"
+    # snapshot enum domain
+    assert {r["source"]["snapshot"] for r in rows.values()} <= {
+        "true", "last", "false", "incremental"
+    }
+
+
+def test_upsert_materialization_golden(spark, fixture_dir):
+    """Final state == DuckDB replay of the same DML (FIXTURES §4 scenario 1)."""
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    try:
+        stream = spark.readStream.schema(ENVELOPE_JSON_SCHEMA).json(fixture_dir)
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch(state_dir))
+            .option("checkpointLocation", checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = (
+            spark.read.parquet(os.path.join(state_dir, "current"))
+            .select("id", "lsn", "after.first_name", "after.email")
+            .orderBy("id")
+            .collect()
+        )
+        got = [(r["id"], r["lsn"], r["first_name"], r["email"]) for r in state]
+        # replaying INSERT/UPDATE/DELETE in lsn order by hand:
+        # id1: r@10 then u@30 -> alexander; id2: r@11, d@40, c@50 -> axel2; id3: c@20
+        assert got == [
+            (1, 30, "alexander", "alex.foley"),
+            (2, 50, "axel2", "axel2@f"),
+            (3, 20, "carol", "carol@k"),
+        ]
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_upsert_idempotent_on_batch_replay(spark, fixture_dir):
+    """Re-applying the same batchId is a no-op (crash-replay semantics)."""
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    try:
+        df = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(fixture_dir)
+        apply = upsert_batch(state_dir)
+        apply(df, 0)
+        first = spark.read.parquet(os.path.join(state_dir, "current")).collect()
+        apply(df, 0)  # replay same batch id
+        second = spark.read.parquet(os.path.join(state_dir, "current")).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        # applying as a NEW batch id is also a semantic no-op (pure merge)
+        apply(df, 1)
+        third = spark.read.parquet(os.path.join(state_dir, "current")).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, third))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_late_data_window_drop_vs_upsert_keep(spark, tmp_path):
+    """FIXTURES §4 scenario 4: rows later than the watermark are dropped by
+    windowed aggs (append mode) but still applied by the lsn-keyed upsert.
+
+    Spark filters late events with the PREVIOUS batch's watermark and evicts
+    state with the current one (SPARK-40925), so the late row must arrive at
+    least two batches after the row that advanced the watermark — hence the
+    on-time middle file.
+    """
+
+    def _ev(event_id, ts):
+        return {"event_id": event_id, "ts": ts, "user_id": 1,
+                "event_type": "view", "value": 1.0, "props": "{}"}
+
+    # batch 0: minutes 0 + 120 (advances watermark to 01:50:30 for batch 1)
+    # batch 1: on-time row — window 00:00 evicted/emitted with n=1
+    # batch 2: late row back at minute 1 — dropped by the late-event filter
+    rows1 = [_ev(1, "2024-01-01T00:00:30.000Z"), _ev(2, "2024-01-01T02:00:30.000Z")]
+    rows2 = [_ev(3, "2024-01-01T02:05:00.000Z")]
+    rows3 = [_ev(4, "2024-01-01T00:01:00.000Z")]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        f = src / f"{'abc'[i]}-part-{i:03d}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        mt = 1000000000 + 100 * i  # strictly later mtime → later batch
+        os.utime(f, (mt, mt))
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+    )
+    name = "late_drop_check"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["w"]: r["n"] for r in spark.table(name).collect()}
+    # late event (00:01) arrives after window 00:00 closed → dropped: n stays 1
+    assert out.get("00:00") == 1
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped == 1

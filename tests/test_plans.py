@@ -1,0 +1,61 @@
+"""Plan-shape assertions: scale rules hold structurally (SURVEY §4.2/§5.2)."""
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.plans.assertions import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_whole_stage_codegen,
+    plan_str,
+)
+from ez_cdc_spark.queries import load_all
+from ez_cdc_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "lineitem").filter(F.col("l_orderkey") <= 500)
+    assert_pushed_filter(df)
+    assert_whole_stage_codegen(df.select("l_orderkey"))
+
+
+def test_column_pruning(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan_str(df)
+    assert "ReadSchema" in p
+    # scan must not read all 11 columns for a 2-column projection
+    assert "l_extendedprice" not in p.split("ReadSchema")[1][:400]
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    q = load_all()["j2_broadcast_dim_join"]
+    assert_broadcast_join(q.fn(spark, sf_smoke))
+
+
+def test_j1_broadcasts_dims_no_cartesian(spark, sf_smoke):
+    df = load_all()["j1_inner_revenue_per_nation"].fn(spark, sf_smoke)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_theta_and_range_joins_not_cartesian(spark, sf_smoke):
+    for name in ("j6_theta_join", "j7_range_join"):
+        assert_no_cartesian(load_all()[name].fn(spark, sf_smoke))
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke):
+    df = load_all()["o2_limit_topk"].fn(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in plan_str(df)
+
+
+def test_lsh_join_is_hash_join_on_bands(spark, sf_smoke):
+    df = load_all()["x2_minhash_lsh"].fn(spark, sf_smoke)
+    assert_no_cartesian(df)
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    # SURVEY A4: approx within 5% of exact
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    approx = load_all()["a4_approx_count_distinct"].fn(spark, sf_dir).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
