@@ -115,10 +115,21 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.sort_array(F.array_distinct(words(text))), " "))
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of n-word shingles ('a b c' style)."""
-    ws = words(text)
+def ngrams_from_words(ws: Column, n: int) -> Column:
+    """Array of n-word shingles from an already-bound words array column.
+
+    ``ws`` MUST be a bound attribute (``.select(words(...).alias("ws"))``
+    first), not an inline ``split`` expression: lambda inlining would
+    re-evaluate the split once per shingle position — O(W²) per document
+    instead of O(W).
+    """
     idx = F.sequence(F.lit(0), F.size(ws) - n)
     return F.when(F.size(ws) >= n, F.transform(
         idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")
     )).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of n-word shingles ('a b c' style). Convenience form — prefer
+    ``ngrams_from_words`` over a pre-split column in hot paths (see there)."""
+    return ngrams_from_words(words(text), n)

@@ -10,9 +10,11 @@ runs and cluster layouts.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
-from ez_cdc_spark.functions.text import word_ngrams, words
+from ez_cdc_spark.functions.text import ngrams_from_words, words
 
 # Mersenne prime modulus for the minhash permutation family. 31-bit so that
 # a*h + b stays well under 2^63 — the driver may run with ANSI mode on
@@ -31,30 +33,45 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def shingle_hashes(text_col, n: int = 3) -> F.Column:
-    """Distinct xxhash64 values of word n-gram shingles."""
+def shingle_hashes(words_col, n: int = 3) -> F.Column:
+    """Distinct xxhash64 values of word n-gram shingles.
+
+    Takes the pre-split words array (a bound column attribute), not raw text —
+    see ngrams_from_words for why.
+    """
     return F.array_distinct(
-        F.transform(word_ngrams(text_col, n), lambda s: F.xxhash64(s))
+        F.transform(ngrams_from_words(words_col, n), lambda s: F.xxhash64(s))
     )
 
 
 def minhash_signature(hashes: F.Column, num_hashes: int = 64) -> F.Column:
     """num_hashes-wide minhash signature via (a*h+b) mod p permutations.
 
-    a/b are derived per-slot from xxhash64 of the slot index (seeded) so the
-    whole family is reproducible from two integer seeds. All operands are
-    reduced mod the 31-bit Mersenne prime first: a ∈ [1, P-1], b/h ∈ [0, P-1],
-    so a*h + b < 2^62 + 2^31 — exact under ANSI mode, no overflow.
+    a/b are fixed per-slot constants derived from sha256 of the slot index,
+    embedded as literals — driver-side, zero per-row cost, reproducible on
+    any machine. All operands are reduced mod the 31-bit Mersenne prime:
+    a ∈ [1, P-1], b/h ∈ [0, P-1], so a*h + b < 2^62 + 2^31 — exact under
+    ANSI mode (Spark 4 default), no overflow.
     """
-    def perm(j, h):
-        a = F.pmod(F.xxhash64(j, F.lit(1)), F.lit(_P - 1)) + F.lit(1)
-        b = F.pmod(F.xxhash64(j, F.lit(2)), F.lit(_P))
-        return F.pmod(a * F.pmod(h, F.lit(_P)) + b, F.lit(_P))
+    hp = F.transform(hashes, lambda h: F.pmod(h, F.lit(_P)))
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(hashes, lambda h: perm(j, h))),
+    def perm(a, b):
+        # closure factory: HOF lambdas are dispatched on arity, so the inner
+        # lambda must stay 1-ary (no default-arg captures)
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hp, perm(a, b)))
+            for a, b in (_perm_coeffs(j) for j in range(num_hashes))
+        ]
     )
+
+
+def _perm_coeffs(j: int) -> tuple:
+    a = int.from_bytes(hashlib.sha256(f"minhash-a-{j}".encode()).digest()[:8], "big")
+    b = int.from_bytes(hashlib.sha256(f"minhash-b-{j}".encode()).digest()[:8], "big")
+    return F.lit(a % (_P - 1) + 1), F.lit(b % _P)
 
 
 def minhash_lsh_candidates(
@@ -73,14 +90,20 @@ def minhash_lsh_candidates(
     verified (so no false positives leave the operator).
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    shingled = docs.select(
         F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+        words(F.col(text_col)).alias("ws"),
+    ).select(
+        "doc_id",
+        shingle_hashes(F.col("ws"), shingle_n).alias("shingles"),
+    )
+    sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
 
+    # Slim banding rows: (doc_id, band_id, band_sig) only. Shuffling the full
+    # shingle arrays through the 16x explode would amplify the exchange 16x
+    # at 100 TB; shingles are re-joined below for just the candidate pairs.
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -95,28 +118,38 @@ def minhash_lsh_candidates(
                 ),
             )
         ),
-    ).select("doc_id", "shingles", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
+    ).select("doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket by band signature and emit all i<j pairs inside each bucket.
+    # One shuffle over the slim banding rows; a self-join would evaluate the
+    # whole minhash pipeline twice (once per join side).
+    ids = F.sort_array(F.collect_list("doc_id"))
+    buckets = (
+        banded.groupBy("band_id", "band_sig")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sh = (
+        pairs.join(shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select(
+    return with_sh.select(
         "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
     )
 
@@ -212,7 +245,10 @@ def ngram_jaccard_pairs(
     """
     g = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+        words(F.col(text_col)).alias("ws"),
+    ).select(
+        "doc_id",
+        F.array_distinct(ngrams_from_words(F.col("ws"), n)).alias("grams"),
     )
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
