@@ -8,11 +8,16 @@ streaming/cdc.py, duplicated rows included, on both sides).
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 import pandas as pd
 
 from pyspark.sql import functions as F
 
 from ez_cdc_spark.queries import register
+from ez_cdc_spark.queries._util import t
 from ez_cdc_spark.streaming.cdc import materialize, stream_envelopes
 from ez_cdc_spark.streaming.replay import run_to_memory, stream_events
 
@@ -262,3 +267,127 @@ def t6_stateful(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "t6_stateful", output_mode="update").orderBy("user_id")
+
+
+@register(
+    "j10_stream_static",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY mktsegment
+ORDER BY mktsegment
+""",
+    doc="J10: stream-static join — streaming events ⋈ static customer dim "
+    "(the dim is broadcast per micro-batch), then windowless agg.",
+)
+def j10_stream_static(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n"), F.sum("value").cast("double").alias("total")
+    )
+    return run_to_memory(agg, "j10_stream_static").orderBy("mktsegment")
+
+
+@register(
+    "j11_stream_stream",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+ORDER BY click_id, purchase_id
+""",
+    doc="J11: stream-stream inner join with watermarks on both sides and a "
+    "time-band condition (clicks joined to purchases ≤5 min later, per "
+    "user); state bounded by the watermark ↔ batch range join (J7 shape).",
+)
+def j11_stream_stream(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
+    )
+    return run_to_memory(joined, "j11_stream_stream", output_mode="append").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@register(
+    "t7_late_data",
+    oracle="""
+SELECT '00:00' AS w, CAST(1 AS BIGINT) AS n
+""",
+    doc="T7: late-data discard golden — a fixed 3-file replay where a row "
+    "arrives after its window's watermark closed. Expected output is a "
+    "2-row golden expressed as SQL literals: only window 00:00 closes "
+    "(final watermark 01:55 < later window ends) and the late minute-1 "
+    "row is dropped, so n stays 1. Spark filters late events with the "
+    "previous batch's watermark (SPARK-40925), hence the on-time middle "
+    "file between the watermark-advancing row and the late row.",
+)
+def t7_late_data(spark, sf_dir):
+    src = os.path.join(
+        tempfile.gettempdir(), "ez_cdc_spark_stream", "t7_late_fixture"
+    )
+    if not os.path.exists(os.path.join(src, "c-part-002.jsonl")):
+        os.makedirs(src, exist_ok=True)
+
+        def _ev(event_id, ts):
+            return {"event_id": event_id, "ts": ts, "user_id": 1,
+                    "event_type": "view", "value": 1.0, "props": "{}"}
+
+        files = [
+            [_ev(1, "2024-01-01T00:00:30.000Z"), _ev(2, "2024-01-01T02:00:30.000Z")],
+            [_ev(3, "2024-01-01T02:05:00.000Z")],
+            [_ev(4, "2024-01-01T00:01:00.000Z")],  # late: window closed
+        ]
+        for i, rows in enumerate(files):
+            p = os.path.join(src, f"{'abc'[i]}-part-{i:03d}.jsonl")
+            with open(p, "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+            mt = 1000000000 + 100 * i  # strictly increasing mtime → own batch
+            os.utime(p, (mt, mt))
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+    )
+    return run_to_memory(agg, "t7_late", output_mode="append").orderBy("w")

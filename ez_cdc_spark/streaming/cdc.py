@@ -160,6 +160,9 @@ def upsert_batch(state_dir: str):
                 F.col("after"),
             )
             .dropDuplicates(["lsn"])  # at-least-once dedup
+            # keyless envelopes (no after AND no before image) are malformed
+            # under REPLICA IDENTITY FULL — never let them form a null-PK row
+            .filter(F.col("id").isNotNull())
         )
         w_latest = F.expr(
             "max_by(struct(lsn, op, after), lsn)"

@@ -1,0 +1,74 @@
+"""Kafka wiring (S4/S8/R5-R8) unit tests — no broker: the decode/encode
+layer is pure column logic over Kafka's column shape, so a static DataFrame
+stands in for the streaming scan (sources/kafka.py module docstring)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.sources.kafka import (
+    decode_envelopes,
+    encode_envelopes,
+    topic_for,
+)
+
+
+def _kafka_shaped(spark, values):
+    """Rows shaped like a Kafka scan: value BINARY, timestamp TIMESTAMP."""
+    rows = [
+        (None if v is None else bytearray(json.dumps(v).encode()), "2024-01-01 00:00:%02d" % i)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "value BINARY, timestamp STRING"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+
+ENV = {
+    "before": None,
+    "after": {"id": 1, "first_name": "alex", "last_name": "foley", "email": "alex.foley"},
+    "source": {"version": "2.4.0.Final", "connector": "postgresql", "name": "cdctest",
+               "ts_ms": 1703166387948, "snapshot": "false", "db": "cdctest",
+               "sequence": "[null,\"24284336\"]", "schema": "public",
+               "table": "customers", "txId": 731, "lsn": 24284336, "xmin": None},
+    "op": "c",
+    "ts_ms": 1703166388457,
+    "kafka_timestamp": 1703166388741,
+}
+
+
+def test_topic_naming_scheme():
+    # customers_conf.json:11 + README.md:166-174
+    assert topic_for("cdctest", "public", "customers") == "cdctest.public.customers"
+
+
+def test_decode_null_guard_and_fields(spark):
+    # a None value models a Kafka tombstone; main.py:42 skips it
+    df = _kafka_shaped(spark, [ENV, None])
+    out = decode_envelopes(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["op"] == "c" and r["before"] is None
+    assert r["after"]["first_name"] == "alex"
+    assert r["source"]["lsn"] == 24284336
+    assert r["broker_ts"] is not None  # main.py:45 msg.timestamp
+
+
+def test_encode_decode_roundtrip(spark):
+    decoded = decode_envelopes(_kafka_shaped(spark, [ENV]))
+    wire = encode_envelopes(decoded.drop("broker_ts"))
+    row = wire.collect()[0]
+    assert json.loads(bytes(row["key"]).decode()) == {"id": 1}
+    back = json.loads(bytes(row["value"]).decode())
+    assert back["op"] == "c" and back["after"]["email"] == "alex.foley"
+    assert back["source"]["lsn"] == 24284336
+
+
+def test_decode_is_streaming_compatible(spark, tmp_path):
+    """The same decode works on an actual streaming source (file stand-in
+    with Kafka's column shape), proving it composes with readStream."""
+    p = tmp_path / "kafka_shape"
+    _kafka_shaped(spark, [ENV]).write.parquet(str(p))
+    stream = spark.readStream.schema("value BINARY, timestamp TIMESTAMP").parquet(str(p))
+    decoded = decode_envelopes(stream)
+    assert decoded.isStreaming

@@ -1,0 +1,161 @@
+"""Property tests (SURVEY.md §5.2 item 4): randomized micro-tables checked
+against pure-Python reference folds for the two custom operators (J8 as-of
+join, T9 upsert) plus a window-frame identity. Hypothesis drives the data;
+examples are kept small and few — each example is a Spark job."""
+
+import json
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.operators.asof import asof_join
+from ez_cdc_spark.streaming.cdc import upsert_batch
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, value) rows on a tiny domain so collisions/ties actually occur
+side_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # by-key
+        st.integers(0, 20),  # event time
+        st.integers(-100, 100),  # payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(left=side_rows, right=side_rows)
+def test_asof_join_matches_python_fold(spark, left, right):
+    """For each left row: value of the greatest right.ts <= left.ts in the
+    same key; ties on (key, ts) on the right broken by max tiebreak col."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(left)], "k INT, ts INT, lid INT"
+    )
+    rdf = spark.createDataFrame(right, "k INT, ts INT, v INT")
+    got = {
+        r["lid"]: r["r_v"]
+        for r in asof_join(
+            ldf, rdf, on="ts", by="k", value_cols=["v"], right_tiebreak="v"
+        ).collect()
+    }
+
+    def expect(k, t):
+        cand = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        if not cand:
+            return None
+        best_t = max(rt for rt, _ in cand)
+        return max(v for rt, v in cand if rt == best_t)  # max-tiebreak wins
+
+    for i, (k, t, _) in enumerate(left):
+        assert got[i] == expect(k, t), (i, k, t)
+
+
+op_seq = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # pk
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(0, 50),  # payload discriminator
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(seq=op_seq, dup_every=st.integers(2, 4))
+def test_upsert_equals_replay_fold(spark, seq, dup_every):
+    """Upsert state == Python fold of the same ops in lsn order, under
+    injected at-least-once duplicates and multi-batch splits."""
+    envs = []
+    for lsn, (pk, op, payload) in enumerate(seq):
+        row = None if op == "d" else {
+            "id": pk, "first_name": f"f{payload}", "last_name": "l", "email": "e",
+        }
+        # u/d carry a full before-image (REPLICA IDENTITY FULL, init.sql:10)
+        before = None if op == "c" else {
+            "id": pk, "first_name": "prev", "last_name": "l", "email": "e",
+        }
+        env = {
+            "before": before, "after": row,
+            "source": {"version": "t", "connector": "t", "name": "t",
+                       "ts_ms": lsn, "snapshot": "false", "db": "t",
+                       "sequence": "[]", "schema": "public", "table": "t",
+                       "txId": lsn, "lsn": lsn, "xmin": None},
+            "op": op, "ts_ms": lsn, "kafka_timestamp": lsn,
+        }
+        envs.append(env)
+        if lsn % dup_every == 0:
+            envs.append(env)  # at-least-once duplicate
+
+    state_dir = tempfile.mkdtemp(prefix="prop_upsert_")
+    try:
+        from ez_cdc_spark.streaming.cdc import ENVELOPE_JSON_SCHEMA
+
+        apply = upsert_batch(state_dir)
+        # split into two micro-batches at an arbitrary point
+        mid = max(1, len(envs) // 2)
+        for bid, chunk in enumerate([envs[:mid], envs[mid:]]):
+            if not chunk:
+                continue
+            df = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+                spark.sparkContext.parallelize([json.dumps(e) for e in chunk])
+            )
+            apply(df, bid)
+        got = {
+            r["id"]: (r["lsn"], r["after"]["first_name"])
+            for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+        }
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    # Python fold in lsn order (dedupe on lsn first)
+    expect = {}
+    for lsn, (pk, op, payload) in enumerate(seq):
+        if op == "d":
+            expect.pop(pk, None)
+        else:
+            expect[pk] = (lsn, f"f{payload}")
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(rows=side_rows)
+def test_running_sum_window_identity(spark, rows):
+    """W3 frame identity: running sum over (key ORDER BY ts, id) equals the
+    Python prefix sum of the same total order."""
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rows)],
+        "k INT, ts INT, rid INT, v INT",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {r["rid"]: r["run"] for r in df.withColumn("run", F.sum("v").over(w)).collect()}
+
+    by_key = {}
+    for i, (k, t, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((t, i, v))
+    expect = {}
+    for k, items in by_key.items():
+        acc = 0
+        for t, i, v in sorted(items):
+            acc += v
+            expect[i] = acc
+    assert got == expect
