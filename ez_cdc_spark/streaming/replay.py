@@ -40,27 +40,54 @@ def checkpoint_dir() -> str:
     return os.path.join(_SCRATCH, "ckpt", uuid.uuid4().hex)
 
 
+def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+        "props",
+    )
+
+
 def events_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize events as a JSONL replay dir (idempotent per sf_dir)."""
     path = _dir_for(sf_dir, "events")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "ts",
-            "user_id",
-            "event_type",
-            F.col("value").cast("decimal(12,2)").alias("value"),
-            "props",
-        )
-        ev.repartition(n_files).write.mode("overwrite").json(path)
+        _events_projection(spark, sf_dir).repartition(n_files).write.mode(
+            "overwrite"
+        ).json(path)
+    return path
+
+
+def events_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize events as a parquet replay dir (idempotent per sf_dir).
+
+    The dir key includes the replay schema so a layout change can never
+    silently reuse a stale fixture from an older build.
+    """
+    path = _dir_for(sf_dir, f"events_pq-{hashlib.md5(EVENTS_JSON_SCHEMA.encode()).hexdigest()[:8]}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        _events_projection(spark, sf_dir).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5: file streaming source replaying the events table."""
-    path = events_jsonl(spark, sf_dir)
-    return spark.readStream.schema(EVENTS_JSON_SCHEMA).json(path)
+    """S5: file streaming source replaying the events table.
+
+    Parquet-backed: per-event JSON parse was ~4x the whole-query cost at
+    sf0.1 and contributes nothing to the streaming semantics under test.
+    The JSONL path (events_jsonl) remains for wire-format parity tests and
+    the envelope stream (cdc.stream_envelopes), which must exercise the
+    reference's JSON envelope decode (R7).
+    """
+    path = events_parquet(spark, sf_dir)
+    return spark.readStream.schema(EVENTS_JSON_SCHEMA).parquet(path)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
@@ -68,6 +95,17 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
 
     Deterministic: processes everything available, then stops.
     """
+    spark = stream_df.sparkSession
+    # Stateful ops create one state store per shuffle partition and AQE is
+    # off in streaming; an external session's default (200) means 200 state
+    # stores for a 32-core box. Pin to the actual parallelism — safe here
+    # because every run uses a fresh checkpoint.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
+    except Exception:
+        pass  # conf locked in this deployment; proceed with its value
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -77,4 +115,4 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
