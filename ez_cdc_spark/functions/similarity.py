@@ -145,3 +145,122 @@ def centroids(embeddings: DataFrame, label: str = "label", vec: str = "embedding
         .agg(F.round(F.sum("e") / F.count("*"), 4).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+def _assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_mat,
+    n_probe: int,
+) -> DataFrame:
+    """(id, cell) rows: the n_probe nearest coarse cells per L2-normalized
+    vector — one numpy GEMM against the broadcast centroid matrix per Arrow
+    batch (same pattern as blocked_topk)."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(cent_mat)
+    sel = df.select(F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("v"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value  # (n_cells, d), rows L2-normalized
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype("float64")  # (m, d)
+            scores = mat @ cm.T  # (m, n_cells)
+            p = min(n_probe, scores.shape[1])
+            top = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {"id": np.repeat(pdf["id"].to_numpy(), p), "cell": top.ravel()}
+            )
+
+    return sel.mapInPandas(assign, "id long, cell int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF coarse quantization — the scale path
+    when even one GEMM pass over the full corpus (blocked_topk) is too much.
+
+    1. Train: deterministic pseudo-random sample of n_cells corpus vectors
+       (top-n_cells by xxhash64(id) — a distributed TakeOrdered, no full
+       collect), refined by one distributed Lloyd iteration (assign + mean).
+       Only the (n_cells × d) centroid matrix ever reaches the driver.
+    2. Assign every corpus vector to its nearest cell, every query to its
+       n_probe nearest cells (numpy GEMM per Arrow batch).
+    3. Shuffle both sides on cell id and score exactly within cells, then
+       global per-query top-k window.
+
+    At 100 TB the corpus scan is embarrassingly parallel, the join touches
+    n_probe/n_cells of the corpus per query, and no stage holds more than
+    one Arrow batch plus the centroid matrix in memory. Approximate:
+    recall < 1 by construction — verified against brute_force_topk in
+    tests, not against a SQL oracle.
+    """
+    import numpy as np
+
+    seed_pdf = (
+        corpus.orderBy(F.xxhash64(F.col(c_id)))
+        .limit(n_cells)
+        .select(normalize(F.col(vec)).alias("v"))
+        .toPandas()
+    )
+    cent = np.vstack(seed_pdf["v"].to_numpy()).astype("float64")  # (n_cells, d)
+
+    # One Lloyd iteration, distributed: mean of member vectors per cell.
+    assigned = _assign_cells(corpus, c_id, vec, cent, n_probe=1)
+    members = assigned.join(
+        corpus.select(F.col(c_id).alias("id"), normalize(F.col(vec)).alias("v")), "id"
+    )
+    mean_pdf = (
+        members.select("cell", F.posexplode("v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+        .select("cell", F.col("ms.m").alias("m"))
+        .toPandas()
+    )
+    for _, row in mean_pdf.iterrows():
+        v = np.asarray(row["m"], dtype="float64")
+        n = np.linalg.norm(v)
+        if n > 0:
+            cent[row["cell"]] = v / n
+
+    c_cells = _assign_cells(corpus, c_id, vec, cent, n_probe=1).withColumnRenamed(
+        "id", "c_id"
+    )
+    q_cells = _assign_cells(queries, q_id, vec, cent, n_probe=n_probe).withColumnRenamed(
+        "id", "q_id"
+    )
+    c_side = c_cells.join(
+        corpus.select(F.col(c_id).alias("c_id"), F.col(vec).alias("c_vec")), "c_id"
+    )
+    q_side = q_cells.join(
+        queries.select(F.col(q_id).alias("q_id"), F.col(vec).alias("q_vec")), "q_id"
+    )
+    scored = (
+        q_side.join(c_side, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+        )
+        .dropDuplicates(["q_id", "c_id"])  # a pair can meet in n_probe cells
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

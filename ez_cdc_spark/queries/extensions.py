@@ -13,6 +13,7 @@ from ez_cdc_spark.functions.similarity import (
     brute_force_topk,
     centroids,
     dot,
+    ivf_topk,
     norm,
 )
 from ez_cdc_spark.operators.dedup import (
@@ -271,3 +272,16 @@ def x6b_norms(spark, sf_dir):
         F.round(norm(emb), 4).alias("l2_norm"),
         F.round(dot(emb, emb) / (norm(emb) * norm(emb)), 4).alias("self_cos"),
     ).orderBy("vec_id")
+
+
+@register(
+    "x3c_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute force is pytest-checked
+    doc="X3 ANN path: IVF coarse quantization (deterministic seed + one "
+    "distributed Lloyd iteration, n_probe cell probing) — touches "
+    "n_probe/n_cells of the corpus per query instead of all of it.",
+)
+def x3c_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(q, e, k=5, n_cells=16, n_probe=4).orderBy("q_id", "c_id")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ez_cdc_spark.operators.asof import asof_join
+from ez_cdc_spark.operators.skew import salted_join
 from ez_cdc_spark.queries import register
 from ez_cdc_spark.queries._util import date_s, dec, t
 
@@ -270,3 +271,33 @@ def j9_cross_join(spark, sf_dir):
     r = t(spark, sf_dir, "region")
     n = t(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "j12_salted_join",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY priority
+ORDER BY priority
+""",
+    doc="J12: skew-salted equi-join — big side scattered across 16 salt "
+    "values, small side replicated; hash-identical to the plain join "
+    "(operators/skew.py), so the oracle is the unsalted SQL.",
+)
+def j12_salted_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on=["l_orderkey"], salt=16)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("priority")
+    )
