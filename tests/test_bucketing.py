@@ -1,0 +1,55 @@
+"""Bucketed co-located joins: same results, no Exchange in the plan."""
+
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.plans.assertions import plan_str
+from ez_cdc_spark.sources.bucketing import bucketed_join, write_bucketed
+from ez_cdc_spark.sources.tables import load_table
+
+
+def test_bucketed_join_no_shuffle_and_same_result(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), "b_orders", "l_orderkey", 8
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at smoke scale the dim is broadcastable, which would bypass the
+        # bucketed path entirely; force SMJ to prove the co-location claim
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p, p[:2000]
+        assert "Exchange hashpartitioning" not in p and "ShuffleExchange" not in p, (
+            f"bucketed join still shuffles:\n{p[:2000]}"
+        )
+
+        # results identical to the plain (shuffling) join
+        plain = li.join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+        )
+        agg = lambda df: sorted(
+            map(
+                tuple,
+                df.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+                .collect(),
+            )
+        )
+        assert agg(joined) == agg(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_scan_reports_buckets(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "b_li_meta", "l_orderkey", n_buckets=4)
+    try:
+        p = plan_str(spark.table("b_li_meta").filter(F.col("l_orderkey") > 0))
+        assert "Bucketed: true" in p or "SelectedBucketsCount" in p or "bucket" in p.lower()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_meta")
