@@ -286,3 +286,66 @@ def a10_min_max_by(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "a5b_cube",
+    oracle="""
+SELECT COALESCE(n_name, '<ALL>') AS nation,
+       COALESCE(c_mktsegment, '<ALL>') AS segment,
+       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+ORDER BY nation, segment, gid
+""",
+    doc="A5: cube — all 4 grouping combinations with GROUPING() ids.",
+)
+def a5b_cube(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.cube("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("c_mktsegment"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<ALL>")).alias("segment"),
+            "gid",
+            "n_customers",
+        )
+        .orderBy("nation", "segment", "gid")
+    )
+
+
+@register(
+    "a5c_grouping_sets",
+    oracle="""
+SELECT COALESCE(n_name, '<ALL>') AS nation,
+       COALESCE(c_mktsegment, '<ALL>') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+ORDER BY nation, segment
+""",
+    doc="A5: explicit GROUPING SETS (per-nation and per-segment totals in "
+    "one pass) via Spark SQL over temp views.",
+)
+def a5c_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, '<ALL>') AS nation,
+               COALESCE(c_mktsegment, '<ALL>') AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        ORDER BY nation, segment
+        """
+    )
