@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ez_cdc_spark.sources.tables import widen_partitions
+
 
 def to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -101,7 +103,9 @@ def blocked_topk(
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
-    c = corpus.select(F.col(c_id).alias("c_id"), normalize(F.col(vec)).alias("c_vec"))
+    c = widen_partitions(
+        corpus.select(F.col(c_id).alias("c_id"), normalize(F.col(vec)).alias("c_vec"))
+    )
 
     def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat = bc.value
@@ -160,7 +164,9 @@ def _assign_cells(
     import numpy as np
 
     bc = df.sparkSession.sparkContext.broadcast(cent_mat)
-    sel = df.select(F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("v"))
+    sel = widen_partitions(
+        df.select(F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("v"))
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cm = bc.value  # (n_cells, d), rows L2-normalized

@@ -15,6 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 from ez_cdc_spark.functions.text import ngrams_from_words, words
+from ez_cdc_spark.sources.tables import widen_partitions
 
 # Mersenne prime modulus for the minhash permutation family. 31-bit so that
 # a*h + b stays well under 2^63 — the driver may run with ANSI mode on
@@ -90,12 +91,12 @@ def minhash_lsh_candidates(
     verified (so no false positives leave the operator).
     """
     rows_per_band = num_hashes // bands
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        words(F.col(text_col)).alias("ws"),
-    ).select(
-        "doc_id",
-        shingle_hashes(F.col("ws"), shingle_n).alias("shingles"),
+    shingled = (
+        widen_partitions(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        )
+        .select("doc_id", words(F.col("__text")).alias("ws"))
+        .select("doc_id", shingle_hashes(F.col("ws"), shingle_n).alias("shingles"))
     )
     sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
 
@@ -194,9 +195,9 @@ def simhash_near_dups(
     assert max_hamming < blocks, "pigeonhole blocking needs max_hamming < blocks"
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits).alias("sh")
-    )
+    sh = widen_partitions(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ).select("doc_id", simhash(F.col("__text"), bits).alias("sh"))
     chunked = sh.select(
         "doc_id",
         "sh",

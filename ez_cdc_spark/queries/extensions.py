@@ -23,6 +23,7 @@ from ez_cdc_spark.operators.dedup import (
     simhash_near_dups,
 )
 from ez_cdc_spark.operators.multimodal import attach_payload, extract_features
+from ez_cdc_spark.sources.tables import widen_partitions
 from ez_cdc_spark.queries import register
 from ez_cdc_spark.queries._util import t
 
@@ -169,7 +170,7 @@ ORDER BY doc_id
     doc="X4: per-doc quality metrics (token counts, stopword/uniq ratios, fingerprint).",
 )
 def x4b_text_metrics(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = widen_partitions(t(spark, sf_dir, "documents"))
     txt = F.col("text")
     # text is space-separated ASCII words: whitespace tokens == regex tokens
     # except the regex form also handles punctuation/multispace
@@ -190,7 +191,7 @@ def x4b_text_metrics(spark, sf_dir):
     doc="X4: heuristic language ID + composite quality score (deterministic).",
 )
 def x4c_lang_quality(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = widen_partitions(t(spark, sf_dir, "documents"))
     txt = F.col("text")
     return d.select(
         "doc_id",

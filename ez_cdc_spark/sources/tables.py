@@ -64,3 +64,20 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     """S3: schema-declared JSON-lines scan (envelope fixtures etc.)."""
     return spark.read.schema(schema).json(path)
+
+
+def widen_partitions(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition a narrow source up to the cluster parallelism.
+
+    A single-row-group parquet file scans as ONE task no matter how many
+    cores exist, so CPU-heavy per-row work downstream (shingling, minhash,
+    GEMM scoring, text metrics) serializes on one core. When the source has
+    at least ``factor``x fewer partitions than the cluster, pay one narrow
+    shuffle of the projected columns to unlock full parallelism. A source
+    that is already wide (the 100 TB case: thousands of files) passes
+    through untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * factor <= target:
+        return df.repartition(target)
+    return df
