@@ -72,3 +72,24 @@ def test_decode_is_streaming_compatible(spark, tmp_path):
     stream = spark.readStream.schema("value BINARY, timestamp TIMESTAMP").parquet(str(p))
     decoded = decode_envelopes(stream)
     assert decoded.isStreaming
+
+
+def test_console_sink_runs(spark, tmp_path):
+    """S8: console sink executes a replayed micro-batch without error (the
+    reference's R9 log sink analog; memory-sink goldens cover values)."""
+    import json as _json
+
+    src = tmp_path / "console_src"
+    src.mkdir()
+    (src / "p.jsonl").write_text(
+        "\n".join(_json.dumps({"x": i}) for i in range(3)) + "\n"
+    )
+    stream = spark.readStream.schema("x INT").json(str(src))
+    q = (
+        stream.writeStream.format("console")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
