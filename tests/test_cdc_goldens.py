@@ -209,3 +209,63 @@ def test_late_data_window_drop_vs_upsert_keep(spark, tmp_path):
         for s in p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_upsert_rewrites_only_touched_buckets(spark):
+    """Scale property of the bucketed state: a batch touching one key leaves
+    every other bucket's files untouched on disk (no full-state rewrite)."""
+    import glob
+
+    def _env_row(pk, op, lsn, name):
+        row = None if op == "d" else {"id": pk, "first_name": name, "last_name": "l", "email": "e"}
+        before = None if op == "c" else {"id": pk, "first_name": "prev", "last_name": "l", "email": "e"}
+        return {
+            "before": before, "after": row,
+            "source": {"version": "t", "connector": "t", "name": "t", "ts_ms": lsn,
+                       "snapshot": "false", "db": "t", "sequence": "[]",
+                       "schema": "public", "table": "t", "txId": lsn, "lsn": lsn,
+                       "xmin": None},
+            "op": op, "ts_ms": lsn, "kafka_timestamp": lsn,
+        }
+
+    from ez_cdc_spark.streaming.cdc import ENVELOPE_JSON_SCHEMA, upsert_batch
+
+    def _df(envs):
+        return spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+            spark.sparkContext.parallelize([json.dumps(e) for e in envs])
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_buckets_")
+    try:
+        apply = upsert_batch(state_dir, n_buckets=8)
+        apply(_df([_env_row(pk, "c", pk, f"n{pk}") for pk in range(50)]), 0)
+        cur = os.path.join(state_dir, "current")
+        before_files = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(cur, "bucket=*", "*.parquet"))
+        }
+        assert len(glob.glob(os.path.join(cur, "bucket=*"))) == 8
+
+        apply(_df([_env_row(1, "u", 100, "updated")]), 1)
+        after_files = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(cur, "bucket=*", "*.parquet"))
+        }
+        changed_dirs = {
+            os.path.basename(os.path.dirname(f))
+            for f in set(before_files) ^ set(after_files)
+        } | {
+            os.path.basename(os.path.dirname(f))
+            for f in before_files
+            if f in after_files and before_files[f] != after_files[f]
+        }
+        assert len(changed_dirs) == 1, f"expected 1 rewritten bucket, got {changed_dirs}"
+
+        # and the state content is correct
+        got = {
+            r["id"]: r["after"]["first_name"]
+            for r in spark.read.parquet(cur).collect()
+        }
+        assert got[1] == "updated" and len(got) == 50
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
