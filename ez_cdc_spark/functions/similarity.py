@@ -135,6 +135,63 @@ def blocked_topk(
     )
 
 
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (id_a < id_b) pair with
+    cosine >= threshold. Exact, via the same blocked-GEMM pattern as
+    blocked_topk — the L2-normalized matrix of one side is broadcast and
+    each corpus Arrow batch is scored with a single numpy matmul; only
+    above-threshold pairs ever materialize (the dense score matrix dies
+    with the batch).
+
+    Scale note: the broadcast side here is the full corpus, which is exact
+    but O(N·d) driver memory — right for dedup sets up to ~10M vectors. At
+    100 TB, swap the broadcast side for LSH/simhash candidate buckets
+    (operators/dedup.py simhash_near_dups shows the pattern) and keep this
+    GEMM as the exact verify stage within buckets.
+
+    Threshold is applied to the UNROUNDED score (matches the SQL oracle);
+    the emitted score is ROUND(,4) per SURVEY §5.3.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(F.col(id_col).alias("id"), normalize(F.col(vec)).alias("v"))
+        .toPandas()
+    )
+    a_ids = pdf["id"].to_numpy()
+    a_mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
+    bc = df.sparkSession.sparkContext.broadcast((a_ids, a_mat))
+
+    c = widen_partitions(
+        df.select(F.col(id_col).alias("id"), normalize(F.col(vec)).alias("v"))
+    )
+
+    def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf_b in batches:
+            if pdf_b.empty:
+                continue
+            b_ids = pdf_b["id"].to_numpy()
+            b_mat = np.vstack(pdf_b["v"].to_numpy()).astype("float64")
+            scores = mat @ b_mat.T  # (N, m)
+            # keep a<b only: each unordered pair emitted exactly once
+            ai, bi = np.nonzero((scores >= threshold) & (ids[:, None] < b_ids[None, :]))
+            if len(ai):
+                yield pd.DataFrame(
+                    {"id_a": ids[ai], "id_b": b_ids[bi], "score": scores[ai, bi]}
+                )
+
+    return (
+        c.mapInPandas(score_block, "id_a long, id_b long, score double")
+        .withColumn("score", F.round("score", 4))
+    )
+
+
 def centroids(embeddings: DataFrame, label: str = "label", vec: str = "embedding") -> DataFrame:
     """X6: per-label per-position centroid via posexplode + avg.
 

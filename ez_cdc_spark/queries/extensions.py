@@ -14,6 +14,7 @@ from ez_cdc_spark.functions.similarity import (
     centroids,
     dot,
     ivf_topk,
+    neardup_pairs,
     norm,
 )
 from ez_cdc_spark.operators.dedup import (
@@ -87,6 +88,25 @@ def x2b_ngram_jaccard(spark, sf_dir):
 def x2c_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "x2d_embedding_neardup",
+    oracle="""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS score
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY id_a, id_b
+""",
+    doc="X2d: embedding-cosine near-dup pairs (exact blocked-GEMM, threshold on "
+    "unrounded score) ↔ DuckDB list_cosine_similarity self-join.",
+)
+def x2d_embedding_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return neardup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
 _COS_ORACLE = """
