@@ -243,6 +243,196 @@ def f_map_json(spark, sf_dir):
 
 
 @register(
+    "f_string2",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(lower(p_name), ' '),
+                       w -> upper(w[1:1]) || w[2:]), ' ') AS icap,
+       repeat(p_brand, 2) AS rep,
+       CAST(ascii(p_name[1:1]) AS BIGINT) AS first_ascii,
+       p_name[1:3] AS l3,
+       p_name[-3:] AS r3,
+       CAST(starts_with(p_name, 'a') AS INT) AS sw,
+       CAST(ends_with(p_name, 'e') AS INT) AS ew,
+       translate(p_brand, 'AB', 'ab') AS tr
+FROM part
+ORDER BY p_partkey
+""",
+    doc="F-string-2: initcap (emulated in oracle) / repeat / ascii / left / "
+    "right / startswith / endswith / translate.",
+)
+def f_string2(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    nm = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.initcap(nm).alias("icap"),
+        F.repeat(F.col("p_brand"), 2).alias("rep"),
+        F.ascii(nm).cast("bigint").alias("first_ascii"),
+        F.substring(nm, 1, 3).alias("l3"),
+        F.substring(nm, -3, 3).alias("r3"),
+        F.startswith(nm, F.lit("a")).cast("int").alias("sw"),
+        F.endswith(nm, F.lit("e")).cast("int").alias("ew"),
+        F.translate(F.col("p_brand"), "AB", "ab").alias("tr"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "f_datetime2",
+    oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS as_date,
+       CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                           '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS reparsed_epoch,
+       strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS from_unix,
+       CAST(date_diff('month', date_trunc('month', o_orderdate),
+                      DATE '1998-01-01') AS DOUBLE) AS mb_to_98,
+       strftime(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus2m,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+    doc="F-datetime-2: to_date / to_timestamp round-trip / from_unixtime / "
+    "months_between (month-truncated, integral) / add_months / quarter / "
+    "weekofyear / dayofyear. Session TZ pinned UTC both engines.",
+)
+def f_datetime2(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.to_date(F.date_format(d, "yyyy-MM-dd")), "yyyy-MM-dd").alias(
+            "as_date"
+        ),
+        F.unix_timestamp(F.to_timestamp(F.date_format(d, fmt), fmt))
+        .cast("bigint")
+        .alias("reparsed_epoch"),
+        F.from_unixtime(F.unix_timestamp(d), fmt).alias("from_unix"),
+        F.months_between(
+            F.lit("1998-01-01").cast("date"), F.date_trunc("month", d)
+        ).alias("mb_to_98"),
+        F.date_format(F.add_months(d.cast("date"), 2), "yyyy-MM-dd").alias("plus2m"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.weekofyear(d).cast("bigint").alias("woy"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "f_array2",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS ia
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_contains(ia, 3) AS INT) AS has3,
+       CAST(coalesce(list_position(ia, 3), 0) AS BIGINT) AS pos3,
+       list_sort(list_distinct(ia)) AS dia,
+       ROUND(CAST(list_slice(embedding, 3, 6)[2] AS DOUBLE), 6) AS slice_el,
+       ROUND(CAST(flatten([embedding[1:2], embedding[3:4]])[3] AS DOUBLE), 6) AS flat_el,
+       ROUND(CAST(embedding[10] AS DOUBLE), 6) AS zip_val,
+       CAST(10 AS BIGINT) AS zip_idx,
+       list_sort(list_distinct(list_filter(ia, x -> list_contains([0,1,2], x)))) AS inter,
+       list_sort(list_distinct(list_concat(list_slice(ia, 1, 2), [99]))) AS uni,
+       CAST(list_has_any(ia, [3, 4]) AS INT) AS overlap34
+FROM b
+ORDER BY vec_id
+""",
+    doc="F-array-2: array_contains / array_position / array_distinct / slice / "
+    "flatten / arrays_zip / array_intersect / array_union / arrays_overlap "
+    "over a derived int array (no float-equality hazards).",
+)
+def f_array2(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    b = e.select(
+        "vec_id",
+        emb,
+        F.transform(emb, lambda x: F.floor(x.cast("double") * 10).cast("int")).alias(
+            "ia"
+        ),
+        F.sequence(F.lit(1), F.size(emb)).alias("idx"),
+    )
+    ia = F.col("ia")
+    z = F.arrays_zip(F.col("embedding"), F.col("idx"))
+    return b.select(
+        "vec_id",
+        F.array_contains(ia, 3).cast("int").alias("has3"),
+        F.array_position(ia, 3).cast("bigint").alias("pos3"),
+        F.sort_array(F.array_distinct(ia)).alias("dia"),
+        F.round(F.element_at(F.slice(F.col("embedding"), 3, 4), 2).cast("double"), 6)
+        .alias("slice_el"),
+        F.round(
+            F.element_at(
+                F.flatten(
+                    F.array(
+                        F.slice(F.col("embedding"), 1, 2),
+                        F.slice(F.col("embedding"), 3, 2),
+                    )
+                ),
+                3,
+            ).cast("double"),
+            6,
+        ).alias("flat_el"),
+        F.round(F.element_at(z, 10).getField("embedding").cast("double"), 6).alias(
+            "zip_val"
+        ),
+        F.element_at(z, 10).getField("idx").cast("bigint").alias("zip_idx"),
+        F.sort_array(F.array_intersect(ia, F.array(F.lit(0), F.lit(1), F.lit(2)))).alias(
+            "inter"
+        ),
+        F.sort_array(
+            F.array_union(F.slice(ia, 1, 2), F.array(F.lit(99)))
+        ).alias("uni"),
+        F.arrays_overlap(ia, F.array(F.lit(3), F.lit(4))).cast("int").alias("overlap34"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "f_map_json2",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS mv1,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS mfe_k,
+       to_json(struct_pack(event_id := event_id,
+                           k := CAST(json_extract(props, '$.k') AS BIGINT)))::VARCHAR AS js,
+       json_extract_string(props, '$.k') AS jt_k,
+       'STRUCT<k: BIGINT>' AS sch,
+       CAST(1 AS BIGINT) AS mc_x
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    doc="F-map/json-2: map_values / map_from_entries / to_json / json_tuple / "
+    "schema_of_json / map_concat on events.props.",
+)
+def f_map_json2(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    kv = F.get_json_object("props", "$.k").cast("bigint")
+    m2 = F.map_from_entries(
+        F.array(F.struct(F.lit("k").alias("key"), kv.alias("value")))
+    )
+    return e.select(
+        "event_id",
+        F.element_at(F.map_values(m), 1).alias("mv1"),
+        F.element_at(m2, "k").alias("mfe_k"),
+        F.to_json(F.struct(F.col("event_id"), kv.alias("k"))).alias("js"),
+        F.json_tuple(F.col("props"), "k").alias("jt_k"),
+        F.schema_of_json(F.lit('{"k":87}')).alias("sch"),
+        F.element_at(
+            F.map_concat(m, F.create_map(F.lit("x"), F.lit(1).cast("bigint"))), "x"
+        ).alias("mc_x"),
+    ).orderBy("event_id")
+
+
+@register(
     "f_hash",
     oracle="""
 SELECT c_custkey,
