@@ -206,6 +206,63 @@ def x4b_text_metrics(spark, sf_dir):
 
 
 @register(
+    "x4d_tfidf",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+     dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+     n AS (SELECT COUNT(*) AS n FROM documents),
+     scored AS (
+       SELECT t.doc_id, t.word,
+              ROUND(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1), 6) AS tfidf
+       FROM tf t, dfreq d, n WHERE t.word = d.word AND t.doc_id < 50),
+     ranked AS (
+       SELECT doc_id, word, tfidf,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word) AS rn
+       FROM scored)
+SELECT doc_id, word, tfidf FROM ranked WHERE rn <= 5
+ORDER BY doc_id, word
+""",
+    doc="X4: TF-IDF (smooth idf) over the full corpus, top-5 terms per doc "
+    "for a bounded output slice. Pure DataFrame ops: explode → two "
+    "aggregations → join → window; ranking on the ROUND(,6) score so both "
+    "engines break ties identically.",
+)
+def x4d_tfidf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = widen_partitions(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    n = d.count()
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(dfreq, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * (F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("doc_id", "word")
+    )
+
+
+@register(
     "x4c_lang_quality",
     oracle=None,  # argmax-with-tiebreak over marker lists: golden/rows-only
     doc="X4: heuristic language ID + composite quality score (deterministic).",

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from ez_cdc_spark.queries import register
 from ez_cdc_spark.queries._util import t
 from ez_cdc_spark.streaming.cdc import materialize, stream_envelopes
-from ez_cdc_spark.streaming.replay import run_to_memory, stream_events
+from ez_cdc_spark.streaming.replay import (
+    EVENTS_JSON_SCHEMA,
+    events_parquet,
+    run_to_memory,
+    stream_events,
+)
 
 # Shared oracle CTE: the envelope derivation (cdc.py mapping) in DuckDB SQL.
 ENV_CTE = """
@@ -231,6 +236,35 @@ def t9_cdc_upsert(spark, sf_dir):
         F.col("after.last_name").alias("last_name"),
         F.col("after.email").alias("email"),
     ).orderBy("id")
+
+
+@register(
+    "t8_output_modes",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="T8: update-mode sink semantics — maxFilesPerTrigger forces a "
+    "multi-batch replay, the memory sink accumulates each batch's changed "
+    "rows, and the per-key LAST emission (counts grow monotonically, so "
+    "max) equals the complete-mode/batch answer.",
+)
+def t8_output_modes(spark, sf_dir):
+    path = events_parquet(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    emitted = run_to_memory(agg, "t8_update", output_mode="update")
+    return (
+        emitted.groupBy("event_type")
+        .agg(F.max("n").cast("bigint").alias("n"))
+        .orderBy("event_type")
+    )
 
 
 @register(
