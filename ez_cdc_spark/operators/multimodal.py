@@ -58,6 +58,65 @@ def decode_image(payload: bytes):  # pragma: no cover - requires PIL
     raise NotImplementedError("wire PIL decode here when media libs exist")
 
 
+def resize_payloads(
+    df: DataFrame, width: int = 8, height: int = 8, payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic-fake image resize over Arrow batches: the payload is
+    truncated or zero-padded to width*height bytes (a real resampler plugs
+    into the same batch shape). Emits the resized geometry + a checksum so
+    the result stays hash-checkable without shipping bytes back.
+    """
+    target = width * height
+    out_schema = "doc_id LONG, width INT, height INT, n_bytes LONG, checksum LONG"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(lambda b: bytes(b[:target]).ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": resized.map(len),
+                    "checksum": resized.map(sum),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(resize, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic-fake video frame sampling: the payload is treated as a
+    sequence of frame_bytes-sized frames and every `every`-th frame is
+    emitted as its own row — the flat-map (1 row in, k rows out) Arrow
+    batch shape a real frame sampler needs. Emits per-frame metadata, not
+    bytes, so results are hash-checkable.
+    """
+    out_schema = "doc_id LONG, frame_idx LONG, n_bytes LONG, first_byte INT"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, firsts = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                for i in range(0, (len(b) + frame_bytes - 1) // frame_bytes, every):
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    firsts.append(frame[0] if frame else -1)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": sizes, "first_byte": firsts}
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(frames, out_schema)
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of binary payloads.
 

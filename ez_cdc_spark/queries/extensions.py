@@ -23,7 +23,12 @@ from ez_cdc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
-from ez_cdc_spark.operators.multimodal import attach_payload, extract_features
+from ez_cdc_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_payloads,
+    sample_frames,
+)
 from ez_cdc_spark.sources.tables import widen_partitions
 from ez_cdc_spark.queries import register
 from ez_cdc_spark.queries._util import t
@@ -311,6 +316,44 @@ def x5_multimodal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x5b_resize",
+    oracle="""
+SELECT doc_id, 8 AS width, 8 AS height, CAST(64 AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''),
+                                    c -> ascii(c))) AS BIGINT) AS checksum
+FROM documents
+ORDER BY doc_id
+""",
+    doc="X5: fake image resize (truncate/zero-pad to w*h bytes, mapInPandas) — "
+    "zero padding is checksum-neutral, so the oracle is an ascii sum of the "
+    "first 64 chars.",
+)
+def x5b_resize(spark, sf_dir):
+    d = attach_payload(t(spark, sf_dir, "documents"))
+    return resize_payloads(d, width=8, height=8).orderBy("doc_id")
+
+
+@register(
+    "x5c_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(r.range AS BIGINT) AS frame_idx,
+       CAST(length(substr(text, CAST(r.range * 16 + 1 AS INT), 16)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, CAST(r.range * 16 + 1 AS INT), 1)) AS INT) AS first_byte
+FROM documents, range(0, 64) r
+WHERE r.range % 4 = 0 AND r.range * 16 < length(text)
+ORDER BY doc_id, frame_idx
+""",
+    doc="X5: fake video frame sampling (payload chunked into 16-byte frames, "
+    "every 4th emitted as its own row — flat-map mapInPandas shape). Oracle "
+    "uses an uncorrelated range(0,64) bound (max doc ~600 bytes) + length "
+    "filter since DuckDB range() can't take lateral args.",
+)
+def x5c_frame_sample(spark, sf_dir):
+    d = attach_payload(t(spark, sf_dir, "documents"))
+    return sample_frames(d, frame_bytes=16, every=4).orderBy("doc_id", "frame_idx")
 
 
 @register(
