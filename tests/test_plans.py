@@ -59,3 +59,9 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
     approx = load_all()["a4_approx_count_distinct"].fn(spark, sf_dir).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_tfidf_pushes_doc_filter_and_broadcasts_df(spark, sf_smoke):
+    df = load_all()["x4d_tfidf"].fn(spark, sf_smoke)
+    assert_pushed_filter(df, "LessThan(doc_id,50)")
+    assert_broadcast_join(df)

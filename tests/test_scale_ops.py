@@ -64,3 +64,59 @@ def test_ivf_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
     assert a == b
+
+
+def test_neardup_pairs_equals_numpy_reference(spark, sf_smoke):
+    import numpy as np
+
+    from ez_cdc_spark.functions.similarity import neardup_pairs
+
+    e = load_table(spark, sf_smoke, "embeddings")
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in neardup_pairs(e, threshold=0.4).collect()
+    }
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.vstack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = mat @ mat.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and scores[i, j] >= 0.4:
+                want[(int(ids[i]), int(ids[j]))] = round(float(scores[i, j]), 4)
+    assert got == want
+
+
+def test_frame_sample_covers_payload(spark):
+    from ez_cdc_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 40), (2, "b" * 16), (3, "c")], "doc_id LONG, text STRING"
+    )
+    d = attach_payload(docs)
+    # every=1: frames partition the payload exactly
+    all_frames = sample_frames(d, frame_bytes=16, every=1).collect()
+    by_doc = {}
+    for r in all_frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sum(r["n_bytes"] for r in by_doc[1]) == 40
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_bytes"] == 16
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_bytes"] == 1
+    # every=2 keeps only even frame indices
+    sampled = sample_frames(d, frame_bytes=16, every=2).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in sampled)
+
+
+def test_resize_pads_and_truncates(spark):
+    from ez_cdc_spark.operators.multimodal import attach_payload, resize_payloads
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "z" * 100)], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r for r in resize_payloads(attach_payload(docs), 8, 8).collect()}
+    assert got[1]["n_bytes"] == 64 and got[2]["n_bytes"] == 64
+    assert got[1]["checksum"] == ord("a") + ord("b")  # zero padding adds nothing
+    assert got[2]["checksum"] == 64 * ord("z")  # truncated to 64 bytes
