@@ -349,3 +349,71 @@ def a5c_grouping_sets(spark, sf_dir):
         ORDER BY nation, segment
         """
     )
+
+
+@register(
+    "a5d_pivot",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_R
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    doc="A5: pivot with an explicit value list (one shuffle, map-side "
+    "combine — equivalent to conditional aggregation, which is the oracle "
+    "form). Explicit values keep the plan static at any scale: no "
+    "distinct-scan to discover columns.",
+)
+def a5d_pivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(qty))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").cast("double").alias("qty_A"),
+        F.col("N").cast("double").alias("qty_N"),
+        F.col("R").cast("double").alias("qty_R"),
+    ).orderBy("l_linestatus")
+
+
+@register(
+    "a5e_unpivot",
+    oracle="""
+SELECT l_linestatus, flag, qty FROM (
+  SELECT l_linestatus, 'A' AS flag,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty
+  FROM lineitem GROUP BY l_linestatus
+  UNION ALL
+  SELECT l_linestatus, 'N',
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+  FROM lineitem GROUP BY l_linestatus
+  UNION ALL
+  SELECT l_linestatus, 'R',
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+  FROM lineitem GROUP BY l_linestatus
+) WHERE qty IS NOT NULL
+ORDER BY l_linestatus, flag
+""",
+    doc="A5: unpivot (wide → long) of the pivoted aggregate back to rows — "
+    "a narrow per-row expand, no shuffle beyond the source agg.",
+)
+def a5e_unpivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(qty).cast("double"))
+    )
+    return (
+        piv.unpivot("l_linestatus", ["A", "N", "R"], "flag", "qty")
+        .filter(F.col("qty").isNotNull())
+        .orderBy("l_linestatus", "flag")
+    )
