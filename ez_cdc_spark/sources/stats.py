@@ -1,0 +1,47 @@
+"""CBO statistics step (SURVEY.md §4.2 'Join reordering (CBO)').
+
+Catalyst's cost-based optimizer (join reordering, build-side choice beyond
+the static broadcast threshold) only activates when catalog tables carry
+statistics. This is the harness step that computes them: run it after
+landing catalog tables (e.g. the bucketed fact tables) and enable
+``spark.sql.cbo.enabled`` + ``spark.sql.cbo.joinReorder.enabled``.
+
+Path-based parquet reads (the sf fixtures) don't take ANALYZE — Spark sizes
+them from file stats; at production scale the metastore tables are the ones
+that need this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """ANALYZE TABLE: table-level (rowCount/sizeInBytes) and, when columns
+    are given, per-column min/max/ndv/null-count histograms for CBO."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_row_count_stat(spark: SparkSession, table: str) -> int | None:
+    """The optimizer-visible rowCount for a catalog table (None if no
+    stats have been computed)."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "Statistics":
+            # e.g. '1234 bytes, 100 rows'
+            parts = row["data_type"].split(",")
+            for p in parts:
+                p = p.strip()
+                if p.endswith("rows"):
+                    return int(p.split()[0])
+    return None
+
+
+def enable_cbo(spark: SparkSession) -> None:
+    """Runtime SQL confs gating the cost-based optimizer."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

@@ -53,3 +53,19 @@ def test_bucketed_scan_reports_buckets(spark, sf_smoke):
         assert "Bucketed: true" in p or "SelectedBucketsCount" in p or "bucket" in p.lower()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_meta")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_smoke):
+    from ez_cdc_spark.sources.stats import (
+        analyze_table,
+        enable_cbo,
+        table_row_count_stat,
+    )
+    from ez_cdc_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_smoke, "nation")
+    n.write.mode("overwrite").format("parquet").saveAsTable("stats_nation")
+    assert table_row_count_stat(spark, "stats_nation") is None
+    enable_cbo(spark)
+    analyze_table(spark, "stats_nation", columns=["n_nationkey", "n_regionkey"])
+    assert table_row_count_stat(spark, "stats_nation") == n.count()
