@@ -66,6 +66,47 @@ def s5_stream_replay(spark, sf_dir):
 
 
 @register(
+    "s3b_corrupt_records",
+    oracle=ENV_CTE
+    + """
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM env WHERE lsn % 10 <> 0 GROUP BY op
+UNION ALL
+SELECT '_corrupt' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM env WHERE lsn % 10 = 0
+ORDER BY op
+""",
+    doc="S3/R7 robustness: malformed envelope lines land in _corrupt_record "
+    "under PERMISSIVE mode instead of failing the job — the reference's "
+    "`if value:` guard generalized to whole-record corruption. Counts per "
+    "op + corrupt bucket ↔ the envelope-derivation CTE split on the same "
+    "corruption rule.",
+)
+def s3b_corrupt_records(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        corrupt_envelopes_jsonl,
+    )
+
+    path = corrupt_envelopes_jsonl(spark, sf_dir)
+    schema = ENVELOPE_JSON_SCHEMA + ", _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    lab = (
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+        .otherwise(F.col("op"))
+    )
+    return (
+        df.select(lab.alias("op"))
+        .groupBy("op")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("op")
+    )
+
+
+@register(
     "t2_tumbling_window",
     oracle="""
 SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),

@@ -109,6 +109,25 @@ def envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     return path
 
 
+def corrupt_envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """R7-robustness fixture: the envelope JSONL with every ``lsn % 10 == 0``
+    line mangled into invalid JSON (prefix garbage). Generalizes the
+    reference consumer's ``if value:`` guard (main.py:42) to whole-record
+    corruption, handled Spark-side by PERMISSIVE mode + _corrupt_record."""
+    path = _dir_for(sf_dir, "envelopes-corrupt")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        env = derive_envelopes(load_table(spark, sf_dir, "events"))
+        line = F.to_json(F.struct(*[F.col(c) for c in env.columns]))
+        mangled = F.when(
+            F.col("source.lsn") % 10 == 0, F.concat(F.lit("CORRUPT "), line)
+        ).otherwise(line)
+        env.select(mangled.alias("value")).repartition(n_files).write.mode(
+            "overwrite"
+        ).text(path)
+    return path
+
+
 def stream_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 stand-in: the envelope topic as a file stream (value already
     JSON-decoded via reader schema — decode parity in decode_envelopes)."""
