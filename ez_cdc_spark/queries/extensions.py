@@ -396,6 +396,47 @@ def x6b_norms(spark, sf_dir):
 
 
 @register(
+    "x6c_pairwise_dist",
+    oracle="""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 40)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_distance(a.v, b.v), 4) AS euclid,
+       ROUND(list_inner_product(a.v, b.v), 4) AS dot
+FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label
+ORDER BY id_a, id_b
+""",
+    doc="X6: within-label pairwise Euclidean distance + dot product "
+    "(JVM higher-order fns, label-partitioned self-join — the shuffle key "
+    "is the label, so at scale each group's pairs stay on one node).",
+)
+def x6c_pairwise_dist(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("vb"))
+    diff = F.zip_with(
+        F.transform(F.col("va"), lambda x: x.cast("double")),
+        F.transform(F.col("vb"), lambda x: x.cast("double")),
+        lambda x, y: (x - y) * (x - y),
+    )
+    return (
+        a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("la") == F.col("lb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)), 4
+            ).alias("euclid"),
+            F.round(dot(F.col("va"), F.col("vb")), 4).alias("dot"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "x3c_ivf_topk",
     oracle=None,  # approximate by construction; recall vs brute force is pytest-checked
     doc="X3 ANN path: IVF coarse quantization (deterministic seed + one "
