@@ -140,3 +140,35 @@ def s7_partitioned_parquet_sink(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "s10_python_datasource",
+    oracle="""
+SELECT CASE r.range % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(r.range) AS BIGINT) AS lsn_sum,
+       CAST(SUM((r.range * 7) % 1000) AS BIGINT) AS value_sum
+FROM range(0, 5000) r
+GROUP BY op
+ORDER BY op
+""",
+    doc="S10: custom Python data source (Spark 4 pyspark.sql.datasource API) "
+    "— deterministic envelope generator with real partition splits; the "
+    "row formula is a pure function of the index so the oracle is "
+    "closed-form over range().",
+)
+def s10_python_datasource(spark, sf_dir):
+    from ez_cdc_spark.sources.pyds import register_envelopegen
+
+    register_envelopegen(spark)
+    df = spark.read.format("envelopegen").option("n", 5000).option("parts", 8).load()
+    return (
+        df.groupBy("op")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lsn").cast("bigint").alias("lsn_sum"),
+            F.sum("value").cast("bigint").alias("value_sum"),
+        )
+        .orderBy("op")
+    )

@@ -1,0 +1,71 @@
+"""Custom Python data source (Spark 4 `pyspark.sql.datasource` API).
+
+A deterministic CDC-envelope generator source ("envelopegen") — the
+Spark-native analog of standing up the reference's whole
+Postgres→Debezium→Kafka rig just to get change events into a test
+(docker-compose.yml:1-72): here the engine itself serves synthetic
+envelopes as a first-class `spark.read.format(...)` source with proper
+partition splits, so generation scales out like any other scan.
+
+Row formula (pure function of the row index i, so any split of the index
+space yields identical data):
+    id    = i % 200          (the envelope key space)
+    op    = ('c','u','d')[i % 3]
+    lsn   = i
+    value = (i * 7) % 1000
+
+This is a replay/test source, not a hot-path operator: per-row Python is
+fine here because the source exists to feed correctness rigs; the
+production path stays the Kafka/parquet scan.
+
+The classes are defined INSIDE the registration function: Spark ships the
+DataSource to separate Python worker processes via cloudpickle, which
+serializes locally-defined classes by value — so the source works even
+when the driver's cwd/sys.path can't see the ez_cdc_spark package (an
+external driver importing __spark_entry__ by path hits exactly that).
+"""
+
+from __future__ import annotations
+
+
+def make_envelopegen_source():
+    """Build the DataSource class (locally defined → pickled by value)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Split(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class EnvelopeGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            step = max(1, (self.n + self.parts - 1) // self.parts)
+            return [
+                _Split(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i % 200, ("c", "u", "d")[i % 3], i, (i * 7) % 1000)
+
+    class EnvelopeGenSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "envelopegen"
+
+        def schema(self) -> str:
+            return "id INT, op STRING, lsn BIGINT, value BIGINT"
+
+        def reader(self, schema) -> EnvelopeGenReader:
+            return EnvelopeGenReader(self.options)
+
+    return EnvelopeGenSource
+
+
+def register_envelopegen(spark) -> None:
+    """Idempotent registration of the envelopegen format."""
+    spark.dataSource.register(make_envelopegen_source())
