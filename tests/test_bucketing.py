@@ -63,9 +63,18 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_smoke):
     )
     from ez_cdc_spark.sources.tables import load_table
 
+    import shutil
+
+    # a stale warehouse dir without a catalog entry (fresh in-memory catalog,
+    # leftover location from a previous session) breaks saveAsTable
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    shutil.rmtree("spark-warehouse/stats_nation", ignore_errors=True)
     n = load_table(spark, sf_smoke, "nation")
     n.write.mode("overwrite").format("parquet").saveAsTable("stats_nation")
-    assert table_row_count_stat(spark, "stats_nation") is None
-    enable_cbo(spark)
-    analyze_table(spark, "stats_nation", columns=["n_nationkey", "n_regionkey"])
-    assert table_row_count_stat(spark, "stats_nation") == n.count()
+    try:
+        assert table_row_count_stat(spark, "stats_nation") is None
+        enable_cbo(spark)
+        analyze_table(spark, "stats_nation", columns=["n_nationkey", "n_regionkey"])
+        assert table_row_count_stat(spark, "stats_nation") == n.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_nation")
