@@ -28,9 +28,24 @@ external driver importing __spark_entry__ by path hits exactly that).
 from __future__ import annotations
 
 
-def make_envelopegen_source():
-    """Build the DataSource class (locally defined → pickled by value)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+def make_envelopegen_source(with_pushdown: bool = True):
+    """Build the DataSource class (locally defined → pickled by value).
+
+    A reader that implements pushFilters() hard-fails unless
+    ``spark.sql.python.filterPushdown.enabled`` is true, so the
+    no-pushdown variant exists for sessions where that conf can't be set
+    (register_envelopegen picks).
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
 
     class _Split(InputPartition):
         def __init__(self, start: int, end: int):
@@ -41,12 +56,41 @@ def make_envelopegen_source():
         def __init__(self, options):
             self.n = int(options.get("n", 1000))
             self.parts = int(options.get("parts", 4))
+            self.lo = 0  # generation range [lo, hi) after pushdown
+            self.hi = self.n
+
+        def _push_filters(self, filters):
+            """Source-level pushdown (SURVEY §4.2): lsn == i by construction,
+            so lsn range predicates clamp the generation range — rows outside
+            it are never generated, the analog of parquet row-group pruning.
+            Everything else is returned for Spark to evaluate."""
+            for f in filters:
+                if getattr(f, "attribute", None) == ("lsn",):
+                    if isinstance(f, GreaterThan):
+                        self.lo = max(self.lo, int(f.value) + 1)
+                        continue
+                    if isinstance(f, GreaterThanOrEqual):
+                        self.lo = max(self.lo, int(f.value))
+                        continue
+                    if isinstance(f, LessThan):
+                        self.hi = min(self.hi, int(f.value))
+                        continue
+                    if isinstance(f, LessThanOrEqual):
+                        self.hi = min(self.hi, int(f.value) + 1)
+                        continue
+                    if isinstance(f, EqualTo):
+                        self.lo = max(self.lo, int(f.value))
+                        self.hi = min(self.hi, int(f.value) + 1)
+                        continue
+                yield f
+
+        if with_pushdown:
+            pushFilters = _push_filters
 
         def partitions(self):
-            step = max(1, (self.n + self.parts - 1) // self.parts)
-            return [
-                _Split(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)
-            ]
+            lo, hi = self.lo, max(self.lo, self.hi)
+            step = max(1, (hi - lo + self.parts - 1) // self.parts)
+            return [_Split(s, min(s + step, hi)) for s in range(lo, hi, step)]
 
         def read(self, partition):
             for i in range(partition.start, partition.end):
@@ -67,5 +111,13 @@ def make_envelopegen_source():
 
 
 def register_envelopegen(spark) -> None:
-    """Idempotent registration of the envelopegen format."""
-    spark.dataSource.register(make_envelopegen_source())
+    """Idempotent registration of the envelopegen format. Enables source
+    filter pushdown when the session allows the conf; otherwise registers
+    the variant without pushFilters (which would hard-fail with the conf
+    off)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        enabled = spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    except Exception:
+        enabled = False
+    spark.dataSource.register(make_envelopegen_source(with_pushdown=enabled))

@@ -93,3 +93,32 @@ def test_console_sink_runs(spark, tmp_path):
     )
     q.awaitTermination()
     assert q.lastProgress is not None
+
+
+def test_envelopegen_pushdown_clamps_generation(spark):
+    """Filter pushdown in the Python datasource: lsn predicates narrow the
+    generation range at the source (reader-level), and results match."""
+    from ez_cdc_spark.sources.pyds import make_envelopegen_source, register_envelopegen
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, EqualTo
+
+    # unit level: the reader narrows [lo, hi)
+    cls = make_envelopegen_source()
+    reader = cls(options={"n": "1000", "parts": "4"}).reader(None)
+    rest = list(reader.pushFilters([
+        GreaterThanOrEqual(("lsn",), 100),
+        LessThan(("lsn",), 200),
+        EqualTo(("op",), "c"),
+    ]))
+    assert reader.lo == 100 and reader.hi == 200
+    assert len(rest) == 1 and isinstance(rest[0], EqualTo)  # op filter stays with Spark
+    parts = reader.partitions()
+    assert sum(p.end - p.start for p in parts) == 100
+
+    # end to end: query result equals the closed form
+    register_envelopegen(spark)
+    df = (
+        spark.read.format("envelopegen").option("n", 1000).load()
+        .filter("lsn >= 100 AND lsn < 200 AND op = 'c'")
+    )
+    rows = sorted(r["lsn"] for r in df.collect())
+    assert rows == [i for i in range(100, 200) if i % 3 == 0]
