@@ -22,6 +22,7 @@ from ez_cdc_spark.streaming.cdc import materialize, stream_envelopes
 from ez_cdc_spark.streaming.replay import (
     EVENTS_JSON_SCHEMA,
     events_parquet,
+    events_parquet_staged,
     run_to_memory,
     stream_events,
 )
@@ -414,6 +415,72 @@ def j11_stream_stream(spark, sf_dir):
     )
     return run_to_memory(joined, "j11_stream_stream", output_mode="append").orderBy(
         "click_id", "purchase_id"
+    )
+
+
+@register(
+    "j11b_stream_stream_outer",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+WHERE a.event_type = 'click'
+ORDER BY click_id, purchase_id
+""",
+    doc="J11b: LEFT OUTER stream-stream join — unmatched clicks emit NULL "
+    "rows only when their join-window state evicts, so the staged replay "
+    "appends two far-future watermark-flush batches (eviction uses the "
+    "previous batch's watermark). Batch-equivalence: plain SQL left join.",
+)
+def j11b_stream_stream_outer(spark, sf_dir):
+    path = events_parquet_staged(spark, sf_dir)
+    base = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    clicks = (
+        base.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("ts_a"),
+        )
+    )
+    purchases = (
+        base.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    # sentinel exclusion happens on the MATERIALIZED (batch) table: a
+    # pre-join filter would be pushed below the watermark and re-prune the
+    # sentinels at the scan (see events_parquet_staged)
+    return (
+        run_to_memory(joined, "j11b_outer", output_mode="append")
+        .filter(F.col("user_id") >= 0)
+        .orderBy("click_id", "purchase_id")
     )
 
 

@@ -77,6 +77,68 @@ def events_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     return path
 
 
+def events_parquet_staged(spark: SparkSession, sf_dir: str) -> str:
+    """3-file replay dir for watermark-EVICTION tests (outer stream-stream
+    joins): file 0 = all events, files 1-2 = far-future 'flush' sentinel
+    rows whose only job is to advance the watermark in two later
+    micro-batches. Outer results emit when state evicts, eviction uses the
+    PREVIOUS batch's watermark (SPARK-40925), hence two sentinel batches —
+    one to raise the watermark past every join window, one to apply it.
+    Files get strictly increasing mtimes so maxFilesPerTrigger=1 replays
+    them in order.
+
+    Each flush file carries one sentinel PER branch type ('click' with
+    user_id=-1 and 'purchase' with user_id=-2, non-matching): Catalyst
+    pushes each branch's event_type predicate BELOW its withWatermark, so
+    a sentinel advances only the watermark of the branch whose filter it
+    passes — and the global watermark is the MIN over both operators. A
+    made-up sentinel type would advance neither (pruned at the shared
+    scan by the OR of the pushed filters). Consumers exclude user_id < 0
+    from the MATERIALIZED batch result (a pre-join filter would itself be
+    pushed below the watermark).
+    """
+    import shutil
+    import time as _time
+
+    schema_key = hashlib.md5((EVENTS_JSON_SCHEMA + ":v3").encode()).hexdigest()[:8]
+    path = _dir_for(sf_dir, f"events_staged-{schema_key}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ev = _events_projection(spark, sf_dir)
+
+        def flush_df(k: int, hours: int) -> DataFrame:
+            m = ev.agg(F.max("ts").alias("mts"))
+
+            def sentinel(off: int, uid: int, etype: str) -> DataFrame:
+                return m.select(
+                    F.lit(10**9 + 10 * k + off).cast("bigint").alias("event_id"),
+                    (F.col("mts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+                    F.lit(uid).cast("bigint").alias("user_id"),
+                    F.lit(etype).alias("event_type"),
+                    F.lit("0").cast("decimal(12,2)").alias("value"),
+                    F.lit("{}").alias("props"),
+                )
+
+            return sentinel(0, -1, "click").unionByName(sentinel(1, -2, "purchase"))
+
+        stages = [ev, flush_df(1, 2), flush_df(2, 4)]
+        now = _time.time()
+        for i, df in enumerate(stages):
+            tmp = os.path.join(path, f"_tmp{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(path, f"stage-{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+        open(marker, "w").close()
+    return path
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: file streaming source replaying the events table.
 
