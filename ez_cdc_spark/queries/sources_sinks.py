@@ -172,3 +172,63 @@ def s10_python_datasource(spark, sf_dir):
         )
         .orderBy("op")
     )
+
+
+@register(
+    "s10b_python_stream_source",
+    oracle="""
+SELECT CASE r.range % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(r.range) AS BIGINT) AS lsn_sum
+FROM range(0, 2000) r
+GROUP BY op
+ORDER BY op
+""",
+    doc="S10b: STREAMING side of the custom Python data source "
+    "(SimpleDataSourceStreamReader: offset = next row index, micro-batches "
+    "of batch_size rows, readBetweenOffsets for crash replay). Python "
+    "stream sources don't support availableNow, so the rig polls the "
+    "committed offset and stops once the generator is drained; complete-"
+    "mode agg then equals the closed-form batch answer.",
+)
+def s10b_python_stream_source(spark, sf_dir):
+    import json
+    import time
+
+    from ez_cdc_spark.sources.pyds import register_envelopegen
+    from ez_cdc_spark.streaming.replay import checkpoint_dir
+
+    register_envelopegen(spark)
+    n = 2000
+    df = (
+        spark.readStream.format("envelopegen")
+        .option("n", n)
+        .option("batch_size", 500)
+        .load()
+    )
+    agg = (
+        df.groupBy("op")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("lsn").cast("bigint").alias("lsn_sum"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s10b_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = p["sources"][0].get("endOffset")
+                done = end and json.loads(end.replace("'", '"')).get("i", 0) >= n
+                if done and p["numInputRows"] == 0:
+                    break  # drained AND the final full-agg batch committed
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("s10b_stream").orderBy("op")

@@ -45,6 +45,7 @@ def make_envelopegen_source(with_pushdown: bool = True):
         InputPartition,
         LessThan,
         LessThanOrEqual,
+        SimpleDataSourceStreamReader,
     )
 
     class _Split(InputPartition):
@@ -96,6 +97,40 @@ def make_envelopegen_source(with_pushdown: bool = True):
             for i in range(partition.start, partition.end):
                 yield (i % 200, ("c", "u", "d")[i % 3], i, (i * 7) % 1000)
 
+    class EnvelopeGenStreamReader(SimpleDataSourceStreamReader):
+        """Streaming variant: the offset is the next row index; each
+        micro-batch serves up to batch_size rows until n is exhausted —
+        a Kafka-shaped replay entirely inside the engine. read()/
+        readBetweenOffsets() share one generator so crash-replay of a
+        committed range is bit-identical (the formula is pure)."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.batch_size = int(options.get("batch_size", 250))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo, hi):
+            # iter over a concrete list, not a generator: the wrapper both
+            # iterates AND pickles prefetched rows for crash replay, and a
+            # list_iterator satisfies both (generators can't pickle, bare
+            # lists aren't iterators)
+            return iter(
+                [
+                    (i % 200, ("c", "u", "d")[i % 3], i, (i * 7) % 1000)
+                    for i in range(lo, hi)
+                ]
+            )
+
+        def read(self, start):
+            lo = start["i"]
+            hi = min(lo + self.batch_size, self.n)
+            return self._rows(lo, hi), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["i"], end["i"])
+
     class EnvelopeGenSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -106,6 +141,9 @@ def make_envelopegen_source(with_pushdown: bool = True):
 
         def reader(self, schema) -> EnvelopeGenReader:
             return EnvelopeGenReader(self.options)
+
+        def simpleStreamReader(self, schema) -> EnvelopeGenStreamReader:
+            return EnvelopeGenStreamReader(self.options)
 
     return EnvelopeGenSource
 
