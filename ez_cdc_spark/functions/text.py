@@ -109,6 +109,29 @@ def lang_id(text: Column) -> Column:
     return F.element_at(arr, 1)["lang"]
 
 
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31-1 Mersenne prime: h*31 + v stays << int64, ANSI-safe
+
+
+def token_value(w: Column) -> Column:
+    """Deterministic per-token value for the rolling hash, chosen to be
+    expressible identically in any SQL engine (ascii of first char + len)."""
+    return (F.ascii(F.substring(w, 1, 1)) * 131 + F.length(w)).cast("bigint")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-SENSITIVE document fingerprint: Rabin-Karp-style polynomial
+    rolling hash over the token stream, h = fold(h*B + v(tok)) mod M.
+    Complements ``fingerprint`` (order-insensitive set hash): reordered
+    words change this one. Pure JVM fold — whole-stage codegen, no UDF.
+    """
+    return F.aggregate(
+        F.transform(words(text), token_value),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * ROLL_BASE + v) % ROLL_MOD,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set. Portable to any SQL engine for the oracle check."""

@@ -268,6 +268,28 @@ def x4d_tfidf(spark, sf_dir):
 
 
 @register(
+    "x4e_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(ascii(w[1:1]) * 131 + length(w) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS roll_hash
+FROM documents
+ORDER BY doc_id
+""",
+    doc="X4: order-sensitive Rabin-Karp rolling hash over the token stream "
+    "(fold in JVM higher-order fns, 31-bit Mersenne modulus keeps the "
+    "arithmetic ANSI-safe) ↔ DuckDB list_reduce with the same formula.",
+)
+def x4e_rolling_fingerprint(spark, sf_dir):
+    d = widen_partitions(t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", TXT.rolling_fingerprint(F.col("text")).alias("roll_hash")
+    ).orderBy("doc_id")
+
+
+@register(
     "x4c_lang_quality",
     oracle=None,  # argmax-with-tiebreak over marker lists: golden/rows-only
     doc="X4: heuristic language ID + composite quality score (deterministic).",
