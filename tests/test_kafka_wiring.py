@@ -122,3 +122,57 @@ def test_envelopegen_pushdown_clamps_generation(spark):
     )
     rows = sorted(r["lsn"] for r in df.collect())
     assert rows == [i for i in range(100, 200) if i % 3 == 0]
+
+
+def test_envelopegen_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Crash-replay of the streaming Python datasource: stop after the
+    first micro-batch, restart on the same checkpoint, and the complete-
+    mode aggregate still equals the closed form (readBetweenOffsets
+    replays the committed prefix exactly)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.sources.pyds import register_envelopegen
+
+    register_envelopegen(spark)
+    ckpt = str(tmp_path / "ckpt")
+    n = 2000
+
+    def start(name):
+        df = (
+            spark.readStream.format("envelopegen")
+            .option("n", n).option("batch_size", 500).load()
+        )
+        agg = df.groupBy("op").agg(F.count("*").alias("cnt"), F.sum("lsn").alias("s"))
+        return (
+            agg.writeStream.format("memory").queryName(name).outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds").start()
+        )
+
+    q = start("resume_a")
+    deadline = time.time() + 60
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop(); q.awaitTermination()  # "crash" partway through
+
+    q2 = start("resume_b")
+    deadline = time.time() + 120
+    import json
+    while time.time() < deadline:
+        p = q2.lastProgress
+        if p and p["sources"]:
+            end = p["sources"][0].get("endOffset")
+            if end and json.loads(end.replace("'", '"')).get("i", 0) >= n and p["numInputRows"] == 0:
+                break
+        time.sleep(0.2)
+    q2.stop(); q2.awaitTermination()
+
+    got = {r["op"]: (r["cnt"], r["s"]) for r in spark.table("resume_b").collect()}
+    want = {}
+    for i in range(n):
+        op = ("c", "u", "d")[i % 3]
+        c, s = want.get(op, (0, 0))
+        want[op] = (c + 1, s + i)
+    assert got == want
