@@ -417,3 +417,34 @@ def a5e_unpivot(spark, sf_dir):
         .filter(F.col("qty").isNotNull())
         .orderBy("l_linestatus", "flag")
     )
+
+
+@register(
+    "a8b_regression_aggs",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS slope,
+       ROUND(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS icept,
+       ROUND(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS r2,
+       CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="A8b: linear-regression aggregates (slope/intercept/r2/count) of "
+    "price on quantity per returnflag; ROUND(,6) float rule (§5.3).",
+)
+def a8b_regression_aggs(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

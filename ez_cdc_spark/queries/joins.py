@@ -301,3 +301,38 @@ def j12_salted_join(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "j3b_full_outer",
+    oracle="""
+SELECT COALESCE(a.k, b.k) AS k,
+       CAST(a.n_orders AS BIGINT) AS n_orders,
+       CAST(b.n_events AS BIGINT) AS n_events
+FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) a
+FULL JOIN (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY user_id) b
+  ON a.k = b.k
+ORDER BY k
+""",
+    doc="J3b: full outer join over partially-overlapping key sets (order "
+    "customers vs event users) — NULL side-counts where a key exists on "
+    "only one side.",
+)
+def j3b_full_outer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("ka")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    b = e.groupBy(F.col("user_id").alias("kb")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return (
+        a.join(b, a.ka == b.kb, "full")
+        .select(
+            F.coalesce(F.col("ka"), F.col("kb")).alias("k"),
+            "n_orders",
+            "n_events",
+        )
+        .orderBy("k")
+    )
