@@ -448,3 +448,33 @@ def a8b_regression_aggs(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a11_bool_aggs",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+       CAST(bool_and(o_totalprice > 0) AS INT) AS all_pos,
+       CAST(bool_or(o_totalprice > 400000) AS INT) AS any_huge,
+       CAST(MIN(o_orderkey) AS BIGINT) AS any_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="A11: conditional/boolean aggregates (count_if, bool_and, bool_or); "
+    "any_value declared in its deterministic MIN rewrite (§5.3 rule, as O5).",
+)
+def a11_bool_aggs(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(tp > 100000).cast("bigint").alias("n_big"),
+            F.bool_and(tp > 0).cast("int").alias("all_pos"),
+            F.bool_or(tp > 400000).cast("int").alias("any_huge"),
+            F.min("o_orderkey").cast("bigint").alias("any_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
