@@ -201,6 +201,61 @@ def t4_session_window(spark, sf_dir):
 
 
 @register(
+    "t4b_session_window_dynamic",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN event_type = 'purchase' THEN 7200 ELSE 14400 END AS gap
+  FROM events
+), ends AS (
+  SELECT user_id, ts, value,
+         MAX(epoch(ts) + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_end IS NULL OR epoch(ts) >= prev_end THEN 1 ELSE 0 END AS new_s
+  FROM ends
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    doc="T4b: DYNAMIC-gap session windows (2h after a purchase, 4h "
+    "otherwise — per-event gap expression). Oracle is gaps-and-islands "
+    "with a running max of per-event session ends, since each event "
+    "extends the session by its own gap.",
+)
+def t4b_session_window_dynamic(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("4 hours")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").cast("double").alias("total"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory(agg, "t4b_session_dyn").orderBy("user_id", "session_start")
+
+
+@register(
     "t1_watermark_append",
     oracle="""
 WITH agg AS (

@@ -131,6 +131,9 @@ def corrupt_envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) 
 def stream_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 stand-in: the envelope topic as a file stream (value already
     JSON-decoded via reader schema — decode parity in decode_envelopes)."""
+    from ez_cdc_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)  # external non-UTC sessions re-pinned (see replay._pin_confs)
     path = envelopes_jsonl(spark, sf_dir)
     return spark.readStream.schema(ENVELOPE_JSON_SCHEMA).json(path)
 

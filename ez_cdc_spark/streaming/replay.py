@@ -139,6 +139,15 @@ def events_parquet_staged(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _pin_confs(spark: SparkSession) -> None:
+    """Streaming queries render event-time strings (date_format over window
+    bounds), so an external non-UTC session must be re-pinned HERE — the
+    batch-side `_util.t()` pin never runs on a pure-streaming path."""
+    from ez_cdc_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: file streaming source replaying the events table.
 
@@ -148,6 +157,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the envelope stream (cdc.stream_envelopes), which must exercise the
     reference's JSON envelope decode (R7).
     """
+    _pin_confs(spark)
     path = events_parquet(spark, sf_dir)
     return spark.readStream.schema(EVENTS_JSON_SCHEMA).parquet(path)
 
@@ -158,6 +168,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     Deterministic: processes everything available, then stops.
     """
     spark = stream_df.sparkSession
+    _pin_confs(spark)
     # Stateful ops create one state store per shuffle partition and AQE is
     # off in streaming; an external session's default (200) means 200 state
     # stores for a 32-core box. Pin to the actual parallelism — safe here
