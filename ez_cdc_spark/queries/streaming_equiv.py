@@ -553,6 +553,12 @@ SELECT '00:00' AS w, CAST(1 AS BIGINT) AS n
     "file between the watermark-advancing row and the late row.",
 )
 def t7_late_data(spark, sf_dir):
+    from ez_cdc_spark.session import apply_runtime_conf
+
+    # this query builds its own readStream (not via stream_events), and
+    # date_format resolves its timezone at ANALYSIS time — pin UTC before
+    # constructing any expression, not just before starting the query
+    apply_runtime_conf(spark)
     src = os.path.join(
         tempfile.gettempdir(), "ez_cdc_spark_stream", "t7_late_fixture"
     )
