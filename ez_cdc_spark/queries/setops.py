@@ -146,3 +146,24 @@ def o5_dedup_deterministic(spark, sf_dir):
         )
         .orderBy("o_custkey", "o_orderstatus")
     )
+
+
+@register(
+    "o2b_limit_offset",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 20
+""",
+    doc="O2b: pagination — orderBy + offset + limit (rows 21-30 of the "
+    "price ranking, total order via key tie-break).",
+)
+def o2b_limit_offset(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(10)
+    )
