@@ -174,3 +174,35 @@ def w5_topk_per_group(spark, sf_dir):
         .select("p_brand", "p_partkey", F.col("rev_dec").cast("double").alias("revenue"))
         .orderBy("p_brand", "p_partkey")
     )
+
+
+@register(
+    "w6_locf_gap_fill",
+    oracle="""
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type <> 'view'
+                       THEN CAST(value AS DECIMAL(12,2)) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+FROM events
+WHERE user_id < 50
+ORDER BY event_id
+""",
+    doc="W6: last-observation-carried-forward gap fill — 'view' rows have "
+    "no reading, so each row carries the latest non-null value per user "
+    "(last_value ignoreNulls over a running frame, (ts, event_id) total "
+    "order). The standard time-series imputation op.",
+)
+def w6_locf_gap_fill(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    reading = F.when(F.col("event_type") != "view", dec("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(reading, ignorenulls=True).over(w).alias("locf"),
+    ).orderBy("event_id")
