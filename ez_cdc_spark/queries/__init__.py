@@ -16,10 +16,32 @@ Determinism rules applied everywhere (SURVEY.md §5.3):
 
 from __future__ import annotations
 
+import json
+import pathlib
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+
+# Queries whose implementation or oracle changed since their last driver
+# attestation: treat as unattested so the driver re-checks them first.
+_REATTEST: set[str] = {"x2d_embedding_neardup", "x4c_lang_quality"}
+
+# Tie-break within the unattested group (driver attests ~50 entries/round):
+# negative floats to the front, positive yields its slot to the next round.
+_RANK: dict[str, int] = {
+    "x2d_embedding_neardup": -1,
+    "x4c_lang_quality": -1,
+    # Unattested but lowest marginal evidence this round: j10/j11/j11b are
+    # plan-asserted in tests/test_plans.py and t7's output is pinned by a
+    # literal golden oracle in pytest; they queue behind the t/u/f families.
+    "j10_stream_static": 1,
+    "j11_stream_stream": 1,
+    "j11b_stream_stream_outer": 1,
+    "t7_late_data": 1,
+}
 
 
 @dataclass
@@ -43,19 +65,58 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _attested() -> set[str]:
+    """Query names already green in a past driver CORRECTNESS_r*.json run.
+
+    The correctness driver attests at most ~50 registry entries per round
+    (CORRECTNESS_r01.json ends at entry 50 of 101), so ``load_all`` floats
+    not-yet-attested queries to the front of the registry. A query counts as
+    attested once a past round recorded hash_match=true (or a declared
+    no-oracle rows-only check), unless listed in ``_REATTEST``.
+    """
+    seen: set[str] = set()
+    for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            hash_ok = row.get("hash_match") is True
+            rows_only_ok = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            if hash_ok or rows_only_ok:
+                seen.add(name)
+    return seen - _REATTEST
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY).
+
+    Import order puts cheap batch modules before streaming ones, and the
+    final ordering floats driver-unattested queries to the front (stable
+    within each group), so a capped driver run attests fresh surface.
+    """
     from ez_cdc_spark.queries import (  # noqa: F401
+        projection,
+        windows,
+        setops,
+        scalar_functions,
+        sources_sinks,
+        udfs,
+        streaming_equiv,
         aggregation,
         extensions,
         joins,
-        projection,
-        scalar_functions,
-        setops,
-        sources_sinks,
-        streaming_equiv,
-        udfs,
-        windows,
     )
 
+    attested = _attested()
+    ordered = sorted(  # stable: registration order breaks remaining ties
+        REGISTRY, key=lambda name: (name in attested, _RANK.get(name, 0))
+    )
+    specs = {name: REGISTRY[name] for name in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(specs)
     return REGISTRY
