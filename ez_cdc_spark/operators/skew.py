@@ -42,10 +42,15 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # Scatter by row position, not by key: even a SINGLE hot key spreads
-    # uniformly across all salt values (ids are sequential per partition).
+    # Scatter by a content hash over ALL columns, not by row position:
+    # monotonically_increasing_id depends on partition layout and is not
+    # stable across task retries (shuffle-input recomputation could re-salt
+    # rows between attempts). xxhash64 over the full row is deterministic
+    # per row content, so retries reproduce the same salt. A hot JOIN key
+    # still scatters because payload columns differ; only fully-duplicate
+    # rows share a salt (residual skew bounded by duplicate multiplicity).
     big_s = big.withColumn(
-        SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
     )
     replicas = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     small_s = small.withColumn(SALT, replicas)

@@ -111,7 +111,8 @@ def o4_intersect_except(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     rows = [
         c.intersect(o).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("which"), "n"),
-        c.exceptAll(o.distinct()).distinct().agg(F.count("*").alias("n")).select(
+        # subtract == SQL set EXCEPT by construction (not by key uniqueness)
+        c.subtract(o).agg(F.count("*").alias("n")).select(
             F.lit("except").alias("which"), "n"
         ),
         o.exceptAll(c).agg(F.count("*").alias("n")).select(

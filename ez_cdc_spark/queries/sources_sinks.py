@@ -174,6 +174,25 @@ def s10_python_datasource(spark, sf_dir):
     )
 
 
+def _offset_i(end) -> int:
+    """Committed 'i' from a progress endOffset, whatever shape Spark hands
+    back: already-parsed dict, JSON string, or Python-repr string (older
+    Python-datasource progress serialization)."""
+    import ast
+    import json
+
+    if isinstance(end, dict):
+        return int(end.get("i", 0))
+    for parse in (json.loads, ast.literal_eval):
+        try:
+            parsed = parse(end)
+        except (ValueError, SyntaxError):
+            continue
+        if isinstance(parsed, dict):
+            return int(parsed.get("i", 0))
+    return 0
+
+
 @register(
     "s10b_python_stream_source",
     oracle="""
@@ -192,7 +211,6 @@ ORDER BY op
     "mode agg then equals the closed-form batch answer.",
 )
 def s10b_python_stream_source(spark, sf_dir):
-    import json
     import time
 
     from ez_cdc_spark.sources.pyds import register_envelopegen
@@ -224,7 +242,7 @@ def s10b_python_stream_source(spark, sf_dir):
             p = q.lastProgress
             if p and p["sources"]:
                 end = p["sources"][0].get("endOffset")
-                done = end and json.loads(end.replace("'", '"')).get("i", 0) >= n
+                done = end is not None and _offset_i(end) >= n
                 if done and p["numInputRows"] == 0:
                     break  # drained AND the final full-agg batch committed
             time.sleep(0.2)

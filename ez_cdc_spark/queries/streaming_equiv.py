@@ -546,7 +546,7 @@ SELECT '00:00' AS w, CAST(1 AS BIGINT) AS n
 """,
     doc="T7: late-data discard golden — a fixed 3-file replay where a row "
     "arrives after its window's watermark closed. Expected output is a "
-    "2-row golden expressed as SQL literals: only window 00:00 closes "
+    "1-row golden expressed as SQL literals: only window 00:00 closes "
     "(final watermark 01:55 < later window ends) and the late minute-1 "
     "row is dropped, so n stays 1. Spark filters late events with the "
     "previous batch's watermark (SPARK-40925), hence the on-time middle "

@@ -54,8 +54,11 @@ def derive_envelopes(events: DataFrame) -> DataFrame:
     """Deterministic events→envelope mapping (module docstring), duplicates
     included. Pure column expressions so the same logic is one SQL view for
     the oracle."""
+    # Unknown event_types fall back to 'u', matching the oracle CTE's
+    # CASE ... ELSE 'u' so new vocabulary can't silently diverge the two.
     op = F.coalesce(
-        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in OP_MAP.items()]
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in OP_MAP.items()],
+        F.lit("u"),
     )
     key = (F.col("event_id") % 200).cast("int")
     row_img = F.struct(

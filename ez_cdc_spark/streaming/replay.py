@@ -173,19 +173,29 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     # off in streaming; an external session's default (200) means 200 state
     # stores for a 32-core box. Pin to the actual parallelism — safe here
     # because every run uses a fresh checkpoint.
+    prev_shuffle = None
     try:
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
         )
     except Exception:
         pass  # conf locked in this deployment; proceed with its value
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # Don't leave the caller's batch shuffle width changed behind its back.
+        if prev_shuffle is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            except Exception:
+                pass
     return spark.table(name)
