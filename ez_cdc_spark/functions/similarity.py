@@ -140,54 +140,87 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: every (id_a < id_b) pair with
-    cosine >= threshold. Exact, via the same blocked-GEMM pattern as
-    blocked_topk — the L2-normalized matrix of one side is broadcast and
-    each corpus Arrow batch is scored with a single numpy matmul; only
-    above-threshold pairs ever materialize (the dense score matrix dies
-    with the batch).
+    cosine >= threshold. Exact, fully distributed — NO driver-side collect.
 
-    Scale note: the broadcast side here is the full corpus, which is exact
-    but O(N·d) driver memory — right for dedup sets up to ~10M vectors. At
-    100 TB, swap the broadcast side for LSH/simhash candidate buckets
-    (operators/dedup.py simhash_near_dups shows the pattern) and keep this
-    GEMM as the exact verify stage within buckets.
+    Blocked all-pairs GEMM: rows hash into ``n_blocks`` blocks by
+    pmod(xxhash64(id), B); each row is replicated to every unordered block
+    pair containing its block (B copies per row, so shuffle volume is
+    N·B); each of the B·(B+1)/2 pair-tasks scores its left×right matrices
+    with one float64 numpy matmul and emits only above-threshold pairs, so
+    the dense score tile dies inside the task. Per-task memory is
+    2·(N/B)·d doubles — pick B ≈ N·d·16B / (executor tile budget); the
+    driver never holds corpus data. Flops stay O(N²·d) because exact
+    all-pairs requires it; to cut candidates at extreme N, prefilter with
+    LSH/SimHash buckets (operators/dedup.py simhash_near_dups shows the
+    pattern) and keep this as the within-bucket exact verify.
+
+    Every unordered pair is scored exactly once: a row in block b appears
+    once in each pair-task (min(b,o), max(b,o)) for o in 0..B-1 (the map
+    o -> pair is injective for fixed b); cross-block tasks score the full
+    left×right rectangle, and the diagonal task (b,b) keeps the strict
+    upper triangle by id.
 
     Threshold is applied to the UNROUNDED score (matches the SQL oracle);
     the emitted score is ROUND(,4) per SURVEY §5.3.
     """
     import numpy as np
 
-    pdf = (
-        df.select(F.col(id_col).alias("id"), normalize(F.col(vec)).alias("v"))
-        .toPandas()
+    sel = df.select(
+        F.col(id_col).alias("id"),
+        normalize(F.col(vec)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
     )
-    a_ids = pdf["id"].to_numpy()
-    a_mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
-    bc = df.sparkSession.sparkContext.broadcast((a_ids, a_mat))
-
-    c = widen_partitions(
-        df.select(F.col(id_col).alias("id"), normalize(F.col(vec)).alias("v"))
+    replicated = sel.select(
+        "id",
+        "v",
+        "b",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("o"),
+    ).select(
+        "id",
+        "v",
+        "b",
+        F.least("b", "o").alias("p1"),
+        F.greatest("b", "o").alias("p2"),
     )
 
-    def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = bc.value
-        for pdf_b in batches:
-            if pdf_b.empty:
-                continue
-            b_ids = pdf_b["id"].to_numpy()
-            b_mat = np.vstack(pdf_b["v"].to_numpy()).astype("float64")
-            scores = mat @ b_mat.T  # (N, m)
-            # keep a<b only: each unordered pair emitted exactly once
-            ai, bi = np.nonzero((scores >= threshold) & (ids[:, None] < b_ids[None, :]))
-            if len(ai):
-                yield pd.DataFrame(
-                    {"id_a": ids[ai], "id_b": b_ids[bi], "score": scores[ai, bi]}
-                )
+    def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "score": "float64"}
+        )
+        if pdf.empty:
+            return empty
+        p1, p2 = int(pdf["p1"].iloc[0]), int(pdf["p2"].iloc[0])
+        if p1 == p2:
+            ids = pdf["id"].to_numpy()
+            mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            scores = mat @ mat.T
+            ai, bi = np.nonzero((scores >= threshold) & (ids[:, None] < ids[None, :]))
+            id_a, id_b, sc = ids[ai], ids[bi], scores[ai, bi]
+        else:
+            left = pdf[pdf["b"] == p1]
+            right = pdf[pdf["b"] == p2]
+            if left.empty or right.empty:
+                return empty
+            l_ids, r_ids = left["id"].to_numpy(), right["id"].to_numpy()
+            l_mat = np.vstack(left["v"].to_numpy()).astype("float64")
+            r_mat = np.vstack(right["v"].to_numpy()).astype("float64")
+            scores = l_mat @ r_mat.T
+            ai, bi = np.nonzero(scores >= threshold)
+            if not len(ai):
+                return empty
+            a, b = l_ids[ai], r_ids[bi]
+            id_a, id_b = np.minimum(a, b), np.maximum(a, b)
+            sc = scores[ai, bi]
+        if not len(id_a):
+            return empty
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "score": sc})
 
     return (
-        c.mapInPandas(score_block, "id_a long, id_b long, score double")
+        replicated.groupBy("p1", "p2")
+        .applyInPandas(score_pair, "id_a long, id_b long, score double")
         .withColumn("score", F.round("score", 4))
     )
 
