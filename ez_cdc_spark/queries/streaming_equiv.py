@@ -336,6 +336,51 @@ def t9_cdc_upsert(spark, sf_dir):
 
 
 @register(
+    "t9b_snapshot_stream",
+    oracle=ENV_CTE
+    + """
+, snap AS (
+  SELECT CAST(r.range AS BIGINT) AS id, 'r' AS op,
+         CAST(r.range - 100000 AS BIGINT) AS lsn,
+         'snap' AS first_name,
+         CAST(r.range AS VARCHAR) AS last_name,
+         CAST(r.range AS VARCHAR) || '@snap' AS email
+  FROM range(0, 250) r
+), env_all AS (
+  SELECT * FROM env UNION ALL SELECT * FROM snap
+), latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env_all GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T9b/R2: snapshot-then-stream bootstrap — an initial consistent "
+    "snapshot (one op='r' envelope per existing key, source.snapshot "
+    "'true'/'last', LSNs below every stream LSN; Debezium semantics, "
+    "reference README.md:331) replays ahead of the change stream through "
+    "the SAME foreachBatch upsert merge. Streamed changes overwrite "
+    "snapshot rows per key by higher lsn; snapshot-only keys survive with "
+    "their snapshot image; keys whose final op is 'd' are dropped.",
+)
+def t9b_snapshot_stream(spark, sf_dir):
+    state = materialize(spark, sf_dir, tag="t9b", snapshot=True)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        F.col("after.first_name").alias("first_name"),
+        F.col("after.last_name").alias("last_name"),
+        F.col("after.email").alias("email"),
+    ).orderBy("id")
+
+
+@register(
     "t8_output_modes",
     oracle="""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n

@@ -102,6 +102,73 @@ def derive_envelopes(events: DataFrame) -> DataFrame:
     return env.unionByName(dups).drop("event_id")
 
 
+def snapshot_envelopes(spark: SparkSession, n_keys: int = 250) -> DataFrame:
+    """R2: initial-snapshot envelopes — one op='r' record per existing row,
+    ``source.snapshot`` 'true' ('last' on the final record), emitted before
+    any streaming change (Debezium snapshot semantics; snapshot enum
+    evidence /root/reference/README.md:331). Snapshot LSNs sit below every
+    stream LSN (stream lsn = event_id >= 0; snapshot lsn = id - 100000) so
+    last-writer-wins replay gives streamed changes precedence per key.
+
+    Closed-form over spark.range so the DuckDB oracle reproduces it from
+    range(0, n_keys) — no fixture file needed. n_keys=250 > the stream's
+    200-key space, so keys 200..249 are snapshot-only and must survive with
+    their op='r' image (proves snapshot content reaches the state).
+    """
+    key = F.col("id").cast("int")
+    row_img = F.struct(
+        key.alias("id"),
+        F.lit("snap").alias("first_name"),
+        key.cast("string").alias("last_name"),
+        F.concat_ws("@", key.cast("string"), F.lit("snap")).alias("email"),
+    )
+    lsn = (F.col("id") - 100000).cast("bigint")
+    return spark.range(0, n_keys).select(
+        F.when(F.lit(False), row_img).alias("before"),  # typed NULL struct
+        row_img.alias("after"),
+        F.struct(
+            F.lit("2.4.0.Final").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("cdctest").alias("name"),
+            F.lit(0).cast("bigint").alias("ts_ms"),
+            F.when(key == n_keys - 1, F.lit("last")).otherwise(F.lit("true")).alias(
+                "snapshot"
+            ),
+            F.lit("cdctest").alias("db"),
+            F.to_json(F.array(F.lit(None).cast("string"), lsn.cast("string"))).alias(
+                "sequence"
+            ),
+            F.lit("public").alias("schema"),
+            F.lit("customers").alias("table"),
+            lsn.alias("txId"),
+            lsn.alias("lsn"),
+            F.lit(None).cast("bigint").alias("xmin"),
+        ).alias("source"),
+        F.lit("r").alias("op"),
+        F.lit(120).cast("bigint").alias("ts_ms"),
+        F.lit(240).cast("bigint").alias("kafka_timestamp"),
+    )
+
+
+def envelopes_snapshot_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """R2 replay dir: snapshot (op='r') part files first, then the streamed
+    change envelopes appended into the same dir — the connector's
+    snapshot-then-stream bootstrap as one file-stream topic. Idempotent via
+    an explicit completion marker (the first write's _SUCCESS alone would
+    claim completeness between the two writes). The dir name carries the
+    snapshot key count so a parameter change regenerates the fixture."""
+    n_keys = 250
+    path = _dir_for(sf_dir, f"envelopes-snapshot-{n_keys}")
+    done = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        snapshot_envelopes(spark, n_keys).repartition(2).write.mode("overwrite").json(path)
+        env = derive_envelopes(load_table(spark, sf_dir, "events"))
+        env.repartition(n_files).write.mode("append").json(path)
+        open(done, "w").close()
+    return path
+
+
 def envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize derived envelopes as a JSONL replay dir (idempotent)."""
     path = _dir_for(sf_dir, "envelopes")
@@ -131,13 +198,19 @@ def corrupt_envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) 
     return path
 
 
-def stream_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_envelopes(
+    spark: SparkSession, sf_dir: str, snapshot: bool = False
+) -> DataFrame:
     """S4/S5 stand-in: the envelope topic as a file stream (value already
-    JSON-decoded via reader schema — decode parity in decode_envelopes)."""
+    JSON-decoded via reader schema — decode parity in decode_envelopes).
+    ``snapshot=True`` replays the R2 snapshot-then-stream bootstrap dir."""
     from ez_cdc_spark.session import apply_runtime_conf
 
     apply_runtime_conf(spark)  # external non-UTC sessions re-pinned (see replay._pin_confs)
-    path = envelopes_jsonl(spark, sf_dir)
+    if snapshot:
+        path = envelopes_snapshot_jsonl(spark, sf_dir)
+    else:
+        path = envelopes_jsonl(spark, sf_dir)
     return spark.readStream.schema(ENVELOPE_JSON_SCHEMA).json(path)
 
 
@@ -279,13 +352,17 @@ def upsert_batch(state_dir: str, n_buckets: int = 16):
     return apply
 
 
-def materialize(spark: SparkSession, sf_dir: str, tag: str = "t9") -> DataFrame:
-    """T9 end-to-end: envelope stream → foreachBatch upsert → final state."""
+def materialize(
+    spark: SparkSession, sf_dir: str, tag: str = "t9", snapshot: bool = False
+) -> DataFrame:
+    """T9 end-to-end: envelope stream → foreachBatch upsert → final state.
+    ``snapshot=True`` bootstraps from the R2 initial snapshot (op='r' rows
+    merge like upserts; streamed changes overwrite them by higher lsn)."""
     state_dir = _dir_for(sf_dir, f"state-{tag}-{os.getpid()}")
     if os.path.exists(state_dir):
         shutil.rmtree(state_dir)
     os.makedirs(state_dir, exist_ok=True)
-    env = stream_envelopes(spark, sf_dir)
+    env = stream_envelopes(spark, sf_dir, snapshot=snapshot)
     q = (
         env.writeStream.foreachBatch(upsert_batch(state_dir))
         .option("checkpointLocation", checkpoint_dir())

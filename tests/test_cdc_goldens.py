@@ -269,3 +269,44 @@ def test_upsert_rewrites_only_touched_buckets(spark):
         assert got[1] == "updated" and len(got) == 50
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_snapshot_bootstrap_semantics(spark):
+    """R2: an op='r' snapshot batch merged ahead of the change stream —
+    snapshot-only keys survive with their snapshot image, streamed changes
+    overwrite by higher lsn, and a streamed delete removes a snapshot key
+    (reference README.md:331 snapshot enum; SURVEY §3.2)."""
+    from ez_cdc_spark.streaming.cdc import snapshot_envelopes
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_snap_")
+    try:
+        apply = upsert_batch(state_dir, n_buckets=4)
+        snap = snapshot_envelopes(spark, n_keys=3)  # keys 0,1,2 lsn<0
+        assert snap.select("op").distinct().collect()[0]["op"] == "r"
+        flags = {r["source"]["snapshot"] for r in snap.collect()}
+        assert flags == {"true", "last"}
+        apply(snap, 0)
+        changes = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+            spark.sparkContext.parallelize(
+                [
+                    json.dumps(
+                        _env("u", 1, 30, "upd", "x", "u@x",
+                             before={"id": 1, "first_name": "snap", "last_name": "1",
+                                     "email": "1@snap"})
+                    ),
+                    json.dumps(
+                        _env("d", 2, 40,
+                             before={"id": 2, "first_name": "snap", "last_name": "2",
+                                     "email": "2@snap"})
+                    ),
+                ]
+            )
+        )
+        apply(changes, 1)
+        got = {
+            r["id"]: (r["lsn"], r["after"]["first_name"])
+            for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+        }
+        assert got == {0: (-100000, "snap"), 1: (30, "upd")}
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
