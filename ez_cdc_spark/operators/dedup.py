@@ -155,16 +155,26 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(text_col, bits: int = 32) -> F.Column:
+def simhash(text_col, bits: int = 32, portable: bool = False) -> F.Column:
     """SimHash: sign-aggregate the bit columns of token hashes.
 
-    For each bit position, sum +1/-1 over token xxhash64 bits; the sign per
+    For each bit position, sum +1/-1 over token hash bits; the sign per
     position forms the fingerprint. Bit positions are unrolled in Python
     (shiftright needs a literal), producing pure column expressions; 32 bits
     keeps every mask inside a positive long.
+
+    Token hash: xxhash64 by default (fastest JVM path). ``portable=True``
+    uses the first 8 hex chars of md5 instead — bit-identical in any SQL
+    engine (DuckDB: CAST('0x'||substr(md5(w),1,8) AS BIGINT)), which is what
+    makes the x2c driver oracle possible; md5 costs more per token but the
+    op stays whole-stage codegen'd either way.
     """
     assert bits <= 62, "fingerprint must fit a positive long"
-    tok_hashes = F.transform(words(text_col), lambda w: F.xxhash64(w))
+    if portable:
+        tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
+    else:
+        tok_hash = F.xxhash64
+    tok_hashes = F.transform(words(text_col), tok_hash)
 
     def bit_counter(i: int):
         # closure factory: the fold lambda must stay 2-ary (PySpark
@@ -187,17 +197,19 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bits: int = 32,
     blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup join: block the 64-bit fingerprint into ``blocks``
     chunks; pairs within ``max_hamming`` share at least one exact chunk
     (pigeonhole, since max_hamming < blocks), so the join key is
-    (chunk_id, chunk_value) — no cross join. Output pairs + hamming dist."""
+    (chunk_id, chunk_value) — no cross join; the blocking is LOSSLESS, so
+    the result equals the all-pairs answer. Output pairs + hamming dist."""
     assert max_hamming < blocks, "pigeonhole blocking needs max_hamming < blocks"
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     sh = widen_partitions(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
-    ).select("doc_id", simhash(F.col("__text"), bits).alias("sh"))
+    ).select("doc_id", simhash(F.col("__text"), bits, portable=portable).alias("sh"))
     chunked = sh.select(
         "doc_id",
         "sh",

@@ -27,7 +27,7 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
 # Queries whose implementation or oracle changed since their last driver
 # attestation: treat as unattested so the driver re-checks them first.
-_REATTEST: set[str] = {"x2d_embedding_neardup", "x4c_lang_quality"}
+_REATTEST: set[str] = {"x2d_embedding_neardup", "x4c_lang_quality", "x2c_simhash"}
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.

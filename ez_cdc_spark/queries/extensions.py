@@ -85,14 +85,39 @@ def x2b_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=1, threshold=0.2).orderBy("id_a", "id_b")
 
 
+# DuckDB mirror of simhash(portable=True): per bit i, sign of sum(+1/-1)
+# over token-hash bit i — unrolled exactly like the Spark column expression.
+_X2C_BIT_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(32)
+)
+
 @register(
     "x2c_simhash",
-    oracle=None,  # bitwise simhash isn't portable SQL; determinism golden-tested
-    doc="X: SimHash near-dup pairs via pigeonhole chunk blocking (no cross join).",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+  FROM documents
+), sh AS (
+  SELECT doc_id, {_X2C_BIT_TERMS} AS sh FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+""",
+    doc="X: SimHash near-dup pairs via pigeonhole chunk blocking (no cross "
+    "join; lossless for max_hamming < blocks, so it equals the oracle's "
+    "all-pairs answer). Portable md5-derived token hash so DuckDB "
+    "reproduces the fingerprint bit-for-bit.",
 )
 def x2c_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_dups(d, max_hamming=3, portable=True).orderBy("id_a", "id_b")
 
 
 @register(
@@ -291,8 +316,39 @@ def x4e_rolling_fingerprint(spark, sf_dir):
 
 @register(
     "x4c_lang_quality",
-    oracle=None,  # argmax-with-tiebreak over marker lists: golden/rows-only
-    doc="X4: heuristic language ID + composite quality score (deterministic).",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS ws,
+         list_transform(string_split(text, ' '), x -> lower(x)) AS wl
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, text, ws, wl,
+         len(list_filter(wl, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+         len(list_filter(wl, x -> list_contains(['the','of','and','a','to'], x))) AS h_en,
+         len(list_filter(wl, x -> list_contains(['el','la','los','y','es'], x))) AS h_es,
+         len(list_filter(wl, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+         len(list_filter(wl, x -> list_contains(['de','shi','le','he','zai'], x))) AS h_zh
+  FROM w
+)
+SELECT doc_id, lang,
+       CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+            WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+            WHEN h_fr >= h_zh THEN 'fr'
+            ELSE 'zh' END AS lang_guess,
+       ROUND(0.4 * least(length(text) / 400.0, 1.0)
+             + 0.3 * (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE))
+             + 0.3 * (1 - len(list_filter(wl, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))
+                 / CAST(len(ws) AS DOUBLE)), 6) AS quality
+FROM h
+ORDER BY doc_id
+""",
+    doc="X4: heuristic language ID (marker-hit argmax, alphabetical "
+    "tie-break — the CASE cascade realizes sort-by-(-hits,lang)) + "
+    "composite quality score, same IEEE double expression shape on both "
+    "engines so ROUND(,6) agrees bit-for-bit.",
 )
 def x4c_lang_quality(spark, sf_dir):
     d = widen_partitions(t(spark, sf_dir, "documents"))

@@ -120,3 +120,38 @@ def test_resize_pads_and_truncates(spark):
     assert got[1]["n_bytes"] == 64 and got[2]["n_bytes"] == 64
     assert got[1]["checksum"] == ord("a") + ord("b")  # zero padding adds nothing
     assert got[2]["checksum"] == 64 * ord("z")  # truncated to 64 bytes
+
+
+def test_minhash_lsh_recall_and_stability(spark, sf_dir):
+    """x2's no-SQL-oracle claim gets teeth: on the seeded fixture the LSH
+    candidate set must (a) contain EVERY exact 3-gram-Jaccard >= 0.8 pair
+    (near-dups are what LSH must not miss at 16 bands x 4 rows) and (b) be
+    byte-stable across runs (deterministic literal permutations)."""
+    from ez_cdc_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).select("id_a", "id_b").collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert truth, "fixture must contain at least one >=0.8 near-dup pair"
+    missed = truth - cand
+    assert not missed, f"LSH missed {len(missed)} true near-dup pairs: {sorted(missed)[:5]}"
+
+    # byte-stability: a second full evaluation yields the identical pair set
+    again = sorted(
+        tuple(r) for r in minhash_lsh_candidates(docs).select("id_a", "id_b", "jaccard").collect()
+    )
+    first = sorted(
+        tuple(r) for r in minhash_lsh_candidates(docs).select("id_a", "id_b", "jaccard").collect()
+    )
+    assert first == again
