@@ -40,6 +40,13 @@ BATCH_QUERIES = [
 # Streaming headline set: windowed agg + CDC upsert (SURVEY §6 bench target).
 STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 
+# Extra timings reported per round but EXCLUDED from the headline total, so
+# `value` stays comparable across rounds on the frozen 15-query set above:
+#   x2d — the round-2 distributed blocked all-pairs GEMM rewrite,
+#   t9 warm — a second CDC upsert replay right after the cold one (same
+#   work, warm JVM/codegen/scratch paths; cold time is the frozen t9 row).
+EXTRA_QUERIES = ["x2d_embedding_neardup"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +90,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+
+    for name in EXTRA_QUERIES:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    registry["t9_cdc_upsert"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["t9_cdc_upsert_warm"] = round(time.perf_counter() - t0, 3)
 
     # Streaming throughput: events/s through the tumbling-window replay
     # (n events incl. none dropped) using the t2 wall time.
