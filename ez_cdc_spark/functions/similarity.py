@@ -225,6 +225,82 @@ def neardup_pairs(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup: random-hyperplane LSH prefilter +
+    exact cosine verify within candidate buckets — the extreme-scale
+    alternative to :func:`neardup_pairs` when even N·B replication is too
+    much. No false positives (exact verify); recall < 1 by construction
+    (recall-tested vs the exact op in tests/test_scale_ops.py, not
+    SQL-oracled).
+
+    Per band of r = n_bits/bands sign bits, two vectors collide with
+    probability (1 - θ/π)^r; any-of-``bands`` collision gives ~0.98 recall
+    at cosine 0.8 with the 32/8 default. Only the (n_bits × d) hyperplane
+    matrix is broadcast; the shuffle carries slim (id, band, sig) rows —
+    one exchange, like the SimHash/MinHash banding ops.
+    """
+    import numpy as np
+
+    dim = df.select(F.size(F.col(vec)).alias("d")).first()["d"]
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((n_bits, dim))
+    bc = df.sparkSession.sparkContext.broadcast(hyper)
+    rows_per_band = n_bits // bands
+
+    sel = widen_partitions(
+        df.select(F.col(id_col).alias("id"), normalize(F.col(vec)).alias("v"))
+    )
+
+    def band_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            bits = (mat @ H.T) > 0  # (m, n_bits)
+            m = len(pdf)
+            sigs = np.zeros((m, bands), dtype="int64")
+            for b in range(bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                sigs[:, b] = chunk @ (1 << np.arange(rows_per_band))
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype="int32"), m),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    banded = sel.mapInPandas(band_sigs, "id long, band int, sig long")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
+    scored = cand.join(va, "id_a").join(vb, "id_b")
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        scored.filter(cos >= threshold)  # exact verify: no false positives
+        .select("id_a", "id_b", F.round(cos, 4).alias("score"))
+    )
+
+
 def centroids(embeddings: DataFrame, label: str = "label", vec: str = "embedding") -> DataFrame:
     """X6: per-label per-position centroid via posexplode + avg.
 

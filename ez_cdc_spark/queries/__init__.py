@@ -34,6 +34,8 @@ _REATTEST: set[str] = {"x2d_embedding_neardup", "x4c_lang_quality", "x2c_simhash
 _RANK: dict[str, int] = {
     "x2d_embedding_neardup": -1,
     "x4c_lang_quality": -1,
+    "x2c_simhash": -1,
+    "t9b_snapshot_stream": -1,  # round-2 deliverable: attest ahead of backlog
     # Unattested but lowest marginal evidence this round: j10/j11/j11b are
     # plan-asserted in tests/test_plans.py and t7's output is pinned by a
     # literal golden oracle in pytest; they queue behind the t/u/f families.
@@ -41,6 +43,14 @@ _RANK: dict[str, int] = {
     "j11_stream_stream": 1,
     "j11b_stream_stream_outer": 1,
     "t7_late_data": 1,
+    # New round-2 pipeline ops queue behind the round-1 attestation backlog
+    # (the driver checks ~50/round; these get their turn next round).
+    "x2e_lsh_embedding_neardup": 2,
+    "x7_stratified_sample": 2,
+    "x7b_weighted_mix": 2,
+    "x8_sequence_packing": 2,
+    "x9_pii_scrub": 2,
+    "x6d_quantize_int8": 2,
 }
 
 
@@ -110,6 +120,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregation,
         extensions,
         joins,
+        pipeline_ops,
     )
 
     attested = _attested()

@@ -139,6 +139,26 @@ def x2d_embedding_neardup(spark, sf_dir):
     return neardup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
+@register(
+    "x2e_lsh_embedding_neardup",
+    oracle=None,  # approximate by construction — recall-tested vs exact x2d
+    doc="X2e: random-hyperplane LSH candidate buckets + exact cosine verify "
+    "— the extreme-scale approximate path (slim banding rows, one "
+    "exchange) behind exact x2d; no false positives, recall pinned by "
+    "tests/test_scale_ops.py.",
+)
+def x2e_lsh_embedding_neardup(spark, sf_dir):
+    from ez_cdc_spark.functions.similarity import lsh_neardup_pairs
+
+    # fixture embeddings peak near cosine 0.5, so the near-dup threshold is
+    # 0.4 here; 64 bits / 16 bands (4 sign bits per band) shows genuine
+    # pruning while holding recall 0.983 on the seeded fixture
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(e, threshold=0.4, n_bits=64, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
 _COS_ORACLE = """
 WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 10),

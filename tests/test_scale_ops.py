@@ -155,3 +155,26 @@ def test_minhash_lsh_recall_and_stability(spark, sf_dir):
         tuple(r) for r in minhash_lsh_candidates(docs).select("id_a", "id_b", "jaccard").collect()
     )
     assert first == again
+
+
+def test_lsh_neardup_recall_vs_exact(spark, sf_dir):
+    """x2e's approximate claim gets teeth: no false positives (exact verify
+    stage) and recall >= 0.9 vs the exact blocked all-pairs op at the x2e
+    registry config (threshold 0.4, 64 bits / 16 bands) on the fixture."""
+    from ez_cdc_spark.functions.similarity import lsh_neardup_pairs, neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs(emb, threshold=0.4).select("id_a", "id_b").collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.4, n_bits=64, bands=16)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exact, "fixture must contain >=0.4 cosine pairs"
+    assert approx <= exact, f"false positives: {sorted(approx - exact)[:5]}"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(approx)}/{len(exact)})"
