@@ -65,3 +65,31 @@ def test_tfidf_pushes_doc_filter_and_broadcasts_df(spark, sf_smoke):
     df = load_all()["x4d_tfidf"].fn(spark, sf_smoke)
     assert_pushed_filter(df, "LessThan(doc_id,50)")
     assert_broadcast_join(df)
+
+
+def test_pipeline_ops_plan_shapes(spark, sf_smoke):
+    """New training-pipeline ops keep their declared scale shapes:
+    x7's portable-hash sample predicate evaluates AT the scan (map-side,
+    no pre-sort shuffle), x9/x6d stay shuffle-free except the
+    determinism ORDER BY, x8 shuffles exactly once (the per-stratum
+    cumsum window)."""
+    reg = load_all()
+    for name in ("x7_stratified_sample", "x9_pii_scrub", "x6d_quantize_int8"):
+        p = plan_str(reg[name].fn(spark, sf_smoke))
+        assert p.count("hashpartitioning") == 0, f"{name} shuffles: {p[:400]}"
+    # x7's hash predicate is md5-based so parquet can't evaluate it, but it
+    # must run map-side: a Filter node BEFORE any exchange (the only
+    # exchange allowed is the determinism ORDER BY rangepartitioning).
+    p7 = plan_str(reg["x7_stratified_sample"].fn(spark, sf_smoke))
+    assert "md5" in p7 and p7.count("hashpartitioning") == 0
+    # formatted explain numbers nodes bottom-up: the Filter's section (with
+    # the conv/md5 condition) must render before the Exchange's section,
+    # i.e. the sample filter runs below the only (ORDER BY) shuffle
+    assert p7.index("conv") < p7.index("Arguments: rangepartitioning")
+    p8 = plan_str(reg["x8_sequence_packing"].fn(spark, sf_smoke))
+    assert p8.count("hashpartitioning") == 1, "x8 must shuffle exactly once"
+
+
+def test_x2e_banding_no_cartesian(spark, sf_smoke):
+    df = load_all()["x2e_lsh_embedding_neardup"].fn(spark, sf_smoke)
+    assert_no_cartesian(df)
