@@ -51,6 +51,7 @@ _RANK: dict[str, int] = {
     "x8_sequence_packing": 2,
     "x9_pii_scrub": 2,
     "x6d_quantize_int8": 2,
+    "x10_corpus_pipeline": 2,
 }
 
 

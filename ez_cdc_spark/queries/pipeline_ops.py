@@ -248,3 +248,73 @@ def x6d_quantize_int8(spark, sf_dir):
         F.round(F.when(F.col("mx") > 0, s).otherwise(0.0), 6).alias("scale"),
         F.when(F.col("mx") > 0, q).otherwise(zeros).alias("q"),
     ).orderBy("vec_id")
+
+
+@register(
+    "x10_corpus_pipeline",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         ROUND(0.4 * least(length(text) / 400.0, 1.0)
+               + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+               + 0.3 * (1 - len(list_filter(
+                     list_transform(string_split(text, ' '), x -> lower(x)),
+                     x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS quality
+  FROM documents
+), good AS (
+  SELECT doc_id, lang, text FROM q WHERE quality >= 0.5
+), dedup AS (
+  SELECT doc_id, lang, text FROM good
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+), sampled AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM dedup
+  WHERE {_o_phash('doc_id')} % 100 < 50
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM sampled
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum_end - n_tokens) // 2048 AS BIGINT) AS bin_start
+FROM cum
+ORDER BY doc_id
+""",
+    doc="X10: the curation chain end-to-end as ONE declarative plan — "
+    "quality filter (x4c score >= 0.5) -> exact dedup keeping min doc_id "
+    "per md5(text) (x1's deterministic form) -> 50% portable-hash sample "
+    "(x7) -> sequence packing (x8). Catalyst fuses the three map-side "
+    "stages into the scan's codegen stage; the only shuffles are the "
+    "dedup window and the packing window — what a 100 TB curation run "
+    "would pay anyway. Mirrored CTE-for-CTE in the oracle.",
+)
+def x10_corpus_pipeline(spark, sf_dir):
+    from ez_cdc_spark.functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    good = d.filter(quality_score(F.col("text")) >= 0.5)
+    w_dup = Window.partitionBy(F.md5(F.col("text")))
+    dedup = (
+        good.withColumn("__keep", F.min("doc_id").over(w_dup))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    sampled = dedup.filter(_phash(F.col("doc_id")) % 100 < 50).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w_pack = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sampled.withColumn("cum_end", F.sum("n_tokens").over(w_pack))
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("CAST((cum_end - n_tokens) div 2048 AS BIGINT)").alias("bin_start"),
+    ).orderBy("doc_id")
