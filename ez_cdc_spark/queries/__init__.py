@@ -52,6 +52,7 @@ _RANK: dict[str, int] = {
     "x9_pii_scrub": 2,
     "x6d_quantize_int8": 2,
     "x10_corpus_pipeline": 2,
+    "t5b_dedup_within_watermark": 2,
 }
 
 

@@ -304,6 +304,39 @@ def t5_stream_dedup(spark, sf_dir):
 
 
 @register(
+    "t5b_dedup_within_watermark",
+    oracle=ENV_CTE
+    + """
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT op, lsn FROM env)
+GROUP BY op
+ORDER BY op
+""",
+    doc="T5b: dropDuplicatesWithinWatermark — the BOUNDED-STATE version of "
+    "t5. Plain dropDuplicates keeps every key forever (state grows with "
+    "the stream); within-watermark dedup evicts a key once the watermark "
+    "passes its event time + delay, which is the correct trade at 100 TB "
+    "because at-least-once redelivery (Kafka, main.py:52 autocommit) is "
+    "temporally close to the original. The fixture's duplicates carry "
+    "identical (lsn, ts), so both forms agree with the DISTINCT batch "
+    "answer.",
+)
+def t5b_dedup_within_watermark(spark, sf_dir):
+    env = stream_envelopes(spark, sf_dir)
+    deduped = (
+        env.select(
+            "op",
+            F.col("source.lsn").alias("lsn"),
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["lsn"])
+    )
+    agg = deduped.groupBy("op").agg(F.count("*").alias("n"))
+    return run_to_memory(agg, "t5b_dedup_wm").orderBy("op")
+
+
+@register(
     "t9_cdc_upsert",
     oracle=ENV_CTE
     + """
