@@ -78,6 +78,13 @@ def widen_partitions(df: DataFrame, factor: int = 2) -> DataFrame:
     through untouched.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * factor <= target:
+    # Estimate source width WITHOUT df.rdd (which forces an RDD conversion
+    # and a second analysis pass per call): for the file-scan DataFrames
+    # this helper wraps, input file count bounds the scan task count (a
+    # single-row-group file scans as one task). Fall back to the RDD path
+    # only if the plan has no file sources.
+    files = df.inputFiles()
+    width = len(files) if files else df.rdd.getNumPartitions()
+    if width * factor <= target:
         return df.repartition(target)
     return df
