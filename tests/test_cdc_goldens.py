@@ -310,3 +310,24 @@ def test_snapshot_bootstrap_semantics(spark):
         assert got == {0: (-100000, "snap"), 1: (30, "upd")}
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_envelope_schema_drift_tolerance(spark):
+    """R10-adjacent: decode must tolerate wire drift — unknown extra fields
+    are dropped by the declared reader schema, and missing nullable fields
+    decode as NULL instead of failing the batch (Debezium connectors add
+    fields across versions; a reader pinned to its schema must not care)."""
+    extra = json.dumps(
+        {**_env("c", 9, 99, "drift", "case", "d@c"), "brand_new_field": {"x": 1}}
+    )
+    missing = json.dumps(
+        {"after": {"id": 10, "first_name": "min", "last_name": None, "email": None},
+         "op": "c", "source": {"lsn": 100}}
+    )
+    df = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        spark.sparkContext.parallelize([extra, missing])
+    )
+    rows = {r["source"]["lsn"]: r for r in df.collect()}
+    assert rows[99]["after"]["first_name"] == "drift"  # extra field ignored
+    assert rows[100]["after"]["id"] == 10
+    assert rows[100]["ts_ms"] is None and rows[100]["source"]["txId"] is None
