@@ -53,6 +53,7 @@ _RANK: dict[str, int] = {
     "x6d_quantize_int8": 2,
     "x10_corpus_pipeline": 2,
     "t5b_dedup_within_watermark": 2,
+    "j13_bucketed_join": 2,
 }
 
 

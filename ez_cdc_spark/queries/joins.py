@@ -336,3 +336,41 @@ def j3b_full_outer(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "j13_bucketed_join",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="J13: co-located fact-fact join over SAME-BUCKETED catalog tables — "
+    "both sides written bucketBy(orderkey), so the sort-merge join runs "
+    "with NO Exchange on either side (asserted in tests): the 100 TB "
+    "pre-partitioning strategy, pay the shuffle once at write time. The "
+    "only runtime shuffle left is the 3-group status aggregate.",
+)
+def j13_bucketed_join(spark, sf_dir):
+    from ez_cdc_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    write_bucketed(li, "j13_lineitem_b", "k")
+    write_bucketed(o, "j13_orders_b", "k")
+    j = bucketed_join(spark, "j13_lineitem_b", "j13_orders_b", ["k"], force_smj=True)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )

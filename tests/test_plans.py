@@ -93,3 +93,12 @@ def test_pipeline_ops_plan_shapes(spark, sf_smoke):
 def test_x2e_banding_no_cartesian(spark, sf_smoke):
     df = load_all()["x2e_lsh_embedding_neardup"].fn(spark, sf_smoke)
     assert_no_cartesian(df)
+
+
+def test_j13_bucketed_join_colocated(spark, sf_smoke):
+    """j13 joins same-bucketed tables with SMJ and bucketed scans; the only
+    shuffles are the downstream aggregate's, never the join's inputs."""
+    df = load_all()["j13_bucketed_join"].fn(spark, sf_smoke)
+    p = plan_str(df)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p, "join inputs must scan as bucketed tables"
