@@ -34,14 +34,24 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def shingle_hashes(words_col, n: int = 3) -> F.Column:
-    """Distinct xxhash64 values of word n-gram shingles.
+def portable_hash32(col) -> F.Column:
+    """32-bit portable string hash: first 8 md5 hex chars as an int —
+    bit-identical in any SQL engine (DuckDB:
+    CAST('0x'||substr(md5(s),1,8) AS BIGINT)). Costlier than xxhash64 but
+    makes banding/minhash pipelines oracle-checkable end to end."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingle_hashes(words_col, n: int = 3, portable: bool = False) -> F.Column:
+    """Distinct hash values of word n-gram shingles (xxhash64 by default,
+    :func:`portable_hash32` when ``portable``).
 
     Takes the pre-split words array (a bound column attribute), not raw text —
     see ngrams_from_words for why.
     """
+    h = portable_hash32 if portable else F.xxhash64
     return F.array_distinct(
-        F.transform(ngrams_from_words(words_col, n), lambda s: F.xxhash64(s))
+        F.transform(ngrams_from_words(words_col, n), lambda s: h(s))
     )
 
 
@@ -69,10 +79,18 @@ def minhash_signature(hashes: F.Column, num_hashes: int = 64) -> F.Column:
     )
 
 
-def _perm_coeffs(j: int) -> tuple:
+def perm_coeff_ints(j: int) -> tuple[int, int]:
+    """The (a, b) affine-permutation constants for minhash slot ``j`` as
+    plain ints — shared with oracle-SQL generation so both engines embed
+    the identical literals."""
     a = int.from_bytes(hashlib.sha256(f"minhash-a-{j}".encode()).digest()[:8], "big")
     b = int.from_bytes(hashlib.sha256(f"minhash-b-{j}".encode()).digest()[:8], "big")
-    return F.lit(a % (_P - 1) + 1), F.lit(b % _P)
+    return a % (_P - 1) + 1, b % _P
+
+
+def _perm_coeffs(j: int) -> tuple:
+    a, b = perm_coeff_ints(j)
+    return F.lit(a), F.lit(b)
 
 
 def minhash_lsh_candidates(
@@ -82,13 +100,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """X2: banding — docs sharing any band signature become candidate pairs.
 
     rows-per-band = num_hashes / bands. Shuffle key is (band_id, band_sig):
     at 100 TB this is a single exchange + within-bucket self-join.
     Output: (id_a, id_b, jaccard) for candidates, exact shingle Jaccard
-    verified (so no false positives leave the operator).
+    verified (so no false positives leave the operator). ``portable``
+    switches shingle hashing to the md5-derived form so a SQL oracle can
+    reproduce the exact candidate set + jaccards (x2's driver check).
     """
     rows_per_band = num_hashes // bands
     shingled = (
@@ -96,7 +117,10 @@ def minhash_lsh_candidates(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
         )
         .select("doc_id", words(F.col("__text")).alias("ws"))
-        .select("doc_id", shingle_hashes(F.col("ws"), shingle_n).alias("shingles"))
+        .select(
+            "doc_id",
+            shingle_hashes(F.col("ws"), shingle_n, portable=portable).alias("shingles"),
+        )
     )
     sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
 

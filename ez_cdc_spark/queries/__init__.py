@@ -27,7 +27,12 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
 # Queries whose implementation or oracle changed since their last driver
 # attestation: treat as unattested so the driver re-checks them first.
-_REATTEST: set[str] = {"x2d_embedding_neardup", "x4c_lang_quality", "x2c_simhash"}
+_REATTEST: set[str] = {
+    "x2d_embedding_neardup",
+    "x4c_lang_quality",
+    "x2c_simhash",
+    "x2_minhash_lsh",
+}
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
@@ -36,6 +41,7 @@ _RANK: dict[str, int] = {
     "x4c_lang_quality": -1,
     "x2c_simhash": -1,
     "t9b_snapshot_stream": -1,  # round-2 deliverable: attest ahead of backlog
+    "x2_minhash_lsh": -1,  # golden -> hash-checked this round: re-attest first
     # Unattested but lowest marginal evidence this round: j10/j11/j11b are
     # plan-asserted in tests/test_plans.py and t7's output is pinned by a
     # literal golden oracle in pytest; they queue behind the t/u/f families.

@@ -36,6 +36,57 @@ from ez_cdc_spark.queries._util import t
 _STOP_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
 
 
+def _x2_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB mirror of minhash_lsh_candidates(portable=True).
+
+    Exact-parity rules: the permutation constants come from the SAME
+    perm_coeff_ints the Spark side uses (embedded as literals); shingle
+    hashes are deduped RAW (before mod P), exactly like shingle_hashes'
+    array_distinct; the signature perms run on pmod(h, P) like
+    minhash_signature; jaccard is over the raw hash sets; candidates are
+    any-band-equal over rows-per-band slices.
+    """
+    from ez_cdc_spark.operators.dedup import _P, perm_coeff_ints
+
+    rows = num_hashes // bands
+    terms = ",\n    ".join(
+        f"list_min(list_transform(hp, h -> ({a} * h + {b}) % {_P}))"
+        for a, b in (perm_coeff_ints(j) for j in range(num_hashes))
+    )
+    band_eq = (
+        f"list_contains(list_transform(generate_series(0, {bands - 1}), "
+        f"k -> a.sig[k*{rows}+1 : k*{rows}+{rows}] = b.sig[k*{rows}+1 : k*{rows}+{rows}]), "
+        "true)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN list_transform(
+                generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_transform(grams,
+             s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))) AS hs
+  FROM g
+), s AS (
+  SELECT doc_id, hs,
+    [{terms}] AS sig
+  FROM (SELECT doc_id, hs, list_transform(hs, x -> x % {_P}) AS hp FROM h)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {band_eq}
+ORDER BY id_a, id_b
+"""
+
+
 @register(
     "x1_exact_dedup",
     oracle="""
@@ -55,12 +106,16 @@ def x1_exact_dedup(spark, sf_dir):
 
 @register(
     "x2_minhash_lsh",
-    oracle=None,  # hash-permutation arithmetic isn't portable SQL; golden-tested
-    doc="X2: MinHash+LSH banding near-dup candidates with exact-Jaccard verify.",
+    oracle=_x2_oracle_sql(),
+    doc="X2: MinHash+LSH banding near-dup candidates with exact-Jaccard "
+    "verify — portable md5-derived shingle hashes so the DuckDB oracle "
+    "reproduces the EXACT candidate set: same 64 affine permutations "
+    "(identical literal constants, generated from one source), same "
+    "16-band any-band-equal rule, same jaccard over the raw hash sets.",
 )
 def x2_minhash_lsh(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d).orderBy("id_a", "id_b")
+    return minhash_lsh_candidates(d, portable=True).orderBy("id_a", "id_b")
 
 
 @register(

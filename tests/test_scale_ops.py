@@ -135,7 +135,7 @@ def test_minhash_lsh_recall_and_stability(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cand = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_candidates(docs).select("id_a", "id_b").collect()
+        for r in minhash_lsh_candidates(docs, portable=True).select("id_a", "id_b").collect()
     }
     truth = {
         (r["id_a"], r["id_b"])
@@ -149,10 +149,10 @@ def test_minhash_lsh_recall_and_stability(spark, sf_dir):
 
     # byte-stability: a second full evaluation yields the identical pair set
     again = sorted(
-        tuple(r) for r in minhash_lsh_candidates(docs).select("id_a", "id_b", "jaccard").collect()
+        tuple(r) for r in minhash_lsh_candidates(docs, portable=True).select("id_a", "id_b", "jaccard").collect()
     )
     first = sorted(
-        tuple(r) for r in minhash_lsh_candidates(docs).select("id_a", "id_b", "jaccard").collect()
+        tuple(r) for r in minhash_lsh_candidates(docs, portable=True).select("id_a", "id_b", "jaccard").collect()
     )
     assert first == again
 
