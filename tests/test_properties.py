@@ -159,3 +159,53 @@ def test_running_sum_window_identity(spark, rows):
             acc += v
             expect[i] = acc
     assert got == expect
+
+
+def test_sample_nesting_and_packing_invariants(spark, sf_smoke):
+    """Pipeline-op laws on the fixture: (a) hash-threshold samples NEST
+    (rate-10 keep-set ⊆ rate-20 keep-set — the property that makes
+    re-sampling consistent as rates change); (b) packing offsets stay
+    inside the window and bins are contiguous from 0 per stratum; (c) int8
+    dequantization error is bounded by 0.5/scale per element."""
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.pipeline_ops import _phash
+    from ez_cdc_spark.sources.tables import load_table
+
+    reg = load_all()
+    docs = load_table(spark, sf_smoke, "documents")
+    keep = lambda rate: {
+        r["doc_id"]
+        for r in docs.filter(_phash(F.col("doc_id")) % 100 < rate)
+        .select("doc_id")
+        .collect()
+    }
+    k10, k20 = keep(10), keep(20)
+    assert k10 <= k20, "samples must nest as the rate grows"
+
+    pack = reg["x8_sequence_packing"].fn(spark, sf_smoke).collect()
+    assert all(0 <= r["bin_offset"] < 2048 for r in pack)
+    assert all(r["bin_end"] >= r["bin_start"] for r in pack)
+    by_lang = {}
+    for r in pack:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        assert rows[0]["bin_start"] == 0, f"{lang} must start at bin 0"
+        for a, b in zip(rows, rows[1:]):
+            assert b["bin_start"] in (a["bin_end"], a["bin_end"] + 1) or (
+                b["bin_start"] >= a["bin_start"]
+            ), "bins must advance monotonically"
+
+    q = reg["x6d_quantize_int8"].fn(spark, sf_smoke).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_smoke, "embeddings").collect()
+    }
+    for r in q[:50]:
+        s = r["scale"]
+        if s == 0:
+            continue
+        for orig, qi in zip(emb[r["vec_id"]], r["q"]):
+            assert abs(qi / s - float(orig)) <= 0.5 / s + 1e-9, (
+                r["vec_id"], orig, qi, s
+            )
