@@ -58,9 +58,9 @@ def _x2_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
         f"k -> a.sig[k*{rows}+1 : k*{rows}+{rows}] = b.sig[k*{rows}+1 : k*{rows}+{rows}]), "
         "true)"
     )
-    return f"""
+    return rf"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
 ), g AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= 3 THEN list_transform(
@@ -120,9 +120,9 @@ def x2_minhash_lsh(spark, sf_dir):
 
 @register(
     "x2b_ngram_jaccard",
-    oracle=f"""
+    oracle=rf"""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+  SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS ws
   FROM documents WHERE doc_id < 100
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -150,10 +150,10 @@ _X2C_BIT_TERMS = " + ".join(
 
 @register(
     "x2c_simhash",
-    oracle=f"""
+    oracle=rf"""
 WITH tok AS (
   SELECT doc_id,
-         list_transform(string_split(text, ' '),
+         list_transform(regexp_split_to_array(text, '\s+'),
                         w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
   FROM documents
 ), sh AS (
@@ -256,9 +256,9 @@ def x3b_blocked_topk(spark, sf_dir):
 
 @register(
     "x4_word_count",
-    oracle="""
+    oracle=r"""
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
 GROUP BY w
 ORDER BY n DESC, word
 LIMIT 20
@@ -278,17 +278,17 @@ def x4_word_count(spark, sf_dir):
 
 @register(
     "x4b_text_metrics",
-    oracle=f"""
+    oracle=rf"""
 SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
        CAST(len(str_split_regex(text, '[^a-zA-Z0-9]+')) AS BIGINT) AS n_regex_tokens,
-       ROUND(CAST(len(list_filter(string_split(text,' '), w -> list_contains({_STOP_SQL}, lower(w)))) AS DOUBLE)
-             / len(string_split(text,' ')), 6) AS stop_ratio,
-       ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             / len(string_split(text,' ')), 6) AS uniq_ratio,
-       ROUND(CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS DOUBLE)
-             / len(string_split(text,' ')), 6) AS avg_word_len,
-       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint
+       ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> list_contains({_STOP_SQL}, lower(w)))) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\s+')), 6) AS stop_ratio,
+       ROUND(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\s+')), 6) AS uniq_ratio,
+       ROUND(CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'), w -> length(w))) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\s+')), 6) AS avg_word_len,
+       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
 FROM documents
 ORDER BY doc_id
 """,
@@ -312,8 +312,8 @@ def x4b_text_metrics(spark, sf_dir):
 
 @register(
     "x4d_tfidf",
-    oracle="""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    oracle=r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents),
      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
      dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
      n AS (SELECT COUNT(*) AS n FROM documents),
@@ -369,10 +369,10 @@ def x4d_tfidf(spark, sf_dir):
 
 @register(
     "x4e_rolling_fingerprint",
-    oracle="""
+    oracle=r"""
 SELECT doc_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ' '),
+                   list_transform(regexp_split_to_array(text, '\s+'),
                                   w -> CAST(ascii(w[1:1]) * 131 + length(w) AS BIGINT))),
                    (a, b) -> (a * 31 + b) % 2147483647) AS roll_hash
 FROM documents
@@ -391,11 +391,11 @@ def x4e_rolling_fingerprint(spark, sf_dir):
 
 @register(
     "x4c_lang_quality",
-    oracle="""
+    oracle=r"""
 WITH w AS (
   SELECT doc_id, lang, text,
-         string_split(text, ' ') AS ws,
-         list_transform(string_split(text, ' '), x -> lower(x)) AS wl
+         regexp_split_to_array(text, '\s+') AS ws,
+         list_transform(regexp_split_to_array(text, '\s+'), x -> lower(x)) AS wl
   FROM documents
 ), h AS (
   SELECT doc_id, lang, text, ws, wl,

@@ -114,9 +114,9 @@ def x7b_weighted_mix(spark, sf_dir):
 
 @register(
     "x8_sequence_packing",
-    oracle="""
+    oracle=r"""
 WITH tok AS (
-  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  SELECT doc_id, lang, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (
   SELECT doc_id, lang, n_tokens,
@@ -221,16 +221,19 @@ WITH v AS (
 )
 SELECT vec_id,
        ROUND(CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0 END, 6) AS scale,
-       CASE WHEN mx > 0
-            THEN list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INT))
-            ELSE list_transform(v, x -> 0) END AS q
+       array_to_string(
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INT))
+              ELSE list_transform(v, x -> 0) END, ',') AS q
 FROM m
 ORDER BY vec_id
 """,
     doc="X6d: symmetric int8 embedding quantization — per-vector scale "
     "127/max|x|, values floor(x*s+0.5) (explicit half-up on both engines; "
     "no round() dialect ambiguity). 4x storage cut ahead of ANN serving. "
-    "Map-side transform over the vector column, no shuffle.",
+    "Map-side transform over the vector column, no shuffle. The quantized "
+    "vector is rendered as a ','-joined string: raw array cells crash the "
+    "driver canonicalizer's pandas sort (f_array2 r2 post-mortem).",
 )
 def x6d_quantize_int8(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -243,25 +246,31 @@ def x6d_quantize_int8(spark, sf_dir):
     s = F.lit(127.0) / F.col("mx")
     q = F.transform(F.col("v"), lambda x: F.floor(x * s + 0.5).cast("int"))
     zeros = F.transform(F.col("v"), lambda x: F.lit(0))
+    q_str = F.array_join(
+        F.transform(
+            F.when(F.col("mx") > 0, q).otherwise(zeros), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return sel.select(
         "vec_id",
         F.round(F.when(F.col("mx") > 0, s).otherwise(0.0), 6).alias("scale"),
-        F.when(F.col("mx") > 0, q).otherwise(zeros).alias("q"),
+        q_str.alias("q"),
     ).orderBy("vec_id")
 
 
 @register(
     "x10_corpus_pipeline",
-    oracle=f"""
+    oracle=rf"""
 WITH q AS (
   SELECT doc_id, lang, text,
          ROUND(0.4 * least(length(text) / 400.0, 1.0)
-               + 0.3 * (len(list_distinct(string_split(text, ' ')))
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+               + 0.3 * (len(list_distinct(regexp_split_to_array(text, '\s+')))
+                   / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE))
                + 0.3 * (1 - len(list_filter(
-                     list_transform(string_split(text, ' '), x -> lower(x)),
+                     list_transform(regexp_split_to_array(text, '\s+'), x -> lower(x)),
                      x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS quality
+                   / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)), 6) AS quality
   FROM documents
 ), good AS (
   SELECT doc_id, lang, text FROM q WHERE quality >= 0.5
@@ -270,7 +279,7 @@ WITH q AS (
   QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
 ), sampled AS (
   SELECT doc_id, lang,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
   FROM dedup
   WHERE {_o_phash('doc_id')} % 100 < 50
 ), cum AS (

@@ -333,20 +333,23 @@ WITH b AS (
 SELECT vec_id,
        CAST(list_contains(ia, 3) AS INT) AS has3,
        CAST(coalesce(list_position(ia, 3), 0) AS BIGINT) AS pos3,
-       list_sort(list_distinct(ia)) AS dia,
+       array_to_string(list_sort(list_distinct(ia)), ',') AS dia,
        ROUND(CAST(list_slice(embedding, 3, 6)[2] AS DOUBLE), 6) AS slice_el,
        ROUND(CAST(flatten([embedding[1:2], embedding[3:4]])[3] AS DOUBLE), 6) AS flat_el,
        ROUND(CAST(embedding[10] AS DOUBLE), 6) AS zip_val,
        CAST(10 AS BIGINT) AS zip_idx,
-       list_sort(list_distinct(list_filter(ia, x -> list_contains([0,1,2], x)))) AS inter,
-       list_sort(list_distinct(list_concat(list_slice(ia, 1, 2), [99]))) AS uni,
+       array_to_string(list_sort(list_distinct(list_filter(ia, x -> list_contains([0,1,2], x)))), ',') AS inter,
+       array_to_string(list_sort(list_distinct(list_concat(list_slice(ia, 1, 2), [99]))), ',') AS uni,
        CAST(list_has_any(ia, [3, 4]) AS INT) AS overlap34
 FROM b
 ORDER BY vec_id
 """,
     doc="F-array-2: array_contains / array_position / array_distinct / slice / "
     "flatten / arrays_zip / array_intersect / array_union / arrays_overlap "
-    "over a derived int array (no float-equality hazards).",
+    "over a derived int array (no float-equality hazards). Array-valued "
+    "results are rendered as ','-joined strings: the driver canonicalizer "
+    "pandas-sorts every output column and raw array cells are unhashable "
+    "(r2 crash); the joined string carries identical information.",
 )
 def f_array2(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -365,7 +368,10 @@ def f_array2(spark, sf_dir):
         "vec_id",
         F.array_contains(ia, 3).cast("int").alias("has3"),
         F.array_position(ia, 3).cast("bigint").alias("pos3"),
-        F.sort_array(F.array_distinct(ia)).alias("dia"),
+        F.array_join(
+            F.transform(F.sort_array(F.array_distinct(ia)), lambda x: x.cast("string")),
+            ",",
+        ).alias("dia"),
         F.round(F.element_at(F.slice(F.col("embedding"), 3, 4), 2).cast("double"), 6)
         .alias("slice_el"),
         F.round(
@@ -384,11 +390,19 @@ def f_array2(spark, sf_dir):
             "zip_val"
         ),
         F.element_at(z, 10).getField("idx").cast("bigint").alias("zip_idx"),
-        F.sort_array(F.array_intersect(ia, F.array(F.lit(0), F.lit(1), F.lit(2)))).alias(
-            "inter"
-        ),
-        F.sort_array(
-            F.array_union(F.slice(ia, 1, 2), F.array(F.lit(99)))
+        F.array_join(
+            F.transform(
+                F.sort_array(F.array_intersect(ia, F.array(F.lit(0), F.lit(1), F.lit(2)))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("inter"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.array_union(F.slice(ia, 1, 2), F.array(F.lit(99)))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("uni"),
         F.arrays_overlap(ia, F.array(F.lit(3), F.lit(4))).cast("int").alias("overlap34"),
     ).orderBy("vec_id")

@@ -180,10 +180,10 @@ def w5_topk_per_group(spark, sf_dir):
     "w6_locf_gap_fill",
     oracle="""
 SELECT event_id, user_id,
-       last_value(CASE WHEN event_type <> 'view'
+       CAST(last_value(CASE WHEN event_type <> 'view'
                        THEN CAST(value AS DECIMAL(12,2)) END IGNORE NULLS)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf
 FROM events
 WHERE user_id < 50
 ORDER BY event_id
@@ -191,7 +191,11 @@ ORDER BY event_id
     doc="W6: last-observation-carried-forward gap fill — 'view' rows have "
     "no reading, so each row carries the latest non-null value per user "
     "(last_value ignoreNulls over a running frame, (ts, event_id) total "
-    "order). The standard time-series imputation op.",
+    "order). The standard time-series imputation op. The carried value is "
+    "cast to DOUBLE on BOTH sides: a bare DECIMAL output renders as "
+    "decimal.Decimal('81.10') from Spark but float 81.1 from DuckDB's "
+    "pandas conversion, failing the driver's string hash even when every "
+    "value is numerically identical (r2 post-mortem; w3 convention).",
 )
 def w6_locf_gap_fill(spark, sf_dir):
     e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
@@ -204,5 +208,5 @@ def w6_locf_gap_fill(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.last(reading, ignorenulls=True).over(w).alias("locf"),
+        F.last(reading, ignorenulls=True).over(w).cast("double").alias("locf"),
     ).orderBy("event_id")
