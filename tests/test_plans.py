@@ -102,3 +102,42 @@ def test_j13_bucketed_join_colocated(spark, sf_smoke):
     p = plan_str(df)
     assert "SortMergeJoin" in p
     assert "Bucketed: true" in p, "join inputs must scan as bucketed tables"
+
+
+def test_registry_output_shapes_are_driver_canonicalizable(spark, sf_smoke):
+    """Gate for the f_array2/w6 failure classes (r2 post-mortem): the
+    correctness driver canonicalizes every query result with a pandas
+    sort_values over all columns followed by a stringified hash, so
+
+      * array/map/struct/binary cells are fatal (unhashable in the sort),
+      * bare DECIMAL cells are a silent hash hazard (Spark renders
+        Decimal('81.10'), DuckDB's pandas conversion renders 81.1 —
+        numerically equal, string-unequal).
+
+    Every registry query must therefore emit only atomic, identically-
+    rendered types: string / boolean / integral / float / double / date /
+    timestamp. Queries needing vector or decimal results render them as
+    joined strings or DOUBLE (w3/f_array2 convention).
+    """
+    from pyspark.sql import types as T
+
+    allowed = (
+        T.StringType,
+        T.BooleanType,
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+    )
+    offenders = []
+    for name, spec in load_all().items():
+        df = spec.fn(spark, sf_smoke)
+        for field in df.schema.fields:
+            if not isinstance(field.dataType, allowed):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"non-canonicalizable output columns: {offenders}"
