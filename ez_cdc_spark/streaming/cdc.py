@@ -246,7 +246,11 @@ def upsert_batch(state_dir: str, n_buckets: int = 16):
     Incremental-by-bucket is what makes this hold at 100 TB: a batch that
     touches 1% of the key space reads and rewrites ~1% of the state, not
     all of it. Size n_buckets so one bucket ≈ one comfortable task
-    (state_size / target_partition_bytes). At scale the same logic targets
+    (state_size / target_partition_bytes). The state-growth property is
+    pinned by tests/test_cdc_goldens.py::
+    test_upsert_state_growth_stays_bucket_bounded: at n_buckets=64 with a
+    10k-key state, a 6-key batch rewrites at most 6 bucket dirs (verified
+    by mtime), so per-batch work tracks batch size, not state size. At scale the same logic targets
     a MERGE-capable table format; this parquet layout is the
     dependency-free equivalent with identical semantics (SURVEY §4.2 'the
     one genuinely custom physical operator').

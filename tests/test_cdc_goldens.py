@@ -331,3 +331,61 @@ def test_envelope_schema_drift_tolerance(spark):
     assert rows[99]["after"]["first_name"] == "drift"  # extra field ignored
     assert rows[100]["after"]["id"] == 10
     assert rows[100]["ts_ms"] is None and rows[100]["source"]["txId"] is None
+
+
+def test_upsert_state_growth_stays_bucket_bounded(spark, tmp_path):
+    """T9 at larger state (design-for-100x check): with state much bigger
+    than one batch, a micro-batch must read and rewrite ONLY the state
+    buckets its keys hash into — the property that keeps per-batch work
+    proportional to batch size, not state size, as state grows. Verified
+    by bucket-dir mtimes: an untouched bucket's files are never rewritten.
+    """
+    import time
+
+    n_buckets = 64
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    apply = upsert_batch(state, n_buckets=n_buckets)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "before struct<id:bigint>, after struct<id:bigint, val:string>, "
+            "op string, source struct<lsn:bigint>",
+        )
+
+    # Backfill: 10k keys -> state spans all 64 buckets, ~156 keys/bucket.
+    apply(
+        batch([(None, {"id": i, "val": f"v{i}"}, "c", {"lsn": i}) for i in range(10_000)]),
+        0,
+    )
+    cur = os.path.join(state, "current")
+    dirs = [d for d in os.listdir(cur) if d.startswith("bucket=")]
+    assert len(dirs) == n_buckets
+    before_mtime = {d: os.path.getmtime(os.path.join(cur, d)) for d in dirs}
+    time.sleep(0.05)  # ensure rewritten dirs get a distinct mtime
+
+    # Incremental batch: 5 updates + 1 delete over the 10k-key state.
+    keys = [3, 777, 4242, 9001, 9999]
+    apply(
+        batch(
+            [(None, {"id": k, "val": f"new{k}"}, "u", {"lsn": 100_000 + k}) for k in keys]
+            + [({"id": 5000}, None, "d", {"lsn": 200_000})]
+        ),
+        1,
+    )
+    changed = {
+        d
+        for d in dirs
+        if os.path.getmtime(os.path.join(cur, d)) != before_mtime[d]
+    }
+    # 6 distinct keys can touch at most 6 of the 64 buckets
+    assert len(changed) <= 6, f"batch rewrote {len(changed)} buckets: {sorted(changed)}"
+
+    final = spark.read.parquet(cur)
+    assert final.count() == 9_999  # 10k inserts - 1 delete
+    got = {
+        r["id"]: r["after"]["val"]
+        for r in final.filter(F.col("id").isin(keys + [5000])).collect()
+    }
+    assert got == {k: f"new{k}" for k in keys}  # updates applied, delete gone

@@ -178,3 +178,19 @@ def test_lsh_neardup_recall_vs_exact(spark, sf_dir):
     assert approx <= exact, f"false positives: {sorted(approx - exact)[:5]}"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(approx)}/{len(exact)})"
+
+
+def test_ivf_exact_mode_equals_brute_force(spark, sf_smoke):
+    """Exact-mode identity pin (SURVEY x3c): probing EVERY cell
+    (n_probe = n_cells) scores every (query, corpus) pair, so IVF must
+    reproduce brute_force_topk exactly — pairs, scores, and tie-breaks.
+    This is the hard anchor behind the approximate mode's recall test:
+    any drift in assignment/scoring/windowing breaks an equality, not a
+    threshold."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sorted(map(tuple, brute_force_topk(q, emb, k=5).collect()))
+    full_probe = sorted(
+        map(tuple, ivf_topk(q, emb, k=5, n_cells=8, n_probe=8).collect())
+    )
+    assert exact == full_probe
