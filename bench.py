@@ -43,9 +43,11 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # Extra timings reported per round but EXCLUDED from the headline total, so
 # `value` stays comparable across rounds on the frozen 15-query set above:
 #   x2d — the round-2 distributed blocked all-pairs GEMM rewrite,
+#   x10 — the composed curation pipeline (quality -> dedup -> sample ->
+#   pack as one plan), the end-to-end shape a real corpus run pays,
 #   t9 warm — a second CDC upsert replay right after the cold one (same
 #   work, warm JVM/codegen/scratch paths; cold time is the frozen t9 row).
-EXTRA_QUERIES = ["x2d_embedding_neardup"]
+EXTRA_QUERIES = ["x2d_embedding_neardup", "x10_corpus_pipeline"]
 
 
 def main() -> None:

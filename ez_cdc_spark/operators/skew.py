@@ -42,15 +42,30 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # Scatter by a content hash over ALL columns, not by row position:
-    # monotonically_increasing_id depends on partition layout and is not
-    # stable across task retries (shuffle-input recomputation could re-salt
-    # rows between attempts). xxhash64 over the full row is deterministic
-    # per row content, so retries reproduce the same salt. A hot JOIN key
-    # still scatters because payload columns differ; only fully-duplicate
-    # rows share a salt (residual skew bounded by duplicate multiplicity).
+    # Scatter by a content hash, not by row position: monotonically_
+    # increasing_id depends on partition layout and is not stable across
+    # task retries (shuffle-input recomputation could re-salt rows between
+    # attempts). xxhash64 over the row is deterministic per row content, so
+    # retries reproduce the same salt. Two refinements:
+    #   * map-typed columns are excluded — Spark disallows hashing MapType
+    #     (HASH_MAP_TYPE AnalysisException), and a map's payload diversity
+    #     is almost always mirrored by the row's other columns;
+    #   * input_file_name() is mixed in (deterministic per row for
+    #     file-scan-backed frames, empty string otherwise), so even rows
+    #     whose hashable columns are fully identical scatter across files.
+    # Residual: identical rows within one file share a salt. If the big
+    # side is projected to nothing but the join key, that means one salt
+    # per hot key — keep a differing payload column (or the source file
+    # spread) in the frame when salting; that precondition is the cost of
+    # retry-stable salting.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        F.col(f.name) for f in big.schema.fields if not isinstance(f.dataType, MapType)
+    ]
     big_s = big.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+        SALT,
+        F.pmod(F.xxhash64(*hashable, F.input_file_name()), F.lit(salt)).cast("int"),
     )
     replicas = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     small_s = small.withColumn(SALT, replicas)

@@ -17,8 +17,35 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _local_path(uri: str) -> str | None:
+    """Filesystem path for a catalog/warehouse URI, or None if non-local.
+
+    urlparse handles the URI forms prefix-stripping got wrong:
+    ``file:/x``, ``file:///x`` and bare ``/x`` all yield ``/x``, while
+    ``file://host/x`` keeps only the path (the host part is not a local
+    directory component) and non-file schemes (s3://, hdfs://) return
+    None — there is nothing local to clean up for those.
+    """
+    p = urlparse(uri)
+    if p.scheme not in ("", "file"):
+        return None
+    return p.path or None
+
+
+def _catalog_location(spark: SparkSession, table: str) -> str | None:
+    """The table's actual location per the catalog, or None if unknown."""
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row[0].strip() == "Location":
+                return _local_path(row[1].strip())
+    except Exception:
+        pass
+    return None
 
 
 def write_bucketed(
@@ -39,13 +66,24 @@ def write_bucketed(
     LOCATION_ALREADY_EXISTS even in overwrite mode.
     """
     spark = df.sparkSession
+    # Resolve the doomed location FROM THE CATALOG while the entry still
+    # exists (join(warehouse, name) is wrong for qualified names — db.tbl
+    # lives under <wh>/<db>.db/<tbl> — and for custom LOCATIONs); fall
+    # back to deriving the default layout only when no entry exists.
+    loc = _catalog_location(spark, table) if spark.catalog.tableExists(table) else None
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+    if loc is None:
+        wh = _local_path(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        parts = table.lower().split(".")
+        if len(parts) == 1 or parts[0] == "default":
+            rel = parts[-1]  # default-db tables sit at the warehouse root
+        elif len(parts) == 2:
+            rel = os.path.join(f"{parts[0]}.db", parts[1])
+        else:
+            raise ValueError(f"unsupported table name {table!r} (catalog.db.tbl)")
+        loc = os.path.join(wh, rel) if wh else None
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)

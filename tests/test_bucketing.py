@@ -78,3 +78,20 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_smoke):
         assert table_row_count_stat(spark, "stats_nation") == n.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_nation")
+
+
+def test_write_bucketed_qualified_name_rewrite(spark):
+    """Qualified db.tbl names live under <wh>/<db>.db/<tbl>; the stale-
+    location cleanup must resolve that via the catalog, so back-to-back
+    overwrites of a qualified bucketed table succeed (the old
+    join(warehouse, name) derivation missed the .db segment and the
+    second write died on LOCATION_ALREADY_EXISTS)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    try:
+        write_bucketed(df, "bdb.bq_tbl", "k", n_buckets=2)
+        write_bucketed(df, "bdb.bq_tbl", "k", n_buckets=2)  # rewrite over stale dir
+        assert spark.table("bdb.bq_tbl").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.bq_tbl")
+        spark.sql("DROP DATABASE IF EXISTS bdb")

@@ -194,3 +194,19 @@ def test_ivf_exact_mode_equals_brute_force(spark, sf_smoke):
         map(tuple, ivf_topk(q, emb, k=5, n_cells=8, n_probe=8).collect())
     )
     assert exact == full_probe
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """Map-typed payload columns must not break the salt hash (Spark
+    disallows xxhash64 over MapType); they are excluded from the hash and
+    the join result still equals the plain join."""
+    big = spark.createDataFrame(
+        [(1, {"a": i}) for i in range(50)] + [(2, {"b": 1})],
+        "k INT, props MAP<STRING,INT>",
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k INT, name STRING")
+    got = sorted(
+        (r["k"], r["name"]) for r in salted_join(big, small, on=["k"], salt=4).collect()
+    )
+    want = sorted((r["k"], r["name"]) for r in big.join(small, ["k"]).collect())
+    assert got == want
