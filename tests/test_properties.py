@@ -205,7 +205,9 @@ def test_sample_nesting_and_packing_invariants(spark, sf_smoke):
         s = r["scale"]
         if s == 0:
             continue
-        for orig, qi in zip(emb[r["vec_id"]], r["q"]):
+        # q is rendered as a ','-joined string (driver-canonicalizer contract)
+        qvals = [int(v) for v in r["q"].split(",")]
+        for orig, qi in zip(emb[r["vec_id"]], qvals):
             assert abs(qi / s - float(orig)) <= 0.5 / s + 1e-9, (
                 r["vec_id"], orig, qi, s
             )
