@@ -268,6 +268,61 @@ def simhash_near_dups(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via distributed
+    min-label propagation — the clustering step of fuzzy dedup (pairs from
+    LSH/SimHash become clusters; the curation run then keeps one doc per
+    cluster).
+
+    Each iteration: every node sends its current label to its neighbors,
+    every node keeps the min of (own label, received labels). Converges in
+    O(graph diameter) iterations; near-dup graphs are unions of small
+    dense clusters, so the diameter — and the iteration count — stays tiny
+    even at corpus scale. Every iteration is a pure (join + groupBy.min)
+    pair of exchanges on (id) — no driver-side data beyond the scalar
+    convergence counter, and ``localCheckpoint`` truncates the iterative
+    lineage so plan size stays O(1) per iteration. For adversarially long
+    path-shaped graphs, the two-phase large-star/small-star variant
+    (O(log² n) rounds) is the documented swap-in; dedup graphs don't need
+    it.
+
+    Returns (id, cluster_id) where cluster_id = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

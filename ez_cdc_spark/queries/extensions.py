@@ -5,6 +5,7 @@ columns, embedding ops.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ez_cdc_spark.functions import text as TXT
@@ -18,6 +19,7 @@ from ez_cdc_spark.functions.similarity import (
     norm,
 )
 from ez_cdc_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -36,8 +38,11 @@ from ez_cdc_spark.queries._util import t
 _STOP_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
 
 
-def _x2_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
-    """DuckDB mirror of minhash_lsh_candidates(portable=True).
+def _x2_pair_ctes(num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB CTE chain mirroring minhash_lsh_candidates(portable=True),
+    ending in ``pairs(id_a, id_b, jaccard)`` — shared by the x2 oracle and
+    the downstream cluster/incremental-dedup oracles (x11, x2f) so every
+    consumer reproduces the IDENTICAL candidate set.
 
     Exact-parity rules: the permutation constants come from the SAME
     perm_coeff_ints the Spark side uses (embedded as literals); shingle
@@ -58,8 +63,7 @@ def _x2_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
         f"k -> a.sig[k*{rows}+1 : k*{rows}+{rows}] = b.sig[k*{rows}+1 : k*{rows}+{rows}]), "
         "true)"
     )
-    return rf"""
-WITH w AS (
+    return rf"""w AS (
   SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
 ), g AS (
   SELECT doc_id,
@@ -77,14 +81,21 @@ WITH w AS (
   SELECT doc_id, hs,
     [{terms}] AS sig
   FROM (SELECT doc_id, hs, list_transform(hs, x -> x % {_P}) AS hp FROM h)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-             / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE {band_eq}
-ORDER BY id_a, id_b
-"""
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE {band_eq}
+)"""
+
+
+def _x2_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    return (
+        "WITH "
+        + _x2_pair_ctes(num_hashes, bands)
+        + "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b\n"
+    )
 
 
 @register(
@@ -138,6 +149,123 @@ ORDER BY id_a, id_b
 def x2b_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return ngram_jaccard_pairs(d, n=1, threshold=0.2).orderBy("id_a", "id_b")
+
+
+@register(
+    "x11_neardup_clusters",
+    oracle="WITH RECURSIVE "
+    + _x2_pair_ctes()
+    + r""",
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
+), n AS (SELECT DISTINCT src AS id FROM e),
+walk(id, lbl) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id
+), cc AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
+FROM cc ORDER BY doc_id
+""",
+    doc="X11: fuzzy-dedup cluster assignment — connected components over the "
+    "x2 MinHash-LSH candidate pairs (jaccard >= 0.5), the step that turns "
+    "pairwise near-dup evidence into keep-one-per-cluster decisions. "
+    "Spark side: distributed min-label propagation (operators/dedup.py: "
+    "connected_components) — O(cluster diameter) iterations of join + "
+    "groupBy.min, nothing driver-side but the convergence counter. Oracle: "
+    "recursive CTE over the SAME pair CTEs as x2, so the edge set is "
+    "literally identical. cluster_id = min doc_id in the component.",
+)
+def x11_neardup_clusters(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, portable=True).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x2f_incremental_dedup",
+    oracle="WITH "
+    + _x2_pair_ctes()
+    + r""",
+exact AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS exact_id
+  FROM documents n JOIN documents c ON md5(n.text) = md5(c.text)
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+  GROUP BY n.doc_id
+), near AS (
+  SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id,
+         MIN(CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END) AS near_id
+  FROM pairs
+  WHERE jaccard >= 0.5 AND ((id_a % 5 = 0) <> (id_b % 5 = 0))
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CAST(COALESCE(e.exact_id, nr.near_id, -1) AS BIGINT) AS match_id
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+ORDER BY d.doc_id
+""",
+    doc="X2f: incremental (daily-ingest) dedup — a 'new' batch (doc_id % 5 "
+    "== 0, a scale-independent 20% slice) deduped AGAINST the existing "
+    "corpus: exact via content-hash anti-lookup (min corpus doc per md5), "
+    "near via the x2 LSH candidate pairs that cross the batch/corpus "
+    "split (jaccard >= 0.5, min corpus match). Status priority exact > "
+    "near > kept; match_id -1 when kept (no NULLs in driver output). "
+    "Within-batch duplicates are deliberately NOT collapsed here — that "
+    "is x1/x11's job; this op answers 'is it already in the corpus'. At "
+    "100 TB the corpus band signatures are computed once and stored; each "
+    "batch computes only its own signatures and joins — the same plan "
+    "shape as here with the corpus side read from its signature index.",
+)
+def x2f_incremental_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 5) == 0
+    new = d.filter(is_new)
+    corpus = d.filter(~is_new)
+    corpus_hash = corpus.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("exact_id")
+    )
+    exact = (
+        new.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .join(corpus_hash, "h", "left")
+        .select("doc_id", "exact_id")
+    )
+    pairs = minhash_lsh_candidates(d, portable=True).filter(F.col("jaccard") >= 0.5)
+    a_new = ((F.col("id_a") % 5) == 0) & ((F.col("id_b") % 5) != 0)
+    b_new = ((F.col("id_b") % 5) == 0) & ((F.col("id_a") % 5) != 0)
+    cross = pairs.select(
+        F.when(a_new, F.col("id_a")).when(b_new, F.col("id_b")).alias("doc_id"),
+        F.when(a_new, F.col("id_b")).when(b_new, F.col("id_a")).alias("corp"),
+    ).filter(F.col("doc_id").isNotNull())
+    near = cross.groupBy("doc_id").agg(F.min("corp").alias("near_id"))
+    out = exact.join(near, "doc_id", "left")
+    status = (
+        F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        status.alias("status"),
+        F.coalesce("exact_id", "near_id", F.lit(-1)).cast("bigint").alias("match_id"),
+    ).orderBy("doc_id")
 
 
 # DuckDB mirror of simhash(portable=True): per bit i, sign of sum(+1/-1)

@@ -260,6 +260,197 @@ def x6d_quantize_int8(spark, sf_dir):
 
 
 @register(
+    "x12_contamination",
+    oracle=r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 5 THEN list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))
+              ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents)
+), bg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0) tr
+  JOIN bg USING (gram)
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN COALESCE(h.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
+""",
+    doc="X12: benchmark-contamination check — flag training docs sharing any "
+    "5-gram with a held-out benchmark set (doc_id % 97 == 0, a scale-"
+    "independent ~1% slice standing in for an eval suite). The decisive "
+    "scale property: the benchmark gram set is tiny and BROADCAST, so the "
+    "corpus side is one map-side semi-join probe per gram — no shuffle of "
+    "corpus data at 100 TB; per-doc distinct grams bound the probe count. "
+    "n_shared counts distinct shared 5-grams (grams deduped per doc "
+    "before the join).",
+)
+def x12_contamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    grams = F.array_distinct(
+        F.when(
+            F.size(ws) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 4),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    doc_grams = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench = doc_grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (
+        doc_grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x13_repetition_metrics",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+), wcnt AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_tok FROM wcnt GROUP BY doc_id
+), bcnt AS (
+  SELECT doc_id, b, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN list_transform(
+               generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
+             ELSE CAST([] AS VARCHAR[]) END) AS b
+        FROM w) GROUP BY doc_id, b
+), bagg AS (
+  SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_big FROM bcnt GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_tok AS BIGINT) AS n_tokens,
+       ROUND(CAST(w.top_w AS DOUBLE) / w.n_tok, 6) AS top_word_frac,
+       ROUND(COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0), 6) AS top_bigram_frac,
+       CAST(CASE WHEN CAST(w.top_w AS DOUBLE) / w.n_tok > 0.2
+                   OR COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0) > 0.18
+            THEN 1 ELSE 0 END AS INT) AS flagged
+FROM wagg w LEFT JOIN bagg b USING (doc_id)
+ORDER BY w.doc_id
+""",
+    doc="X13: repetition-based quality signals (Gopher-rule style) — per doc, "
+    "the fraction of tokens accounted for by the most frequent word and by "
+    "the most frequent bigram; docs above threshold (word > 0.2, bigram > "
+    "0.18) are flagged as repetitive. Two explode -> count -> max/sum "
+    "chains partitioned by (doc_id, token): map-side partial aggregation "
+    "does most of the work, shuffle volume is one row per distinct "
+    "(doc, token) — linear scale-out, no per-doc state on the driver. The "
+    "flag is computed from the UNROUNDED ratios in both engines (identical "
+    "IEEE division of the same ints); rounded ratios are emitted for the "
+    "hash.",
+)
+def x13_repetition_metrics(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    base = d.select("doc_id", ws.alias("ws"))
+    wcnt = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wagg = wcnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_w"), F.sum("c").alias("n_tok")
+    )
+    bigrams = F.when(
+        F.size(F.col("ws")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ws")) - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bcnt = (
+        base.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bagg = bcnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_b"), F.sum("c").alias("n_big")
+    )
+    wf = F.col("top_w").cast("double") / F.col("n_tok")
+    bf = F.coalesce(F.col("top_b").cast("double") / F.col("n_big"), F.lit(0.0))
+    return (
+        wagg.join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(wf, 6).alias("top_word_frac"),
+            F.round(bf, 6).alias("top_bigram_frac"),
+            ((wf > 0.2) | (bf > 0.18)).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x14_token_histogram",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(least(n_tokens // 16, 15) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM n GROUP BY 1 ORDER BY bucket
+""",
+    doc="X14: token-count histogram — corpus length profile in 16-token "
+    "buckets (capped at bucket 15), the standard pre-packing diagnostic "
+    "(drives max_seq_len / packing-efficiency decisions). Map-side bucket "
+    "assignment + one 16-group aggregate: partial aggregation reduces "
+    "each partition to <=16 rows before the exchange, so the shuffle is "
+    "O(partitions), not O(rows), at any corpus size.",
+)
+def x14_token_histogram(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    return (
+        d.select(n_tokens.alias("n_tokens"))
+        .select(
+            F.least(F.expr("n_tokens div 16"), F.lit(15)).cast("bigint").alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "x10_corpus_pipeline",
     oracle=rf"""
 WITH q AS (

@@ -210,3 +210,18 @@ def test_salted_join_tolerates_map_columns(spark):
     )
     want = sorted((r["k"], r["name"]) for r in big.join(small, ["k"]).collect())
     assert got == want
+
+
+def test_connected_components_path_and_islands(spark):
+    """Min-label propagation must close transitive chains (a path graph
+    needs multiple propagation rounds — the convergence loop, not one
+    join) and keep disjoint components apart."""
+    from ez_cdc_spark.operators.dedup import connected_components
+
+    # path 0-1-2-3-4 (diameter 4), triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
