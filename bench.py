@@ -45,9 +45,17 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   x2d — the round-2 distributed blocked all-pairs GEMM rewrite,
 #   x10 — the composed curation pipeline (quality -> dedup -> sample ->
 #   pack as one plan), the end-to-end shape a real corpus run pays,
+#   x11 — round-3 fuzzy-dedup clustering (LSH pairs -> connected
+#   components), timing includes its iterative convergence loop,
+#   x13 — round-3 repetition-quality metrics (two explode-agg chains),
 #   t9 warm — a second CDC upsert replay right after the cold one (same
 #   work, warm JVM/codegen/scratch paths; cold time is the frozen t9 row).
-EXTRA_QUERIES = ["x2d_embedding_neardup", "x10_corpus_pipeline"]
+EXTRA_QUERIES = [
+    "x2d_embedding_neardup",
+    "x10_corpus_pipeline",
+    "x11_neardup_clusters",
+    "x13_repetition_metrics",
+]
 
 
 def main() -> None:
