@@ -293,31 +293,38 @@ def connected_components(
 
     Returns (id, cluster_id) where cluster_id = min node id reachable.
     """
+    # Materialize the symmetrized edge list once: its lineage may be an
+    # arbitrarily expensive upstream pipeline (e.g. the full MinHash-LSH
+    # candidate generation), and it is re-joined EVERY iteration — without
+    # this checkpoint each round would recompute the whole upstream plan.
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
+        # One aggregation computes BOTH the new label and the convergence
+        # signal: own rows are tagged, so min(lbl) is the propagated label
+        # and min(lbl where own) is the previous one — no extra join, and
+        # the changed-count scan runs over the already-checkpointed result.
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("lbl")
+            F.col("dst").alias("id"), F.col("lbl"), F.lit(False).alias("own")
         )
-        new = (
-            labels.unionByName(msgs)
+        agg = (
+            labels.withColumn("own", F.lit(True))
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new
+        changed = agg.filter(F.col("lbl") < F.col("old")).count()
+        labels = agg.select("id", "lbl")
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
