@@ -372,6 +372,94 @@ def x3_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "x3d_quantized_topk",
+    oracle="""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+     m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+     qq AS (SELECT vec_id,
+              CASE WHEN mx > 0
+                   THEN list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT))
+                   ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+            FROM m),
+     n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+           FROM qq),
+     scored AS (
+       SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+              ROUND(CASE WHEN a.nsq > 0 AND b.nsq > 0 THEN
+                  CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                               i -> a.q[i] * b.q[i])) AS DOUBLE)
+                  / sqrt(CAST(a.nsq * b.nsq AS DOUBLE))
+                ELSE 0 END, 4) AS score
+       FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+     ranked AS (
+       SELECT q_id, c_id, score,
+              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+       FROM scored)
+SELECT q_id, c_id, score FROM ranked WHERE rn <= 5
+ORDER BY q_id, c_id
+""",
+    doc="X3d: top-k search over int8-QUANTIZED vectors — the serving path "
+    "after x6d's storage quantization (4x smaller corpus in memory, "
+    "integer dot products). The per-vector scale cancels in cosine, so "
+    "the score is computed purely from the quantized ints: dot(qa,qb) / "
+    "sqrt(|qa|^2 * |qb|^2) — exact integer arithmetic on both engines up "
+    "to one final IEEE division/sqrt, hence hash-checkable (unlike "
+    "float-accumulation paths). Same brute-force shape as x3 (broadcast "
+    "query block x corpus, per-query window top-5, ties by corpus id); "
+    "the x3b blocked-GEMM / x3c IVF scale paths apply unchanged on the "
+    "int8 column.",
+)
+def x3d_quantized_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.array_max(F.transform(F.col("v"), F.abs)).alias("mx")
+    )
+    s = F.lit(127.0) / F.col("mx")
+    qarr = F.when(
+        F.col("mx") > 0,
+        F.transform(F.col("v"), lambda x: F.floor(x * s + 0.5).cast("long")),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0).cast("long")))
+    qd = base.select("vec_id", qarr.alias("q")).withColumn(
+        "nsq",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+    qblock = qd.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), F.col("nsq").alias("nq")
+    )
+    corpus = qd.select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("cv"), F.col("nsq").alias("nc")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(
+        F.when(
+            (F.col("nq") > 0) & (F.col("nc") > 0),
+            dot.cast("double") / F.sqrt((F.col("nq") * F.col("nc")).cast("double")),
+        ).otherwise(0.0),
+        4,
+    )
+    scored = (
+        F.broadcast(qblock)
+        .crossJoin(corpus)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", score.alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("q_id", "c_id")
+    )
+
+
+@register(
     "x3b_blocked_topk",
     oracle=_COS_ORACLE,
     doc="X3 scale path: numpy GEMM per Arrow batch (mapInPandas) + per-query top-k window; same oracle as x3.",

@@ -20,11 +20,20 @@ oracle-checked against DuckDB:
   x6d  int8 quantization        — symmetric per-vector embedding
                                   quantization (127/max|x|), the storage
                                   layout step before ANN serving; map-side
+  x12  contamination check      — train docs sharing any 5-gram with a
+                                  held-out benchmark slice; benchmark gram
+                                  set broadcast, map-side probe
+  x13  repetition metrics       — Gopher-style top-word / top-bigram
+                                  fractions via explode-agg (map-side
+                                  partial aggregation)
+  x14  token histogram          — 16-token-bucket corpus length profile;
+                                  partial agg => O(partitions) shuffle
 
 Determinism: sampling/mixing use the SAME portable hash as x2c (first 8
 md5 hex chars as a 32-bit int) so DuckDB reproduces every kept row;
 packing uses integer `div`; quantization uses floor(x*s+0.5) on both
-engines (no round-half mode ambiguity).
+engines (no round-half mode ambiguity); x13's flag compares UNROUNDED
+IEEE ratios identical in both engines.
 """
 
 from __future__ import annotations

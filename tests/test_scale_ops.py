@@ -225,3 +225,36 @@ def test_connected_components_path_and_islands(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """300-node random graph vs a union-find oracle: the distributed
+    label propagation must agree on every component, including longer
+    chains that need several propagation rounds."""
+    import random
+
+    from ez_cdc_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    raw = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    edge_list = [(a, b) for a, b in raw if a != b]
+
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach larger root under smaller => final root = component min
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edge_list for n in e}
+    expected = {n: find(n) for n in nodes}
+
+    edges = spark.createDataFrame(edge_list, "id_a BIGINT, id_b BIGINT")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == expected
