@@ -141,3 +141,21 @@ def test_registry_output_shapes_are_driver_canonicalizable(spark, sf_smoke):
             if not isinstance(field.dataType, allowed):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, f"non-canonicalizable output columns: {offenders}"
+
+
+def test_round3_curation_ops_plan_shapes(spark, sf_smoke):
+    """Round-3 ops keep their declared scale shapes: x12's benchmark gram
+    set joins as a broadcast (the corpus side must never shuffle on gram),
+    x3d's query block broadcasts against the corpus (no corpus-side
+    exchange for the scoring join), x14 aggregates map-side first (its
+    only exchanges are the 16-group agg + ORDER BY)."""
+    reg = load_all()
+    p12 = plan_str(reg["x12_contamination"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p12 or "BroadcastNestedLoop" in p12
+    assert "SortMergeJoin" not in p12.split("BroadcastHashJoin")[0], (
+        "the gram probe must be the broadcast join, not an SMJ"
+    )
+    p3d = plan_str(reg["x3d_quantized_topk"].fn(spark, sf_smoke))
+    assert "Broadcast" in p3d
+    p14 = plan_str(reg["x14_token_histogram"].fn(spark, sf_smoke))
+    assert p14.count("hashpartitioning") <= 1, "x14: one agg exchange at most"
