@@ -672,3 +672,55 @@ def t7_late_data(spark, sf_dir):
         .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
     )
     return run_to_memory(agg, "t7_late", output_mode="append").orderBy("w")
+
+
+@register(
+    "t11_streaming_curation",
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         ROUND(0.4 * least(length(text) / 400.0, 1.0)
+               + 0.3 * (len(list_distinct(regexp_split_to_array(text, '\s+')))
+                   / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE))
+               + 0.3 * (1 - len(list_filter(
+                     list_transform(regexp_split_to_array(text, '\s+'), x -> lower(x)),
+                     x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                   / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)), 6) AS quality
+  FROM documents
+), good AS (
+  SELECT lang, text FROM q WHERE quality >= 0.5
+), ded AS (
+  SELECT lang, text FROM good
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY lang) = 1
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS sum_tokens
+FROM ded GROUP BY lang ORDER BY lang
+""",
+    doc="T11: streaming-ingest curation — the x10 batch chain run AS A "
+    "STREAM over a replayed documents source: quality filter (map-side, "
+    "stateless) -> streaming exact dedup on md5(text) (t5's stateful "
+    "dropDuplicates) -> per-lang doc/token aggregate (complete mode). "
+    "Which duplicate copy survives is arrival-order dependent, so the "
+    "aggregate is deliberately DUPLICATE-CHOICE-INVARIANT: duplicates "
+    "share text (hence token count) and lang, making the streaming "
+    "result equal to ANY batch dedup choice — that is what makes the "
+    "batch SQL an exact oracle for a streaming query. The daily-corpus "
+    "shape: new documents curate incrementally as they land, no batch "
+    "recompute of the corpus.",
+)
+def t11_streaming_curation(spark, sf_dir):
+    from ez_cdc_spark.functions.text import quality_score
+    from ez_cdc_spark.streaming.replay import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    good = docs.filter(quality_score(F.col("text")) >= 0.5)
+    ded = good.select(
+        "lang", "text", F.md5(F.col("text")).alias("h")
+    ).dropDuplicates(["h"])
+    n_tokens = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    agg = ded.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("sum_tokens"),
+    )
+    return run_to_memory(agg, "t11_curation").orderBy("lang")

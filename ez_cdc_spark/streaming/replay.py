@@ -139,6 +139,39 @@ def events_parquet_staged(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+DOCS_REPLAY_SCHEMA = "doc_id BIGINT, ts TIMESTAMP, lang STRING, text STRING"
+
+
+def documents_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize documents as a parquet replay dir for streaming-ingest
+    curation (t11), with a synthetic arrival timestamp (fixed epoch base +
+    doc_id * 100 ms) as the stream-side event time. Idempotent per sf_dir;
+    the dir key includes the schema so layout changes never reuse a stale
+    fixture."""
+    key = hashlib.md5(DOCS_REPLAY_SCHEMA.encode()).hexdigest()[:8]
+    path = _dir_for(sf_dir, f"docs_pq-{key}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        proj = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.timestamp_seconds(
+                F.lit(1700000000.0) + F.col("doc_id").cast("double") / 10.0
+            ).alias("ts"),
+            "lang",
+            "text",
+        )
+        proj.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File streaming source replaying the documents table (t11)."""
+    _pin_confs(spark)
+    return spark.readStream.schema(DOCS_REPLAY_SCHEMA).parquet(
+        documents_parquet(spark, sf_dir)
+    )
+
+
 def _pin_confs(spark: SparkSession) -> None:
     """Streaming queries render event-time strings (date_format over window
     bounds), so an external non-UTC session must be re-pinned HERE — the
