@@ -244,8 +244,22 @@ def lsh_neardup_pairs(
     Per band of r = n_bits/bands sign bits, two vectors collide with
     probability (1 - θ/π)^r; any-of-``bands`` collision gives ~0.98 recall
     at cosine 0.8 with the 32/8 default. Only the (n_bits × d) hyperplane
-    matrix is broadcast; the shuffle carries slim (id, band, sig) rows —
-    one exchange, like the SimHash/MinHash banding ops.
+    matrix is broadcast.
+
+    Verification happens IN the bucket: rows group by (band, sig) and each
+    bucket runs one numpy GEMM over its members, emitting only
+    above-threshold pairs. The shuffle therefore carries (id, band, sig,
+    vec) rows — a ``bands``-fold replication of the vectors — which beats
+    the alternative (slim banding rows, materialized candidate pairs, two
+    vector join-backs, per-pair JVM cosine) whenever the candidate-pair
+    count exceeds n·bands: at a low threshold the candidate rate makes
+    pair materialization the dominant cost (measured 13 s -> ~2 s at
+    sf0.1). Degenerate buckets (one signature capturing a large fraction
+    of the corpus) are quadratic within the bucket — same bound as any
+    banding scheme; at extreme scale cap bucket width or add a band salt.
+    Scores use the same float64 GEMM arithmetic as the exact
+    :func:`neardup_pairs`, so the zero-false-positive comparison is
+    arithmetic-consistent.
     """
     import numpy as np
 
@@ -259,7 +273,7 @@ def lsh_neardup_pairs(
         df.select(F.col(id_col).alias("id"), normalize(F.col(vec)).alias("v"))
     )
 
-    def band_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         H = bc.value
         for pdf in batches:
             if pdf.empty:
@@ -276,28 +290,45 @@ def lsh_neardup_pairs(
                     "id": np.repeat(pdf["id"].to_numpy(), bands),
                     "band": np.tile(np.arange(bands, dtype="int32"), m),
                     "sig": sigs.ravel(),
+                    "v": [mat[i] for i in range(m) for _ in range(bands)],
                 }
             )
 
-    banded = sel.mapInPandas(band_sigs, "id long, band int, sig long")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
+    banded = sel.mapInPandas(band_rows, "id long, band int, sig long, v array<double>")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype="int64"),
+                "id_b": np.array([], dtype="int64"),
+                "score": np.array([], dtype="float64"),
+            }
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy())
+        sim = mat @ mat.T  # normalized rows -> cosine
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sim[iu, ju] >= threshold
+        if not mask.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[mask]],
+                "id_b": ids[ju[mask]],
+                "score": sim[iu[mask], ju[mask]],
+            }
+        )
+
+    pairs = banded.groupBy("band", "sig").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, score double"
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
-    scored = cand.join(va, "id_a").join(vb, "id_b")
-    cos = cosine(F.col("va"), F.col("vb"))
-    return (
-        scored.filter(cos >= threshold)  # exact verify: no false positives
-        .select("id_a", "id_b", F.round(cos, 4).alias("score"))
+    # A pair surviving in several bands carries the identical score (same
+    # float64 dot of the same normalized rows); max() is just the dedup.
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.round(F.max("score"), 4).alias("score")
     )
 
 

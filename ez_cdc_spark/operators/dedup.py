@@ -179,26 +179,34 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(text_col, bits: int = 32, portable: bool = False) -> F.Column:
-    """SimHash: sign-aggregate the bit columns of token hashes.
-
-    For each bit position, sum +1/-1 over token hash bits; the sign per
-    position forms the fingerprint. Bit positions are unrolled in Python
-    (shiftright needs a literal), producing pure column expressions; 32 bits
-    keeps every mask inside a positive long.
-
-    Token hash: xxhash64 by default (fastest JVM path). ``portable=True``
-    uses the first 8 hex chars of md5 instead — bit-identical in any SQL
-    engine (DuckDB: CAST('0x'||substr(md5(w),1,8) AS BIGINT)), which is what
-    makes the x2c driver oracle possible; md5 costs more per token but the
-    op stays whole-stage codegen'd either way.
-    """
-    assert bits <= 62, "fingerprint must fit a positive long"
+def token_hashes(text_col, portable: bool = False) -> F.Column:
+    """Array of per-token hashes: xxhash64 by default (fastest JVM path),
+    or the first 8 hex chars of md5 when ``portable`` — bit-identical in
+    any SQL engine (DuckDB: CAST('0x'||substr(md5(w),1,8) AS BIGINT)),
+    which is what makes the x2c driver oracle possible."""
     if portable:
         tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
     else:
         tok_hash = F.xxhash64
-    tok_hashes = F.transform(words(text_col), tok_hash)
+    return F.transform(words(text_col), tok_hash)
+
+
+def simhash_from_hashes(hashes_col, bits: int = 32) -> F.Column:
+    """SimHash fingerprint from a PRE-MATERIALIZED token-hash array.
+
+    For each bit position, sum +1/-1 over token hash bits; the sign per
+    position forms the fingerprint. Bit positions are unrolled in Python
+    (shiftright needs a literal), producing pure column expressions; 32
+    bits keeps every mask inside a positive long.
+
+    ``hashes_col`` MUST be a materialized column attribute (projected in a
+    previous select), not an inline expression: higher-order functions are
+    evaluated interpreted (outside whole-stage codegen) and are not
+    common-subexpression-eliminated, so an inline hash-array expression
+    would be recomputed once per bit — 32x the token-hashing cost
+    (measured ~3x the whole query at sf0.1).
+    """
+    assert bits <= 62, "fingerprint must fit a positive long"
 
     def bit_counter(i: int):
         # closure factory: the fold lambda must stay 2-ary (PySpark
@@ -209,9 +217,17 @@ def simhash(text_col, bits: int = 32, portable: bool = False) -> F.Column:
 
     out = F.lit(0).cast("long")
     for i in range(bits):
-        bit_count = F.aggregate(tok_hashes, F.lit(0).cast("long"), bit_counter(i))
+        bit_count = F.aggregate(hashes_col, F.lit(0).cast("long"), bit_counter(i))
         out = out.bitwiseOR(F.when(bit_count > 0, F.lit(1 << i)).otherwise(0).cast("long"))
     return out
+
+
+def simhash(text_col, bits: int = 32, portable: bool = False) -> F.Column:
+    """SimHash of raw text as a single column expression. Prefer the
+    two-step form (:func:`token_hashes` projected first, then
+    :func:`simhash_from_hashes`) in any per-row hot path — see the
+    recomputation note on simhash_from_hashes."""
+    return simhash_from_hashes(token_hashes(text_col, portable=portable), bits)
 
 
 def simhash_near_dups(
@@ -231,9 +247,16 @@ def simhash_near_dups(
     assert max_hamming < blocks, "pigeonhole blocking needs max_hamming < blocks"
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
-    sh = widen_partitions(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
-    ).select("doc_id", simhash(F.col("__text"), bits, portable=portable).alias("sh"))
+    # Two-step: materialize the token-hash array, THEN fingerprint — the
+    # 32 per-bit aggregates each re-read the array attribute instead of
+    # re-hashing every token (HOFs are interpreted and not CSE'd).
+    sh = (
+        widen_partitions(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        )
+        .select("doc_id", token_hashes(F.col("__text"), portable=portable).alias("__th"))
+        .select("doc_id", simhash_from_hashes(F.col("__th"), bits).alias("sh"))
+    )
     chunked = sh.select(
         "doc_id",
         "sh",
