@@ -325,9 +325,10 @@ def x2d_embedding_neardup(spark, sf_dir):
 @register(
     "x2e_lsh_embedding_neardup",
     oracle=None,  # approximate by construction — recall-tested vs exact x2d
-    doc="X2e: random-hyperplane LSH candidate buckets + exact cosine verify "
-    "— the extreme-scale approximate path (slim banding rows, one "
-    "exchange) behind exact x2d; no false positives, recall pinned by "
+    doc="X2e: random-hyperplane LSH buckets with IN-BUCKET exact-cosine "
+    "verify (one numpy GEMM per (band, sig) bucket; only above-threshold "
+    "pairs ever materialize) — the extreme-scale approximate path behind "
+    "exact x2d; no false positives, recall pinned by "
     "tests/test_scale_ops.py.",
 )
 def x2e_lsh_embedding_neardup(spark, sf_dir):

@@ -159,3 +159,23 @@ def test_round3_curation_ops_plan_shapes(spark, sf_smoke):
     assert "Broadcast" in p3d
     p14 = plan_str(reg["x14_token_histogram"].fn(spark, sf_smoke))
     assert p14.count("hashpartitioning") <= 1, "x14: one agg exchange at most"
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_smoke, tmp_path):
+    """Scale artifact behind S7's partitioned sink: a partition-keyed join
+    with a filtered dim side must insert a dynamic-pruning subquery on the
+    fact scan, so only matching partitions are read — at 100 TB this is
+    the difference between scanning 5 partitions and all of them."""
+    import pyspark.sql.functions as F
+
+    fpath = str(tmp_path / "fact")
+    dpath = str(tmp_path / "dim")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(fpath)
+    orders.select("o_orderpriority").distinct().withColumn(
+        "rank", F.substring("o_orderpriority", 1, 1).cast("int")
+    ).write.mode("overwrite").parquet(dpath)
+    fact = spark.read.parquet(fpath)
+    dim = spark.read.parquet(dpath).filter(F.col("rank") <= 2)
+    j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    assert "dynamicpruning" in plan_str(j), "expected a DPP subquery on the fact scan"
