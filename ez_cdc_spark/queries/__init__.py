@@ -33,7 +33,10 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # The round-3 tokenizer-oracle alignment (string_split -> regexp_split on
 # \s+) and the w6/f_array2 output-shape fixes are value-preserving on the
 # fixture for every already-attested query, so nothing needs forcing.
-_REATTEST: set[str] = set()
+# x2c's IMPLEMENTATION changed late in round 3 (two-step token-hash
+# materialization): output verified identical locally, but per this set's
+# contract it re-attests so the driver record reflects the shipped code.
+_REATTEST: set[str] = {"x2c_simhash"}
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
