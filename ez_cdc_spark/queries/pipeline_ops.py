@@ -122,6 +122,48 @@ def x7b_weighted_mix(spark, sf_dir):
 
 
 @register(
+    "x7c_temperature_upsample",
+    oracle="""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+     f AS (SELECT lang, least(4, (SELECT MAX(n) FROM c) // n) AS factor FROM c)
+SELECT d.doc_id, d.lang,
+       CAST(unnest(generate_series(1, f.factor)) AS BIGINT) AS copy_idx
+FROM documents d JOIN f USING (lang)
+ORDER BY doc_id, copy_idx
+""",
+    doc="X7c: low-resource upsampling (temperature-style source balancing) — "
+    "each stratum repeats by floor(max_count / count), capped at 4x, the "
+    "standard counter to head-language dominance when assembling a "
+    "pretraining mix (en stays 1x, rare langs repeat). The factor table "
+    "is a per-stratum aggregate (bytes, broadcast back); the upsample "
+    "itself is a map-side explode of sequence(1, factor) — no shuffle of "
+    "corpus data at any scale, and integer-only math so DuckDB reproduces "
+    "every copy. Pairs with x7's downsampling: together they implement "
+    "arbitrary mixture reweighting.",
+)
+def x7c_temperature_upsample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    cmax = c.agg(F.max("n").alias("m"))
+    f = c.crossJoin(F.broadcast(cmax)).select(
+        "lang", F.least(F.lit(4).cast("bigint"), F.expr("m div n")).alias("factor")
+    )
+    return (
+        d.join(F.broadcast(f), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            # sequence(1L, factor) elements are already BIGINT; explode
+            # cannot be nested inside a cast expression
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("factor"))).alias(
+                "copy_idx"
+            ),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+@register(
     "x8_sequence_packing",
     oracle=r"""
 WITH tok AS (
