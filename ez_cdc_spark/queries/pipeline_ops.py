@@ -502,6 +502,122 @@ def x14_token_histogram(spark, sf_dir):
 
 
 @register(
+    "x15_shard_shuffle",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id,
+         {_o_phash("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         {_o_phash("'shuf:' || CAST(doc_id AS VARCHAR)")} AS okey
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos
+FROM k ORDER BY doc_id
+""",
+    doc="X15: deterministic global shuffle into training shards — every "
+    "pretraining run's last step before writing shard files: assign each "
+    "doc a shard (portable hash of doc_id, mod n_shards) and a "
+    "pseudo-random position within the shard (row_number ordered by an "
+    "independent second hash). Both hashes are map-side; the only "
+    "exchange is the hash-partition by shard, and the per-shard sort is "
+    "bounded by shard size — at 100 TB you pick n_shards >= cluster "
+    "parallelism so each sort fits an executor, then write each shard "
+    "with a single partitioned-parquet pass (S7). Reproducible end to "
+    "end: same corpus + salt => identical shard files, which is what "
+    "makes training runs resumable and ablations comparable.",
+)
+def x15_shard_shuffle(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        (
+            _phash(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 8
+        ).alias("shard"),
+        _phash(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("shard").cast("bigint").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x16_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS before_hash
+  FROM documents WHERE doc_id % 11 <> 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS after_hash
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT doc_id,
+       CASE WHEN before_hash IS NULL THEN 'c'
+            WHEN after_hash  IS NULL THEN 'd'
+            ELSE 'u' END AS op,
+       before_hash, after_hash
+FROM old FULL JOIN new USING (doc_id)
+WHERE before_hash IS NULL OR after_hash IS NULL OR before_hash <> after_hash
+ORDER BY doc_id
+""",
+    doc="X16: batch snapshot diff — the reference's CDC semantics "
+    "(Debezium op codes c/u/d with before/after images, "
+    "/root/reference/python/cdc_test/main.py:45-56, README.md:331) "
+    "re-expressed as a batch operator over two corpus snapshots: full "
+    "outer join on the key, op from presence/content-hash comparison, "
+    "unchanged rows dropped. This is how you CDC a corpus that has no "
+    "WAL — diff yesterday's snapshot against today's and feed the "
+    "change set to the t9 upsert sink. 100 TB design: each side is "
+    "projected map-side to (doc_id, md5) BEFORE the join, so the "
+    "exchange moves 40-byte rows, never document text; the join itself "
+    "is a co-partitioned hash join on the key. The two snapshots here "
+    "are derived deterministically from the documents table (doc_id "
+    "mod filters; '%5==0' docs edited) so the oracle reproduces them "
+    "exactly.",
+)
+def x16_snapshot_diff(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("before_hash")
+    )
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("after_hash"),
+        )
+    )
+    joined = old.join(new, on="doc_id", how="full")
+    return (
+        joined.select(
+            "doc_id",
+            F.when(F.col("before_hash").isNull(), F.lit("c"))
+            .when(F.col("after_hash").isNull(), F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            "before_hash",
+            "after_hash",
+        )
+        .filter(
+            F.col("before_hash").isNull()
+            | F.col("after_hash").isNull()
+            | (F.col("before_hash") != F.col("after_hash"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x10_corpus_pipeline",
     oracle=rf"""
 WITH q AS (
