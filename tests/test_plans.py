@@ -161,6 +161,26 @@ def test_round3_curation_ops_plan_shapes(spark, sf_smoke):
     assert p14.count("hashpartitioning") <= 1, "x14: one agg exchange at most"
 
 
+def test_x15_x16_plan_shapes(spark, sf_smoke):
+    """x15: both shard and position keys are map-side; the ONLY
+    hashpartitioning exchange is the per-shard window (the trailing
+    ORDER BY is a rangepartitioning for oracle determinism). x16: the
+    snapshot diff must shuffle (doc_id, md5) projections only — no
+    Exchange node may carry the text column, because at 100 TB that is
+    the difference between moving 40-byte rows and moving the corpus."""
+    import re
+
+    reg = load_all()
+    p15 = plan_str(reg["x15_shard_shuffle"].fn(spark, sf_smoke))
+    assert p15.count("hashpartitioning") == 1, "x15: one shard exchange only"
+    p16 = plan_str(reg["x16_snapshot_diff"].fn(spark, sf_smoke))
+    # formatted explain renders one "(N) Exchange ..." section per node,
+    # each listing its Input columns; none may include the text column
+    for section in re.split(r"\n\n", p16):
+        if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "text#" not in section, f"x16 shuffles document text:\n{section}"
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_smoke, tmp_path):
     """Scale artifact behind S7's partitioned sink: a partition-keyed join
     with a filtered dim side must insert a dynamic-pruning subquery on the
