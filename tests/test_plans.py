@@ -181,6 +181,47 @@ def test_x15_x16_plan_shapes(spark, sf_smoke):
             assert "text#" not in section, f"x16 shuffles document text:\n{section}"
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
+    """Catalyst injects a runtime bloom filter from a selective dim side
+    onto the fact scan (might_contain probe before the join's shuffle).
+    With default confs this only fires for >=10 GB application-side scans
+    — i.e. exactly the 100 TB case — so the test lowers the scan-size
+    threshold to observe the injection on the small fixture. The filter
+    prunes fact rows BEFORE the exchange: at scale this cuts the
+    dominant fact-fact shuffle by the dim's selectivity."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_smoke}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plan_str(j), "expected a runtime bloom filter probe"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_smoke, tmp_path):
     """Scale artifact behind S7's partitioned sink: a partition-keyed join
     with a filtered dim side must insert a dynamic-pruning subquery on the
