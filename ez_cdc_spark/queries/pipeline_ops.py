@@ -618,6 +618,62 @@ def x16_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "x17_token_rarity",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.cnt) AS BIGINT) AS freq_sum
+  FROM tok t JOIN freq f USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, freq_sum,
+       freq_sum / CAST(n_tokens AS DOUBLE) AS commonness,
+       CAST(freq_sum / CAST(n_tokens AS DOUBLE) < 50 AS INT) AS rare_flag
+FROM per_doc ORDER BY doc_id
+""",
+    doc="X17: token-rarity quality score — mean corpus frequency of a "
+    "document's tokens (CCNet-style commonness; low = rare/noisy "
+    "vocabulary, a standard pretraining quality signal next to x4c and "
+    "x13). Exactness: counts stay BIGINT through the sum (integer sums "
+    "are order-free, unlike float sums), with ONE IEEE division at the "
+    "end — bit-identical on both engines, no rounding needed. 100 TB "
+    "design: the vocab table is a partial-aggregated groupBy whose "
+    "output is vocabulary-sized (bounded, zipfian), broadcast back "
+    "against the exploded corpus so the big side never shuffles on "
+    "token; the per-doc re-aggregate partial-aggregates before its "
+    "exchange.",
+)
+def x17_token_rarity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    per_doc = (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("freq_sum"),
+        )
+    )
+    commonness = F.col("freq_sum") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "freq_sum",
+        commonness.alias("commonness"),
+        (commonness < 50).cast("int").alias("rare_flag"),
+    ).orderBy("doc_id")
+
+
+@register(
     "x10_corpus_pipeline",
     oracle=rf"""
 WITH q AS (
