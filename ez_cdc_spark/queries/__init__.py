@@ -27,28 +27,33 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
 # Queries whose implementation or oracle changed since their last driver
 # attestation: treat as unattested so the driver re-checks them first.
-# Cleared each round once the re-attestation lands (the r2 set — x2, x2c,
-# x2d, x4c — all came back hash-green in CORRECTNESS_r02.json; leaving them
-# here would burn slots of the ~50-per-round driver cap every round).
-# The round-3 tokenizer-oracle alignment (string_split -> regexp_split on
-# \s+) and the w6/f_array2 output-shape fixes are value-preserving on the
-# fixture for every already-attested query, so nothing needs forcing.
-# x2c's IMPLEMENTATION changed late in round 3 (two-step token-hash
-# materialization): output verified identical locally, but per this set's
-# contract it re-attests so the driver record reflects the shipped code.
-_REATTEST: set[str] = {"x2c_simhash"}
+# The contract is strict — ANY change to either side re-attests, including
+# oracle edits argued to be value-preserving on the fixture (round 3 skipped
+# the string_split -> regexp_split oracle rewrite on that argument; the r3
+# advice correctly flagged that the argument holds only while fixture text
+# stays single-spaced, so the carve-out is gone and the affected queries
+# whose last attestation predates the rewrite re-attest now).
+# Cleared each round once the re-attestation lands (r2 set x2/x2c/x2d/x4c
+# and r3's x2c both came back hash-green; leaving entries here would burn
+# slots of the ~50-per-round driver cap every round).
+_REATTEST: set[str] = {
+    # last attested r2, oracle text changed in r3 (regexp_split rewrite);
+    # x8/x10 had the same edit but were attested in r3 WITH the new oracle
+    "x2_minhash_lsh",
+    "x4_word_count",
+    "x4b_text_metrics",
+    "x4c_lang_quality",
+    "x4d_tfidf",
+    "x4e_rolling_fingerprint",
+    # r4: implementation changed — hybrid head/tail vocab join (scale path)
+    "x17_token_rarity",
+}
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
-# The full unattested backlog (17 queries incl. the w6/f_array2 fixes)
-# fits inside one round's cap, so no yield entries are needed this round.
-_RANK: dict[str, int] = {
-    # Round-3 fixes for the two r2 driver-red rows: attest first.
-    "w6_locf_gap_fill": -1,
-    "f_array2": -1,
-    # x6d carried the same latent array-output hazard, fixed pre-attestation.
-    "x6d_quantize_int8": -1,
-}
+# Round 4's unattested set (new x18/x19/x20 + the _REATTEST batch) is ~10
+# queries — far inside one round's cap, so no entries are needed.
+_RANK: dict[str, int] = {}
 
 
 @dataclass
