@@ -16,13 +16,37 @@ from ez_cdc_spark.schemas import TABLE_NAMES
 from ez_cdc_spark.session import apply_runtime_conf
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Map TIMESTAMP_NTZ columns to TIMESTAMP (session TZ is pinned UTC).
+
+    The testdata generator has shipped timestamps two ways across rounds:
+    TIMESTAMP(NANOS) (no Spark type; arrives as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ under Spark 4's
+    ``inferTimestampNTZ`` default). Chrono functions like ``unix_micros``
+    and streaming watermarks want TIMESTAMP_LTZ, and the DuckDB oracle
+    treats the stored wall-clock as naive — identical to interpreting the
+    NTZ value in the pinned-UTC session, so this cast is value-preserving
+    for every rendered/compared output.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    casts = {
+        f.name: F.col(f.name).cast("timestamp")
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
+    return df.withColumns(casts) if casts else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: parquet scan of one testdata table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark has no type for;
-    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos
-    and is truncated to micros here — the same value DuckDB produces reading
-    the file natively.
+    ``events.ts`` has been TIMESTAMP(NANOS) on disk in some rounds, which
+    Spark has no type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as long nanos and is truncated to micros here — the same value
+    DuckDB produces reading the file natively.
     """
     apply_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -30,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -44,7 +68,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = _normalize_timestamps(spark.read.parquet(path))
     return out
 
 
