@@ -741,3 +741,177 @@ def x10_corpus_pipeline(spark, sf_dir):
         "n_tokens",
         F.expr("CAST((cum_end - n_tokens) div 2048 AS BIGINT)").alias("bin_start"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x18_source_cap",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 15
+ORDER BY doc_id
+""",
+    doc="X18: per-source document cap (domain balancing) — keep at most 15 "
+    "docs per source, best-first (n_chars DESC, doc_id tiebreak), the "
+    "standard guard against one domain flooding a training mix. "
+    "Implemented as a skew-resistant TWO-PHASE top-k: phase 1 ranks "
+    "within (source, salt-of-16) partitions and discards everything past "
+    "k locally, so the final per-source window only sees <= 16*k rows per "
+    "source no matter how hot the source is — a mega-domain with 10^9 "
+    "docs costs two narrow shuffles, never one executor sorting 10^9 "
+    "rows. Oracle is the single-window definition the two-phase plan is "
+    "algebraically equivalent to.",
+)
+def x18_source_cap(spark, sf_dir):
+    k = 15
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    w_local = Window.partitionBy("source", "salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivors = (
+        d.withColumn("salt", salt)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)  # phase 1: <= 16k rows/source survive
+        .drop("lrk", "salt")
+    )
+    w_final = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "rk")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x19_boilerplate_ngrams",
+    oracle=r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 5 THEN list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))
+              ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents)
+), dg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), boiler AS (
+  SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 3
+), hits AS (
+  SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+  FROM dg JOIN boiler USING (gram) GROUP BY dg.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.grams) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+       ROUND(CASE WHEN len(g.grams) = 0 THEN 0
+                  ELSE CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(g.grams)
+             END, 6) AS boiler_ratio
+FROM g LEFT JOIN hits h USING (doc_id)
+ORDER BY g.doc_id
+""",
+    doc="X19: cross-document boilerplate detection (CCNet-style) — a 5-gram "
+    "appearing in >= 3 distinct documents is boilerplate (headers, "
+    "licenses, navigation chrome); each doc reports what fraction of its "
+    "distinct 5-grams are boilerplate. Per-doc grams are DISTINCT before "
+    "the explode, so the gram->doc-count aggregate counts documents with "
+    "plain COUNT(*) — partial aggregation compresses each map task to its "
+    "distinct grams before the one gram-keyed exchange. The boiler set "
+    "joins back by gram (shuffle join: the boilerplate table is "
+    "corpus-dependent and must not be assumed driver-small); per-doc "
+    "re-aggregation partial-aggregates again. Zipfian gram keys skew the "
+    "exchange at extreme scale - AQE skew splitting or a gram-salt handles "
+    "the head.",
+)
+def x19_boilerplate_ngrams(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    grams = F.array_distinct(
+        F.when(
+            F.size(ws) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 4),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    base = d.select("doc_id", grams.alias("grams"))
+    dg = base.select("doc_id", F.explode("grams").alias("gram"))
+    boiler = dg.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") >= 3)
+    hits = (
+        dg.join(boiler.select("gram"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_boiler"))
+    )
+    n_grams = F.size("grams").cast("bigint")
+    nb = F.coalesce("n_boiler", F.lit(0)).cast("bigint")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            nb.alias("n_boiler"),
+            F.round(
+                F.when(n_grams == 0, F.lit(0.0)).otherwise(
+                    nb.cast("double") / n_grams
+                ),
+                6,
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x20_token_budget_mix",
+    oracle=rf"""
+WITH n AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+         {_o_phash("'budget:' || CAST(doc_id AS VARCHAR)")} AS okey
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY okey, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end
+  FROM n
+)
+SELECT doc_id, source, n_tokens, CAST(cum_end AS BIGINT) AS cum_end
+FROM cum WHERE cum_end <= 800
+ORDER BY doc_id
+""",
+    doc="X20: token-budget corpus fill — take documents per source in a "
+    "deterministic pseudo-random order (portable hash of doc_id) until "
+    "each source's token budget (800) is spent: the 'fill N billion "
+    "tokens from each source' step that turns mixture WEIGHTS (x7b) into "
+    "mixture QUOTAS. One running-sum window per source is the only "
+    "shuffle; integer token counts make the cumsum order-exact on both "
+    "engines. At 100 TB the hash order means the kept set is stable "
+    "under corpus growth (adding docs only appends candidates past the "
+    "budget frontier), and per-source windows parallelize across "
+    "sources; a single mega-source pre-filters with x7-style hash "
+    "thresholding to an overshoot sample before paying the window sort.",
+)
+def x20_token_budget_mix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    okey = _phash(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
+    base = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), okey.alias("okey")
+    )
+    w = Window.partitionBy("source").orderBy("okey", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.withColumn("cum_end", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_end") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_end")
+        .orderBy("doc_id")
+    )
