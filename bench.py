@@ -50,11 +50,14 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   x13 — round-3 repetition-quality metrics (two explode-agg chains),
 #   t9 warm — a second CDC upsert replay right after the cold one (same
 #   work, warm JVM/codegen/scratch paths; cold time is the frozen t9 row).
+#   x19 — round-5 cross-doc boilerplate detection (distinct-gram explode,
+#   doc-frequency agg, gram-keyed join back), the heaviest new curation op.
 EXTRA_QUERIES = [
     "x2d_embedding_neardup",
     "x10_corpus_pipeline",
     "x11_neardup_clusters",
     "x13_repetition_metrics",
+    "x19_boilerplate_ngrams",
 ]
 
 

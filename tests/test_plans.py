@@ -240,3 +240,34 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_smoke, tmp_path
     dim = spark.read.parquet(dpath).filter(F.col("rank") <= 2)
     j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
     assert "dynamicpruning" in plan_str(j), "expected a DPP subquery on the fact scan"
+
+
+def test_round5_curation_ops_plan_shapes(spark, sf_smoke):
+    """Round-5 ops keep their declared scale shapes. x18: the two-phase
+    top-k pays exactly two window exchanges ((source, salt) then source)
+    plus the deterministic trailing sort — a hot source never funnels
+    unpruned rows to one task. x19: the gram->doc-frequency aggregate
+    partial-aggregates before its exchange, and no Exchange carries the
+    text column (same 100 TB rule as x16). x20: one window exchange on
+    source plus the trailing sort, and the running sum is computed from
+    map-side-projected (doc_id, source, n_tokens, okey) rows only."""
+    import re
+
+    reg = load_all()
+
+    p18 = plan_str(reg["x18_source_cap"].fn(spark, sf_smoke))
+    assert p18.count("hashpartitioning") == 2, (
+        "x18: exactly two window exchanges (salt-local prune + final)"
+    )
+
+    p19 = plan_str(reg["x19_boilerplate_ngrams"].fn(spark, sf_smoke))
+    assert "partial_count" in p19 or "HashAggregate" in p19
+    for section in re.split(r"\n\n", p19):
+        if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "text#" not in section, f"x19 shuffles document text:\n{section}"
+
+    p20 = plan_str(reg["x20_token_budget_mix"].fn(spark, sf_smoke))
+    assert p20.count("hashpartitioning") == 1, "x20: one window exchange on source"
+    for section in re.split(r"\n\n", p20):
+        if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "text#" not in section, f"x20 shuffles document text:\n{section}"
