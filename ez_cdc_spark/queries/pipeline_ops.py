@@ -915,3 +915,154 @@ def x20_token_budget_mix(spark, sf_dir):
         .select("doc_id", "source", "n_tokens", "cum_end")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x21_source_overlap",
+    oracle=r"""
+WITH dg AS (
+  SELECT DISTINCT source, gram
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(ws) >= 5 THEN list_transform(
+                  generate_series(1, len(ws) - 4),
+                  i -> array_to_string(ws[i:i+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM (SELECT source, regexp_split_to_array(text, '\s+') AS ws FROM documents)
+  )
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM dg GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared_grams,
+       ROUND(CAST(s.shared_grams AS DOUBLE) / least(ta.n_grams, tb.n_grams), 6)
+         AS overlap_coef
+FROM shared s
+JOIN totals ta ON ta.source = s.src_a
+JOIN totals tb ON tb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+""",
+    doc="X21: source-to-source duplication matrix — for every source pair, "
+    "the count of shared distinct 5-grams and the overlap coefficient "
+    "(shared / smaller source's gram count): the corpus-curation "
+    "diagnostic that finds mirror sites and syndicated content BETWEEN "
+    "sources before mixing weights are chosen. Distinct (source, gram) "
+    "rows self-join on gram — partial-agg'd to distinct pairs map-side "
+    "first, one gram-keyed exchange; output is #source-pairs rows "
+    "(catalog-bounded), and the per-source totals are a "
+    "dimension-table-sized broadcast. Zipfian head grams fan out "
+    "quadratically per bucket at extreme scale - cap per-gram source "
+    "lists or drop stop-grams first, same head-control as any "
+    "inverted-index build.",
+)
+def x21_source_overlap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    grams = F.when(
+        F.size(ws) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 4),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        d.select("source", F.explode(grams).alias("gram"))
+        .dropDuplicates(["source", "gram"])
+    )
+    totals = dg.groupBy("source").agg(F.count("*").cast("bigint").alias("n_grams"))
+    a, b = dg.alias("a"), dg.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+    ta = F.broadcast(totals.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na")))
+    tb = F.broadcast(totals.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb")))
+    return (
+        shared.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double") / F.least("na", "nb"), 6
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "x22_quality_thresholds",
+    oracle=r"""
+WITH q AS (
+  SELECT ROUND(0.4 * least(length(text) / 400.0, 1.0)
+             + 0.3 * (len(list_distinct(regexp_split_to_array(text, '\s+')))
+                 / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE))
+             + 0.3 * (1 - len(list_filter(
+                   list_transform(regexp_split_to_array(text, '\s+'), x -> lower(x)),
+                   x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                 / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)), 6) AS quality
+  FROM documents
+), h AS (
+  SELECT quality, COUNT(*) AS c FROM q GROUP BY quality
+), cum AS (
+  SELECT quality,
+         SUM(c) OVER (ORDER BY quality DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge,
+         (SELECT COUNT(*) FROM q) AS n
+  FROM h
+), fr(keep_frac) AS (
+  VALUES (CAST(0.1 AS DECIMAL(3,1))), (0.2), (0.3), (0.4), (0.5),
+         (0.6), (0.7), (0.8), (0.9)
+)
+SELECT CAST(fr.keep_frac AS DOUBLE) AS keep_frac,
+       CAST(MAX(cum.quality) AS DOUBLE) AS threshold,
+       CAST(MIN(cum.n_ge) AS BIGINT) AS n_kept
+FROM cum JOIN fr ON cum.n_ge >= CEILING(fr.keep_frac * cum.n)
+GROUP BY fr.keep_frac
+ORDER BY keep_frac
+""",
+    doc="X22: quality-threshold calibration — for each target keep-fraction "
+    "(10%..90%), the highest quality cutoff that keeps at least that "
+    "fraction of the corpus, plus the exact kept count: the table that "
+    "turns 'keep the best 30%' into a map-side filter constant. "
+    "Deliberately NOT a global NTILE (which would range-sort the corpus): "
+    "the corpus reduces to a DISTINCT-SCORE histogram (bounded by the "
+    "6-decimal score space, partial-agg'd map-side), the running count "
+    "runs over histogram rows only, and the 9-row fraction table "
+    "cross-checks against it — corpus rows are touched exactly once by "
+    "the score projection. CEILING(DECIMAL * BIGINT) is exact integer "
+    "arithmetic on both engines.",
+)
+def x22_quality_thresholds(spark, sf_dir):
+    from ez_cdc_spark.functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    q = d.select(quality_score(F.col("text")).alias("quality"))
+    h = q.groupBy("quality").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = h.withColumn("n_ge", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    fr = spark.createDataFrame(
+        [(i / 10.0,) for i in range(1, 10)], "keep_frac double"
+    ).select(F.col("keep_frac").cast("decimal(3,1)").alias("keep_frac"))
+    return (
+        cum.crossJoin(F.broadcast(fr))
+        .filter(F.col("n_ge") >= F.ceil(F.col("keep_frac") * F.col("n")))
+        .groupBy("keep_frac")
+        .agg(
+            F.max("quality").cast("double").alias("threshold"),
+            F.min("n_ge").cast("bigint").alias("n_kept"),
+        )
+        .select(F.col("keep_frac").cast("double").alias("keep_frac"), "threshold", "n_kept")
+        .orderBy("keep_frac")
+    )

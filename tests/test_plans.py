@@ -271,3 +271,25 @@ def test_round5_curation_ops_plan_shapes(spark, sf_smoke):
     for section in re.split(r"\n\n", p20):
         if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
             assert "text#" not in section, f"x20 shuffles document text:\n{section}"
+
+
+def test_x21_x22_plan_shapes(spark, sf_smoke):
+    """x21: per-source totals join as broadcasts (catalog-sized dims), the
+    self-join on gram is a hash/SMJ equi-join, never a cartesian. x22: the
+    corpus is touched by ONE scan + partial-agg'd histogram; no Exchange
+    carries the text column, and the 9-row fraction table broadcasts."""
+    import re
+
+    reg = load_all()
+
+    p21 = plan_str(reg["x21_source_overlap"].fn(spark, sf_smoke))
+    assert_no_cartesian(reg["x21_source_overlap"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p21, "x21 totals must broadcast"
+
+    p22 = plan_str(reg["x22_quality_thresholds"].fn(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in p22 or "BroadcastHashJoin" in p22, (
+        "x22 fraction table must broadcast"
+    )
+    for section in re.split(r"\n\n", p22):
+        if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
+            assert "text#" not in section, f"x22 shuffles document text:\n{section}"
