@@ -191,6 +191,17 @@ def token_hashes(text_col, portable: bool = False) -> F.Column:
     return F.transform(words(text_col), tok_hash)
 
 
+def simhash_sql_bit_terms(bits: int = 32, hashes_expr: str = "hs") -> str:
+    """DuckDB rendering of :func:`simhash_from_hashes` over a token-hash
+    list column — the oracle-side mirror (same +1/-1 per-bit fold, same
+    sign rule) used by the x2c and t12 oracles."""
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hashes_expr}, h -> CASE WHEN "
+        f"(h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
 def simhash_from_hashes(hashes_col, bits: int = 32) -> F.Column:
     """SimHash fingerprint from a PRE-MATERIALIZED token-hash array.
 

@@ -270,11 +270,9 @@ def x2f_incremental_dedup(spark, sf_dir):
 
 # DuckDB mirror of simhash(portable=True): per bit i, sign of sum(+1/-1)
 # over token-hash bit i — unrolled exactly like the Spark column expression.
-_X2C_BIT_TERMS = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
-    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(32)
-)
+from ez_cdc_spark.operators.dedup import simhash_sql_bit_terms
+
+_X2C_BIT_TERMS = simhash_sql_bit_terms(32, "hs")
 
 @register(
     "x2c_simhash",

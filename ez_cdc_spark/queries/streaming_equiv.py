@@ -724,3 +724,50 @@ def t11_streaming_curation(spark, sf_dir):
         F.sum(n_tokens).cast("bigint").alias("sum_tokens"),
     )
     return run_to_memory(agg, "t11_curation").orderBy("lang")
+
+
+from ez_cdc_spark.operators.dedup import simhash_sql_bit_terms as _sh_terms
+
+
+@register(
+    "t12_streaming_neardup_gate",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, '\s+'),
+                        w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+  FROM documents
+), sh AS (
+  SELECT doc_id, {_sh_terms(32, "hs")} AS sh FROM tok
+)
+SELECT CAST(sh % 16 AS BIGINT) AS bucket,
+       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_fingerprints
+FROM sh GROUP BY 1 ORDER BY bucket
+""",
+    doc="T12: streaming near-dup gate — documents stream through a map-side "
+    "SimHash fingerprint (same portable 32-bit construction as x2c, pure "
+    "column expressions, no UDF) into a stateful dropDuplicates on the "
+    "fingerprint, so near-identical re-crawls sharing a fingerprint are "
+    "admitted once: the online admission-control shape of fuzzy dedup "
+    "(its batch analog is x2c; its exact-hash analog is t5). State is one "
+    "row per distinct fingerprint. Which copy survives is arrival-order "
+    "dependent, so the output aggregates to a DUPLICATE-CHOICE-INVARIANT "
+    "per-bucket fingerprint count (bucket = sh mod 16) — equal to any "
+    "batch choice, which is what makes the batch SQL an exact oracle for "
+    "the streaming run (t11's invariance argument)."
+)
+def t12_streaming_neardup_gate(spark, sf_dir):
+    from ez_cdc_spark.operators.dedup import simhash_from_hashes, token_hashes
+    from ez_cdc_spark.streaming.replay import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    # two-step projection: materialize token hashes, then fingerprint
+    # (HOFs are interpreted and not CSE'd -- simhash_from_hashes docstring)
+    sh = docs.select(token_hashes(F.col("text"), portable=True).alias("__th")).select(
+        simhash_from_hashes(F.col("__th"), 32).alias("sh")
+    )
+    ded = sh.dropDuplicates(["sh"])
+    agg = ded.groupBy(F.pmod(F.col("sh"), F.lit(16)).cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_fingerprints")
+    )
+    return run_to_memory(agg, "t12_neardup_gate").orderBy("bucket")
