@@ -162,7 +162,10 @@ def main() -> None:
     timings["t9_cdc_upsert_warm"] = round(time.perf_counter() - t0, 3)
 
     # Streaming throughput: events/s through the tumbling-window replay
-    # (n events incl. none dropped) using the t2 wall time.
+    # (n events incl. none dropped) using the t2 wall time, and change
+    # events/s through the warm CDC upsert (BASELINE.md's engine-side
+    # comparable for the reference's capture-side latency figures; warm,
+    # because the cold row already carries one-time state-dir setup).
     try:
         import duckdb
 
@@ -170,8 +173,10 @@ def main() -> None:
             f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
         ).fetchone()[0]
         events_per_s = round(n_events / timings["t2_tumbling_window"], 1)
+        t9_events_per_s = round(n_events / timings["t9_cdc_upsert_warm"], 1)
     except Exception:
         events_per_s = None
+        t9_events_per_s = None
 
     print(
         json.dumps(
@@ -182,6 +187,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming_events_per_s": events_per_s,
+                "cdc_upsert_events_per_s": t9_events_per_s,
             }
         )
     )

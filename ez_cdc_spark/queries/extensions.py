@@ -815,3 +815,51 @@ def x3c_ivf_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return ivf_topk(q, e, k=5, n_cells=16, n_probe=4).orderBy("q_id", "c_id")
+
+
+@register(
+    "x6e_matryoshka_retention",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS h
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim_full,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS norm_full,
+       ROUND(sqrt(list_sum(list_transform(h, x -> x * x))), 6) AS norm_head,
+       ROUND(sqrt(list_sum(list_transform(h, x -> x * x)))
+             / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS retention,
+       CAST(CASE WHEN sqrt(list_sum(list_transform(h, x -> x * x)))
+                      / sqrt(list_sum(list_transform(v, x -> x * x))) >= 0.5
+            THEN 1 ELSE 0 END AS INT) AS head_usable
+FROM v
+ORDER BY vec_id
+""",
+    doc="X6e: matryoshka truncation retention — per vector, how much L2 "
+    "mass the first 16 of 64 dimensions keep (cosine between the "
+    "truncated-and-zero-padded vector and the full one equals "
+    "norm_head/norm_full), the storage-tiering diagnostic before serving "
+    "embeddings at a shorter prefix length. Pure per-row JVM "
+    "higher-order-function arithmetic — map-side, zero shuffle beyond "
+    "the deterministic output sort; the usable flag compares the "
+    "UNROUNDED ratio identically in both engines (same left-to-right "
+    "float64 fold over the same values).",
+)
+def x6e_matryoshka_retention(spark, sf_dir):
+    from ez_cdc_spark.functions.similarity import norm
+
+    e = t(spark, sf_dir, "embeddings")
+    full = F.col("embedding")
+    head = F.slice(F.col("embedding"), 1, 16)
+    retention = norm(head) / norm(full)
+    return e.select(
+        "vec_id",
+        F.size(full).cast("bigint").alias("dim_full"),
+        F.round(norm(full), 6).alias("norm_full"),
+        F.round(norm(head), 6).alias("norm_head"),
+        F.round(retention, 6).alias("retention"),
+        (retention >= 0.5).cast("int").alias("head_usable"),
+    ).orderBy("vec_id")
