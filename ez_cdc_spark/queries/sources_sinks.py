@@ -250,3 +250,48 @@ def s10b_python_stream_source(spark, sf_dir):
         q.stop()
         q.awaitTermination()
     return spark.table("s10b_stream").orderBy("op")
+
+
+@register(
+    "s11_schema_evolution",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) AS BIGINT)
+         AS sum_chars
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    doc="S11: schema-evolution scan — two parquet snapshot generations of the "
+    "same table (v1 lacks the later lang/n_chars columns) read as ONE "
+    "dataset via mergeSchema: v1 rows surface the evolved columns as "
+    "NULL, the standard additive-evolution contract of a long-lived lake "
+    "table. The aggregate counts evolved rows and sums an evolved column "
+    "(NULL-tolerant), proving the unified scan, and the oracle recomputes "
+    "from the source table directly. At 100 TB, footer-merge cost scales "
+    "with file count, not data; production pins the merged schema in a "
+    "metastore and this op is the bootstrap that derives it.",
+)
+def s11_schema_evolution(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    v1 = _scratch(sf_dir, "s11v1")
+    v2 = _scratch(sf_dir, "s11v2")
+    # generation 1: the original narrow schema
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(v1)
+    # generation 2: two columns added later
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count("lang").cast("bigint").alias("n_evolved"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
