@@ -771,3 +771,37 @@ def t12_streaming_neardup_gate(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_fingerprints")
     )
     return run_to_memory(agg, "t12_neardup_gate").orderBy("bucket")
+
+
+@register(
+    "t13_incremental_aggregate",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id, max_by(op, lsn) AS op, max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT string_split(email, '@')[2] AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_live
+FROM latest WHERE op <> 'd'
+GROUP BY 1 ORDER BY domain
+""",
+    doc="T13: incremental aggregate maintenance (materialized view driven "
+    "by CDC) — alongside the T9 merge, each micro-batch maintains a "
+    "per-domain live-row count by recomputing ONLY the state buckets it "
+    "touched and swapping only those bucket dirs of the aggregate table: "
+    "per-batch aggregate work tracks batch size, not state size. "
+    "Recompute-from-state (not +1/-1 image deltas) keeps the aggregate "
+    "self-healing under at-least-once replays. The query returns the "
+    "maintained table rolled up across buckets; the oracle recomputes the "
+    "same aggregate from the envelope stream's final state.",
+)
+def t13_incremental_aggregate(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_agg
+
+    agg = materialize_agg(spark, sf_dir)
+    return (
+        agg.groupBy("domain")
+        .agg(F.sum("n_live").cast("bigint").alias("n_live"))
+        .orderBy("domain")
+    )

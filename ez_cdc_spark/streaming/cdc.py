@@ -230,6 +230,49 @@ def decode_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def _swap_bucket_dirs(spark, df, cur_path: str, touched, tag: str) -> None:
+    """Write ``df`` (bucket-partitioned) to a tmp dir, then swap only the
+    touched ``bucket=`` dirs into ``cur_path``.
+
+    Shared by the T9 state merge and the T13 aggregate maintenance: the
+    target path is also the read source (Spark rightly refuses a direct
+    self-overwrite), and swapping per-bucket keeps per-batch IO bounded by
+    the touched-bucket count. A touched bucket whose rows all disappeared
+    yields no tmp dir and its state dir is simply removed; a fully emptied
+    table is rewritten as a plain (unpartitioned) parquet because an empty
+    PARTITIONED dir has no footer and cannot be read back — built from the
+    schema alone, since re-executing the plan here would read bucket files
+    the swap just deleted.
+    """
+    tmp = cur_path + f".tmp-{tag}"
+    df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    if os.path.exists(os.path.join(cur_path, "_SUCCESS")):
+        # drop any empty-state sentinel (top-level part files) before
+        # bucket dirs come back — mixed layouts don't read
+        for f in os.listdir(cur_path):
+            if f.startswith("part-"):
+                os.remove(os.path.join(cur_path, f))
+        for b in touched:
+            dst = os.path.join(cur_path, f"bucket={b}")
+            src = os.path.join(tmp, f"bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+    if not any(n.startswith("bucket=") for n in os.listdir(cur_path)):
+        tmp2 = cur_path + f".tmp2-{tag}"
+        spark.createDataFrame([], df.schema).write.mode("overwrite").parquet(tmp2)
+        shutil.rmtree(cur_path)
+        os.rename(tmp2, cur_path)
+    # the swap replaced files under a path Spark has already listed;
+    # drop the cached file index so later reads see the new layout
+    spark.catalog.refreshByPath(cur_path)
+
+
 def upsert_batch(state_dir: str, n_buckets: int = 16):
     """T9 foreachBatch merge: last-writer-wins by (lsn) per PK, delete on
     op='d', idempotent under replays (batchId guard + pure-merge semantics).
@@ -312,45 +355,7 @@ def upsert_batch(state_dir: str, n_buckets: int = 16):
             )
             .filter(F.col("op") != "d")
         )
-        # Write touched buckets to a tmp dir (the state path is also the
-        # read source — Spark rightly refuses a direct self-overwrite),
-        # then swap only the touched bucket dirs into place. A touched
-        # bucket whose keys were all deleted yields no tmp dir and its
-        # state dir is simply removed.
-        tmp = cur_path + f".tmp-{batch_id}"
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        if os.path.exists(os.path.join(cur_path, "_SUCCESS")):
-            # drop any empty-state sentinel (top-level part files) before
-            # bucket dirs come back — mixed layouts don't read
-            for f in os.listdir(cur_path):
-                if f.startswith("part-"):
-                    os.remove(os.path.join(cur_path, f))
-            for b in touched:
-                dst = os.path.join(cur_path, f"bucket={b}")
-                src = os.path.join(tmp, f"bucket={b}")
-                shutil.rmtree(dst, ignore_errors=True)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            if os.path.exists(cur_path):
-                shutil.rmtree(cur_path)
-            os.rename(tmp, cur_path)
-        if not any(n.startswith("bucket=") for n in os.listdir(cur_path)):
-            # every key deleted: an empty PARTITIONED dir has no parquet
-            # footer and cannot be read back — write the empty state as a
-            # plain parquet (bucket becomes a normal int column). Built from
-            # the schema alone: re-executing the merge plan here would read
-            # bucket files the swap above just deleted.
-            tmp2 = cur_path + f".tmp2-{batch_id}"
-            spark.createDataFrame([], merged.schema).write.mode("overwrite").parquet(
-                tmp2
-            )
-            shutil.rmtree(cur_path)
-            os.rename(tmp2, cur_path)
-        # the swap replaced files under a path Spark has already listed;
-        # drop the cached file index so later reads see the new layout
-        spark.catalog.refreshByPath(cur_path)
+        _swap_bucket_dirs(spark, merged, cur_path, touched, str(batch_id))
         open(marker, "w").close()
 
     return apply
@@ -375,3 +380,77 @@ def materialize(
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(state_dir, "current"))
+
+
+def upsert_with_agg_batch(state_dir: str, n_buckets: int = 16):
+    """T13 foreachBatch: the T9 state merge PLUS incremental maintenance of
+    a per-domain live-row count — materialized-view maintenance driven by
+    the change stream.
+
+    After the merge, ONLY the buckets this batch touched recompute their
+    per-(bucket, domain) counts from current state, and only those bucket
+    dirs of the aggregate table are swapped — per-batch aggregate work and
+    IO track batch size, not state size, exactly like the merge itself
+    (the 100 TB property). The batch-level recompute-from-state form is
+    chosen over image-delta arithmetic (+1/-1 from before/after) because
+    it is self-healing under at-least-once replays: a replayed batch
+    recomputes to the same counts instead of double-applying deltas, so
+    idempotency needs only the batch marker, not exactly-once delta
+    accounting.
+    """
+    merge = upsert_batch(state_dir, n_buckets)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        marker = os.path.join(state_dir, f"_aggbatch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        merge(batch, batch_id)
+        bucket_of = F.pmod(
+            F.xxhash64(F.coalesce(F.col("after.id"), F.col("before.id"))),
+            F.lit(n_buckets),
+        ).cast("int")
+        # superset of the merge's touched set is fine: recompute-from-state
+        # is idempotent per bucket
+        touched = sorted(
+            r["b"]
+            for r in batch.select(bucket_of.alias("b"))
+            .filter(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            open(marker, "w").close()
+            return
+        cur_path = os.path.join(state_dir, "current")
+        agg_path = os.path.join(state_dir, "agg")
+        cur = spark.read.parquet(cur_path).filter(F.col("bucket").isin(touched))
+        agg = (
+            cur.select(
+                "bucket", F.split(F.col("after.email"), "@")[1].alias("domain")
+            )
+            .groupBy("bucket", "domain")
+            .agg(F.count("*").cast("bigint").alias("n_live"))
+        )
+        _swap_bucket_dirs(spark, agg, agg_path, touched, f"agg-{batch_id}")
+        open(marker, "w").close()
+
+    return apply
+
+
+def materialize_agg(spark: SparkSession, sf_dir: str, tag: str = "t13") -> DataFrame:
+    """T13 end-to-end: envelope stream → merge + incremental per-domain
+    aggregate → the maintained aggregate table (bucket, domain, n_live)."""
+    state_dir = _dir_for(sf_dir, f"state-{tag}-{os.getpid()}")
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    env = stream_envelopes(spark, sf_dir)
+    q = (
+        env.writeStream.foreachBatch(upsert_with_agg_batch(state_dir))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state_dir, "agg"))

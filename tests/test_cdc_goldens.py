@@ -389,3 +389,80 @@ def test_upsert_state_growth_stays_bucket_bounded(spark, tmp_path):
         for r in final.filter(F.col("id").isin(keys + [5000])).collect()
     }
     assert got == {k: f"new{k}" for k in keys}  # updates applied, delete gone
+
+
+def test_t13_aggregate_maintenance_incremental_and_idempotent(spark, tmp_path):
+    """T13 design-for-100x check: the maintained per-domain aggregate (a)
+    equals a recompute from final state after every batch, (b) rewrites
+    ONLY the aggregate buckets the batch touched (mtime check, same bound
+    as the T9 merge), and (c) is unchanged by an at-least-once replay of
+    an already-applied batch (marker + recompute-from-state idempotency).
+    """
+    import time
+
+    from ez_cdc_spark.streaming.cdc import upsert_with_agg_batch
+
+    n_buckets = 32
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    apply = upsert_with_agg_batch(state, n_buckets=n_buckets)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "before struct<id:bigint>, "
+            "after struct<id:bigint, email:string>, "
+            "op string, source struct<lsn:bigint>",
+        )
+
+    def mk(i, dom):
+        return (None, {"id": i, "email": f"u{i}@{dom}"}, "c", {"lsn": i})
+
+    # Backfill: 2k keys across 4 domains -> every bucket populated.
+    doms = ["a.com", "b.com", "c.com", "d.com"]
+    apply(batch([mk(i, doms[i % 4]) for i in range(2000)]), 0)
+    agg_path = os.path.join(state, "agg")
+    cur_path = os.path.join(state, "current")
+
+    def agg_now():
+        return {
+            (r["domain"], r["n_live"])
+            for r in spark.read.parquet(agg_path)
+            .groupBy("domain")
+            .agg(F.sum("n_live").alias("n_live"))
+            .collect()
+        }
+
+    def recompute():
+        return {
+            (r["domain"], r["n_live"])
+            for r in spark.read.parquet(cur_path)
+            .select(F.split(F.col("after.email"), "@")[1].alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_live"))
+            .collect()
+        }
+
+    assert agg_now() == recompute() == {(d, 500) for d in doms}
+
+    dirs = [d for d in os.listdir(agg_path) if d.startswith("bucket=")]
+    before_mtime = {d: os.path.getmtime(os.path.join(agg_path, d)) for d in dirs}
+    time.sleep(0.05)
+
+    # Incremental: move key 8 from a.com to d.com, delete key 13 (b.com).
+    b1 = batch(
+        [(None, {"id": 8, "email": "u8@d.com"}, "u", {"lsn": 10_008})]
+        + [({"id": 13}, None, "d", {"lsn": 10_013})]
+    )
+    apply(b1, 1)
+    assert agg_now() == recompute() == {
+        ("a.com", 499), ("b.com", 499), ("c.com", 500), ("d.com", 501)
+    }
+    changed = {
+        d for d in dirs if os.path.getmtime(os.path.join(agg_path, d)) != before_mtime[d]
+    }
+    assert len(changed) <= 2, f"untouched agg buckets rewritten: {changed}"
+
+    # At-least-once replay of batch 1: marker short-circuits, agg unchanged.
+    apply(b1, 1)
+    assert agg_now() == {("a.com", 499), ("b.com", 499), ("c.com", 500), ("d.com", 501)}
