@@ -863,3 +863,80 @@ def x6e_matryoshka_retention(spark, sf_dir):
         F.round(retention, 6).alias("retention"),
         (retention >= 0.5).cast("int").alias("head_usable"),
     ).orderBy("vec_id")
+
+
+@register(
+    "x24_cluster_canonical",
+    oracle="WITH RECURSIVE "
+    + _x2_pair_ctes()
+    + r""",
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
+), n AS (SELECT DISTINCT src AS id FROM e),
+walk(id, lbl) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id
+), cc AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+labeled AS (
+  SELECT d.doc_id,
+         COALESCE(cc.lbl, d.doc_id) AS cluster_id,
+         ROUND(0.4 * least(length(d.text) / 400.0, 1.0)
+               + 0.3 * (len(list_distinct(regexp_split_to_array(d.text, '\s+')))
+                   / CAST(len(regexp_split_to_array(d.text, '\s+')) AS DOUBLE))
+               + 0.3 * (1 - len(list_filter(
+                     list_transform(regexp_split_to_array(d.text, '\s+'), x -> lower(x)),
+                     x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                   / CAST(len(regexp_split_to_array(d.text, '\s+')) AS DOUBLE)), 6)
+           AS quality
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_n AS BIGINT) AS cluster_n, quality
+FROM (
+  SELECT doc_id, cluster_id, quality,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM labeled
+)
+WHERE rk = 1
+ORDER BY doc_id
+""",
+    doc="X24: canonical-document election — the decision step that completes "
+    "fuzzy dedup: x2's LSH pairs become x11's connected-component "
+    "clusters, singletons keep their own label (left join, label = "
+    "doc_id), and each cluster KEEPS exactly one document — the highest "
+    "quality score, doc_id tiebreak — emitting the kept doc with its "
+    "cluster size. The per-cluster window shuffles on cluster_id with "
+    "cluster-sized groups (near-dup clusters are small by construction); "
+    "the cluster labels themselves join back to the corpus by doc_id. "
+    "Oracle: the same recursive-CTE components over the IDENTICAL pair "
+    "CTEs as x2/x11 plus the x4c quality expression.",
+)
+def x24_cluster_canonical(spark, sf_dir):
+    from ez_cdc_spark.functions.text import quality_score
+    from ez_cdc_spark.operators.dedup import connected_components, minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, portable=True).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components(pairs)
+    labeled = (
+        d.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("bigint").alias("cluster_id"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+    )
+    w_n = Window.partitionBy("cluster_id")
+    w_rk = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        labeled.withColumn("cluster_n", F.count("*").over(w_n).cast("bigint"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "cluster_id", "cluster_n", "quality")
+        .orderBy("doc_id")
+    )
