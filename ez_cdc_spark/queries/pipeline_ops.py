@@ -830,7 +830,12 @@ ORDER BY g.doc_id
     "the head.",
 )
 def x19_boilerplate_ngrams(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    # The interpreted 5-gram HOF is the dominant cost and the fixture is a
+    # single parquet file (one scan task): widen first so gram generation
+    # parallelizes — at 100 TB (thousands of files) this is a no-op.
+    d = widen_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
     ws = F.split(F.col("text"), r"\s+")
     grams = F.array_distinct(
         F.when(
@@ -959,7 +964,10 @@ ORDER BY s.src_a, s.src_b
     "inverted-index build.",
 )
 def x21_source_overlap(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    # same single-file-fixture widening as x19 (no-op on a wide source)
+    d = widen_partitions(t(spark, sf_dir, "documents").select("source", "text"))
     ws = F.split(F.col("text"), r"\s+")
     grams = F.when(
         F.size(ws) >= 5,
