@@ -81,6 +81,9 @@ _REATTEST: set[str] = {
     "w3_running_agg",
     "w4_sliding_range",
     "w6_locf_gap_fill",
+    # r5: implementation changed — gram generation widened off the
+    # single-file scan (value-preserving, but the strict contract re-attests)
+    "x12_contamination",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

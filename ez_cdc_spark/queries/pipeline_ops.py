@@ -346,7 +346,13 @@ ORDER BY d.doc_id
     "before the join).",
 )
 def x12_contamination(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import widen_partitions
+
     d = t(spark, sf_dir, "documents")
+    # gram generation parallelized off the single-file fixture scan, as in
+    # x19 (pass-through on a wide source); the final doc_id left join reads
+    # the narrow scan directly
+    wide = widen_partitions(d.select("doc_id", "text"))
     ws = F.split(F.col("text"), r"\s+")
     grams = F.array_distinct(
         F.when(
@@ -357,7 +363,7 @@ def x12_contamination(spark, sf_dir):
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    doc_grams = d.select("doc_id", F.explode(grams).alias("gram"))
+    doc_grams = wide.select("doc_id", F.explode(grams).alias("gram"))
     bench = doc_grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     hits = (
         doc_grams.filter(F.col("doc_id") % 97 != 0)
