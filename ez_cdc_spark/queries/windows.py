@@ -210,3 +210,66 @@ def w6_locf_gap_fill(spark, sf_dir):
         "user_id",
         F.last(reading, ignorenulls=True).over(w).cast("double").alias("locf"),
     ).orderBy("event_id")
+
+
+@register(
+    "w7_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         epoch_us(ts) AS t_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_us
+  FROM events WHERE user_id < 100
+), seg AS (
+  SELECT user_id, v, next_us - t_us AS dur_us
+  FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
+         AS twa
+FROM seg
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="W7: time-weighted average — each reading holds until the user's "
+    "next event, so the mean weights every value by its holding duration "
+    "(sum(v·dt)/sum(dt)): the standard sensor/position/time-series "
+    "summary that a row-count average gets wrong under irregular "
+    "sampling. One lead() window per user then a per-user aggregate — "
+    "the same single keyed shuffle any sessionization pays. Exactness: "
+    "value is DECIMAL(12,2) and duration integer micros, so every "
+    "product and both sums are exact (order-free); the final division is "
+    "ROUND(,6)-rendered because the engines' DECIMAL(38,2)->DOUBLE casts "
+    "of the huge exact sums can differ by 1 ulp (unlike w3's small "
+    "decimals).",
+)
+def w7_time_weighted_avg(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "user_id",
+        dec("value").alias("v"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id", "v", (F.col("next_us") - F.col("t_us")).alias("dur_us")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
