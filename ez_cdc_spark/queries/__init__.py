@@ -36,60 +36,15 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # Cleared each round once the re-attestation lands (r2 set x2/x2c/x2d/x4c
 # and r3's x2c both came back hash-green; leaving entries here would burn
 # slots of the ~50-per-round driver cap every round).
-_REATTEST: set[str] = {
-    # Round 5: the driver regenerated /root/testdata between rounds with a
-    # new timestamp encoding (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS,
-    # isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ), and
-    # load_table grew an NTZ->LTZ normalization to absorb it
-    # (sources/tables.py:_normalize_timestamps). Every query that consumes a
-    # timestamp column (events.ts, o_orderdate, l_shipdate) re-attests under
-    # the new loader; queries over timestamp-free tables (documents,
-    # embeddings, region/nation/...) are untouched by the change and keep
-    # their prior attestation. The r4 batch (x2/x4*/x17) came back
-    # hash-green, so those entries are cleared.
-    "a1_pricing_summary",
-    "a6_filtered_agg",
-    "a10_min_max_by",
-    "j7_range_join",
-    "j8_asof_join",
-    "j10_stream_static",
-    "j11_stream_stream",
-    "j11b_stream_stream_outer",
-    "p3_in_between_null",
-    "f_datetime",
-    "f_datetime2",
-    "o1_global_sort",
-    "o3_union",
-    "s1_parquet_scan",
-    "s5_stream_replay",
-    "s7_partitioned_parquet_sink",
-    "s10b_python_stream_source",
-    "t1_watermark_append",
-    "t2_tumbling_window",
-    "t3_sliding_window",
-    "t4_session_window",
-    "t4b_session_window_dynamic",
-    "t5_stream_dedup",
-    "t5b_dedup_within_watermark",
-    "t6_stateful",
-    "t7_late_data",
-    "t8_output_modes",
-    "t9_cdc_upsert",
-    "t9b_snapshot_stream",
-    "t11_streaming_curation",
-    "w2_lag_lead",
-    "w3_running_agg",
-    "w4_sliding_range",
-    "w6_locf_gap_fill",
-    # r5: implementation changed — gram generation widened off the
-    # single-file scan (value-preserving, but the strict contract re-attests)
-    "x12_contamination",
-}
+# (r5's 35-entry timestamp-loader batch + x12 all came back hash-green in
+# CORRECTNESS_r05.json, so the set was cleared at the start of round 6.
+# Entries are added in the same commit as the change they cover.)
+_REATTEST: set[str] = set()
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
-# The 34-query timestamp re-attest batch fits inside one round's cap with
-# ~16 slots left for normal rotation, so no entries are needed.
+# The round-6 re-attest batch is small (~8 entries incl. new s11b), leaving
+# ~40 slots for rotation to the stalest r1/r4-vintage attestations.
 _RANK: dict[str, int] = {}
 
 
