@@ -39,7 +39,18 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r5's 35-entry timestamp-loader batch + x12 all came back hash-green in
 # CORRECTNESS_r05.json, so the set was cleared at the start of round 6.
 # Entries are added in the same commit as the change they cover.)
-_REATTEST: set[str] = set()
+_REATTEST: set[str] = {
+    # r6: gram stage pinned once (localCheckpoint) instead of recomputed 3x.
+    "x19_boilerplate_ngrams",
+    # r6: x11/x24 share one memoized connected-components helper.
+    "x11_neardup_clusters",
+    "x24_cluster_canonical",
+    # r6 ADVICE guards, mirrored in both engines: w7 NULL twa on zero total
+    # duration; x6e zero-norm retention; s11 generation-tagged evolved count.
+    "w7_time_weighted_avg",
+    "x6e_matryoshka_retention",
+    "s11_schema_evolution",
+}
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.

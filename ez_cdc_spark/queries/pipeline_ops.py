@@ -852,18 +852,33 @@ def x19_boilerplate_ngrams(spark, sf_dir):
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    base = d.select("doc_id", grams.alias("grams"))
-    dg = base.select("doc_id", F.explode("grams").alias("gram"))
+    # Pin the exploded (doc_id, gram) projection ONCE: it feeds three
+    # consumers (doc-frequency agg, the hits join, per-doc gram counts), and
+    # without materialization Spark re-runs the interpreted gram HOF per
+    # consumer (~3x the dominant cost — the r5 verdict's heaviest bench
+    # entry). localCheckpoint also truncates lineage so each consumer's plan
+    # starts at the slim two-column rows, never the text scan. On a real
+    # cluster swap for persist(DISK_ONLY)/reliable checkpoint if executor
+    # loss during the job must be survivable.
+    dg = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
     boiler = dg.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") >= 3)
     hits = (
         dg.join(boiler.select("gram"), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_boiler"))
     )
-    n_grams = F.size("grams").cast("bigint")
+    # Docs whose text yields zero grams (< 5 words) have no dg rows, so the
+    # doc axis comes from a column-pruned doc_id-only scan, not the HOF.
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("bigint")
     nb = F.coalesce("n_boiler", F.lit(0)).cast("bigint")
     return (
-        base.join(hits, "doc_id", "left")
+        d.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             n_grams.alias("n_grams"),

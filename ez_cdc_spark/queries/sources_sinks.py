@@ -281,16 +281,18 @@ def s11_schema_evolution(spark, sf_dir):
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.mode(
         "overwrite"
     ).parquet(v1)
-    # generation 2: two columns added later
+    # generation 2: two columns added later, plus an explicit generation tag
+    # so "evolved row" means generation membership, not the nullability of a
+    # data column that could legitimately be NULL in v2 rows (ADVICE r5).
     d.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "source", "lang", "n_chars"
+        "doc_id", "source", "lang", "n_chars", F.lit(2).alias("gen")
     ).write.mode("overwrite").parquet(v2)
     merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
     return (
         merged.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_total"),
-            F.count("lang").cast("bigint").alias("n_evolved"),
+            F.count("gen").cast("bigint").alias("n_evolved"),
             F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
         )
         .orderBy("source")

@@ -229,8 +229,8 @@ WITH seq AS (
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_segments,
        CAST(SUM(dur_us) AS BIGINT) AS total_us,
-       ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
-         AS twa
+       ROUND(CAST(SUM(v * dur_us) AS DOUBLE)
+             / NULLIF(CAST(SUM(dur_us) AS DOUBLE), 0), 6) AS twa
 FROM seg
 GROUP BY user_id
 ORDER BY user_id
@@ -265,9 +265,12 @@ def w7_time_weighted_avg(spark, sf_dir):
         .agg(
             F.count("*").cast("bigint").alias("n_segments"),
             F.sum("dur_us").cast("bigint").alias("total_us"),
+            # NULLIF guard: a user whose surviving events all share one
+            # timestamp has total_us = 0, and Spark/DuckDB disagree on
+            # double x/0 (NULL vs IEEE) — both engines emit NULL here.
             F.round(
                 F.sum(F.col("v") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us").cast("double"),
+                / F.nullif(F.sum("dur_us").cast("double"), F.lit(0.0)),
                 6,
             ).alias("twa"),
         )
