@@ -30,8 +30,11 @@ _BASE_CONF = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark has no type for;
     # read as long and convert in the loader (micros truncation == DuckDB)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # deterministic ANSI-ish behavior without hard failures on overflow
-    "spark.sql.ansi.enabled": "false",
+    # ANSI on: the Spark 4 default, and what the external correctness driver
+    # runs the queries under — our own sessions must match. All engine
+    # arithmetic is ANSI-safe by construction (e.g. the minhash permutations
+    # bound a*h+b under 2^63 via the 31-bit modulus, operators/dedup.py).
+    "spark.sql.ansi.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
