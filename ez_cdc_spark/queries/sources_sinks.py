@@ -297,3 +297,59 @@ def s11_schema_evolution(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s11b_type_widening",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    doc="S11b: type-widening schema evolution — the half s11's additive "
+    "contract doesn't cover: a later snapshot generation WIDENS existing "
+    "columns (doc_id/n_chars int32 -> int64, the key-outgrew-int story "
+    "every long-lived lake table hits). Parquet footer-merge refuses "
+    "conflicting physical types (mergeSchema errors out — asserted in "
+    "tests/test_schema_evolution.py), so the production pattern is: derive the "
+    "widened logical schema once (the metastore-pinning bootstrap), then "
+    "ONE multi-generation scan under the explicit wide schema — Spark 4's "
+    "parquet reader upcasts int32 pages to int64 per batch, keeping a "
+    "single scan with pushdown/pruning instead of per-generation "
+    "read+cast+unionByName. v1 rows surface the later gen column as NULL "
+    "exactly as in s11.",
+)
+def s11b_type_widening(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    v1 = _scratch(sf_dir, "s11bv1")
+    v2 = _scratch(sf_dir, "s11bv2")
+    # generation 1: narrow int32 encodings of what later becomes int64
+    d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("int").alias("n_chars"),
+    ).write.mode("overwrite").parquet(v1)
+    # generation 2: widened to bigint, plus the additive gen tag
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.lit(2).alias("gen"),
+    ).write.mode("overwrite").parquet(v2)
+    merged = spark.read.schema(
+        "doc_id BIGINT, source STRING, n_chars BIGINT, gen INT"
+    ).parquet(v1, v2)
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count("gen").cast("bigint").alias("n_evolved"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,65 @@
+"""Schema-evolution contracts behind s11/s11b (SURVEY.md §2b S11).
+
+s11 covers the additive half (new columns surface as NULL under
+mergeSchema); s11b covers type widening, where mergeSchema REFUSES the
+int32/int64 conflict and the engine instead scans every generation under an
+explicitly widened schema (Spark's parquet reader upcasts int32 pages to
+int64). These tests pin both halves of that contract plus the equivalence
+of the single widened scan against the naive per-generation
+read+cast+unionByName.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def generations(spark, tmp_path):
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("int").alias("n"),
+    ).write.parquet(v1)
+    spark.range(50, 100).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") * 2).cast("bigint").alias("n"),
+        F.lit(2).alias("gen"),
+    ).write.parquet(v2)
+    return v1, v2
+
+
+def test_merge_schema_refuses_widened_column(spark, generations):
+    v1, v2 = generations
+    with pytest.raises(Exception, match="(?i)merge|convert|incompatible"):
+        spark.read.option("mergeSchema", "true").parquet(v1, v2).collect()
+
+
+def test_widened_scan_upcasts_and_nulls_missing_columns(spark, generations):
+    v1, v2 = generations
+    wide = spark.read.schema("k BIGINT, n BIGINT, gen INT").parquet(v1, v2)
+    assert wide.schema.simpleString() == "struct<k:bigint,n:bigint,gen:int>"
+    rows = {r["k"]: (r["n"], r["gen"]) for r in wide.collect()}
+    assert len(rows) == 100
+    assert rows[0] == (0, None)  # v1 row: upcast value, NULL evolved column
+    assert rows[99] == (198, 2)
+
+
+def test_widened_scan_equals_union_by_name(spark, generations):
+    v1, v2 = generations
+    wide = spark.read.schema("k BIGINT, n BIGINT, gen INT").parquet(v1, v2)
+    naive = (
+        spark.read.parquet(v1)
+        .select(F.col("k").cast("bigint"), F.col("n").cast("bigint"))
+        .unionByName(spark.read.parquet(v2), allowMissingColumns=True)
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_widened_scan_keeps_filter_pushdown(spark, generations):
+    """The whole point of the single wide scan over per-generation unions:
+    the filter must reach the parquet source as a pushed predicate."""
+    v1, v2 = generations
+    wide = spark.read.schema("k BIGINT, n BIGINT, gen INT").parquet(v1, v2)
+    plan = wide.filter(F.col("k") > 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,90)]" in plan
