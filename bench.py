@@ -52,12 +52,20 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   work, warm JVM/codegen/scratch paths; cold time is the frozen t9 row).
 #   x19 — round-5 cross-doc boilerplate detection (distinct-gram explode,
 #   doc-frequency agg, gram-keyed join back), the heaviest new curation op.
+#   x24 — round-5 canonical election; runs right after x11 and reuses its
+#   session-memoized connected components, so its timing is the marginal
+#   cost of the election step (per-cluster window + corpus join), while
+#   x11's timing carries the shared pair-gen + convergence loop.
+#   t13 — round-5 incremental aggregate maintenance (CDC stream keeps a
+#   bucketed aggregate current without full recompute).
 EXTRA_QUERIES = [
     "x2d_embedding_neardup",
     "x10_corpus_pipeline",
     "x11_neardup_clusters",
+    "x24_cluster_canonical",
     "x13_repetition_metrics",
     "x19_boilerplate_ngrams",
+    "t13_incremental_aggregate",
 ]
 
 
