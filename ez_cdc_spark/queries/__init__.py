@@ -126,6 +126,7 @@ def load_all() -> dict[str, QuerySpec]:
         extensions,
         joins,
         pipeline_ops,
+        cdc_analytics,
     )
 
     attested = _attested()

@@ -299,3 +299,24 @@ def test_x21_x22_plan_shapes(spark, sf_smoke):
     for section in re.split(r"\n\n", p22):
         if section.lstrip().startswith("(") and "Exchange" in section.splitlines()[0]:
             assert "text#" not in section, f"x22 shuffles document text:\n{section}"
+
+
+def test_cdc_analytics_plan_shapes(spark, sf_smoke):
+    """Round-6 CDC analytics keep their declared single-exchange shapes.
+    x25 (SCD2): duplicate collapse, lead(), and version numbering all ride
+    ONE id-keyed exchange (same partitioning + sort — no second shuffle).
+    x26 (as-of state): the pivot is a broadcast and the winner-per-key is
+    one id-keyed max_by aggregate — no self-join, so exactly one keyed
+    exchange. x27 (audit): the (id,lsn) duplicate collapse plus the id
+    rollup — two keyed exchanges, nothing more."""
+    reg = load_all()
+
+    p25 = plan_str(reg["x25_scd2_history"].fn(spark, sf_smoke))
+    assert p25.count("hashpartitioning") == 1, "x25: one id-keyed exchange"
+
+    p26 = plan_str(reg["x26_state_asof_lsn"].fn(spark, sf_smoke))
+    assert p26.count("hashpartitioning") == 1, "x26: one id-keyed exchange"
+    assert "Broadcast" in p26, "x26: pivot must broadcast"
+
+    p27 = plan_str(reg["x27_change_audit"].fn(spark, sf_smoke))
+    assert p27.count("hashpartitioning") == 2, "x27: dedup + rollup exchanges"
