@@ -64,9 +64,11 @@ def _flat_envelopes(spark, sf_dir, dedup: bool = True):
     return flat.dropDuplicates(["id", "lsn"]) if dedup else flat
 
 
-@register(
-    "x25_scd2_history",
-    oracle=_DED_CTE
+# The SCD2 result contract, shared verbatim by X25 (batch build) and T14
+# (incrementally maintained by the streaming merge): the two MUST converge
+# to the identical table.
+_SCD2_ORACLE = (
+    _DED_CTE
     + """
 , seq AS (
   SELECT id, lsn, op, first_name, last_name, email,
@@ -82,7 +84,13 @@ SELECT CAST(id AS BIGINT) AS id,
        CAST(CASE WHEN next_lsn IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
 FROM seq WHERE op <> 'd'
 ORDER BY id, version_no
-""",
+"""
+)
+
+
+@register(
+    "x25_scd2_history",
+    oracle=_SCD2_ORACLE,
     doc="X25: SCD Type-2 history build — the change log becomes a versioned "
     "dimension: every create/update opens a version valid from its LSN "
     "until the key's NEXT change (update supersedes, delete closes "
@@ -228,3 +236,39 @@ def x27_change_audit(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@register(
+    "t14_scd2_maintenance",
+    oracle=_SCD2_ORACLE,
+    doc="T14: incremental SCD2 maintenance — the streaming form of X25, as "
+    "T9 is for current state: the envelope replay (sliced into several "
+    "micro-batches so cross-batch closes actually happen) drives a "
+    "foreachBatch merge that reconstructs the event log for ONLY the "
+    "touched state buckets, recomputes the versioned history for those "
+    "keys, and swaps only their bucket dirs (streaming/cdc.py: "
+    "scd2_batch). The maintained table must equal the batch X25 build "
+    "row-for-row — same oracle SQL, hash-checked. Per-batch work tracks "
+    "touched keys x history depth, never state size (bucket-bounded "
+    "rewrites pinned in tests/test_cdc_goldens.py).",
+)
+def t14_scd2_maintenance(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_scd2
+
+    hist = materialize_scd2(spark, sf_dir)
+    # zero-width rows are orphan-delete tombstones (merge bookkeeping for
+    # out-of-order deletes), not versions — excluded from the read surface
+    hist = hist.filter(
+        F.col("valid_to_lsn").isNull()
+        | (F.col("valid_from_lsn") != F.col("valid_to_lsn"))
+    )
+    return hist.select(
+        "id",
+        "version_no",
+        "first_name",
+        "last_name",
+        "email",
+        "valid_from_lsn",
+        "valid_to_lsn",
+        "is_current",
+    ).orderBy("id", "version_no")

@@ -454,3 +454,192 @@ def materialize_agg(spark: SparkSession, sf_dir: str, tag: str = "t13") -> DataF
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(state_dir, "agg"))
+
+
+def scd2_batch(state_dir: str, n_buckets: int = 16):
+    """T14 foreachBatch: incremental SCD Type-2 history maintenance — the
+    streaming form of X25 (queries/cdc_analytics.py), as T9 is for current
+    state. The maintained table IS the versioned dimension: (id, version_no,
+    attrs, valid_from_lsn, valid_to_lsn, is_current), bucket-partitioned by
+    key hash like the T9 state.
+
+    The merge exploits that SCD2 history is information-preserving: each
+    version row is an 'open' event at valid_from, and a closed valid_to
+    that is NOT the next version's valid_from encodes a delete at that LSN.
+    One case has no version row to ride on: a delete with no known earlier
+    open (out-of-order delivery puts deletes first; the replay fixture's
+    round-robin files do this constantly). Those persist as zero-width
+    TOMBSTONE rows (valid_from = valid_to = lsn — impossible for a real
+    version, where next_lsn > lsn), excluded from the read surface and
+    turned back into delete events on later merges; once the missing open
+    arrives, the recompute re-encodes the delete as that version's close
+    and the tombstone disappears. Each micro-batch therefore:
+      1. flattens + (id,lsn)-dedupes its envelopes (at-least-once collapse;
+         safe across batches too — a re-delivered LSN reconstructs to an
+         identical event),
+      2. reads ONLY the touched state buckets and reconstructs their event
+         log from the history rows (opens + inferred deletes + tombstones),
+      3. recomputes the SCD2 window over (reconstructed ∪ new) events for
+         the touched keys — emitting fresh tombstones for deletes still
+         preceded by no open — and swaps only the touched bucket dirs.
+
+    Per-batch work tracks (touched keys × their history depth), not state
+    size — the same bucket-bounded property as T9, pinned by
+    tests/test_cdc_goldens.py. Replay idempotency: batch marker + the
+    recompute being a pure function of the merged event set.
+    """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        marker = os.path.join(state_dir, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
+        events = (
+            batch.select(
+                F.coalesce(F.col("after.id"), F.col("before.id"))
+                .cast("bigint")
+                .alias("id"),
+                F.col("op"),
+                F.col("source.lsn").cast("bigint").alias("lsn"),
+                F.col("after.first_name").alias("first_name"),
+                F.col("after.last_name").alias("last_name"),
+                F.col("after.email").alias("email"),
+            )
+            .filter(F.col("id").isNotNull())
+            .dropDuplicates(["id", "lsn"])
+            .withColumn("bucket", bucket_of)
+        )
+        touched = sorted(
+            r["bucket"] for r in events.select("bucket").distinct().collect()
+        )
+        if not touched:
+            open(marker, "w").close()
+            return
+        cur_path = os.path.join(state_dir, "current")
+        if os.path.exists(os.path.join(cur_path, "_SUCCESS")):
+            hist = spark.read.parquet(cur_path).filter(F.col("bucket").isin(touched))
+            is_tomb = F.col("valid_from_lsn") == F.col("valid_to_lsn")  # null-safe:
+            # real open versions have NULL valid_to (<=> not equal under filter)
+            real = hist.filter(F.col("valid_to_lsn").isNull() | ~is_tomb)
+            w_next = Window.partitionBy("id").orderBy("valid_from_lsn")
+            opens = real.select(
+                "id",
+                F.lit("u").alias("op"),  # c vs u is irrelevant: both open
+                F.col("valid_from_lsn").alias("lsn"),
+                "first_name",
+                "last_name",
+                "email",
+                "bucket",
+            )
+            null_attrs = [
+                F.lit(None).cast("string").alias(c)
+                for c in ("first_name", "last_name", "email")
+            ]
+            closes = (
+                real.withColumn("next_from", F.lead("valid_from_lsn").over(w_next))
+                .filter(
+                    F.col("valid_to_lsn").isNotNull()
+                    & (
+                        F.col("next_from").isNull()
+                        | (F.col("next_from") != F.col("valid_to_lsn"))
+                    )
+                )
+                .select(
+                    "id",
+                    F.lit("d").alias("op"),
+                    F.col("valid_to_lsn").alias("lsn"),
+                    *null_attrs,
+                    "bucket",
+                )
+            )
+            tomb_events = hist.filter(is_tomb).select(
+                "id",
+                F.lit("d").alias("op"),
+                F.col("valid_from_lsn").alias("lsn"),
+                *null_attrs,
+                "bucket",
+            )
+            events = (
+                events.unionByName(opens)
+                .unionByName(closes)
+                .unionByName(tomb_events)
+                .dropDuplicates(["id", "lsn"])
+            )
+        w = Window.partitionBy("id").orderBy("lsn")
+        seq = events.withColumn("next_lsn", F.lead("lsn").over(w)).withColumn(
+            "prev_op", F.lag("op").over(w)
+        )
+        w_ver = Window.partitionBy("id").orderBy("valid_from_lsn")
+        versions = (
+            seq.filter(F.col("op") != "d")
+            .select(
+                "id",
+                "first_name",
+                "last_name",
+                "email",
+                F.col("lsn").alias("valid_from_lsn"),
+                F.col("next_lsn").alias("valid_to_lsn"),
+                F.col("next_lsn").isNull().cast("int").alias("is_current"),
+                "bucket",
+            )
+            .withColumn("version_no", F.row_number().over(w_ver).cast("bigint"))
+        )
+        # deletes not preceded by an open have no version close to encode
+        # them; keep each as a zero-width tombstone until its open arrives
+        tombstones = (
+            seq.filter(
+                (F.col("op") == "d")
+                & (F.col("prev_op").isNull() | (F.col("prev_op") == "d"))
+            )
+            .select(
+                "id",
+                *[
+                    F.lit(None).cast("string").alias(c)
+                    for c in ("first_name", "last_name", "email")
+                ],
+                F.col("lsn").alias("valid_from_lsn"),
+                F.col("lsn").alias("valid_to_lsn"),
+                F.lit(0).cast("int").alias("is_current"),
+                "bucket",
+            )
+            .withColumn("version_no", F.lit(0).cast("bigint"))
+        )
+        hist_new = versions.unionByName(tombstones)
+        _swap_bucket_dirs(spark, hist_new, cur_path, touched, str(batch_id))
+        open(marker, "w").close()
+
+    return apply
+
+
+def materialize_scd2(
+    spark: SparkSession, sf_dir: str, tag: str = "t14", max_files_per_trigger: int = 3
+) -> DataFrame:
+    """T14 end-to-end: envelope stream → incremental SCD2 maintenance →
+    the maintained history table. ``max_files_per_trigger`` deliberately
+    slices the replay into several micro-batches so the attested path
+    exercises the cross-batch merge (open versions closed by later
+    batches), not a single-batch rebuild."""
+    state_dir = _dir_for(sf_dir, f"state-{tag}-{os.getpid()}")
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    from ez_cdc_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    path = envelopes_jsonl(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(scd2_batch(state_dir))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state_dir, "current"))

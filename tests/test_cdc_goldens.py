@@ -466,3 +466,63 @@ def test_t13_aggregate_maintenance_incremental_and_idempotent(spark, tmp_path):
     # At-least-once replay of batch 1: marker short-circuits, agg unchanged.
     apply(b1, 1)
     assert agg_now() == {("a.com", 499), ("b.com", 499), ("c.com", 500), ("d.com", 501)}
+
+
+def test_t14_scd2_maintenance_converges_under_max_disorder(spark):
+    """The incrementally maintained SCD2 table must equal the batch X25
+    build even at maximum delivery disorder: one replay file per
+    micro-batch, with the fixture's round-robin files scattering each
+    key's LSNs across batches (deletes routinely arriving before the opens
+    they close — the orphan-tombstone path). Also pins that no tombstone
+    leaks into the read surface with a matching open present."""
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    batch = reg["x25_scd2_history"].fn(spark, sf).collect()
+
+    from ez_cdc_spark.streaming.cdc import materialize_scd2
+
+    hist = materialize_scd2(spark, sf, tag="t14test", max_files_per_trigger=1)
+    surface = (
+        hist.filter(
+            F.col("valid_to_lsn").isNull()
+            | (F.col("valid_from_lsn") != F.col("valid_to_lsn"))
+        )
+        .select(
+            "id",
+            "version_no",
+            "first_name",
+            "last_name",
+            "email",
+            "valid_from_lsn",
+            "valid_to_lsn",
+            "is_current",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, surface)) == sorted(map(tuple, batch))
+    # remaining tombstones must be EXACTLY the genuinely open-less deletes
+    # of the full log (keys whose change stream begins with deletes) — no
+    # encoded delete may leak a tombstone, no orphan delete may be lost
+    from ez_cdc_spark.queries.cdc_analytics import _flat_envelopes
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("lsn")
+    expected = {
+        (r["id"], r["lsn"])
+        for r in _flat_envelopes(spark, sf)
+        .withColumn("prev_op", F.lag("op").over(w))
+        .filter(
+            (F.col("op") == "d")
+            & (F.col("prev_op").isNull() | (F.col("prev_op") == "d"))
+        )
+        .collect()
+    }
+    got = {
+        (r["id"], r["valid_from_lsn"])
+        for r in hist.filter(
+            F.col("valid_from_lsn") == F.col("valid_to_lsn")
+        ).collect()
+    }
+    assert got == expected
