@@ -1095,3 +1095,48 @@ def x22_quality_thresholds(spark, sf_dir):
         .select(F.col("keep_frac").cast("double").alias("keep_frac"), "threshold", "n_kept")
         .orderBy("keep_frac")
     )
+
+
+@register(
+    "x28_split_assign",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST({_o_phash("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)
+         AS bucket,
+       CASE WHEN {_o_phash("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+              THEN 'train'
+            WHEN {_o_phash("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+    doc="X28: deterministic train/val/test split assignment — the hash "
+    "split every training pipeline runs before anything else: "
+    "bucket = portable_hash('split:'||doc_id) % 100, train < 80 <= val "
+    "< 90 <= test. Keyed on content-stable identity (never position or "
+    "random()), so the assignment is reproducible across runs, stable "
+    "under corpus growth (new docs don't reshuffle old ones), and "
+    "engine-portable (the oracle recomputes every row's bucket "
+    "bit-identically). Pure map-side projection: ZERO shuffle at any "
+    "scale beyond the deterministic output sort. The salted key "
+    "('split:' prefix) keeps this hash independent of x7's sampling and "
+    "x15's sharding hashes. Leakage caveat by design: doc-level splits "
+    "leak near-duplicates across splits — run X24 canonical election "
+    "first (or key the hash on cluster_id) when that matters.",
+)
+def x28_split_assign(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            bucket.cast("bigint").alias("bucket"),
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

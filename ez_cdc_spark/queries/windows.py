@@ -276,3 +276,72 @@ def w7_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w8_funnel_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT e.user_id, COUNT(*) AS n_events, MIN(s.signup_us) AS signup_us,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) >= s.signup_us
+              THEN epoch_us(e.ts) END) AS convert_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  GROUP BY e.user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(signup_us AS BIGINT) AS signup_us,
+       CAST(convert_us AS BIGINT) AS convert_us,
+       CAST(convert_us - signup_us AS BIGINT) AS time_to_convert_us,
+       CAST(CASE WHEN convert_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS converted
+FROM j ORDER BY user_id
+""",
+    doc="W8: funnel conversion — per user, the earliest signup and the "
+    "earliest purchase AT OR AFTER it (the ordered two-step funnel; a "
+    "purchase before signup doesn't convert), with time-to-convert. The "
+    "signup anchor is a per-user window min computed in the SAME "
+    "user-keyed exchange the final aggregate uses — one shuffle total, "
+    "no self-join (the oracle states it as the equivalent "
+    "aggregate-then-join). Times stay integer micros end to end, so "
+    "every comparison and the subtraction are exact on both engines. "
+    "Users who never sign up report NULL anchor and can't convert.",
+)
+def w8_funnel_conversion(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id")
+    e2 = e.withColumn(
+        "signup_us", F.min(F.when(F.col("event_type") == "signup", us)).over(w)
+    )
+    return (
+        e2.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("signup_us").cast("bigint").alias("signup_us"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (us >= F.col("signup_us")),
+                    us,
+                )
+            )
+            .cast("bigint")
+            .alias("convert_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "signup_us",
+            "convert_us",
+            (F.col("convert_us") - F.col("signup_us"))
+            .cast("bigint")
+            .alias("time_to_convert_us"),
+            F.col("convert_us").isNotNull().cast("int").alias("converted"),
+        )
+        .orderBy("user_id")
+    )
