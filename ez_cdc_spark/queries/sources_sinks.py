@@ -1,6 +1,7 @@
-"""Source/sink operators S1-S3, S7 (SURVEY.md §2b). Streaming sources/sinks
-(S4/S5/S8/S9) live in streaming_equiv.py; S6 (JDBC) is covered by the S1
-stand-in per SURVEY (needs a live Postgres).
+"""Source/sink operators S1-S3, S6, S7 (SURVEY.md §2b). Streaming
+sources/sinks (S4/S5/S8/S9) live in streaming_equiv.py; S6 runs end to end
+against embedded Derby (the DB Spark ships) through the same partitioned
+spark.read.jdbc path a live Postgres would use.
 
 Round-trip queries write to a scratch dir under /tmp then re-read through the
 engine — proving the sink format is readable and lossless. The oracle reads
@@ -352,4 +353,65 @@ def s11b_type_widening(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "s6_jdbc_snapshot",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S6: JDBC snapshot source, END TO END — the reference's upstream "
+    "table lives in a relational DB (/root/reference/postgres/init.sql); "
+    "Spark's one-shot snapshot is a partitioned spark.read.jdbc. The "
+    "sandbox has no Postgres, but Spark SHIPS Derby (its metastore DB), "
+    "so the snapshot path runs for real against an embedded Derby "
+    "database: populate via df.write.jdbc, then read back through the "
+    "SAME validated builder (sources/jdbc.py: partitionColumn/bounds/"
+    "numPartitions => one stride query per partition, fetchsize, "
+    "pushdown) that a Postgres deployment would use — only URL and "
+    "driver-class differ. Aggregate hash-checked against the original "
+    "table. Derby is single-JVM, so the DB path is pid-scoped; the "
+    "lower/upper bounds deliberately over-cover (Spark routes out-of-"
+    "range rows to the edge partitions, no row loss).",
+)
+def s6_jdbc_snapshot(spark, sf_dir):
+    from ez_cdc_spark.sources.jdbc import jdbc_snapshot
+
+    db = _scratch(sf_dir, f"s6derby-{os.getpid()}")
+    url = f"jdbc:derby:{db}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    c.write.format("jdbc").option("url", url).option("dbtable", "customers").option(
+        "driver", driver
+    ).mode("overwrite").save()
+    snap = jdbc_snapshot(
+        spark,
+        url=url,
+        table="customers",
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=2_000_000,
+        num_partitions=8,
+        driver=driver,
+    )
+    return (
+        snap.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "n",
+            "total_bal",
+        )
+        .orderBy("c_nationkey")
     )

@@ -18,11 +18,13 @@ bulk path (parquet export, S1) — JDBC parallel read is for bounded
 dimension/state tables; cap ``numPartitions`` at what the database can
 serve concurrently.
 
-Sandbox honesty: no live Postgres nor JDBC driver jar exists in this
-container, so ``.load()`` is exercised only against validation; the
-option-plumbing contract is what the unit tests pin down
-(tests/test_jdbc_wiring.py). No correctness claim is made for the
-network path.
+Sandbox honesty: no live Postgres exists in this container, but Spark
+ships Derby — so the whole path (populate over JDBC, partitioned
+snapshot back, stride queries, pushed predicates) runs END TO END against
+an embedded Derby database (tests/test_jdbc_wiring.py, registry query
+s6_jdbc_snapshot, hash-checked). Only the URL and driver class differ
+from a Postgres deployment; no correctness claim is made for the network
+transport itself.
 """
 
 from __future__ import annotations
