@@ -415,3 +415,57 @@ def s6_jdbc_snapshot(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s12_small_file_compaction",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+         AS content_sig
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    doc="S12: small-file compaction — the lakehouse maintenance op every "
+    "streaming/CDC ingest needs: micro-batches leave thousands of tiny "
+    "parquet files (here: a deliberately fragmented 64-file copy), and "
+    "scan cost becomes per-file overhead instead of IO. Compaction "
+    "rewrites to ceil(bytes / target_file_size) size-targeted files via "
+    "ONE round-robin repartition (no keyed shuffle — compaction is "
+    "layout, not semantics; file sizing derives from actual on-disk "
+    "bytes, a driver-side catalog stat, not data). The oracle aggregates "
+    "the ORIGINAL table including an order-free content signature "
+    "(sum of portable row hashes), so any row lost, duplicated, or "
+    "corrupted by the rewrite is a hash mismatch. File-count reduction "
+    "is pinned in tests/test_schema_evolution.py.",
+)
+def s12_small_file_compaction(spark, sf_dir, target_file_bytes: int = 4 << 20):
+    import math
+
+    d = t(spark, sf_dir, "documents")
+    frag = _scratch(sf_dir, "s12frag")
+    compacted = _scratch(sf_dir, "s12compact")
+    # the small-file problem, manufactured: 64 fragments of one small table
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+    spark.read.parquet(frag).repartition(n_files).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted)
+    sig = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(sig).cast("bigint").alias("content_sig"),
+        )
+        .orderBy("source")
+    )

@@ -63,3 +63,22 @@ def test_widened_scan_keeps_filter_pushdown(spark, generations):
     wide = spark.read.schema("k BIGINT, n BIGINT, gen INT").parquet(v1, v2)
     plan = wide.filter(F.col("k") > 90)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,90)]" in plan
+
+
+def test_s12_compaction_reduces_file_count(spark):
+    """s12's layout claim: the compacted dir must hold ceil(bytes/target)
+    parquet files — far fewer than the 64 fragments — while the registry
+    query's content signature proves row-level parity."""
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+
+    sf = "/root/testdata/sf0.001"
+    load_all()["s12_small_file_compaction"].fn(spark, sf).collect()
+    frag = _scratch(sf, "s12frag")
+    compacted = _scratch(sf, "s12compact")
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    n_comp = sum(f.endswith(".parquet") for f in os.listdir(compacted))
+    assert n_frag == 64
+    assert n_comp < 8  # tiny fixture: well under one 4 MiB target file each
