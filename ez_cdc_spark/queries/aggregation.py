@@ -478,3 +478,38 @@ def a11_bool_aggs(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a12_approx_percentile",
+    oracle="""
+SELECT c_mktsegment,
+       quantile_disc(c_acctbal, 0.5) AS median_bal,
+       quantile_disc(c_acctbal, 0.9) AS p90_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="A12: sketch-based percentile — the 100 TB path A9's exact sort "
+    "can't take: approx_percentile's Greenwald-Khanna summary is "
+    "fixed-size, mergeable, and single-pass (partial sketches combine "
+    "map-side like any partial agg; no per-group sort, no wide shuffle "
+    "of values). Rank error is bounded by n/accuracy; at accuracy 1e7 "
+    "and driver-attest group sizes that bound is < 1, so the sketch "
+    "degenerates to the exact DISCRETE quantile (an actual element) and "
+    "DuckDB's quantile_disc is a true hash oracle — the same "
+    "exact-mode-identity anchoring as x3c's n_probe=n_cells. The "
+    "genuinely approximate regime (low accuracy) is pinned by the rank "
+    "error-bound test in tests/test_scale_ops.py.",
+)
+def a12_approx_percentile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    acc = F.lit(10_000_000)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.approx_percentile("c_acctbal", F.lit(0.5), acc).alias("median_bal"),
+            F.approx_percentile("c_acctbal", F.lit(0.9), acc).alias("p90_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

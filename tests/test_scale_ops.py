@@ -271,3 +271,34 @@ def test_connected_components_random_graph_matches_union_find(spark):
     edges = spark.createDataFrame(edge_list, "id_a BIGINT, id_b BIGINT")
     got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == expected
+
+
+def test_approx_percentile_rank_error_bound_and_exact_mode(spark, sf_dir):
+    """a12's two regimes. Exact mode: accuracy high enough that rank error
+    n/accuracy < 1 must return the exact discrete quantile (a12's oracle
+    anchor). Approximate mode: at a deliberately coarse accuracy, every
+    returned value's true rank must sit within the documented n/accuracy
+    bound of the target rank."""
+    emb = load_table(spark, sf_dir, "customer")
+    vals = sorted(r["c_acctbal"] for r in emb.select("c_acctbal").collect())
+    n = len(vals)
+
+    def true_rank(v):
+        import bisect
+
+        return bisect.bisect_left(vals, v)
+
+    for p in (0.5, 0.9):
+        exact_disc = vals[min(n - 1, int(p * (n - 1) + 0.5))]
+        got_exact = emb.agg(
+            F.approx_percentile("c_acctbal", F.lit(p), F.lit(10_000_000))
+        ).first()[0]
+        assert got_exact in vals
+        assert abs(true_rank(got_exact) - p * (n - 1)) <= 1, (p, got_exact, exact_disc)
+
+        coarse_acc = 50
+        got = emb.agg(
+            F.approx_percentile("c_acctbal", F.lit(p), F.lit(coarse_acc))
+        ).first()[0]
+        assert got in vals  # GK returns actual elements, never interpolations
+        assert abs(true_rank(got) - p * (n - 1)) <= n / coarse_acc + 1
