@@ -526,3 +526,102 @@ def test_t14_scd2_maintenance_converges_under_max_disorder(spark):
         ).collect()
     }
     assert got == expected
+
+
+def _scd2_reference(events):
+    """Independent pure-Python SCD2: events = [(id, lsn, op, fname)] with
+    unique (id, lsn) after dedup; returns the surfaced version rows as
+    (id, version_no, first_name, valid_from, valid_to, is_current)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(dict)
+    for k, lsn, op, fn in events:
+        by_key[k][lsn] = (op, fn)  # later duplicates overwrite identically
+    out = []
+    for k, tl in by_key.items():
+        seq = sorted(tl.items())
+        ver = 0
+        for i, (lsn, (op, fn)) in enumerate(seq):
+            if op == "d":
+                continue
+            ver += 1
+            nxt = seq[i + 1][0] if i + 1 < len(seq) else None
+            out.append((k, ver, fn, lsn, nxt, 1 if nxt is None else 0))
+    return sorted(out)
+
+
+def _mk_env_batch(spark, rows):
+    """Envelope-shaped batch DF from (id, lsn, op, fname) tuples."""
+    from ez_cdc_spark.streaming.cdc import ENVELOPE_JSON_SCHEMA
+
+    data = []
+    for k, lsn, op, fn in rows:
+        img = {"id": k, "first_name": fn, "last_name": "l", "email": "e"}
+        data.append(
+            {
+                "before": None if op == "c" else img,
+                "after": None if op == "d" else img,
+                "source": {"lsn": lsn, "txId": lsn, "ts_ms": 0},
+                "op": op,
+                "ts_ms": 0,
+                "kafka_timestamp": 0,
+            }
+        )
+    return spark.createDataFrame(data, ENVELOPE_JSON_SCHEMA)
+
+
+@pytest.mark.parametrize(
+    "splits",
+    [
+        # one batch (pure rebuild), fully reversed, singleton batches,
+        # adversarial pairing (deletes first)
+        [[0, 1, 2, 3, 4, 5, 6, 7, 8, 9]],
+        [[9, 8], [7, 6], [5, 4], [3, 2], [1, 0]],
+        [[i] for i in range(10)],
+        [[4, 9], [0, 5], [2, 7], [1, 6], [3, 8]],
+    ],
+)
+def test_scd2_merge_matches_reference_on_adversarial_sequences(spark, tmp_path, splits):
+    """scd2_batch must converge to the independent reference for event
+    logs that hit every merge edge case — delete-before-open (orphan
+    tombstones), delete-only keys, create-after-delete revival, duplicate
+    LSN redelivery across batches — under every delivery order."""
+    import shutil
+
+    from ez_cdc_spark.streaming.cdc import scd2_batch
+
+    # 10 events: key 1 = c,u,d,c (revival); key 2 = d,u (delete-first);
+    # key 3 = d only; key 4 = c,u with a cross-batch duplicate of lsn 41
+    events = [
+        (1, 10, "c", "a"),
+        (1, 20, "u", "b"),
+        (1, 30, "d", None),
+        (1, 40, "c", "c"),
+        (2, 15, "d", None),
+        (2, 25, "u", "x"),
+        (3, 11, "d", None),
+        (4, 41, "c", "p"),
+        (4, 51, "u", "q"),
+        (4, 41, "c", "p"),  # duplicate redelivery of an earlier LSN
+    ]
+    state = str(tmp_path / "scd2state")
+    import os
+
+    os.makedirs(state, exist_ok=True)
+    merge = scd2_batch(state, n_buckets=4)
+    for bid, idxs in enumerate(splits):
+        merge(_mk_env_batch(spark, [events[i] for i in idxs]), bid)
+
+    from pyspark.sql import functions as FF
+
+    hist = spark.read.parquet(os.path.join(state, "current"))
+    got = sorted(
+        (r["id"], r["version_no"], r["first_name"], r["valid_from_lsn"],
+         r["valid_to_lsn"], r["is_current"])
+        for r in hist.filter(
+            FF.col("valid_to_lsn").isNull()
+            | (FF.col("valid_from_lsn") != FF.col("valid_to_lsn"))
+        ).collect()
+    )
+    assert got == _scd2_reference(events)
+    shutil.rmtree(state, ignore_errors=True)
