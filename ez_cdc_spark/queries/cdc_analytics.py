@@ -272,3 +272,54 @@ def t14_scd2_maintenance(spark, sf_dir):
         "valid_to_lsn",
         "is_current",
     ).orderBy("id", "version_no")
+
+
+@register(
+    "t15_jdbc_cdc_sink",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T15: CDC landing into an RDBMS over JDBC — the serving side the "
+    "reference's pipeline implies but never builds (its consumer only "
+    "prints; a real deployment lands changes somewhere queryable). Each "
+    "micro-batch APPENDS its (lsn-deduped, batch_id-tagged) changes to a "
+    "Derby table through the standard JDBC writer — O(batch) per batch, "
+    "never O(state) — with replay idempotency via delete-own-batch_id-"
+    "then-append (streaming/cdc.py: jdbc_cdc_sink_batch). Current state "
+    "is a last-writer-wins view over the landed log, computed here on "
+    "read (one id-keyed max_by aggregate); the final table must equal "
+    "t9's materialized state exactly — same oracle SQL. Embedded Derby "
+    "is the same code path as any JDBC target; only URL/driver differ.",
+)
+def t15_jdbc_cdc_sink(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_jdbc
+
+    landed = materialize_jdbc(spark, sf_dir)
+    winner = F.max_by(
+        F.struct("op", "lsn", "first_name", "last_name", "email"), F.col("lsn")
+    )
+    return (
+        landed.groupBy("id")
+        .agg(winner.alias("w"))
+        .filter(F.col("w.op") != "d")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("w.lsn").cast("bigint").alias("lsn"),
+            F.col("w.first_name").alias("first_name"),
+            F.col("w.last_name").alias("last_name"),
+            F.col("w.email").alias("email"),
+        )
+        .orderBy("id")
+    )

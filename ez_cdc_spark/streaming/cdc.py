@@ -643,3 +643,103 @@ def materialize_scd2(
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(state_dir, "current"))
+
+
+def jdbc_cdc_sink_batch(url: str, driver: str, table: str):
+    """T15 foreachBatch: land each micro-batch's deduped changes in an
+    RDBMS over JDBC as an APPEND-ONLY change log — per-batch work is
+    O(batch), never O(state) (contrast a full-table overwrite), which is
+    the property that holds at 100 TB. Serving-side current state is a
+    last-writer-wins view over the landed log (the registry query; a real
+    deployment gives the DB that view, or compacts periodically).
+
+    Replay idempotency without DB-side MERGE: every landed row carries its
+    batch_id, and the batch deletes its own batch_id before appending —
+    a crash between DELETE and APPEND replays to the same final log. The
+    DELETE goes through a raw java.sql connection (py4j) because Spark's
+    JDBC writer has no delete path; that is the ONLY statement-level SQL,
+    everything else is the standard DataFrame JDBC writer.
+    """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        changes = (
+            batch.select(
+                F.coalesce(F.col("after.id"), F.col("before.id"))
+                .cast("bigint")
+                .alias("id"),
+                F.col("op"),
+                F.col("source.lsn").cast("bigint").alias("lsn"),
+                F.col("after.first_name").alias("first_name"),
+                F.col("after.last_name").alias("last_name"),
+                F.col("after.email").alias("email"),
+            )
+            .filter(F.col("id").isNotNull())
+            .dropDuplicates(["lsn"])
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        )
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                # Spark's JDBC writer creates COLUMNS quoted (case-sensitive
+                # lowercase) but the TABLE unquoted — match both here.
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
+                )
+            except Exception as ex:
+                # only the first batch's table-not-created is expected
+                # (Derby SQLState 42X05); anything else would silently
+                # break replay idempotency — surface it
+                if "42X05" not in str(ex):
+                    raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+        changes.write.format("jdbc").option("url", url).option(
+            "dbtable", table
+        ).option("driver", driver).mode("append").save()
+
+    return apply
+
+
+def materialize_jdbc(
+    spark: SparkSession, sf_dir: str, tag: str = "t15", max_files_per_trigger: int = 3
+) -> DataFrame:
+    """T15 end-to-end: envelope stream → JDBC append-only change landing
+    (embedded Derby — the same path as any JDBC-served database, only
+    URL/driver differ) → the landed log read back over JDBC. The replay is
+    sliced into micro-batches so multiple landings + the batch_id
+    idempotency path actually execute."""
+    base = _dir_for(sf_dir, f"jdbc-{tag}-{os.getpid()}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base, exist_ok=True)
+    from ez_cdc_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    url = f"jdbc:derby:{base}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    path = envelopes_jsonl(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(jdbc_cdc_sink_batch(url, driver, "changes"))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "changes")
+        .option("driver", driver)
+        .load()
+    )

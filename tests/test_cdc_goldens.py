@@ -625,3 +625,34 @@ def test_scd2_merge_matches_reference_on_adversarial_sequences(spark, tmp_path, 
     )
     assert got == _scd2_reference(events)
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_jdbc_cdc_sink_replay_idempotent(spark, tmp_path):
+    """T15's crash-replay contract: re-applying a batch id (crash between
+    landing and checkpoint commit) must leave the landed log identical —
+    the delete-own-batch_id-then-append path, not duplicate rows."""
+    from ez_cdc_spark.streaming.cdc import jdbc_cdc_sink_batch
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    apply = jdbc_cdc_sink_batch(url, driver, "changes")
+    b0 = _mk_env_batch(spark, [(1, 10, "c", "a"), (1, 20, "u", "b"), (2, 15, "c", "x")])
+    b1 = _mk_env_batch(spark, [(2, 25, "d", None), (3, 30, "c", "z")])
+    apply(b0, 0)
+    apply(b1, 1)
+    apply(b1, 1)  # replayed batch: delete-then-append, no duplication
+    landed = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "changes")
+        .option("driver", driver)
+        .load()
+    )
+    rows = sorted((r["id"], r["lsn"], r["op"], r["batch_id"]) for r in landed.collect())
+    assert rows == [
+        (1, 10, "c", 0),
+        (1, 20, "u", 0),
+        (2, 15, "c", 0),
+        (2, 25, "d", 1),
+        (3, 30, "c", 1),
+    ]
