@@ -1,18 +1,22 @@
-"""CDC-native analytics over the change stream (SURVEY.md §2b X25-X27).
+"""CDC-native analytics over the change stream (SURVEY.md §2b X25-X27,
+T14-T15).
 
 The reference's pipeline ends at "changes land somewhere"
 (/root/reference/python/cdc_test/main.py:45-56 prints decoded envelopes);
 these operators are what a warehouse DOES with a landed change stream next:
-slowly-changing-dimension history (X25), point-in-time state reconstruction
-(X26), and per-key change auditing (X27). All three consume the same
-deterministic envelope derivation as t9/s3b (streaming/cdc.py), so the
-DuckDB oracle reproduces the exact input from the events table via the
-shared ENV_CTE.
+slowly-changing-dimension history (X25 batch build, T14 incremental
+streaming maintenance), point-in-time state reconstruction (X26), per-key
+change auditing (X27), and landing the stream in an RDBMS over JDBC (T15).
+All consume the same deterministic envelope derivation as t9/s3b
+(streaming/cdc.py), so the DuckDB oracle reproduces the exact input from
+the events table via the shared ENV_CTE.
 
-Scale design: every operator reduces to ONE key-partitioned exchange (the
-id-keyed window or aggregate); envelope payloads are projected to flat
+Scale design: every batch operator reduces to ONE key-partitioned exchange
+(the id-keyed window or aggregate); envelope payloads are projected to flat
 columns map-side before any shuffle, and the as-of pivot is a 1-row
-broadcast, so nothing here moves more than (key, lsn, attrs) rows.
+broadcast, so nothing here moves more than (key, lsn, attrs) rows. The
+streaming pair bound per-batch work by touched state buckets (T14) or
+batch size (T15), never state size.
 """
 
 from __future__ import annotations
