@@ -320,3 +320,13 @@ def test_cdc_analytics_plan_shapes(spark, sf_smoke):
 
     p27 = plan_str(reg["x27_change_audit"].fn(spark, sf_smoke))
     assert p27.count("hashpartitioning") == 2, "x27: dedup + rollup exchanges"
+
+
+def test_w8_funnel_single_exchange(spark, sf_smoke):
+    """w8's shape claim: the per-user signup-anchor window and the final
+    per-user aggregate share ONE user-keyed exchange — no self-join, no
+    second shuffle."""
+    reg = load_all()
+    p = plan_str(reg["w8_funnel_conversion"].fn(spark, sf_smoke))
+    assert p.count("hashpartitioning") == 1, "w8: one user-keyed exchange"
+    assert "Join" not in p, "w8 must not self-join"
