@@ -39,24 +39,55 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r5's 35-entry timestamp-loader batch + x12 all came back hash-green in
 # CORRECTNESS_r05.json, so the set was cleared at the start of round 6.
 # Entries are added in the same commit as the change they cover.)
-_REATTEST: set[str] = {
-    # r6: gram stage pinned once (localCheckpoint) instead of recomputed 3x.
-    "x19_boilerplate_ngrams",
-    # r6: x11/x24 share one memoized connected-components helper.
-    "x11_neardup_clusters",
-    "x24_cluster_canonical",
-    # r6 ADVICE guards, mirrored in both engines: w7 NULL twa on zero total
-    # duration; x6e zero-norm retention; s11 generation-tagged evolved count.
-    "w7_time_weighted_avg",
-    "x6e_matryoshka_retention",
-    "s11_schema_evolution",
-}
+# (r6's 6-entry batch — x19, x11, x24, w7, x6e, s11 — all came back
+# hash-green in CORRECTNESS_r06.json, so the set was cleared at the start of
+# round 7. Round-7 entries are added below in the same commit as the change
+# they cover.)
+_REATTEST: set[str] = set()
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
-# The round-6 re-attest batch is small (~8 entries incl. new s11b), leaving
-# ~40 slots for rotation to the stalest r1/r4-vintage attestations.
-_RANK: dict[str, int] = {}
+# Round 7: the r6 rotation covered the p/w/o/f/s families (registration-order
+# front), so without ranks the same fresh families would rotate again while
+# the r1-vintage attestations (a-set, j-set, x1-x6 core — untouched since
+# CORRECTNESS_r01) go on aging. The ranks below order the ATTESTED group by
+# staleness: r1 vintage first, then x2d (r2), then the r3 families — so the
+# ~35-40 slots left after the round-7 re-attest batch land on the stalest
+# attestations first.
+_RANK: dict[str, int] = {
+    # last attested in CORRECTNESS_r01 (33 queries)
+    **{
+        name: -40
+        for name in (
+            "a2_global_agg", "a3_count_distinct", "a4_approx_count_distinct",
+            "a5_rollup", "a5b_cube", "a5c_grouping_sets", "a5d_pivot",
+            "a5e_unpivot", "a7_ordered_collect", "a8_stats",
+            "a8b_regression_aggs", "a9_percentile", "a11_bool_aggs",
+            "j1_inner_revenue_per_nation", "j2_broadcast_dim_join",
+            "j3_left_outer_zero_orders", "j3b_full_outer", "j4_left_semi",
+            "j5_left_anti", "j6_theta_join", "j9_cross_join",
+            "j12_salted_join", "x1_exact_dedup", "x2b_ngram_jaccard",
+            "x3_cosine_topk", "x3b_blocked_topk", "x3c_ivf_topk",
+            "x5_multimodal", "x5c_frame_sample", "x6_centroids",
+            "x6b_norms", "x6c_pairwise_dist",
+        )
+    },
+    # last attested r2
+    "x2d_embedding_neardup": -35,
+    # last attested r3 (16 queries)
+    **{
+        name: -30
+        for name in (
+            "j13_bucketed_join", "x10_corpus_pipeline",
+            "x13_repetition_metrics", "x14_token_histogram",
+            "x15_shard_shuffle", "x16_snapshot_diff", "x2c_simhash",
+            "x2e_lsh_embedding_neardup", "x2f_incremental_dedup",
+            "x3d_quantized_topk", "x6d_quantize_int8", "x7_stratified_sample",
+            "x7b_weighted_mix", "x7c_temperature_upsample",
+            "x8_sequence_packing", "x9_pii_scrub",
+        )
+    },
+}
 
 
 @dataclass
