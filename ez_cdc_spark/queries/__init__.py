@@ -43,7 +43,14 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # hash-green in CORRECTNESS_r06.json, so the set was cleared at the start of
 # round 7. Round-7 entries are added below in the same commit as the change
 # they cover.)
-_REATTEST: set[str] = set()
+_REATTEST: set[str] = {
+    # r7: T15 landed log now lsn-deduped across batches (anti-join vs
+    # already-landed lsns) + metadata-probe table-existence check.
+    "t15_jdbc_cdc_sink",
+    # r7: shared CC cache key now includes a corpus file fingerprint.
+    "x11_neardup_clusters",
+    "x24_cluster_canonical",
+}
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.

@@ -298,9 +298,11 @@ ORDER BY id
     doc="T15: CDC landing into an RDBMS over JDBC — the serving side the "
     "reference's pipeline implies but never builds (its consumer only "
     "prints; a real deployment lands changes somewhere queryable). Each "
-    "micro-batch APPENDS its (lsn-deduped, batch_id-tagged) changes to a "
-    "Derby table through the standard JDBC writer — O(batch) per batch, "
-    "never O(state) — with replay idempotency via delete-own-batch_id-"
+    "micro-batch APPENDS its batch_id-tagged changes to a Derby table "
+    "through the standard JDBC writer — O(batch) per batch, never "
+    "O(state) — lsn-deduped ACROSS batches (anti-join vs already-landed "
+    "lsns in the batch's range; at-least-once duplicates can straddle "
+    "micro-batches), with replay idempotency via delete-own-batch_id-"
     "then-append (streaming/cdc.py: jdbc_cdc_sink_batch). Current state "
     "is a last-writer-wins view over the landed log, computed here on "
     "read (one id-keyed max_by aggregate); the final table must equal "

@@ -5,6 +5,8 @@ columns, embedding ops.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -43,16 +45,38 @@ _STOP_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
 # localCheckpoint — the retained blocks are slim (id, cluster_id) rows, far
 # smaller than the corpus. Keyed by applicationId so a fresh driver session
 # never sees another session's checkpoint; keyed by sf_dir so tests running
-# multiple fixtures in one session stay isolated. x2/x2f intentionally do NOT
-# use this: x2 IS the pair-gen operator, so its bench timing must keep
-# measuring pair-gen.
-_NEARDUP_CC_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+# multiple fixtures in one session stay isolated; keyed by a corpus file
+# FINGERPRINT (mtime_ns + size of the documents parquet footprint) so a
+# fixture regenerated mid-session — which the test driver has done between
+# rounds — can never be served stale clusters (r6 ADVICE). Superseded
+# entries for the same (application, sf_dir) are unpersisted on insert, so
+# the pinned blocks don't accumulate. x2/x2f intentionally do NOT use this:
+# x2 IS the pair-gen operator, so its bench timing must keep measuring
+# pair-gen.
+_NEARDUP_CC_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
+
+
+def _corpus_fingerprint(sf_dir) -> tuple:
+    """(mtime_ns, size) across the documents parquet file(s) — a cheap
+    driver-side stat, no data read."""
+    p = os.path.join(str(sf_dir), "documents.parquet")
+    paths = (
+        [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        if os.path.isdir(p)
+        else [p]
+    )
+    return tuple((os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in paths)
 
 
 def _shared_neardup_cc(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, str(sf_dir))
+    key = (spark.sparkContext.applicationId, str(sf_dir), _corpus_fingerprint(sf_dir))
     cc = _NEARDUP_CC_CACHE.get(key)
     if cc is None:
+        for stale in [k for k in _NEARDUP_CC_CACHE if k[:2] == key[:2]]:
+            try:
+                _NEARDUP_CC_CACHE.pop(stale).unpersist()
+            except Exception:
+                pass  # releasing superseded checkpoint blocks is best-effort
         d = t(spark, sf_dir, "documents")
         pairs = minhash_lsh_candidates(d, portable=True).filter(F.col("jaccard") >= 0.5)
         cc = connected_components(pairs).localCheckpoint(eager=True)

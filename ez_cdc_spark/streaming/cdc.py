@@ -26,6 +26,7 @@ at-least-once:
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 import shutil
 
@@ -645,6 +646,23 @@ def materialize_scd2(
     return spark.read.parquet(os.path.join(state_dir, "current"))
 
 
+def _jdbc_table_exists(conn, table: str) -> bool:
+    """Table-existence probe via JDBC connection metadata
+    (java.sql.DatabaseMetaData.getTables) instead of SQLState string
+    matching (r6 ADVICE): engines fold unquoted identifiers differently
+    (Derby/Oracle up, Postgres down), so probe the stored-case candidates.
+    Works identically against any JDBC target — no Derby-specific codes."""
+    md = conn.getMetaData()
+    for cand in dict.fromkeys((table, table.upper(), table.lower())):
+        rs = md.getTables(None, None, cand, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
 def jdbc_cdc_sink_batch(url: str, driver: str, table: str):
     """T15 foreachBatch: land each micro-batch's deduped changes in an
     RDBMS over JDBC as an APPEND-ONLY change log — per-batch work is
@@ -659,7 +677,15 @@ def jdbc_cdc_sink_batch(url: str, driver: str, table: str):
     DELETE goes through a raw java.sql connection (py4j) because Spark's
     JDBC writer has no delete path; that is the ONLY statement-level SQL,
     everything else is the standard DataFrame JDBC writer.
-    """
+
+    The landed log is lsn-deduped ACROSS batches, not just within one
+    (r6 ADVICE): at-least-once redelivery can put the same lsn in two
+    different micro-batches (the %97 duplicate envelopes land wherever the
+    replay files slice), so after the within-batch collapse the batch
+    anti-joins against the lsns already landed in its [min, max] lsn range
+    — a pushed-down JDBC range scan over the indexed-in-practice lsn
+    column, O(overlap) not O(log). A consumer auditing the landed log
+    therefore counts each change exactly once."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -682,28 +708,60 @@ def jdbc_cdc_sink_batch(url: str, driver: str, table: str):
         jvm.java.lang.Class.forName(driver)
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
-            st = conn.createStatement()
-            try:
-                # Spark's JDBC writer creates COLUMNS quoted (case-sensitive
-                # lowercase) but the TABLE unquoted — match both here.
-                st.executeUpdate(
-                    f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
-                )
-            except Exception as ex:
-                # only the first batch's table-not-created is expected
-                # (Derby SQLState 42X05); anything else would silently
-                # break replay idempotency — surface it
-                if "42X05" not in str(ex):
-                    raise
-            finally:
-                st.close()
+            exists = _jdbc_table_exists(conn, table)
+            if exists:
+                st = conn.createStatement()
+                try:
+                    # Spark's JDBC writer creates COLUMNS quoted
+                    # (case-sensitive lowercase) but the TABLE unquoted —
+                    # match both here.
+                    st.executeUpdate(
+                        f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
+                    )
+                finally:
+                    st.close()
         finally:
             conn.close()
+        if exists:
+            bounds = changes.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                landed = (
+                    spark.read.format("jdbc")
+                    .option("url", url)
+                    .option("dbtable", table)
+                    .option("driver", driver)
+                    .load()
+                    .filter(
+                        (F.col("lsn") >= int(bounds["lo"]))
+                        & (F.col("lsn") <= int(bounds["hi"]))
+                    )
+                    .select("lsn")
+                )
+                changes = changes.join(landed, "lsn", "left_anti")
         changes.write.format("jdbc").option("url", url).option(
             "dbtable", table
         ).option("driver", driver).mode("append").save()
 
     return apply
+
+
+_JDBC_INVOCATION = itertools.count()
+
+
+def _derby_shutdown(jvm, db: str) -> None:
+    """Cleanly shut down one embedded Derby database before its directory
+    is deleted (r6 ADVICE): Derby keeps a database booted per-JVM, so an
+    rmtree under a still-booted instance leaves phantom file handles and
+    can fail the next ';create=true' boot. Derby signals a SUCCESSFUL
+    single-database shutdown by raising SQLException 08006 (and a
+    never-booted database raises XJ004) — both are expected outcomes of
+    this call, hence the blanket swallow."""
+    try:
+        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};shutdown=true")
+    except Exception:
+        pass
 
 
 def materialize_jdbc(
@@ -713,9 +771,24 @@ def materialize_jdbc(
     (embedded Derby — the same path as any JDBC-served database, only
     URL/driver differ) → the landed log read back over JDBC. The replay is
     sliced into micro-batches so multiple landings + the batch_id
-    idempotency path actually execute."""
-    base = _dir_for(sf_dir, f"jdbc-{tag}-{os.getpid()}")
-    if os.path.exists(base):
+    idempotency path actually execute.
+
+    The scratch database path is unique per invocation (module counter):
+    a second call in the same process must not rmtree the directory of a
+    database this JVM still holds booted (r6 ADVICE). The previous
+    invocation's database is shut down and removed once its successor
+    starts, so scratch usage stays bounded at one live + one draining."""
+    seq = next(_JDBC_INVOCATION)
+    base = _dir_for(sf_dir, f"jdbc-{tag}-{os.getpid()}-{seq}")
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    if seq > 0:
+        prev = _dir_for(sf_dir, f"jdbc-{tag}-{os.getpid()}-{seq - 1}")
+        if os.path.exists(prev):
+            _derby_shutdown(jvm, f"{prev}/db")
+            shutil.rmtree(prev, ignore_errors=True)
+    if os.path.exists(base):  # leftover of a crashed run that reused a pid
+        _derby_shutdown(jvm, f"{base}/db")
         shutil.rmtree(base)
     os.makedirs(base, exist_ok=True)
     from ez_cdc_spark.session import apply_runtime_conf

@@ -656,3 +656,39 @@ def test_jdbc_cdc_sink_replay_idempotent(spark, tmp_path):
         (2, 25, "d", 1),
         (3, 30, "c", 1),
     ]
+
+
+def test_jdbc_cdc_sink_cross_batch_lsn_dedup(spark, tmp_path):
+    """T15's at-least-once contract across batch boundaries (r6 ADVICE):
+    a redelivered lsn landing in a LATER micro-batch than its first
+    delivery must not re-enter the landed log — the log stays lsn-unique,
+    so an auditing consumer counts each change exactly once."""
+    from ez_cdc_spark.streaming.cdc import jdbc_cdc_sink_batch
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    apply = jdbc_cdc_sink_batch(url, driver, "changes")
+    apply(_mk_env_batch(spark, [(1, 10, "c", "a"), (1, 20, "u", "b")]), 0)
+    # lsn 20 redelivered in batch 1 (different file slice), lsn 30 fresh
+    apply(_mk_env_batch(spark, [(1, 20, "u", "b"), (3, 30, "c", "z")]), 1)
+    landed = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "changes")
+        .option("driver", driver)
+        .load()
+    )
+    rows = sorted((r["id"], r["lsn"], r["op"], r["batch_id"]) for r in landed.collect())
+    assert rows == [(1, 10, "c", 0), (1, 20, "u", 0), (3, 30, "c", 1)]
+    # replaying batch 1 after the anti-join must still be idempotent
+    apply(_mk_env_batch(spark, [(1, 20, "u", "b"), (3, 30, "c", "z")]), 1)
+    again = sorted(
+        (r["id"], r["lsn"], r["op"], r["batch_id"])
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "changes")
+        .option("driver", driver)
+        .load()
+        .collect()
+    )
+    assert again == rows
