@@ -50,6 +50,8 @@ _REATTEST: set[str] = {
     # r7: shared CC cache key now includes a corpus file fingerprint.
     "x11_neardup_clusters",
     "x24_cluster_canonical",
+    # r7: tombstone exclusion promoted out of the query into read_scd2.
+    "t14_scd2_maintenance",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

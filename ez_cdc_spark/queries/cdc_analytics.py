@@ -259,13 +259,9 @@ def x27_change_audit(spark, sf_dir):
 def t14_scd2_maintenance(spark, sf_dir):
     from ez_cdc_spark.streaming.cdc import materialize_scd2
 
+    # materialize_scd2 returns the read_scd2 view: versions only, orphan-
+    # delete tombstones (merge bookkeeping) stay internal to the state dir
     hist = materialize_scd2(spark, sf_dir)
-    # zero-width rows are orphan-delete tombstones (merge bookkeeping for
-    # out-of-order deletes), not versions — excluded from the read surface
-    hist = hist.filter(
-        F.col("valid_to_lsn").isNull()
-        | (F.col("valid_from_lsn") != F.col("valid_to_lsn"))
-    )
     return hist.select(
         "id",
         "version_no",

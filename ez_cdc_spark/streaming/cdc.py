@@ -615,14 +615,32 @@ def scd2_batch(state_dir: str, n_buckets: int = 16):
     return apply
 
 
+def read_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
+    """THE read surface for a T14-maintained SCD2 state directory: the
+    version history without merge bookkeeping. Zero-width rows
+    (valid_from = valid_to) are orphan-delete TOMBSTONES — deletes whose
+    opening version hasn't arrived yet (out-of-order delivery). They must
+    PERSIST in the stored table (scd2_batch turns them back into delete
+    events on later merges; dropping them at write time would lose the
+    delete), but they are not versions, so every consumer reads through
+    this helper instead of re-discovering the exclusion rule (r6 VERDICT:
+    the raw table should not be a trap)."""
+    hist = spark.read.parquet(os.path.join(state_dir, "current"))
+    return hist.filter(
+        F.col("valid_to_lsn").isNull()
+        | (F.col("valid_from_lsn") != F.col("valid_to_lsn"))
+    )
+
+
 def materialize_scd2(
     spark: SparkSession, sf_dir: str, tag: str = "t14", max_files_per_trigger: int = 3
 ) -> DataFrame:
     """T14 end-to-end: envelope stream → incremental SCD2 maintenance →
-    the maintained history table. ``max_files_per_trigger`` deliberately
-    slices the replay into several micro-batches so the attested path
-    exercises the cross-batch merge (open versions closed by later
-    batches), not a single-batch rebuild."""
+    the maintained history table, read through ``read_scd2`` (versions
+    only; merge tombstones stay internal to the state dir).
+    ``max_files_per_trigger`` deliberately slices the replay into several
+    micro-batches so the attested path exercises the cross-batch merge
+    (open versions closed by later batches), not a single-batch rebuild."""
     state_dir = _dir_for(sf_dir, f"state-{tag}-{os.getpid()}")
     if os.path.exists(state_dir):
         shutil.rmtree(state_dir)
@@ -643,7 +661,7 @@ def materialize_scd2(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(state_dir, "current"))
+    return read_scd2(spark, state_dir)
 
 
 def _jdbc_table_exists(conn, table: str) -> bool:

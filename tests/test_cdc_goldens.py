@@ -483,24 +483,18 @@ def test_t14_scd2_maintenance_converges_under_max_disorder(spark):
 
     from ez_cdc_spark.streaming.cdc import materialize_scd2
 
+    # materialize_scd2 returns the read_scd2 view — tombstone-free already
     hist = materialize_scd2(spark, sf, tag="t14test", max_files_per_trigger=1)
-    surface = (
-        hist.filter(
-            F.col("valid_to_lsn").isNull()
-            | (F.col("valid_from_lsn") != F.col("valid_to_lsn"))
-        )
-        .select(
-            "id",
-            "version_no",
-            "first_name",
-            "last_name",
-            "email",
-            "valid_from_lsn",
-            "valid_to_lsn",
-            "is_current",
-        )
-        .collect()
-    )
+    surface = hist.select(
+        "id",
+        "version_no",
+        "first_name",
+        "last_name",
+        "email",
+        "valid_from_lsn",
+        "valid_to_lsn",
+        "is_current",
+    ).collect()
     assert sorted(map(tuple, surface)) == sorted(map(tuple, batch))
     # remaining tombstones must be EXACTLY the genuinely open-less deletes
     # of the full log (keys whose change stream begins with deletes) — no
@@ -519,13 +513,25 @@ def test_t14_scd2_maintenance_converges_under_max_disorder(spark):
         )
         .collect()
     }
+    # tombstones live only in the RAW state dir, below the read_scd2 view
+    import os
+
+    from ez_cdc_spark.streaming.replay import _dir_for
+
+    raw = spark.read.parquet(
+        os.path.join(_dir_for(sf, f"state-t14test-{os.getpid()}"), "current")
+    )
     got = {
         (r["id"], r["valid_from_lsn"])
-        for r in hist.filter(
+        for r in raw.filter(
             F.col("valid_from_lsn") == F.col("valid_to_lsn")
         ).collect()
     }
     assert got == expected
+    # and the read surface itself must contain zero tombstones
+    assert (
+        hist.filter(F.col("valid_from_lsn") == F.col("valid_to_lsn")).count() == 0
+    )
 
 
 def _scd2_reference(events):
@@ -612,16 +618,12 @@ def test_scd2_merge_matches_reference_on_adversarial_sequences(spark, tmp_path, 
     for bid, idxs in enumerate(splits):
         merge(_mk_env_batch(spark, [events[i] for i in idxs]), bid)
 
-    from pyspark.sql import functions as FF
+    from ez_cdc_spark.streaming.cdc import read_scd2
 
-    hist = spark.read.parquet(os.path.join(state, "current"))
     got = sorted(
         (r["id"], r["version_no"], r["first_name"], r["valid_from_lsn"],
          r["valid_to_lsn"], r["is_current"])
-        for r in hist.filter(
-            FF.col("valid_to_lsn").isNull()
-            | (FF.col("valid_from_lsn") != FF.col("valid_to_lsn"))
-        ).collect()
+        for r in read_scd2(spark, state).collect()
     )
     assert got == _scd2_reference(events)
     shutil.rmtree(state, ignore_errors=True)
