@@ -52,6 +52,8 @@ _REATTEST: set[str] = {
     "x24_cluster_canonical",
     # r7: tombstone exclusion promoted out of the query into read_scd2.
     "t14_scd2_maintenance",
+    # r7: file sizing now via the Hadoop FileSystem API (portable schemes).
+    "s12_small_file_compaction",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

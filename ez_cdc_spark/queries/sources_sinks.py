@@ -435,7 +435,9 @@ GROUP BY source ORDER BY source
     "rewrites to ceil(bytes / target_file_size) size-targeted files via "
     "ONE round-robin repartition (no keyed shuffle — compaction is "
     "layout, not semantics; file sizing derives from actual on-disk "
-    "bytes, a driver-side catalog stat, not data). The oracle aggregates "
+    "bytes via the Hadoop FileSystem API — a driver-side catalog stat "
+    "that works on file:/hdfs:/s3a: alike, not data). The oracle "
+    "aggregates "
     "the ORIGINAL table including an order-free content signature "
     "(sum of portable row hashes), so any row lost, duplicated, or "
     "corrupted by the rewrite is a hash mismatch. File-count reduction "
@@ -444,16 +446,14 @@ GROUP BY source ORDER BY source
 def s12_small_file_compaction(spark, sf_dir, target_file_bytes: int = 4 << 20):
     import math
 
+    from ez_cdc_spark.sources.stats import data_bytes
+
     d = t(spark, sf_dir, "documents")
     frag = _scratch(sf_dir, "s12frag")
     compacted = _scratch(sf_dir, "s12compact")
     # the small-file problem, manufactured: 64 fragments of one small table
     d.repartition(64).write.mode("overwrite").parquet(frag)
-    n_bytes = sum(
-        os.path.getsize(os.path.join(frag, f))
-        for f in os.listdir(frag)
-        if f.endswith(".parquet")
-    )
+    n_bytes = data_bytes(spark, frag)
     n_files = max(1, math.ceil(n_bytes / target_file_bytes))
     spark.read.parquet(frag).repartition(n_files).write.mode("overwrite").parquet(
         compacted

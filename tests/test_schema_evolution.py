@@ -82,3 +82,24 @@ def test_s12_compaction_reduces_file_count(spark):
     n_comp = sum(f.endswith(".parquet") for f in os.listdir(compacted))
     assert n_frag == 64
     assert n_comp < 8  # tiny fixture: well under one 4 MiB target file each
+
+
+def test_data_bytes_matches_local_stat_and_takes_uris(spark, tmp_path):
+    """The Hadoop-FS sizing helper behind s12 (r6 VERDICT: portable to
+    object-store schemes): on a local dir it must agree byte-for-byte with
+    os.stat, accept an explicit file: URI, and ignore non-data files
+    (_SUCCESS, CRC sidecars)."""
+    import os
+
+    from ez_cdc_spark.sources.stats import data_bytes
+
+    path = str(tmp_path / "sized")
+    spark.range(0, 1000, 1, 4).write.mode("overwrite").parquet(path)
+    expect = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert expect > 0
+    assert data_bytes(spark, path) == expect
+    assert data_bytes(spark, f"file:{path}") == expect
