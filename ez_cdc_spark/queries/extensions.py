@@ -853,12 +853,34 @@ def x6c_pairwise_dist(spark, sf_dir):
     oracle=None,  # approximate by construction; recall vs brute force is pytest-checked
     doc="X3 ANN path: IVF coarse quantization (deterministic seed + one "
     "distributed Lloyd iteration, n_probe cell probing) — touches "
-    "n_probe/n_cells of the corpus per query instead of all of it.",
+    "n_probe/n_cells of the corpus per query instead of all of it. "
+    "Hash-anchored by x3c_ivf_exact (the n_probe = n_cells degenerate "
+    "mode IS brute force, oracle-checked); this entry keeps the "
+    "approximate regime driver-run with its recall floor pytest-pinned.",
 )
 def x3c_ivf_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return ivf_topk(q, e, k=5, n_cells=16, n_probe=4).orderBy("q_id", "c_id")
+
+
+@register(
+    "x3c_ivf_exact",
+    oracle=_COS_ORACLE,
+    doc="X3c in exact mode, hash-checked against the brute-force cosine "
+    "oracle (the a12 pattern: run the approximate machinery at settings "
+    "where it provably degenerates to the exact answer, making DuckDB a "
+    "true oracle for the WHOLE code path — centroid training, cell "
+    "assignment, cell-keyed join, per-query top-k window). With "
+    "n_probe = n_cells every query probes every cell, so the candidate "
+    "set is the full corpus and the result must equal x3's row-for-row "
+    "(identity also pinned in tests/test_scale_ops.py). The approximate "
+    "regime (n_probe < n_cells) stays recall-tested under x3c_ivf_topk.",
+)
+def x3c_ivf_exact(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(q, e, k=5, n_cells=16, n_probe=16).orderBy("q_id", "c_id")
 
 
 @register(
