@@ -54,6 +54,8 @@ _REATTEST: set[str] = {
     "t14_scd2_maintenance",
     # r7: file sizing now via the Hadoop FileSystem API (portable schemes).
     "s12_small_file_compaction",
+    # r7: x5b now decodes REAL BMP payloads (new oracle: 4x3x first-16 sum).
+    "x5b_resize",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

@@ -28,6 +28,7 @@ from ez_cdc_spark.operators.dedup import (
     simhash_near_dups,
 )
 from ez_cdc_spark.operators.multimodal import (
+    attach_bmp_payload,
     attach_payload,
     extract_features,
     resize_payloads,
@@ -733,18 +734,27 @@ def x5_multimodal(spark, sf_dir):
 @register(
     "x5b_resize",
     oracle="""
-SELECT doc_id, 8 AS width, 8 AS height, CAST(64 AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''),
-                                    c -> ascii(c))) AS BIGINT) AS checksum
+SELECT doc_id, 8 AS width, 8 AS height, CAST(192 AS BIGINT) AS n_bytes,
+       CAST(12 * COALESCE(list_sum(list_transform(
+                string_split(substr(text, 1, 16), ''), c -> ascii(c))), 0)
+            AS BIGINT) AS checksum
 FROM documents
 ORDER BY doc_id
 """,
-    doc="X5: fake image resize (truncate/zero-pad to w*h bytes, mapInPandas) — "
-    "zero padding is checksum-neutral, so the oracle is an ascii sum of the "
-    "first 64 chars.",
+    doc="X5: REAL image resize over real image bytes (r7): each document "
+    "becomes a genuine uncompressed 24-bit BMP (4x4 gray pixels = its "
+    "first 16 text bytes; encode_bmp writes actual file+DIB headers, "
+    "bottom-up stride-padded rows), and resize_payloads decodes the BMP "
+    "by parsing those headers (operators/multimodal.py: decode_bmp) then "
+    "nearest-neighbor-resamples to 8x8. The oracle knows nothing about "
+    "BMP: NN 4x4->8x8 duplicates each pixel 2x2 and gray triples into "
+    "R=G=B, so checksum = 4*3*sum(first-16-byte values) — the decode/"
+    "resample round-trip must reproduce exactly the bytes that went in, "
+    "making header parsing, row order, and stride all hash-load-bearing. "
+    "Compressed formats raise NotImplementedError inside decode.",
 )
 def x5b_resize(spark, sf_dir):
-    d = attach_payload(t(spark, sf_dir, "documents"))
+    d = attach_bmp_payload(t(spark, sf_dir, "documents"), width=4, height=4)
     return resize_payloads(d, width=8, height=8).orderBy("doc_id")
 
 

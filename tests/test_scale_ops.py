@@ -135,6 +135,71 @@ def test_resize_pads_and_truncates(spark):
     assert got[2]["checksum"] == 64 * ord("z")  # truncated to 64 bytes
 
 
+def test_bmp_roundtrip_and_layout():
+    """encode_bmp/decode_bmp are a REAL codec pair: pixel-exact round trip
+    (incl. a stride-padded odd width), bottom-up storage order actually
+    honored (hand-checked against the raw bytes), and honest
+    NotImplementedError for compressed/unsupported payloads."""
+    import struct
+
+    import pytest
+
+    from ez_cdc_spark.operators.multimodal import decode_bmp, encode_bmp, nn_resize
+
+    # round trip, 4x4
+    pix = [[(y * 4 + x) * 16 % 256 for x in range(4)] for y in range(4)]
+    w, h, rows = decode_bmp(encode_bmp(pix))
+    assert (w, h) == (4, 4)
+    assert rows == [[(g, g, g) for g in row] for row in pix]
+
+    # odd width forces a non-trivial 4-byte stride (3*3=9 -> 12)
+    pix3 = [[1, 2, 3], [4, 5, 6]]
+    w, h, rows = decode_bmp(encode_bmp(pix3))
+    assert (w, h) == (3, 2)
+    assert rows == [[(g, g, g) for g in row] for row in pix3]
+
+    # bottom-up convention: the FIRST stored row must be the BOTTOM row
+    raw = encode_bmp([[10], [20]])  # 1x2: top=10, bottom=20
+    off = struct.unpack_from("<I", raw, 10)[0]
+    assert raw[off] == 20 and decode_bmp(raw)[2][0][0] == (10, 10, 10)
+
+    # top-down BMPs (negative height) decode too
+    td = bytearray(encode_bmp([[10], [20]]))
+    struct.pack_into("<i", td, 22, -2)  # height := -2 (top-down)
+    assert decode_bmp(bytes(td))[2][0][0] == (20, 20, 20)
+
+    # nearest-neighbor 2x up duplicates each pixel 2x2
+    up = nn_resize([[(1, 1, 1), (2, 2, 2)], [(3, 3, 3), (4, 4, 4)]], 4, 4)
+    assert up[0] == [(1, 1, 1)] * 2 + [(2, 2, 2)] * 2
+    assert up[3] == [(3, 3, 3)] * 2 + [(4, 4, 4)] * 2
+
+    # compressed formats refuse honestly
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+    rle = bytearray(encode_bmp([[1]]))
+    struct.pack_into("<I", rle, 30, 1)  # compression := BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+def test_resize_payloads_real_bmp_path(spark):
+    """x5b's claim end-to-end at unit scale: a genuine BMP payload goes
+    through header parse + NN resample, and the checksum equals the
+    4x-duplicated tripled-gray sum the oracle predicts."""
+    from ez_cdc_spark.operators.multimodal import attach_bmp_payload, resize_payloads
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "xy")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in resize_payloads(attach_bmp_payload(docs, 4, 4), 8, 8).collect()
+    }
+    assert got[1]["n_bytes"] == 192  # 8*8 RGB pixels
+    assert got[1]["checksum"] == 4 * 3 * sum(b"abcdefghijklmnop")
+    assert got[2]["checksum"] == 4 * 3 * (ord("x") + ord("y"))
+
+
 def test_minhash_lsh_recall_and_stability(spark, sf_dir):
     """x2's no-SQL-oracle claim gets teeth: on the seeded fixture the LSH
     candidate set must (a) contain EVERY exact 3-gram-Jaccard >= 0.8 pair
