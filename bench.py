@@ -58,6 +58,12 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   x11's timing carries the shared pair-gen + convergence loop.
 #   t13 — round-5 incremental aggregate maintenance (CDC stream keeps a
 #   bucketed aggregate current without full recompute).
+#   w8 — round-6 funnel conversion (single-exchange sessionless ordering).
+#   x25/x26 — round-6 SCD2 history build + as-of-LSN time travel (the
+#   heaviest batch CDC-analytics shapes).
+#   t14 — round-6 incremental SCD2 maintenance (per-batch bucket rewrites).
+#   t15 — round-6 JDBC CDC landing (per-batch Derby round-trips + the r7
+#   cross-batch lsn anti-join).
 EXTRA_QUERIES = [
     "x2d_embedding_neardup",
     "x10_corpus_pipeline",
@@ -66,6 +72,11 @@ EXTRA_QUERIES = [
     "x13_repetition_metrics",
     "x19_boilerplate_ngrams",
     "t13_incremental_aggregate",
+    "w8_funnel_conversion",
+    "x25_scd2_history",
+    "x26_state_asof_lsn",
+    "t14_scd2_maintenance",
+    "t15_jdbc_cdc_sink",
 ]
 
 
