@@ -374,3 +374,58 @@ def j13_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "j14_interval_bin_join",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.event_type = 'signup' AND b.event_type = 'error'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+ORDER BY eid_a, eid_b
+""",
+    doc="J14: interval join with NO equi key (every error event inside any "
+    "signup's 1-minute window, across all users) — the join shape Spark "
+    "degenerates to a broadcast-nested-loop/cartesian on, and the one "
+    "place a naive plan dies at 100 TB (|A|x|B| comparisons). The scale "
+    "technique: BIN BUCKETING — intervals explode to the fixed-width time "
+    "bins they cover (window length = bin width => at most 2 bins per "
+    "interval), points map to exactly one bin, and the join becomes a "
+    "hash equi-join on bin id + residual range filter. Each pair can meet "
+    "in at most one bin (the point side has one bin), so no dedup pass. "
+    "Cost: O(|A| + |B|) shuffled rows on a high-cardinality key (one bin "
+    "per minute of timeline) instead of |A|x|B| comparisons; plan "
+    "asserted cartesian-free in tests/test_plans.py. Second-truncated "
+    "bin edges are conservative (bins align to whole minutes), the "
+    "residual compares full-precision timestamps.",
+)
+def j14_interval_bin_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    bin_s = 60  # bin width == interval length: each interval spans <= 2 bins
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b")
+    )
+    lo = F.floor(F.unix_timestamp("ts_a") / bin_s).cast("long")
+    hi = F.floor((F.unix_timestamp("ts_a") + bin_s) / bin_s).cast("long")
+    a_bins = a.withColumn("bin", F.explode(F.sequence(lo, hi)))
+    b_bins = b.withColumn(
+        "bin", F.floor(F.unix_timestamp("ts_b") / bin_s).cast("long")
+    )
+    return (
+        a_bins.join(b_bins, "bin")
+        .filter(
+            (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 MINUTES"))
+        )
+        .select(
+            "eid_a",
+            "eid_b",
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
+        )
+        .orderBy("eid_a", "eid_b")
+    )

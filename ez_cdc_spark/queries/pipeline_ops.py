@@ -1140,3 +1140,210 @@ def x28_split_assign(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x29_profile",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+         o_orderdate, o_orderstatus
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+FROM base
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM base
+UNION ALL
+SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM base
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM base
+ORDER BY col_name
+""",
+    doc="X29: single-pass column profiler — the stats surface every "
+    "ingestion/data-quality/query-planning step needs (per column: rows, "
+    "null count, EXACT distinct count, min/max rendered canonically). "
+    "ONE aggregate over the table computes all columns' metrics together "
+    "(Catalyst plans the multi-count_distinct via one expand — a single "
+    "scan and one aggregation exchange, not a scan per column), then the "
+    "1-row result explodes into one row per column: the only shuffled "
+    "data is partial-agg state, O(distinct values) per column, never "
+    "rows. Renders: numerics/strings via CAST, decimals via exact "
+    "DECIMAL(12,2), timestamps second-truncated after native min/max "
+    "(truncate-then-compare would misorder sub-second values).",
+)
+def x29_profile(spark, sf_dir):
+    from ez_cdc_spark.queries._util import dec
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        dec("o_totalprice").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderstatus",
+    )
+    ts_render = lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    str_render = lambda col: col.cast("string")  # noqa: E731
+    renders = {"o_orderdate": ts_render}
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        r = renders.get(c, str_render)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            r(F.min(c)).alias(f"{c}__min"),
+            r(F.max(c)).alias(f"{c}__max"),
+        ]
+    one = base.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*").orderBy("col_name")
+
+
+@register(
+    "x30_expectations",
+    oracle="""
+SELECT 'domain_o_orderstatus' AS check_name,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'fk_orders_custkey',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+UNION ALL
+SELECT 'notnull_o_orderdate',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'positive_o_totalprice',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE CAST(o_totalprice AS DECIMAL(12,2)) <= 0) AS BIGINT)
+UNION ALL
+SELECT 'unique_o_orderkey',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+ORDER BY check_name
+""",
+    doc="X30: declarative data-quality expectations — the constraint suite "
+    "(Deequ/Great-Expectations-style) a pipeline runs before promoting a "
+    "landed table: key uniqueness, referential integrity, value domain, "
+    "range, and null checks, each returning its VIOLATION COUNT (0 = "
+    "pass), unioned into one report. Spark-first shapes per check: "
+    "uniqueness is count - count_distinct in one aggregate (no "
+    "self-join); the FK check is a LEFT ANTI join against the broadcast "
+    "distinct dimension keys (O(fact) map-side probe, no shuffle of the "
+    "fact side); domain/range/null checks are pushed-filter counts. "
+    "Every check is a 1-row aggregate, so the union costs nothing at any "
+    "scale.",
+)
+def x30_expectations(spark, sf_dir):
+    from ez_cdc_spark.queries._util import dec
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def one(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    uniq = o.agg((F.count("*") - F.count_distinct("o_orderkey")).alias("v"))
+    fk = (
+        o.select("o_custkey")
+        .join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey")).distinct()),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    dom = o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    pos = o.filter(dec("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("v"))
+    nn = o.filter(F.col("o_orderdate").isNull()).agg(F.count(F.lit(1)).alias("v"))
+    report = (
+        one("unique_o_orderkey", uniq)
+        .unionByName(one("fk_orders_custkey", fk))
+        .unionByName(one("domain_o_orderstatus", dom))
+        .unionByName(one("positive_o_totalprice", pos))
+        .unionByName(one("notnull_o_orderdate", nn))
+    )
+    return report.orderBy("check_name")
+
+
+@register(
+    "x31_rank_normalize",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pct_rank
+FROM documents
+ORDER BY doc_id
+""",
+    doc="X31: per-source rank normalization — map each document's length "
+    "onto its within-source percentile (percent_rank semantics: strictly-"
+    "below count / (n-1), ties share a rank), the standard move to make "
+    "quality/length signals comparable ACROSS sources before mixing "
+    "(x7b) or capping (x18). The oracle states it as a window function; "
+    "the engine deliberately does NOT (a source-partitioned window puts "
+    "an entire source's rows in one task — source is low-cardinality, so "
+    "at 100 TB that's a straggler). Instead: per-(source, value) counts, "
+    "a cumulative sum over the DISTINCT-VALUE histogram (the window "
+    "shuffles only O(distinct lengths) rows), and a broadcast map-side "
+    "join back onto the corpus — same answer, no full-corpus keyed "
+    "exchange at all.",
+)
+def x31_rank_normalize(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    hist = d.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        (F.col("cum") - F.col("cnt")) / (F.col("n_src") - 1)
+    )
+    ranks = (
+        cum.join(F.broadcast(tot), "source")
+        .select("source", "n_chars", F.round(pr, 6).alias("pct_rank"))
+    )
+    return (
+        d.join(F.broadcast(ranks), ["source", "n_chars"])
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "pct_rank")
+        .orderBy("doc_id")
+    )

@@ -469,3 +469,45 @@ def s12_small_file_compaction(spark, sf_dir, target_file_bytes: int = 4 << 20):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s13_orc_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                AS BIGINT)) AS BIGINT) AS key_sig,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="S13: ORC source/sink round-trip — Spark's second first-class "
+    "columnar format (native vectorized reader, predicate pushdown, the "
+    "Hive-ecosystem interchange format a lakehouse ingests from). The "
+    "orders table (decimal-cast totals included, exercising ORC's "
+    "DECIMAL physical type) writes to ORC and reads back; the oracle "
+    "aggregates the ORIGINAL parquet with an order-free content "
+    "signature (sum of portable key hashes, same s12 pattern — DuckDB "
+    "reads no ORC, so the signature is what proves no row was lost, "
+    "duplicated, or value-corrupted by the format round-trip).",
+)
+def s13_orc_roundtrip(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec("o_totalprice").alias("p")
+    )
+    path = _scratch(sf_dir, "s13orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    sig = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(sig).cast("bigint").alias("key_sig"),
+            F.sum("p").cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

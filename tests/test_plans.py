@@ -330,3 +330,31 @@ def test_w8_funnel_single_exchange(spark, sf_smoke):
     p = plan_str(reg["w8_funnel_conversion"].fn(spark, sf_smoke))
     assert p.count("hashpartitioning") == 1, "w8: one user-keyed exchange"
     assert "Join" not in p, "w8 must not self-join"
+
+
+def test_round7_ops_plan_shapes(spark, sf_smoke):
+    """Round-7 additions keep their declared scale shapes.
+    j14: the no-equi-key interval join must plan as a hash equi-join on
+    bin id — the entire point is avoiding the cartesian/BNLJ Spark would
+    otherwise pick for a pure range predicate.
+    x30: the FK check probes a broadcast dim — the fact side must not
+    shuffle for the anti-join.
+    x31: the corpus must never enter a keyed exchange — ranks come from
+    the distinct-value histogram and join back via broadcast."""
+    reg = load_all()
+
+    p14 = plan_str(reg["j14_interval_bin_join"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p14 and "BroadcastNestedLoop" not in p14
+    assert "Join" in p14  # it IS a join — just an equi one on the bin key
+
+    p30 = plan_str(reg["x30_expectations"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p30 and "LeftAnti" in p30
+
+    p31 = plan_str(reg["x31_rank_normalize"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p31, "x31: rank map joins back via broadcast"
+    # the only hashpartitioning exchanges are over the (source, n_chars)
+    # histogram / per-source totals — tiny; the corpus itself reaches the
+    # broadcast join with no keyed exchange on its lineage. Cheap proxy:
+    # no SortMergeJoin anywhere (a corpus-side keyed exchange would appear
+    # as SMJ given the size imbalance).
+    assert "SortMergeJoin" not in p31
