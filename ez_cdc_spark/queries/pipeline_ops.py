@@ -1347,3 +1347,57 @@ def x31_rank_normalize(spark, sf_dir):
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "pct_rank")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x32_cohort_retention",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), act AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(f.t0) / 604800) AS BIGINT) AS cohort_week,
+         CAST(floor(epoch(e.ts) / 604800)
+              - floor(epoch(f.t0) / 604800) AS BIGINT) AS weeks_since
+  FROM events e JOIN first_signup f USING (user_id)
+  WHERE e.ts >= f.t0
+)
+SELECT cohort_week, weeks_since,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM act GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+""",
+    doc="X32: cohort retention — the product-analytics staple: bucket users "
+    "by first-signup week, count distinct users active k weeks later. The "
+    "oracle states it as agg + join; the engine rides w8's single-"
+    "exchange pattern instead: the per-user signup anchor is a window min "
+    "over the SAME user-keyed exchange the activity rows already need — "
+    "no first-touch self-join, no second shuffle of the fact table; the "
+    "only other exchange is the final (cohort, week) rollup (distinct "
+    "users via its expand). Week arithmetic is integer floor-division of "
+    "epoch seconds — truncation-safe on both engines because week "
+    "boundaries are whole seconds. At 100 TB: events shuffle once by "
+    "user_id; cohort keys are low-cardinality but carry only aggregated "
+    "rows.",
+)
+def x32_cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    wk = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
+    anchored = (
+        e.select("user_id", "ts", "event_type")
+        .withColumn("t0", t0)
+        .filter(F.col("t0").isNotNull() & (F.col("ts") >= F.col("t0")))
+    )
+    return (
+        anchored.select(
+            "user_id",
+            wk(F.col("t0")).alias("cohort_week"),
+            (wk(F.col("ts")) - wk(F.col("t0"))).alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

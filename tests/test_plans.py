@@ -358,3 +358,10 @@ def test_round7_ops_plan_shapes(spark, sf_smoke):
     # no SortMergeJoin anywhere (a corpus-side keyed exchange would appear
     # as SMJ given the size imbalance).
     assert "SortMergeJoin" not in p31
+
+    # x32: the per-user anchor rides the window's user exchange — no
+    # first-touch self-join; the only other keyed exchange is the
+    # (cohort, week) rollup (count_distinct may add its expand's
+    # repartition on the same grouping, but never a join).
+    p32 = plan_str(reg["x32_cohort_retention"].fn(spark, sf_smoke))
+    assert "Join" not in p32, "x32 must not self-join for the anchor"
