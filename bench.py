@@ -61,9 +61,15 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   w8 — round-6 funnel conversion (single-exchange sessionless ordering).
 #   x25/x26 — round-6 SCD2 history build + as-of-LSN time travel (the
 #   heaviest batch CDC-analytics shapes).
-#   t14 — round-6 incremental SCD2 maintenance (per-batch bucket rewrites).
+#   t14 — round-6 incremental SCD2 maintenance. NOTE: the fixture folds all
+#   keys onto 200 ids, so EVERY batch touches EVERY state bucket — the
+#   documented worst case, where 3 incremental merges cost ~3 full builds
+#   plus stream/IO overhead. The incremental win appears exactly when
+#   batches touch a small fraction of buckets (the 100 TB regime); the
+#   bucket-bounded-work property is pinned in tests/test_cdc_goldens.py.
 #   t15 — round-6 JDBC CDC landing (per-batch Derby round-trips + the r7
-#   cross-batch lsn anti-join).
+#   cross-batch lsn anti-join; first batch creates lsn/batch_id indexes so
+#   later batches' DELETE + range scans stay O(batch), not O(log)).
 EXTRA_QUERIES = [
     "x2d_embedding_neardup",
     "x10_corpus_pipeline",

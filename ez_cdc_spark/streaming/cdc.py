@@ -761,6 +761,26 @@ def jdbc_cdc_sink_batch(url: str, driver: str, table: str):
         changes.write.format("jdbc").option("url", url).option(
             "dbtable", table
         ).option("driver", driver).mode("append").save()
+        if not exists:
+            # the table was just created by the first append: index the two
+            # columns every later batch predicates on, so the per-batch
+            # DELETE (batch_id) and lsn-range anti-join scan O(overlap)
+            # rows instead of the whole landed log — the property that
+            # keeps per-batch cost O(batch) as the log grows
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                st = conn.createStatement()
+                try:
+                    st.executeUpdate(
+                        f'CREATE INDEX {table}_lsn_ix ON {table} ("lsn")'
+                    )
+                    st.executeUpdate(
+                        f'CREATE INDEX {table}_bid_ix ON {table} ("batch_id")'
+                    )
+                finally:
+                    st.close()
+            finally:
+                conn.close()
 
     return apply
 
