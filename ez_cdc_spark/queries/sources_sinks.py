@@ -511,3 +511,48 @@ def s13_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "s14_xml_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="S14: XML source/sink round-trip — Spark 4 ships the (formerly "
+    "spark-xml) XML data source built in; enterprise CDC feeds still move "
+    "through XML interchange constantly. Events write as <row> elements "
+    "and read back under an explicit schema (no inference — monetary "
+    "values re-enter as DECIMAL(12,2) strings exactly); the oracle "
+    "aggregates the original parquet, so any row or value the XML "
+    "round-trip loses or corrupts is a hash mismatch.",
+)
+def s14_xml_roundtrip(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", dec("value").alias("value")
+    )
+    path = _scratch(sf_dir, "s14xml")
+    ev.write.mode("overwrite").format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id BIGINT, event_type STRING, value DECIMAL(12,2)")
+        .load(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

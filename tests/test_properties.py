@@ -211,3 +211,28 @@ def test_sample_nesting_and_packing_invariants(spark, sf_smoke):
             assert abs(qi / s - float(orig)) <= 0.5 / s + 1e-9, (
                 r["vec_id"], orig, qi, s
             )
+
+
+# --- r7: BMP codec round-trip property -------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.integers(min_value=1, max_value=9),
+    cols=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(rows, cols, data):
+    """decode(encode(p)) == p for EVERY pixel matrix shape — including the
+    odd widths whose rows need 4-byte stride padding and single-pixel
+    degenerate images. The codec is real parsing; a stride or row-order
+    bug corrupts some shape in this space."""
+    from ez_cdc_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    pix = [
+        [data.draw(st.integers(min_value=0, max_value=255)) for _ in range(cols)]
+        for _ in range(rows)
+    ]
+    w, h, got = decode_bmp(encode_bmp(pix))
+    assert (w, h) == (cols, rows)
+    assert got == [[(g, g, g) for g in row] for row in pix]
