@@ -345,3 +345,81 @@ def w8_funnel_conversion(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w9_linear_interpolate",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS tm,
+         CASE WHEN event_type <> 'view'
+              THEN CAST(value AS DECIMAL(12,2)) END AS reading
+  FROM events WHERE user_id < 50
+), w AS (
+  SELECT *,
+    last_value(reading IGNORE NULLS) OVER wb AS v0,
+    last_value(CASE WHEN reading IS NOT NULL THEN tm END IGNORE NULLS)
+      OVER wb AS t0,
+    first_value(reading IGNORE NULLS) OVER wf AS v1,
+    first_value(CASE WHEN reading IS NOT NULL THEN tm END IGNORE NULLS)
+      OVER wf AS t1
+  FROM base
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+  CASE WHEN reading IS NOT NULL THEN CAST(reading AS DOUBLE)
+       WHEN v0 IS NULL THEN CAST(v1 AS DOUBLE)
+       WHEN v1 IS NULL THEN CAST(v0 AS DOUBLE)
+       WHEN t1 = t0 THEN CAST(v0 AS DOUBLE)
+       ELSE ROUND(CAST(v0 AS DOUBLE)
+            + (CAST(v1 AS DOUBLE) - CAST(v0 AS DOUBLE))
+              * (CAST(tm - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)), 6)
+  END AS v_interp
+FROM w
+ORDER BY event_id
+""",
+    doc="W9: linear-interpolation gap fill — W6 LOCF's companion: missing "
+    "readings ('view' rows) take the time-weighted value between the "
+    "nearest non-null neighbors, v0 + (v1-v0)*(t-t0)/(t1-t0); leading/"
+    "trailing gaps degrade to backfill/LOCF; a t1=t0 tie (same-microsecond "
+    "neighbors) takes v0 on both engines. Both neighbor lookups are "
+    "window passes over the SAME (user, ts, event_id) partitioning and "
+    "sort — Catalyst stacks the two frame directions on one exchange + "
+    "one sort, so the op costs exactly what W6 costs. Readings are exact "
+    "decimals, times integer micros; the interpolated branch is one "
+    "identically-parenthesized double expression ROUND(,6)-rendered, the "
+    "non-interpolated branches exact-decimal casts.",
+)
+def w9_linear_interpolate(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    reading = F.when(F.col("event_type") != "view", dec("value"))
+    tmic = F.unix_micros(F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v0 = F.last(reading, ignorenulls=True).over(w_back)
+    t0 = F.last(F.when(reading.isNotNull(), tmic), ignorenulls=True).over(w_back)
+    v1 = F.first(reading, ignorenulls=True).over(w_fwd)
+    t1 = F.first(F.when(reading.isNotNull(), tmic), ignorenulls=True).over(w_fwd)
+    v0d, v1d = v0.cast("double"), v1.cast("double")
+    ratio = (tmic - t0).cast("double") / (t1 - t0).cast("double")
+    v_interp = (
+        F.when(reading.isNotNull(), reading.cast("double"))
+        .when(v0.isNull(), v1d)
+        .when(v1.isNull(), v0d)
+        .when(t1 == t0, v0d)
+        .otherwise(F.round(v0d + (v1d - v0d) * ratio, 6))
+    )
+    return e.select(
+        "event_id", "user_id", v_interp.alias("v_interp")
+    ).orderBy("event_id")
