@@ -513,3 +513,49 @@ def a12_approx_percentile(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "a13_mode",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM ranked WHERE rn = 1
+ORDER BY o_orderstatus
+""",
+    doc="A13: deterministic MODE aggregate — most frequent value per group "
+    "with an explicit tie-break (smallest value wins). Spark's built-in "
+    "mode() and DuckDB's mode() both leave ties engine-defined, so the "
+    "op is DECLARED in its deterministic rewritten form (the O5/A10 "
+    "convention): a count rollup, then a row_number over the COUNTS "
+    "table (group-cardinality rows, not data rows) — two partial-agg'd "
+    "exchanges, and the window sorts value frequencies, never the fact "
+    "table.",
+)
+def a13_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -464,3 +464,35 @@ def f_hash(spark, sf_dir):
         F.md5("c_name").alias("h_md5"),
         F.lower(F.sha2("c_name", 256)).alias("h_sha256"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "f_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey & 255 AS BIGINT) AS key_band,
+       CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+       CAST(l_linenumber << 2 AS BIGINT) AS line_shl,
+       CAST(l_orderkey >> 3 AS BIGINT) AS key_shr,
+       CAST(bit_count(l_orderkey) AS INT) AS key_bits
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="F: bitwise function family — AND-masking (hash banding), XOR (key "
+    "mixing), shifts, population count (the SimHash/Hamming primitive "
+    "x2c builds on). Pure map-side integer expressions inside whole-"
+    "stage codegen; identical two's-complement semantics on both "
+    "engines.",
+)
+def f_bitwise(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).cast("bigint").alias("key_band"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).cast("bigint").alias("key_xor"),
+        F.shiftleft(F.col("l_linenumber"), 2).cast("bigint").alias("line_shl"),
+        F.shiftright(F.col("l_orderkey"), 3).cast("bigint").alias("key_shr"),
+        F.bit_count(F.col("l_orderkey")).cast("int").alias("key_bits"),
+    ).orderBy("l_orderkey", "l_linenumber")
