@@ -325,3 +325,97 @@ def t15_jdbc_cdc_sink(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@register(
+    "x33_pit_enrich",
+    oracle=ENV_CTE
+    + """,
+ded AS (
+  SELECT DISTINCT id, lsn, op, first_name, last_name, email FROM env
+),
+facts AS (
+  SELECT CAST(event_id % 200 AS BIGINT) AS id,
+         CAST(event_id AS BIGINT) AS flsn,
+         CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type = 'click'
+)
+SELECT f.event_id AS event_id, f.id AS id, f.user_id AS user_id,
+       CAST(f.v AS DOUBLE) AS fact_value,
+       CASE WHEN d.op = 'd' THEN NULL ELSE d.first_name END AS dim_first_name,
+       CASE WHEN d.op = 'd' THEN NULL ELSE d.last_name END AS dim_last_name,
+       CASE WHEN d.op = 'd' THEN NULL ELSE d.email END AS dim_email,
+       CAST(d.lsn AS BIGINT) AS dim_lsn
+FROM facts f ASOF LEFT JOIN ded d ON f.id = d.id AND f.flsn > d.lsn
+ORDER BY event_id
+""",
+    doc="X33: point-in-time dimension enrichment — each fact ('click' "
+    "events) is decorated with the dimension state its key held STRICTLY "
+    "BEFORE the fact's LSN (the before-image a REPLICA-IDENTITY-FULL "
+    "source carries on the wire, reconstructed downstream from the change "
+    "log alone): the latest c/u change below the fact's LSN supplies the "
+    "attributes, a latest-change delete yields NULLs (key dead at fact "
+    "time), and dim_lsn records the matched change for audit. Strategy is "
+    "NOT a range/as-of JOIN (J8's applyInPandas or DuckDB's ASOF both "
+    "sort-merge two inputs): facts and changes UNION into one stream, "
+    "sorted (lsn, kind) inside a single id-keyed exchange, and a "
+    "last(ignorenulls) window carries the change state onto the facts — "
+    "the PIT join costs exactly one shuffle of flat rows, no join node at "
+    "all (plan-asserted). At-least-once duplicate changes are identical "
+    "rows, so the carried state is unaffected and no dedup pass is paid. "
+    "At 100 TB this scales like any keyed window: one exchange of "
+    "(id, lsn, attrs), state per key = one row.",
+)
+def x33_pit_enrich(spark, sf_dir):
+    changes = _flat_envelopes(spark, sf_dir, dedup=False).select(
+        "id",
+        "lsn",
+        F.lit(1).alias("kind"),  # facts (0) sort first at equal lsn
+        F.struct("op", "first_name", "last_name", "email", "lsn").alias("st"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("decimal(12,2)").alias("v"),
+    )
+    facts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            (F.col("event_id") % 200).cast("bigint").alias("id"),
+            F.col("event_id").cast("bigint").alias("lsn"),
+            F.lit(0).alias("kind"),
+            F.lit(None)
+            .cast(
+                "struct<op:string,first_name:string,last_name:string,"
+                "email:string,lsn:bigint>"
+            )
+            .alias("st"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("lsn", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("st", ignorenulls=True).over(w)
+    live = F.col("pit.op").isNotNull() & (F.col("pit.op") != F.lit("d"))
+    return (
+        changes.unionByName(facts)
+        .withColumn("pit", carried)
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "id",
+            "user_id",
+            F.col("v").cast("double").alias("fact_value"),
+            F.when(live, F.col("pit.first_name")).alias("dim_first_name"),
+            F.when(live, F.col("pit.last_name")).alias("dim_last_name"),
+            F.when(live, F.col("pit.email")).alias("dim_email"),
+            F.col("pit.lsn").alias("dim_lsn"),
+        )
+        .orderBy("event_id")
+    )

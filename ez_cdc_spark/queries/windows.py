@@ -423,3 +423,76 @@ def w9_linear_interpolate(spark, sf_dir):
     return e.select(
         "event_id", "user_id", v_interp.alias("v_interp")
     ).orderBy("event_id")
+
+
+@register(
+    "w10_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+         AS duration_s,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+    doc="W10: gap-based batch sessionization — the batch companion to T4's "
+    "session windows: a new session opens when a user's inter-event gap "
+    "exceeds 6 h (or at their first event), sessions numbered per user by "
+    "a running sum of the gap marks, then per-session count/start/"
+    "duration/value rollup. Plan: ONE user-keyed exchange total — the lag "
+    "test and the running sum share the (user, ts, event_id) sort, and "
+    "the (user_id, session_no) groupBy's ClusteredDistribution is "
+    "satisfied by the existing hash(user_id) partitioning (group keys are "
+    "a superset), so Catalyst inserts no second shuffle; plan-asserted in "
+    "tests. At 100 TB this scales with user cardinality — sessions are "
+    "contiguous runs inside an already-sorted partition, and the rollup "
+    "collapses them before anything else moves.",
+)
+def w10_sessionize(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tmic = F.unix_micros(F.col("ts"))
+    gap_us = 21600 * 1_000_000  # 6 h session gap
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (tmic - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    numbered = e.select(
+        "user_id", "ts", "event_id", dec("value").alias("v"),
+        new_sess.alias("new_sess"),
+    ).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("duration_s"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -321,6 +321,12 @@ def test_cdc_analytics_plan_shapes(spark, sf_smoke):
     p27 = plan_str(reg["x27_change_audit"].fn(spark, sf_smoke))
     assert p27.count("hashpartitioning") == 2, "x27: dedup + rollup exchanges"
 
+    # x33 (PIT enrich): the facts-vs-changes as-of match is a UNION + LOCF
+    # window inside one id-keyed exchange — there must be NO join node.
+    p33 = plan_str(reg["x33_pit_enrich"].fn(spark, sf_smoke))
+    assert p33.count("hashpartitioning") == 1, "x33: one id-keyed exchange"
+    assert "Join" not in p33, "x33 must not plan a join"
+
 
 def test_w8_funnel_single_exchange(spark, sf_smoke):
     """w8's shape claim: the per-user signup-anchor window and the final
@@ -365,3 +371,12 @@ def test_round7_ops_plan_shapes(spark, sf_smoke):
     # repartition on the same grouping, but never a join).
     p32 = plan_str(reg["x32_cohort_retention"].fn(spark, sf_smoke))
     assert "Join" not in p32, "x32 must not self-join for the anchor"
+
+    # w10: gap-mark lag, session-number running sum, AND the
+    # (user_id, session_no) rollup all ride ONE hash(user_id) exchange —
+    # hash(user_id) satisfies the group's ClusteredDistribution because
+    # the grouping keys are a superset of the partitioning key. The only
+    # other exchange is the final presentation rangepartitioning.
+    p10 = plan_str(reg["w10_sessionize"].fn(spark, sf_smoke))
+    assert p10.count("hashpartitioning") == 1, "w10: one user-keyed exchange"
+    assert "Join" not in p10, "w10 must not self-join"
