@@ -1401,3 +1401,74 @@ def x32_cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "x34_unigram_logprob",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(CAST(ROUND(ln(f.cnt), 6) AS DECIMAL(18,6))) AS ln_cnt_sum
+  FROM tok t JOIN freq f USING (token)
+  GROUP BY t.doc_id
+)
+SELECT p.doc_id, p.n_tokens,
+       ROUND(CAST(p.ln_cnt_sum AS DOUBLE) / p.n_tokens - ln(tt.n), 6)
+         AS avg_logprob
+FROM per_doc p, total tt
+ORDER BY p.doc_id
+""",
+    doc="X34: unigram language-model scoring — per-document mean token "
+    "log-probability under the corpus's own unigram distribution, the "
+    "perplexity-proxy quality filter (CCNet/KenLM style: drop docs whose "
+    "vocabulary the corpus LM finds surprising). Log-domain companion to "
+    "x17's LINEAR mean frequency: the log makes one hapax drag a doc's "
+    "score the way a perplexity filter would, where x17's mean is "
+    "dominated by its most common tokens. avg_logprob = mean ln p(tok) "
+    "= (SUM ln cnt_tok)/n - ln N. Determinism: each ln(cnt) is rounded "
+    "to 6 dp and summed as exact DECIMAL — an order-free sum (float "
+    "accumulation order would differ between engines) — then ONE "
+    "division and one ln(N) subtraction, ROUND(,6) rendered. 100 TB "
+    "plan: identical to x17 — vocab-sized freq table broadcast back "
+    "against the exploded corpus (the big side never shuffles on token), "
+    "per-doc aggregate partial-aggregates before its doc_id exchange, "
+    "and the grand total is a 1-row broadcast.",
+)
+def x34_unigram_logprob(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = tok.agg(F.count("*").cast("bigint").alias("n"))
+    per_doc = (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.round(F.log("cnt"), 6).cast("decimal(18,6)")).alias(
+                "ln_cnt_sum"
+            ),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("ln_cnt_sum").cast("double") / F.col("n_tokens")
+                - F.log("n"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -236,3 +236,30 @@ def test_bmp_roundtrip_property(rows, cols, data):
     w, h, got = decode_bmp(encode_bmp(pix))
     assert (w, h) == (cols, rows)
     assert got == [[(g, g, g) for g in row] for row in pix]
+
+
+def test_x34_ln_rounding_boundary_margin():
+    """x34's determinism contract: each ln(token count) is rounded to 6 dp
+    before the exact decimal sum, so cross-engine agreement needs every
+    distinct ln(cnt) to sit clear of a 0.5e-6 rounding boundary by more
+    than the engines' possible 1-2 ulp ln() disagreement. Verify the
+    margin on the sf0.01 vocabulary (the driver's attestation scale)."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    counts = con.execute(
+        r"""
+        SELECT DISTINCT CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        GROUP BY token
+        """
+    ).fetchall()
+    worst = 1.0
+    for (cnt,) in counts:
+        frac = (math.log(cnt) * 1e6) % 1.0
+        margin = abs(frac - 0.5)  # distance from the round-half boundary
+        worst = min(worst, margin)
+    # 1 ulp of ln(cnt)~<15 scaled by 1e6 is ~1e-9; require 1000x headroom
+    assert worst > 1e-6, f"ln(cnt) too close to a rounding boundary: {worst}"
