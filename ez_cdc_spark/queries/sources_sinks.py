@@ -556,3 +556,87 @@ def s14_xml_roundtrip(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _s15_oracle() -> str:
+    from ez_cdc_spark.functions.zorder import quantize16_sql, z_sql
+
+    u16 = quantize16_sql("l_partkey", "s.lo_pk", "s.hi_pk")
+    v16 = quantize16_sql("l_suppkey", "s.lo_sk", "s.hi_sk")
+    return f"""
+WITH s AS (
+  SELECT MIN(l_partkey) AS lo_pk, MAX(l_partkey) AS hi_pk,
+         MIN(l_suppkey) AS lo_sk, MAX(l_suppkey) AS hi_sk
+  FROM lineitem
+), coded AS (
+  SELECT l_partkey, l_suppkey,
+         ({z_sql(u16, v16)} >> 26) AS zbucket
+  FROM lineitem, s
+)
+SELECT CAST(zbucket AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_sk,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+FROM coded GROUP BY zbucket ORDER BY zbucket
+"""
+
+
+@register(
+    "s15_zorder_cluster",
+    oracle=_s15_oracle(),
+    doc="S15: Z-order clustered rewrite — the multi-dimensional layout op a "
+    "linear sort can't give: lineitem is rewritten clustered on the Morton "
+    "interleave of (l_partkey, l_suppkey), each dimension min-max-quantized "
+    "to a 16-bit code (stats are a 1-row broadcast; at 100 TB, catalog "
+    "stats) and the top 6 z-bits choosing one of 64 bucket directories. "
+    "After the rewrite, file-level min-max footers are narrow in BOTH "
+    "dimensions, so predicate pruning skips files for part-keyed AND "
+    "supplier-keyed queries alike (narrowing asserted vs a single-column "
+    "sort baseline in tests/test_plans.py). The z-code is pure bitwise "
+    "codegen (functions/zorder.py emits the identical expression for both "
+    "engines), the write is ONE keyed repartition on zbucket + a "
+    "partitionBy sink, and the result is the per-bucket (count, min/max "
+    "per dim) profile read BACK from the clustered copy — any row lost or "
+    "moved by the rewrite breaks the hash.",
+)
+def s15_zorder_cluster(spark, sf_dir):
+    from ez_cdc_spark.functions.zorder import quantize16, z_interleave
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+    )
+    stats = li.agg(
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+        F.min("l_suppkey").alias("lo_sk"),
+        F.max("l_suppkey").alias("hi_sk"),
+    )
+    u16 = quantize16(F.col("l_partkey"), F.col("lo_pk"), F.col("hi_pk"))
+    v16 = quantize16(F.col("l_suppkey"), F.col("lo_sk"), F.col("hi_sk"))
+    coded = li.join(F.broadcast(stats)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(z_interleave(u16, v16), 26).alias("zbucket"),
+    )
+    path = _scratch(sf_dir, "s15zorder")
+    (
+        coded.repartition(F.col("zbucket"))
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("zbucket").cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("l_partkey").cast("bigint").alias("min_pk"),
+            F.max("l_partkey").cast("bigint").alias("max_pk"),
+            F.min("l_suppkey").cast("bigint").alias("min_sk"),
+            F.max("l_suppkey").cast("bigint").alias("max_sk"),
+        )
+        .orderBy("zbucket")
+    )

@@ -367,3 +367,41 @@ def test_approx_percentile_rank_error_bound_and_exact_mode(spark, sf_dir):
         ).first()[0]
         assert got in vals  # GK returns actual elements, never interpolations
         assert abs(true_rank(got) - p * (n - 1)) <= n / coarse_acc + 1
+
+
+def test_zorder_narrows_both_dimensions(spark, sf_dir):
+    """S15's data-skipping claim, measured: with 64 z-buckets (3 z-bits per
+    dimension), the average per-bucket min-max span of BOTH l_partkey and
+    l_suppkey must shrink to ~1/8 of the global range (<=25% with
+    distribution slack) — whereas a single-column sort baseline narrows
+    only its leading column and leaves the other dimension's footers at
+    ~the full range (so file pruning on that predicate skips nothing)."""
+    from ez_cdc_spark.queries import load_all
+
+    prof = load_all()["s15_zorder_cluster"].fn(spark, sf_dir).collect()
+    g_pk = max(r.max_pk for r in prof) - min(r.min_pk for r in prof)
+    g_sk = max(r.max_sk for r in prof) - min(r.min_sk for r in prof)
+    z_pk = sum(r.max_pk - r.min_pk for r in prof) / len(prof) / g_pk
+    z_sk = sum(r.max_sk - r.min_sk for r in prof) / len(prof) / g_sk
+    assert z_pk <= 0.25, f"z-order pk span ratio {z_pk:.3f}"
+    assert z_sk <= 0.25, f"z-order sk span ratio {z_sk:.3f}"
+
+    # baseline: 64 equal-count buckets of a sort on l_partkey alone
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    base = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.ntile(64).over(Window.orderBy("l_partkey")).alias("b"),
+    )
+    rows = (
+        base.groupBy("b")
+        .agg(
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("span_sk"),
+        )
+        .collect()
+    )
+    sort_sk = sum(r.span_sk for r in rows) / len(rows) / g_sk
+    assert sort_sk >= 0.9, f"sort baseline should NOT narrow sk: {sort_sk:.3f}"
+    assert z_sk < sort_sk / 3
