@@ -70,7 +70,19 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   t15 — round-6 JDBC CDC landing (per-batch Derby round-trips + the r7
 #   cross-batch lsn anti-join; first batch creates lsn/batch_id indexes so
 #   later batches' DELETE + range scans stay O(batch), not O(log)).
+#   j14/x31/x32/w10/x33/x34/s15 — round-7 additions with nontrivial plans:
+#   the binned interval join, the histogram-based rank normalization, the
+#   cohort rollup, single-exchange sessionization, the union+LOCF PIT
+#   enrichment, the broadcast-vocab LM scoring, and the z-order clustered
+#   rewrite (timing includes its partitioned write + read-back).
 EXTRA_QUERIES = [
+    "j14_interval_bin_join",
+    "x31_rank_normalize",
+    "x32_cohort_retention",
+    "w10_sessionize",
+    "x33_pit_enrich",
+    "x34_unigram_logprob",
+    "s15_zorder_cluster",
     "x2d_embedding_neardup",
     "x10_corpus_pipeline",
     "x11_neardup_clusters",

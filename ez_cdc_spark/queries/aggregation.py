@@ -559,3 +559,43 @@ def a13_mode(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "a14_heavy_hitters",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS est_count FROM tok GROUP BY token
+), ranked AS (
+  SELECT token, est_count,
+         CAST(row_number() OVER (ORDER BY est_count DESC, token) AS BIGINT)
+           AS rank
+  FROM cnt
+)
+SELECT rank, token, est_count, CAST(0 AS BIGINT) AS err_bound
+FROM ranked WHERE rank <= 20 ORDER BY rank
+""",
+    doc="A14: Misra-Gries heavy hitters (operators/sketches.py) — the "
+    "bounded-memory answer to 'top tokens' when the VOCABULARY no longer "
+    "fits an executor's hash aggregate: each partition keeps at most m "
+    "counters whatever the stream length, partials merge by token, and "
+    "the summed compression offsets bound every token's undercount "
+    "(est <= true <= est + err). Registered in EXACT MODE (m = 2^22 "
+    "exceeds any partition's distinct tokens, so nothing compresses, "
+    "est == true, err == 0) against the exact DuckDB top-20 with "
+    "(count desc, token) tie-break — a12's exact-mode-anchoring pattern; "
+    "the m=64 sketch regime's guarantees (undercount bound, heavy-hitter "
+    "survival) are property-pinned in tests/test_scale_ops.py. The "
+    "global window runs over the MERGED SKETCH (<= m * partitions rows), "
+    "never the token stream.",
+)
+def a14_heavy_hitters(spark, sf_dir):
+    from ez_cdc_spark.operators.sketches import mg_topk
+
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    return mg_topk(tokens, "token", m=1 << 22, k=20)

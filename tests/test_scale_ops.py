@@ -405,3 +405,34 @@ def test_zorder_narrows_both_dimensions(spark, sf_dir):
     sort_sk = sum(r.span_sk for r in rows) / len(rows) / g_sk
     assert sort_sk >= 0.9, f"sort baseline should NOT narrow sk: {sort_sk:.3f}"
     assert z_sk < sort_sk / 3
+
+
+def test_misra_gries_sketch_guarantees(spark, sf_dir):
+    """A14's sketch regime on the real token stream (m=8 < the fixture's
+    31-token vocabulary, so compression genuinely fires): (1) estimates
+    never overcount; (2) the summed compression offsets bound every
+    token's undercount — including tokens the sketch dropped; (3) every
+    token whose true count exceeds the bound survives in the sketch."""
+    from ez_cdc_spark.operators.sketches import mg_partials
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    parts = mg_partials(tokens, "token", m=8).collect()
+    est = {}
+    err = 0
+    for r in parts:
+        if r.token is None:
+            err += r.err
+        else:
+            est[r.token] = est.get(r.token, 0) + r.est
+    true = {
+        r.token: r.n
+        for r in tokens.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert err > 0, "m=8 must actually compress on this corpus"
+    for tok, t_n in true.items():
+        e = est.get(tok, 0)
+        assert e <= t_n, f"{tok}: overcount {e} > {t_n}"
+        assert t_n - e <= err, f"{tok}: undercount beyond bound"
+        if t_n > err:
+            assert tok in est, f"heavy hitter {tok} dropped"
