@@ -1472,3 +1472,84 @@ def x34_unigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x35_source_kl",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt_st
+  FROM tok GROUP BY source, token
+), g AS (
+  SELECT token, CAST(SUM(cnt_st) AS BIGINT) AS cnt_g FROM st GROUP BY token
+), tots AS (
+  SELECT source, CAST(SUM(cnt_st) AS BIGINT) AS tot_s FROM st GROUP BY source
+), tot_g AS (
+  SELECT CAST(SUM(cnt_g) AS BIGINT) AS tg FROM g
+), terms AS (
+  SELECT s.source, ts.tot_s,
+         CAST(ROUND(
+           (s.cnt_st / CAST(ts.tot_s AS DOUBLE)) *
+           CAST(CAST(ROUND(ln(s.cnt_st * tg.tg), 6) AS DECIMAL(18,6))
+                - CAST(ROUND(ln(ts.tot_s * g.cnt_g), 6) AS DECIMAL(18,6))
+                AS DOUBLE), 12) AS DECIMAL(24,12)) AS term
+  FROM st s
+  JOIN g USING (token)
+  JOIN tots ts USING (source)
+  CROSS JOIN tot_g tg
+)
+SELECT source, MIN(tot_s) AS n_tokens,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl_nats
+FROM terms GROUP BY source ORDER BY source
+""",
+    doc="X35: per-source KL divergence from the corpus unigram "
+    "distribution — the domain-mixture diagnostic behind data-mixing "
+    "recipes (DoReMi-style reweighting, source drift monitoring): "
+    "KL(P_src || P_corpus) = sum_t p_s(t) ln(p_s(t)/p_g(t)), zero iff the "
+    "source's vocabulary usage matches the corpus. Determinism (x34's "
+    "recipe, extended): the log-ratio is ln(cnt_st*tot_g) - "
+    "ln(tot_s*cnt_g) with each ln rounded to 6 dp and differenced as "
+    "exact DECIMAL; p_s is ONE integer-input IEEE division; their "
+    "product rounds to 12 dp and sums as exact DECIMAL per source "
+    "(order-free), final render ROUND(,6). Boundary margins for every "
+    "ln argument are pinned by test. 100 TB plan: the corpus shuffles "
+    "ONCE into (source, token) partial-aggregated counts; global counts, "
+    "source totals, and the grand total all derive from that vocab-sized "
+    "table (no second corpus pass), and every join after the rollup is "
+    "broadcast at vocab x sources granularity.",
+)
+def x35_source_kl(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("cnt_st")
+    )
+    g = st.groupBy("token").agg(F.sum("cnt_st").cast("bigint").alias("cnt_g"))
+    tots = st.groupBy("source").agg(
+        F.sum("cnt_st").cast("bigint").alias("tot_s")
+    )
+    tot_g = g.agg(F.sum("cnt_g").cast("bigint").alias("tg"))
+    lr = (
+        F.round(F.log(F.col("cnt_st") * F.col("tg")), 6).cast("decimal(18,6)")
+        - F.round(F.log(F.col("tot_s") * F.col("cnt_g")), 6).cast(
+            "decimal(18,6)"
+        )
+    ).cast("double")
+    p_s = F.col("cnt_st") / F.col("tot_s").cast("double")
+    term = F.round(p_s * lr, 12).cast("decimal(24,12)")
+    return (
+        st.join(F.broadcast(g), "token")
+        .join(F.broadcast(tots), "source")
+        .join(F.broadcast(tot_g))
+        .groupBy("source")
+        .agg(
+            F.min("tot_s").alias("n_tokens"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

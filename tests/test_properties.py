@@ -263,3 +263,35 @@ def test_x34_ln_rounding_boundary_margin():
         worst = min(worst, margin)
     # 1 ulp of ln(cnt)~<15 scaled by 1e6 is ~1e-9; require 1000x headroom
     assert worst > 1e-6, f"ln(cnt) too close to a rounding boundary: {worst}"
+
+
+def test_x35_ln_rounding_boundary_margin():
+    """x35's determinism contract, same as x34's: every ln argument —
+    cnt_st*tot_g and tot_s*cnt_g over the sf0.01 (source, token) counts —
+    must sit clear of a 6-dp rounding boundary by far more than the
+    engines' possible ln() ulp disagreement."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    args = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+          FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        ), st AS (
+          SELECT source, token, COUNT(*) AS cnt_st FROM tok GROUP BY 1, 2
+        ), g AS (SELECT token, SUM(cnt_st) AS cnt_g FROM st GROUP BY 1),
+        tots AS (SELECT source, SUM(cnt_st) AS tot_s FROM st GROUP BY 1),
+        tg AS (SELECT SUM(cnt_g) AS tg FROM g)
+        SELECT s.cnt_st * tg.tg FROM st s CROSS JOIN tg
+        UNION
+        SELECT ts.tot_s * g.cnt_g
+        FROM st s JOIN g USING (token) JOIN tots ts USING (source)
+        """
+    ).fetchall()
+    worst = 1.0
+    for (a,) in args:
+        frac = (math.log(a) * 1e6) % 1.0
+        worst = min(worst, abs(frac - 0.5))
+    assert worst > 1e-6, f"ln arg too close to rounding boundary: {worst}"
