@@ -209,3 +209,63 @@ def test_t14_converges_to_x25_at_10x(spark, cdc10x_dir):
     batch = sorted(map(tuple, reg["x25_scd2_history"].fn(spark, cdc10x_dir).collect()))
     maintained = sorted(map(tuple, reg["t14_scd2_maintenance"].fn(spark, cdc10x_dir).collect()))
     assert maintained == batch
+
+
+def test_x33_pit_enrich_matches_join_formulation_at_10x(spark, cdc10x_dir):
+    """PIT enrichment under 10x-deeper histories, injected redeliveries and
+    scattered replay order: the engine's union+LOCF window answer must
+    equal an INDEPENDENT formulation (theta-join each fact to all earlier
+    changes, max_by the winner) — the two strategies share no code path,
+    so agreement pins the as-of semantics, the strict-inequality tie rule,
+    and the delete-tombstone NULLing at scale."""
+    got = {
+        r.event_id: (r.dim_lsn, r.dim_first_name, r.dim_last_name, r.dim_email)
+        for r in load_all()["x33_pit_enrich"].fn(spark, cdc10x_dir).collect()
+    }
+
+    flat = _flat10x(spark, cdc10x_dir)
+    facts = (
+        load_table(spark, cdc10x_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            (F.col("event_id") % 200).cast("bigint").alias("fid"),
+            F.col("event_id").cast("bigint").alias("flsn"),
+        )
+        .dropDuplicates(["flsn"])  # injected redeliveries duplicate facts
+    )
+    winner = F.max_by(F.struct("op", "first_name", "last_name", "email", "lsn"), F.col("lsn"))
+    joined = (
+        facts.join(flat, (facts.fid == flat.id) & (flat.lsn < facts.flsn), "left")
+        .groupBy("flsn")
+        .agg(winner.alias("w"))
+        .collect()
+    )
+    want = {}
+    for r in joined:
+        w = r.w
+        if w is None or w.op is None:
+            want[r.flsn] = (None, None, None, None)
+        elif w.op == "d":
+            want[r.flsn] = (w.lsn, None, None, None)
+        else:
+            want[r.flsn] = (w.lsn, w.first_name, w.last_name, w.email)
+    assert got == want
+
+
+def test_w10_sessionize_invariants_at_10x(spark, cdc10x_dir):
+    """Sessionization on the 10x disordered event log: per-user session
+    numbers are contiguous from 1, every session's duration is
+    non-negative, and no event is lost or invented (session sizes sum to
+    the user's event count)."""
+    rows = load_all()["w10_sessionize"].fn(spark, cdc10x_dir).collect()
+    ev = load_table(spark, cdc10x_dir, "events")
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(per_user)
+    for uid, sess in by_user.items():
+        nos = sorted(s.session_no for s in sess)
+        assert nos == list(range(1, len(sess) + 1)), f"user {uid} gaps"
+        assert all(s.duration_s >= 0 for s in sess)
+        assert sum(s.n_events for s in sess) == per_user[uid]
