@@ -805,3 +805,97 @@ def t13_incremental_aggregate(spark, sf_dir):
         .agg(F.sum("n_live").cast("bigint").alias("n_live"))
         .orderBy("domain")
     )
+
+
+@register(
+    "t16_streaming_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS token
+  FROM events
+), cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS est_count FROM tok GROUP BY token
+), ranked AS (
+  SELECT token, est_count,
+         CAST(row_number() OVER (ORDER BY est_count DESC, token) AS BIGINT)
+           AS rank
+  FROM cnt
+)
+SELECT rank, token, est_count FROM ranked WHERE rank <= 20 ORDER BY rank
+""",
+    doc="T16: streaming heavy hitters — A14's Misra-Gries sketch as "
+    "CROSS-MICRO-BATCH state: tokens hash into 8 buckets, each bucket's "
+    "applyInPandasWithState group folds its token stream into a bounded "
+    "counter map (tokens/counts/offset arrays in the state store) that "
+    "SURVIVES from batch to batch — the replay splits the real events "
+    "round-robin across 3 files (events_parquet_split) so EVERY "
+    "micro-batch carries fresh tokens and the final counts exist only if "
+    "state genuinely accumulated across batches; the always-on twin of "
+    "a14's one-shot partials. State per bucket is O(m) whatever the "
+    "stream length — the vocabulary-tracking problem t5's "
+    "per-distinct-key dedup state cannot bound. Registered in EXACT MODE "
+    "(m = 2^20 > vocab, offset stays 0, counts exact; update-mode "
+    "re-emissions collapse by max(est) — counts grow monotonically, so "
+    "the last emission IS the max); the compressing regime inherits "
+    "a14's property-pinned bounds (same fold as operators/sketches.py).",
+)
+def t16_streaming_heavy_hitters(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import Window
+
+    from ez_cdc_spark.streaming.replay import events_parquet_split
+
+    path = events_parquet_split(spark, sf_dir)
+    base = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    tokens = base.select(
+        F.concat_ws(
+            ":", F.col("event_type"), (F.col("user_id") % 10).cast("string")
+        ).alias("token")
+    )
+    m = 1 << 20
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            toks, cnts, offset = state.get
+            counters = dict(zip(toks, (int(c) for c in cnts)))
+        else:
+            counters, offset = {}, 0
+        for pdf in pdfs:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > m:
+                sub = sorted(counters.values(), reverse=True)[m]
+                offset += sub
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        state.update((list(counters), [counters[t] for t in counters], offset))
+        yield pd.DataFrame(
+            {"token": list(counters), "est": list(counters.values())}
+        )
+
+    bucketed = tokens.withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(8))
+    ).groupBy("bucket")
+    sketched = bucketed.applyInPandasWithState(
+        fold,
+        outputStructType="token STRING, est BIGINT",
+        stateStructType="toks ARRAY<STRING>, cnts ARRAY<BIGINT>, offset BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(
+        sketched, "t16_heavy_hitters", output_mode="update"
+    )
+    final = emitted.groupBy("token").agg(
+        F.max("est").cast("bigint").alias("est_count")
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "token", "est_count")
+        .orderBy("rank")
+    )

@@ -232,3 +232,41 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
             except Exception:
                 pass
     return spark.table(name)
+
+
+def events_parquet_split(
+    spark: SparkSession, sf_dir: str, n_stages: int = 3
+) -> str:
+    """n-file replay dir with the REAL events split round-robin by
+    event_id across files with strictly increasing mtimes — every
+    micro-batch under maxFilesPerTrigger=1 then carries fresh data, so a
+    cross-batch stateful operator (t16's Misra-Gries fold) provably
+    accumulates state across batches rather than seeing everything in
+    batch 0 (events_parquet_staged's layout, whose later files are
+    watermark sentinels only). Idempotent per (sf_dir, n_stages)."""
+    import shutil
+    import time as _time
+
+    key = hashlib.md5(f"{EVENTS_JSON_SCHEMA}:split{n_stages}".encode()).hexdigest()[:8]
+    path = _dir_for(sf_dir, f"events_split-{key}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ev = _events_projection(spark, sf_dir)
+        now = _time.time()
+        for i in range(n_stages):
+            df = ev.filter(F.col("event_id") % n_stages == i)
+            tmp = os.path.join(path, f"_tmp{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f
+                for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(path, f"stage-{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+        open(marker, "w").close()
+    return path

@@ -694,3 +694,21 @@ def test_jdbc_cdc_sink_cross_batch_lsn_dedup(spark, tmp_path):
         .collect()
     )
     assert again == rows
+
+
+def test_events_split_every_stage_carries_data(spark, sf_smoke):
+    """t16's cross-batch-state proof rests on the split replay actually
+    delivering fresh rows in EVERY micro-batch: each stage file must be
+    non-empty and the stages must partition the event set exactly."""
+    from ez_cdc_spark.streaming.replay import events_parquet_split
+    from ez_cdc_spark.sources.tables import load_table
+
+    path = events_parquet_split(spark, sf_smoke)
+    import glob
+    import os
+
+    stages = sorted(glob.glob(os.path.join(path, "stage-*.parquet")))
+    assert len(stages) == 3
+    counts = [spark.read.parquet(p).count() for p in stages]
+    assert all(c > 0 for c in counts), counts
+    assert sum(counts) == load_table(spark, sf_smoke, "events").count()
