@@ -79,7 +79,12 @@ def mg_topk(tokens: DataFrame, col: str, m: int, k: int) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    parts = mg_partials(tokens, col, m)
+    # Both consumers (token merge + err total) branch off the partials;
+    # without pinning, each branch would re-run the full corpus pass.
+    # The partials are sketch-sized (<= (m+1) rows per partition), so an
+    # eager localCheckpoint pays one corpus scan and materializes a tiny
+    # table (x19's pin-the-expensive-stage-once pattern).
+    parts = mg_partials(tokens, col, m).localCheckpoint(eager=True)
     merged = (
         parts.filter(F.col("token").isNotNull())
         .groupBy("token")

@@ -380,3 +380,25 @@ def test_round7_ops_plan_shapes(spark, sf_smoke):
     p10 = plan_str(reg["w10_sessionize"].fn(spark, sf_smoke))
     assert p10.count("hashpartitioning") == 1, "w10: one user-keyed exchange"
     assert "Join" not in p10, "w10 must not self-join"
+
+    # x34/x35: the vocab-sized frequency tables join back via BROADCAST —
+    # the exploded corpus must never reach a sort-merge join.
+    for nm in ("x34_unigram_logprob", "x35_source_kl"):
+        p = plan_str(reg[nm].fn(spark, sf_smoke))
+        assert "BroadcastHashJoin" in p, f"{nm}: vocab joins must broadcast"
+        assert "SortMergeJoin" not in p, f"{nm}: corpus must not SMJ"
+
+    # a14: the Misra-Gries partials are MAP-SIDE (no Exchange anywhere in
+    # the subtree BELOW the checkpointed partials — only sketch rows ever
+    # shuffle, the token stream never does), and the corpus pass is paid
+    # once: the plan consumes the pinned partials as a scan, so no
+    # MapInPandas (and no second corpus scan) appears in it at all.
+    pa = plan_str(reg["a14_heavy_hitters"].fn(spark, sf_smoke))
+    assert "MapInPandas" not in pa, "a14 partials must be pinned once"
+    assert "Scan ExistingRDD" in pa, "a14 must read the checkpointed partials"
+
+    # u7: pure map-side Arrow transform — zero keyed exchanges; the only
+    # exchange is the final presentation rangepartitioning.
+    pu = plan_str(reg["u7_map_in_arrow"].fn(spark, sf_smoke))
+    assert "MapInArrow" in pu
+    assert pu.count("hashpartitioning") == 0, "u7 must not shuffle on a key"
