@@ -1020,3 +1020,81 @@ def x24_cluster_canonical(spark, sf_dir):
         .select("doc_id", "cluster_id", "cluster_n", "quality")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x36_cluster_split",
+    oracle="WITH RECURSIVE "
+    + _x2_pair_ctes()
+    + r""",
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
+), n AS (SELECT DISTINCT src AS id FROM e),
+walk(id, lbl) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id
+), cc AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(cc.lbl, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(CAST('0x' || substr(md5('split:'
+              || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+            AS BIGINT) AS bucket,
+       CASE WHEN CAST('0x' || substr(md5('split:'
+                  || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+              THEN 'train'
+            WHEN CAST('0x' || substr(md5('split:'
+                  || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM labeled
+ORDER BY doc_id
+""",
+    doc="X36: leakage-safe train/val/test split — closes X28's documented "
+    "caveat: a doc-keyed hash split scatters near-duplicates across "
+    "splits (train/test contamination); here the split hash keys on the "
+    "document's NEAR-DUP CLUSTER label (x11's connected components, "
+    "singletons = own doc_id), so every member of a duplicate cluster "
+    "lands in the same split by construction. Same portable-hash bucket "
+    "formula as X28 (salted 'split:' prefix, 80/10/10) applied to "
+    "cluster_id; same-split-per-cluster invariant is implied by the "
+    "formula and pinned by test. Plan: reuses the session-memoized CC "
+    "(one pair-gen paid across x11/x24/x36), one doc_id-keyed broadcast-"
+    "back join, then a pure map-side hash projection — no extra shuffle "
+    "beyond the label join.",
+)
+def x36_cluster_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cc = _shared_neardup_cc(spark, sf_dir)
+    labeled = d.select("doc_id").join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").cast("bigint").alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

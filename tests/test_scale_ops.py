@@ -436,3 +436,33 @@ def test_misra_gries_sketch_guarantees(spark, sf_dir):
         assert t_n - e <= err, f"{tok}: undercount beyond bound"
         if t_n > err:
             assert tok in est, f"heavy hitter {tok} dropped"
+
+
+def test_cluster_split_has_no_neardup_leakage(spark, sf_dir):
+    """x36's whole point: every near-dup cluster lands in ONE split (so no
+    x2-candidate pair straddles train/test), while the x28 doc-keyed split
+    demonstrably leaks at least one such pair — the caveat x36 closes."""
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    by_doc = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in reg["x36_cluster_split"].fn(spark, sf_dir).collect()
+    }
+    clusters = {}
+    for cid, split in by_doc.values():
+        clusters.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in clusters.values()), "cluster split torn"
+    multi = [c for c, _ in clusters.items()
+             if sum(1 for v in by_doc.values() if v[0] == c) > 1]
+    assert multi, "fixture must contain at least one real near-dup cluster"
+
+    doc_split = {
+        r.doc_id: r.split for r in reg["x28_split_assign"].fn(spark, sf_dir).collect()
+    }
+    leaked = 0
+    for cid in multi:
+        members = [d for d, v in by_doc.items() if v[0] == cid]
+        if len({doc_split[d] for d in members}) > 1:
+            leaked += 1
+    assert leaked > 0, "doc-keyed split should leak on this fixture (caveat real)"
