@@ -619,11 +619,15 @@ def s15_zorder_cluster(spark, sf_dir):
     coded = li.join(F.broadcast(stats)).select(
         "l_partkey",
         "l_suppkey",
-        F.shiftright(z_interleave(u16, v16), 26).alias("zbucket"),
-    )
+        z_interleave(u16, v16).alias("z"),
+    ).withColumn("zbucket", F.shiftright(F.col("z"), 26))
     path = _scratch(sf_dir, "s15zorder")
+    # sortWithinPartitions on the full z-value clusters ROW GROUPS inside
+    # each bucket file too, so statistics-based skipping works below file
+    # granularity; the retained z column is the clustering key itself.
     (
         coded.repartition(F.col("zbucket"))
+        .sortWithinPartitions("zbucket", "z")
         .write.mode("overwrite")
         .partitionBy("zbucket")
         .parquet(path)
