@@ -35,8 +35,10 @@ def z_sql(u: str, v: str, bits: int = BITS) -> str:
     """The identical interleave as a DuckDB SQL expression (parity oracle)."""
     terms = []
     for i in range(bits):
-        terms.append(f"((({u} >> {i}) & 1) << {2 * i + 1})")
-        terms.append(f"((({v} >> {i}) & 1) << {2 * i})")
+        # BIGINT-cast each masked bit so a 32-bit operand (e.g. an INT
+        # column or literal) can't overflow the << 31 term in DuckDB.
+        terms.append(f"(CAST((({u} >> {i}) & 1) AS BIGINT) << {2 * i + 1})")
+        terms.append(f"(CAST((({v} >> {i}) & 1) AS BIGINT) << {2 * i})")
     return "(" + " | ".join(terms) + ")"
 
 

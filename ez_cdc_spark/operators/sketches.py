@@ -22,14 +22,42 @@ Guarantees (pinned in tests/test_scale_ops.py):
 
 from __future__ import annotations
 
+import sys
 from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 
+# mg_fold is called from inside the mapInPandas closure. Under an external
+# driver (attestation harness: repo on the DRIVER's sys.path only), Python
+# workers cannot import ez_cdc_spark, so a by-REFERENCE pickle of a
+# module-level function crashes deserialization on the executor — caught by
+# the /verify driver simulation. Opt this module into cloudpickle's
+# by-value serialization (multimodal.py's convention); transitive
+# references are stdlib-only (collections.Counter).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
 PARTIAL_SCHEMA = "token string, est bigint, err bigint"
+
+
+def mg_fold(cnt: Counter, offset: int, batch: dict, m: int) -> tuple[Counter, int]:
+    """One Misra-Gries merge-and-compress step: add a batch's exact counts,
+    then if more than m counters survive, subtract the (m+1)-th largest
+    value from all and drop non-positives. Pure function (property-tested
+    directly in tests/test_properties.py); mg_partials drives it per Arrow
+    batch. Ships BY VALUE into executor closures via the module
+    registration below."""
+    for tok, c in batch.items():
+        cnt[tok] += int(c)
+    if len(cnt) > m:
+        vals = sorted(cnt.values(), reverse=True)
+        sub = vals[m]  # (m+1)-th largest: <= m survive
+        offset += sub
+        cnt = Counter({t: c - sub for t, c in cnt.items() if c > sub})
+    return cnt, offset
 
 
 def mg_partials(tokens: DataFrame, col: str, m: int) -> DataFrame:
@@ -46,15 +74,9 @@ def mg_partials(tokens: DataFrame, col: str, m: int) -> DataFrame:
         cnt: Counter = Counter()
         offset = 0
         for pdf in batches:
-            for tok, c in pdf[col].value_counts().items():
-                cnt[tok] += int(c)
-            if len(cnt) > m:
-                vals = sorted(cnt.values(), reverse=True)
-                sub = vals[m]  # (m+1)-th largest: <= m survive
-                offset += sub
-                cnt = Counter(
-                    {t: c - sub for t, c in cnt.items() if c > sub}
-                )
+            cnt, offset = mg_fold(
+                cnt, offset, pdf[col].value_counts().to_dict(), m
+            )
         out = pd.DataFrame(
             {
                 "token": list(cnt.keys()) + [None],

@@ -295,3 +295,76 @@ def test_x35_ln_rounding_boundary_margin():
         frac = (math.log(a) * 1e6) % 1.0
         worst = min(worst, abs(frac - 0.5))
     assert worst > 1e-6, f"ln arg too close to rounding boundary: {worst}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_zorder_interleave_is_bijective_and_bucket_consistent(pairs):
+    """functions/zorder.py: the Spark and SQL emitters agree with a
+    bit-twiddling python reference, the interleave is invertible (so no
+    two (u,v) pairs collide in a z-bucket profile), and the top-6-bit
+    bucket equals the interleave of each dimension's top 3 bits."""
+    from ez_cdc_spark.functions.zorder import z_sql
+
+    import duckdb
+
+    def z_ref(u, v):
+        z = 0
+        for i in range(16):
+            z |= ((u >> i) & 1) << (2 * i + 1)
+            z |= ((v >> i) & 1) << (2 * i)
+        return z
+
+    def unz(z):
+        u = v = 0
+        for i in range(16):
+            u |= ((z >> (2 * i + 1)) & 1) << i
+            v |= ((z >> (2 * i)) & 1) << i
+        return u, v
+
+    con = duckdb.connect()
+    for u, v in pairs:
+        got = con.execute(f"SELECT {z_sql(str(u), str(v))}").fetchone()[0]
+        assert got == z_ref(u, v)
+        assert unz(got) == (u, v)
+        # bucket prefix property: top 6 z-bits = interleave of top-3 bits
+        assert got >> 26 == z_ref(u >> 13 << 13, v >> 13 << 13) >> 26
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 6),
+)
+def test_mg_fold_bounds_hold_for_any_stream(batches, m):
+    """The pure Misra-Gries fold on arbitrary batch sequences: never
+    overcounts, undercounts by at most the accumulated offset (for EVERY
+    token, dropped ones included), keeps <= m counters, and any token
+    with true count > offset survives."""
+    from collections import Counter
+
+    from ez_cdc_spark.operators.sketches import mg_fold
+
+    cnt, offset = Counter(), 0
+    true = Counter()
+    for batch in batches:
+        bc = Counter(batch)
+        true.update(bc)
+        cnt, offset = mg_fold(cnt, offset, dict(bc), m)
+        assert len(cnt) <= m
+    for tok, t_n in true.items():
+        e = cnt.get(tok, 0)
+        assert e <= t_n
+        assert t_n - e <= offset
+        if t_n > offset:
+            assert tok in cnt
