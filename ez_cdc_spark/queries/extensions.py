@@ -69,6 +69,33 @@ def _corpus_fingerprint(sf_dir) -> tuple:
     return tuple((os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in paths)
 
 
+_NEARDUP_PAIRS_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
+
+
+def _shared_neardup_pairs(spark, sf_dir):
+    """The x2 candidate pair set (jaccard >= 0.5), memoized and pinned with
+    the same key discipline as the CC cache — pair-gen is the dominant
+    cost, and x11 (CC), x24 (election), x36 (cluster split), and x37
+    (centrality) all consume the identical set. Pinned rows are slim
+    (id_a, id_b, jaccard) triples."""
+    key = (spark.sparkContext.applicationId, str(sf_dir), _corpus_fingerprint(sf_dir))
+    pairs = _NEARDUP_PAIRS_CACHE.get(key)
+    if pairs is None:
+        for stale in [k for k in _NEARDUP_PAIRS_CACHE if k[:2] == key[:2]]:
+            try:
+                _NEARDUP_PAIRS_CACHE.pop(stale).unpersist()
+            except Exception:
+                pass  # releasing superseded checkpoint blocks is best-effort
+        d = t(spark, sf_dir, "documents")
+        pairs = (
+            minhash_lsh_candidates(d, portable=True)
+            .filter(F.col("jaccard") >= 0.5)
+            .localCheckpoint(eager=True)
+        )
+        _NEARDUP_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def _shared_neardup_cc(spark, sf_dir):
     key = (spark.sparkContext.applicationId, str(sf_dir), _corpus_fingerprint(sf_dir))
     cc = _NEARDUP_CC_CACHE.get(key)
@@ -78,8 +105,7 @@ def _shared_neardup_cc(spark, sf_dir):
                 _NEARDUP_CC_CACHE.pop(stale).unpersist()
             except Exception:
                 pass  # releasing superseded checkpoint blocks is best-effort
-        d = t(spark, sf_dir, "documents")
-        pairs = minhash_lsh_candidates(d, portable=True).filter(F.col("jaccard") >= 0.5)
+        pairs = _shared_neardup_pairs(spark, sf_dir)
         cc = connected_components(pairs).localCheckpoint(eager=True)
         _NEARDUP_CC_CACHE[key] = cc
     return cc
@@ -1098,3 +1124,99 @@ def x36_cluster_split(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+def _x37_oracle(iters: int = 5) -> str:
+    unit = 10**12
+    sql = (
+        "WITH "
+        + _x2_pair_ctes()
+        + """,
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
+), deg AS (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+"""
+        + f"r0 AS (SELECT id, CAST({unit} // n AS BIGINT) AS r FROM deg, nn)"
+    )
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+c{k} AS (
+  SELECT e.dst AS id, CAST(SUM({prev}.r // deg.d) AS BIGINT) AS s
+  FROM e JOIN {prev} ON e.src = {prev}.id JOIN deg ON deg.id = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT c{k}.id,
+         CAST((15 * {unit}) // (100 * nn.n) + (85 * c{k}.s) // 100 AS BIGINT)
+           AS r
+  FROM c{k}, nn
+)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT {prev}.id AS doc_id, {prev}.r AS pr_units, deg.d AS degree
+FROM {prev} JOIN deg ON deg.id = {prev}.id
+ORDER BY doc_id
+"""
+    return sql
+
+
+@register(
+    "x37_pagerank_centrality",
+    oracle=_x37_oracle(),
+    doc="X37: PageRank centrality over the near-dup similarity graph — the "
+    "iterative-graph-numerics capability class (beyond x11's reachability "
+    "CC): which document is the HUB of its duplication neighborhood, a "
+    "centrality-based alternative input to canonical election. Spec is "
+    "FIXED-POINT integer PageRank, damping 0.85, exactly 5 iterations: "
+    "ranks live in 1e-12 units as BIGINT, contrib = r div deg, "
+    "r' = (15*UNIT) div (100*N) + (85*sum contrib) div 100 — every "
+    "operation integer floor-div/sum, so both engines are bit-exact with "
+    "NO float anywhere and the order-free integer SUM needs no rounding "
+    "discipline at all (the determinism endpoint of the x34 recipe "
+    "family). Spark side: 5 rounds of edge-join + dst-keyed sum with "
+    "localCheckpoint per round (lineage truncation, x11's iterative "
+    "pattern — plan depth stays O(1) per round at any iteration count); "
+    "the symmetric edge set guarantees every node receives mass, so no "
+    "left-join null path exists. Edges reuse the session-memoized "
+    "candidate pairs (pair-gen paid once across x11/x24/x36/x37). "
+    "Oracle: the SAME spec as 5 unrolled DuckDB CTE stages over the "
+    "identical pair CTEs.",
+)
+def x37_pagerank_centrality(spark, sf_dir):
+    unit = 10**12
+    pairs = _shared_neardup_pairs(spark, sf_dir)
+    e = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d")).selectExpr(
+        "src AS id", "d"
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("n"))
+    r = deg.join(F.broadcast(nn)).selectExpr("id", f"CAST({unit} div n AS BIGINT) AS r")
+    for _ in range(5):
+        contrib = r.join(deg, "id").selectExpr("id", "r div d AS c")
+        spread = (
+            e.join(contrib, e.src == contrib.id)
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+            .selectExpr("dst AS id", "s")
+        )
+        r = (
+            spread.join(F.broadcast(nn))
+            .selectExpr(
+                "id",
+                f"CAST((15 * {unit}) div (100 * n) + (85 * s) div 100 AS BIGINT) AS r",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.join(deg, "id")
+        .selectExpr("id AS doc_id", "r AS pr_units", "d AS degree")
+        .orderBy("doc_id")
+    )
