@@ -76,9 +76,9 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   enrichment, the broadcast-vocab LM scoring, and the z-order clustered
 #   rewrite (timing includes its partitioned write + read-back).
 #   t16 — cross-batch stateful sketch (3-batch split replay, state-store
-#   round trips each batch); x36 — cluster-keyed split, timed right after
-#   x11 so its number is the marginal cost over the shared memoized CC
-#   (x24's pattern).
+#   round trips each batch); x36/x37 — cluster-keyed split and fixed-point
+#   PageRank, timed right after x11 so their numbers are the marginal cost
+#   over the shared memoized pair set / components (x24's pattern).
 EXTRA_QUERIES = [
     "t16_streaming_heavy_hitters",
     "j14_interval_bin_join",
@@ -93,6 +93,7 @@ EXTRA_QUERIES = [
     "x11_neardup_clusters",
     "x24_cluster_canonical",
     "x36_cluster_split",
+    "x37_pagerank_centrality",
     "x13_repetition_metrics",
     "x19_boilerplate_ngrams",
     "t13_incremental_aggregate",
