@@ -269,3 +269,24 @@ def test_w10_sessionize_invariants_at_10x(spark, cdc10x_dir):
         assert nos == list(range(1, len(sess) + 1)), f"user {uid} gaps"
         assert all(s.duration_s >= 0 for s in sess)
         assert sum(s.n_events for s in sess) == per_user[uid]
+
+
+def test_heavy_hitter_counts_scale_exactly_10x(spark, docs10x):
+    """a14 exact mode on the 10x-replicated corpus: every token's count
+    must be EXACTLY 10x its original-corpus count (replicas share text),
+    and the top-20 ranking must be replication-invariant — the structural
+    check that the sketch's merge is lossless in the uncompressed regime
+    at any corpus multiple."""
+    from ez_cdc_spark.operators.sketches import mg_topk
+
+    big, _ = docs10x
+    tokens = big.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    top_big = mg_topk(tokens, "token", m=1 << 22, k=20).collect()
+
+    orig = big.filter(F.col("doc_id") < 10_000_000)
+    tokens1 = orig.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    top_orig = {r.token: r.est_count for r in mg_topk(tokens1, "token", m=1 << 22, k=20).collect()}
+
+    assert all(r.err_bound == 0 for r in top_big)
+    for r in top_big:
+        assert r.est_count == 10 * top_orig[r.token], r.token
