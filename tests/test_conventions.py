@@ -1,0 +1,111 @@
+"""Repo-wide convention guards (pure AST, no Spark session).
+
+The worker-closure pickling rule: a nested function handed to
+mapInPandas/applyInPandas/mapInArrow is cloudpickled BY VALUE, but any
+module-level function it references is pickled BY REFERENCE — and an
+external driver (the attestation harness) has the repo only on the
+DRIVER's sys.path, so executors cannot import ez_cdc_spark and the job
+dies deserializing. Modules whose helpers are called from worker closures
+must therefore opt into cloudpickle.register_pickle_by_value (multimodal
+and sketches do). This test re-runs the audit that caught the a14 failure
+so the next module can't regress it silently.
+"""
+
+import ast
+import pathlib
+
+ROOT = pathlib.Path(__file__).resolve().parents[1] / "ez_cdc_spark"
+
+# foreachBatch callbacks execute on the DRIVER, where ez_cdc_spark is
+# importable — module references from them are fine.
+DRIVER_SIDE_CALLBACKS = {"apply"}
+
+
+def _module_opts_into_by_value(tree: ast.Module) -> bool:
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "register_pickle_by_value"
+        ):
+            return True
+    return False
+
+
+def test_worker_closures_never_reference_by_ref_module_functions():
+    offenders = []
+    for path in sorted(ROOT.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        if _module_opts_into_by_value(tree):
+            continue
+        mod_funcs = {
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        imported = {}
+        for n in ast.walk(tree):
+            if (
+                isinstance(n, ast.ImportFrom)
+                and n.module
+                and n.module.startswith("ez_cdc_spark")
+            ):
+                for a in n.names:
+                    imported[a.asname or a.name] = n.module
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                nested = len(self.stack) >= 2
+                driver_side = bool(
+                    set(self.stack) & DRIVER_SIDE_CALLBACKS
+                )
+                if nested and not driver_side:
+                    for sub in ast.walk(node):
+                        if (
+                            isinstance(sub, ast.Name)
+                            and isinstance(sub.ctx, ast.Load)
+                            and (sub.id in mod_funcs or sub.id in imported)
+                        ):
+                            # local shadowing (comprehension targets, params,
+                            # assignments) is not a module reference
+                            if _locally_bound(node, sub.id):
+                                continue
+                            offenders.append(
+                                f"{path.name}:{sub.lineno} "
+                                f"{'->'.join(self.stack)} refs {sub.id}"
+                            )
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+        V().visit(tree)
+    assert not offenders, (
+        "worker closures reference module-level ez_cdc_spark functions "
+        "without by-value registration (crashes external-driver executors):\n"
+        + "\n".join(offenders)
+    )
+
+
+def _locally_bound(fn: ast.FunctionDef, name: str) -> bool:
+    for sub in ast.walk(fn):
+        if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Store) and sub.id == name:
+            return True
+        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            args = sub.args
+            all_args = (
+                args.posonlyargs + args.args + args.kwonlyargs
+                + ([args.vararg] if args.vararg else [])
+                + ([args.kwarg] if args.kwarg else [])
+            )
+            if any(a.arg == name for a in all_args):
+                return True
+        if isinstance(sub, ast.comprehension):
+            for t in ast.walk(sub.target):
+                if isinstance(t, ast.Name) and t.id == name:
+                    return True
+    return False
