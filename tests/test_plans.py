@@ -402,3 +402,25 @@ def test_round7_ops_plan_shapes(spark, sf_smoke):
     pu = plan_str(reg["u7_map_in_arrow"].fn(spark, sf_smoke))
     assert "MapInArrow" in pu
     assert pu.count("hashpartitioning") == 0, "u7 must not shuffle on a key"
+
+
+def test_headline_batch_queries_stay_in_codegen(spark, sf_smoke):
+    """The 'stay JVM-side' rule, asserted across the whole frozen batch
+    headline set: every plan must contain WholeStageCodegen spans, and no
+    row-at-a-time Python eval (BatchEvalPython) may appear anywhere — the
+    only sanctioned Python is Arrow-batched (ArrowEvalPython/MapInPandas),
+    and only in the queries whose operators are declared Python-backed
+    (x2's minhash banding, x3b's GEMM scoring)."""
+    import bench
+
+    reg = load_all()
+    for name in bench.BATCH_QUERIES:
+        df = reg[name].fn(spark, sf_smoke)
+        df.collect()  # AQE prints codegen ids only on the executed final plan
+        p = plan_str(df)
+        assert "codegen id" in p, f"{name}: no WholeStageCodegen span"
+        assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python"
+        if name not in ("x2_minhash_lsh", "x3b_blocked_topk"):
+            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+                f"{name}: unexpected Python stage"
+            )
