@@ -357,9 +357,10 @@ ORDER BY event_id
     "source carries on the wire, reconstructed downstream from the change "
     "log alone): the latest c/u change below the fact's LSN supplies the "
     "attributes, a latest-change delete yields NULLs (key dead at fact "
-    "time), and dim_lsn records the matched change for audit. Strategy is "
-    "NOT a range/as-of JOIN (J8's applyInPandas or DuckDB's ASOF both "
-    "sort-merge two inputs): facts and changes UNION into one stream, "
+    "time), and dim_lsn records the matched change for audit. Strategy "
+    "generalizes J8's union+LOCF as-of (operators/asof.py) to a CDC "
+    "change log with delete tombstones — NOT a range join (DuckDB's ASOF "
+    "sort-merges two inputs): facts and changes UNION into one stream, "
     "sorted (lsn, kind) inside a single id-keyed exchange, and a "
     "last(ignorenulls) window carries the change state onto the facts — "
     "the PIT join costs exactly one shuffle of flat rows, no join node at "
