@@ -336,14 +336,17 @@ def centroids(embeddings: DataFrame, label: str = "label", vec: str = "embedding
     """X6: per-label per-position centroid via posexplode + avg.
 
     Float sums across partitions are order-nondeterministic at the last ulp;
-    output is ROUND(,4) which absorbs it (SURVEY §5.3 float rule).
+    output is ROUND(,4) which absorbs it (SURVEY §5.3 float rule). The
+    trailing + 0.0 normalizes IEEE negative zero: a tiny negative mean
+    rounds to -0.0 in DuckDB but 0.0 in Spark (observed at sf0.001), and
+    the driver's stringified compare treats them as different values.
     """
     ex = embeddings.select(
         F.col(label).alias("label"), F.posexplode(to_double(F.col(vec)))
     ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("e"))
     return (
         ex.groupBy("label", "pos")
-        .agg(F.round(F.sum("e") / F.count("*"), 4).alias("centroid"))
+        .agg((F.round(F.sum("e") / F.count("*"), 4) + F.lit(0.0)).alias("centroid"))
         .orderBy("label", "pos")
     )
 

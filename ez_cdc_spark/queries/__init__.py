@@ -56,6 +56,11 @@ _REATTEST: set[str] = {
     "s12_small_file_compaction",
     # r7: x5b now decodes REAL BMP payloads (new oracle: 4x3x first-16 sum).
     "x5b_resize",
+    # r7: negative-zero normalization (ROUND + 0.0) on signed float
+    # outputs — a tiny negative mean renders -0.0 in DuckDB vs 0.0 in
+    # Spark (observed on x6 at sf0.001); both engines patched identically.
+    "x6_centroids",
+    "a8_stats",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

@@ -214,8 +214,8 @@ def a7_ordered_collect(spark, sf_dir):
 SELECT l_returnflag,
        ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
        ROUND(var_samp(l_quantity), 4) AS var_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+       ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qty_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -229,8 +229,8 @@ def a8_stats(spark, sf_dir):
         .agg(
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("corr_qty_price"),
+            (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("cov_qty_price"),
         )
         .orderBy("l_returnflag")
     )

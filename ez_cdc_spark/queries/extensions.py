@@ -808,7 +808,7 @@ def x5c_frame_sample(spark, sf_dir):
     "x6_centroids",
     oracle="""
 SELECT label, CAST(r.range AS BIGINT) AS pos,
-       ROUND(SUM(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)) / COUNT(*), 4) AS centroid
+       ROUND(SUM(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE)) / COUNT(*), 4) + 0.0 AS centroid
 FROM embeddings, range(1, 65) r
 GROUP BY label, pos
 ORDER BY label, pos

@@ -1502,7 +1502,7 @@ WITH tok AS (
   CROSS JOIN tot_g tg
 )
 SELECT source, MIN(tot_s) AS n_tokens,
-       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl_nats
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS kl_nats
 FROM terms GROUP BY source ORDER BY source
 """,
     doc="X35: per-source KL divergence from the corpus unigram "
@@ -1549,7 +1549,7 @@ def x35_source_kl(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.min("tot_s").alias("n_tokens"),
-            F.round(F.sum(term).cast("double"), 6).alias("kl_nats"),
+            (F.round(F.sum(term).cast("double"), 6) + F.lit(0.0)).alias("kl_nats"),
         )
         .orderBy("source")
     )
