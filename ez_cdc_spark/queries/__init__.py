@@ -61,6 +61,7 @@ _REATTEST: set[str] = {
     # Spark (observed on x6 at sf0.001); both engines patched identically.
     "x6_centroids",
     "a8_stats",
+    "a8b_regression_aggs",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

@@ -423,9 +423,9 @@ def a5e_unpivot(spark, sf_dir):
     "a8b_regression_aggs",
     oracle="""
 SELECT l_returnflag,
-       ROUND(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS slope,
-       ROUND(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS icept,
-       ROUND(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS r2,
+       ROUND(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) + 0.0 AS slope,
+       ROUND(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) + 0.0 AS icept,
+       ROUND(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) + 0.0 AS r2,
        CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -441,9 +441,9 @@ def a8b_regression_aggs(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.regr_slope(y, x), 6).alias("slope"),
-            F.round(F.regr_intercept(y, x), 6).alias("icept"),
-            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(y, x), 6) + F.lit(0.0)).alias("icept"),
+            (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
             F.regr_count(y, x).cast("bigint").alias("n"),
         )
         .orderBy("l_returnflag")
