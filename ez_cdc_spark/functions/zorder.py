@@ -56,4 +56,11 @@ def quantize16(col: Column, lo: Column, hi: Column) -> Column:
 
 
 def quantize16_sql(col: str, lo: str, hi: str) -> str:
-    return f"(({col} - {lo}) * 65536 // ({hi} - {lo} + 1))"
+    # BIGINT-promote before the * 65536: DuckDB INTEGER arithmetic throws on
+    # overflow rather than widening, so an INT column whose range exceeds
+    # ~32767 would error the oracle while the Spark side (bigint inputs) is
+    # fine — the same engine asymmetry z_sql's BIGINT casts exist to avoid.
+    return (
+        f"((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * 65536 "
+        f"// (CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT) + 1))"
+    )

@@ -41,54 +41,37 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # Entries are added in the same commit as the change they cover.)
 # (r6's 6-entry batch — x19, x11, x24, w7, x6e, s11 — all came back
 # hash-green in CORRECTNESS_r06.json, so the set was cleared at the start of
-# round 7. Round-7 entries are added below in the same commit as the change
-# they cover.)
+# round 7.)
+# (r7's 9-entry batch — t15, x11, x24, t14, s12, x5b, x6, a8, a8b — all came
+# back hash-green in CORRECTNESS_r07.json, so the set was cleared at the
+# start of round 8. Round-8 entries are added below in the same commit as
+# the change they cover.)
 _REATTEST: set[str] = {
-    # r7: T15 landed log now lsn-deduped across batches (anti-join vs
-    # already-landed lsns) + metadata-probe table-existence check.
-    "t15_jdbc_cdc_sink",
-    # r7: shared CC cache key now includes a corpus file fingerprint.
-    "x11_neardup_clusters",
-    "x24_cluster_canonical",
-    # r7: tombstone exclusion promoted out of the query into read_scd2.
-    "t14_scd2_maintenance",
-    # r7: file sizing now via the Hadoop FileSystem API (portable schemes).
-    "s12_small_file_compaction",
-    # r7: x5b now decodes REAL BMP payloads (new oracle: 4x3x first-16 sum).
-    "x5b_resize",
-    # r7: negative-zero normalization (ROUND + 0.0) on signed float
-    # outputs — a tiny negative mean renders -0.0 in DuckDB vs 0.0 in
-    # Spark (observed on x6 at sf0.001); both engines patched identically.
-    "x6_centroids",
-    "a8_stats",
-    "a8b_regression_aggs",
+    # r8: u7's empty-vector aggregates hardened (zero-length reduceat
+    # segments defined instead of borrowing the next vector / raising).
+    "u7_map_in_arrow",
+    # r8: quantize16_sql now BIGINT-promotes before * 65536 (oracle edit —
+    # value-preserving at small SF but the contract re-attests any change).
+    "s15_zorder_cluster",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
-# Round 7: the r6 rotation covered the p/w/o/f/s families (registration-order
-# front), so without ranks the same fresh families would rotate again while
-# the r1-vintage attestations (a-set, j-set, x1-x6 core — untouched since
-# CORRECTNESS_r01) go on aging. The ranks below order the ATTESTED group by
-# staleness: r1 vintage first, then x2d (r2), then the r3 families — so the
-# ~35-40 slots left after the round-7 re-attest batch land on the stalest
-# attestations first.
+# Round 8: the r7 rotation drained the a-set and x1–x6 core, leaving 26
+# stale attestations — the j-set (r1 vintage: the driver hasn't looked at
+# any join since CORRECTNESS_r01), x2d (r2), and the r3 families. The ranks
+# below order the ATTESTED group by staleness so the slots left after the
+# round-8 new queries + re-attest batch land on those 26 first; after this
+# round no query's latest attestation should predate r4.
 _RANK: dict[str, int] = {
-    # last attested in CORRECTNESS_r01 (33 queries)
+    # last attested in CORRECTNESS_r01 (9 queries: the join family)
     **{
         name: -40
         for name in (
-            "a2_global_agg", "a3_count_distinct", "a4_approx_count_distinct",
-            "a5_rollup", "a5b_cube", "a5c_grouping_sets", "a5d_pivot",
-            "a5e_unpivot", "a7_ordered_collect", "a8_stats",
-            "a8b_regression_aggs", "a9_percentile", "a11_bool_aggs",
             "j1_inner_revenue_per_nation", "j2_broadcast_dim_join",
             "j3_left_outer_zero_orders", "j3b_full_outer", "j4_left_semi",
             "j5_left_anti", "j6_theta_join", "j9_cross_join",
-            "j12_salted_join", "x1_exact_dedup", "x2b_ngram_jaccard",
-            "x3_cosine_topk", "x3b_blocked_topk", "x3c_ivf_topk",
-            "x5_multimodal", "x5c_frame_sample", "x6_centroids",
-            "x6b_norms", "x6c_pairwise_dist",
+            "j12_salted_join",
         )
     },
     # last attested r2

@@ -163,9 +163,9 @@ WITH v AS (
   FROM m
 )
 SELECT vec_id, n_dims,
-       CAST(list_sum(codes) AS BIGINT) AS q_sum,
-       CAST(list_min(codes) AS BIGINT) AS q_min,
-       CAST(list_max(codes) AS BIGINT) AS q_max
+       CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS q_sum,
+       CAST(COALESCE(list_min(codes), 0) AS BIGINT) AS q_min,
+       CAST(COALESCE(list_max(codes), 0) AS BIGINT) AS q_max
 FROM q ORDER BY vec_id
 """,
     doc="U7: mapInArrow — the lowest-overhead Python extension point: the "
@@ -193,20 +193,38 @@ def u7_map_in_arrow(spark, sf_dir):
             flat = np.asarray(la.flatten(), dtype=np.float64)
             starts = np.zeros(len(lengths), dtype=np.int64)
             np.cumsum(lengths[:-1], out=starts[1:])
-            mx = np.maximum.reduceat(np.abs(flat), starts)
-            mx[lengths == 0] = 0.0
+            # Zero-length vectors: an unclamped reduceat start equal to
+            # len(flat) raises IndexError (empty LAST vector), and an
+            # empty middle vector's segment would borrow the next
+            # vector's first element. Reduce over the NON-EMPTY starts
+            # only (empty vectors occupy zero flat elements, so
+            # consecutive non-empty starts exactly delimit non-empty
+            # vectors) and scatter back; empty segments get the defined
+            # summary (mx=0.0, q_* = 0 — the oracle COALESCEs its
+            # empty-list NULLs to the same 0).
+            nonempty = lengths > 0
+            ne_starts = starts[nonempty]
+            mx = np.zeros(len(lengths), dtype=np.float64)
+            if len(ne_starts):
+                mx[nonempty] = np.maximum.reduceat(np.abs(flat), ne_starts)
             scale = np.where(mx > 0, np.divide(127.0, mx, where=mx > 0), 0.0)
             codes = np.floor(flat * np.repeat(scale, lengths) + 0.5)
             codes = np.where(np.repeat(mx > 0, lengths), codes, 0.0).astype(
                 np.int64
             )
+            zeros = np.zeros(len(lengths), dtype=np.int64)
+            q_sum, q_min, q_max = zeros, zeros.copy(), zeros.copy()
+            if len(ne_starts):
+                q_sum[nonempty] = np.add.reduceat(codes, ne_starts)
+                q_min[nonempty] = np.minimum.reduceat(codes, ne_starts)
+                q_max[nonempty] = np.maximum.reduceat(codes, ne_starts)
             yield pa.RecordBatch.from_pydict(
                 {
                     "vec_id": pa.array(ids, type=pa.int64()),
                     "n_dims": pa.array(lengths.astype(np.int32), type=pa.int32()),
-                    "q_sum": pa.array(np.add.reduceat(codes, starts), type=pa.int64()),
-                    "q_min": pa.array(np.minimum.reduceat(codes, starts), type=pa.int64()),
-                    "q_max": pa.array(np.maximum.reduceat(codes, starts), type=pa.int64()),
+                    "q_sum": pa.array(q_sum, type=pa.int64()),
+                    "q_min": pa.array(q_min, type=pa.int64()),
+                    "q_max": pa.array(q_max, type=pa.int64()),
                 }
             )
 

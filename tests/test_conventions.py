@@ -83,6 +83,29 @@ def test_worker_closures_never_reference_by_ref_module_functions():
 
             visit_AsyncFunctionDef = visit_FunctionDef
 
+            def visit_Lambda(self, node):
+                # A lambda at stack depth >= 1 (inside any module function)
+                # is a nested closure too — e.g. passed inline to
+                # mapInPandas — and escapes the FunctionDef walk above, so
+                # the exact regression class this audit exists to block
+                # could land silently through it.
+                nested = len(self.stack) >= 1
+                driver_side = bool(set(self.stack) & DRIVER_SIDE_CALLBACKS)
+                if nested and not driver_side:
+                    for sub in ast.walk(node.body):
+                        if (
+                            isinstance(sub, ast.Name)
+                            and isinstance(sub.ctx, ast.Load)
+                            and (sub.id in mod_funcs or sub.id in imported)
+                        ):
+                            if _locally_bound(node, sub.id):
+                                continue
+                            offenders.append(
+                                f"{path.name}:{sub.lineno} "
+                                f"{'->'.join(self.stack)}-><lambda> refs {sub.id}"
+                            )
+                self.generic_visit(node)
+
         V().visit(tree)
     assert not offenders, (
         "worker closures reference module-level ez_cdc_spark functions "
@@ -91,11 +114,11 @@ def test_worker_closures_never_reference_by_ref_module_functions():
     )
 
 
-def _locally_bound(fn: ast.FunctionDef, name: str) -> bool:
+def _locally_bound(fn: ast.AST, name: str) -> bool:
     for sub in ast.walk(fn):
         if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Store) and sub.id == name:
             return True
-        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
             args = sub.args
             all_args = (
                 args.posonlyargs + args.args + args.kwonlyargs

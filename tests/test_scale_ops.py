@@ -466,3 +466,44 @@ def test_cluster_split_has_no_neardup_leakage(spark, sf_dir):
         if len({doc_split[d] for d in members}) > 1:
             leaked += 1
     assert leaked > 0, "doc-keyed split should leak on this fixture (caveat real)"
+
+
+def test_u7_defines_empty_vectors(spark, tmp_path):
+    """ADVICE r7: a zero-length embedding must not borrow the next vector's
+    first code, and an empty LAST vector must not push a reduceat start
+    index past the flat buffer (IndexError). Empty vectors yield the
+    defined summary (n_dims=0, q_sum/q_min/q_max = 0) on both engines."""
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            # empty middle AND empty last vector in one file/batch
+            "embedding": [[2.0, -4.0], [], [1.0, 1.0, 1.0], []],
+        }
+    )
+    d = tmp_path / "u7_empty"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    rows = {r.vec_id: r for r in reg["u7_map_in_arrow"].fn(spark, str(d)).collect()}
+    assert rows[1].n_dims == 2 and (rows[1].q_min, rows[1].q_max) == (-127, 64)
+    for vid in (2, 4):
+        r = rows[vid]
+        assert (r.n_dims, r.q_sum, r.q_min, r.q_max) == (0, 0, 0, 0)
+    assert rows[3].q_sum == 127 * 3
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    ora = {
+        r[0]: r
+        for r in con.execute(reg["u7_map_in_arrow"].oracle).fetchall()
+    }
+    for vid, r in rows.items():
+        assert tuple(ora[vid]) == (vid, r.n_dims, r.q_sum, r.q_min, r.q_max)
