@@ -195,15 +195,30 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    # t9 warm: timed IMMEDIATELY after the cold run and min-of-3. Round 7
+    # timed a single warm run after the whole EXTRA_QUERIES list, and the
+    # heavy streaming extras added that round (t14 ~6.7 s, t15's Derby
+    # round-trips, t16's stateful replay) left enough JVM/state pressure
+    # behind to swing the single sample +19% with no code change on the t9
+    # path (r7 verdict, "What's wrong" #3). Each materialize() call rmtree's
+    # its state dir and takes a fresh checkpoint (streaming/cdc.py:371,
+    # replay.py:38), so every run after the cold one does identical full
+    # work warm — min-of-N is valid here exactly like the batch rows, and
+    # it is the denominator of cdc_upsert_events_per_s, so it must be the
+    # uncontended estimate.
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        registry["t9_cdc_upsert"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    timings["t9_cdc_upsert_warm"] = round(best, 3)
+
     for name in EXTRA_QUERIES:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    registry["t9_cdc_upsert"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["t9_cdc_upsert_warm"] = round(time.perf_counter() - t0, 3)
 
     # Streaming throughput: events/s through the tumbling-window replay
     # (n events incl. none dropped) using the t2 wall time, and change
