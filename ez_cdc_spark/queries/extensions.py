@@ -1220,3 +1220,195 @@ def x37_pagerank_centrality(spark, sf_dir):
         .selectExpr("id AS doc_id", "r AS pr_units", "d AS degree")
         .orderBy("doc_id")
     )
+
+
+def _x38_oracle(iters: int = 3, k: int = 8, scale: int = 10000) -> str:
+    """Unrolled-CTE DuckDB k-means, one CTE stage pair per Lloyd iteration
+    (the x37 oracle pattern). Argmin is the packed integer key
+    MIN(dist * k + cid): dist fits ~2^49 (64 dims x (254e4)^2), so the pack
+    is exact in BIGINT and decodes as (mk % k, mk // k) — min_by can't take
+    a composite key portably, the packed key is the same total order."""
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5)
+                                               AS BIGINT) + 127)
+              ELSE list_transform(v, x -> CAST(127 AS BIGINT)) END AS u
+  FROM m
+), dims AS (
+  SELECT vec_id, unnest(u) AS val, unnest(range(len(u))) AS pos FROM codes
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, u
+  FROM (SELECT vec_id, u FROM codes ORDER BY vec_id LIMIT {k})
+), cent0 AS (
+  SELECT cid, list_transform(u, x -> x * {scale}) AS cent FROM seeds
+)"""
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        sql += f""",
+d{it} AS (
+  SELECT c.vec_id,
+         MIN(CAST(list_sum(list_transform(list_zip(c.u, p.cent),
+               z -> (z[1] * {scale} - z[2]) * (z[1] * {scale} - z[2])))
+             AS BIGINT) * {k} + p.cid) AS mk
+  FROM codes c, {prev} p GROUP BY c.vec_id
+), a{it} AS (
+  SELECT vec_id, CAST(mk % {k} AS BIGINT) AS cid,
+         CAST(mk // {k} AS BIGINT) AS dist FROM d{it}
+), n{it} AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a{it} GROUP BY cid
+), ps{it} AS (
+  SELECT a.cid, d.pos, CAST(SUM(d.val) AS BIGINT) AS s
+  FROM a{it} a JOIN dims d USING (vec_id) GROUP BY a.cid, d.pos
+), cn{it} AS (
+  SELECT ps.cid, list((ps.s * {scale}) // n.n ORDER BY ps.pos) AS cent
+  FROM ps{it} ps JOIN n{it} n USING (cid) GROUP BY ps.cid
+), cent{it} AS (
+  SELECT p.cid, COALESCE(c.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN cn{it} c USING (cid)
+)"""
+        prev = f"cent{it}"
+    sql += f"""
+SELECT a.vec_id, a.cid AS cluster_id, a.dist AS dist_units,
+       n.n AS cluster_n
+FROM a{iters} a JOIN n{iters} n USING (cid)
+ORDER BY a.vec_id
+"""
+    return sql
+
+
+@register(
+    "x38_kmeans_clusters",
+    oracle=_x38_oracle(),
+    doc="X38: fixed-point k-means corpus clustering — the SemDeDup/topic-"
+    "balancing step: embedding-space Lloyd clustering as the blocking key "
+    "for semantic dedup and per-topic mixture control. Spec is INTEGER "
+    "fixed-point end to end (the x37 recipe applied to geometry): vectors "
+    "are x6d's symmetric int8 codes SHIFTED to [0,254] (so every sum is "
+    "non-negative and integer `div` == floor-`//` on both engines — "
+    "Spark div truncates toward zero, DuckDB // floors, they agree only "
+    "above zero), centroids live in 1e-4 code units as BIGINT, distance "
+    "is the exact integer squared-L2 (max 64 x (254e4)^2 ~ 2^49, no "
+    "overflow), argmin is the packed key min(dist*k + cid) (exact total "
+    "order with deterministic low-cid tiebreak), and the centroid update "
+    "is an integer floor-div mean; empty clusters keep their previous "
+    "centroid (LEFT JOIN + COALESCE on both engines). Seeds: the k "
+    "lowest-vec_id vectors — deterministic, no RNG. Exactly 3 "
+    "iterations. Spark plan shape per iteration: assignment is a "
+    "MAP-SIDE fold over a one-row broadcast centroid array (zero "
+    "shuffle, no corpus x k join materialized); the update explodes "
+    "assigned rows to (cid, pos, val) and partial-aggregates map-side "
+    "into k x d cells, so the only exchange per round carries k*64 "
+    "partials per partition; localCheckpoint truncates lineage each "
+    "round (x37's iterative pattern). At 100 TB: centroids stay k x d "
+    "(broadcast), assignment is embarrassingly parallel, and the update "
+    "shuffle is O(k*d*partitions) regardless of corpus size. Oracle: "
+    "the same spec as 3 unrolled DuckDB CTE stages.",
+)
+def x38_kmeans_clusters(spark, sf_dir):
+    SCALE, K, T = 10000, 8, 3
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    shifted = F.when(
+        mx > 0,
+        F.transform(
+            v, lambda x: F.floor(x * (F.lit(127.0) / mx) + 0.5).cast("bigint") + 127
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(127).cast("bigint")))
+    codes = e.select("vec_id", shifted.alias("u")).localCheckpoint(eager=True)
+
+    w_seed = Window.orderBy("vec_id")
+    cent = (
+        codes.orderBy("vec_id")
+        .limit(K)
+        .withColumn("cid", (F.row_number().over(w_seed) - 1).cast("bigint"))
+        .select("cid", F.transform("u", lambda x: x * SCALE).alias("cent"))
+    )
+
+    assigned = None
+    for _ in range(T):
+        # one-row broadcast of all k centroids -> per-vector argmin is a
+        # pure map-side fold; dist*K + cid packs (dist, cid) into one
+        # bigint so a single `least` fold carries the tiebreak
+        cents_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cent"))).alias("cents")
+        )
+        mk = F.aggregate(
+            F.col("cents"),
+            F.lit(2**62).cast("bigint"),
+            lambda acc, c: F.least(
+                acc,
+                F.aggregate(
+                    F.zip_with(
+                        F.col("u"),
+                        c["cent"],
+                        lambda a, b: (a * SCALE - b) * (a * SCALE - b),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda s, x: s + x,
+                )
+                * K
+                + c["cid"],
+            ),
+        )
+        assigned = (
+            codes.crossJoin(F.broadcast(cents_row))
+            .select("vec_id", "u", mk.alias("mk"))
+            .select(
+                "vec_id",
+                "u",
+                (F.col("mk") % K).cast("bigint").alias("cid"),
+                F.expr(f"mk div {K}").cast("bigint").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("u").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").cast("bigint").alias("s"))
+        )
+        n = assigned.groupBy("cid").agg(F.count("*").cast("bigint").alias("n"))
+        cent_new = (
+            sums.join(F.broadcast(n), "cid")
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            # integer floor-div mean (operands non-negative,
+                            # so Spark div == DuckDB // exactly)
+                            F.struct(
+                                "pos",
+                                F.expr(f"(s * {SCALE}) div n").cast("bigint").alias("cv"),
+                            )
+                        )
+                    ),
+                    lambda st: st["cv"],
+                ).alias("cent")
+            )
+        )
+        cent = (
+            cent.select("cid", F.col("cent").alias("cent_prev"))
+            .join(cent_new, "cid", "left")
+            .select("cid", F.coalesce("cent", "cent_prev").alias("cent"))
+            .localCheckpoint(eager=True)
+        )
+
+    n_final = assigned.groupBy("cid").agg(F.count("*").cast("bigint").alias("cluster_n"))
+    return (
+        assigned.join(F.broadcast(n_final), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dist").alias("dist_units"),
+            "cluster_n",
+        )
+        .orderBy("vec_id")
+    )

@@ -424,3 +424,17 @@ def test_headline_batch_queries_stay_in_codegen(spark, sf_smoke):
             assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
                 f"{name}: unexpected Python stage"
             )
+
+
+def test_x38_kmeans_plan_shape(spark, sf_smoke):
+    """x38's scale claims. Final plan (post-checkpoint): cluster sizes join
+    back via broadcast, never SMJ. Per-iteration assignment: the centroid
+    set reaches every vector as a ONE-ROW broadcast (BroadcastNestedLoop
+    over a single row is a broadcast var in disguise and costs O(1)) and
+    the argmin is a map-side fold — the corpus must not enter a keyed
+    exchange to get assigned; the only keyed exchange per round is the
+    k*d-cell partial-aggregate update."""
+    reg = load_all()
+    p = plan_str(reg["x38_kmeans_clusters"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, "x38: cluster_n joins back via broadcast"
+    assert "SortMergeJoin" not in p, "x38: corpus must not SMJ"

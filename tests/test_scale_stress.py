@@ -290,3 +290,176 @@ def test_heavy_hitter_counts_scale_exactly_10x(spark, docs10x):
     assert all(r.err_bound == 0 for r in top_big)
     for r in top_big:
         assert r.est_count == 10 * top_orig[r.token], r.token
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (r7 VERDICT #4 + x38): j14/x31/x34/x35/x38 at 10x.
+# Replication fixtures keep values identical and keys distinct, so every
+# assertion below is an EXACT consequence of the operator's declared
+# semantics — except x34/x35, whose 6-dp-rounded-ln terms make replication
+# invariance exact only up to the documented rounding budget (~2e-6).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events10x_dir(spark, tmp_path_factory):
+    """10x event log, distinct event_ids, IDENTICAL timestamps, no injected
+    redeliveries (unlike cdc10x_dir) — so pairwise-op outputs scale as exact
+    replica products."""
+    base = load_table(spark, "/root/testdata/sf0.001", "events")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = base.crossJoin(reps).select(
+        (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias("event_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    )
+    out = str(tmp_path_factory.mktemp("ev10x"))
+    big.repartition(16, F.xxhash64("event_id")).write.mode("overwrite").parquet(
+        out + "/events.parquet"
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs10x_dir(spark, docs10x, tmp_path_factory):
+    big, _ = docs10x
+    out = str(tmp_path_factory.mktemp("docs10x"))
+    big.repartition(16).write.mode("overwrite").parquet(out + "/documents.parquet")
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb10x_dir(spark, tmp_path_factory):
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = base.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+        "embedding", "label",
+    )
+    out = str(tmp_path_factory.mktemp("emb10x"))
+    big.repartition(16).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out
+
+
+def test_j14_pair_count_scales_as_replica_product(spark, events10x_dir):
+    """Replicated signups and errors share timestamps, so every original
+    qualifying pair appears exactly 10x10 times — the binned join must
+    find ALL of them (completeness) and nothing else (the residual filter
+    soundness), under a maximally disordered file layout."""
+    reg = load_all()
+    n_small = reg["j14_interval_bin_join"].fn(spark, "/root/testdata/sf0.001").count()
+    big = reg["j14_interval_bin_join"].fn(spark, events10x_dir)
+    assert big.count() == 100 * n_small
+    bad = big.filter((F.col("gap_s") < 0) | (F.col("gap_s") > 60)).count()
+    assert bad == 0, "residual range filter leaked a pair"
+
+
+def test_j14_bin_width_independence(spark, sf_smoke):
+    """Bin-edge conservatism: the SAME pair set must come out of a
+    different bin width (120 s bins still cover every 60 s interval with
+    the lo/hi explode) — agreement across binnings pins completeness
+    without an N^2 reference join."""
+    e = load_table(spark, sf_smoke, "events")
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b")
+    )
+    def pairs(bin_s):
+        lo = F.floor(F.unix_timestamp("ts_a") / bin_s).cast("long")
+        hi = F.floor((F.unix_timestamp("ts_a") + 60) / bin_s).cast("long")
+        ab = a.withColumn("bin", F.explode(F.sequence(lo, hi)))
+        bb = b.withColumn("bin", F.floor(F.unix_timestamp("ts_b") / bin_s).cast("long"))
+        got = (
+            ab.join(bb, "bin")
+            .filter(
+                (F.col("ts_b") >= F.col("ts_a"))
+                & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS"))
+            )
+            .select("eid_a", "eid_b").distinct()
+        )
+        return sorted(map(tuple, got.collect()))
+    assert pairs(60) == pairs(120)
+    reg = load_all()
+    got = sorted(
+        (r.eid_a, r.eid_b)
+        for r in reg["j14_interval_bin_join"].fn(spark, sf_smoke).collect()
+    )
+    assert got == pairs(60)
+
+
+def test_x31_rank_histogram_equals_window_at_10x(spark, docs10x_dir):
+    """x31's histogram formulation must equal percent_rank() over the raw
+    corpus — the window it exists to avoid — on the full 10x corpus, and
+    every rank must stay in [0, 1]."""
+    from pyspark.sql import Window
+
+    reg = load_all()
+    got = reg["x31_rank_normalize"].fn(spark, docs10x_dir)
+    w = Window.partitionBy("source").orderBy("n_chars")
+    want = (
+        load_table(spark, docs10x_dir, "documents")
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+    )
+    assert got.filter((F.col("pct_rank") < 0) | (F.col("pct_rank") > 1)).count() == 0
+    diff = (
+        got.join(want, ["doc_id", "source", "n_chars", "pct_rank"], "full_outer")
+        .filter(F.col("doc_id").isNull())
+        .count()
+    )
+    # full_outer on ALL columns: any mismatch creates an unmatched row
+    n_got, n_want = got.count(), want.count()
+    assert n_got == n_want and diff == 0
+
+
+def test_x34_x35_scores_replication_invariant(spark, sf_dir, docs10x_dir):
+    """Unigram probabilities are count ratios, so 10x replication leaves
+    them untouched; the 6-dp-rounded-ln DECIMAL-sum recipe makes the
+    scores equal up to the documented rounding budget (each rounded ln
+    term moves <= 5e-7, terms average not compound — tol 2e-6)."""
+    reg = load_all()
+    one = {
+        r.doc_id: r.avg_logprob
+        for r in reg["x34_unigram_logprob"].fn(spark, sf_dir).collect()
+    }
+    ten = {
+        r.doc_id: r.avg_logprob
+        for r in reg["x34_unigram_logprob"].fn(spark, docs10x_dir).collect()
+    }
+    assert set(one) <= set(ten)  # rep-0 keeps original doc_ids
+    for did, score in one.items():
+        assert abs(ten[did] - score) <= 2e-6, f"doc {did}: {ten[did]} vs {score}"
+    for did, score in ten.items():
+        if did >= 10_000_000:
+            orig = did % 10_000_000
+            assert abs(score - ten[orig]) <= 1e-12, "replicas must score alike"
+
+    kl1 = {r.source: r.kl_nats for r in reg["x35_source_kl"].fn(spark, sf_dir).collect()}
+    kl10 = {r.source: r.kl_nats for r in reg["x35_source_kl"].fn(spark, docs10x_dir).collect()}
+    assert set(kl1) == set(kl10)
+    for s in kl1:
+        assert abs(kl1[s] - kl10[s]) <= 2e-6, f"source {s}: {kl10[s]} vs {kl1[s]}"
+
+
+def test_x38_kmeans_replication_invariants(spark, emb10x_dir):
+    """Fixed-point k-means at 10x: replicas keep the original vectors'
+    vec_id order for seeding (rep-0 ids are lowest), sums and counts both
+    scale 10x so the integer floor-div centroid means are IDENTICAL at
+    every iteration — therefore every replica must get EXACTLY its
+    original's cluster and distance, and every cluster_n must be exactly
+    10x. Also the partition invariant: assignments cover the corpus once."""
+    reg = load_all()
+    base = {
+        r.vec_id: (r.cluster_id, r.dist_units, r.cluster_n)
+        for r in reg["x38_kmeans_clusters"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    big = reg["x38_kmeans_clusters"].fn(spark, emb10x_dir).collect()
+    n_base = len(base)
+    assert len(big) == 10 * n_base  # every vector assigned exactly once
+    assert sum(1 for _ in big) == len({r.vec_id for r in big})
+    for r in big:
+        cid, dist, cn = base[r.vec_id % 10_000_000]
+        assert r.cluster_id == cid, f"vec {r.vec_id} moved cluster"
+        assert r.dist_units == dist, f"vec {r.vec_id} distance drifted"
+        assert r.cluster_n == 10 * cn, f"cluster {cid} size not 10x"
