@@ -53,6 +53,10 @@ _REATTEST: set[str] = {
     # r8: quantize16_sql now BIGINT-promotes before * 65536 (oracle edit —
     # value-preserving at small SF but the contract re-attests any change).
     "s15_zorder_cluster",
+    # r8: t16's fold extracted into the m-parameterized mg_stream_counts
+    # (the compressing regime now runs the REAL streaming path in tests);
+    # the update stream additionally carries the offset column.
+    "t16_streaming_heavy_hitters",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):

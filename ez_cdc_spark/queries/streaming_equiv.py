@@ -840,8 +840,35 @@ SELECT rank, token, est_count FROM ranked WHERE rank <= 20 ORDER BY rank
     "a14's property-pinned bounds (same fold as operators/sketches.py).",
 )
 def t16_streaming_heavy_hitters(spark, sf_dir):
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import Window
+
+    final = mg_stream_counts(spark, sf_dir, m=1 << 20, name="t16_heavy_hitters")
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "token", "est_count")
+        .orderBy("rank")
+    )
+
+
+def mg_stream_counts(spark, sf_dir, m: int, name: str):
+    """T16's cross-batch Misra-Gries stream with the sketch size `m` exposed:
+    the registered query runs exact mode (m > vocab); the compressing regime
+    (small m) runs the SAME code path — per-bucket counter maps serialized
+    into the state store between micro-batches — and is bound-checked in
+    tests/test_scale_ops.py (the state serialize/deserialize round-trip is
+    the surface the batch-fold property tests can't reach). Returns the
+    per-token (token, est_count[, offset]) frame after collapsing update-mode
+    re-emissions by max(est). In exact mode (offset stays 0) counts grow
+    monotonically so the max IS the final count; in the compressing regime
+    the max is the counter's PEAK, which still satisfies both MG bounds:
+    c_t = count_t - removed_t <= true_total (no overcount at any t), and
+    max_t c_t >= c_final >= true_total - offset_final (the MG undercount
+    invariant), so [true - offset, true] brackets the estimate. err_bound
+    is the offset at the token's last emission (<= its bucket's final
+    offset, so it under-claims, never over-claims, the error)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ez_cdc_spark.streaming.replay import events_parquet_split
 
@@ -856,7 +883,6 @@ def t16_streaming_heavy_hitters(spark, sf_dir):
             ":", F.col("event_type"), (F.col("user_id") % 10).cast("string")
         ).alias("token")
     )
-    m = 1 << 20
 
     def fold(key, pdfs, state: GroupState):
         if state.exists:
@@ -873,7 +899,11 @@ def t16_streaming_heavy_hitters(spark, sf_dir):
                 counters = {t: c - sub for t, c in counters.items() if c > sub}
         state.update((list(counters), [counters[t] for t in counters], offset))
         yield pd.DataFrame(
-            {"token": list(counters), "est": list(counters.values())}
+            {
+                "token": list(counters),
+                "est": list(counters.values()),
+                "offset": [offset] * len(counters),
+            }
         )
 
     bucketed = tokens.withColumn(
@@ -881,21 +911,13 @@ def t16_streaming_heavy_hitters(spark, sf_dir):
     ).groupBy("bucket")
     sketched = bucketed.applyInPandasWithState(
         fold,
-        outputStructType="token STRING, est BIGINT",
+        outputStructType="token STRING, est BIGINT, offset BIGINT",
         stateStructType="toks ARRAY<STRING>, cnts ARRAY<BIGINT>, offset BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    emitted = run_to_memory(
-        sketched, "t16_heavy_hitters", output_mode="update"
-    )
-    final = emitted.groupBy("token").agg(
-        F.max("est").cast("bigint").alias("est_count")
-    )
-    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
-    return (
-        final.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "token", "est_count")
-        .orderBy("rank")
+    emitted = run_to_memory(sketched, name, output_mode="update")
+    return emitted.groupBy("token").agg(
+        F.max("est").cast("bigint").alias("est_count"),
+        F.max("offset").cast("bigint").alias("err_bound"),
     )

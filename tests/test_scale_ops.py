@@ -507,3 +507,41 @@ def test_u7_defines_empty_vectors(spark, tmp_path):
     }
     for vid, r in rows.items():
         assert tuple(ora[vid]) == (vid, r.n_dims, r.q_sum, r.q_min, r.q_max)
+
+
+def test_mg_compressing_regime_through_streaming_state(spark, sf_smoke):
+    """r7 VERDICT #5: the Misra-Gries COMPRESSING regime through the real
+    streaming path — per-bucket counter maps must survive state-store
+    serialize/deserialize round-trips ACROSS micro-batches (the surface
+    the batch-fold property tests can't reach). m=2 forces compressions
+    (vocab ~50 over 8 buckets); asserts on the update-stream collapse:
+    no overcount at any time, undercount within the emitted offset bound,
+    and survival of every token heavier than the global error bound."""
+    from ez_cdc_spark.queries.streaming_equiv import mg_stream_counts
+    from ez_cdc_spark.sources.tables import load_table
+
+    est = {
+        r.token: (r.est_count, r.err_bound)
+        for r in mg_stream_counts(spark, sf_smoke, m=2, name="t16_small_m").collect()
+    }
+    true = {
+        r.token: r.n
+        for r in load_table(spark, sf_smoke, "events")
+        .select(
+            F.concat_ws(
+                ":", F.col("event_type"), (F.col("user_id") % 10).cast("string")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert any(off > 0 for _, off in est.values()), "m=2 must actually compress"
+    max_off = max(off for _, off in est.values())
+    for tok, (e, _off) in est.items():
+        t_n = true[tok]
+        assert e <= t_n, f"{tok}: overcount {e} > {t_n}"
+        assert t_n - e <= max_off, f"{tok}: undercount beyond offset bound"
+    for tok, t_n in true.items():
+        if t_n > max_off:
+            assert tok in est, f"heavy hitter {tok} dropped across batches"
