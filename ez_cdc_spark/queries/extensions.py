@@ -57,10 +57,10 @@ _STOP_SQL = "['" + "','".join(TXT.STOPWORDS) + "']"
 _NEARDUP_CC_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
 
 
-def _corpus_fingerprint(sf_dir) -> tuple:
-    """(mtime_ns, size) across the documents parquet file(s) — a cheap
+def _corpus_fingerprint(sf_dir, table: str = "documents") -> tuple:
+    """(mtime_ns, size) across the table's parquet file(s) — a cheap
     driver-side stat, no data read."""
-    p = os.path.join(str(sf_dir), "documents.parquet")
+    p = os.path.join(str(sf_dir), f"{table}.parquet")
     paths = (
         [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
         if os.path.isdir(p)
@@ -1222,12 +1222,14 @@ def x37_pagerank_centrality(spark, sf_dir):
     )
 
 
-def _x38_oracle(iters: int = 3, k: int = 8, scale: int = 10000) -> str:
-    """Unrolled-CTE DuckDB k-means, one CTE stage pair per Lloyd iteration
-    (the x37 oracle pattern). Argmin is the packed integer key
-    MIN(dist * k + cid): dist fits ~2^49 (64 dims x (254e4)^2), so the pack
-    is exact in BIGINT and decodes as (mk % k, mk // k) — min_by can't take
-    a composite key portably, the packed key is the same total order."""
+def _x38_cte(iters: int = 3, k: int = 8, scale: int = 10000) -> str:
+    """Unrolled-CTE DuckDB k-means chain, one CTE stage pair per Lloyd
+    iteration (the x37 oracle pattern); shared by the x38 and x39 oracles.
+    Argmin is the packed integer key MIN(dist * k + cid): dist fits ~2^49
+    (64 dims x (254e4)^2), so the pack is exact in BIGINT and decodes as
+    (mk % k, mk // k) — min_by can't take a composite key portably, the
+    packed key is the same total order. Ends with a{iters} (assignment)
+    and n{iters} (cluster sizes) in scope."""
     sql = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1274,13 +1276,19 @@ d{it} AS (
   FROM {prev} p LEFT JOIN cn{it} c USING (cid)
 )"""
         prev = f"cent{it}"
-    sql += f"""
+    return sql
+
+
+def _x38_oracle(iters: int = 3, k: int = 8, scale: int = 10000) -> str:
+    return (
+        _x38_cte(iters, k, scale)
+        + f"""
 SELECT a.vec_id, a.cid AS cluster_id, a.dist AS dist_units,
        n.n AS cluster_n
 FROM a{iters} a JOIN n{iters} n USING (cid)
 ORDER BY a.vec_id
 """
-    return sql
+    )
 
 
 @register(
@@ -1312,6 +1320,43 @@ ORDER BY a.vec_id
     "the same spec as 3 unrolled DuckDB CTE stages.",
 )
 def x38_kmeans_clusters(spark, sf_dir):
+    assigned = _kmeans_assign(spark, sf_dir)
+    n_final = assigned.groupBy("cid").agg(F.count("*").cast("bigint").alias("cluster_n"))
+    return (
+        assigned.join(F.broadcast(n_final), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dist").alias("dist_units"),
+            "cluster_n",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# x38's assignment is the blocking structure x39 (semantic dedup) and the
+# cluster-quality diagnostics consume — same sharing rationale as the
+# neardup pair/CC caches: the 3-iteration Lloyd loop is paid once per
+# (application, corpus); the pinned blocks are slim (vec_id, u, cid, dist)
+# rows, checkpointed already by the loop itself.
+_KMEANS_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
+
+
+def _kmeans_assign(spark, sf_dir):
+    key = (
+        spark.sparkContext.applicationId,
+        str(sf_dir),
+        _corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _KMEANS_CACHE if k[:2] == key[:2]]:
+        try:
+            _KMEANS_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass  # releasing superseded checkpoint blocks is best-effort
+
     SCALE, K, T = 10000, 8, 3
     e = t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1401,14 +1446,87 @@ def x38_kmeans_clusters(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
 
-    n_final = assigned.groupBy("cid").agg(F.count("*").cast("bigint").alias("cluster_n"))
+    _KMEANS_CACHE[key] = assigned
+    return assigned
+
+
+_X39_TAU = 130_000  # integer squared-code-distance near-dup threshold
+
+
+@register(
+    "x39_semantic_dedup",
+    oracle=_x38_cte()
+    + f"""
+, mem AS (
+  SELECT a.vec_id, a.cid, c.u FROM a3 a JOIN codes c USING (vec_id)
+), blockers AS (
+  SELECT later.vec_id,
+         CAST(MIN(earlier.vec_id) AS BIGINT) AS blocked_by,
+         CAST(COUNT(*) AS BIGINT) AS n_blockers
+  FROM mem later JOIN mem earlier
+    ON later.cid = earlier.cid AND earlier.vec_id < later.vec_id
+   AND list_sum(list_transform(list_zip(later.u, earlier.u),
+         z -> (z[1] - z[2]) * (z[1] - z[2]))) <= {_X39_TAU}
+  GROUP BY later.vec_id
+)
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN b.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+       b.blocked_by, COALESCE(b.n_blockers, 0) AS n_blockers
+FROM mem m LEFT JOIN blockers b USING (vec_id)
+ORDER BY m.vec_id
+""",
+    doc="X39: semantic deduplication (SemDeDup) — the step x38 exists to "
+    "unlock: within each k-means cluster, a vector is DROPPED when any "
+    "LOWER-vec_id cluster member sits within an integer squared "
+    "code-distance threshold, keeping one representative per semantic "
+    "neighborhood. The all-pairs comparison happens ONLY within a "
+    "cluster (the SemDeDup scale contract: k grows with the corpus so "
+    "cluster sizes stay bounded; the join is cluster-keyed, never "
+    "corpus-wide). Distance is exact integer squared-L2 over the x6d "
+    "int8 codes — shift-invariant, so the shifted [0,254] codes reused "
+    "from x38's cache give identical differences — making the threshold "
+    "comparison bit-deterministic on both engines (no cosine rounding "
+    "boundary to sit on). Drop rule is 'any earlier neighbor', the "
+    "single-pass order-free form of greedy selection (same class as "
+    "X1's min-doc_id keep rule): expressible as one aggregate, no "
+    "sequential dependency, identical on both engines. Output is total: "
+    "every vector appears with kept flag, its lowest blocking neighbor "
+    "(audit trail), and blocker count. Plan: reuses the session-"
+    "memoized x38 assignment (Lloyd loop paid once across x38/x39), one "
+    "cluster-keyed self-join, one vec_id-keyed left join back.",
+)
+def x39_semantic_dedup(spark, sf_dir):
+    assigned = _kmeans_assign(spark, sf_dir)
+    mem = assigned.select("vec_id", "cid", "u")
+    later = mem.select(
+        F.col("vec_id").alias("vid"), "cid", F.col("u").alias("u_l")
+    )
+    earlier = mem.select(
+        F.col("vec_id").alias("eid"), "cid", F.col("u").alias("u_e")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("u_l"), F.col("u_e"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    blockers = (
+        later.join(earlier, "cid")
+        .filter(F.col("eid") < F.col("vid"))
+        .filter(d2 <= _X39_TAU)
+        .groupBy("vid")
+        .agg(
+            F.min("eid").cast("bigint").alias("blocked_by"),
+            F.count("*").cast("bigint").alias("n_blockers"),
+        )
+    )
     return (
-        assigned.join(F.broadcast(n_final), "cid")
+        mem.join(blockers, mem.vec_id == blockers.vid, "left")
         .select(
             "vec_id",
-            F.col("cid").alias("cluster_id"),
-            F.col("dist").alias("dist_units"),
-            "cluster_n",
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.when(F.col("blocked_by").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+            "blocked_by",
+            F.coalesce("n_blockers", F.lit(0)).cast("bigint").alias("n_blockers"),
         )
         .orderBy("vec_id")
     )

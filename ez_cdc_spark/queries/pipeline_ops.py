@@ -1553,3 +1553,175 @@ def x35_source_kl(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x40_ngram_containment",
+    oracle=r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 5 THEN list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))
+              ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents)
+), dg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), nd AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g WHERE len(grams) > 0
+), keep AS (
+  SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 20
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM dg a JOIN keep k ON a.gram = k.gram JOIN dg b ON b.gram = a.gram
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / na.n_grams, 6) AS containment_a,
+       ROUND(CAST(s.n_shared AS DOUBLE) / nb.n_grams, 6) AS containment_b,
+       CAST(CASE WHEN 5 * s.n_shared >= 4 * na.n_grams
+                   OR 5 * s.n_shared >= 4 * nb.n_grams THEN 1 ELSE 0 END AS INT)
+         AS is_contained
+FROM shared s JOIN nd na ON na.doc_id = s.id_a JOIN nd nb ON nb.doc_id = s.id_b
+ORDER BY id_a, id_b
+""",
+    doc="X40: n-gram CONTAINMENT pairs — the asymmetric near-dup detector "
+    "Jaccard structurally misses: a short document quoted wholesale "
+    "inside a long one has tiny Jaccard (union is large) but containment "
+    "c(A->B) = |A inter B| / |A| near 1 — the quote/inclusion/excerpt "
+    "case (Broder's containment, the other half of the resemblance "
+    "paper). Pair generation is the INVERTED-INDEX join, never all-pairs: "
+    "distinct per-doc 5-grams explode once (pinned, x19's shape), a "
+    "doc-frequency band keeps only discriminative grams (df in [2,20]: "
+    "df=1 cannot pair; df>20 is x19's boilerplate — joining on it would "
+    "square the head of the zipf curve), and only pairs actually sharing "
+    "a kept gram materialize. Both containment directions are emitted "
+    "per unordered pair; the contained flag is the INTEGER comparison "
+    "5*shared >= 4*n (no 0.8*n float boundary). Divisions are single "
+    "IEEE divides of integers (bit-deterministic, _util rule 3). "
+    "Cites x19/x21's gram-join scale notes: zipf-head skew -> AQE skew "
+    "split; boilerplate band cap bounds per-gram fanout by construction.",
+)
+def x40_ngram_containment(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    d = widen_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = F.split(F.col("text"), r"\s+")
+    grams = F.array_distinct(
+        F.when(
+            F.size(ws) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 4),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    # pin the exploded projection once — feeds df-band, pair-gen (twice),
+    # and per-doc counts (x19's materialization rationale)
+    dg = g.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint(
+        eager=True
+    )
+    nd = (
+        g.filter(F.size("grams") > 0)
+        .select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+    )
+    keep = (
+        dg.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("gram")
+    )
+    a = dg.join(keep, "gram").select("gram", F.col("doc_id").alias("id_a"))
+    b = dg.select("gram", F.col("doc_id").alias("id_b"))
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    na = nd.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("ng_a"))
+    nb = nd.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("ng_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("ng_a"), 6).alias("containment_a"),
+            F.round(F.col("n_shared") / F.col("ng_b"), 6).alias("containment_b"),
+            (
+                (5 * F.col("n_shared") >= 4 * F.col("ng_a"))
+                | (5 * F.col("n_shared") >= 4 * F.col("ng_b"))
+            )
+            .cast("int")
+            .alias("is_contained"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "x41_chunk_overlap",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 64 THEN 1 + (n - 64 + 47) // 48 ELSE 1 END AS n_chunks
+  FROM w
+), e AS (
+  SELECT w.doc_id, w.ws, w.n,
+         unnest(generate_series(0, CAST(c.n_chunks - 1 AS INT))) AS i
+  FROM w JOIN c USING (doc_id)
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(least(n - i * 48, 64) AS BIGINT) AS n_tok,
+       md5(array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+FROM e
+ORDER BY doc_id, chunk_id
+""",
+    doc="X41: sliding-window document chunking with overlap — the RAG/"
+    "embedding-indexing splitter (and the training-window cousin of X8's "
+    "packing: X8 concatenates docs INTO fixed windows, X41 splits docs "
+    "into overlapping ones). Chunk size 64 tokens, stride 48 (16-token "
+    "overlap so no boundary sentence is ever seen by zero chunks). Chunk "
+    "count is the closed integer form 1 + ceil((n-64)/48) (non-negative "
+    "operands: ceil as (x+47) div 48 — portable), which NEVER emits a "
+    "chunk fully contained in its predecessor (the naive "
+    "every-48-positions rule does, bloating the index with redundant "
+    "tail chunks). Pure map-side: sequence + explode + slice, zero "
+    "shuffle beyond the presentation sort; chunks render as md5 so rows "
+    "stay slim (the canonicalizer rule from x6d). At 100 TB this is the "
+    "shape you want: no state, no join, embarrassingly parallel, and "
+    "chunk_id is deterministic so re-runs are idempotent for the "
+    "downstream index.",
+)
+def x41_chunk_overlap(spark, sf_dir):
+    C, S = 64, 48
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), r"\s+")
+    n = F.size(ws).cast("bigint")
+    n_chunks = F.when(
+        n > C, F.lit(1) + F.expr(f"(size(split(text, '\\\\s+')) - {C} + {S - 1}) div {S}")
+    ).otherwise(F.lit(1)).cast("bigint")
+    e = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("i").alias("chunk_id"),
+        (F.col("i") * S).cast("bigint").alias("start_tok"),
+        F.least(F.col("n") - F.col("i") * S, F.lit(C).cast("bigint")).alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("ws", (F.col("i") * S + 1).cast("int"), C))
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
