@@ -599,3 +599,77 @@ def a14_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.col("text"), r"\s+")).alias("token")
     )
     return mg_topk(tokens, "token", m=1 << 22, k=20)
+
+
+@register(
+    "a15_weighted_percentile",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, qc, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qc
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(MAX(tot) AS BIGINT) AS total_weight_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= 50 * tot THEN qc END) AS BIGINT)
+         AS p50_qty_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= 90 * tot THEN qc END) AS BIGINT)
+         AS p90_qty_cents
+FROM c GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="A15: exact WEIGHTED percentile (revenue-weighted quantity p50/p90 "
+    "per return flag) — 'half the revenue ships in lines of <= N units', "
+    "the inventory/pricing form a9's row-weighted percentile can't "
+    "answer. Pure integer pipeline end to end: quantities and weights "
+    "become exact cents (DECIMAL*100 -> BIGINT), the corpus collapses to "
+    "the per-(flag, quantity) weight histogram (one partial-agg'd "
+    "exchange; window runs over histogram rows only — x22's rule), and "
+    "the percentile fence is the integer cross-multiply cum*100 >= p*tot "
+    "(no p/100 float, no interpolation ambiguity: lower-bound semantics, "
+    "smallest value reaching the fence — PERCENTILE_DISC-style but "
+    "weighted, which neither engine has built in). Zero floats anywhere "
+    "=> no rounding discipline at all (SURVEY 5.3 fixed-point family).",
+)
+def a15_weighted_percentile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    qc = (dec("l_quantity") * 100).cast("bigint")
+    wc = (dec("l_extendedprice") * 100).cast("bigint")
+    h = (
+        li.select(F.col("l_returnflag"), qc.alias("qc"), wc.alias("wc"))
+        .groupBy("l_returnflag", "qc")
+        .agg(F.sum("wc").cast("bigint").alias("w"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("qc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "qc",
+        F.sum("w").over(wcum).cast("bigint").alias("cum"),
+        F.sum("w").over(wtot).cast("bigint").alias("tot"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_weight_cents"),
+            F.min(F.when(F.col("cum") * 100 >= 50 * F.col("tot"), F.col("qc")))
+            .cast("bigint")
+            .alias("p50_qty_cents"),
+            F.min(F.when(F.col("cum") * 100 >= 90 * F.col("tot"), F.col("qc")))
+            .cast("bigint")
+            .alias("p90_qty_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

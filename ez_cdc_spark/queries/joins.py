@@ -429,3 +429,64 @@ def j14_interval_bin_join(spark, sf_dir):
         )
         .orderBy("eid_a", "eid_b")
     )
+
+
+@register(
+    "j15_asof_tolerance",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+       CASE WHEN date_diff('second', c.ts, p.ts) <= 600
+            THEN c.click_id END AS r_event_id,
+       CASE WHEN date_diff('second', c.ts, p.ts) <= 600
+            THEN CAST(c.value AS DOUBLE) END AS r_value,
+       CASE WHEN date_diff('second', c.ts, p.ts) <= 600
+            THEN CAST(date_diff('second', c.ts, p.ts) AS BIGINT) END AS gap_s
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+    SELECT user_id, ts, max_by(event_id, event_id) AS click_id,
+           max_by(value, event_id) AS value
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+    doc="J15: as-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, "
+    "kdb wj's window bound — the max-staleness guard J8 lacks): each "
+    "purchase takes the most recent prior click of the same user ONLY if "
+    "it is at most 10 minutes old; staler matches degrade to NULL, "
+    "because a quote/feature that old is semantically missing, not "
+    "usable. Same union+LOCF single-exchange strategy as J8 "
+    "(operators/asof.py — zero join nodes): the right row's OWN "
+    "timestamp rides along in the LOCF struct, and the staleness test "
+    "is a map-side post-filter on (left.ts - matched.ts), which is "
+    "exactly how a tolerance generalizes the as-of without touching the "
+    "window: the match is still 'latest prior', tolerance only decides "
+    "whether it is USED. Oracle: DuckDB ASOF LEFT JOIN + the same CASE.",
+)
+def j15_asof_tolerance(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+        .withColumn("rts", F.col("ts"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["rts", "event_id", "value"],
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("r_rts")
+    fresh = gap <= 600
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        F.when(fresh, F.col("r_event_id")).alias("r_event_id"),
+        F.when(fresh, F.col("r_value").cast("double")).alias("r_value"),
+        F.when(fresh, gap.cast("bigint")).alias("gap_s"),
+    ).orderBy("event_id")

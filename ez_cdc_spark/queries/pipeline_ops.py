@@ -1725,3 +1725,82 @@ def x41_chunk_overlap(spark, sf_dir):
             F.concat_ws(" ", F.slice("ws", (F.col("i") * S + 1).cast("int"), C))
         ).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "x42_vocab_coverage",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+), ranked AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM freq
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab FROM freq
+), ks AS (
+  SELECT CAST(unnest([1,2,4,8,16,32,64,128,256,512,1024,4096]) AS BIGINT) AS k
+)
+SELECT ks.k,
+       least(ks.k, tot.vocab) AS vocab_k,
+       r.cum AS covered_tokens,
+       tot.n_total,
+       CAST(r.cum AS DOUBLE) / tot.n_total AS coverage
+FROM ks, tot JOIN ranked r ON r.rk = least(ks.k, tot.vocab)
+ORDER BY ks.k
+""",
+    doc="X42: vocabulary coverage curve — what fraction of corpus token "
+    "mass the top-k most frequent types cover, for k on a doubling grid: "
+    "the tokenizer-design / OOV-budget diagnostic (pick vocab size where "
+    "the curve knees) and the zipf-fit companion to X14's histogram. "
+    "Scale shape is x22's histogram rule: the corpus collapses to the "
+    "vocab-sized (token, cnt) table via one partial-agg'd exchange; the "
+    "rank/cumsum window runs over VOCAB rows only (never the corpus — "
+    "an unpartitioned window is safe exactly because its input is "
+    "catalog-bounded, same argument as x22/x31), and the 12-row k grid "
+    "joins by rank. Determinism: ties broken (cnt DESC, token); "
+    "coverage is a single IEEE division of BIGINTs (_util rule 3, "
+    "bit-identical, no rounding needed).",
+)
+def x42_vocab_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 4096)],
+        "k bigint",
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ranked),
+            F.col("rk") == F.least(F.col("k"), F.col("vocab")),
+        )
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("vocab")).alias("vocab_k"),
+            F.col("cum").alias("covered_tokens"),
+            "n_total",
+            (F.col("cum") / F.col("n_total")).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -496,3 +496,64 @@ def f_bitwise(spark, sf_dir):
         F.shiftright(F.col("l_orderkey"), 3).cast("bigint").alias("key_shr"),
         F.bit_count(F.col("l_orderkey")).cast("int").alias("key_bits"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "f_url",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/docs/' ||
+         CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&sz=' ||
+         CAST(n_chars AS VARCHAR) || '#s' || CAST(doc_id % 5 AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+       regexp_extract(url, '#(.*)$', 1) AS fragment,
+       regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                      '([^.]+\.[^.]+)$', 1) AS reg_domain
+FROM u
+ORDER BY doc_id
+""",
+    doc="F-family, URL functions: Spark's parse_url (PROTOCOL/HOST/PATH/"
+    "QUERY/QUERY-param/REF — the java.net.URI-backed extraction every "
+    "web-corpus curation pipeline leans on for per-domain dedup, domain "
+    "caps (x18) and provenance joins) plus a registrable-domain suffix "
+    "grab. URLs are synthesized deterministically from documents "
+    "columns (the fixture carries no URL column), covering scheme, "
+    "subdomained host, path, two query params, and a fragment. The "
+    "DuckDB oracle parses the SAME strings with an INDEPENDENT "
+    "implementation (anchored regexes, no parse_url in DuckDB), so "
+    "agreement checks the extraction semantics, not a shared parser. "
+    "Pure map-side codegen projection, zero shuffle.",
+)
+def f_url(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+        F.lit("#s"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+    ).orderBy("doc_id")

@@ -921,3 +921,55 @@ def mg_stream_counts(spark, sf_dir, m: int, name: str):
         F.max("est").cast("bigint").alias("est_count"),
         F.max("offset").cast("bigint").alias("err_bound"),
     )
+
+
+@register(
+    "t18_windowed_topk",
+    oracle="""
+WITH wc AS (
+  SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+                  '%Y-%m-%d %H:%M:%S') AS wstart,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY wstart, event_type
+), rk AS (
+  SELECT wstart, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY wstart
+              ORDER BY n DESC, event_type) AS BIGINT) AS rank
+  FROM wc
+)
+SELECT wstart, rank, event_type, n FROM rk WHERE rank <= 3
+ORDER BY wstart, rank
+""",
+    doc="T18: streaming per-window top-k — the trending/leaderboard shape "
+    "(top event types per 30-minute window) that composes a streaming "
+    "windowed aggregate with a per-window ranking: the STREAM maintains "
+    "only the (window, event_type) counts — keyed state bounded by "
+    "windows x types, evictable by watermark in append mode — and the "
+    "rank runs as a finishing pass over the AGGREGATED rows (per-window "
+    "groups of |event_type| rows, never the event stream; the same "
+    "aggregate-then-rank split t16 uses for its final top-20). "
+    "Deterministic tiebreak (n DESC, event_type). Batch-equivalence "
+    "oracle: DuckDB epoch-floor window + ROW_NUMBER mirror.",
+)
+def t18_windowed_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "30 minutes"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+    counted = run_to_memory(agg, "t18_windowed_topk")
+    w = Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("wstart", "rank", "event_type", "n")
+        .orderBy("wstart", "rank")
+    )

@@ -496,3 +496,63 @@ def w10_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "w11_integer_ewma",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(list_reduce(list(cents ORDER BY ts, event_id),
+                        (a, b) -> (a + b) // 2) AS BIGINT) AS ewma_cents
+FROM c GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="W11: exponential smoothing (EWMA, alpha = 1/2) per user over their "
+    "event-value series — the time-series recurrence class (anomaly "
+    "baselines, engagement decay) that plain window frames cannot "
+    "express: s_t depends multiplicatively on s_{t-1}, not on a frame "
+    "aggregate. Determinism recipe: SURVEY 5.3 fixed-point applied to a "
+    "RECURRENCE — values become exact integer cents (DECIMAL*100), "
+    "alpha = 1/2 makes each step s = (s_prev + c) >> 1 (operands "
+    "non-negative, so shift == floor-div == DuckDB //), seeded with the "
+    "first element (list_reduce's no-init fold == Spark's "
+    "started-flag struct fold), total order pinned by (ts, event_id). "
+    "Plan: ONE user-keyed exchange; the per-user series is collected as "
+    "a sorted array and folded by a JVM higher-order function — no UDF, "
+    "no per-row Python; per-user state is the array (bounded by per-user "
+    "event counts; at 100 TB cap the frame with a time horizon the same "
+    "way t5b bounds dedup state).",
+)
+def w11_integer_ewma(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", cents.alias("cents")))
+    )
+    fold = F.aggregate(
+        F.transform(seq, lambda s: s["cents"]),
+        F.struct(
+            F.lit(False).alias("started"), F.lit(0).cast("bigint").alias("s")
+        ),
+        lambda acc, x: F.struct(
+            F.lit(True).alias("started"),
+            F.when(acc["started"], F.shiftright(acc["s"] + x, 1))
+            .otherwise(x)
+            .alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            fold.cast("bigint").alias("ewma_cents"),
+        )
+        .orderBy("user_id")
+    )
