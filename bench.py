@@ -79,7 +79,20 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   round trips each batch); x36/x37 — cluster-keyed split and fixed-point
 #   PageRank, timed right after x11 so their numbers are the marginal cost
 #   over the shared memoized pair set / components (x24's pattern).
+#   r8 additions: x38 fixed-point k-means (3 Lloyd rounds, broadcast
+#   assignment), x39 semantic dedup (runs right after x38 and reuses its
+#   memoized assignment — marginal cost of the cluster-bounded pair scan),
+#   x40 inverted-index containment pairs, x41 map-side chunking, w11 the
+#   user-keyed EWMA fold, j15 the union+LOCF as-of with tolerance, t18 the
+#   streaming windowed top-k.
 EXTRA_QUERIES = [
+    "x38_kmeans_clusters",
+    "x39_semantic_dedup",
+    "x40_ngram_containment",
+    "x41_chunk_overlap",
+    "w11_integer_ewma",
+    "j15_asof_tolerance",
+    "t18_windowed_topk",
     "t16_streaming_heavy_hitters",
     "j14_interval_bin_join",
     "x31_rank_normalize",

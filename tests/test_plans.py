@@ -438,3 +438,43 @@ def test_x38_kmeans_plan_shape(spark, sf_smoke):
     p = plan_str(reg["x38_kmeans_clusters"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in p, "x38: cluster_n joins back via broadcast"
     assert "SortMergeJoin" not in p, "x38: corpus must not SMJ"
+
+
+def test_round8_ops_plan_shapes(spark, sf_smoke):
+    """Round-8 additions keep their declared scale shapes.
+    x39: cluster-bounded pair-gen is an equi-join on cid — never a
+    cartesian/BNLJ. x40: pair-gen is the inverted-index gram join over the
+    PINNED exploded projection (checkpoint scan, no re-explode), never
+    all-pairs. x41/f_url: pure map-side — zero keyed exchanges. w11: the
+    fold rides ONE user-keyed exchange, no join. x42: only broadcast
+    joins reach the vocab histogram — no SMJ. a15: histogram + window +
+    rollup, no join anywhere. j15: the as-of-with-tolerance is J8's
+    union+LOCF — zero join nodes."""
+    reg = load_all()
+
+    p39 = plan_str(reg["x39_semantic_dedup"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p39 and "BroadcastNestedLoop" not in p39
+
+    p40 = plan_str(reg["x40_ngram_containment"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p40 and "BroadcastNestedLoop" not in p40
+    assert "Scan ExistingRDD" in p40, "x40 must reuse the pinned gram rows"
+
+    p41 = plan_str(reg["x41_chunk_overlap"].fn(spark, sf_smoke))
+    assert p41.count("hashpartitioning") == 0, "x41 must not shuffle on a key"
+
+    pu = plan_str(reg["f_url"].fn(spark, sf_smoke))
+    assert pu.count("hashpartitioning") == 0, "f_url must not shuffle on a key"
+
+    p11 = plan_str(reg["w11_integer_ewma"].fn(spark, sf_smoke))
+    assert "Join" not in p11, "w11 must not join"
+    assert p11.count("hashpartitioning") == 1, "w11: one user-keyed exchange"
+
+    p42 = plan_str(reg["x42_vocab_coverage"].fn(spark, sf_smoke))
+    assert "SortMergeJoin" not in p42, "x42: rank joins must broadcast"
+    assert "BroadcastHashJoin" in p42 or "BroadcastNestedLoop" in p42
+
+    p15a = plan_str(reg["a15_weighted_percentile"].fn(spark, sf_smoke))
+    assert "Join" not in p15a, "a15 must not join"
+
+    p15j = plan_str(reg["j15_asof_tolerance"].fn(spark, sf_smoke))
+    assert "Join" not in p15j, "j15 must not plan a join (union+LOCF)"
