@@ -1222,7 +1222,7 @@ def x37_pagerank_centrality(spark, sf_dir):
     )
 
 
-def _x38_cte(iters: int = 3, k: int = 8, scale: int = 10000) -> str:
+def _x38_cte(iters: int = 3, k: int = 8, scale: int = 10000, where: str = "") -> str:
     """Unrolled-CTE DuckDB k-means chain, one CTE stage pair per Lloyd
     iteration (the x37 oracle pattern); shared by the x38 and x39 oracles.
     Argmin is the packed integer key MIN(dist * k + cid): dist fits ~2^49
@@ -1233,7 +1233,7 @@ def _x38_cte(iters: int = 3, k: int = 8, scale: int = 10000) -> str:
     sql = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings {where}
 ), m AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v
 ), codes AS (
@@ -1342,6 +1342,19 @@ def x38_kmeans_clusters(spark, sf_dir):
 _KMEANS_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
 
 
+def _shifted_codes(df):
+    """x6d's int8 quantization shifted to [0, 254] as array<bigint> — the
+    integer vector representation every x38-family op computes on."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    return F.when(
+        mx > 0,
+        F.transform(
+            v, lambda x: F.floor(x * (F.lit(127.0) / mx) + 0.5).cast("bigint") + 127
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(127).cast("bigint")))
+
+
 def _kmeans_assign(spark, sf_dir):
     key = (
         spark.sparkContext.applicationId,
@@ -1350,25 +1363,77 @@ def _kmeans_assign(spark, sf_dir):
     )
     hit = _KMEANS_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[0]
     for stale in [k for k in _KMEANS_CACHE if k[:2] == key[:2]]:
         try:
-            _KMEANS_CACHE.pop(stale).unpersist()
+            for df in _KMEANS_CACHE.pop(stale):
+                df.unpersist()
         except Exception:
             pass  # releasing superseded checkpoint blocks is best-effort
 
-    SCALE, K, T = 10000, 8, 3
     e = t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, F.abs))
-    shifted = F.when(
-        mx > 0,
-        F.transform(
-            v, lambda x: F.floor(x * (F.lit(127.0) / mx) + 0.5).cast("bigint") + 127
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(127).cast("bigint")))
-    codes = e.select("vec_id", shifted.alias("u")).localCheckpoint(eager=True)
+    codes = e.select("vec_id", _shifted_codes(e).alias("u")).localCheckpoint(
+        eager=True
+    )
+    assigned, cent = _lloyd_loop(codes)
+    _KMEANS_CACHE[key] = (assigned, cent)
+    return assigned
 
+
+def _kmeans_centroids(spark, sf_dir):
+    """Final (post-update) centroids of the memoized x38 run — the 'model'
+    the incremental assignment (x44) applies to new batches."""
+    _kmeans_assign(spark, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        str(sf_dir),
+        _corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    return _KMEANS_CACHE[key][1]
+
+
+def _assign_to_centroids(codes, cent, K=8, SCALE=10000):
+    """Map-side argmin of a code frame against a centroid frame: one-row
+    broadcast of all k centroids, packed-key least fold (x38's assignment
+    stage as a standalone op)."""
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cent"))).alias("cents")
+    )
+    mk = F.aggregate(
+        F.col("cents"),
+        F.lit(2**62).cast("bigint"),
+        lambda acc, c: F.least(
+            acc,
+            F.aggregate(
+                F.zip_with(
+                    F.col("u"),
+                    c["cent"],
+                    lambda a, b: (a * SCALE - b) * (a * SCALE - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
+            )
+            * K
+            + c["cid"],
+        ),
+    )
+    return (
+        codes.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "u", mk.alias("mk"))
+        .select(
+            "vec_id",
+            "u",
+            (F.col("mk") % K).cast("bigint").alias("cid"),
+            F.expr(f"mk div {K}").cast("bigint").alias("dist"),
+        )
+    )
+
+
+def _lloyd_loop(codes, K=8, T=3, SCALE=10000):
+    """The x38 Lloyd iteration over a pinned code frame; returns
+    (assignment from iteration T against cent_{T-1}, final centroids
+    cent_T). The assignment is what x38 declares; the final centroids are
+    the model x44 applies to unseen batches."""
     w_seed = Window.orderBy("vec_id")
     cent = (
         codes.orderBy("vec_id")
@@ -1379,40 +1444,10 @@ def _kmeans_assign(spark, sf_dir):
 
     assigned = None
     for _ in range(T):
-        # one-row broadcast of all k centroids -> per-vector argmin is a
-        # pure map-side fold; dist*K + cid packs (dist, cid) into one
-        # bigint so a single `least` fold carries the tiebreak
-        cents_row = cent.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "cent"))).alias("cents")
-        )
-        mk = F.aggregate(
-            F.col("cents"),
-            F.lit(2**62).cast("bigint"),
-            lambda acc, c: F.least(
-                acc,
-                F.aggregate(
-                    F.zip_with(
-                        F.col("u"),
-                        c["cent"],
-                        lambda a, b: (a * SCALE - b) * (a * SCALE - b),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda s, x: s + x,
-                )
-                * K
-                + c["cid"],
-            ),
-        )
-        assigned = (
-            codes.crossJoin(F.broadcast(cents_row))
-            .select("vec_id", "u", mk.alias("mk"))
-            .select(
-                "vec_id",
-                "u",
-                (F.col("mk") % K).cast("bigint").alias("cid"),
-                F.expr(f"mk div {K}").cast("bigint").alias("dist"),
-            )
-            .localCheckpoint(eager=True)
+        # map-side packed-key argmin against the one-row centroid
+        # broadcast (see _assign_to_centroids)
+        assigned = _assign_to_centroids(codes, cent, K, SCALE).localCheckpoint(
+            eager=True
         )
         sums = (
             assigned.select("cid", F.posexplode("u").alias("pos", "val"))
@@ -1446,8 +1481,7 @@ def _kmeans_assign(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
 
-    _KMEANS_CACHE[key] = assigned
-    return assigned
+    return assigned, cent
 
 
 _X39_TAU = 130_000  # integer squared-code-distance near-dup threshold
@@ -1527,6 +1561,118 @@ def x39_semantic_dedup(spark, sf_dir):
             F.when(F.col("blocked_by").isNull(), 1).otherwise(0).cast("int").alias("kept"),
             "blocked_by",
             F.coalesce("n_blockers", F.lit(0)).cast("bigint").alias("n_blockers"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "x43_cluster_quality",
+    oracle=_x38_cte()
+    + """
+SELECT a.cid AS cluster_id,
+       n.n AS cluster_n,
+       CAST(SUM(a.dist) AS BIGINT) AS inertia_units,
+       CAST(SUM(a.dist) // n.n AS BIGINT) AS mean_dist_units,
+       CAST(MAX(a.dist) AS BIGINT) AS max_dist_units,
+       CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id
+FROM a3 a JOIN n3 n USING (cid)
+GROUP BY a.cid, n.n
+ORDER BY cluster_id
+""",
+    doc="X43: per-cluster quality diagnostics over the x38 model — inertia "
+    "(the k-means objective, summed integer squared distances), mean and "
+    "max member distance (spread / outlier radius), size, and the lowest "
+    "member id (the seed audit). The operational companion to x38: "
+    "elbow-method inputs (inertia vs k), degenerate-cluster detection "
+    "(tiny n, huge mean), and the radius that calibrates x39's dedup "
+    "threshold. All integer (sums of bigint dist, floor-div mean) — zero "
+    "float discipline; one k-row aggregate over the memoized assignment, "
+    "marginal cost after any x38-family op has run.",
+)
+def x43_cluster_quality(spark, sf_dir):
+    assigned = _kmeans_assign(spark, sf_dir)
+    n = assigned.groupBy("cid").agg(F.count("*").cast("bigint").alias("cluster_n"))
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.sum("dist").cast("bigint").alias("inertia_units"),
+            F.max("dist").cast("bigint").alias("max_dist_units"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        )
+        .join(F.broadcast(n), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "cluster_n",
+            "inertia_units",
+            F.expr("inertia_units div cluster_n").cast("bigint").alias(
+                "mean_dist_units"
+            ),
+            "max_dist_units",
+            "min_vec_id",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_X44_SPLIT = 400  # vec_id fence: < is yesterday's trained corpus, >= is the new batch
+
+
+@register(
+    "x44_incremental_assign",
+    oracle=_x38_cte(where=f"WHERE vec_id < {_X44_SPLIT}")
+    + f"""
+, newv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id >= {_X44_SPLIT}
+), newm AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM newv
+), newcodes AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5)
+                                               AS BIGINT) + 127)
+              ELSE list_transform(v, x -> CAST(127 AS BIGINT)) END AS u
+  FROM newm
+), nd AS (
+  SELECT c.vec_id,
+         MIN(CAST(list_sum(list_transform(list_zip(c.u, p.cent),
+               z -> (z[1] * 10000 - z[2]) * (z[1] * 10000 - z[2])))
+             AS BIGINT) * 8 + p.cid) AS mk
+  FROM newcodes c, cent3 p GROUP BY c.vec_id
+)
+SELECT vec_id, CAST(mk % 8 AS BIGINT) AS cluster_id,
+       CAST(mk // 8 AS BIGINT) AS dist_units
+FROM nd ORDER BY vec_id
+""",
+    doc="X44: incremental cluster assignment — the train/apply split that "
+    "makes x38 OPERATIONAL at 100 TB: yesterday's corpus (vec_id < fence) "
+    "trains the Lloyd model; today's batch (vec_id >= fence) is assigned "
+    "to the FROZEN final centroids with zero retraining — x2f's "
+    "batch-vs-corpus incremental pattern applied to clustering (and how "
+    "SemDeDup/IVF serving actually runs: periodic retrain, continuous "
+    "assign). The batch-side cost is pure map-side: one-row broadcast of "
+    "k centroids + packed-key argmin fold, no shuffle, no state — the "
+    "new batch never sees the training corpus. Oracle: the x38 CTE chain "
+    "restricted to the training fence, ending at cent3 (the "
+    "post-iteration-3 centroids — the 'model'), + one assignment CTE "
+    "over the new batch's codes.",
+)
+def x44_incremental_assign(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < _X44_SPLIT)
+    codes_old = old.select("vec_id", _shifted_codes(old).alias("u")).localCheckpoint(
+        eager=True
+    )
+    _, cent = _lloyd_loop(codes_old)
+    new = e.filter(F.col("vec_id") >= _X44_SPLIT)
+    codes_new = new.select("vec_id", _shifted_codes(new).alias("u"))
+    return (
+        _assign_to_centroids(codes_new, cent)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dist").alias("dist_units"),
         )
         .orderBy("vec_id")
     )
