@@ -973,3 +973,83 @@ def t18_windowed_topk(spark, sf_dir):
         .select("wstart", "rank", "event_type", "n")
         .orderBy("wstart", "rank")
     )
+
+
+@register(
+    "t19_streaming_ewma",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(list_reduce(list(cents ORDER BY ts, event_id),
+                        (a, b) -> (a + b) // 2) AS BIGINT) AS ewma_cents
+FROM c GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="T19: W11's EWMA recurrence as CROSS-MICRO-BATCH streaming state — "
+    "the always-on anomaly-baseline maintainer: per-user (s, n) survives "
+    "the state store between batches, each batch folds its rows in "
+    "(ts, event_id) order into s via the same integer (s+c) >> 1 step. "
+    "UNLIKE t16's order-free counters, a recurrence is order-SENSITIVE, "
+    "so the replay uses the TIME-ORDERED tercile split "
+    "(events_parquet_time_split: every stage-k event precedes every "
+    "stage-k+1 event in the (ts, event_id) total order; within-batch "
+    "order restored by an explicit sort in the fold) — the layout "
+    "contract a Kafka source provides per partition key and the "
+    "round-robin split deliberately violates. Update-mode re-emissions "
+    "collapse by max_by(ewma, n): n strictly grows, so the last emission "
+    "is the final state. Oracle: W11's identical batch SQL — the "
+    "cross-batch state path must reproduce the one-shot fold exactly.",
+)
+def t19_streaming_ewma(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ez_cdc_spark.streaming.replay import events_parquet_time_split
+
+    path = events_parquet_time_split(spark, sf_dir)
+    base = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    rows = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for c in pdf["cents"]:
+                c = int(c)
+                s = c if n == 0 else (s + c) >> 1
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [s]})
+
+    folded = rows.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id BIGINT, n BIGINT, ewma BIGINT",
+        stateStructType="s BIGINT, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(folded, "t19_ewma", output_mode="update")
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max_by("ewma", "n").cast("bigint").alias("ewma_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -270,3 +270,50 @@ def events_parquet_split(
             os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
         open(marker, "w").close()
     return path
+
+
+def events_parquet_time_split(
+    spark: SparkSession, sf_dir: str, n_stages: int = 3
+) -> str:
+    """n-file replay dir with the real events split into TIME-ORDERED
+    terciles (row_number over (ts, event_id) — an exact row split, so
+    every event in stage k precedes every event in stage k+1 in the
+    (ts, event_id) total order) with strictly increasing mtimes. This is
+    the layout ORDER-SENSITIVE cross-batch state (t19's EWMA recurrence)
+    needs: events_parquet_split's round-robin intentionally scatters time
+    across batches (right for order-FREE folds like t16's counters, wrong
+    for a recurrence). Idempotent per (sf_dir, n_stages)."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window as _W
+
+    key = hashlib.md5(
+        f"{EVENTS_JSON_SCHEMA}:timesplit{n_stages}".encode()
+    ).hexdigest()[:8]
+    path = _dir_for(sf_dir, f"events_timesplit-{key}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ev = _events_projection(spark, sf_dir)
+        n = ev.count()
+        per = (n + n_stages - 1) // n_stages
+        w = _W.orderBy("ts", "event_id")
+        staged = ev.withColumn("__stage", ((F.row_number().over(w) - 1) / per).cast("int"))
+        now = _time.time()
+        for i in range(n_stages):
+            df = staged.filter(F.col("__stage") == i).drop("__stage")
+            tmp = os.path.join(path, f"_tmp{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f
+                for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(path, f"stage-{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+        open(marker, "w").close()
+    return path

@@ -545,3 +545,28 @@ def test_mg_compressing_regime_through_streaming_state(spark, sf_smoke):
     for tok, t_n in true.items():
         if t_n > max_off:
             assert tok in est, f"heavy hitter {tok} dropped across batches"
+
+
+def test_t19_replay_layout_forces_cross_batch_state(spark, sf_smoke):
+    """t19's correctness claim rests on the time-split layout: every stage
+    file is non-empty (so every micro-batch folds fresh rows into state),
+    stages are disjoint and totally ordered by (ts, event_id), and users
+    span stages (so the final EWMA only exists if per-user state crossed
+    the state store between batches)."""
+    import duckdb
+
+    from ez_cdc_spark.streaming.replay import events_parquet_time_split
+
+    path = events_parquet_time_split(spark, sf_smoke)
+    con = duckdb.connect()
+    stages = []
+    for i in range(3):
+        rows = con.execute(
+            f"SELECT ts, event_id, user_id FROM read_parquet('{path}/stage-{i}.parquet')"
+        ).fetchall()
+        assert rows, f"stage {i} empty — a batch would carry no data"
+        stages.append(rows)
+    for a, b in zip(stages, stages[1:]):
+        assert max((r[0], r[1]) for r in a) < min((r[0], r[1]) for r in b)
+    multi = set(r[2] for r in stages[0]) & set(r[2] for r in stages[1])
+    assert multi, "no user spans batches — state round-trip untested"
