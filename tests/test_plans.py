@@ -478,3 +478,14 @@ def test_round8_ops_plan_shapes(spark, sf_smoke):
 
     p15j = plan_str(reg["j15_asof_tolerance"].fn(spark, sf_smoke))
     assert "Join" not in p15j, "j15 must not plan a join (union+LOCF)"
+
+    # x43: one k-row aggregate over the memoized assignment; sizes join
+    # back via broadcast, never SMJ.
+    p43 = plan_str(reg["x43_cluster_quality"].fn(spark, sf_smoke))
+    assert "SortMergeJoin" not in p43
+
+    # x44: the apply side is pure map-side — the new batch must reach its
+    # assignment with ZERO keyed exchanges (the one-row centroid broadcast
+    # is a BroadcastNestedLoop over a single row, not a shuffle).
+    p44 = plan_str(reg["x44_incremental_assign"].fn(spark, sf_smoke))
+    assert p44.count("hashpartitioning") == 0, "x44 apply must not shuffle"
