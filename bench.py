@@ -84,14 +84,20 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   memoized assignment — marginal cost of the cluster-bounded pair scan),
 #   x40 inverted-index containment pairs, x41 map-side chunking, w11 the
 #   user-keyed EWMA fold, j15 the union+LOCF as-of with tolerance, t18 the
-#   streaming windowed top-k.
+#   streaming windowed top-k; second r8 batch: x45 duplicated-span coverage
+#   (timed right after x19/x40 — the third consumer of 8-gram explode cost),
+#   j16 the 2-D grid proximity join, w12 the rolling median+MAD frame, a16
+#   the portable-HLL register sketch.
 EXTRA_QUERIES = [
     "x38_kmeans_clusters",
     "x39_semantic_dedup",
     "x40_ngram_containment",
     "x41_chunk_overlap",
     "w11_integer_ewma",
+    "w12_rolling_mad_outlier",
     "j15_asof_tolerance",
+    "j16_grid_proximity_join",
+    "a16_portable_hll",
     "t18_windowed_topk",
     "t16_streaming_heavy_hitters",
     "j14_interval_bin_join",
@@ -109,6 +115,7 @@ EXTRA_QUERIES = [
     "x37_pagerank_centrality",
     "x13_repetition_metrics",
     "x19_boilerplate_ngrams",
+    "x45_dup_span_coverage",
     "t13_incremental_aggregate",
     "w8_funnel_conversion",
     "x25_scd2_history",

@@ -673,3 +673,97 @@ def a15_weighted_percentile(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# alpha_128 = 0.7213 / (1 + 1.079/128), scaled to 1e7 and frozen as an exact
+# integer constant so both engines evaluate the identical rational.
+_HLL_ALPHA7 = 7152705
+# numerator of the raw HLL estimator: alpha7 * m^2 * 2^26 (m = 128), a single
+# exact BIGINT literal (7.86e18 < 2^63); the only float op in the whole query
+# is ONE IEEE division of two bigint-cast doubles (deterministic, SURVEY 5.3
+# rule 3 — bigint->double casts round-to-nearest identically in both engines).
+_HLL_NUM = _HLL_ALPHA7 * 128 * 128 * (1 << 26)
+
+
+@register(
+    "a16_portable_hll",
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+           AS h32
+  FROM orders
+), b AS (
+  SELECT grp, h32 // 33554432 AS bucket, h32 % 33554432 AS w FROM h
+), r AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END) AS rho
+  FROM b GROUP BY 1, 2
+), z AS (
+  SELECT grp,
+         CAST(SUM(CAST(1 AS BIGINT) << (26 - rho))
+              + (128 - COUNT(*)) * 67108864 AS BIGINT) AS z_scaled,
+         CAST(COUNT(*) AS BIGINT) AS filled_buckets
+  FROM r GROUP BY 1
+)
+SELECT grp, z_scaled, filled_buckets,
+       CAST({_HLL_NUM} AS DOUBLE) / CAST(z_scaled * 10000000 AS DOUBLE)
+         AS hll_estimate
+FROM z ORDER BY grp
+""",
+    doc="A16: portable HyperLogLog distinct-count sketch (m = 128 buckets) "
+    "whose ESTIMATE is bit-deterministic across engines — unlike a4's "
+    "engine-native approx_count_distinct (declared no-oracle), every step "
+    "here is integer arithmetic on the portable md5 hash: h32 = first 8 "
+    "md5 hex chars, bucket = top 7 bits, rho = leading-zero rank of the "
+    "remaining 25-bit word via length(bin(w)) (both engines render binary "
+    "identically), registers = MAX(rho) per bucket, and the harmonic "
+    "denominator is an exact BIGINT (sum of 1<<(26-rho) plus 2^26 per "
+    "empty bucket). The estimate alpha*m^2/Z reduces to ONE IEEE division "
+    "of two bigints with alpha frozen as the integer constant 7152705e-7 "
+    "(raw estimator — no small/large-range correction; documented, and "
+    "accuracy vs a3-exact is property-tested). 100 TB shape: this is the "
+    "MERGEABLE sketch pattern — groupBy(grp, bucket).max(rho) partial-"
+    "aggregates map-side, so the exchange carries at most m rows per "
+    "(partition, group) whatever the corpus size, and unioning shards "
+    "then re-MAXing registers merges sketches exactly (the property a4's "
+    "opaque binary sketch has, now with engine-portable semantics).",
+)
+def a16_portable_hll(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    h32 = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    b = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        h32.alias("h32"),
+    ).select(
+        "grp",
+        F.expr("h32 div 33554432").alias("bucket"),
+        (F.col("h32") % F.lit(33554432)).alias("w"),
+    )
+    r = b.groupBy("grp", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(26)).otherwise(
+                F.lit(26) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    )
+    z = r.groupBy("grp").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 26 - rho)"))
+            + (F.lit(128) - F.count("*")) * F.lit(67108864)
+        )
+        .cast("bigint")
+        .alias("z_scaled"),
+        F.count("*").cast("bigint").alias("filled_buckets"),
+    )
+    return z.select(
+        "grp",
+        "z_scaled",
+        "filled_buckets",
+        (
+            F.lit(_HLL_NUM).cast("double")
+            / (F.col("z_scaled") * F.lit(10000000)).cast("double")
+        ).alias("hll_estimate"),
+    ).orderBy("grp")

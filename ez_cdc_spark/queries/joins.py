@@ -490,3 +490,117 @@ def j15_asof_tolerance(spark, sf_dir):
         F.when(fresh, F.col("r_value").cast("double")).alias("r_value"),
         F.when(fresh, gap.cast("bigint")).alias("gap_s"),
     ).orderBy("event_id")
+
+
+@register(
+    "j16_grid_proximity_join",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         CAST('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 AS x,
+         CAST('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 AS y
+  FROM customer
+), s AS (
+  SELECT s_suppkey,
+         CAST('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 AS x,
+         CAST('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 AS y
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       CAST(GREATEST(ABS(c.x - s.x), ABS(c.y - s.y)) AS BIGINT) AS cheb_dist
+FROM c JOIN s
+  ON ABS(c.x - s.x) <= 50 AND ABS(c.y - s.y) <= 50
+ORDER BY c_custkey, s_suppkey
+""",
+    doc="J16: spatial proximity join via grid bucketing — all (customer, "
+    "supplier) pairs within Chebyshev distance 50 on a deterministic "
+    "1000x1000 integer plane (coordinates synthesized by the portable "
+    "md5 hash so both engines see identical geometry; stands in for any "
+    "lat/lon-binned geo join). The naive form is a pure theta join "
+    "(quadratic — the DuckDB oracle runs exactly that, so the oracle "
+    "INDEPENDENTLY verifies the bucketing logic); the engine instead "
+    "bins both sides into cells of size d = 50 and explodes the smaller "
+    "side into its 3x3 neighbor cells, turning the distance predicate "
+    "into an EQUI-join on (cell_x, cell_y) + a map-side exact distance "
+    "post-filter — cell size = radius guarantees every qualifying pair "
+    "differs by at most one cell per axis, so candidates are complete. "
+    "Plan-asserted cartesian-free (no BNLJ/CartesianProduct). 100 TB "
+    "shape: the j14 bin-bucket recipe in two dimensions — pair "
+    "generation shuffles on cell keys whose density is bounded by the "
+    "data's spatial distribution (9x replication of the smaller side "
+    "only), never materializing the N x M cross.",
+)
+def j16_grid_proximity_join(spark, sf_dir):
+    def phash(prefix: str, key: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col(key).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    d = 50
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        phash("gx:", "c_custkey").alias("x"),
+        phash("gy:", "c_custkey").alias("y"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        phash("sx:", "s_suppkey").alias("x"),
+        phash("sy:", "s_suppkey").alias("y"),
+    )
+    # Bin the big side once; explode the smaller side into its 3x3 neighbor
+    # cells so the equi-join on (cx, cy) sees every candidate cell pair.
+    cb = c.select(
+        "c_custkey",
+        F.col("x").alias("cx_pt"),
+        F.col("y").alias("cy_pt"),
+        F.expr(f"x div {d}").alias("cx"),
+        F.expr(f"y div {d}").alias("cy"),
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    sb = (
+        s.select(
+            "s_suppkey",
+            F.col("x").alias("sx_pt"),
+            F.col("y").alias("sy_pt"),
+            F.expr(f"x div {d}").alias("scx"),
+            F.expr(f"y div {d}").alias("scy"),
+        )
+        .withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            "s_suppkey",
+            "sx_pt",
+            "sy_pt",
+            (F.col("scx") + F.col("dx")).alias("cx"),
+            (F.col("scy") + F.col("dy")).alias("cy"),
+        )
+    )
+    return (
+        cb.join(sb, ["cx", "cy"])
+        .filter(
+            (F.abs(F.col("cx_pt") - F.col("sx_pt")) <= d)
+            & (F.abs(F.col("cy_pt") - F.col("sy_pt")) <= d)
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.greatest(
+                F.abs(F.col("cx_pt") - F.col("sx_pt")),
+                F.abs(F.col("cy_pt") - F.col("sy_pt")),
+            )
+            .cast("bigint")
+            .alias("cheb_dist"),
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -1804,3 +1804,112 @@ def x42_vocab_coverage(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "x45_dup_span_coverage",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, i AS p, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM tok, unnest(CASE WHEN len(ws) >= 8
+                        THEN generate_series(1, len(ws) - 7)
+                        ELSE CAST([] AS BIGINT[]) END) AS u(i)
+), df AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+  GROUP BY gram HAVING COUNT(*) >= 2
+), hit AS (
+  SELECT pos.doc_id, pos.p FROM pos JOIN df USING (gram)
+), cov AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL THEN 8
+              ELSE LEAST(8, p - lag(p) OVER w) END AS add_cov
+  FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_positions,
+         CAST(SUM(add_cov) AS BIGINT) AS covered_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       COALESCE(a.dup_positions, 0) AS dup_positions,
+       COALESCE(a.covered_tokens, 0) AS covered_tokens
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
+    doc="X45: duplicated-SPAN coverage — the exact substring-level dedup "
+    "diagnostic ('Deduplicating Training Data Makes Language Models "
+    "Better' semantics) that doc-level measures miss: x1 keys whole "
+    "docs, x19 counts boilerplate GRAMS, x40 scores doc PAIRS; this op "
+    "reports, per doc, how many TOKEN POSITIONS lie inside an 8-token "
+    "span that also appears in some other document — the quantity a "
+    "span-removal pass would delete. Every position's 8-gram gets a "
+    "corpus doc-frequency (distinct-per-doc explode -> COUNT(*), x19's "
+    "compression); positions whose gram occurs in >= 2 docs are "
+    "'covered', and overlapping spans are union-counted WITHOUT "
+    "materializing per-token rows: flagged start positions sort "
+    "ascending per doc, so span ends sort too, and the interval union "
+    "telescopes to SUM(LEAST(8, p - lag(p))) — one integer lag window. "
+    "100 TB shape: gram-keyed exchange with map-side distinct partials "
+    "(zipf head -> AQE skew split), hits join back on gram, then ONE "
+    "doc-keyed window over flagged positions only (|flagged| << "
+    "|tokens|); all integer, no rounding discipline.",
+)
+def x45_dup_span_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    d = widen_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = F.split(F.col("text"), r"\s+")
+    tok = d.select("doc_id", ws.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 7),
+            lambda i: F.struct(
+                i.cast("long").alias("p"),
+                F.concat_ws(" ", F.slice("ws", i, 8)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:long,gram:string>>"))
+    # Pin the exploded positions once (x19's rationale): the interpreted
+    # 8-gram HOF feeds both the doc-frequency agg and the hits join.
+    pos = (
+        tok.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+        .localCheckpoint(eager=True)
+    )
+    df = (
+        pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    hit = pos.join(df, "gram").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cov = hit.select(
+        "doc_id",
+        F.when(F.lag("p").over(w).isNull(), F.lit(8))
+        .otherwise(F.least(F.lit(8), F.col("p") - F.lag("p").over(w)))
+        .alias("add_cov"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dup_positions"),
+        F.sum("add_cov").cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        tok.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_positions", F.lit(0)).cast("bigint").alias("dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )

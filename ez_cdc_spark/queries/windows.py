@@ -556,3 +556,91 @@ def w11_integer_ewma(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w12_rolling_mad_outlier",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id, cents,
+         list_sort(list(cents) OVER w) AS arr
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT *, CAST(len(arr) AS BIGINT) AS n, arr[(len(arr)+1)//2] AS med FROM f
+), d AS (
+  SELECT *,
+         list_sort(list_transform(arr, x -> abs(x - med)))[(n+1)//2] AS mad
+  FROM m
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       cents, n AS frame_n, CAST(med AS BIGINT) AS med_cents,
+       CAST(mad AS BIGINT) AS mad_cents
+FROM d
+WHERE n >= 5 AND abs(cents - med) > 3 * mad
+ORDER BY event_id
+""",
+    doc="W12: rolling robust outlier detection — each event compared to the "
+    "median and MAD (median absolute deviation) of its user's trailing "
+    "7-event frame; |x - med| > 3*MAD with a minimum frame fill of 5 "
+    "flags the spike. The robust (median-based) form survives the heavy "
+    "tails that make rolling mean/stddev self-masking, and the whole "
+    "pipeline is exact integer cents: lower-median = sorted[(n+1)//2] "
+    "(1-indexed, PERCENTILE_DISC-style — no interpolation float), MAD is "
+    "the lower-median of integer |x - med|, and the 3*MAD fence is an "
+    "integer compare; zero rounding discipline needed (SURVEY 5.3 "
+    "fixed-point family). Plan: ONE user-keyed exchange carries the "
+    "frame window; the per-row state is the bounded 7-element frame "
+    "array sorted by a JVM HOF (array_sort/transform — no UDF), so "
+    "per-task memory is O(frame), not O(user history), at any scale.",
+)
+def w12_rolling_mad_outlier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    f = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        cents.alias("cents"),
+        arr.alias("arr"),
+    )
+    n = F.size("arr").cast("bigint")
+    lower_med_idx = ((F.size("arr") + 1) / 2).cast("int")
+    m = f.select(
+        "*",
+        n.alias("n"),
+        F.element_at("arr", lower_med_idx).alias("med"),
+    )
+    devs = F.array_sort(
+        F.transform(F.col("arr"), lambda x: F.abs(x - F.col("med")))
+    )
+    d = m.select("*", F.element_at(devs, lower_med_idx).alias("mad"))
+    return (
+        d.filter(
+            (F.col("n") >= 5)
+            & (F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "cents",
+            F.col("n").alias("frame_n"),
+            F.col("med").cast("bigint").alias("med_cents"),
+            F.col("mad").cast("bigint").alias("mad_cents"),
+        )
+        .orderBy("event_id")
+    )

@@ -489,3 +489,29 @@ def test_round8_ops_plan_shapes(spark, sf_smoke):
     # is a BroadcastNestedLoop over a single row, not a shuffle).
     p44 = plan_str(reg["x44_incremental_assign"].fn(spark, sf_smoke))
     assert p44.count("hashpartitioning") == 0, "x44 apply must not shuffle"
+
+def test_round8b_ops_plan_shapes(spark, sf_smoke):
+    """Second round-8 batch keeps its declared scale shapes.
+    a16: the register table partial-aggregates map-side — the exchange
+    carries (grp, bucket) rows, and nothing joins. j16: the grid join is
+    an EQUI hash join on cell keys — never cartesian/BNLJ for a distance
+    predicate. w12: median+MAD ride ONE user-keyed exchange, no join.
+    x45: gram doc-frequency join over the pinned exploded positions —
+    cartesian-free, checkpoint reused."""
+    reg = load_all()
+
+    p16a = plan_str(reg["a16_portable_hll"].fn(spark, sf_smoke))
+    assert "Join" not in p16a, "a16 must not join"
+    assert "HashAggregate" in p16a, "a16 registers are a hash aggregate"
+
+    p16j = plan_str(reg["j16_grid_proximity_join"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p16j and "BroadcastNestedLoop" not in p16j
+    assert "Join" in p16j, "j16 IS a join — an equi one on cell keys"
+
+    p12 = plan_str(reg["w12_rolling_mad_outlier"].fn(spark, sf_smoke))
+    assert "Join" not in p12, "w12 must not join"
+    assert p12.count("hashpartitioning") == 1, "w12: one user-keyed exchange"
+
+    p45 = plan_str(reg["x45_dup_span_coverage"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p45 and "BroadcastNestedLoop" not in p45
+    assert "Scan ExistingRDD" in p45, "x45 must reuse the pinned positions"

@@ -368,3 +368,86 @@ def test_mg_fold_bounds_hold_for_any_stream(batches, m):
         assert t_n - e <= offset
         if t_n > offset:
             assert tok in cnt
+
+
+def test_a16_hll_estimate_within_bound(spark, sf_dir):
+    """a16's raw HLL estimate (m=128, no range corrections) must land within
+    ~2 standard errors (1.04/sqrt(128) ≈ 9.2% → bound 20%) of a3-style exact
+    distinct per group at sf0.01, where every group's cardinality is far
+    above the 2.5m small-range regime the raw estimator assumes."""
+    from ez_cdc_spark.queries import load_all
+
+    est = {
+        r["grp"]: r["hll_estimate"]
+        for r in load_all()["a16_portable_hll"].fn(spark, sf_dir).collect()
+    }
+    from ez_cdc_spark.queries._util import t as load_t
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["grp"]: r["n"]
+        for r in load_t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert n > 2.5 * 128, f"{g}: fixture below raw-estimator regime"
+        rel = abs(est[g] - n) / n
+        assert rel < 0.20, f"{g}: HLL est {est[g]:.0f} vs exact {n} ({rel:.1%})"
+
+
+def test_a16_hll_registers_merge_exactly(spark, sf_dir):
+    """Mergeability — the property that makes the sketch a sketch: computing
+    registers on two disjoint halves of orders and MAX-merging them must
+    give bit-identical (z_scaled, estimate) to the one-shot query."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    one_shot = {
+        r["grp"]: (r["z_scaled"], r["hll_estimate"])
+        for r in load_all()["a16_portable_hll"].fn(spark, sf_dir).collect()
+    }
+
+    od = load_t(spark, sf_dir, "orders")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 2).alias("half"),
+        h32.alias("h32"),
+    ).select(
+        "grp",
+        "half",
+        F.expr("h32 div 33554432").alias("bucket"),
+        (F.col("h32") % F.lit(33554432)).alias("w"),
+    )
+    rho = F.max(
+        F.when(F.col("w") == 0, F.lit(26)).otherwise(
+            F.lit(26) - F.length(F.bin(F.col("w")))
+        )
+    ).alias("rho")
+    halves = b.groupBy("grp", "half", "bucket").agg(rho)
+    merged = halves.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    z = merged.groupBy("grp").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 26 - rho)"))
+            + (F.lit(128) - F.count("*")) * F.lit(67108864)
+        )
+        .cast("bigint")
+        .alias("z_scaled")
+    )
+    from ez_cdc_spark.queries.aggregation import _HLL_NUM
+
+    got = {
+        r["grp"]: (
+            r["z_scaled"],
+            _HLL_NUM / float(r["z_scaled"] * 10000000),
+        )
+        for r in z.collect()
+    }
+    assert got == one_shot
