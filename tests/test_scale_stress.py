@@ -463,3 +463,146 @@ def test_x38_kmeans_replication_invariants(spark, emb10x_dir):
         assert r.cluster_id == cid, f"vec {r.vec_id} moved cluster"
         assert r.dist_units == dist, f"vec {r.vec_id} distance drifted"
         assert r.cluster_n == 10 * cn, f"cluster {cid} size not 10x"
+
+
+# ---------------------------------------------------------------------------
+# Second round-8 batch at 10x (a16 / j16 / w12 / x45): each op's declared
+# invariant is checked beyond the fixture, on replicated inputs.
+
+
+@pytest.fixture(scope="module")
+def r8b_10x_dir(spark, sf_dir, tmp_path_factory):
+    """An sf-dir-shaped directory with 10x-replicated orders (EXACT duplicate
+    rows), events and customer/supplier (replicas under fresh shifted keys),
+    and documents (fresh doc_ids, identical texts)."""
+    out = str(tmp_path_factory.mktemp("r8b10x"))
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+
+    od = load_table(spark, sf_dir, "orders")
+    od.crossJoin(reps).drop("rep").repartition(32).write.parquet(f"{out}/orders.parquet")
+
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/events.parquet")
+    )
+
+    cu = load_table(spark, sf_dir, "customer")
+    (
+        cu.crossJoin(reps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * F.lit(10_000_000))
+        .drop("rep")
+        .repartition(32)
+        .write.parquet(f"{out}/customer.parquet")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    (
+        su.crossJoin(reps)
+        .withColumn("s_suppkey", F.col("s_suppkey") + F.col("rep") * F.lit(10_000_000))
+        .drop("rep")
+        .repartition(32)
+        .write.parquet(f"{out}/supplier.parquet")
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/documents.parquet")
+    )
+    return out
+
+
+def test_a16_hll_is_duplicate_insensitive_at_10x(spark, sf_dir, r8b_10x_dir):
+    """The sketch registers depend only on the SET of values: 10x exact-
+    duplicate orders rows must give bit-identical output (z_scaled,
+    filled_buckets, estimate) to the original run — the property that lets
+    the sketch absorb at-least-once replay and shard unions for free."""
+    fn = load_all()["a16_portable_hll"].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    big = sorted(tuple(r) for r in fn(spark, r8b_10x_dir).collect())
+    assert base == big
+
+
+def test_j16_grid_completeness_vs_brute_force_at_10x(spark, r8b_10x_dir):
+    """The grid join's candidate set must be COMPLETE at 10x density: its
+    output equals the naive broadcast theta join on the same synthesized
+    coordinates (15k x 1k points here — feasible as a one-off check; the
+    engine path never materializes that cross)."""
+    got = sorted(
+        tuple(r)
+        for r in load_all()["j16_grid_proximity_join"].fn(spark, r8b_10x_dir).collect()
+    )
+
+    def phash(prefix, key):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(prefix), F.col(key).cast("string"))), 1, 8), 16, 10).cast("long")
+            % 1000
+        )
+
+    c = spark.read.parquet(f"{r8b_10x_dir}/customer.parquet").select(
+        "c_custkey", phash("gx:", "c_custkey").alias("cx"), phash("gy:", "c_custkey").alias("cy")
+    )
+    s = spark.read.parquet(f"{r8b_10x_dir}/supplier.parquet").select(
+        "s_suppkey", phash("sx:", "s_suppkey").alias("sx"), phash("sy:", "s_suppkey").alias("sy")
+    )
+    brute = (
+        c.join(
+            F.broadcast(s),
+            (F.abs(F.col("cx") - F.col("sx")) <= 50)
+            & (F.abs(F.col("cy") - F.col("sy")) <= 50),
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.greatest(F.abs(F.col("cx") - F.col("sx")), F.abs(F.col("cy") - F.col("sy")))
+            .cast("bigint")
+            .alias("cheb_dist"),
+        )
+        .collect()
+    )
+    assert got == sorted(tuple(r) for r in brute)
+    assert len(got) > 0
+
+
+def test_w12_is_per_user_local_at_10x(spark, sf_dir, r8b_10x_dir):
+    """The frame is user-local, so replicating every user under fresh ids
+    must reproduce each original flag 10x: total outliers scale exactly, and
+    the rep-0 slice is row-identical to the original output."""
+    fn = load_all()["w12_rolling_mad_outlier"].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    big = fn(spark, r8b_10x_dir).collect()
+    assert len(big) == 10 * len(base)
+    rep0 = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
+    assert rep0 == base
+
+
+def test_x45_replicated_corpus_is_fully_covered(spark, r8b_10x_dir):
+    """On a 10x-replicated corpus every doc's every 8-gram appears in its 9
+    replicas too, so EVERY position is flagged and the interval union must
+    telescope to exactly n_tokens for every doc with >= 8 tokens (and 0
+    below 8) — the closed-form endpoint of the coverage arithmetic."""
+    rows = load_all()["x45_dup_span_coverage"].fn(spark, r8b_10x_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["n_tokens"] >= 8:
+            assert r["covered_tokens"] == r["n_tokens"], r
+            assert r["dup_positions"] == r["n_tokens"] - 7, r
+        else:
+            assert r["covered_tokens"] == 0 and r["dup_positions"] == 0, r
