@@ -1623,10 +1623,13 @@ def x40_ngram_containment(spark, sf_dir):
     dg = g.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint(
         eager=True
     )
-    nd = (
-        g.filter(F.size("grams") > 0)
-        .select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
-    )
+    # Per-doc gram counts come from the CHECKPOINTED rows, not a re-run of
+    # the interpreted gram HOF: |dg rows per doc| == size(grams) exactly
+    # (grams is already distinct), and `nd` feeds TWO join legs — deriving
+    # it from `g` re-evaluated the dominant HOF cost twice (r8 bench: this
+    # one change took the warm query from ~9 s to ~2 s at sf0.1). Docs with
+    # zero grams are absent either way (they can't appear in `shared`).
+    nd = dg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
     keep = (
         dg.groupBy("gram")
         .agg(F.count("*").alias("df"))
