@@ -451,3 +451,200 @@ def test_a16_hll_registers_merge_exactly(spark, sf_dir):
         for r in z.collect()
     }
     assert got == one_shot
+
+
+# ---------------------------------------------------------------------------
+# Round-8 batch-1 independent reimplementation checks: each op's result is
+# recomputed by a THIRD implementation (straight-line Python over collected
+# rows) so the check shares no code with either the Spark HOF/window path or
+# the DuckDB oracle SQL.
+
+
+def test_w11_ewma_matches_python_refold(spark, sf_dir):
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_cents"])
+        for r in load_all()["w11_integer_ewma"].fn(spark, sf_dir).collect()
+    }
+    raw = (
+        load_t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in raw:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100))
+        )
+    for uid, rows in series.items():
+        rows.sort()
+        s = rows[0][2]
+        for _, _, c in rows[1:]:
+            s = (s + c) // 2
+        assert got[uid] == (len(rows), s), uid
+
+
+def test_a15_weighted_percentile_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["l_returnflag"]: (
+            r["total_weight_cents"],
+            r["p50_qty_cents"],
+            r["p90_qty_cents"],
+        )
+        for r in load_all()["a15_weighted_percentile"].fn(spark, sf_dir).collect()
+    }
+    raw = (
+        load_t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    acc: dict = {}
+    for r in raw:
+        qc = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")) * 100)
+        wc = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100)
+        acc.setdefault(r["l_returnflag"], {}).setdefault(qc, 0)
+        acc[r["l_returnflag"]][qc] += wc
+    for flag, hist in acc.items():
+        tot = sum(hist.values())
+        cum = 0
+        p50 = p90 = None
+        for qc in sorted(hist):
+            cum += hist[qc]
+            if p50 is None and cum * 100 >= 50 * tot:
+                p50 = qc
+            if p90 is None and cum * 100 >= 90 * tot:
+                p90 = qc
+        assert got[flag] == (tot, p50, p90), flag
+
+
+def test_x41_chunks_tile_each_doc_exactly(spark, sf_dir):
+    """Coverage + overlap closed forms: chunk i starts at 48*i, consecutive
+    chunks overlap exactly 16 tokens (64 - 48), every token position of the
+    doc falls in >= 1 chunk, and the last chunk ends exactly at n (so no
+    trailing tokens are dropped and no chunk is a suffix of its
+    predecessor)."""
+    import re
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    chunks: dict = {}
+    for r in load_all()["x41_chunk_overlap"].fn(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_tok"])
+        )
+    ntok = {
+        r["doc_id"]: len(re.split(r"\s+", r["text"]))
+        for r in load_t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert chunks, "no chunks produced"
+    for doc, cs in chunks.items():
+        cs.sort()
+        n = ntok[doc]
+        # chunk ids dense from 0; starts at stride 48
+        assert [c[0] for c in cs] == list(range(len(cs)))
+        assert all(c[1] == 48 * c[0] for c in cs)
+        # full windows except possibly the last; last ends exactly at n
+        assert all(c[2] == 64 for c in cs[:-1])
+        last = cs[-1]
+        assert last[1] + last[2] == n
+        if len(cs) > 1:
+            assert last[2] >= 17, "a chunk fully inside its predecessor must not exist"
+        # positions covered with no gap: next start <= prev end
+        for (_i1, s1, t1), (_i2, s2, _t2) in zip(cs, cs[1:]):
+            assert s2 <= s1 + t1
+
+
+def test_x42_coverage_curve_is_monotone_and_terminal(spark, sf_dir):
+    from ez_cdc_spark.queries import load_all
+
+    rows = sorted(
+        (r["k"], r["vocab_k"], r["covered_tokens"], r["n_total"], r["coverage"])
+        for r in load_all()["x42_vocab_coverage"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    prev_cov = -1.0
+    prev_tok = -1
+    for k, vocab_k, covered, n_total, coverage in rows:
+        assert vocab_k <= k
+        assert 0 <= coverage <= 1.0
+        assert coverage >= prev_cov and covered >= prev_tok
+        prev_cov, prev_tok = coverage, covered
+        if vocab_k < k:  # grid point at/beyond the full vocabulary
+            assert covered == n_total and coverage == 1.0
+
+
+def test_x43_diagnostics_consistent_with_x38_membership(spark, sf_dir):
+    """x43's per-cluster rows must agree with arithmetic over x38's
+    member-level assignment: sizes sum to the corpus, inertia is the sum of
+    member distances, mean is the floor-div, max/min bound the members."""
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    members: dict = {}
+    for r in reg["x38_kmeans_clusters"].fn(spark, sf_dir).collect():
+        members.setdefault(r["cluster_id"], []).append((r["vec_id"], r["dist_units"]))
+    quality = {r["cluster_id"]: r for r in reg["x43_cluster_quality"].fn(spark, sf_dir).collect()}
+    assert set(quality) == set(members)
+    assert sum(q["cluster_n"] for q in quality.values()) == sum(
+        len(v) for v in members.values()
+    )
+    for cid, mem in members.items():
+        q = quality[cid]
+        dists = [d for _, d in mem]
+        assert q["cluster_n"] == len(mem)
+        assert q["inertia_units"] == sum(dists)
+        assert q["mean_dist_units"] == sum(dists) // len(mem)
+        assert q["max_dist_units"] == max(dists)
+        assert q["min_vec_id"] == min(v for v, _ in mem)
+
+
+def test_j15_tolerance_matches_python_scan(spark, sf_dir):
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["event_id"]: (r["r_event_id"], r["gap_s"])
+        for r in load_all()["j15_asof_tolerance"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    clicks: dict = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for u in clicks:
+        clicks[u].sort()
+    n_checked = 0
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        n_checked += 1
+        prior = [c for c in clicks.get(r["user_id"], []) if c[0] <= r["ts"]]
+        if not prior:
+            assert got[r["event_id"]] == (None, None), r["event_id"]
+            continue
+        best_ts = max(c[0] for c in prior)
+        best_id = max(c[1] for c in prior if c[0] == best_ts)
+        # unix_timestamp truncates each side to whole seconds BEFORE the
+        # difference — mirror that, or sub-second components skew the gap
+        gap = int(
+            (
+                r["ts"].replace(microsecond=0) - best_ts.replace(microsecond=0)
+            ).total_seconds()
+        )
+        expect = (best_id, gap) if gap <= 600 else (None, None)
+        assert got[r["event_id"]] == expect, r["event_id"]
+    assert n_checked > 0 and len(got) == n_checked
