@@ -98,6 +98,8 @@ EXTRA_QUERIES = [
     "j15_asof_tolerance",
     "j16_grid_proximity_join",
     "a16_portable_hll",
+    "a17_trimmed_mean",
+    "s16_dpp_partition_prune",
     "t18_windowed_topk",
     "t16_streaming_heavy_hitters",
     "j14_interval_bin_join",

@@ -767,3 +767,101 @@ def a16_portable_hll(spark, sf_dir):
             / (F.col("z_scaled") * F.lit(10000000)).cast("double")
         ).alias("hll_estimate"),
     ).orderBy("grp")
+
+
+@register(
+    "a17_trimmed_mean",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, qc, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qc
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM h
+), k AS (
+  SELECT *, tot // 10 AS lo, tot - tot // 10 AS hi FROM c
+), inc AS (
+  SELECT l_returnflag, tot, lo, hi, qc,
+         GREATEST(LEAST(cum, hi) - GREATEST(cum - cnt, lo),
+                  CAST(0 AS BIGINT)) AS m
+  FROM k
+)
+SELECT l_returnflag,
+       CAST(MAX(tot) AS BIGINT) AS n_rows,
+       CAST(MAX(hi) - MAX(lo) AS BIGINT) AS n_kept,
+       CAST(SUM(m * qc) AS BIGINT) AS kept_sum_cents,
+       CAST(CAST(SUM(m * qc) AS DOUBLE) / CAST(MAX(hi) - MAX(lo) AS DOUBLE)
+            AS DOUBLE) AS trimmed_mean_cents
+FROM inc GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="A17: exact 10% trimmed mean — the robust location estimate between "
+    "a9's median and a plain mean: per return flag, drop the lowest and "
+    "highest floor(n/10) quantity observations by rank and average the "
+    "middle 80%. No engine has it built in, and the naive form (sort + "
+    "row_number + filter) puts a whole group through one task's sort at "
+    "100 TB. Instead the a15/x22 histogram rule: the corpus collapses to "
+    "per-(group, value) counts, the rank interval each VALUE occupies is "
+    "[cum - cnt, cum) from one cumsum window over histogram rows only, "
+    "and the kept multiplicity is the integer interval intersection "
+    "m = max(0, min(cum, hi) - max(cum - cnt, lo)) — so trimming "
+    "happens without ranking a single data row. Integer cents end to "
+    "end; the only float is ONE IEEE division of two bigint-cast doubles "
+    "(SURVEY 5.3 rule 3).",
+)
+def a17_trimmed_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    qc = (dec("l_quantity") * 100).cast("bigint")
+    h = (
+        li.select(F.col("l_returnflag"), qc.alias("qc"))
+        .groupBy("l_returnflag", "qc")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("qc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "qc",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wtot).cast("bigint").alias("tot"),
+    )
+    k = c.select(
+        "*",
+        F.expr("tot div 10").alias("lo"),
+        (F.col("tot") - F.expr("tot div 10")).alias("hi"),
+    )
+    inc = k.select(
+        "l_returnflag",
+        "tot",
+        "lo",
+        "hi",
+        "qc",
+        F.greatest(
+            F.least(F.col("cum"), F.col("hi"))
+            - F.greatest(F.col("cum") - F.col("cnt"), F.col("lo")),
+            F.lit(0).cast("bigint"),
+        ).alias("m"),
+    )
+    return (
+        inc.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_rows"),
+            (F.max("hi") - F.max("lo")).cast("bigint").alias("n_kept"),
+            F.sum(F.col("m") * F.col("qc")).cast("bigint").alias("kept_sum_cents"),
+            (
+                F.sum(F.col("m") * F.col("qc")).cast("double")
+                / (F.max("hi") - F.max("lo")).cast("double")
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

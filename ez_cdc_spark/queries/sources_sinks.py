@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ez_cdc_spark.queries import register
-from ez_cdc_spark.queries._util import dec, t
+from ez_cdc_spark.queries._util import dec, dsum, t
 
 _SCRATCH = os.path.join(tempfile.gettempdir(), "ez_cdc_spark_scratch")
 
@@ -643,4 +643,49 @@ def s15_zorder_cluster(spark, sf_dir):
             F.max("l_suppkey").cast("bigint").alias("max_sk"),
         )
         .orderBy("zbucket")
+    )
+
+
+@register(
+    "s16_dpp_partition_prune",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE length(event_type) <= 5
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="S16: dynamic partition pruning — the star-schema scan pattern that "
+    "makes partitioned layouts pay off at 100 TB: the fact table is "
+    "rewritten partitioned by event_type (S7's layout op), and a "
+    "dimension whose qualifying keys are only known at RUNTIME (here the "
+    "distinct event types passing a length predicate, built from the "
+    "unpartitioned source) broadcast-joins against it. Catalyst inserts a "
+    "dynamicpruning subquery into the fact scan's PartitionFilters "
+    "(plan-asserted), so the fact side physically reads ONLY the "
+    "qualifying partition directories — the 100 TB effect is skipping "
+    "entire partitions, not filtering rows after the read. Aggregation "
+    "then rides the pruned scan. The oracle computes the same aggregate "
+    "from the original table with a static predicate — agreement proves "
+    "the partitioned rewrite + pruned read lost no rows.",
+)
+def s16_dpp_partition_prune(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    path = _scratch(sf_dir, "s16dpp")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .filter(F.length("event_type") <= 5)
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
     )

@@ -515,3 +515,21 @@ def test_round8b_ops_plan_shapes(spark, sf_smoke):
     p45 = plan_str(reg["x45_dup_span_coverage"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p45 and "BroadcastNestedLoop" not in p45
     assert "Scan ExistingRDD" in p45, "x45 must reuse the pinned positions"
+
+def test_s16_dynamic_partition_pruning_fires(spark, sf_smoke):
+    """s16's fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — the runtime-subquery partition skip is the entire
+    point of the partitioned layout (Catalyst additionally infers the
+    static length predicate through the join; both prune)."""
+    reg = load_all()
+    p = plan_str(reg["s16_dpp_partition_prune"].fn(spark, sf_smoke))
+    assert "dynamicpruning" in p, "s16: DPP subquery missing from fact scan"
+    assert "PartitionFilters" in p
+
+def test_a17_is_histogram_shaped(spark, sf_smoke):
+    """a17 must not rank data rows: no join anywhere, and the windows run
+    over the (group, value) histogram produced by one hash aggregate."""
+    reg = load_all()
+    p = plan_str(reg["a17_trimmed_mean"].fn(spark, sf_smoke))
+    assert "Join" not in p, "a17 must not join"
+    assert "HashAggregate" in p
