@@ -648,3 +648,37 @@ def test_j15_tolerance_matches_python_scan(spark, sf_dir):
         expect = (best_id, gap) if gap <= 600 else (None, None)
         assert got[r["event_id"]] == expect, r["event_id"]
     assert n_checked > 0 and len(got) == n_checked
+
+
+def test_a17_trimmed_mean_matches_python_sort(spark, sf_dir):
+    """a17's histogram/interval-intersection trimming must equal the naive
+    form it avoids at scale: sort the group's values, drop the lowest and
+    highest floor(n/10) rows, average the rest."""
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["l_returnflag"]: (
+            r["n_rows"],
+            r["n_kept"],
+            r["kept_sum_cents"],
+            r["trimmed_mean_cents"],
+        )
+        for r in load_all()["a17_trimmed_mean"].fn(spark, sf_dir).collect()
+    }
+    groups: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").collect()
+    ):
+        groups.setdefault(r["l_returnflag"], []).append(
+            int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")) * 100)
+        )
+    for flag, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        lo = n // 10
+        kept = vals[lo : n - lo]
+        ks = sum(kept)
+        assert got[flag] == (n, len(kept), ks, ks / float(len(kept))), flag
