@@ -180,6 +180,52 @@ def envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     return path
 
 
+def envelopes_jsonl_lsn_split(
+    spark: SparkSession, sf_dir: str, n_stages: int = 4
+) -> str:
+    """Envelope replay dir split into LSN-ORDERED stages with increasing
+    mtimes: every change in stage k precedes every change in stage k+1 in
+    commit (lsn) order — the delivery contract a keyed Kafka partition
+    provides (reference docker-compose.yml: 1 topic partition => global
+    order). Use this for multi-micro-batch upsert replays: T9's merge
+    tolerates arbitrary disorder WITHIN a batch (max_by lsn) but, like any
+    tombstone-forgetting merge, requires per-key order ACROSS batches —
+    a delete's lsn is not retained after removal, so an older change
+    arriving in a later batch would resurrect the key. envelopes_jsonl's
+    round-robin files are therefore only safe as a single availableNow
+    batch. Idempotent per (sf_dir, n_stages)."""
+    import time as _time
+
+    from pyspark.sql import Window as _W
+
+    path = _dir_for(sf_dir, f"envelopes-lsnsplit{n_stages}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        env = derive_envelopes(load_table(spark, sf_dir, "events"))
+        n = env.count()
+        per = (n + n_stages - 1) // n_stages
+        w = _W.orderBy(F.col("source.lsn"))
+        staged = env.withColumn(
+            "__stage", ((F.row_number().over(w) - 1) / per).cast("int")
+        )
+        now = _time.time()
+        for i in range(n_stages):
+            df = staged.filter(F.col("__stage") == i).drop("__stage")
+            tmp = os.path.join(path, f"_tmp{i}")
+            df.coalesce(1).write.mode("overwrite").json(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".json")
+            )
+            dst = os.path.join(path, f"stage-{i}.json")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now - 300 + i * 50, now - 300 + i * 50))
+        open(marker, "w").close()
+    return path
+
+
 def corrupt_envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """R7-robustness fixture: the envelope JSONL with every ``lsn % 10 == 0``
     line mangled into invalid JSON (prefix garbage). Generalizes the

@@ -712,3 +712,59 @@ def test_events_split_every_stage_carries_data(spark, sf_smoke):
     counts = [spark.read.parquet(p).count() for p in stages]
     assert all(c > 0 for c in counts), counts
     assert sum(counts) == load_table(spark, sf_smoke, "events").count()
+
+
+def test_t9_upsert_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """Crash-recovery across a REAL restart: the envelope replay is split
+    into 8 micro-batches (maxFilesPerTrigger=1), the query is stopped after
+    at least one batch committed, then a NEW query starts on the SAME
+    checkpoint + state dir and drains the rest. Source-offset recovery plus
+    the per-batch marker idempotence (a stopped batch may have half-landed)
+    must make the final state row-identical to an uninterrupted run."""
+    import time
+
+    from ez_cdc_spark.streaming.cdc import envelopes_jsonl_lsn_split, materialize
+
+    # lsn-ordered stages: T9's tombstone-forgetting merge requires per-key
+    # ORDER ACROSS batches (the Kafka-partition contract) — round-robin
+    # files one-per-trigger would deliberately violate it (see fixture doc)
+    env_path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(env_path)
+        )
+        return (
+            env.writeStream.foreachBatch(upsert_batch(state_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    q2.awaitTermination()
+    n_batches = len(q2.recentProgress)
+    assert n_batches >= 1, "restart must drain the remaining files"
+
+    got = sorted(
+        (r["id"], r["lsn"], r["after"]["first_name"], r["after"]["email"])
+        for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+    )
+    want = sorted(
+        (r["id"], r["lsn"], r["after"]["first_name"], r["after"]["email"])
+        for r in materialize(spark, sf_dir, tag="t9recovery").collect()
+    )
+    assert got == want
