@@ -768,3 +768,95 @@ def test_t9_upsert_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
         for r in materialize(spark, sf_dir, tag="t9recovery").collect()
     )
     assert got == want
+
+
+def test_t15_jdbc_landing_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """T15's crash story under a REAL kill+restart: the landing is an
+    append-only log with batch_id self-delete + cross-batch lsn anti-join,
+    so it is order-insensitive (unlike T9's merge) AND restart-safe — a
+    batch replayed after the kill deletes its own half-landed rows before
+    re-appending. Final landed log must contain each change lsn exactly
+    once and reduce to the same current state as the one-shot run."""
+    import time
+
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl,
+        jdbc_cdc_sink_batch,
+    )
+
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    base = str(tmp_path / "derby")
+    url = f"jdbc:derby:{base}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    table = "cdc_log"
+    env_path = envelopes_jsonl(spark, sf_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(env_path)
+        )
+        return (
+            env.writeStream.foreachBatch(jdbc_cdc_sink_batch(url, driver, table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    landed = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .load()
+    )
+    rows = landed.collect()
+    lsns = [r["lsn"] for r in rows]
+    assert len(lsns) == len(set(lsns)), "each change must land exactly once"
+
+    # reduce the landed log to current state; compare to the T9 one-shot
+    from ez_cdc_spark.streaming.cdc import materialize
+
+    got = sorted(
+        (r["id"], r["lsn"], r["first_name"], r["email"])
+        for r in (
+            landed.groupBy("id")
+            .agg(
+                F.expr(
+                    "max_by(struct(op, lsn, first_name, email), lsn)"
+                ).alias("w")
+            )
+            .filter(F.col("w.op") != "d")
+            .select(
+                "id",
+                F.col("w.lsn").alias("lsn"),
+                F.col("w.first_name").alias("first_name"),
+                F.col("w.email").alias("email"),
+            )
+            .collect()
+        )
+    )
+    want = sorted(
+        (r["id"], r["lsn"], r["after"]["first_name"], r["after"]["email"])
+        for r in materialize(spark, sf_dir, tag="t15recovery").collect()
+    )
+    assert got == want
+    # release the embedded database before tmp_path cleanup
+    try:
+        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{base}/db;shutdown=true")
+    except Exception:
+        pass
