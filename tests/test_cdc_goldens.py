@@ -860,3 +860,65 @@ def test_t15_jdbc_landing_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir)
         jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{base}/db;shutdown=true")
     except Exception:
         pass
+
+
+def test_t13_agg_maintenance_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """T13 under a real kill+restart on the lsn-ordered replay: merge-marker
+    and agg-marker are separate, so a kill can land between them (batch
+    merged but aggregate not yet recomputed); on replay the merge marker
+    short-circuits while the agg recompute (recompute-from-state, not
+    delta-apply) reruns idempotently. Final aggregate must equal counting
+    the final merged state directly."""
+    import time
+
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        upsert_with_agg_batch,
+    )
+
+    env_path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(env_path)
+        )
+        return (
+            env.writeStream.foreachBatch(upsert_with_agg_batch(state_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress
+    q.stop()
+    q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    agg = spark.read.parquet(os.path.join(state_dir, "agg"))
+    got = sorted(
+        (r["bucket"], r["domain"], r["n_live"]) for r in agg.collect()
+    )
+    state = spark.read.parquet(os.path.join(state_dir, "current"))
+    want = sorted(
+        (r["bucket"], r["domain"], r["n_live"])
+        for r in (
+            state.select(
+                "bucket", F.split(F.col("after.email"), "@")[1].alias("domain")
+            )
+            .groupBy("bucket", "domain")
+            .agg(F.count("*").cast("bigint").alias("n_live"))
+            .collect()
+        )
+    )
+    assert got == want and len(got) > 0
