@@ -922,3 +922,56 @@ def test_t13_agg_maintenance_recovers_from_mid_stream_kill(spark, tmp_path, sf_d
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_t14_scd2_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """T14 under a real kill+restart: SCD2 history is information-preserving
+    (tombstones persist as zero-width versions), so unlike T9 it needs NO
+    cross-batch ordering — run the kill on the deliberately-disordered
+    round-robin replay and the restarted run must still converge to the
+    uninterrupted batch build (X25), version for version."""
+    import time
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl,
+        read_scd2,
+        scd2_batch,
+    )
+
+    env_path = envelopes_jsonl(spark, sf_dir)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(env_path)
+        )
+        return (
+            env.writeStream.foreachBatch(scd2_batch(state_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress
+    q.stop()
+    q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    cols = ("id", "version_no", "valid_from_lsn", "valid_to_lsn", "is_current")
+    got = sorted(tuple(r[c] for c in cols) for r in read_scd2(spark, state_dir).collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in load_all()["x25_scd2_history"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
