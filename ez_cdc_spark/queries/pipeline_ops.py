@@ -1630,17 +1630,29 @@ def x40_ngram_containment(spark, sf_dir):
     # one change took the warm query from ~9 s to ~2 s at sf0.1). Docs with
     # zero grams are absent either way (they can't appear in `shared`).
     nd = dg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
-    keep = (
-        dg.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
-        .select("gram")
+    # Pair generation as ONE gram-keyed exchange (r8 rewrite): instead of
+    # [df agg] + [dg ⋈ keep] + [⋈ dg again] — three gram shuffles whose
+    # per-stage latency dominated the bench at small SF — collect each
+    # gram's distinct doc list in a single groupBy, band on the LIST SIZE
+    # (size == df since dg is distinct per doc), and explode the i<j pairs
+    # map-side with a bounded HOF (df <= 20 caps it at 190 pairs/gram, the
+    # same boilerplate band as before). Same inverted-index semantics,
+    # identical output; at 100 TB one exchange instead of three, and the
+    # within-bucket pair materialization is x2's LSH shape.
+    ids = dg.groupBy("gram").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    banded = ids.filter((F.size("ids") >= 2) & (F.size("ids") <= 20))
+    pair_lists = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    a = dg.join(keep, "gram").select("gram", F.col("doc_id").alias("id_a"))
-    b = dg.select("gram", F.col("doc_id").alias("id_b"))
     shared = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        banded.select(F.explode(pair_lists).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
