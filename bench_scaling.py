@@ -1,0 +1,165 @@
+"""Local scaling probe: wall-time growth of key operators on 1x/3x/10x
+content-varied corpora (NOT part of the driver protocol — run by hand:
+``python bench_scaling.py``; factors/ops via env, see below).
+
+Replication is CONTENT-VARIED so data characteristics scale the way a real
+bigger corpus would, instead of degenerating:
+  * documents: each replica's text goes through a DIFFERENT letter
+    permutation (translate), so replicas are NOT near-duplicates of each
+    other — shingle/dedup ops see fresh vocabulary per replica and the
+    LSH/boilerplate/containment pair structure grows ~linearly (10 exact
+    copies would instead square every bucket, measuring the fixture, not
+    the engine);
+  * embeddings: fresh vec_ids, each replica's vector shifted by a
+    rep-dependent constant (cluster structure per replica preserved);
+  * events: fresh event/user ids per replica (per-user series preserved);
+  * orders/lineitem: row replication (aggregate inputs grow; a16's output
+    is duplicate-insensitive by design — its cost still scales with rows).
+
+Prints one JSON line per (op, factor) and a final summary with the
+time ratio per 10x — the number the 100 TB design review predicts stays
+near-linear (ratio ~10 for row-linear ops; sub-linear where output is
+catalog-bounded and fixed per-stage latency dominates at 1x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,3,10").split(",")]
+OPS = os.environ.get(
+    "SCALE_OPS",
+    "a1_pricing_summary,x1_exact_dedup,x2_minhash_lsh,x19_boilerplate_ngrams,"
+    "x40_ngram_containment,x45_dup_span_coverage,x38_kmeans_clusters,"
+    "x3b_blocked_topk,a16_portable_hll,w12_rolling_mad_outlier,a17_trimmed_mean",
+).split(",")
+SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
+
+# ten distinct letter permutations for content variation (identity first)
+_ALPHA = "etaoinsrhl"
+_PERMS = [_ALPHA] + [_ALPHA[k:] + _ALPHA[:k] for k in range(1, 10)]
+
+
+def build_scaled_dir(spark, base: str, factor: int) -> str:
+    out = os.path.join(SCRATCH, f"x{factor}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+
+    def load(name):
+        return spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+
+    # pass-through dims
+    for name in ("region", "nation", "part", "customer", "supplier"):
+        p = os.path.join(base, f"{name}.parquet")
+        if os.path.exists(p):
+            load(name).write.parquet(os.path.join(out, f"{name}.parquet"))
+
+    for name in ("orders", "lineitem"):
+        (
+            load(name)
+            .crossJoin(reps)
+            .drop("rep")
+            .repartition(32)
+            .write.parquet(os.path.join(out, f"{name}.parquet"))
+        )
+
+    ev = load("events").crossJoin(reps)
+    (
+        ev.select(
+            (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(100_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.parquet(os.path.join(out, "events.parquet"))
+    )
+
+    docs = load("documents").crossJoin(reps)
+    variant = F.col("text")
+    for k in range(1, 10):
+        variant = F.when(
+            F.col("rep") % 10 == k, F.translate("text", _ALPHA, _PERMS[k])
+        ).otherwise(variant)
+    (
+        docs.select(
+            (F.col("doc_id") + F.col("rep") * F.lit(100_000_000)).alias("doc_id"),
+            variant.alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.parquet(os.path.join(out, "documents.parquet"))
+    )
+
+    emb = load("embeddings").crossJoin(reps)
+    (
+        emb.select(
+            (F.col("vec_id") + F.col("rep") * F.lit(100_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.col("rep").cast("float") * F.lit(0.37)).cast("float"),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding", "rep")],
+        )
+        .repartition(32)
+        .write.parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.session import get_spark
+
+    spark = get_spark("ez_cdc_spark-scaling")
+    reg = load_all()
+    # warm codegen/scan paths once
+    reg["a2_global_agg"].fn(spark, BASE).write.format("noop").mode("overwrite").save()
+
+    dirs = {f: build_scaled_dir(spark, BASE, f) for f in FACTORS}
+    # ops with session memoization must be timed on their FIRST call only —
+    # a second call returns the cached assignment/pair set and would report
+    # the cache hit, not the computation
+    memoized = {"x38_kmeans_clusters", "x39_semantic_dedup", "x11_neardup_clusters"}
+    results: dict[str, dict[int, float]] = {}
+    for op in OPS:
+        results[op] = {}
+        for f in FACTORS:
+            best = float("inf")
+            for _ in range(1 if op in memoized else 2):
+                t0 = time.perf_counter()
+                reg[op].fn(spark, dirs[f]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[op][f] = round(best, 3)
+            print(json.dumps({"op": op, "factor": f, "sec": results[op][f]}))
+    summary = {
+        op: {
+            "sec": v,
+            "ratio_10x_vs_1x": round(v[FACTORS[-1]] / v[FACTORS[0]], 2)
+            if v.get(FACTORS[0])
+            else None,
+        }
+        for op, v in results.items()
+    }
+    print(json.dumps({"scaling_summary": summary}))
+
+
+if __name__ == "__main__":
+    main()
