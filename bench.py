@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "a17_trimmed_mean",
     "s16_dpp_partition_prune",
     "t18_windowed_topk",
+    "t20_streaming_hll",
     "t16_streaming_heavy_hitters",
     "j14_interval_bin_join",
     "x31_rank_normalize",
@@ -118,6 +119,7 @@ EXTRA_QUERIES = [
     "x13_repetition_metrics",
     "x19_boilerplate_ngrams",
     "x45_dup_span_coverage",
+    "x46_bigram_logprob",
     "t13_incremental_aggregate",
     "w8_funnel_conversion",
     "x25_scd2_history",

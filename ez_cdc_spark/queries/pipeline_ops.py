@@ -1928,3 +1928,96 @@ def x45_dup_span_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x46_bigram_logprob",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+), db AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg, ws[i] AS w1
+  FROM tok, unnest(CASE WHEN len(ws) >= 2
+                        THEN generate_series(1, len(ws) - 1)
+                        ELSE CAST([] AS BIGINT[]) END) AS u(i)
+), freq AS (
+  SELECT bg, w1, CAST(COUNT(*) AS BIGINT) AS cnt_bg FROM db GROUP BY bg, w1
+), prefix AS (
+  SELECT w1, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_u FROM freq GROUP BY w1
+), per_doc AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(CAST(ROUND(ln(f.cnt_bg), 6) AS DECIMAL(18,6))
+             - CAST(ROUND(ln(p.cnt_u), 6) AS DECIMAL(18,6))) AS s
+  FROM db d
+  JOIN freq f ON d.bg = f.bg AND d.w1 = f.w1
+  JOIN prefix p ON d.w1 = p.w1
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob
+FROM per_doc
+ORDER BY doc_id
+""",
+    doc="X46: bigram conditional LM scoring — per-doc mean ln p(w_i | "
+    "w_{i-1}) under the corpus's own bigram distribution, the next step "
+    "up the n-gram ladder from x34's unigram filter: a doc full of "
+    "common words in UNCOMMON ORDER (shuffled text, keyword stuffing, "
+    "MT word salad) scores high on x34 but low here, because the "
+    "conditional surprises. p(w_i|w_{i-1}) = cnt(bigram)/cnt(prefix), "
+    "with the prefix count derived FROM the bigram table (occurrences "
+    "as bigram-first), so probabilities sum to 1 per prefix — a proper "
+    "conditional. Determinism is x35's pair recipe verbatim: each term "
+    "is the DIFFERENCE of two 6-dp-rounded lns as exact DECIMAL, the "
+    "per-doc sum is order-free, one IEEE division, ROUND(,6). Docs with "
+    "< 2 tokens have no bigram and are declaredly absent. 100 TB shape: "
+    "the bigram freq table is corpus-vocab-squared-bounded and must NOT "
+    "be assumed broadcastable (x19's rule) — the corpus shuffles once "
+    "on the bigram key (AQE skew split on the zipf head); the PREFIX "
+    "table is unigram-vocab-sized and broadcasts back map-side like "
+    "x34's freq.",
+)
+def x46_bigram_logprob(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    d = widen_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = F.split(F.col("text"), r"\s+")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(ws, i, 2)).alias("bg"),
+                F.element_at(ws, i).alias("w1"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bg:string,w1:string>>"))
+    # pin the exploded bigram projection once (x19's rationale): it feeds
+    # the freq aggregate and the scoring join
+    db = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.bg").alias("bg"), F.col("b.w1").alias("w1"))
+        .localCheckpoint(eager=True)
+    )
+    freq = db.groupBy("bg", "w1").agg(F.count("*").cast("bigint").alias("cnt_bg"))
+    prefix = freq.groupBy("w1").agg(F.sum("cnt_bg").cast("bigint").alias("cnt_u"))
+    term = (
+        F.round(F.log("cnt_bg"), 6).cast("decimal(18,6)")
+        - F.round(F.log("cnt_u"), 6).cast("decimal(18,6)")
+    )
+    per_doc = (
+        db.join(freq, ["bg", "w1"])
+        .join(F.broadcast(prefix), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(term).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias(
+            "avg_logprob"
+        ),
+    ).orderBy("doc_id")

@@ -1053,3 +1053,95 @@ def t19_streaming_ewma(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "t20_streaming_hll",
+    oracle="""
+WITH h AS (
+  SELECT event_type AS grp,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS h32
+  FROM events
+), b AS (
+  SELECT grp, h32 // 33554432 AS bucket, h32 % 33554432 AS w FROM h
+), r AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END) AS rho
+  FROM b GROUP BY 1, 2
+), z AS (
+  SELECT grp,
+         CAST(SUM(CAST(1 AS BIGINT) << (26 - rho))
+              + (128 - COUNT(*)) * 67108864 AS BIGINT) AS z_scaled,
+         CAST(COUNT(*) AS BIGINT) AS filled_buckets
+  FROM r GROUP BY 1
+)
+SELECT grp, z_scaled, filled_buckets,
+       CAST(7864482317551534080 AS DOUBLE)
+         / CAST(z_scaled * 10000000 AS DOUBLE) AS hll_estimate
+FROM z ORDER BY grp
+""",
+    doc="T20: the A16 portable-HLL sketch maintained as STREAMING state — "
+    "always-on distinct-user tracking per event type. The insight that "
+    "makes this a PLAIN streaming aggregation rather than a custom "
+    "stateful op: the HLL merge IS max-per-register, so "
+    "groupBy(grp, bucket).max(rho) over the stream carries exactly the "
+    "sketch state (bounded at groups x 128 rows — input-size-free, the "
+    "mergeable-sketch property a16 proves batch-side), and update-mode "
+    "emissions are MONOTONE (rho only grows), so the finishing pass's "
+    "max over all emitted updates equals the final register value — no "
+    "last-emission bookkeeping needed. The finishing fold (harmonic "
+    "denominator + one bigint-cast IEEE division, alpha frozen at "
+    "7152705e-7) is a16's formula verbatim, so the streaming path is "
+    "anchored by the same hash-green arithmetic; oracle = the identical "
+    "batch pipeline over events in DuckDB.",
+)
+def t20_streaming_hll(spark, sf_dir):
+    from ez_cdc_spark.streaming.replay import events_parquet_split
+
+    # 3-file round-robin split under maxFilesPerTrigger=1: register state
+    # provably accumulates ACROSS micro-batches (t16's rig; safe here
+    # because max-merge is order-free, unlike t19's recurrence)
+    path = events_parquet_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = ev.select(
+        F.col("event_type").alias("grp"), h32.alias("h32")
+    ).select(
+        "grp",
+        F.expr("h32 div 33554432").alias("bucket"),
+        (F.col("h32") % F.lit(33554432)).alias("w"),
+    )
+    regs = b.groupBy("grp", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(26)).otherwise(
+                F.lit(26) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    )
+    emitted = run_to_memory(regs, "t20_streaming_hll", output_mode="update")
+    final_regs = emitted.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    z = final_regs.groupBy("grp").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 26 - rho)"))
+            + (F.lit(128) - F.count("*")) * F.lit(67108864)
+        )
+        .cast("bigint")
+        .alias("z_scaled"),
+        F.count("*").cast("bigint").alias("filled_buckets"),
+    )
+    return z.select(
+        "grp",
+        "z_scaled",
+        "filled_buckets",
+        (
+            F.lit(7864482317551534080).cast("double")
+            / (F.col("z_scaled") * F.lit(10000000)).cast("double")
+        ).alias("hll_estimate"),
+    ).orderBy("grp")

@@ -533,3 +533,13 @@ def test_a17_is_histogram_shaped(spark, sf_smoke):
     p = plan_str(reg["a17_trimmed_mean"].fn(spark, sf_smoke))
     assert "Join" not in p, "a17 must not join"
     assert "HashAggregate" in p
+
+def test_x46_plan_shape(spark, sf_smoke):
+    """x46: the corpus joins the bigram freq table by SHUFFLE (never assumed
+    broadcastable) but the unigram-sized prefix table broadcasts; pair-gen
+    reads the pinned exploded projection; no cartesian anywhere."""
+    reg = load_all()
+    p = plan_str(reg["x46_bigram_logprob"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p, "x46: prefix join must broadcast"
+    assert "Scan ExistingRDD" in p, "x46 must reuse the pinned bigram rows"
