@@ -570,3 +570,31 @@ def test_t19_replay_layout_forces_cross_batch_state(spark, sf_smoke):
         assert max((r[0], r[1]) for r in a) < min((r[0], r[1]) for r in b)
     multi = set(r[2] for r in stages[0]) & set(r[2] for r in stages[1])
     assert multi, "no user spans batches — state round-trip untested"
+
+
+def test_t20_replay_layout_forces_cross_batch_registers(spark, sf_smoke):
+    """t20's cross-batch claim rests on the split layout: every stage file
+    is non-empty (each micro-batch contributes rows), and at least one
+    (event_type, bucket) register receives contributions from MORE THAN ONE
+    stage — so the final register only equals the batch value if streaming
+    state carried the max across the state store between batches."""
+    import duckdb
+
+    from ez_cdc_spark.streaming.replay import events_parquet_split
+
+    path = events_parquet_split(spark, sf_smoke)
+    con = duckdb.connect()
+    per_stage = []
+    for i in range(3):
+        rows = con.execute(
+            f"""
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) // 33554432 AS bucket
+            FROM read_parquet('{path}/stage-{i}.parquet')
+            """
+        ).fetchall()
+        assert rows, f"stage {i} empty — a batch would carry no data"
+        per_stage.append(set(rows))
+    shared = per_stage[0] & per_stage[1]
+    assert shared, "no register spans batches — state round-trip untested"
