@@ -99,6 +99,8 @@ EXTRA_QUERIES = [
     "j16_grid_proximity_join",
     "a16_portable_hll",
     "a17_trimmed_mean",
+    "a18_weighted_trimmed_mean",
+    "w13_rolling_regression_slope",
     "s16_dpp_partition_prune",
     "t18_windowed_topk",
     "t20_streaming_hll",

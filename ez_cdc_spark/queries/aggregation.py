@@ -865,3 +865,107 @@ def a17_trimmed_mean(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a18_weighted_trimmed_mean",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, qc, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qc
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM h
+), k AS (
+  SELECT *, tot // 10 AS lo, tot - tot // 10 AS hi FROM c
+), inc AS (
+  SELECT l_returnflag, tot, lo, hi, qc,
+         GREATEST(LEAST(cum, hi) - GREATEST(cum - w, lo),
+                  CAST(0 AS BIGINT)) AS mw
+  FROM k
+)
+SELECT l_returnflag,
+       CAST(MAX(tot) AS BIGINT) AS total_weight_cents,
+       CAST(MAX(hi) - MAX(lo) AS BIGINT) AS kept_weight_cents,
+       CAST(SUM(mw * qc) AS BIGINT) AS kept_wsum,
+       CAST(CAST(SUM(mw * qc) AS DOUBLE)
+            / CAST(MAX(hi) - MAX(lo) AS DOUBLE) AS DOUBLE)
+         AS wtrimmed_mean_qty_cents
+FROM inc GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="A18: exact WEIGHTED trimmed mean — a15 x a17 composed on the same "
+    "weight histogram: per return flag, discard the lightest and heaviest "
+    "10% of REVENUE WEIGHT (not of rows) along the quantity axis and "
+    "take the weight-averaged quantity of the middle 80%. The robust "
+    "'typical shipped quantity' where a17 would let one huge cheap line "
+    "count as much as a million-dollar one. Same 100 TB shape as both "
+    "parents: the corpus collapses map-side to the per-(flag, quantity) "
+    "revenue-cents histogram, ONE cumsum window runs over histogram rows "
+    "only, and each value's kept weight is the integer interval "
+    "intersection mw = max(0, min(cum, hi) - max(cum - w, lo)) against "
+    "the weight fences lo = tot//10, hi = tot - tot//10 — trimming "
+    "happens without ranking a single data row, and partial weight at "
+    "the fence boundary is kept exactly (fractional-value trimming, "
+    "which no engine has built in). Integer cents end to end; the only "
+    "float is ONE IEEE division of two bigint-cast doubles (SURVEY 5.3 "
+    "rule 3).",
+)
+def a18_weighted_trimmed_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    qc = (dec("l_quantity") * 100).cast("bigint")
+    wc = (dec("l_extendedprice") * 100).cast("bigint")
+    h = (
+        li.select(F.col("l_returnflag"), qc.alias("qc"), wc.alias("wc"))
+        .groupBy("l_returnflag", "qc")
+        .agg(F.sum("wc").cast("bigint").alias("w"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("qc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "qc",
+        "w",
+        F.sum("w").over(wcum).cast("bigint").alias("cum"),
+        F.sum("w").over(wtot).cast("bigint").alias("tot"),
+    )
+    k = c.select(
+        "*",
+        F.expr("tot div 10").alias("lo"),
+        (F.col("tot") - F.expr("tot div 10")).alias("hi"),
+    )
+    inc = k.select(
+        "l_returnflag",
+        "tot",
+        "lo",
+        "hi",
+        "qc",
+        F.greatest(
+            F.least(F.col("cum"), F.col("hi"))
+            - F.greatest(F.col("cum") - F.col("w"), F.col("lo")),
+            F.lit(0).cast("bigint"),
+        ).alias("mw"),
+    )
+    return (
+        inc.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_weight_cents"),
+            (F.max("hi") - F.max("lo")).cast("bigint").alias("kept_weight_cents"),
+            F.sum(F.col("mw") * F.col("qc")).cast("bigint").alias("kept_wsum"),
+            (
+                F.sum(F.col("mw") * F.col("qc")).cast("double")
+                / (F.max("hi") - F.max("lo")).cast("double")
+            ).alias("wtrimmed_mean_qty_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -644,3 +644,96 @@ def w12_rolling_mad_outlier(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# Fixed x-origin for w13's regression sums: 2020-01-01T00:00:00Z. The slope
+# statistic n*Sxy - Sx*Sy / n*Sxx - Sx^2 is invariant under x -> x - c, so
+# any constant works; anchoring near the data epoch keeps |x| ~ 1e8 s and
+# every intermediate (n*Sxx <= 7 * 7 * (3e8)^2 ~ 4e18) inside BIGINT with no
+# per-frame min() pass. Both engines floor positive sub-second epochs the
+# same way (Spark unix_timestamp truncates; DuckDB epoch_us // 1000000).
+_W13_EPOCH0 = 1577836800
+
+
+@register(
+    "w13_rolling_regression_slope",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) // 1000000 - {_W13_EPOCH0} AS x,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, x, y,
+         CAST(COUNT(*)   OVER w AS BIGINT) AS n,
+         CAST(SUM(x)     OVER w AS BIGINT) AS sx,
+         CAST(SUM(y)     OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(n AS BIGINT) AS frame_n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+       END AS slope_cents_per_s
+FROM s
+WHERE n >= 5
+ORDER BY event_id
+""",
+    doc="W13: rolling linear-regression slope — per-user trend of event value "
+    "over TIME across the trailing 7-event frame (the trend-detection "
+    "counterpart of w12's level-outlier fence; a8b's regression family "
+    "meets w12's frame machinery). All five sufficient statistics (n, "
+    "Sx, Sy, Sxy, Sxx) are plain integer window SUMs over the same frame "
+    "— no frame array, no HOF — because the OLS slope (n*Sxy - Sx*Sy) / "
+    "(n*Sxx - Sx^2) is shift-invariant in x, so x anchors to a fixed "
+    "epoch constant instead of a per-frame min and the whole pipeline "
+    "stays exact BIGINT; the slope itself is ONE IEEE division of two "
+    "bigint-cast doubles (SURVEY 5.3 rule 3), NULL when the frame's "
+    "timestamps are all equal (den = 0). Plan: ONE user-keyed exchange "
+    "carries all five window sums in a single WindowExec pass; per-task "
+    "state is O(frame); nothing joins, nothing ranks data rows globally.",
+)
+def w13_rolling_regression_slope(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(_W13_EPOCH0)).cast("bigint")
+    y = (dec("value") * 100).cast("bigint")
+    c = e.select("user_id", "ts", "event_id", x.alias("x"), y.alias("y"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    s = c.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter(F.col("n") >= 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("n").alias("frame_n"),
+            num.cast("bigint").alias("slope_num"),
+            den.cast("bigint").alias("slope_den"),
+            F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+                "slope_cents_per_s"
+            ),
+        )
+        .orderBy("event_id")
+    )

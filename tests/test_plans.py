@@ -534,6 +534,23 @@ def test_a17_is_histogram_shaped(spark, sf_smoke):
     assert "Join" not in p, "a17 must not join"
     assert "HashAggregate" in p
 
+
+def test_w13_a18_plan_shapes(spark, sf_smoke):
+    """w13: all five regression sums ride ONE user-keyed exchange in a
+    single Window pass — no join, no second hashpartitioning, no frame
+    array. a18 inherits a17's histogram shape: the cumsum window runs
+    over (flag, value) histogram rows, never ranking a data row."""
+    reg = load_all()
+
+    p13 = plan_str(reg["w13_rolling_regression_slope"].fn(spark, sf_smoke))
+    assert "Join" not in p13, "w13 must not join"
+    assert p13.count("hashpartitioning") == 1, "w13: one user-keyed exchange"
+    assert p13.count("+- Window") == 1, "w13: all five sums in one Window pass"
+
+    p18 = plan_str(reg["a18_weighted_trimmed_mean"].fn(spark, sf_smoke))
+    assert "Join" not in p18, "a18 must not join"
+    assert "HashAggregate" in p18
+
 def test_x46_plan_shape(spark, sf_smoke):
     """x46: the corpus joins the bigram freq table by SHUFFLE (never assumed
     broadcastable) but the unigram-sized prefix table broadcasts; pair-gen

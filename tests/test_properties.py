@@ -682,3 +682,87 @@ def test_a17_trimmed_mean_matches_python_sort(spark, sf_dir):
         kept = vals[lo : n - lo]
         ks = sum(kept)
         assert got[flag] == (n, len(kept), ks, ks / float(len(kept))), flag
+
+
+def test_w13_slope_matches_python_ols(spark, sf_dir):
+    """w13's shift-anchored window sums must equal a naive per-user Python
+    OLS over the same trailing 7-event frame — num/den bit-exact as
+    integers, slope as the identical single division."""
+    from datetime import timezone
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+    from ez_cdc_spark.queries.windows import _W13_EPOCH0
+
+    got = {
+        r["event_id"]: (r["frame_n"], r["slope_num"], r["slope_den"], r["slope_cents_per_s"])
+        for r in load_all()["w13_rolling_regression_slope"].fn(spark, sf_dir).collect()
+    }
+    per_user: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        # session TZ is UTC, so the collected naive datetime is UTC wall time
+        x = int(r["ts"].replace(microsecond=0, tzinfo=timezone.utc).timestamp()) - _W13_EPOCH0
+        y = int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], x, y))
+    n_checked = 0
+    for rows in per_user.values():
+        rows.sort(key=lambda t4: (t4[0], t4[1]))
+        for i, (_, eid, _, _) in enumerate(rows):
+            frame = rows[max(0, i - 6) : i + 1]
+            n = len(frame)
+            if n < 5:
+                assert eid not in got
+                continue
+            sx = sum(f[2] for f in frame)
+            sy = sum(f[3] for f in frame)
+            sxy = sum(f[2] * f[3] for f in frame)
+            sxx = sum(f[2] * f[2] for f in frame)
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            slope = num / den if den > 0 else None
+            assert got[eid] == (n, num, den, slope), eid
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_a18_weighted_trim_matches_python_walk(spark, sf_dir):
+    """a18's interval-intersection trimming must equal the naive form: sort
+    the group's (value, weight) rows, walk cumulative weight, keep each
+    value's weight clipped to the [tot//10, tot - tot//10) fence window."""
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["l_returnflag"]: (
+            r["total_weight_cents"],
+            r["kept_weight_cents"],
+            r["kept_wsum"],
+            r["wtrimmed_mean_qty_cents"],
+        )
+        for r in load_all()["a18_weighted_trimmed_mean"].fn(spark, sf_dir).collect()
+    }
+    groups: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        qc = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")) * 100)
+        wc = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100)
+        groups.setdefault(r["l_returnflag"], {}).setdefault(qc, [0])
+        groups[r["l_returnflag"]][qc][0] += wc
+    for flag, hist in groups.items():
+        tot = sum(w for (w,) in hist.values())
+        lo, hi = tot // 10, tot - tot // 10
+        cum, kept_wsum = 0, 0
+        for qc in sorted(hist):
+            w = hist[qc][0]
+            cum += w
+            kept_wsum += max(0, min(cum, hi) - max(cum - w, lo)) * qc
+        assert got[flag] == (tot, hi - lo, kept_wsum, kept_wsum / float(hi - lo)), flag

@@ -481,6 +481,9 @@ def r8b_10x_dir(spark, sf_dir, tmp_path_factory):
     od = load_table(spark, sf_dir, "orders")
     od.crossJoin(reps).drop("rep").repartition(32).write.parquet(f"{out}/orders.parquet")
 
+    li = load_table(spark, sf_dir, "lineitem")
+    li.crossJoin(reps).drop("rep").repartition(32).write.parquet(f"{out}/lineitem.parquet")
+
     ev = load_table(spark, sf_dir, "events")
     (
         ev.crossJoin(reps)
@@ -591,6 +594,55 @@ def test_w12_is_per_user_local_at_10x(spark, sf_dir, r8b_10x_dir):
     assert len(big) == 10 * len(base)
     rep0 = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
     assert rep0 == base
+
+
+def test_w13_is_per_user_local_at_10x(spark, sf_dir, r8b_10x_dir):
+    """w13's five window sums are user-local: replicating every user under
+    fresh ids (timestamps unchanged) must reproduce each original frame's
+    exact integer num/den 10x, and the rep-0 slice row-identically."""
+    fn = load_all()["w13_rolling_regression_slope"].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    big = fn(spark, r8b_10x_dir).collect()
+    assert len(big) == 10 * len(base)
+    rep0 = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
+    assert rep0 == base
+
+
+def test_a18_scales_exactly_under_duplication(spark, sf_dir, r8b_10x_dir):
+    """10x exact-duplicate lineitem rows scale every histogram weight by
+    exactly 10 — but the fences re-floor at tot' = 10*tot (tot'//10 = tot
+    exactly, so kept' = 8*tot, NOT 10*(tot - 2*(tot//10))), shifting the
+    boundary slivers. The exact expectation therefore comes from a Python
+    walk over the 10x-scaled BASE histogram, down to the bit-identical
+    final IEEE division."""
+    from decimal import Decimal
+
+    fn = load_all()["a18_weighted_trimmed_mean"].fn
+    big = {r["l_returnflag"]: r for r in fn(spark, r8b_10x_dir).collect()}
+    hists: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        qc = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")) * 100)
+        wc = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100)
+        hists.setdefault(r["l_returnflag"], {})
+        hists[r["l_returnflag"]][qc] = hists[r["l_returnflag"]].get(qc, 0) + 10 * wc
+    assert set(hists) == set(big) and len(big) > 0
+    for flag, hist in hists.items():
+        tot = sum(hist.values())
+        lo, hi = tot // 10, tot - tot // 10
+        cum, ks = 0, 0
+        for qc in sorted(hist):
+            w = hist[qc]
+            cum += w
+            ks += max(0, min(cum, hi) - max(cum - w, lo)) * qc
+        g = big[flag]
+        assert g["total_weight_cents"] == tot, flag
+        assert g["kept_weight_cents"] == hi - lo, flag
+        assert g["kept_wsum"] == ks, flag
+        assert g["wtrimmed_mean_qty_cents"] == float(ks) / float(hi - lo), flag
 
 
 def test_x45_replicated_corpus_is_fully_covered(spark, r8b_10x_dir):
