@@ -975,3 +975,103 @@ def test_t14_scd2_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
         for r in load_all()["x25_scd2_history"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_t19_ewma_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """ORDER-SENSITIVE streaming state under a real kill+restart — the
+    recurrence class: unlike t9/t15 (idempotent merges) and t16/t20
+    (order-free counters/registers), t19's per-user (s, n) EWMA state is
+    wrong if a single step replays out of order or double-applies. The
+    state store's per-batch versioning must roll an interrupted batch back
+    so the restart re-folds it from the last committed state, continuing
+    the recurrence exactly: 8 time-ordered stages, kill after >= 1 commit,
+    restart on the same checkpoint, then the union of emissions from BOTH
+    runs (a replayed batch re-emits identical rows — collapsed by
+    max_by(ewma, n)) must reproduce w11's one-shot batch fold exactly."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        events_parquet_time_split,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir, n_stages=8)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    def fold(key, pdfs, state: GroupState):
+        # same integer step as t19/w11: seed with the first element, then
+        # s = (s + c) >> 1 in (ts, event_id) order within each batch
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for c in pdf["cents"]:
+                c = int(c)
+                s = c if n == 0 else (s + c) >> 1
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [s]})
+
+    def start():
+        rows = (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        folded = rows.groupBy("user_id").applyInPandasWithState(
+            fold,
+            outputStructType="user_id BIGINT, n BIGINT, ewma BIGINT",
+            stateStructType="s BIGINT, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            folded.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1, "restart must drain the remaining files"
+
+    emitted = spark.read.parquet(out)
+    got = sorted(
+        (r["user_id"], r["n_events"], r["ewma_cents"])
+        for r in emitted.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max_by("ewma", "n").cast("bigint").alias("ewma_cents"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], r["ewma_cents"])
+        for r in load_all()["w11_integer_ewma"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
