@@ -97,6 +97,7 @@ EXTRA_QUERIES = [
     "w12_rolling_mad_outlier",
     "j15_asof_tolerance",
     "j16_grid_proximity_join",
+    "j17_bloom_pruned_join",
     "a16_portable_hll",
     "a17_trimmed_mean",
     "a18_weighted_trimmed_mean",

@@ -604,3 +604,81 @@ def j16_grid_proximity_join(spark, sf_dir):
         )
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+def _j17_bloom_plan(spark, sf_dir):
+    """The lazy j17 plan; correct under ANY conf, but the registered entry
+    executes it with runtime Bloom-filter injection active (see j17).
+    Split out so tests/test_plans.py can explain() it inside the same
+    conf scope and assert might_contain/bloom_filter_agg are present."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum((dec("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+# Conf scope for j17: thresholds that let the injection rule fire on the
+# small fixture. At 100 TB the DEFAULTS already fire (application side
+# > 10 GB, creation side < 100 MB); only the test scale needs overrides.
+_J17_CONFS = {
+    # the fixture fact scan is far below the 10 GB application-side default
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # a broadcastable creation side suppresses injection (BHJ already
+    # prunes); force the shuffle-join regime the rule exists for
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "j17_bloom_pruned_join",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="J17: runtime Bloom-filter-pruned shuffle join — the ROW-level "
+    "sibling of s16's partition-level DPP, and the third member of the "
+    "scan-avoidance family (static pushdown -> DPP -> runtime semi-join "
+    "reduction): Catalyst's InjectRuntimeFilter builds a Bloom filter "
+    "over the selective dimension side's join keys (bloom_filter_agg "
+    "subquery) and injects might_contain(xxhash64(l_orderkey)) into the "
+    "fact scan's filter, so ~4/5 of fact rows die AT THE SCAN instead of "
+    "riding the shuffle to the join. At 100 TB this converts the "
+    "unavoidable fact-fact exchange from O(fact) to O(matching rows) — "
+    "the single biggest shuffle reducer Spark owns that no hand-written "
+    "plan expresses. The op executes under a try/finally conf scope "
+    "(fixture-scale thresholds; 100 TB defaults fire on their own) and "
+    "materializes via localCheckpoint inside it, so the session's other "
+    "queries never see the overrides; the filter is semantics-free, so "
+    "the oracle is the plain join — agreement proves pruning lost "
+    "nothing. Plan shape asserted in tests/test_plans.py.",
+)
+def j17_bloom_pruned_join(spark, sf_dir):
+    old = {k: spark.conf.get(k, None) for k in _J17_CONFS}
+    try:
+        for k, v in _J17_CONFS.items():
+            spark.conf.set(k, v)
+        # materialize while the injection confs are live — the checkpointed
+        # blocks are the 3-row aggregate, and the bloom-pruned plan is what
+        # actually executed
+        df = _j17_bloom_plan(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df.orderBy("l_returnflag")

@@ -535,6 +535,35 @@ def test_a17_is_histogram_shaped(spark, sf_smoke):
     assert "HashAggregate" in p
 
 
+def test_j17_bloom_filter_injects_into_fact_scan(spark, sf_smoke):
+    """Inside j17's conf scope, InjectRuntimeFilter must (a) build the
+    bloom_filter_agg subquery over the selective dim's join keys and
+    (b) push might_contain(xxhash64(l_orderkey)) into the FACT side —
+    row-level scan pruning, the s16-DPP sibling. Outside the scope the
+    session confs must be restored (other queries' plans untouched)."""
+    from ez_cdc_spark.queries.joins import _J17_CONFS, _j17_bloom_plan
+
+    before = {k: spark.conf.get(k, None) for k in _J17_CONFS}
+    try:
+        for k, v in _J17_CONFS.items():
+            spark.conf.set(k, v)
+        p = plan_str(_j17_bloom_plan(spark, sf_smoke))
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in p, "j17: no bloom filter built on the dim side"
+    assert "might_contain" in p, "j17: fact scan not bloom-pruned"
+    assert "CartesianProduct" not in p
+    # conf scope restored
+    assert {k: spark.conf.get(k, None) for k in _J17_CONFS} == before
+    # and the registered entry's own run leaves the session clean too
+    load_all()["j17_bloom_pruned_join"].fn(spark, sf_smoke).collect()
+    assert {k: spark.conf.get(k, None) for k in _J17_CONFS} == before
+
+
 def test_w13_a18_plan_shapes(spark, sf_smoke):
     """w13: all five regression sums ride ONE user-keyed exchange in a
     single Window pass — no join, no second hashpartitioning, no frame
