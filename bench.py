@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "a16_portable_hll",
     "a17_trimmed_mean",
     "a18_weighted_trimmed_mean",
+    "a19_weighted_mad",
     "w13_rolling_regression_slope",
     "s16_dpp_partition_prune",
     "t18_windowed_topk",

@@ -969,3 +969,112 @@ def a18_weighted_trimmed_mean(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a19_weighted_mad",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, qc, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qc
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM h
+), med AS (
+  SELECT l_returnflag,
+         CAST(MAX(tot) AS BIGINT) AS tot,
+         CAST(MIN(CASE WHEN cum * 2 >= tot THEN qc END) AS BIGINT) AS wmed
+  FROM c GROUP BY l_returnflag
+), dh AS (
+  SELECT h.l_returnflag, ABS(h.qc - med.wmed) AS dev,
+         CAST(SUM(h.w) AS BIGINT) AS w
+  FROM h JOIN med USING (l_returnflag)
+  GROUP BY 1, 2
+), dc AS (
+  SELECT l_returnflag, dev, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY dev
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM dh
+)
+SELECT med.l_returnflag,
+       med.tot AS total_weight_cents,
+       med.wmed AS wmedian_qty_cents,
+       CAST(MIN(CASE WHEN dc.cum * 2 >= dc.tot THEN dc.dev END) AS BIGINT)
+         AS wmad_qty_cents
+FROM dc JOIN med USING (l_returnflag)
+GROUP BY 1, 2, 3
+ORDER BY med.l_returnflag
+""",
+    doc="A19: exact weighted median absolute deviation — the robust SCALE "
+    "estimate completing the family (a15 weighted location quantiles, "
+    "a17/a18 trimmed means, w12 rolling MAD): per return flag, the "
+    "revenue-weighted median quantity, then the revenue-weighted median "
+    "of |quantity - wmedian|. ZERO floats anywhere — both medians are "
+    "weighted-lower-bound picks via the integer cross-multiply "
+    "cum*2 >= tot (a15's fence at p=50), so no rounding discipline at "
+    "all (SURVEY 5.3 fixed-point family). 100 TB shape: the corpus "
+    "collapses ONCE to the per-(flag, value) weight histogram; the "
+    "deviation pass re-aggregates HISTOGRAM rows (value-cardinality-"
+    "bounded, never data rows) against the group-cardinality-sized "
+    "median table (broadcast join); two cumsum windows run over "
+    "histogram rows only.",
+)
+def a19_weighted_mad(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    qc = (dec("l_quantity") * 100).cast("bigint")
+    wc = (dec("l_extendedprice") * 100).cast("bigint")
+    h = (
+        li.select(F.col("l_returnflag"), qc.alias("qc"), wc.alias("wc"))
+        .groupBy("l_returnflag", "qc")
+        .agg(F.sum("wc").cast("bigint").alias("w"))
+    )
+
+    def fence_pick(df, val_col, out_col):
+        wcum = Window.partitionBy("l_returnflag").orderBy(val_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wtot = Window.partitionBy("l_returnflag")
+        c = df.select(
+            "l_returnflag",
+            val_col,
+            F.sum("w").over(wcum).cast("bigint").alias("cum"),
+            F.sum("w").over(wtot).cast("bigint").alias("tot"),
+        )
+        return c.groupBy("l_returnflag").agg(
+            F.max("tot").cast("bigint").alias("tot"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col(val_col)))
+            .cast("bigint")
+            .alias(out_col),
+        )
+
+    med = fence_pick(h, "qc", "wmed")
+    dh = (
+        h.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("qc") - F.col("wmed")).alias("dev"),
+            "w",
+        )
+        .groupBy("l_returnflag", "dev")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    mad = fence_pick(dh, "dev", "wmad").select("l_returnflag", "wmad")
+    return (
+        med.join(F.broadcast(mad), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("tot").alias("total_weight_cents"),
+            F.col("wmed").alias("wmedian_qty_cents"),
+            F.col("wmad").alias("wmad_qty_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -580,6 +580,13 @@ def test_w13_a18_plan_shapes(spark, sf_smoke):
     assert "Join" not in p18, "a18 must not join"
     assert "HashAggregate" in p18
 
+    # a19: both median picks run over histogram rows; the only joins are
+    # broadcasts of group-cardinality-sized median tables — never SMJ.
+    p19 = plan_str(reg["a19_weighted_mad"].fn(spark, sf_smoke))
+    assert "SortMergeJoin" not in p19, "a19 joins must broadcast"
+    assert "BroadcastHashJoin" in p19
+    assert "HashAggregate" in p19
+
 def test_x46_plan_shape(spark, sf_smoke):
     """x46: the corpus joins the bigram freq table by SHUFFLE (never assumed
     broadcastable) but the unigram-sized prefix table broadcasts; pair-gen

@@ -766,3 +766,50 @@ def test_a18_weighted_trim_matches_python_walk(spark, sf_dir):
             cum += w
             kept_wsum += max(0, min(cum, hi) - max(cum - w, lo)) * qc
         assert got[flag] == (tot, hi - lo, kept_wsum, kept_wsum / float(hi - lo)), flag
+
+
+def test_a19_weighted_mad_matches_python_walk(spark, sf_dir):
+    """a19's two fence picks must equal the naive Python form: weighted
+    lower-median (smallest value whose cumulative weight reaches half the
+    total), then the same pick over the |x - med| deviation histogram."""
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    def wmedian(hist):
+        tot = sum(hist.values())
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum * 2 >= tot:
+                return tot, v
+        raise AssertionError("empty histogram")
+
+    got = {
+        r["l_returnflag"]: (
+            r["total_weight_cents"],
+            r["wmedian_qty_cents"],
+            r["wmad_qty_cents"],
+        )
+        for r in load_all()["a19_weighted_mad"].fn(spark, sf_dir).collect()
+    }
+    groups: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        qc = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")) * 100)
+        wc = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100)
+        groups.setdefault(r["l_returnflag"], {})
+        groups[r["l_returnflag"]][qc] = groups[r["l_returnflag"]].get(qc, 0) + wc
+    assert set(groups) == set(got) and len(got) > 0
+    for flag, hist in groups.items():
+        tot, med = wmedian(hist)
+        devs: dict = {}
+        for v, w in hist.items():
+            d = abs(v - med)
+            devs[d] = devs.get(d, 0) + w
+        _, mad = wmedian(devs)
+        assert got[flag] == (tot, med, mad), flag
