@@ -87,7 +87,11 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   streaming windowed top-k; second r8 batch: x45 duplicated-span coverage
 #   (timed right after x19/x40 — the third consumer of 8-gram explode cost),
 #   j16 the 2-D grid proximity join, w12 the rolling median+MAD frame, a16
-#   the portable-HLL register sketch.
+#   the portable-HLL register sketch; late-r8: a18/a19 the weighted
+#   trimmed mean / weighted MAD (histogram-shaped like a17), w13 the
+#   five-sum rolling regression slope, j17 the runtime Bloom-pruned
+#   shuffle join (timed WITH its conf-scoped localCheckpoint
+#   materialization — the number includes the bloom build).
 EXTRA_QUERIES = [
     "x38_kmeans_clusters",
     "x39_semantic_dedup",
