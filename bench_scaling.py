@@ -150,11 +150,16 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             results[op][f] = round(best, 3)
             print(json.dumps({"op": op, "factor": f, "sec": results[op][f]}))
+    # Key named from the ACTUAL factors measured (r8 ADVICE: a custom
+    # SCALE_FACTORS env made the hardcoded "10x_vs_1x" label a lie), and
+    # the guard is an explicit not-None/positive check so a 0.0-rounded
+    # base time yields None instead of a truthiness surprise.
+    ratio_key = f"ratio_{FACTORS[-1]}x_vs_{FACTORS[0]}x"
     summary = {
         op: {
             "sec": v,
-            "ratio_10x_vs_1x": round(v[FACTORS[-1]] / v[FACTORS[0]], 2)
-            if v.get(FACTORS[0])
+            ratio_key: round(v[FACTORS[-1]] / v[FACTORS[0]], 2)
+            if v.get(FACTORS[0]) is not None and v[FACTORS[0]] > 0
             else None,
         }
         for op, v in results.items()

@@ -46,56 +46,39 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # back hash-green in CORRECTNESS_r07.json, so the set was cleared at the
 # start of round 8. Round-8 entries are added below in the same commit as
 # the change they cover.)
+# (r8's 4-entry batch — u7, s15, t16, x40 — all came back hash-green in
+# CORRECTNESS_r08.json, so the set was cleared at the start of round 9.)
 _REATTEST: set[str] = {
-    # r8: u7's empty-vector aggregates hardened (zero-length reduceat
-    # segments defined instead of borrowing the next vector / raising).
-    "u7_map_in_arrow",
-    # r8: quantize16_sql now BIGINT-promotes before * 65536 (oracle edit —
-    # value-preserving at small SF but the contract re-attests any change).
-    "s15_zorder_cluster",
-    # r8: t16's fold extracted into the m-parameterized mg_stream_counts
-    # (the compressing regime now runs the REAL streaming path in tests);
-    # the update stream additionally carries the offset column.
-    "t16_streaming_heavy_hitters",
-    # r8: x40's per-doc gram counts now derive from the checkpointed
-    # exploded rows instead of re-running the gram HOF (value-identical —
-    # |dg rows per doc| == size(distinct grams) — but the contract
-    # re-attests any implementation change; ~4x warm speedup at sf0.1).
+    # r9: p4's predicates re-declared to hit the fixture domain — the r1
+    # BRASS/[0-9]$ pair returned 0 rows at every SF, so its green hash
+    # compared two empty sets (vacuous; r8 verdict finding #1).
+    "p4_like_regex",
+    # r9: j5 now anti-joins the URGENT-order subset — the r1 form was
+    # vacuous for the same reason (every fixture customer has >=1 order).
+    "j5_left_anti",
+    # r9: x4d's corpus size N folded into the plan (1-row count aggregate
+    # broadcast cross-join) instead of a driver-side d.count() action.
+    "x4d_tfidf",
+    # r9: x40's pair-gen bounds the collect_list buffer — df is computed
+    # first and the gram stream is semi-joined to the df∈[2,20] band
+    # BEFORE collect_list, so zipf-head grams never materialize an
+    # unbounded single-group aggregation buffer (r8 ADVICE, medium).
     "x40_ngram_containment",
 }
 
 # Tie-break within the unattested group (driver attests ~50 entries/round):
 # negative floats to the front, positive yields its slot to the next round.
-# Round 8: the r7 rotation drained the a-set and x1–x6 core, leaving 26
-# stale attestations — the j-set (r1 vintage: the driver hasn't looked at
-# any join since CORRECTNESS_r01), x2d (r2), and the r3 families. The ranks
-# below order the ATTESTED group by staleness so the slots left after the
-# round-8 new queries + re-attest batch land on those 26 first; after this
-# round no query's latest attestation should predate r4.
+# Round 9: the r8 rotation drained the j-set, x2d, and most of the r3
+# families; only 4 r3-vintage attestations remain (the tail that slipped
+# the r8 slot budget — r8 verdict "what's wrong" #3). After this round no
+# query's latest attestation should predate r4.
 _RANK: dict[str, int] = {
-    # last attested in CORRECTNESS_r01 (9 queries: the join family)
-    **{
-        name: -40
-        for name in (
-            "j1_inner_revenue_per_nation", "j2_broadcast_dim_join",
-            "j3_left_outer_zero_orders", "j3b_full_outer", "j4_left_semi",
-            "j5_left_anti", "j6_theta_join", "j9_cross_join",
-            "j12_salted_join",
-        )
-    },
-    # last attested r2
-    "x2d_embedding_neardup": -35,
-    # last attested r3 (16 queries)
+    # last attested in CORRECTNESS_r03 (4 queries)
     **{
         name: -30
         for name in (
-            "j13_bucketed_join", "x10_corpus_pipeline",
-            "x13_repetition_metrics", "x14_token_histogram",
-            "x15_shard_shuffle", "x16_snapshot_diff", "x2c_simhash",
-            "x2e_lsh_embedding_neardup", "x2f_incremental_dedup",
-            "x3d_quantized_topk", "x6d_quantize_int8", "x7_stratified_sample",
-            "x7b_weighted_mix", "x7c_temperature_upsample",
-            "x8_sequence_packing", "x9_pii_scrub",
+            "x10_corpus_pipeline", "x14_token_histogram",
+            "x15_shard_shuffle", "x16_snapshot_diff",
         )
     },
 }

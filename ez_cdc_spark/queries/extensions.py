@@ -618,7 +618,11 @@ ORDER BY doc_id, word
     doc="X4: TF-IDF (smooth idf) over the full corpus, top-5 terms per doc "
     "for a bounded output slice. Pure DataFrame ops: explode → two "
     "aggregations → join → window; ranking on the ROUND(,6) score so both "
-    "engines break ties identically.",
+    "engines break ties identically. r9: the corpus size N is folded into "
+    "the plan as a 1-row count aggregate broadcast cross-join (the x22/x42 "
+    "pattern) — the previous driver-side d.count() was the last eager "
+    "action in a registered batch query (r8 verdict #4), costing an extra "
+    "full scan + driver round-trip per run.",
 )
 def x4d_tfidf(spark, sf_dir):
     from pyspark.sql import Window
@@ -632,15 +636,16 @@ def x4d_tfidf(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").alias("df"))
     )
-    n = d.count()
+    n1 = d.agg(F.count("*").alias("n"))  # 1 row; broadcast below, no action
     scored = (
         tf.filter(F.col("doc_id") < 50)
         .join(dfreq, "word")
+        .crossJoin(F.broadcast(n1))
         .select(
             "doc_id",
             "word",
             F.round(
-                F.col("tf") * (F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1), 6
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1), 6
             ).alias("tfidf"),
         )
     )

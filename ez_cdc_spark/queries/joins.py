@@ -126,14 +126,23 @@ def j4_left_semi(spark, sf_dir):
     oracle="""
 SELECT c_custkey, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """,
-    doc="J5: left anti join ↔ WHERE NOT EXISTS.",
+    doc=(
+        "J5: left anti join ↔ WHERE NOT EXISTS. r9: anti-joins against the "
+        "URGENT-order subset (customers with no urgent order) — the r1 form "
+        "anti-joined all orders, and every fixture customer has >=1 order, so "
+        "the driver hash compared two empty sets (vacuous). 203 survivors at "
+        "sf0.01; non-empty at every SF. The filter lands on the build side "
+        "before the anti join, so it also exercises pushdown-under-anti."
+    ),
 )
 def j5_left_anti(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "leftanti")
         .select("c_custkey", "c_mktsegment")

@@ -1630,17 +1630,28 @@ def x40_ngram_containment(spark, sf_dir):
     # one change took the warm query from ~9 s to ~2 s at sf0.1). Docs with
     # zero grams are absent either way (they can't appear in `shared`).
     nd = dg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
-    # Pair generation as ONE gram-keyed exchange (r8 rewrite): instead of
-    # [df agg] + [dg ⋈ keep] + [⋈ dg again] — three gram shuffles whose
-    # per-stage latency dominated the bench at small SF — collect each
-    # gram's distinct doc list in a single groupBy, band on the LIST SIZE
-    # (size == df since dg is distinct per doc), and explode the i<j pairs
-    # map-side with a bounded HOF (df <= 20 caps it at 190 pairs/gram, the
-    # same boilerplate band as before). Same inverted-index semantics,
-    # identical output; at 100 TB one exchange instead of three, and the
-    # within-bucket pair materialization is x2's LSH shape.
-    ids = dg.groupBy("gram").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-    banded = ids.filter((F.size("ids") >= 2) & (F.size("ids") <= 20))
+    # Pair generation (r9 rewrite of the r8 shape, per the r8 ADVICE): the
+    # r8 version collected every gram's FULL doc list and only then banded
+    # on list size — output-equivalent, but a zipf-head gram (df in the
+    # millions at 100 TB) would materialize an unbounded single-group
+    # collect_list buffer that cannot spill within a group. The df band is
+    # therefore applied BEFORE any list materializes: (1) df per gram via
+    # a count aggregate (map-side partial count, so its exchange carries
+    # slim (gram, count) rows); (2) dg semi-joins to the df∈[2,20] band —
+    # both sides are gram-partitioned after their exchanges, and the
+    # post-join groupBy reuses that partitioning, so the fat dg rows cross
+    # the wire once; (3) collect_list now runs on ≤20-row groups by
+    # construction — the buffer is bounded whatever the corpus size — and
+    # the map-side i<j pair explosion stays capped at 190 pairs/gram.
+    # Same inverted-index semantics, identical output; the within-bucket
+    # pair materialization is x2's LSH shape.
+    dfreq = dg.groupBy("gram").agg(F.count("*").alias("df"))
+    kept = dfreq.filter(F.col("df").between(2, 20)).select("gram")
+    banded = (
+        dg.join(kept, "gram")
+        .groupBy("gram")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    )
     pair_lists = F.flatten(
         F.transform(
             F.col("ids"),

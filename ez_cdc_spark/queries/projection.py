@@ -95,15 +95,21 @@ def p3_in_between_null(spark, sf_dir):
     oracle="""
 SELECT p_partkey, p_type, p_name
 FROM part
-WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-d].*[0-9]$')
+WHERE p_type LIKE '%ECON%' OR regexp_matches(p_name, '^(red|blue).*(bolt|gear)$')
 ORDER BY p_partkey
 """,
-    doc="P4: LIKE and (portable-subset) regex predicates.",
+    doc=(
+        "P4: LIKE and (portable-subset) regex predicates. r9: predicates "
+        "re-declared to hit the fixture domain (p_type in ECONOMY/..., p_name "
+        "'<color> <noun>') — the r1 BRASS/[0-9]$ pair matched nothing, so the "
+        "driver hash compared two empty sets (vacuous). Each arm now matches "
+        "independently at every SF (LIKE: 311 rows, regex: 113 at sf0.01)."
+    ),
 )
 def p4_like_regex(spark, sf_dir):
     p = t(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[a-d].*[0-9]$"))
+        p.filter(F.col("p_type").like("%ECON%") | F.col("p_name").rlike("^(red|blue).*(bolt|gear)$"))
         .select("p_partkey", "p_type", "p_name")
         .orderBy("p_partkey")
     )

@@ -215,9 +215,26 @@ def envelopes_jsonl_lsn_split(
             df = staged.filter(F.col("__stage") == i).drop("__stage")
             tmp = os.path.join(path, f"_tmp{i}")
             df.coalesce(1).write.mode("overwrite").json(tmp)
+            # Ceil-division staging can leave the LAST stage empty (e.g.
+            # n=9, n_stages=4 -> per=3 -> sizes 3,3,3,0), and text-based
+            # writers emit no part file for an empty partition
+            # (SPARK-23271) — skip the stage instead of StopIteration
+            # (r8 ADVICE). Earlier stages are full by construction.
             part = next(
-                f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".json")
+                (
+                    f
+                    for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".json")
+                ),
+                None,
             )
+            if part is None:
+                if not df.isEmpty():  # no part file yet non-empty: real error
+                    raise RuntimeError(
+                        f"stage {i}: JSON writer produced no part file in {tmp}"
+                    )
+                shutil.rmtree(tmp)
+                continue
             dst = os.path.join(path, f"stage-{i}.json")
             shutil.move(os.path.join(tmp, part), dst)
             shutil.rmtree(tmp)

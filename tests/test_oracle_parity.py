@@ -16,6 +16,29 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name} mismatch: {detail}"
 
 
+def test_no_oracle_is_vacuous(sf_dir):
+    """Every oracle must return >=1 row on the fixture (r8 verdict #1).
+
+    Two empty result sets always hash-equal, so a 0-row oracle makes the
+    driver's hash check vacuous — it proves nothing about the operator's
+    semantics (j5/p4 were silently vacuous from r1 through r8 this way).
+    DuckDB-only sweep, so a future fixture regeneration that hollows out a
+    predicate domain fails fast here without burning a Spark run.
+    """
+    from ez_cdc_spark.harness.oracle import run_oracle
+    from ez_cdc_spark.queries import REGISTRY
+
+    vacuous = []
+    for name in ALL:
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            continue
+        rows, _cols = run_oracle(spec.oracle, sf_dir)
+        if len(rows) == 0:
+            vacuous.append(name)
+    assert not vacuous, f"0-row (vacuous) oracles on fixture: {vacuous}"
+
+
 def test_entry_smoke(spark, sf_smoke):
     import __spark_entry__ as e
 

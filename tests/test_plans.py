@@ -458,6 +458,15 @@ def test_round8_ops_plan_shapes(spark, sf_smoke):
     p40 = plan_str(reg["x40_ngram_containment"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p40 and "BroadcastNestedLoop" not in p40
     assert "Scan ExistingRDD" in p40, "x40 must reuse the pinned gram rows"
+    # r9 (ADVICE): the df∈[2,20] band must join the gram stream BEFORE any
+    # collect_list materializes, so no zipf-head gram ever builds an
+    # unbounded single-group list buffer. The band therefore appears as a
+    # join ON GRAM in the plan (broadcast at fixture scale; keyed at 100 TB).
+    import re
+
+    assert re.search(r"Left keys \[1\]: \[gram#\d+\]", p40), (
+        "x40: df-band must gate the gram stream via a join before collect_list"
+    )
 
     p41 = plan_str(reg["x41_chunk_overlap"].fn(spark, sf_smoke))
     assert p41.count("hashpartitioning") == 0, "x41 must not shuffle on a key"
