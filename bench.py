@@ -91,8 +91,12 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   trimmed mean / weighted MAD (histogram-shaped like a17), w13 the
 #   five-sum rolling regression slope, j17 the runtime Bloom-pruned
 #   shuffle join (timed WITH its conf-scoped localCheckpoint
-#   materialization — the number includes the bloom build).
+#   materialization — the number includes the bloom build); r9: w14 the
+#   six-sum rolling correlation (w13's shape + Syy), a20 the five-power-sum
+#   weighted skew/kurtosis (one partial-agg exchange).
 EXTRA_QUERIES = [
+    "w14_rolling_correlation",
+    "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",
     "x40_ngram_containment",

@@ -1078,3 +1078,147 @@ def a19_weighted_mad(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a20_weighted_skew_kurtosis",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS v,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           // 100000 AS w
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(SUM(w) AS BIGINT)                 AS w_total,
+         CAST(SUM(w * v) AS BIGINT)             AS s1,
+         CAST(SUM(w * v * v) AS BIGINT)         AS s2,
+         CAST(SUM(w * v * v * v) AS BIGINT)     AS s3,
+         CAST(SUM(w * v * v * v * v) AS BIGINT) AS s4
+  FROM c GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, w_total, s1, s2, s3, s4,
+         CAST(w_total AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2x,
+         (CAST(w_total AS HUGEINT) * w_total) * s3
+           - 3 * (CAST(w_total AS HUGEINT) * s1) * s2
+           + 2 * ((CAST(s1 AS HUGEINT) * s1) * s1) AS m3x,
+         ((CAST(w_total AS HUGEINT) * w_total) * w_total) * s4
+           - 4 * (CAST(w_total AS HUGEINT) * w_total) * s1 * s3
+           + 6 * CAST(w_total AS HUGEINT) * (CAST(s1 AS HUGEINT) * s1) * s2
+           - 3 * (((CAST(s1 AS HUGEINT) * s1) * s1) * s1) AS m4x
+  FROM s
+), f AS (
+  SELECT l_returnflag, w_total, s1, s2, s3, s4, m2x, m3x, m4x,
+         CAST(w_total AS DOUBLE) AS wd, CAST(s1 AS DOUBLE) AS s1d,
+         CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+         CAST(s4 AS DOUBLE) AS s4d
+  FROM m
+), g AS (
+  SELECT l_returnflag, w_total, s1, s2, s3, s4, m2x, m3x, m4x,
+         (wd * s2d) - (s1d * s1d) AS m2d,
+         ((wd * wd) * s3d) - (((3.0 * wd) * s1d) * s2d)
+           + ((2.0 * ((s1d * s1d) * s1d))) AS m3d,
+         (((wd * wd) * wd) * s4d) - ((((4.0 * (wd * wd)) * s1d) * s3d))
+           + ((((6.0 * wd) * (s1d * s1d)) * s2d))
+           - ((3.0 * (((s1d * s1d) * s1d) * s1d))) AS m4d
+  FROM f
+)
+SELECT l_returnflag, w_total, s1, s2, s3, s4,
+       CAST(m2x AS VARCHAR) AS m2_exact,
+       CAST(m3x AS VARCHAR) AS m3_exact,
+       CAST(m4x AS VARCHAR) AS m4_exact,
+       CASE WHEN m2d > 0 THEN m3d / (m2d * sqrt(m2d)) END AS skew,
+       CASE WHEN m2d > 0 THEN ((m4d / m2d) / m2d) - 3.0 END AS kurt_excess
+FROM g ORDER BY l_returnflag
+""",
+    doc="A20: exact weighted skewness and excess kurtosis per return flag — "
+    "completes the robust-moments family (a15 percentile / a17-a18 "
+    "trimmed means / a19 MAD share the weight-histogram collapse; the "
+    "3rd/4th standardized moments need no histogram AT ALL): value = "
+    "quantity units (integral 1..50), weight = the line's price in "
+    "integer thousand-dollar units (cents div 100000 — sub-$1000 lines "
+    "carry weight 0, a documented no-op in every sum). The whole corpus "
+    "collapses in ONE partial-aggregated exchange to five exact BIGINT "
+    "power sums per group (W, Σwv, Σwv², Σwv³, Σwv⁴ — each provably "
+    "< 2^53 at fixture scales, so their double casts are EXACT); the "
+    "central-moment combinations M2 = W·S2−S1², M3 = W²S3−3WS1S2+2S1³, "
+    "M4 = W³S4−4W²S1S3+6WS1²S2−3S1⁴ are computed twice: bit-exact in "
+    "128-bit integer arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT, "
+    "emitted as plain-digit strings — the discriminating columns; the "
+    "k$ weight unit keeps every term under 10^37 through sf0.1 and "
+    "weight rescaling is SEMANTICS-FREE since g1/g2 are weight-scale-"
+    "invariant, the documented 100 TB knob), and again in pure IEEE "
+    "double with a pinned parenthesization shared by both engines, "
+    "feeding the classic W-free forms g1 = M3/M2^1.5 (rendered "
+    "m3d/(m2d·sqrt(m2d))) and g2 = M4/M2² − 3 — every float op is an "
+    "IEEE-determined function of exactly-representable inputs, so the "
+    "doubles hash-match without any decimal→double cast of a >2^53 "
+    "value. NULL when M2 = 0 (degenerate group).",
+)
+def a20_weighted_skew_kurtosis(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    v = dec("l_quantity").cast("bigint")
+    w = F.expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100000")
+    c = li.select("l_returnflag", v.alias("v"), w.alias("w"))
+    s = c.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.sum(F.col("w") * F.col("v")).cast("bigint").alias("s1"),
+        F.sum(F.col("w") * F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+        F.sum(F.col("w") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("bigint")
+        .alias("s3"),
+        F.sum(F.col("w") * F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    D = "decimal(38,0)"
+    wx = F.col("w_total").cast(D)
+    s1x = F.col("s1").cast(D)
+    s2x = F.col("s2").cast(D)
+    s3x = F.col("s3").cast(D)
+    s4x = F.col("s4").cast(D)
+    m2x = (wx * F.col("s2") - s1x * F.col("s1")).cast(D)
+    m3x = (
+        (wx * F.col("w_total")) * F.col("s3")
+        - F.lit(3) * (wx * F.col("s1")) * F.col("s2")
+        + F.lit(2) * ((s1x * F.col("s1")) * F.col("s1"))
+    ).cast(D)
+    m4x = (
+        ((wx * F.col("w_total")) * F.col("w_total")) * F.col("s4")
+        - F.lit(4) * (wx * F.col("w_total")) * F.col("s1") * F.col("s3")
+        + F.lit(6) * wx * (s1x * F.col("s1")) * F.col("s2")
+        - F.lit(3) * (((s1x * F.col("s1")) * F.col("s1")) * F.col("s1"))
+    ).cast(D)
+    m = s.select(
+        "l_returnflag", "w_total", "s1", "s2", "s3", "s4",
+        m2x.alias("m2x"), m3x.alias("m3x"), m4x.alias("m4x"),
+    )
+    wd = F.col("w_total").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = F.col("s4").cast("double")
+    m2d = (wd * s2d) - (s1d * s1d)
+    m3d = (
+        ((wd * wd) * s3d)
+        - (((F.lit(3.0) * wd) * s1d) * s2d)
+        + (F.lit(2.0) * ((s1d * s1d) * s1d))
+    )
+    m4d = (
+        (((wd * wd) * wd) * s4d)
+        - (((F.lit(4.0) * (wd * wd)) * s1d) * s3d)
+        + (((F.lit(6.0) * wd) * (s1d * s1d)) * s2d)
+        - (F.lit(3.0) * (((s1d * s1d) * s1d) * s1d))
+    )
+    return (
+        m.select(
+            "l_returnflag", "w_total", "s1", "s2", "s3", "s4",
+            F.col("m2x").cast("string").alias("m2_exact"),
+            F.col("m3x").cast("string").alias("m3_exact"),
+            F.col("m4x").cast("string").alias("m4_exact"),
+            F.when(m2d > 0, m3d / (m2d * F.sqrt(m2d))).alias("skew"),
+            F.when(m2d > 0, ((m4d / m2d) / m2d) - F.lit(3.0)).alias("kurt_excess"),
+        )
+        .orderBy("l_returnflag")
+    )

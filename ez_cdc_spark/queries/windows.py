@@ -737,3 +737,111 @@ def w13_rolling_regression_slope(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "w14_rolling_correlation",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) // 1000000 - {_W13_EPOCH0} AS x,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id,
+         CAST(COUNT(*)   OVER w AS BIGINT) AS n,
+         CAST(SUM(x)     OVER w AS BIGINT) AS sx,
+         CAST(SUM(y)     OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT user_id, ts, event_id, n,
+         CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS r_den_x,
+         CAST(n * syy - sy * sy AS BIGINT) AS r_den_y
+  FROM s WHERE n >= 5
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(n AS BIGINT) AS frame_n, r_num, r_den_x, r_den_y,
+       CASE WHEN r_den_x > 0 AND r_den_y > 0
+            THEN (CAST(r_num AS DOUBLE) / CAST(r_den_x AS DOUBLE))
+                 * (CAST(r_num AS DOUBLE) / CAST(r_den_y AS DOUBLE))
+       END AS r2,
+       CASE WHEN r_den_x > 0 AND r_den_y > 0
+            THEN CAST(r_num AS DOUBLE)
+                 / sqrt(CAST(r_den_x AS DOUBLE) * CAST(r_den_y AS DOUBLE))
+       END AS r
+FROM d
+ORDER BY event_id
+""",
+    doc="W14: rolling Pearson correlation and R² of value vs TIME over the "
+    "trailing 7-event frame — w13's slope answers 'how fast is it "
+    "trending'; w14 answers 'how LINEAR is the trend' (the goodness-of-"
+    "fit gate an alerting rule needs before trusting the slope). Adds "
+    "Syy as a sixth integer window SUM in the SAME single WindowExec "
+    "pass — still one user-keyed exchange, no frame array, no HOF. The "
+    "three sufficient terms r_num = n·Sxy−Sx·Sy, r_den_x = n·Sxx−Sx², "
+    "r_den_y = n·Syy−Sy² are emitted as EXACT BIGINTs (the "
+    "discriminating columns; r² = r_num²/(r_den_x·r_den_y) as a "
+    "rational). The float renderings use only IEEE-determined ops on "
+    "exactly-representable inputs: each term is < 2^53 whenever the "
+    "frame spans < ~10 months (n ≤ 7 caps n²·var; event telemetry "
+    "frames span hours), so bigint→double is exact and r2 = "
+    "(num/dx)·(num/dy) is two IEEE divides + one multiply, r = "
+    "num/sqrt(dx·dy) one multiply + sqrt + divide — bit-identical on "
+    "both engines with no 128-bit arithmetic anywhere. NULL when either "
+    "variance term is 0 (all-equal timestamps or values). Same "
+    "degenerate-frame guard as w13 (n >= 5).",
+)
+def w14_rolling_correlation(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(_W13_EPOCH0)).cast("bigint")
+    y = (dec("value") * 100).cast("bigint")
+    c = e.select("user_id", "ts", "event_id", x.alias("x"), y.alias("y"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    s = c.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("bigint")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("bigint")
+    d = s.filter(F.col("n") >= 5).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n").alias("frame_n"),
+        num.alias("r_num"),
+        dx.alias("r_den_x"),
+        dy.alias("r_den_y"),
+    )
+    ok = (F.col("r_den_x") > 0) & (F.col("r_den_y") > 0)
+    fnum = F.col("r_num").cast("double")
+    fdx = F.col("r_den_x").cast("double")
+    fdy = F.col("r_den_y").cast("double")
+    return d.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "frame_n",
+        "r_num",
+        "r_den_x",
+        "r_den_y",
+        F.when(ok, (fnum / fdx) * (fnum / fdy)).alias("r2"),
+        F.when(ok, fnum / F.sqrt(fdx * fdy)).alias("r"),
+    ).orderBy("event_id")

@@ -585,6 +585,12 @@ def test_w13_a18_plan_shapes(spark, sf_smoke):
     assert p13.count("hashpartitioning") == 1, "w13: one user-keyed exchange"
     assert p13.count("+- Window") == 1, "w13: all five sums in one Window pass"
 
+    # w14 adds Syy to the same shape: still ONE Window pass, one exchange
+    p14 = plan_str(reg["w14_rolling_correlation"].fn(spark, sf_smoke))
+    assert "Join" not in p14, "w14 must not join"
+    assert p14.count("hashpartitioning") == 1, "w14: one user-keyed exchange"
+    assert p14.count("+- Window") == 1, "w14: all six sums in one Window pass"
+
     p18 = plan_str(reg["a18_weighted_trimmed_mean"].fn(spark, sf_smoke))
     assert "Join" not in p18, "a18 must not join"
     assert "HashAggregate" in p18
@@ -605,3 +611,15 @@ def test_x46_plan_shape(spark, sf_smoke):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "BroadcastHashJoin" in p, "x46: prefix join must broadcast"
     assert "Scan ExistingRDD" in p, "x46 must reuse the pinned bigram rows"
+
+
+def test_a20_plan_shape(spark, sf_smoke):
+    """a20: the corpus collapses in ONE partial-aggregated exchange to five
+    power sums per group — no histogram rows, no join, no window; the
+    128-bit moment combination runs over group-cardinality scalars."""
+    reg = load_all()
+    p = plan_str(reg["a20_weighted_skew_kurtosis"].fn(spark, sf_smoke))
+    assert "Join" not in p, "a20 must not join"
+    assert "Window" not in p, "a20 needs no window"
+    assert "HashAggregate" in p
+    assert p.count("hashpartitioning") == 1, "a20: one group-keyed exchange"

@@ -729,6 +729,64 @@ def test_w13_slope_matches_python_ols(spark, sf_dir):
     assert n_checked > 0
 
 
+def test_w14_correlation_matches_python_frames(spark, sf_dir):
+    """w14's integer terms must equal a naive per-user Python Pearson pass
+    over the same trailing 7-event frame — num/dx/dy bit-exact as
+    integers, r²/r via the IDENTICAL IEEE op sequence ((num/dx)*(num/dy);
+    num/sqrt(dx*dy)) so the floats are bit-equal too. Also pins the
+    <2^53 exactness precondition on the fixture."""
+    import math
+    from datetime import timezone
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+    from ez_cdc_spark.queries.windows import _W13_EPOCH0
+
+    got = {
+        r["event_id"]: (
+            r["frame_n"], r["r_num"], r["r_den_x"], r["r_den_y"], r["r2"], r["r"]
+        )
+        for r in load_all()["w14_rolling_correlation"].fn(spark, sf_dir).collect()
+    }
+    per_user: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        x = int(r["ts"].replace(microsecond=0, tzinfo=timezone.utc).timestamp()) - _W13_EPOCH0
+        y = int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], x, y))
+    n_checked = 0
+    for rows in per_user.values():
+        rows.sort(key=lambda t4: (t4[0], t4[1]))
+        for i, (_, eid, _, _) in enumerate(rows):
+            frame = rows[max(0, i - 6) : i + 1]
+            n = len(frame)
+            if n < 5:
+                assert eid not in got
+                continue
+            sx = sum(f[2] for f in frame)
+            sy = sum(f[3] for f in frame)
+            sxy = sum(f[2] * f[3] for f in frame)
+            sxx = sum(f[2] * f[2] for f in frame)
+            syy = sum(f[3] * f[3] for f in frame)
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            # the exactness precondition the doc claims for this fixture
+            assert max(abs(num), dx, dy) < 2**53
+            if dx > 0 and dy > 0:
+                r2 = (num / dx) * (num / dy)
+                rr = num / math.sqrt(float(dx) * float(dy))
+            else:
+                r2 = rr = None
+            assert got[eid] == (n, num, dx, dy, r2, rr), eid
+            n_checked += 1
+    assert n_checked > 0
+
+
 def test_a18_weighted_trim_matches_python_walk(spark, sf_dir):
     """a18's interval-intersection trimming must equal the naive form: sort
     the group's (value, weight) rows, walk cumulative weight, keep each
@@ -813,3 +871,58 @@ def test_a19_weighted_mad_matches_python_walk(spark, sf_dir):
             devs[d] = devs.get(d, 0) + w
         _, mad = wmedian(devs)
         assert got[flag] == (tot, med, mad), flag
+
+
+def test_a20_moments_match_python_exact(spark, sf_dir):
+    """a20's five power sums and 128-bit central-moment strings must equal
+    an arbitrary-precision Python replay (ints never overflow there), the
+    <2^53 exact-cast precondition must hold, and the floats must equal the
+    identical pinned IEEE op sequence."""
+    import math
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in load_all()["a20_weighted_skew_kurtosis"].fn(spark, sf_dir).collect()
+    }
+    acc: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        v = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")))
+        w = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100) // 100000
+        a = acc.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0])
+        a[0] += w
+        a[1] += w * v
+        a[2] += w * v * v
+        a[3] += w * v * v * v
+        a[4] += w * v * v * v * v
+    assert set(acc) == set(got)
+    for flag, (W, s1, s2, s3, s4) in acc.items():
+        g = got[flag]
+        assert (g["w_total"], g["s1"], g["s2"], g["s3"], g["s4"]) == (W, s1, s2, s3, s4)
+        assert max(W, abs(s1), s2, abs(s3), s4) < 2**53
+        m2 = W * s2 - s1 * s1
+        m3 = W * W * s3 - 3 * W * s1 * s2 + 2 * s1**3
+        m4 = W**3 * s4 - 4 * W * W * s1 * s3 + 6 * W * s1 * s1 * s2 - 3 * s1**4
+        assert (g["m2_exact"], g["m3_exact"], g["m4_exact"]) == (str(m2), str(m3), str(m4))
+        assert max(abs(m2), abs(m3), abs(m4)) < 10**38, "decimal38 headroom"
+        wd, s1d, s2d, s3d, s4d = float(W), float(s1), float(s2), float(s3), float(s4)
+        m2d = (wd * s2d) - (s1d * s1d)
+        m3d = ((wd * wd) * s3d) - (((3.0 * wd) * s1d) * s2d) + (2.0 * ((s1d * s1d) * s1d))
+        m4d = (
+            (((wd * wd) * wd) * s4d)
+            - (((4.0 * (wd * wd)) * s1d) * s3d)
+            + (((6.0 * wd) * (s1d * s1d)) * s2d)
+            - (3.0 * (((s1d * s1d) * s1d) * s1d))
+        )
+        if m2d > 0:
+            assert g["skew"] == m3d / (m2d * math.sqrt(m2d))
+            assert g["kurt_excess"] == ((m4d / m2d) / m2d) - 3.0
+        else:
+            assert g["skew"] is None and g["kurt_excess"] is None
