@@ -96,6 +96,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   weighted skew/kurtosis (one partial-agg exchange).
 EXTRA_QUERIES = [
     "w14_rolling_correlation",
+    "x47_holdout_with_floors",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

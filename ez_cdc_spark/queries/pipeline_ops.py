@@ -2032,3 +2032,86 @@ def x46_bigram_logprob(spark, sf_dir):
             "avg_logprob"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "x47_holdout_with_floors",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST({_o_phash("'holdout:' || CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT)
+           AS bucket
+  FROM documents
+), cnt AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hash
+  FROM b GROUP BY source
+), topup AS (
+  SELECT doc_id, source, bucket FROM (
+    SELECT p.doc_id, p.source, p.bucket, c.n_hash,
+           ROW_NUMBER() OVER (PARTITION BY p.source
+                              ORDER BY p.bucket, p.doc_id) AS rn
+    FROM b p JOIN cnt c USING (source)
+    WHERE p.bucket >= 10 AND c.n_hash < 5
+  ) WHERE rn <= 5 - n_hash
+)
+SELECT doc_id, source, bucket, 'hash' AS via FROM b WHERE bucket < 10
+UNION ALL
+SELECT doc_id, source, bucket, 'floor' AS via FROM topup
+ORDER BY doc_id
+""",
+    doc="X47: group-wise sampled holdout with per-source floors — the x28 × "
+    "x18 composition (r8 verdict task #7): the holdout is primarily the "
+    "deterministic map-side hash split (bucket = "
+    "portable_hash('holdout:'||doc_id) % 100 < 10 — content-stable, "
+    "growth-stable, nested under rate changes, salt-independent of "
+    "x7/x15/x28), but a bare hash split gives a tiny source ZERO eval "
+    "docs with probability 0.9^n — so every source is topped up to a "
+    "floor of 5 docs, drawn deterministically from its non-picked docs "
+    "closest to the cut line (ORDER BY bucket, doc_id). Scale shape: "
+    "the hash arm is zero-shuffle; the floor arm costs one SLIM "
+    "partial-aggregated count exchange, after which only DEFICIENT "
+    "sources (n_hash < floor — by construction sources with ~<= 50 "
+    "docs, plus vanishing-probability stragglers guarded by x18's "
+    "salt-local two-phase top-k) join back via BROADCAST and get "
+    "window-ranked; a mega-source never enters the window path at all. "
+    "Sources with fewer than 5 docs total holdout everything — "
+    "min(5, n_docs) is the floor invariant, 10×-stress-tested.",
+)
+def x47_holdout_with_floors(spark, sf_dir):
+    k, rate = 5, 10
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (_phash(F.concat(F.lit("holdout:"), F.col("doc_id").cast("string"))) % 100)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    hashpick = d.filter(F.col("bucket") < rate).withColumn("via", F.lit("hash"))
+    cnt = d.groupBy("source").agg(
+        F.sum(F.when(F.col("bucket") < rate, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hash")
+    )
+    defic = cnt.filter(F.col("n_hash") < k)
+    cand = d.filter(F.col("bucket") >= rate).join(F.broadcast(defic), "source")
+    # x18's salt-local two-phase top-k: phase 1 keeps <= 16k rows/source
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    w_local = Window.partitionBy("source", "salt").orderBy("bucket", "doc_id")
+    survivors = (
+        cand.withColumn("salt", salt)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)
+        .drop("lrk", "salt")
+    )
+    w_final = Window.partitionBy("source").orderBy("bucket", "doc_id")
+    topup = (
+        survivors.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k - F.col("n_hash"))
+        .select("doc_id", "source", "bucket", F.lit("floor").alias("via"))
+    )
+    return (
+        hashpick.select("doc_id", "source", "bucket", "via")
+        .unionByName(topup)
+        .orderBy("doc_id")
+    )

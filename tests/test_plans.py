@@ -623,3 +623,14 @@ def test_a20_plan_shape(spark, sf_smoke):
     assert "Window" not in p, "a20 needs no window"
     assert "HashAggregate" in p
     assert p.count("hashpartitioning") == 1, "a20: one group-keyed exchange"
+
+
+def test_x47_plan_shape(spark, sf_smoke):
+    """x47: the hash arm is map-side; the floor arm's deficient-source set
+    joins back via BROADCAST only (never SMJ), and the window ranking runs
+    behind the x18 salt-local two-phase guard."""
+    reg = load_all()
+    p = plan_str(reg["x47_holdout_with_floors"].fn(spark, sf_smoke))
+    assert "SortMergeJoin" not in p, "x47: deficient-source join must broadcast"
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -658,3 +658,49 @@ def test_x45_replicated_corpus_is_fully_covered(spark, r8b_10x_dir):
             assert r["dup_positions"] == r["n_tokens"] - 7, r
         else:
             assert r["covered_tokens"] == 0 and r["dup_positions"] == 0, r
+
+
+def test_x47_floor_invariant_at_10x(spark, sf_dir, r8b_10x_dir):
+    """x47's contract at 10x corpus: every source holds out at least
+    min(5, n_docs) docs, hash picks are exactly the bucket<10 set (stable
+    under growth — the sf0.01 picks survive verbatim among the replicas
+    whose doc_ids are unchanged, rep 0), and floor top-ups appear only for
+    deficient sources and only up to the deficit."""
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.sources.tables import load_table
+
+    reg = load_all()
+    out = reg["x47_holdout_with_floors"].fn(spark, r8b_10x_dir)
+    rows = out.collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    n_docs = {
+        r["source"]: r["n"]
+        for r in load_table(spark, r8b_10x_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_source) <= set(n_docs)
+    for src, n in n_docs.items():
+        picked = per_source.get(src, [])
+        assert len(picked) >= min(5, n), (src, len(picked), n)
+        n_hash = sum(1 for r in picked if r["via"] == "hash")
+        n_floor = sum(1 for r in picked if r["via"] == "floor")
+        if n_floor:
+            assert n_hash < 5 and n_hash + n_floor == min(
+                5, n_hash + n_floor
+            ) and n_hash + n_floor <= 5, (src, n_hash, n_floor)
+        assert all(r["bucket"] < 10 for r in picked if r["via"] == "hash")
+        assert all(r["bucket"] >= 10 for r in picked if r["via"] == "floor")
+    # growth stability: the sf0.01 hash picks (doc_id < 10M = rep 0) are a
+    # subset of the 10x picks with identical via='hash' buckets
+    small = {
+        r["doc_id"]: r["bucket"]
+        for r in reg["x47_holdout_with_floors"].fn(spark, sf_dir).collect()
+        if r["via"] == "hash"
+    }
+    big_hash = {r["doc_id"]: r["bucket"] for r in rows if r["via"] == "hash"}
+    for did, b in small.items():
+        assert big_hash.get(did) == b, did
