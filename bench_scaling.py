@@ -38,7 +38,8 @@ OPS = os.environ.get(
     "a1_pricing_summary,x1_exact_dedup,x2_minhash_lsh,x19_boilerplate_ngrams,"
     "x40_ngram_containment,x45_dup_span_coverage,x38_kmeans_clusters,"
     "x3b_blocked_topk,a16_portable_hll,w12_rolling_mad_outlier,a17_trimmed_mean,"
-    "w13_rolling_regression_slope,a18_weighted_trimmed_mean,j17_bloom_pruned_join",
+    "w13_rolling_regression_slope,a18_weighted_trimmed_mean,j17_bloom_pruned_join,"
+    "x46_bigram_logprob",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 
