@@ -97,6 +97,8 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 EXTRA_QUERIES = [
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
+    "w15_cusum_drift",
+    "x49_vocab_gini",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -2115,3 +2115,71 @@ def x47_holdout_with_floors(spark, sf_dir):
         .unionByName(topup)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x49_vocab_gini",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS w
+  FROM toks GROUP BY source, word
+), r AS (
+  SELECT source, w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY w, word)
+              AS BIGINT) AS rn
+  FROM h
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(w) AS BIGINT) AS n_tokens,
+       CAST(2 * SUM(rn * w) - (COUNT(*) + 1) * SUM(w) AS BIGINT) AS gini_num,
+       CAST(COUNT(*) * SUM(w) AS BIGINT) AS gini_den,
+       CAST(2 * SUM(rn * w) - (COUNT(*) + 1) * SUM(w) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(w) AS DOUBLE) AS gini
+FROM r GROUP BY source
+ORDER BY source
+""",
+    doc="X49: per-source vocabulary concentration (Gini coefficient of the "
+    "token-frequency distribution) — the 'is this source template spam?' "
+    "diagnostic: near-0 means tokens are used evenly (diverse prose), "
+    "near-1 means a handful of tokens dominate (boilerplate, log spew, "
+    "generated templates). Complements x42's coverage curve (how many "
+    "types cover the mass) with the standard single-number inequality "
+    "statistic, and x35's KL (who diverges from the corpus) with a "
+    "corpus-free per-source measure. Computed on the SORTED frequency "
+    "histogram via the exact rank form G = (2·Σ rk·w_k − (n+1)·W)/(n·W) "
+    "(ranks ascending by (count, token) — the word tiebreak makes the "
+    "rank total and both engines agree on it; tied counts in any order "
+    "give the same Σ rk·w_k since equal w factors out of consecutive "
+    "ranks... rendered deterministic anyway by the total order). Scale "
+    "shape: corpus collapses to the (source, word) histogram in one "
+    "partially-aggregated exchange; the rank window and final aggregate "
+    "touch VOCABULARY rows only (Heaps-law-bounded, never corpus-sized); "
+    "exact BIGINT num/den emitted beside ONE IEEE division.",
+)
+def x49_vocab_gini(spark, sf_dir):
+    from ez_cdc_spark.functions.text import words
+
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    toks = d.select("source", F.explode(words(F.col("text"))).alias("word"))
+    h = toks.groupBy("source", "word").agg(F.count("*").cast("bigint").alias("w"))
+    rw = Window.partitionBy("source").orderBy("w", "word")
+    r = h.select("source", "w", F.row_number().over(rw).cast("bigint").alias("rn"))
+    num = (2 * F.sum(F.col("rn") * F.col("w")) - (F.count("*") + 1) * F.sum("w")).cast(
+        "bigint"
+    )
+    den = (F.count("*") * F.sum("w")).cast("bigint")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("w").cast("bigint").alias("n_tokens"),
+            num.alias("gini_num"),
+            den.alias("gini_den"),
+            (num.cast("double") / den.cast("double")).alias("gini"),
+        )
+        .orderBy("source")
+    )

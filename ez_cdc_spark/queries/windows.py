@@ -845,3 +845,97 @@ def w14_rolling_correlation(spark, sf_dir):
         F.when(ok, (fnum / fdx) * (fnum / fdy)).alias("r2"),
         F.when(ok, fnum / F.sqrt(fdx * fdy)).alias("r"),
     ).orderBy("event_id")
+
+
+@register(
+    "w15_cusum_drift",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), base AS (
+  SELECT user_id, ts, event_id, cents,
+         FIRST_VALUE(cents) OVER w AS cfirst,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(cents) OVER w AS BIGINT) AS csum
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pre AS (
+  SELECT user_id, ts, event_id,
+         CAST(csum - rn * cfirst AS BIGINT) AS p
+  FROM base
+), run AS (
+  SELECT user_id, ts, event_id, p,
+         CAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS runmin
+  FROM pre
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(p - least(CAST(0 AS BIGINT), runmin) AS BIGINT) AS cusum_cents,
+       CAST(CASE WHEN p - least(CAST(0 AS BIGINT), runmin) >= 500000
+                 THEN 1 ELSE 0 END AS INT) AS is_drift
+FROM run
+ORDER BY event_id
+""",
+    doc="W15: per-user CUSUM drift statistic — the classic change-point "
+    "detector s_k = max(0, s_{k-1} + (c_k − c_first)) that flags a "
+    "SUSTAINED shift in a user's value level (w12 flags single outliers; "
+    "w11/t19 track the smoothed level; CUSUM accumulates small "
+    "persistent drifts none of them alert on). The recurrence is "
+    "nonlinear (the max(0,·) clamp), so it looks like a fold — but it "
+    "has a CLOSED WINDOW FORM: with d_i = c_i − c_first and prefix "
+    "P_k = Σd_i, s_k = P_k − min(0, min_{j<=k} P_j), because the clamp "
+    "just resets the best lower anchor. That identity turns the "
+    "order-sensitive fold into two plain window passes over ONE "
+    "user-keyed exchange (no HOF, no collected array, no "
+    "applyInPandasWithState) — the Spark-first shape: P_k itself avoids "
+    "a nested-window reference via P = cumsum(cents) − rn·cfirst, so "
+    "pass 1 computes first_value/row_number/cumsum in a single Window "
+    "node and pass 2 takes the running min (same partitioning and "
+    "ordering — Catalyst reuses the exchange AND the sort). All integer "
+    "cents; drift threshold 5000.00 is an exact integer compare; the "
+    "naive-recurrence equivalence is property-tested row-for-row.",
+)
+def w15_cusum_drift(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    c = e.select("user_id", "ts", "event_id", cents.alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.first("cents").over(w).alias("cfirst"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+        F.sum("cents").over(w).cast("bigint").alias("csum"),
+    )
+    pre = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("csum") - F.col("rn") * F.col("cfirst")).cast("bigint").alias("p"),
+    )
+    run = pre.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "p",
+        F.min("p").over(w).cast("bigint").alias("runmin"),
+    )
+    s = (F.col("p") - F.least(F.lit(0).cast("bigint"), F.col("runmin"))).cast("bigint")
+    return run.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        s.alias("cusum_cents"),
+        (s >= 500000).cast("int").alias("is_drift"),
+    ).orderBy("event_id")

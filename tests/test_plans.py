@@ -634,3 +634,24 @@ def test_x47_plan_shape(spark, sf_smoke):
     assert "SortMergeJoin" not in p, "x47: deficient-source join must broadcast"
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_w15_plan_shape(spark, sf_smoke):
+    """w15: the CUSUM closed form rides ONE user-keyed exchange; both window
+    passes share the partitioning AND ordering, so there is exactly one
+    Sort below them and no join anywhere."""
+    reg = load_all()
+    p = plan_str(reg["w15_cusum_drift"].fn(spark, sf_smoke))
+    assert "Join" not in p, "w15 must not join"
+    assert p.count("hashpartitioning") == 1, "w15: one user-keyed exchange"
+    assert p.count("+- Window") <= 2, "w15: at most two Window nodes"
+
+
+def test_x49_plan_shape(spark, sf_smoke):
+    """x49: one partial-agg exchange collapses the corpus to the
+    (source, word) histogram; the rank window and final agg touch
+    vocabulary rows only — no join anywhere."""
+    reg = load_all()
+    p = plan_str(reg["x49_vocab_gini"].fn(spark, sf_smoke))
+    assert "Join" not in p, "x49 must not join"
+    assert "HashAggregate" in p and "+- Window" in p

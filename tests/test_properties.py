@@ -926,3 +926,73 @@ def test_a20_moments_match_python_exact(spark, sf_dir):
             assert g["kurt_excess"] == ((m4d / m2d) / m2d) - 3.0
         else:
             assert g["skew"] is None and g["kurt_excess"] is None
+
+
+def test_w15_closed_form_equals_naive_recurrence(spark, sf_dir):
+    """The prefix-min identity behind w15 — s_k = P_k - min(0, min_j P_j)
+    == the naive clamped fold s = max(0, s + d) — must hold row-for-row
+    on the fixture (the whole correctness of the windowed formulation)."""
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["event_id"]: (r["cusum_cents"], r["is_drift"])
+        for r in load_all()["w15_cusum_drift"].fn(spark, sf_dir).collect()
+    }
+    per_user: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        c = int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], c))
+    n = 0
+    for rows in per_user.values():
+        rows.sort(key=lambda t3: (t3[0], t3[1]))
+        cfirst = rows[0][2]
+        s = 0
+        for _, eid, c in rows:
+            s = max(0, s + (c - cfirst))
+            assert got[eid] == (s, int(s >= 500000)), eid
+            n += 1
+    assert n == len(got) > 0
+
+
+def test_x49_gini_matches_python_and_bounds(spark, sf_dir):
+    """x49's exact rank-form terms must equal a Python replay over the same
+    tokenization; Gini stays in [0, 1); replicating every count k-fold
+    leaves the statistic EXACTLY unchanged (num/den both scale by k)."""
+    import re
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["source"]: r.asDict()
+        for r in load_all()["x49_vocab_gini"].fn(spark, sf_dir).collect()
+    }
+    hist: dict = {}
+    for r in load_t(spark, sf_dir, "documents").select("source", "text").collect():
+        h = hist.setdefault(r["source"], {})
+        for tok in re.split(r"\s+", r["text"]):
+            h[tok] = h.get(tok, 0) + 1
+    assert set(hist) == set(got)
+    for src, h in hist.items():
+        ranked = sorted(h.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ranked)
+        W = sum(w for _, w in ranked)
+        swr = sum((i + 1) * w for i, (_, w) in enumerate(ranked))
+        num, den = 2 * swr - (n + 1) * W, n * W
+        g = got[src]
+        assert (g["n_types"], g["n_tokens"], g["gini_num"], g["gini_den"]) == (
+            n, W, num, den,
+        )
+        assert g["gini"] == num / den
+        assert 0 <= g["gini"] < 1
+        # exact k-fold weight-scale invariance
+        k = 7
+        swr_k = sum((i + 1) * (w * k) for i, (_, w) in enumerate(ranked))
+        assert (2 * swr_k - (n + 1) * W * k) * den == num * (n * W * k)
