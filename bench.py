@@ -99,6 +99,8 @@ EXTRA_QUERIES = [
     "x47_holdout_with_floors",
     "w15_cusum_drift",
     "x49_vocab_gini",
+    "j18_range_anti_join",
+    "u8_cogroup_asof",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -691,3 +691,67 @@ def j17_bloom_pruned_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return df.orderBy("l_returnflag")
+
+
+@register(
+    "j18_range_anti_join",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(p.value AS DOUBLE) AS value
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'error'
+      AND e.ts >= p.ts - INTERVAL 5 MINUTES
+      AND e.ts <= p.ts
+  )
+ORDER BY p.event_id
+""",
+    doc="J18: range ANTI-join with NO equi key — purchases during a "
+    "system-wide quiet period (no error event, from ANY user, in the "
+    "preceding 5 minutes): the attribution/exclusion shape ('discard "
+    "conversions during incidents') whose naive plan is a broadcast-"
+    "nested-loop ANTI over |P|x|E| comparisons — the anti twin of J14's "
+    "problem, and worse, because Spark cannot even hash-partition a "
+    "NOT-EXISTS range predicate. Scale path: the MATCH set is computed "
+    "with J14's bin bucketing (bin width = window length 300 s, so each "
+    "purchase interval explodes to exactly 2 bins and each error maps "
+    "to 1; a hash equi-join on bin + residual range filter finds every "
+    "violating pair in O(|P|+|E|) shuffled rows), matched purchase ids "
+    "dedupe (one purchase can meet many errors), and the final step is "
+    "a plain equi LEFT ANTI on event_id. Cartesian-free plan-asserted; "
+    "bin edges truncate conservatively, the residual compares "
+    "full-precision timestamps (j14's discipline).",
+)
+def j18_range_anti_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    bin_s = 300
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    er = e.filter(F.col("event_type") == "error").select(F.col("ts").alias("ts_e"))
+    lo = F.floor((F.unix_timestamp("ts") - bin_s) / bin_s).cast("long")
+    hi = F.floor(F.unix_timestamp("ts") / bin_s).cast("long")
+    p_bins = p.select("event_id", "ts", F.explode(F.sequence(lo, hi)).alias("bin"))
+    e_bins = er.withColumn("bin", F.floor(F.unix_timestamp("ts_e") / bin_s).cast("long"))
+    matched = (
+        p_bins.join(e_bins, "bin")
+        .filter(
+            (F.col("ts_e") >= F.col("ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("ts_e") <= F.col("ts"))
+        )
+        .select("event_id")
+        .distinct()
+    )
+    return (
+        p.join(matched, "event_id", "leftanti")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy("event_id")
+    )

@@ -168,3 +168,44 @@ def o2b_limit_offset(spark, sf_dir):
         .offset(20)
         .limit(10)
     )
+
+
+@register(
+    "o6_intersect_all_bag",
+    oracle="""
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT o_custkey AS k FROM orders
+    WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders
+    WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31')
+GROUP BY k
+ORDER BY k
+""",
+    doc="O6: INTERSECT ALL — BAG semantics (o4's exceptAll twin, the one "
+    "multiset op the o-family still lacked): each customer's 1995 order "
+    "multiset intersected with their 1996 one keeps min(multiplicity) "
+    "copies per key — 'how many orders did the customer sustain "
+    "year-over-year', which set INTERSECT (one row per key) cannot "
+    "express. Verified at ROW level (per-key surviving multiplicities), "
+    "not just cardinality. Spark's intersectAll plans the same shape a "
+    "hand-written version would: per-side count aggregates joined on "
+    "key with a generate of least(n_a, n_b) — one exchange per side, "
+    "key-partitioned, no data-row window; the group-count on top folds "
+    "the generated rows straight back (Catalyst eliminates nothing "
+    "surprising; asserted cartesian-free).",
+)
+def o6_intersect_all_bag(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    y95 = o.filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31")).select(
+        F.col("o_custkey").alias("k")
+    )
+    y96 = o.filter(F.col("o_orderdate").between("1996-01-01", "1996-12-31")).select(
+        F.col("o_custkey").alias("k")
+    )
+    return (
+        y95.intersectAll(y96)
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("k")
+    )

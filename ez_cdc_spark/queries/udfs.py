@@ -236,3 +236,107 @@ def u7_map_in_arrow(spark, sf_dir):
         schema="vec_id bigint, n_dims int, q_sum bigint, q_min bigint, q_max bigint",
     )
     return out.orderBy("vec_id")
+
+
+@register(
+    "u8_cogroup_asof",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+       c.click_id AS r_event_id, CAST(c.value AS DOUBLE) AS r_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+    SELECT user_id, ts, max_by(event_id, event_id) AS click_id,
+           max_by(value, event_id) AS value
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+    doc="U8: FlatMapCoGroupsInPandas — the one pandas-UDF entry point the "
+    "U-family still lacked (u1-u5 scalar/grouped, u6 stateful, u7 "
+    "mapInArrow): groupBy(user).cogroup(groupBy(user)).applyInPandas "
+    "aligns BOTH sides of a key in one Python call, the escape hatch "
+    "for per-key merge logic no built-in join expresses. Exercised on "
+    "J8's as-of semantics (purchase ← latest prior click) so the custom "
+    "path is anchored by the SAME DuckDB ASOF JOIN oracle as the "
+    "engine's union+LOCF operator — two independent implementations, "
+    "one hash. Determinism discipline: timestamps cross the Arrow "
+    "boundary as unix_micros BIGINTs and the output string renders "
+    "Spark-side BEFORE the cogroup, so no pandas datetime/session-TZ "
+    "conversion can drift; the per-user scan is a vectorized numpy "
+    "searchsorted, not a Python row loop. Scale: one exchange per side "
+    "on the cogroup key; per-task memory is one user's rows (the same "
+    "contract as u6); tie-dedupe of the right side happens Spark-side "
+    "(max_by per (user, ts)) to keep the pandas step pure.",
+)
+def u8_cogroup_asof(spark, sf_dir):
+    import numpy as np
+
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("c_event_id"),
+            F.max_by("value", "event_id").alias("c_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("tus"),
+            "c_event_id",
+            F.col("c_value").cast("double").alias("c_value"),
+        )
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="Int64"),
+                    "user_id": pd.array([], dtype="Int64"),
+                    "pts": pd.array([], dtype=object),
+                    "r_event_id": pd.array([], dtype="Int64"),
+                    "r_value": pd.array([], dtype="float64"),
+                }
+            )
+        left = left.sort_values("tus", kind="mergesort")
+        right = right.sort_values("tus", kind="mergesort")
+        rt = right["tus"].to_numpy(dtype="int64", na_value=0)
+        lt = left["tus"].to_numpy(dtype="int64")
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        hit = idx >= 0
+        r_eid = pd.array(
+            [int(right["c_event_id"].iloc[i]) if h else None
+             for i, h in zip(idx, hit)],
+            dtype="Int64",
+        )
+        r_val = np.array(
+            [float(right["c_value"].iloc[i]) if h else np.nan
+             for i, h in zip(idx, hit)],
+            dtype="float64",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(dtype="int64"),
+                "user_id": left["user_id"].to_numpy(dtype="int64"),
+                "pts": left["pts"].to_numpy(dtype=object),
+                "r_event_id": r_eid,
+                "r_value": r_val,
+            }
+        )
+
+    out = (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="event_id bigint, user_id bigint, pts string, "
+            "r_event_id bigint, r_value double",
+        )
+    )
+    return out.orderBy("event_id")

@@ -655,3 +655,19 @@ def test_x49_plan_shape(spark, sf_smoke):
     p = plan_str(reg["x49_vocab_gini"].fn(spark, sf_smoke))
     assert "Join" not in p, "x49 must not join"
     assert "HashAggregate" in p and "+- Window" in p
+
+
+def test_j18_plan_shape(spark, sf_smoke):
+    """j18: the keyless range anti-join must never plan a cartesian or
+    broadcast-nested-loop — the match set is a bin equi-join and the anti
+    step is an equi anti on event_id."""
+    reg = load_all()
+    p = plan_str(reg["j18_range_anti_join"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "LeftAnti" in p, "j18 must end in an equi left anti"
+
+
+def test_o6_plan_shape(spark, sf_smoke):
+    reg = load_all()
+    p = plan_str(reg["o6_intersect_all_bag"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

@@ -996,3 +996,50 @@ def test_x49_gini_matches_python_and_bounds(spark, sf_dir):
         k = 7
         swr_k = sum((i + 1) * (w * k) for i, (_, w) in enumerate(ranked))
         assert (2 * swr_k - (n + 1) * W * k) * den == num * (n * W * k)
+
+
+def test_j18_matches_python_interval_check(spark, sf_dir):
+    """j18's bin-bucketed match set must equal the naive quadratic check:
+    a purchase survives iff no error timestamp falls in [p.ts - 300 s,
+    p.ts] (whole-second semantics matching unix_timestamp's floor)."""
+    import bisect
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["event_id"] for r in load_all()["j18_range_anti_join"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts")
+        .collect()
+    )
+    errors = sorted(r["ts"] for r in ev if r["event_type"] == "error")
+    import datetime
+
+    expect = set()
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        lo = r["ts"] - datetime.timedelta(seconds=300)
+        i = bisect.bisect_left(errors, lo)
+        clean = not (i < len(errors) and errors[i] <= r["ts"])
+        if clean:
+            expect.add(r["event_id"])
+    assert got == expect and len(got) > 0
+    n_purch = sum(1 for r in ev if r["event_type"] == "purchase")
+    assert len(got) < n_purch, "some purchases must actually be excluded"
+
+
+def test_u8_cogroup_asof_equals_j8_operator(spark, sf_dir):
+    """u8 (cogrouped-pandas as-of) and j8 (union+LOCF window as-of) are
+    independent implementations of the same semantics and share one DuckDB
+    oracle — they must agree row-for-row, including NULL misses."""
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    u = [tuple(r) for r in reg["u8_cogroup_asof"].fn(spark, sf_dir).collect()]
+    j = [tuple(r) for r in reg["j8_asof_join"].fn(spark, sf_dir).collect()]
+    assert u == j and len(u) > 0
+    assert any(r[3] is None for r in u), "fixture must exercise the miss path"
