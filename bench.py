@@ -101,6 +101,8 @@ EXTRA_QUERIES = [
     "x49_vocab_gini",
     "j18_range_anti_join",
     "u8_cogroup_asof",
+    "t21_streaming_minhash",
+    "x48_dedup_dashboard",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

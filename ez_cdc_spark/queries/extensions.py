@@ -1681,3 +1681,99 @@ def x44_incremental_assign(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "x48_dedup_dashboard",
+    oracle="WITH "
+    + _x2_pair_ctes()
+    + """, nd AS (
+  SELECT id_a AS doc_id FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b FROM pairs WHERE jaccard >= 0.5
+), eh AS (
+  SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS canon
+  FROM documents GROUP BY 1
+), f AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         CASE WHEN e.n > 1 AND d.doc_id != e.canon THEN 1 ELSE 0 END AS is_copy,
+         CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near
+  FROM documents d
+  JOIN eh e ON md5(d.text) = e.h
+  LEFT JOIN nd i ON i.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_copy) AS BIGINT) AS n_exact_copies,
+       CAST(SUM(is_copy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+       CAST(SUM(is_near) AS BIGINT) AS n_neardup_docs,
+       CAST(SUM(is_near) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS neardup_rate,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+FROM f GROUP BY source
+ORDER BY source
+""",
+    doc="X48: per-source dedup-rate dashboard (the SURVEY round-9 "
+    "candidate) — the curation monitoring aggregate an operator reads "
+    "before deciding which sources to downweight: per source, exact-copy "
+    "count/rate (corpus-wide md5 groups, non-canonical copies attributed "
+    "to the source that contributed them — x1's canonical-min rule), "
+    "near-dup exposure count/rate (docs appearing in ANY x2 candidate "
+    "pair at jaccard >= 0.5 — the SAME memoized pair set x11/x24/x36/x37 "
+    "consume, so the dashboard is consistent with the dedup pipeline it "
+    "monitors and costs no new pair-gen), and size mass (sum/mean "
+    "chars). Scale: one slim md5-keyed exchange for the exact groups, "
+    "the pair-set's ids collapse to a distinct broadcast-sized flag "
+    "table (near-dup survivors are a vanishing corpus fraction; if a "
+    "corpus breaks that, flip the flag join to a shuffle — semantics "
+    "unchanged), one partial-agg source exchange on top. Rates are "
+    "single IEEE divisions of bigint-cast doubles. The exact-copy arm "
+    "is an honest 0 on this fixture (no byte-identical texts at sf0.01 "
+    "— the near-dup columns carry the discrimination).",
+)
+def x48_dedup_dashboard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    eh = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("canon"))
+    )
+    nd = (
+        _shared_neardup_pairs(spark, sf_dir)
+        .select(F.col("id_a").alias("doc_id"))
+        .union(_shared_neardup_pairs(spark, sf_dir).select(F.col("id_b")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    f = (
+        d.withColumn("h", F.md5("text"))
+        .join(eh, "h")
+        .join(F.broadcast(nd), "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            F.when((F.col("n") > 1) & (F.col("doc_id") != F.col("canon")), 1)
+            .otherwise(0)
+            .alias("is_copy"),
+            F.coalesce(F.col("is_near"), F.lit(0)).alias("is_near"),
+        )
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_copy").cast("bigint").alias("n_exact_copies"),
+            (F.sum("is_copy").cast("double") / F.count("*").cast("double")).alias(
+                "exact_dup_rate"
+            ),
+            F.sum("is_near").cast("bigint").alias("n_neardup_docs"),
+            (F.sum("is_near").cast("double") / F.count("*").cast("double")).alias(
+                "neardup_rate"
+            ),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*").cast("double")).alias(
+                "mean_chars"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1145,3 +1145,89 @@ def t20_streaming_hll(spark, sf_dir):
             / (F.col("z_scaled") * F.lit(10000000)).cast("double")
         ).alias("hll_estimate"),
     ).orderBy("grp")
+
+
+def _t21_oracle_sql(num_hashes: int = 16) -> str:
+    from ez_cdc_spark.operators.dedup import _P, perm_coeff_ints
+
+    mins = ",\n         ".join(
+        f"CAST(MIN(({a} * hp + {b}) % {_P}) AS BIGINT) AS s{j}"
+        for j, (a, b) in ((j, perm_coeff_ints(j)) for j in range(num_hashes))
+    )
+    slots = ", ".join(str(j) for j in range(num_hashes))
+    sigs = ", ".join(f"s{j}" for j in range(num_hashes))
+    return rf"""
+WITH w AS (
+  SELECT lang, regexp_split_to_array(text, '\s+') AS ws FROM documents
+), g AS (
+  SELECT lang,
+         CASE WHEN len(ws) >= 3 THEN list_transform(
+                generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+), h AS (
+  SELECT lang,
+         unnest(list_distinct(list_transform(grams,
+             s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)))) AS hv
+  FROM g
+), hp AS (
+  SELECT lang, hv % {_P} AS hp FROM h
+), m AS (
+  SELECT lang,
+         {mins}
+  FROM hp GROUP BY lang
+)
+SELECT lang, CAST(unnest([{slots}]) AS BIGINT) AS slot,
+       unnest([{sigs}]) AS sig
+FROM m
+ORDER BY lang, slot
+"""
+
+
+@register(
+    "t21_streaming_minhash",
+    oracle=_t21_oracle_sql(),
+    doc="T21: per-language MinHash sketch maintained as STREAMING state — "
+    "the always-on near-dup/similarity index feeder (x2's signature "
+    "construction meets t20's register insight): each arriving document "
+    "computes its 16-slot signature MAP-SIDE (x2's portable md5 shingle "
+    "hashes + the SAME affine-permutation literals, so the sketch is "
+    "bit-compatible with the batch LSH pipeline), explodes to (lang, "
+    "slot, sig) rows, and the stream reduces by groupBy(lang, slot)."
+    "min(sig) — the MinHash merge IS min-per-slot (union of shingle "
+    "sets = elementwise min of signatures), so this is a PLAIN "
+    "streaming aggregation with update-mode emissions MONOTONE "
+    "downward; the finishing pass's min over all emissions equals the "
+    "final register exactly like t20's max-merge. State is bounded at "
+    "langs × 16 rows — input-size-free; the exchange carries per-batch "
+    "partial mins only. Oracle: min over ALL of a language's shingle "
+    "hashes per permutation (associativity of min: min over docs of "
+    "per-doc mins == min over the union), identical literals.",
+)
+def t21_streaming_minhash(spark, sf_dir):
+    from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
+    from ez_cdc_spark.streaming.replay import DOCS_REPLAY_SCHEMA, documents_parquet
+
+    # one file per micro-batch: the register state provably accumulates
+    # ACROSS batches (t20's rig; safe because min-merge is order-free)
+    docs = (
+        spark.readStream.schema(DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documents_parquet(spark, sf_dir))
+    )
+    sig = minhash_signature(
+        shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True),
+        num_hashes=16,
+    )
+    rows = docs.select("lang", F.posexplode(sig).alias("slot", "sig")).filter(
+        F.col("sig").isNotNull()
+    )
+    regs = rows.groupBy("lang", "slot").agg(F.min("sig").alias("sig"))
+    emitted = run_to_memory(regs, "t21_streaming_minhash", output_mode="update")
+    return (
+        emitted.groupBy("lang", "slot")
+        .agg(F.min("sig").cast("bigint").alias("sig"))
+        .select("lang", F.col("slot").cast("bigint").alias("slot"), "sig")
+        .orderBy("lang", "slot")
+    )

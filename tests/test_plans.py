@@ -671,3 +671,12 @@ def test_o6_plan_shape(spark, sf_smoke):
     reg = load_all()
     p = plan_str(reg["o6_intersect_all_bag"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_x48_plan_shape(spark, sf_smoke):
+    """x48: the near-dup flag table broadcasts; no cartesian; the exact
+    groups ride one md5-keyed exchange."""
+    reg = load_all()
+    p = plan_str(reg["x48_dedup_dashboard"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p, "x48: flag join must broadcast"

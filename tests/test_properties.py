@@ -1043,3 +1043,24 @@ def test_u8_cogroup_asof_equals_j8_operator(spark, sf_dir):
     j = [tuple(r) for r in reg["j8_asof_join"].fn(spark, sf_dir).collect()]
     assert u == j and len(u) > 0
     assert any(r[3] is None for r in u), "fixture must exercise the miss path"
+
+
+def test_x48_consistent_with_pair_set_and_corpus(spark, sf_dir):
+    """x48's dashboard arithmetic must reconcile with its inputs: per-source
+    doc counts sum to the corpus, near-dup counts sum to the distinct ids
+    of the shared x2 pair set (jaccard >= 0.5), and every rate equals its
+    count pair."""
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.extensions import _shared_neardup_pairs
+    from ez_cdc_spark.sources.tables import load_table
+
+    rows = load_all()["x48_dedup_dashboard"].fn(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    pairs = _shared_neardup_pairs(spark, sf_dir).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert sum(r["n_neardup_docs"] for r in rows) == len(ids) > 0
+    for r in rows:
+        assert r["exact_dup_rate"] == r["n_exact_copies"] / r["n_docs"]
+        assert r["neardup_rate"] == r["n_neardup_docs"] / r["n_docs"]
+        assert r["mean_chars"] == r["sum_chars"] / r["n_docs"]

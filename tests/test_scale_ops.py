@@ -598,3 +598,74 @@ def test_t20_replay_layout_forces_cross_batch_registers(spark, sf_smoke):
         per_stage.append(set(rows))
     shared = per_stage[0] & per_stage[1]
     assert shared, "no register spans batches — state round-trip untested"
+
+
+def test_t21_minhash_registers_accumulate_across_batches(spark, sf_dir, tmp_path):
+    """t21's cross-batch contract: with one file per micro-batch the
+    per-(lang, slot) register must reach its final value only via min-merge
+    ACROSS batches — replaying the same stream to a parquet sink and
+    folding each batch's update emissions with min must equal both the
+    registered query's output and a batch-side recomputation, and the run
+    must actually span multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.sources.tables import load_table
+    from ez_cdc_spark.streaming.replay import DOCS_REPLAY_SCHEMA, documents_parquet
+
+    out = str(tmp_path / "emissions")
+    docs = (
+        spark.readStream.schema(DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documents_parquet(spark, sf_dir))
+    )
+    sig = minhash_signature(
+        shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True),
+        num_hashes=16,
+    )
+    regs = (
+        docs.select("lang", F.posexplode(sig).alias("slot", "sig"))
+        .filter(F.col("sig").isNotNull())
+        .groupBy("lang", "slot")
+        .agg(F.min("sig").alias("sig"))
+    )
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "replay must span multiple micro-batches"
+
+    folded = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("lang", "slot")
+        .agg(F.min("sig").cast("bigint").alias("sig"))
+        .select("lang", F.col("slot").cast("bigint"), "sig")
+        .collect()
+    )
+    reg_out = sorted(
+        tuple(r)
+        for r in load_all()["t21_streaming_minhash"].fn(spark, sf_dir).collect()
+    )
+    assert folded == reg_out and len(folded) > 0
+
+    batch_sig = minhash_signature(
+        shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True),
+        num_hashes=16,
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang", F.posexplode(batch_sig).alias("slot", "sig"))
+        .filter(F.col("sig").isNotNull())
+        .groupBy("lang", "slot")
+        .agg(F.min("sig").cast("bigint").alias("sig"))
+        .select("lang", F.col("slot").cast("bigint"), "sig")
+        .collect()
+    )
+    assert folded == batch
