@@ -103,6 +103,8 @@ EXTRA_QUERIES = [
     "u8_cogroup_asof",
     "t21_streaming_minhash",
     "x48_dedup_dashboard",
+    "x53_minhash_calibration",
+    "w16_rolling_distinct",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

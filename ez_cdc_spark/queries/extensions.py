@@ -1777,3 +1777,73 @@ def x48_dedup_dashboard(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x53_minhash_calibration",
+    oracle="WITH "
+    + _x2_pair_ctes()
+    + """
+SELECT p.id_a, p.id_b,
+       CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+         AS BIGINT) AS match_slots,
+       CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+         AS DOUBLE) / 64 AS est_jaccard,
+       p.jaccard AS exact_jaccard
+FROM pairs p
+JOIN s a ON a.doc_id = p.id_a
+JOIN s b ON b.doc_id = p.id_b
+WHERE p.jaccard >= 0.5
+ORDER BY p.id_a, p.id_b
+""",
+    doc="X53: MinHash estimator calibration — per x2 candidate pair, the "
+    "sketch's OWN similarity estimate (matching signature slots / 64; "
+    "E[match/k] = true Jaccard is the MinHash theorem) beside the exact "
+    "Jaccard over the raw shingle-hash sets: the 'can I trust the "
+    "sketch on THIS corpus' diagnostic that tells an operator whether "
+    "64 permutations suffice before they run sketch-only dedup at full "
+    "scale (stddev ≈ sqrt(J(1−J)/64) ≈ 0.06 at J=0.5 — the property "
+    "test pins the observed error inside a 3σ envelope). Population = "
+    "the memoized jaccard >= 0.5 pair set (the pairs the dedup pipeline "
+    "ACTS on — the right place to measure trust; the oracle applies the "
+    "same threshold explicitly). Same signature construction and "
+    "identical permutation literals as x2/t21; the slot-match count is "
+    "an exact integer HOF fold "
+    "(zip_with + aggregate, JVM-side), est = ONE IEEE division by the "
+    "exact constant 64. Scale: pairs are the LSH candidate set (never "
+    "all-pairs); each pair joins two signature rows — 64-int arrays, "
+    "slim — on doc_id.",
+)
+def x53_minhash_calibration(spark, sf_dir):
+    from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
+
+    d = t(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        minhash_signature(
+            shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True),
+            num_hashes=64,
+        ).alias("sig"),
+    )
+    pairs = _shared_neardup_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    match = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            match.alias("match_slots"),
+            (match.cast("double") / F.lit(64)).alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

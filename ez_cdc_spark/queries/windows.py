@@ -939,3 +939,45 @@ def w15_cusum_drift(spark, sf_dir):
         s.alias("cusum_cents"),
         (s >= 500000).cast("int").alias("is_drift"),
     ).orderBy("event_id")
+
+
+@register(
+    "w16_rolling_distinct",
+    oracle="""
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT)
+         AS n_distinct_types,
+       CAST(len(list(event_type) OVER w) AS BIGINT) AS frame_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    doc="W16: rolling DISTINCT count — how many distinct event types a "
+    "user's trailing 7-event frame touches (the behavioral-diversity "
+    "signal: 1 = repetitive/bot-like, 5 = exploring): COUNT(DISTINCT) "
+    "is the one aggregate SQL window frames famously refuse "
+    "(non-decomposable over sliding frames), so engines either "
+    "re-aggregate per frame or punt; here the frame is a bounded "
+    "collect_list over w12's machinery and the dedup is a JVM HOF "
+    "(array_distinct + size) — per-row cost O(frame), exact, no "
+    "approximation, and the whole thing rides the standard ONE "
+    "user-keyed exchange with a single Window node (plan-asserted). At "
+    "100 TB the frame bound (7) is the contract: state per row is the "
+    "frame array, never the user's history.",
+)
+def w16_rolling_distinct(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.collect_list("event_type").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.size(F.array_distinct(frame)).cast("bigint").alias("n_distinct_types"),
+        F.size(frame).cast("bigint").alias("frame_n"),
+    ).orderBy("event_id")

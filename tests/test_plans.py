@@ -680,3 +680,14 @@ def test_x48_plan_shape(spark, sf_smoke):
     p = plan_str(reg["x48_dedup_dashboard"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "BroadcastHashJoin" in p, "x48: flag join must broadcast"
+
+
+def test_w16_x53_plan_shapes(spark, sf_smoke):
+    """w16: one user-keyed exchange, one Window node, no join. x53: pair
+    rows join slim signature rows — no cartesian."""
+    reg = load_all()
+    p16 = plan_str(reg["w16_rolling_distinct"].fn(spark, sf_smoke))
+    assert "Join" not in p16 and p16.count("hashpartitioning") == 1
+    assert p16.count("+- Window") == 1
+    p53 = plan_str(reg["x53_minhash_calibration"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p53 and "BroadcastNestedLoop" not in p53

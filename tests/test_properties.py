@@ -1064,3 +1064,40 @@ def test_x48_consistent_with_pair_set_and_corpus(spark, sf_dir):
         assert r["exact_dup_rate"] == r["n_exact_copies"] / r["n_docs"]
         assert r["neardup_rate"] == r["n_neardup_docs"] / r["n_docs"]
         assert r["mean_chars"] == r["sum_chars"] / r["n_docs"]
+
+
+def test_x53_estimator_error_within_3sigma(spark, sf_dir):
+    """x53's MinHash-theorem envelope: per pair, |est - exact| must stay
+    within 3*sqrt(J(1-J)/64) + the 4-dp rounding slack, and the exact
+    match count must equal a Python slot-by-slot comparison of
+    independently recomputed signatures."""
+    import hashlib
+    import math
+    import re
+
+    from ez_cdc_spark.operators.dedup import _P, perm_coeff_ints
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    rows = load_all()["x53_minhash_calibration"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    coeffs = [perm_coeff_ints(j) for j in range(64)]
+
+    def sig_of(text):
+        ws = re.split(r"\s+", text)
+        grams = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)] if len(ws) >= 3 else []
+        hs = {int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams}
+        hp = [h % _P for h in hs]
+        return [min(((a * h + b) % _P) for h in hp) for a, b in coeffs] if hp else None
+
+    for r in rows:
+        sa, sb = sig_of(texts[r["id_a"]]), sig_of(texts[r["id_b"]])
+        match = sum(1 for x, y in zip(sa, sb) if x == y)
+        assert r["match_slots"] == match, (r["id_a"], r["id_b"])
+        assert r["est_jaccard"] == match / 64
+        j = r["exact_jaccard"]
+        assert abs(r["est_jaccard"] - j) <= 3 * math.sqrt(j * (1 - j) / 64) + 0.05
