@@ -105,6 +105,8 @@ EXTRA_QUERIES = [
     "x48_dedup_dashboard",
     "x53_minhash_calibration",
     "w16_rolling_distinct",
+    "x55_cluster_size_histogram",
+    "s18_dynamic_partition_overwrite",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -1847,3 +1847,59 @@ def x53_minhash_calibration(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "x55_cluster_size_histogram",
+    oracle="WITH RECURSIVE "
+    + _x2_pair_ctes()
+    + r""",
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
+), n AS (SELECT DISTINCT src AS id FROM e),
+walk(id, lbl) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id
+), cc AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cc GROUP BY lbl)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sz GROUP BY cluster_size
+ORDER BY cluster_size
+""",
+    doc="X55: near-dup cluster-SIZE distribution — the capacity-planning "
+    "view of the dedup graph (x48 tells you WHICH sources are dirty; "
+    "x55 tells you the SHAPE of the duplication: many pairs, or a few "
+    "mega-clusters?): per cluster size, how many clusters, how many "
+    "docs they hold, and how many docs dedup would remove "
+    "(size−1 per cluster — the keep-one-canonical rule x24 applies). "
+    "Σ n_removable over rows IS the corpus's total dedup yield, and a "
+    "heavy tail here is the early warning that a boilerplate family is "
+    "collapsing into one giant component (the classic LSH failure "
+    "x19's band caps guard against). Reuses the session-memoized CC "
+    "labels (the Lloyd-style propagation paid once across "
+    "x11/x24/x36/x37/x55); two tiny aggregations over label rows — "
+    "nothing corpus-sized moves. Oracle: the SAME recursive-CTE "
+    "component labels as x11, re-aggregated.",
+)
+def x55_cluster_size_histogram(spark, sf_dir):
+    cc = _shared_neardup_cc(spark, sf_dir)
+    sz = cc.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("cluster_size"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -166,3 +166,59 @@ def p6_null_safe_eq(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "p7_null_semantics",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey,
+         NULLIF(o_orderstatus, 'O') AS status_n,
+         NULLIF(o_orderpriority, '3-MEDIUM') AS prio_n
+  FROM orders
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                   AS n_rows,
+  CAST(COUNT(status_n) AS BIGINT)                            AS n_status_nonnull,
+  CAST(SUM(CASE WHEN status_n IS DISTINCT FROM prio_n
+            THEN 1 ELSE 0 END) AS BIGINT)                    AS n_distinct_from,
+  CAST(SUM(CASE WHEN status_n IS NOT DISTINCT FROM NULL
+            THEN 1 ELSE 0 END) AS BIGINT)                    AS n_nullsafe_eq_null,
+  CAST(SUM(CASE WHEN status_n = prio_n THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_plain_eq,
+  CAST(SUM(CASE WHEN COALESCE(status_n, prio_n, 'both-null') = 'both-null'
+            THEN 1 ELSE 0 END) AS BIGINT)                    AS n_both_null
+FROM c
+""",
+    doc="P7: three-valued-logic predicate semantics — the NULL corner the "
+    "P-family's plain filters never touch, and a classic cross-engine "
+    "divergence trap: NULLIF manufactures NULLs from fixture columns, "
+    "then one aggregate row pins (a) IS DISTINCT FROM (null-safe "
+    "inequality: NULL vs 'x' counts as different, NULL vs NULL does "
+    "not), (b) Spark's <=> / eqNullSafe against a literal NULL ↔ "
+    "DuckDB's IS NOT DISTINCT FROM NULL, (c) plain `=` whose UNKNOWN "
+    "result makes the CASE fall through (the row where a naive "
+    "count('x = y') silently drops null pairs — counted here so the "
+    "difference n_distinct_from vs n_rows - n_plain_eq IS the "
+    "null-pair mass), and (d) COALESCE chain fallback. Pure map-side "
+    "single-pass aggregate; nothing but the final 1-row reduction.",
+)
+def p7_null_semantics(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    prio_n = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    c = o.select(status_n.alias("status_n"), prio_n.alias("prio_n"))
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    return c.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("status_n").cast("bigint").alias("n_status_nonnull"),
+        one(~F.col("status_n").eqNullSafe(F.col("prio_n"))).alias("n_distinct_from"),
+        one(F.col("status_n").eqNullSafe(F.lit(None).cast("string"))).alias(
+            "n_nullsafe_eq_null"
+        ),
+        one(F.col("status_n") == F.col("prio_n")).alias("n_plain_eq"),
+        one(
+            F.coalesce(F.col("status_n"), F.col("prio_n"), F.lit("both-null"))
+            == "both-null"
+        ).alias("n_both_null"),
+    )

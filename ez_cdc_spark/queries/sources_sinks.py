@@ -689,3 +689,66 @@ def s16_dpp_partition_prune(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s18_dynamic_partition_overwrite",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus AS status, o_orderkey, o_totalprice FROM orders
+), patched AS (
+  SELECT status, o_orderkey,
+         CASE WHEN status = 'F' THEN 0.0 ELSE o_totalprice END AS price,
+         CASE WHEN status = 'F' THEN 1 ELSE 0 END AS patched
+  FROM base
+  WHERE status != 'F' OR o_orderkey % 2 = 0
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MAX(patched) AS INT) AS is_patched
+FROM patched GROUP BY status
+ORDER BY status
+""",
+    doc="S18: DYNAMIC partition overwrite — the lakehouse INSERT OVERWRITE "
+    "semantics (partitionOverwriteMode=dynamic) the S-family's plain "
+    "sinks (s7 static layout) don't exercise: the initial write lays "
+    "out orders partitioned by status; a second overwrite-mode write "
+    "containing ONLY rows of partition 'F' (halved: even orderkeys, "
+    "price zeroed) must replace exactly that partition and leave every "
+    "other partition's files untouched — under the default STATIC mode "
+    "the same write would silently DELETE the other partitions (the "
+    "classic data-loss footgun this op pins). Conf is try/finally-"
+    "scoped (j17's discipline). The re-read aggregates per partition: "
+    "'F' shows the patched content, others the original. At 100 TB "
+    "this is the idempotent daily-partition backfill primitive: "
+    "rewrite one day without listing or touching the other 3,649.",
+)
+def s18_dynamic_partition_overwrite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"), "o_orderkey", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "s18dynow")
+    o.write.mode("overwrite").partitionBy("status").parquet(path)
+    patch = (
+        o.filter((F.col("status") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch.write.mode("overwrite").partitionBy("status").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.max((F.col("o_totalprice") == 0.0).cast("int")).cast("int").alias(
+                "is_patched"
+            ),
+        )
+        .orderBy("status")
+    )

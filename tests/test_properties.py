@@ -1101,3 +1101,68 @@ def test_x53_estimator_error_within_3sigma(spark, sf_dir):
         assert r["est_jaccard"] == match / 64
         j = r["exact_jaccard"]
         assert abs(r["est_jaccard"] - j) <= 3 * math.sqrt(j * (1 - j) / 64) + 0.05
+
+
+def test_x55_reconciles_with_x11_membership(spark, sf_dir):
+    """x55's histogram arithmetic must reconcile exactly with x11's cluster
+    assignment: doc totals, cluster totals, and the dedup-yield identity
+    sum(n_removable) == n_docs - n_clusters."""
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    hist = reg["x55_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    memb = reg["x11_neardup_clusters"].fn(spark, sf_dir).collect()
+    sizes: dict = {}
+    for r in memb:
+        sizes[r["cluster_id"]] = r["cluster_size"]
+    from collections import Counter
+
+    want = Counter(sizes.values())
+    got = {r["cluster_size"]: r["n_clusters"] for r in hist}
+    assert got == dict(want) and len(got) > 0
+    assert sum(r["n_docs"] for r in hist) == len(memb)
+    assert sum(r["n_removable"] for r in hist) == len(memb) - len(sizes)
+    for r in hist:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == (r["cluster_size"] - 1) * r["n_clusters"]
+
+
+def test_s18_dynamic_overwrite_touches_only_target_partition(spark, tmp_path):
+    """The property s18 exists to pin: under partitionOverwriteMode=dynamic,
+    an overwrite write containing only partition F replaces F and leaves
+    every other partition's FILES physically untouched (same paths, same
+    bytes) — under STATIC the same write would delete them."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, s, float(k)) for k in range(10) for s in ("A", "B", "F")],
+        "k INT, status STRING, v DOUBLE",
+    )
+    df.write.mode("overwrite").partitionBy("status").parquet(base)
+
+    def snap(part):
+        return sorted(
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(base, f"status={part}", "*.parquet"))
+        )
+
+    before_a, before_b = snap("A"), snap("B")
+    patch = spark.createDataFrame(
+        [(k, "F", -1.0) for k in range(3)], "k INT, status STRING, v DOUBLE"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch.write.mode("overwrite").partitionBy("status").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert snap("A") == before_a and snap("B") == before_b
+    back = spark.read.parquet(base)
+    assert back.filter(F.col("status") == "F").count() == 3
+    assert back.filter(F.col("status") == "A").count() == 10
+    got_f = {r["v"] for r in back.filter(F.col("status") == "F").collect()}
+    assert got_f == {-1.0}
