@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "w16_rolling_distinct",
     "x55_cluster_size_histogram",
     "s18_dynamic_partition_overwrite",
+    "t22_streaming_cusum",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -1231,3 +1231,109 @@ def t21_streaming_minhash(spark, sf_dir):
         .select("lang", F.col("slot").cast("bigint").alias("slot"), "sig")
         .orderBy("lang", "slot")
     )
+
+
+@register(
+    "t22_streaming_cusum",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), base AS (
+  SELECT user_id, ts, event_id, cents,
+         FIRST_VALUE(cents) OVER w AS cfirst,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(cents) OVER w AS BIGINT) AS csum
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pre AS (
+  SELECT user_id, rn, CAST(csum - rn * cfirst AS BIGINT) AS p FROM base
+), run AS (
+  SELECT user_id, rn, p,
+         CAST(MIN(p) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS runmin
+  FROM pre
+), s AS (
+  SELECT user_id, rn,
+         CAST(p - least(CAST(0 AS BIGINT), runmin) AS BIGINT) AS cusum
+  FROM run
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(arg_max(cusum, rn) AS BIGINT) AS final_cusum_cents,
+       CAST(MAX(cusum) AS BIGINT) AS peak_cusum_cents
+FROM s GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="T22: W15's CUSUM drift statistic as CROSS-MICRO-BATCH streaming "
+    "state — the always-on change-point monitor: per-user (started, "
+    "cfirst, s, peak, n) survives the state store; each batch folds its "
+    "rows in (ts, event_id) order through the naive clamped recurrence "
+    "s = max(0, s + (c − c_first)). Order-SENSITIVE like t19 (the clamp "
+    "is nonlinear), so the replay uses the TIME-ORDERED split; n grows "
+    "strictly so update-mode re-emissions collapse by max_by(·, n), and "
+    "peak is monotone so its max over emissions is the final peak. The "
+    "oracle is W15's CLOSED WINDOW FORM (prefix − running-min, arg_max "
+    "for the final row) — so the stateful streaming fold and the "
+    "windowed batch identity verify EACH OTHER through one hash: the "
+    "strongest cross-check in the T-family (t19 ships the same rig but "
+    "its oracle is the identical fold re-stated; here the oracle is a "
+    "structurally different formulation).",
+)
+def t22_streaming_cusum(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ez_cdc_spark.streaming.replay import events_parquet_time_split
+
+    path = events_parquet_time_split(spark, sf_dir)
+    rows = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            started, cfirst, s, peak, n = state.get
+        else:
+            started, cfirst, s, peak, n = False, 0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for c in pdf["cents"]:
+                c = int(c)
+                if not started:
+                    started, cfirst = True, c
+                s = max(0, s + (c - cfirst))
+                peak = max(peak, s)
+                n += 1
+        state.update((started, cfirst, s, peak, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cusum": [s], "peak": [peak]}
+        )
+
+    folded = rows.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id BIGINT, n BIGINT, cusum BIGINT, peak BIGINT",
+        stateStructType="started BOOLEAN, cfirst BIGINT, s BIGINT, peak BIGINT, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(folded, "t22_cusum", output_mode="update")
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max_by("cusum", "n").cast("bigint").alias("final_cusum_cents"),
+            F.max("peak").cast("bigint").alias("peak_cusum_cents"),
+        )
+        .orderBy("user_id")
+    )

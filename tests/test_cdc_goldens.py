@@ -1257,3 +1257,111 @@ def test_t18_windowed_topk_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir
         tuple(r) for r in counts_of(load_table(spark, sf_dir, "events")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_t22_cusum_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """t22 joins t19 in the ORDER-SENSITIVE recovery class: the clamped
+    CUSUM recurrence double-applies or reorders visibly if an interrupted
+    batch is not rolled back to the last committed state. Kill after >= 1
+    commit, restart on the same checkpoint, then the union of both runs'
+    emissions (collapsed by max n / monotone peak) must equal w15's
+    closed-form batch statistics exactly."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        events_parquet_time_split,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir, n_stages=8)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            started, cfirst, s, peak, n = state.get
+        else:
+            started, cfirst, s, peak, n = False, 0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for c in pdf["cents"]:
+                c = int(c)
+                if not started:
+                    started, cfirst = True, c
+                s = max(0, s + (c - cfirst))
+                peak = max(peak, s)
+                n += 1
+        state.update((started, cfirst, s, peak, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cusum": [s], "peak": [peak]}
+        )
+
+    def start():
+        rows = (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        folded = rows.groupBy("user_id").applyInPandasWithState(
+            fold,
+            outputStructType="user_id BIGINT, n BIGINT, cusum BIGINT, peak BIGINT",
+            stateStructType=(
+                "started BOOLEAN, cfirst BIGINT, s BIGINT, peak BIGINT, n BIGINT"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            folded.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max_by("cusum", "n").cast("bigint").alias("final_cusum_cents"),
+            F.max("peak").cast("bigint").alias("peak_cusum_cents"),
+        )
+        .collect()
+    )
+    # w15's closed form gives the per-row statistic; reduce it to the same
+    # per-user finals in the fold's (ts, event_id) order (ts_s string sorts
+    # chronologically at second precision; event_id breaks the ties)
+    w15 = load_all()["w15_cusum_drift"].fn(spark, sf_dir).collect()
+    per_user: dict = {}
+    for r in sorted(w15, key=lambda r: (r["user_id"], r["ts_s"], r["event_id"])):
+        u = per_user.setdefault(r["user_id"], [0, 0, 0])
+        u[0] += 1
+        u[1] = r["cusum_cents"]
+        u[2] = max(u[2], r["cusum_cents"])
+    want = sorted((uid, n, fin, pk) for uid, (n, fin, pk) in per_user.items())
+    assert got == want and len(got) > 0
