@@ -1819,15 +1819,28 @@ ORDER BY p.id_a, p.id_b
 def x53_minhash_calibration(spark, sf_dir):
     from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
 
-    d = t(spark, sf_dir, "documents")
-    sigs = d.select(
-        "doc_id",
-        minhash_signature(
-            shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True),
-            num_hashes=64,
-        ).alias("sig"),
-    )
     pairs = _shared_neardup_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    # Signatures ONLY for docs that appear in a pair (a vanishing corpus
+    # fraction) — a full-corpus signature pass here would redo x2's
+    # dominant cost for rows the join immediately drops. And the shingle
+    # hash array MUST materialize as a column before the signature
+    # consumes it: inlining minhash_signature(shingle_hashes(...)) makes
+    # every one of the 64 slot expressions re-evaluate the md5 shingle
+    # array per row (CollapseProject only guards aliases that exist), a
+    # 64x recompute measured at 166 s vs ~2 s at sf0.1.
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b")))
+        .distinct()
+    )
+    d = t(spark, sf_dir, "documents").join(ids, "doc_id", "leftsemi")
+    hs = d.select(
+        "doc_id",
+        shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True).alias("hs"),
+    )
+    sigs = hs.select(
+        "doc_id", minhash_signature(F.col("hs"), num_hashes=64).alias("sig")
+    )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     match = F.aggregate(

@@ -1216,11 +1216,15 @@ def t21_streaming_minhash(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(documents_parquet(spark, sf_dir))
     )
-    sig = minhash_signature(
-        shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True),
-        num_hashes=16,
+    # materialize the shingle hash array BEFORE the signature consumes it —
+    # inlining the two makes every slot expression re-evaluate the md5
+    # shingle array per row (the 16x recompute x53 measured; x2's shape)
+    hs = docs.select(
+        "lang",
+        shingle_hashes(F.split(F.col("text"), r"\s+"), 3, portable=True).alias("hs"),
     )
-    rows = docs.select("lang", F.posexplode(sig).alias("slot", "sig")).filter(
+    sig = minhash_signature(F.col("hs"), num_hashes=16)
+    rows = hs.select("lang", F.posexplode(sig).alias("slot", "sig")).filter(
         F.col("sig").isNotNull()
     )
     regs = rows.groupBy("lang", "slot").agg(F.min("sig").alias("sig"))
