@@ -93,7 +93,12 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   shuffle join (timed WITH its conf-scoped localCheckpoint
 #   materialization — the number includes the bloom build); r9: w14 the
 #   six-sum rolling correlation (w13's shape + Syy), a20 the five-power-sum
-#   weighted skew/kurtosis (one partial-agg exchange).
+#   weighted skew/kurtosis (one partial-agg exchange), plus the rest of the
+#   r9 additions. u8's number times the FlatMapCoGroupsInPandas entry point
+#   itself (~1500 per-group pandas calls + Arrow round trips — a bare no-op
+#   cogroup costs ~3-5 s of it); the JVM formulation of the same semantics
+#   is j8 (~0.5 s) — u8 exists to exercise and price the pandas path.
+#   t21/t22 time full 8-stage streaming replays.
 EXTRA_QUERIES = [
     "w14_rolling_correlation",
     "x47_holdout_with_floors",

@@ -310,16 +310,17 @@ def u8_cogroup_asof(spark, sf_dir):
         lt = left["tus"].to_numpy(dtype="int64")
         idx = np.searchsorted(rt, lt, side="right") - 1
         hit = idx >= 0
-        r_eid = pd.array(
-            [int(right["c_event_id"].iloc[i]) if h else None
-             for i, h in zip(idx, hit)],
-            dtype="Int64",
-        )
-        r_val = np.array(
-            [float(right["c_value"].iloc[i]) if h else np.nan
-             for i, h in zip(idx, hit)],
-            dtype="float64",
-        )
+        safe = np.clip(idx, 0, None)  # gather index; misses masked below
+        if len(rt):
+            eid_arr = right["c_event_id"].to_numpy(dtype="int64", na_value=0)
+            val_arr = right["c_value"].to_numpy(dtype="float64", na_value=np.nan)
+            eid_g, val_g = eid_arr[safe], val_arr[safe]
+        else:
+            eid_g = np.zeros(len(lt), dtype="int64")
+            val_g = np.full(len(lt), np.nan)
+        r_eid = pd.array(np.where(hit, eid_g, 0), dtype="Int64")
+        r_eid[~hit] = pd.NA
+        r_val = np.where(hit, val_g, np.nan)
         return pd.DataFrame(
             {
                 "event_id": left["event_id"].to_numpy(dtype="int64"),
