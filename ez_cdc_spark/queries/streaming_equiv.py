@@ -1209,11 +1209,13 @@ def t21_streaming_minhash(spark, sf_dir):
     from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
     from ez_cdc_spark.streaming.replay import DOCS_REPLAY_SCHEMA, documents_parquet
 
-    # one file per micro-batch: the register state provably accumulates
-    # ACROSS batches (t20's rig; safe because min-merge is order-free)
+    # two files per micro-batch (4 batches over the 8-file replay): the
+    # register state provably accumulates ACROSS batches (t20's rig; safe
+    # because min-merge is order-free) while halving the per-batch fixed
+    # cost the one-file layout test pays deliberately
     docs = (
         spark.readStream.schema(DOCS_REPLAY_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(documents_parquet(spark, sf_dir))
     )
     # materialize the shingle hash array BEFORE the signature consumes it —
