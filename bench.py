@@ -113,6 +113,8 @@ EXTRA_QUERIES = [
     "x55_cluster_size_histogram",
     "s18_dynamic_partition_overwrite",
     "t22_streaming_cusum",
+    "a21_weighted_correlation",
+    "x56_equidepth_bins",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

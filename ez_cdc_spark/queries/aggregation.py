@@ -1222,3 +1222,184 @@ def a20_weighted_skew_kurtosis(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a21_weighted_correlation",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           // 100000 AS w
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(SUM(w) AS BIGINT)         AS w_total,
+         CAST(SUM(w * x) AS BIGINT)     AS sx,
+         CAST(SUM(w * y) AS BIGINT)     AS sy,
+         CAST(SUM(w * x * y) AS BIGINT) AS sxy,
+         CAST(SUM(w * x * x) AS BIGINT) AS sxx,
+         CAST(SUM(w * y * y) AS BIGINT) AS syy
+  FROM c GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, w_total, sx, sy, sxy,
+         CAST(w_total * sxy - sx * sy AS BIGINT) AS cov_num,
+         CAST(w_total * sxx - sx * sx AS BIGINT) AS var_x,
+         CAST(w_total * syy - sy * sy AS BIGINT) AS var_y
+  FROM s
+)
+SELECT l_returnflag, w_total, cov_num, var_x, var_y,
+       CAST(cov_num AS DOUBLE)
+         / (CAST(w_total AS DOUBLE) * CAST(w_total AS DOUBLE)) AS wcov,
+       CASE WHEN var_x > 0 AND var_y > 0
+            THEN CAST(cov_num AS DOUBLE)
+                 / sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE))
+       END AS wcorr
+FROM d ORDER BY l_returnflag
+""",
+    doc="A21: grouped weighted covariance/correlation — a20's cross-moment "
+    "sibling (w14 gives the ROLLING unweighted form; a21 the GROUPED "
+    "weighted one): does quantity co-move with discount within a return "
+    "class, with each line weighted by its price mass (k$ units, a20's "
+    "scale-invariance knob)? Six exact BIGINT power sums in ONE "
+    "partial-aggregated exchange; cov_num = W·Σwxy − Σwx·Σwy and both "
+    "variance terms are exact BIGINTs (≤ ~1e17 at sf0.1 — inside int64, "
+    "beyond 2^53, so the float renders lean on the IEEE-mandated "
+    "round-to-nearest int64→double cast both engines share rather than "
+    "exact representability; the bigints themselves are the "
+    "discriminating columns); wcov = num/W² (cov in unit·pct per unit "
+    "weight²) and wcorr = num/sqrt(var_x·var_y), each a pinned-order "
+    "IEEE composition. NULL correlation for a degenerate group.",
+)
+def a21_weighted_correlation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity").cast("bigint")
+    y = (dec("l_discount") * 100).cast("bigint")
+    w = F.expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100000")
+    c = li.select("l_returnflag", x.alias("x"), y.alias("y"), w.alias("w"))
+    s = c.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.sum(F.col("w") * F.col("x")).cast("bigint").alias("sx"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("w_total") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("bigint")
+    vx = (F.col("w_total") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint")
+    vy = (F.col("w_total") * F.col("syy") - F.col("sy") * F.col("sy")).cast("bigint")
+    d = s.select(
+        "l_returnflag", "w_total",
+        num.alias("cov_num"), vx.alias("var_x"), vy.alias("var_y"),
+    )
+    ok = (F.col("var_x") > 0) & (F.col("var_y") > 0)
+    fnum = F.col("cov_num").cast("double")
+    fw = F.col("w_total").cast("double")
+    return d.select(
+        "l_returnflag",
+        "w_total",
+        "cov_num",
+        "var_x",
+        "var_y",
+        (fnum / (fw * fw)).alias("wcov"),
+        F.when(
+            ok,
+            fnum / F.sqrt(F.col("var_x").cast("double") * F.col("var_y").cast("double")),
+        ).alias("wcorr"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "x56_equidepth_bins",
+    oracle="""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), h AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY v
+), cum AS (
+  SELECT v, n,
+         CAST(SUM(n) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot
+  FROM h
+), b AS (
+  SELECT MIN(CASE WHEN cm * 8 >= 1 * tot THEN v END) AS b1,
+         MIN(CASE WHEN cm * 8 >= 2 * tot THEN v END) AS b2,
+         MIN(CASE WHEN cm * 8 >= 3 * tot THEN v END) AS b3,
+         MIN(CASE WHEN cm * 8 >= 4 * tot THEN v END) AS b4,
+         MIN(CASE WHEN cm * 8 >= 5 * tot THEN v END) AS b5,
+         MIN(CASE WHEN cm * 8 >= 6 * tot THEN v END) AS b6,
+         MIN(CASE WHEN cm * 8 >= 7 * tot THEN v END) AS b7
+  FROM cum
+), tagged AS (
+  SELECT h.v, h.n,
+         CAST((CASE WHEN h.v > b.b1 THEN 1 ELSE 0 END)
+            + (CASE WHEN h.v > b.b2 THEN 1 ELSE 0 END)
+            + (CASE WHEN h.v > b.b3 THEN 1 ELSE 0 END)
+            + (CASE WHEN h.v > b.b4 THEN 1 ELSE 0 END)
+            + (CASE WHEN h.v > b.b5 THEN 1 ELSE 0 END)
+            + (CASE WHEN h.v > b.b6 THEN 1 ELSE 0 END)
+            + (CASE WHEN h.v > b.b7 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+  FROM h, b
+)
+SELECT bucket,
+       CAST(MIN(v) AS BIGINT) AS lo_cents,
+       CAST(MAX(v) AS BIGINT) AS hi_cents,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM tagged GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="X56: equi-depth histogram (8 buckets over price cents) — a9's "
+    "single-percentile pick generalized to the full boundary vector, the "
+    "structure behind range-partition boundaries, skew diagnosis, and "
+    "optimizer-style column statistics. All seven boundaries come from "
+    "ONE conditional-min aggregate over the cumulated value histogram "
+    "(a15's exact integer cross-multiply cm·8 >= i·tot — no floats, no "
+    "percentile interpolation), the 1-row boundary table broadcast "
+    "cross-joins back to histogram rows, and bucket_id = Σ [v > b_i] "
+    "(strictly-greater so each boundary value closes its bucket: buckets "
+    "are [lo, b_1], (b_1, b_2], ...). Duplicates never split across "
+    "buckets (they share one histogram row), so depths are as equal as "
+    "the duplicate mass allows — the exact-tie behavior sketches fudge. "
+    "Scale: the corpus collapses ONCE to the value histogram; "
+    "everything after touches histogram rows only.",
+)
+def x56_equidepth_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    v = (dec("l_extendedprice") * 100).cast("bigint")
+    h = li.select(v.alias("v")).groupBy("v").agg(F.count("*").cast("bigint").alias("n"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = h.select(
+        "v",
+        "n",
+        F.sum("n").over(wc).cast("bigint").alias("cm"),
+        F.sum("n").over(wt).cast("bigint").alias("tot"),
+    )
+    b = cum.agg(
+        *[
+            F.min(F.when(F.col("cm") * 8 >= i * F.col("tot"), F.col("v"))).alias(
+                f"b{i}"
+            )
+            for i in range(1, 8)
+        ]
+    )
+    bucket = sum(
+        (F.col("v") > F.col(f"b{i}")).cast("int") for i in range(1, 8)
+    ).cast("bigint")
+    return (
+        h.crossJoin(F.broadcast(b))
+        .select("v", "n", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("v").cast("bigint").alias("lo_cents"),
+            F.max("v").cast("bigint").alias("hi_cents"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )

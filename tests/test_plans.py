@@ -691,3 +691,18 @@ def test_w16_x53_plan_shapes(spark, sf_smoke):
     assert p16.count("+- Window") == 1
     p53 = plan_str(reg["x53_minhash_calibration"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p53 and "BroadcastNestedLoop" not in p53
+
+
+def test_a21_x56_plan_shapes(spark, sf_smoke):
+    """a21: one partial-agg exchange, no join/window (a20's shape). x56:
+    histogram collapse first; the boundary table joins back via BROADCAST
+    only — no SMJ, nothing corpus-sized past the first aggregate."""
+    reg = load_all()
+    p21 = plan_str(reg["a21_weighted_correlation"].fn(spark, sf_smoke))
+    assert "Join" not in p21 and "Window" not in p21
+    assert p21.count("hashpartitioning") == 1, "a21: one group-keyed exchange"
+    p56 = plan_str(reg["x56_equidepth_bins"].fn(spark, sf_smoke))
+    assert "SortMergeJoin" not in p56
+    assert "BroadcastNestedLoop" in p56 or "BroadcastHashJoin" in p56, (
+        "x56: the 1-row boundary table must broadcast"
+    )

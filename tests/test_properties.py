@@ -1166,3 +1166,92 @@ def test_s18_dynamic_overwrite_touches_only_target_partition(spark, tmp_path):
     assert back.filter(F.col("status") == "A").count() == 10
     got_f = {r["v"] for r in back.filter(F.col("status") == "F").collect()}
     assert got_f == {-1.0}
+
+
+def test_a21_weighted_corr_matches_python_exact(spark, sf_dir):
+    """a21's six power sums and the cov/var bigints must equal an
+    arbitrary-precision Python replay; floats via the identical pinned IEEE
+    sequence (int->float uses Python's correctly-rounded conversion, the
+    same IEEE round-to-nearest the engines apply)."""
+    import math
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in load_all()["a21_weighted_correlation"].fn(spark, sf_dir).collect()
+    }
+    acc: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    ):
+        x = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")))
+        y = int(Decimal(str(r["l_discount"])).quantize(Decimal("0.01")) * 100)
+        w = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100) // 100000
+        a = acc.setdefault(r["l_returnflag"], [0] * 6)
+        a[0] += w
+        a[1] += w * x
+        a[2] += w * y
+        a[3] += w * x * y
+        a[4] += w * x * x
+        a[5] += w * y * y
+    for flag, (W, sx, sy, sxy, sxx, syy) in acc.items():
+        g = got[flag]
+        num = W * sxy - sx * sy
+        vx = W * sxx - sx * sx
+        vy = W * syy - sy * sy
+        assert (g["w_total"], g["cov_num"], g["var_x"], g["var_y"]) == (W, num, vx, vy)
+        assert g["wcov"] == float(num) / (float(W) * float(W))
+        if vx > 0 and vy > 0:
+            assert g["wcorr"] == float(num) / math.sqrt(float(vx) * float(vy))
+            assert -1.0 - 1e-9 <= g["wcorr"] <= 1.0 + 1e-9
+        else:
+            assert g["wcorr"] is None
+
+
+def test_x56_equidepth_invariants(spark, sf_dir):
+    """x56: buckets partition the corpus exactly (sum of depths == row
+    count, ranges contiguous and non-overlapping), every bucket's depth is
+    within one duplicate-group of the ideal tot/8, and the boundaries equal
+    a Python exact-quantile walk."""
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    rows = sorted(
+        load_all()["x56_equidepth_bins"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    vals = sorted(
+        int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100)
+        for r in load_t(spark, sf_dir, "lineitem").select("l_extendedprice").collect()
+    )
+    tot = len(vals)
+    assert sum(r["n_rows"] for r in rows) == tot
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] < b["lo_cents"], "ranges must not overlap"
+    # boundary check: b_i = min v with cum*8 >= i*tot
+    from collections import Counter
+
+    hist = sorted(Counter(vals).items())
+    bounds = []
+    for i in range(1, 8):
+        cm = 0
+        for v, n in hist:
+            cm += n
+            if cm * 8 >= i * tot:
+                bounds.append(v)
+                break
+    # bucket k closes at bound k (dedup: equal bounds collapse buckets)
+    for r in rows[:-1]:
+        assert r["hi_cents"] in bounds
+    # depth balance: each bucket within max-duplicate-mass of ideal
+    max_dup = max(n for _, n in hist)
+    for r in rows:
+        assert abs(r["n_rows"] - tot / 8) <= max_dup + tot / 8 * 0.5
