@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -66,22 +67,16 @@ _REATTEST: set[str] = {
     "x40_ngram_containment",
 }
 
-# Tie-break within the unattested group (driver attests ~50 entries/round):
-# negative floats to the front, positive yields its slot to the next round.
-# Round 9: the r8 rotation drained the j-set, x2d, and most of the r3
-# families; only 4 r3-vintage attestations remain (the tail that slipped
-# the r8 slot budget — r8 verdict "what's wrong" #3). After this round no
-# query's latest attestation should predate r4.
-_RANK: dict[str, int] = {
-    # last attested in CORRECTNESS_r03 (4 queries)
-    **{
-        name: -30
-        for name in (
-            "x10_corpus_pipeline", "x14_token_histogram",
-            "x15_shard_shuffle", "x16_snapshot_diff",
-        )
-    },
-}
+# Tie-break override (driver attests ~50 entries/round): explicit negative
+# ranks float a query ahead of everything; by default the ATTESTED group
+# orders by its latest attestation round (oldest first, derived from the
+# CORRECTNESS_r*.json files by _attested), so leftover slots drain the
+# stale backlog automatically — no more per-round hand lists (the r1-r3
+# lists this block carried through round 9 are retired; round 9 floated
+# the last r3-vintage tail x10/x14/x15/x16, after which the derived order
+# takes over: next in line are the r4 families, exactly the r8 verdict's
+# suggested rotation).
+_RANK: dict[str, int] = {}
 
 
 @dataclass
@@ -105,17 +100,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def _attested() -> set[str]:
-    """Query names already green in a past driver CORRECTNESS_r*.json run.
+def _attested() -> dict[str, int]:
+    """Latest green attestation round per query from CORRECTNESS_r*.json.
 
     The correctness driver attests at most ~50 registry entries per round
     (CORRECTNESS_r01.json ends at entry 50 of 101), so ``load_all`` floats
-    not-yet-attested queries to the front of the registry. A query counts as
-    attested once a past round recorded hash_match=true (or a declared
-    no-oracle rows-only check), unless listed in ``_REATTEST``.
+    not-yet-attested queries to the front of the registry and orders the
+    attested group OLDEST-ATTESTATION-FIRST, so whatever slots remain each
+    round automatically drain the stale backlog (r8 verdict's rotation,
+    made self-maintaining). A query counts as attested once a past round
+    recorded hash_match=true (or a declared no-oracle rows-only check),
+    unless listed in ``_REATTEST``.
     """
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -128,8 +128,10 @@ def _attested() -> set[str]:
             hash_ok = row.get("hash_match") is True
             rows_only_ok = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             if hash_ok or rows_only_ok:
-                seen.add(name)
-    return seen - _REATTEST
+                seen[name] = max(seen.get(name, 0), rnd)
+    for name in _REATTEST:
+        seen.pop(name, None)
+    return seen
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -156,7 +158,11 @@ def load_all() -> dict[str, QuerySpec]:
 
     attested = _attested()
     ordered = sorted(  # stable: registration order breaks remaining ties
-        REGISTRY, key=lambda name: (name in attested, _RANK.get(name, 0))
+        REGISTRY,
+        key=lambda name: (
+            name in attested,
+            _RANK.get(name, attested.get(name, 0)),
+        ),
     )
     specs = {name: REGISTRY[name] for name in ordered}
     REGISTRY.clear()
