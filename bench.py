@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "t22_streaming_cusum",
     "a21_weighted_correlation",
     "x56_equidepth_bins",
+    "t23_windowed_streaming_hll",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

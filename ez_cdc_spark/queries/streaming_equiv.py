@@ -1343,3 +1343,119 @@ def t22_streaming_cusum(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# a16's frozen-alpha HLL numerator (alpha7 * m^2 * 2^26, m = 128) — shared
+# literal so the windowed streaming estimate is bit-identical to the batch
+# sketch family (see aggregation._HLL_NUM).
+_HLL_NUM_T23 = 7152705 * 128 * 128 * (1 << 26)
+
+
+@register(
+    "t23_windowed_streaming_hll",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wsec,
+         event_type AS grp,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS h32
+  FROM events
+), b AS (
+  SELECT wsec, grp, h32 // 33554432 AS bucket, h32 % 33554432 AS w FROM h
+), r AS (
+  SELECT wsec, grp, bucket,
+         MAX(CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END) AS rho
+  FROM b GROUP BY 1, 2, 3
+), z AS (
+  SELECT wsec, grp,
+         CAST(SUM(CAST(1 AS BIGINT) << (26 - rho))
+              + (128 - COUNT(*)) * 67108864 AS BIGINT) AS z_scaled,
+         CAST(COUNT(*) AS BIGINT) AS filled_buckets
+  FROM r GROUP BY 1, 2
+)
+SELECT strftime(to_timestamp(wsec), '%Y-%m-%d %H:%M:%S') AS wstart,
+       grp, z_scaled, filled_buckets,
+       CAST({_HLL_NUM_T23} AS DOUBLE) / CAST(z_scaled * 10000000 AS DOUBLE)
+         AS hll_estimate
+FROM z ORDER BY wstart, grp
+""",
+    doc="T23: the portable HLL sketch as WATERMARKED WINDOWED streaming "
+    "state — distinct users per (30-min window, event type), the "
+    "always-on cardinality dashboard: t20 keeps one global register set "
+    "per group forever; t23 keys the registers by event-time window and "
+    "lets the watermark GARBAGE-COLLECT closed windows — the missing "
+    "streaming-state shape (t18 = windowed counts, t20 = global "
+    "registers; t23 = windowed registers + eviction). Replay uses the "
+    "TIME-ORDERED split so the 1-minute watermark advances monotonically "
+    "and drops nothing (batch-equivalence holds) while still evicting "
+    "every window that closes mid-replay — the layout test asserts real "
+    "state-store eviction happened (final state rows << total windows x "
+    "registers) with zero watermark drops. Update-mode emissions stay "
+    "monotone per register, so the finishing max collapses re-emissions "
+    "exactly as t20; the estimate is a16's frozen-alpha single IEEE "
+    "division. State at any instant is bounded by OPEN windows x groups "
+    "x 128 rows — input-size-free AND time-bounded.",
+)
+def t23_windowed_streaming_hll(spark, sf_dir):
+    from ez_cdc_spark.streaming.replay import _pin_confs, events_parquet_time_split
+
+    # TimeZoneAwareExpressions (date_format over window bounds) bind the
+    # session TZ at ANALYSIS time — i.e. when this DataFrame is BUILT, not
+    # when the stream runs — so an external non-UTC session must be pinned
+    # BEFORE constructing the expressions (stream_events does this for the
+    # s5/t2/t18 family; run_to_memory's pin is too late for rendering).
+    _pin_confs(spark)
+    path = events_parquet_time_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = (
+        ev.withWatermark("ts", "1 minute")
+        .select("ts", F.col("event_type").alias("grp"), h32.alias("h32"))
+        .select(
+            "ts",
+            "grp",
+            F.expr("h32 div 33554432").alias("bucket"),
+            (F.col("h32") % F.lit(33554432)).alias("w"),
+        )
+    )
+    regs = b.groupBy(F.window("ts", "30 minutes"), "grp", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(26)).otherwise(
+                F.lit(26) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    ).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        "grp",
+        "bucket",
+        "rho",
+    )
+    emitted = run_to_memory(regs, "t23_windowed_hll", output_mode="update")
+    final_regs = emitted.groupBy("wstart", "grp", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    z = final_regs.groupBy("wstart", "grp").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 26 - rho)"))
+            + (F.lit(128) - F.count("*")) * F.lit(67108864)
+        )
+        .cast("bigint")
+        .alias("z_scaled"),
+        F.count("*").cast("bigint").alias("filled_buckets"),
+    )
+    return z.select(
+        "wstart",
+        "grp",
+        "z_scaled",
+        "filled_buckets",
+        (
+            F.lit(_HLL_NUM_T23).cast("double")
+            / (F.col("z_scaled") * F.lit(10000000)).cast("double")
+        ).alias("hll_estimate"),
+    ).orderBy("wstart", "grp")

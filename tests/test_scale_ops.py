@@ -669,3 +669,61 @@ def test_t21_minhash_registers_accumulate_across_batches(spark, sf_dir, tmp_path
         .collect()
     )
     assert folded == batch
+
+
+def test_t23_windowed_hll_evicts_closed_windows(spark, sf_dir, tmp_path):
+    """t23's state contract: the watermark GC actually evicts closed
+    windows during the replay (final-batch state rows are a tiny fraction
+    of the total registers the query produced) while dropping ZERO rows
+    (the time-ordered split keeps every event ahead of the watermark), so
+    batch-equivalence and bounded state hold simultaneously."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        checkpoint_dir,
+        events_parquet_time_split,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir)
+    out = str(tmp_path / "emissions")
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    regs = (
+        ev.withWatermark("ts", "1 minute")
+        .select("ts", F.col("event_type").alias("grp"), h32.alias("h32"))
+        .select(
+            "ts",
+            "grp",
+            F.expr("h32 div 33554432").alias("bucket"),
+            (F.col("h32") % F.lit(33554432)).alias("w"),
+        )
+        .groupBy(F.window("ts", "30 minutes"), "grp", "bucket")
+        .agg(F.max("w").alias("mw"))
+    )
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progress) >= 3, "replay must span multiple micro-batches"
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in progress)
+    assert dropped == 0, "time-ordered replay must never lose a row"
+    final_state = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    total_registers = (
+        spark.read.parquet(out).select("window", "grp", "bucket").distinct().count()
+    )
+    assert total_registers > 20 * final_state > 0, (
+        f"watermark must evict closed windows: state={final_state}, "
+        f"registers={total_registers}"
+    )
