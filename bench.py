@@ -116,6 +116,9 @@ EXTRA_QUERIES = [
     "a21_weighted_correlation",
     "x56_equidepth_bins",
     "t23_windowed_streaming_hll",
+    "w17_timedecay_ewma",
+    "s19_nested_schema_evolution",
+    "a22_count_min_sketch",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -1403,3 +1403,102 @@ def x56_equidepth_bins(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "a22_count_min_sketch",
+    oracle="""
+WITH j4 AS (
+  SELECT unnest(range(4)) AS row_id
+), cells AS (
+  SELECT j4.row_id,
+         CAST('0x' || substr(md5(CAST(j4.row_id AS VARCHAR) || ':' ||
+              CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM lineitem, j4
+), sketch AS (
+  SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+), truth AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM lineitem GROUP BY 1
+), probes AS (
+  SELECT * FROM truth ORDER BY true_cnt DESC, l_partkey LIMIT 10
+), pc AS (
+  SELECT p.l_partkey, p.true_cnt, j4.row_id,
+         CAST('0x' || substr(md5(CAST(j4.row_id AS VARCHAR) || ':' ||
+              CAST(p.l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM probes p, j4
+)
+SELECT pc.l_partkey, pc.true_cnt,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(s.cnt) - pc.true_cnt AS BIGINT) AS overestimate
+FROM pc JOIN sketch s USING (row_id, bucket)
+GROUP BY pc.l_partkey, pc.true_cnt
+ORDER BY pc.true_cnt DESC, pc.l_partkey
+""",
+    doc="A22: portable count-min sketch — the POINT-FREQUENCY member that "
+    "completes the mergeable-sketch family (A14 Misra-Gries = top-k "
+    "membership, A16 HLL = distinct count, A12 GK = rank; CMS answers "
+    "'how often did THIS key occur' for keys chosen after the scan, "
+    "which MG cannot once a key falls off its m counters). Depth 4 x "
+    "width 512: each l_partkey increments one bucket per row via the "
+    "a16 portable-hash discipline (first 8 md5 hex chars of 'j:key' -> "
+    "BIGINT % 512), so every cell count is exact integer arithmetic on "
+    "both engines. The estimate for a probe key is MIN over its 4 "
+    "cells; probes are the true top-10 keys (deterministic "
+    "count-desc/key tie-break), and the output carries true_cnt next "
+    "to cms_est with the signed overestimate — CMS never "
+    "underestimates, property-tested. 100 TB shape: the d*w=2048-cell "
+    "sketch is the ONLY thing the exchange carries (groupBy(row,bucket) "
+    "partial-aggregates map-side to <=2048 rows per partition whatever "
+    "the corpus size), sketches from shards merge by cell-wise SUM "
+    "(the CRDT property MG needs care for), and the probe join "
+    "broadcasts the sketch. The exact `truth` side exists only as the "
+    "audited baseline the sketch is judged against.",
+)
+def a22_count_min_sketch(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    width, depth = 512, 4
+
+    def bucket(j, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(j)), key_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % width
+
+    key = F.col("l_partkey").cast("string")
+    cells = li.select(
+        F.posexplode(F.array(*[bucket(j, key) for j in range(depth)])).alias(
+            "row_id", "bucket"
+        )
+    )
+    sketch = cells.groupBy("row_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    truth = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    probes = truth.orderBy(F.desc("true_cnt"), F.asc("l_partkey")).limit(10)
+    probe_cells = probes.select(
+        "l_partkey",
+        "true_cnt",
+        F.posexplode(
+            F.array(*[bucket(j, F.col("l_partkey").cast("string")) for j in range(depth)])
+        ).alias("row_id", "bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "l_partkey",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("l_partkey"))
+    )

@@ -752,3 +752,58 @@ def s18_dynamic_partition_overwrite(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@register(
+    "s19_nested_schema_evolution",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) AS BIGINT)
+         AS sum_nested_chars
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    doc="S19: NESTED-struct schema evolution — the reader-side surface "
+    "s11/s11b leave uncovered: the evolved column lives INSIDE a struct "
+    "(v1 writes meta:struct<source,lang>; v2 adds meta.n_chars), so the "
+    "footer merge must recurse into parquet group types and reconcile "
+    "field-id-less struct members by name — the contract every long-"
+    "lived lake table with a metadata/provenance struct depends on. v1 "
+    "rows surface meta.n_chars as NULL exactly like s11's top-level "
+    "case. The query deliberately never touches meta.lang, so nested-"
+    "schema pruning (ReadSchema meta:struct<source,n_chars>, no lang) "
+    "is demonstrable and plan-asserted — at 100 TB reading one struct "
+    "member instead of the whole group is the same IO win column "
+    "pruning gives flat tables. Oracle recomputes from the source "
+    "table, so a lossy merge or mis-nested NULL shows as a hash "
+    "mismatch.",
+)
+def s19_nested_schema_evolution(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    v1 = _scratch(sf_dir, "s19v1")
+    v2 = _scratch(sf_dir, "s19v2")
+    # generation 1: narrow nested schema
+    d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.struct("source", "lang").alias("meta")
+    ).write.mode("overwrite").parquet(v1)
+    # generation 2: a field ADDED INSIDE the struct, plus the explicit
+    # generation tag (s11's evolved-row contract)
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.struct("source", "lang", "n_chars").alias("meta"),
+        F.lit(2).alias("gen"),
+    ).write.mode("overwrite").parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return (
+        merged.groupBy(F.col("meta.source").alias("source"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count("gen").cast("bigint").alias("n_evolved"),
+            F.coalesce(F.sum("meta.n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_nested_chars"),
+        )
+        .orderBy("source")
+    )

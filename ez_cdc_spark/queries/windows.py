@@ -981,3 +981,89 @@ def w16_rolling_distinct(spark, sf_dir):
         F.size(F.array_distinct(frame)).cast("bigint").alias("n_distinct_types"),
         F.size(frame).cast("bigint").alias("frame_n"),
     ).orderBy("event_id")
+
+
+@register(
+    "w17_timedecay_ewma",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS e,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(
+         list_reduce(
+           list(struct_pack(e := e, c := cents, y := cents)
+                ORDER BY e, event_id),
+           (a, b) -> struct_pack(
+             e := b.e, c := b.c,
+             y := b.c + (600 * a.y) // (600 + (b.e - a.e)))
+         ).y AS BIGINT) AS decayed_cents
+FROM c GROUP BY user_id ORDER BY user_id
+""",
+    doc="W17: time-decay EWMA over IRREGULAR gaps — w11's recurrence with a "
+    "decay that depends on the actual inter-event interval (w11's "
+    "alpha=1/2 treats a 1-second and a 1-week gap identically; real "
+    "engagement/anomaly baselines must not). Each step multiplies the "
+    "running state by tau/(tau + dt) (tau = 600 s): a HYPERBOLIC decay "
+    "chosen over exp(-dt/tau) deliberately — it is a RATIONAL function "
+    "of integer seconds, so the whole recurrence stays in exact BIGINT "
+    "arithmetic (y' = c + (600*y) div (600+dt), floor division of "
+    "non-negative ints) with zero libm calls, where exp() would differ "
+    "in the last ulp between the JVM and DuckDB and poison every later "
+    "step of the fold (the SURVEY 5.3 fixed-point discipline applied to "
+    "a TIME-VARYING recurrence; w11 = constant-decay special case). "
+    "Same-timestamp ties (dt=0) decay by exactly 1 — pure accumulation. "
+    "The integer quotient is computed UDF-free inside the fold as "
+    "(n - n%d)/d: the adjusted numerator is exactly divisible, both "
+    "operands stay under 2^53, so the IEEE division is exact and the "
+    "bigint cast lossless. Plan: ONE user-keyed exchange; the series "
+    "folds via JVM HOFs (array_sort + aggregate) exactly like "
+    "w11/w12 — per-user state is the collected series (bounded by "
+    "per-user event counts; at 100 TB a time-horizon filter bounds it "
+    "the way t5b bounds dedup state).",
+)
+def w17_timedecay_ewma(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").cast("long").alias("e"),
+                F.col("event_id").alias("event_id"),
+                cents.alias("c"),
+            )
+        )
+    )
+
+    def step(acc, x):
+        num = F.lit(600).cast("bigint") * acc["y"]
+        den = F.lit(600).cast("bigint") + (x["e"] - acc["e"])
+        q = ((num - num % den) / den).cast("bigint")
+        return F.struct(
+            F.lit(True).alias("started"),
+            x["e"].alias("e"),
+            F.when(acc["started"], x["c"] + q).otherwise(x["c"]).alias("y"),
+        )
+
+    fold = F.aggregate(
+        seq,
+        F.struct(
+            F.lit(False).alias("started"),
+            F.lit(0).cast("bigint").alias("e"),
+            F.lit(0).cast("bigint").alias("y"),
+        ),
+        step,
+        lambda acc: acc["y"],
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            fold.cast("bigint").alias("decayed_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -706,3 +706,25 @@ def test_a21_x56_plan_shapes(spark, sf_smoke):
     assert "BroadcastNestedLoop" in p56 or "BroadcastHashJoin" in p56, (
         "x56: the 1-row boundary table must broadcast"
     )
+
+
+def test_w17_s19_a22_plan_shapes(spark, sf_smoke):
+    """w17: w11's fold shape — one user-keyed exchange, JVM HOF fold, no
+    Window/join/Python. s19: nested-schema pruning — the merged scan reads
+    only the struct members the query touches (no meta.lang). a22: the
+    sketch side partial-aggregates to <=2048 cells and BROADCASTS into the
+    probe join — no SMJ between probe cells and sketch."""
+    reg = load_all()
+    p17 = plan_str(reg["w17_timedecay_ewma"].fn(spark, sf_smoke))
+    assert "Join" not in p17 and "Window" not in p17
+    assert "BatchEvalPython" not in p17 and "ArrowEvalPython" not in p17
+    assert p17.count("hashpartitioning") == 1, "w17: one user-keyed exchange"
+
+    p19 = plan_str(reg["s19_nested_schema_evolution"].fn(spark, sf_smoke))
+    read = p19.split("ReadSchema")[-1][:300]
+    assert "source" in read and "n_chars" in read
+    assert "lang" not in read, "s19: untouched nested member must be pruned"
+
+    p22 = plan_str(reg["a22_count_min_sketch"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p22, "a22: sketch must broadcast"
+    assert "SortMergeJoin" not in p22 and "CartesianProduct" not in p22

@@ -1255,3 +1255,99 @@ def test_x56_equidepth_invariants(spark, sf_dir):
     max_dup = max(n for _, n in hist)
     for r in rows:
         assert abs(r["n_rows"] - tot / 8) <= max_dup + tot / 8 * 0.5
+
+
+def test_w17_matches_python_refold(spark, sf_dir):
+    """w17's fold is exact integer arithmetic, so an independent Python
+    replay (floor-div recurrence over the (ts, event_id)-sorted series)
+    must match every user's final state bit-for-bit."""
+    import calendar
+    from decimal import Decimal
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_cents"])
+        for r in load_all()["w17_timedecay_ewma"].fn(spark, sf_dir).collect()
+    }
+    series: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        e = calendar.timegm(r["ts"].timetuple())
+        c = int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        series.setdefault(r["user_id"], []).append((e, r["event_id"], c))
+    assert set(got) == set(series)
+    for u, s in series.items():
+        s.sort()
+        y, pe = None, None
+        for e, _, c in s:
+            y = c if y is None else c + (600 * y) // (600 + (e - pe))
+            pe = e
+        assert got[u] == (len(s), y), f"user {u}"
+
+
+def test_a22_cms_never_underestimates_and_cells_exact(spark, sf_dir):
+    """CMS guarantee: est >= true for every probe (min over hashed cells can
+    only collide upward). The cells themselves replay exactly in Python via
+    the same md5 discipline, so each reported estimate equals the Python
+    sketch's min-cell — not just >= truth."""
+    import hashlib
+    from collections import Counter
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    rows = load_all()["a22_count_min_sketch"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+
+    keys = [
+        r["l_partkey"]
+        for r in load_t(spark, sf_dir, "lineitem").select("l_partkey").collect()
+    ]
+
+    def bucket(j: int, k: int) -> int:
+        return int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:8], 16) % 512
+
+    sketch: Counter = Counter()
+    for k in keys:
+        for j in range(4):
+            sketch[(j, bucket(j, k))] += 1
+    true = Counter(keys)
+    for r in rows:
+        k = r["l_partkey"]
+        est = min(sketch[(j, bucket(j, k))] for j in range(4))
+        assert r["true_cnt"] == true[k]
+        assert r["cms_est"] == est
+        assert r["overestimate"] == est - true[k]
+        assert r["overestimate"] >= 0, "CMS must never underestimate"
+
+
+def test_s19_v1_rows_surface_null_nested_member(spark, sf_dir):
+    """The merged nested read's evolution contract at ROW level: every v1
+    (even doc_id) row surfaces the later-added struct member as NULL and no
+    gen tag; every v2 row carries both non-NULL."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+
+    load_all()["s19_nested_schema_evolution"].fn(spark, sf_dir).collect()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _scratch(sf_dir, "s19v1"), _scratch(sf_dir, "s19v2")
+    )
+    bad_v1 = merged.filter(
+        (F.col("doc_id") % 2 == 0)
+        & (F.col("meta.n_chars").isNotNull() | F.col("gen").isNotNull())
+    ).count()
+    bad_v2 = merged.filter(
+        (F.col("doc_id") % 2 == 1)
+        & (F.col("meta.n_chars").isNull() | (F.col("gen") != 2))
+    ).count()
+    assert bad_v1 == 0 and bad_v2 == 0
+    assert dict(merged.schema["meta"].dataType.fields[2].jsonValue().items())[
+        "name"
+    ] == "n_chars"

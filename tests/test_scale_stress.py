@@ -704,3 +704,33 @@ def test_x47_floor_invariant_at_10x(spark, sf_dir, r8b_10x_dir):
     big_hash = {r["doc_id"]: r["bucket"] for r in rows if r["via"] == "hash"}
     for did, b in small.items():
         assert big_hash.get(did) == b, did
+
+
+def test_w17_is_per_user_local_at_10x(spark, sf_dir, r8b_10x_dir):
+    """w17's recurrence is user-local: replicating every user under fresh
+    ids (timestamps unchanged) must reproduce each original final state
+    exactly, and the rep-0 slice row-identically."""
+    fn = load_all()["w17_timedecay_ewma"].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    big = fn(spark, r8b_10x_dir).collect()
+    assert len(big) == 10 * len(base)
+    rep0 = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
+    assert rep0 == base
+
+
+def test_a22_cms_scales_exactly_under_duplication(spark, sf_dir, r8b_10x_dir):
+    """10x exact-duplicate lineitem rows multiply every sketch cell, every
+    true count, and therefore every min-estimate and overestimate by exactly
+    10 — the cell-wise-SUM merge (CRDT) property that makes CMS shardable:
+    the probe set is unchanged and every reported number scales linearly."""
+    fn = load_all()["a22_count_min_sketch"].fn
+    base = {r["l_partkey"]: r for r in fn(spark, sf_dir).collect()}
+    big = {r["l_partkey"]: r for r in fn(spark, r8b_10x_dir).collect()}
+    assert set(big) == set(base)
+    for k, b in base.items():
+        g = big[k]
+        assert (g["true_cnt"], g["cms_est"], g["overestimate"]) == (
+            10 * b["true_cnt"],
+            10 * b["cms_est"],
+            10 * b["overestimate"],
+        )
