@@ -119,6 +119,8 @@ EXTRA_QUERIES = [
     "w17_timedecay_ewma",
     "s19_nested_schema_evolution",
     "a22_count_min_sketch",
+    "a23_bitmap_distinct",
+    "t24_streaming_cms",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

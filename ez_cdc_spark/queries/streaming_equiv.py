@@ -1459,3 +1459,116 @@ def t23_windowed_streaming_hll(spark, sf_dir):
             / (F.col("z_scaled") * F.lit(10000000)).cast("double")
         ).alias("hll_estimate"),
     ).orderBy("wstart", "grp")
+
+
+@register(
+    "t24_streaming_cms",
+    oracle="""
+WITH j4 AS (
+  SELECT unnest(range(4)) AS row_id
+), cells AS (
+  SELECT j4.row_id,
+         CAST('0x' || substr(md5(CAST(j4.row_id AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM events, j4
+), sketch AS (
+  SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+), truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1
+), probes AS (
+  SELECT * FROM truth ORDER BY true_cnt DESC, user_id LIMIT 10
+), pc AS (
+  SELECT p.user_id, p.true_cnt, j4.row_id,
+         CAST('0x' || substr(md5(CAST(j4.row_id AS VARCHAR) || ':' ||
+              CAST(p.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM probes p, j4
+)
+SELECT pc.user_id, pc.true_cnt,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(s.cnt) - pc.true_cnt AS BIGINT) AS overestimate
+FROM pc JOIN sketch s USING (row_id, bucket)
+GROUP BY pc.user_id, pc.true_cnt
+ORDER BY pc.true_cnt DESC, pc.user_id
+""",
+    doc="T24: the A22 count-min sketch maintained as STREAMING state — "
+    "always-on per-user event-frequency tracking, a22's streaming "
+    "sibling exactly as t20 is a16's. Cell counts are a plain streaming "
+    "groupBy(row, bucket).count() whose state is bounded at d*w=1024 "
+    "rows whatever the stream length (the mergeable-sketch property, "
+    "now as streaming state), the 3-file round-robin replay under "
+    "maxFilesPerTrigger=1 proves counts accumulate ACROSS micro-batches "
+    "(order-free SUM — t16's rig), and update-mode emissions are "
+    "MONOTONE (a cell's count only grows), so the finishing max over "
+    "emitted updates equals the final cell value — t20's "
+    "monotone-emission argument applied to SUM instead of MAX. The "
+    "finishing probe pass is a22's verbatim: true top-10 users "
+    "(deterministic tie-break) broadcast-join the 1024-cell sketch, "
+    "estimate = MIN over 4 cells, overestimate never negative. Oracle "
+    "= the identical batch pipeline in DuckDB, so the streaming path "
+    "must converge to the batch sketch bit-for-bit.",
+)
+def t24_streaming_cms(spark, sf_dir):
+    from ez_cdc_spark.streaming.replay import events_parquet_split
+
+    path = events_parquet_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    width, depth = 256, 4
+
+    def bucket(j, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(j)), key_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % width
+
+    key = F.col("user_id").cast("string")
+    cells = ev.select(
+        F.posexplode(F.array(*[bucket(j, key) for j in range(depth)])).alias(
+            "row_id", "bucket"
+        )
+    )
+    regs = cells.groupBy("row_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    emitted = run_to_memory(regs, "t24_streaming_cms", output_mode="update")
+    sketch = emitted.groupBy("row_id", "bucket").agg(
+        F.max("cnt").cast("bigint").alias("cnt")
+    )
+
+    ev_b = t(spark, sf_dir, "events")
+    truth = ev_b.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    probes = truth.orderBy(F.desc("true_cnt"), F.asc("user_id")).limit(10)
+    probe_cells = probes.select(
+        "user_id",
+        "true_cnt",
+        F.posexplode(
+            F.array(
+                *[bucket(j, F.col("user_id").cast("string")) for j in range(depth)]
+            )
+        ).alias("row_id", "bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+    )

@@ -1365,3 +1365,88 @@ def test_t22_cusum_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
         u[2] = max(u[2], r["cusum_cents"])
     want = sorted((uid, n, fin, pk) for uid, (n, fin, pk) in per_user.items())
     assert got == want and len(got) > 0
+
+
+def test_t24_cms_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """The SUM-merge streaming-state regime under a real kill+restart:
+    t24's per-(row, bucket) count is monotone across update emissions, so
+    the max over ALL emissions from the killed run plus the restarted run
+    equals the one-shot batch sketch — exactly-once cell counts without any
+    emission bookkeeping (t20's argument applied to SUM state)."""
+    import time
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.replay import EVENTS_JSON_SCHEMA, events_parquet_split
+
+    path = events_parquet_split(spark, sf_dir)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    def cells_of(df):
+        def bucket(j):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(str(j)), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            )
+
+        return df.select(
+            F.posexplode(F.array(*[bucket(j) for j in range(4)])).alias(
+                "row_id", "bucket"
+            )
+        ).groupBy("row_id", "bucket").agg(F.count("*").cast("bigint").alias("cnt"))
+
+    def start():
+        ev = (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return (
+            cells_of(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1, "restart must drain the remaining files"
+
+    from ez_cdc_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("row_id", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in cells_of(load_table(spark, sf_dir, "events")).collect()
+    )
+    assert got == want and len(got) > 0
+    # the registered query's finished output stays a valid CMS readout
+    rows = load_all()["t24_streaming_cms"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10 and all(r["overestimate"] >= 0 for r in rows)

@@ -728,3 +728,14 @@ def test_w17_s19_a22_plan_shapes(spark, sf_smoke):
     p22 = plan_str(reg["a22_count_min_sketch"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in p22, "a22: sketch must broadcast"
     assert "SortMergeJoin" not in p22 and "CartesianProduct" not in p22
+
+
+def test_a23_t24_plan_shapes(spark, sf_smoke):
+    """a23: two-level partial aggregate — no Expand (the distinct-rewrite
+    node) and no join; raw keys never shuffle (first exchange already
+    carries words). t24's finishing pass: probe cells broadcast-join the
+    1024-cell sketch — no SMJ."""
+    reg = load_all()
+    p23 = plan_str(reg["a23_bitmap_distinct"].fn(spark, sf_smoke))
+    assert "Expand" not in p23 and "Join" not in p23
+    assert p23.count("hashpartitioning") == 2, "a23: word then group exchange"

@@ -1351,3 +1351,26 @@ def test_s19_v1_rows_surface_null_nested_member(spark, sf_dir):
     assert dict(merged.schema["meta"].dataType.fields[2].jsonValue().items())[
         "name"
     ] == "n_chars"
+
+
+def test_a23_bitmap_equals_exact_distinct(spark, sf_dir):
+    """The popcount sum must equal the plain exact distinct per group (an
+    independent Python set replay), and the word count must equal the
+    number of occupied 32-key blocks."""
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["grp"]: (r["n_words"], r["n_distinct"])
+        for r in load_all()["a23_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    seen: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .collect()
+    ):
+        seen.setdefault(r["o_orderpriority"], set()).add(r["o_custkey"])
+    assert set(got) == set(seen)
+    for g, keys in seen.items():
+        assert got[g] == (len({k // 32 for k in keys}), len(keys))

@@ -734,3 +734,13 @@ def test_a22_cms_scales_exactly_under_duplication(spark, sf_dir, r8b_10x_dir):
             10 * b["cms_est"],
             10 * b["overestimate"],
         )
+
+
+def test_a23_bitmap_is_duplicate_insensitive_at_10x(spark, sf_dir, r8b_10x_dir):
+    """OR-merge is idempotent: the 10x exact-duplicate orders corpus must
+    reproduce the bitmap output bit-for-bit (a22's SUM merge scales 10x on
+    the same fixture; a23's OR merge must not move at all)."""
+    fn = load_all()["a23_bitmap_distinct"].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    big = sorted(tuple(r) for r in fn(spark, r8b_10x_dir).collect())
+    assert big == base
