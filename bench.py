@@ -121,6 +121,8 @@ EXTRA_QUERIES = [
     "a22_count_min_sketch",
     "a23_bitmap_distinct",
     "t24_streaming_cms",
+    "w18_rolling_mode",
+    "s20_partition_evolution",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -807,3 +807,62 @@ def s19_nested_schema_evolution(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s20_partition_evolution",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_partitioned,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source ORDER BY source
+""",
+    doc="S20: partition-LAYOUT evolution — the migration case left after "
+    "s11 (additive columns), s11b (type widening) and s19 (nested "
+    "members): generation 1 was written FLAT (source as a data column), "
+    "generation 2 adopts partitionBy(source) (source as a directory "
+    "key) — the unpartitioned->partitioned migration every table that "
+    "outgrows a flat layout performs. One physical column has become a "
+    "partition-encoding, so a naive multi-root read cannot reconcile "
+    "the layouts (mixed discovery either drops the partition column or "
+    "errors); the production contract is per-generation reads aligned "
+    "by NAME — g2's partition discovery restores source from directory "
+    "names, unionByName(allowMissingColumns) aligns the differing "
+    "column orders and the g1-only absence of gen. The aggregate "
+    "splits counts per generation and sums a data column across both, "
+    "so a dropped partition value, a mis-restored directory key, or a "
+    "lost row shows as a hash mismatch vs the oracle's recompute from "
+    "the source table. At 100 TB the payoff is that g2 predicates on "
+    "source become PartitionFilters (directory skipping, plan-asserted "
+    "in tests) while g1 rows keep working until rewritten — the "
+    "migrate-without-rewriting-history contract.",
+)
+def s20_partition_evolution(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    v1 = _scratch(sf_dir, "s20v1")
+    v2 = _scratch(sf_dir, "s20v2")
+    # generation 1: flat layout, source is a plain data column
+    d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(v1)
+    # generation 2: partitioned layout + the generation tag
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars", F.lit(2).alias("gen")
+    ).write.mode("overwrite").partitionBy("source").parquet(v2)
+    g1 = spark.read.parquet(v1)
+    g2 = spark.read.parquet(v2)  # source restored from directory names
+    merged = g1.unionByName(g2, allowMissingColumns=True)
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            (F.count("*") - F.count("gen")).cast("bigint").alias("n_flat"),
+            F.count("gen").cast("bigint").alias("n_partitioned"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

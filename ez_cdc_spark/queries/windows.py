@@ -1067,3 +1067,85 @@ def w17_timedecay_ewma(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w18_rolling_mode",
+    oracle="""
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         list(event_type) OVER w AS arr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT event_id, user_id, ts, arr,
+         list_max(list_transform(list_distinct(arr),
+             x -> len(list_filter(arr, y -> y = x)))) AS mode_cnt
+  FROM f
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       list_min(list_filter(list_distinct(arr),
+           x -> len(list_filter(arr, y -> y = x)) = mode_cnt)) AS mode_type,
+       CAST(mode_cnt AS BIGINT) AS mode_cnt,
+       CAST(len(arr) AS BIGINT) AS frame_n
+FROM m ORDER BY event_id
+""",
+    doc="W18: rolling heavy hitter — each event's dominant event type over "
+    "its user's trailing 7-event frame (the frame-local analog of a13's "
+    "grouped deterministic mode: 'what is this user doing RIGHT NOW', "
+    "where a13 answers 'overall'). Mode is the aggregate window frames "
+    "refuse even harder than w16's COUNT(DISTINCT) — non-decomposable "
+    "AND value-valued — solved exactly over the bounded frame array "
+    "with JVM HOFs only: count per distinct element via filter/size "
+    "(O(k^2) for k <= 7 distinct values — constant work, no "
+    "sort-within-frame), max count, then the LEXICOGRAPHICALLY "
+    "SMALLEST element among those achieving it (array_min over the "
+    "argmax set) — the a13 tie-break, bit-deterministic on both "
+    "engines with zero float involvement. Implementation note: a "
+    "struct-accumulator list_reduce run-length fold was the first "
+    "draft, but DuckDB 1.0.0 miscomputes struct folds over "
+    "WINDOW-produced lists (cross-row state leakage, reproduced and "
+    "documented in SURVEY §5) — the filter-count formulation sidesteps "
+    "the bug and is branch-free anyway. Plan: ONE user-keyed exchange, "
+    "one Window node; per-row state is the 7-element frame, never the "
+    "user's history (the w12/w16 scale contract).",
+)
+def w18_rolling_mode(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    # project the frame ONCE before fanning out into HOFs (the x53/t21
+    # CollapseProject lesson: inlined window exprs re-evaluate per use)
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.collect_list("event_type").over(w).alias("arr"),
+    )
+    cnt_of = lambda x: F.size(F.filter(F.col("arr"), lambda y: y == x))  # noqa: E731
+    withcnt = base.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "arr",
+        F.array_max(
+            F.transform(F.array_distinct("arr"), cnt_of)
+        ).alias("mode_cnt_i"),
+    )
+    return withcnt.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.array_min(
+            F.filter(
+                F.array_distinct("arr"),
+                lambda x: cnt_of(x) == F.col("mode_cnt_i"),
+            )
+        ).alias("mode_type"),
+        F.col("mode_cnt_i").cast("bigint").alias("mode_cnt"),
+        F.size("arr").cast("bigint").alias("frame_n"),
+    ).orderBy("event_id")

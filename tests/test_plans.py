@@ -739,3 +739,25 @@ def test_a23_t24_plan_shapes(spark, sf_smoke):
     p23 = plan_str(reg["a23_bitmap_distinct"].fn(spark, sf_smoke))
     assert "Expand" not in p23 and "Join" not in p23
     assert p23.count("hashpartitioning") == 2, "a23: word then group exchange"
+
+
+def test_w18_s20_plan_shapes(spark, sf_smoke):
+    """w18: the w12/w16 contract — one user-keyed exchange, one Window
+    node, no join, HOFs stay JVM-side. s20: after the layout migration,
+    a source predicate on the partitioned generation becomes a
+    PartitionFilter (directory skipping), not a post-scan filter."""
+    reg = load_all()
+    p18 = plan_str(reg["w18_rolling_mode"].fn(spark, sf_smoke))
+    assert "Join" not in p18 and p18.count("hashpartitioning") == 1
+    assert p18.count("+- Window") == 1
+    assert "BatchEvalPython" not in p18 and "ArrowEvalPython" not in p18
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+
+    reg["s20_partition_evolution"].fn(spark, sf_smoke).collect()
+    g2 = spark.read.parquet(_scratch(sf_smoke, "s20v2")).filter(
+        F.col("source") == "src3"
+    )
+    p20 = plan_str(g2)
+    part = p20.split("PartitionFilters")[1][:200] if "PartitionFilters" in p20 else ""
+    assert "src3" in part, "source predicate must prune partitions, not rows"

@@ -1374,3 +1374,37 @@ def test_a23_bitmap_equals_exact_distinct(spark, sf_dir):
     assert set(got) == set(seen)
     for g, keys in seen.items():
         assert got[g] == (len({k // 32 for k in keys}), len(keys))
+
+
+def test_w18_matches_python_mode(spark, sf_dir):
+    """w18's frame mode must equal an independent Python Counter replay
+    with the lex-smallest tie-break, for every event."""
+    import collections
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = {
+        r["event_id"]: (r["mode_type"], r["mode_cnt"], r["frame_n"])
+        for r in load_all()["w18_rolling_mode"].fn(spark, sf_dir).collect()
+    }
+    series: dict = {}
+    for r in (
+        load_t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    n = 0
+    for _, s in series.items():
+        s.sort()
+        for i in range(len(s)):
+            frame = [x[2] for x in s[max(0, i - 6) : i + 1]]
+            cnt = collections.Counter(frame)
+            mx = max(cnt.values())
+            best = min(k for k, v in cnt.items() if v == mx)
+            assert got[s[i][1]] == (best, mx, len(frame))
+            n += 1
+    assert n == len(got)

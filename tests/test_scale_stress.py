@@ -744,3 +744,14 @@ def test_a23_bitmap_is_duplicate_insensitive_at_10x(spark, sf_dir, r8b_10x_dir):
     base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     big = sorted(tuple(r) for r in fn(spark, r8b_10x_dir).collect())
     assert big == base
+
+
+def test_w18_is_per_user_local_at_10x(spark, sf_dir, r8b_10x_dir):
+    """w18's frame is user-local: replicated users under fresh ids must
+    reproduce every original mode row exactly (rep-0 slice identical)."""
+    fn = load_all()["w18_rolling_mode"].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    big = fn(spark, r8b_10x_dir).collect()
+    assert len(big) == 10 * len(base)
+    rep0 = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
+    assert rep0 == base
