@@ -123,6 +123,7 @@ EXTRA_QUERIES = [
     "t24_streaming_cms",
     "w18_rolling_mode",
     "s20_partition_evolution",
+    "x57_incremental_lsh",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

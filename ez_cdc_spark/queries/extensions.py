@@ -1916,3 +1916,103 @@ def x55_cluster_size_histogram(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "x57_incremental_lsh",
+    oracle="WITH "
+    + _x2_pair_ctes()
+    + r"""
+SELECT CAST(CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS BIGINT) AS doc_id,
+       CAST(CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS BIGINT) AS corpus_id,
+       jaccard
+FROM pairs
+WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+ORDER BY doc_id, corpus_id
+""",
+    doc="X57: incremental LSH index maintenance — x44's "
+    "periodic-build/continuous-serve shape applied to the banded MinHash "
+    "index (x2f answers 'is this batch doc already in the corpus'; x57 "
+    "is the INDEX-SIDE contract that makes answering cheap): the corpus "
+    "band rows (doc_id, band_id, band_sig) are the stored index, the "
+    "new batch (doc_id % 5 = 0) computes ONLY ITS OWN signatures and "
+    "PROBES the index with an equi-join on (band_id, band_sig) — no "
+    "corpus×corpus pair generation anywhere in the plan (the full x2 "
+    "pair set never materializes; plan-asserted band-key join, "
+    "cartesian-free), then exact-Jaccard-verifies just the candidate "
+    "pairs. Emits every verified cross pair with its jaccard — the "
+    "rows a maintainer appends to the pair log before appending the "
+    "batch's own band rows to the index. At 100 TB: batch-sized work "
+    "per ingest (batch bands shuffle; the index side is a stored table "
+    "bucketed by band_sig in production), vs x2f's "
+    "recompute-the-world. Property-tested equal to the cross-split "
+    "slice of the full x2 candidate set.",
+)
+def x57_incremental_lsh(spark, sf_dir):
+    from ez_cdc_spark.functions.text import words
+    from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
+
+    d = t(spark, sf_dir, "documents")
+    num_hashes, bands = 64, 16
+    rows_per_band = num_hashes // bands
+    # shingle once; project the hash array BEFORE deriving the signature
+    # (the x53/t21 CollapseProject lesson)
+    shingled = (
+        widen_partitions(d.select("doc_id", "text"))
+        .select("doc_id", words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            shingle_hashes(F.col("ws"), 3, portable=True).alias("shingles"),
+        )
+    )
+    sig = shingled.withColumn(
+        "minhash", minhash_signature(F.col("shingles"), num_hashes)
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("minhash"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ),
+    ).select("doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
+
+    is_new = (F.col("doc_id") % 5) == 0
+    index = banded.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_sig"
+    )
+    probe = banded.filter(is_new)
+    cand = (
+        probe.join(index, ["band_id", "band_sig"])
+        .select("doc_id", "corpus_id")
+        .dropDuplicates(["doc_id", "corpus_id"])
+    )
+    with_sh = cand.join(
+        shingled.select(F.col("doc_id").alias("doc_id"), F.col("shingles").alias("sh_a")),
+        "doc_id",
+    ).join(
+        shingled.select(
+            F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return with_sh.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+        F.round(inter / union, 4).alias("jaccard"),
+    ).orderBy("doc_id", "corpus_id")

@@ -761,3 +761,11 @@ def test_w18_s20_plan_shapes(spark, sf_smoke):
     p20 = plan_str(g2)
     part = p20.split("PartitionFilters")[1][:200] if "PartitionFilters" in p20 else ""
     assert "src3" in part, "source predicate must prune partitions, not rows"
+
+
+def test_x57_plan_shape(spark, sf_smoke):
+    """x57: the probe must hit the index via an equi-join on the band key —
+    no cartesian/nested-loop anywhere (the full pair set never forms)."""
+    p = plan_str(load_all()["x57_incremental_lsh"].fn(spark, sf_smoke))
+    assert "band_sig" in p, "probe/index join must be keyed by band signature"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

@@ -1408,3 +1408,31 @@ def test_w18_matches_python_mode(spark, sf_dir):
             assert got[s[i][1]] == (best, mx, len(frame))
             n += 1
     assert n == len(got)
+
+
+def test_x57_equals_cross_slice_of_full_pair_set(spark, sf_dir):
+    """Probing the band index must find EXACTLY the cross-split slice of the
+    full x2 candidate set (same bands, same verify) — no pair lost by
+    indexing, none invented."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.operators.dedup import minhash_lsh_candidates
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    got = sorted(
+        (r["doc_id"], r["corpus_id"], r["jaccard"])
+        for r in load_all()["x57_incremental_lsh"].fn(spark, sf_dir).collect()
+    )
+    full = minhash_lsh_candidates(
+        load_t(spark, sf_dir, "documents"), portable=True
+    ).filter(((F.col("id_a") % 5) == 0) != ((F.col("id_b") % 5) == 0))
+    want = sorted(
+        (
+            r["id_a"] if r["id_a"] % 5 == 0 else r["id_b"],
+            r["id_b"] if r["id_a"] % 5 == 0 else r["id_a"],
+            r["jaccard"],
+        )
+        for r in full.collect()
+    )
+    assert got == want and len(got) > 0
