@@ -124,6 +124,7 @@ EXTRA_QUERIES = [
     "w18_rolling_mode",
     "s20_partition_evolution",
     "x57_incremental_lsh",
+    "t25_streaming_bitmap",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -1572,3 +1572,66 @@ def t24_streaming_cms(spark, sf_dir):
         )
         .orderBy(F.desc("true_cnt"), F.asc("user_id"))
     )
+
+
+@register(
+    "t25_streaming_bitmap",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS grp,
+         user_id // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS word
+  FROM events GROUP BY 1, 2
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct
+FROM b GROUP BY grp ORDER BY grp
+""",
+    doc="T25: a23's bitmap exact-distinct maintained as STREAMING state — "
+    "always-on EXACT distinct-user tracking per event type, closing the "
+    "streaming sketch family (t16 MG top-k, t20 HLL estimate, t24 CMS "
+    "frequency, t25 exact distinct): per-(grp, word) streaming bit_or "
+    "whose state is bounded by the KEY DOMAIN (keyspace/32 words per "
+    "group), not the stream length. Update emissions are MONOTONE in "
+    "the bit lattice (OR only sets bits, and with 32-bit words the "
+    "signed int64 value is nondecreasing too), so the finishing bit_or "
+    "over all emitted updates equals the final word exactly — and "
+    "unlike t24's SUM the merge is IDEMPOTENT, so replayed or "
+    "duplicated emissions cannot corrupt the count (the at-least-once-"
+    "safe sketch). 3-file round-robin replay proves words accumulate "
+    "across micro-batches; the finishing popcount sum is a23's "
+    "verbatim. Oracle = the identical batch pipeline in DuckDB.",
+)
+def t25_streaming_bitmap(spark, sf_dir):
+    from ez_cdc_spark.streaming.replay import events_parquet_split
+
+    path = events_parquet_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    words = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            F.expr("user_id div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("grp", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    emitted = run_to_memory(words, "t25_streaming_bitmap", output_mode="update")
+    final_words = emitted.groupBy("grp", "word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+    return (
+        final_words.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("grp")
+    )

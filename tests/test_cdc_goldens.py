@@ -1450,3 +1450,74 @@ def test_t24_cms_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     # the registered query's finished output stays a valid CMS readout
     rows = load_all()["t24_streaming_cms"].fn(spark, sf_dir).collect()
     assert len(rows) == 10 and all(r["overestimate"] >= 0 for r in rows)
+
+
+def test_t25_bitmap_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """IDEMPOTENT streaming state under kill+restart: t25's bit_or words
+    tolerate any replay/duplication of emissions — OR of everything both
+    runs ever emitted equals the one-shot batch words, the at-least-once-
+    safe regime (vs t24's SUM needing the monotone-max argument)."""
+    import time
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.replay import EVENTS_JSON_SCHEMA, events_parquet_split
+
+    path = events_parquet_split(spark, sf_dir)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    def words_of(df):
+        return (
+            df.select(
+                F.col("event_type").alias("grp"),
+                F.expr("user_id div 32").alias("word_idx"),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+                ).alias("bit"),
+            )
+            .groupBy("grp", "word_idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+
+    def start():
+        ev = (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return (
+            words_of(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1, "restart must drain the remaining files"
+
+    from ez_cdc_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("grp", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in words_of(load_table(spark, sf_dir, "events")).collect()
+    )
+    assert got == want and len(got) > 0
+    rows = load_all()["t25_streaming_bitmap"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5 and all(r["n_distinct"] > 0 for r in rows)
