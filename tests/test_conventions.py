@@ -132,3 +132,18 @@ def _locally_bound(fn: ast.AST, name: str) -> bool:
                 if isinstance(t, ast.Name) and t.id == name:
                     return True
     return False
+
+
+def test_bench_query_lists_resolve_in_registry():
+    """Every name bench.py times must exist in the registry — a typo here
+    would crash the driver's bench phase, which runs after the correctness
+    gate and would waste the round's measurement."""
+    import importlib
+
+    from ez_cdc_spark.queries import load_all
+
+    bench = importlib.import_module("bench")
+    reg = load_all()
+    missing = [n for n in bench.EXTRA_QUERIES if n not in reg]
+    assert missing == [], f"bench EXTRA_QUERIES not in registry: {missing}"
+    assert len(set(bench.EXTRA_QUERIES)) == len(bench.EXTRA_QUERIES), "duplicates"
