@@ -1521,3 +1521,73 @@ def test_t25_bitmap_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     assert got == want and len(got) > 0
     rows = load_all()["t25_streaming_bitmap"].fn(spark, sf_dir).collect()
     assert len(rows) == 5 and all(r["n_distinct"] > 0 for r in rows)
+
+
+def test_t21_minhash_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """The MIN-merge streaming regime under kill+restart — the monotone-
+    DECREASING dual of t20's max(rho): per-(lang, slot) min(sig) only
+    falls, so the min over all update emissions from the killed run plus
+    the restart equals the one-shot batch registers. Closes the kill-test
+    matrix for every r9 streaming state class (min / max / SUM /
+    idempotent-OR / windowed / order-sensitive)."""
+    import time
+
+    from ez_cdc_spark.operators.dedup import minhash_signature, shingle_hashes
+    from ez_cdc_spark.streaming.replay import DOCS_REPLAY_SCHEMA, documents_parquet
+
+    path = documents_parquet(spark, sf_dir)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    def regs_of(df):
+        hs = df.select(
+            "lang",
+            shingle_hashes(
+                F.split(F.col("text"), r"\s+"), 3, portable=True
+            ).alias("hs"),
+        )
+        sig = minhash_signature(F.col("hs"), num_hashes=16)
+        rows = hs.select("lang", F.posexplode(sig).alias("slot", "sig")).filter(
+            F.col("sig").isNotNull()
+        )
+        return rows.groupBy("lang", "slot").agg(F.min("sig").alias("sig"))
+
+    def start():
+        docs = (
+            spark.readStream.schema(DOCS_REPLAY_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(path)
+        )
+        return (
+            regs_of(docs)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1, "restart must drain the remaining files"
+
+    from ez_cdc_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("lang", "slot")
+        .agg(F.min("sig").alias("sig"))
+        .collect()
+    )
+    docs_b = load_table(spark, sf_dir, "documents").select("lang", "text")
+    want = sorted(tuple(r) for r in regs_of(docs_b).collect())
+    assert got == want and len(got) > 0
