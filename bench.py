@@ -125,6 +125,7 @@ EXTRA_QUERIES = [
     "s20_partition_evolution",
     "x57_incremental_lsh",
     "t25_streaming_bitmap",
+    "x58_snapshot_drift",
     "a20_weighted_skew_kurtosis",
     "x38_kmeans_clusters",
     "x39_semantic_dedup",

@@ -2183,3 +2183,93 @@ def x49_vocab_gini(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x58_snapshot_drift",
+    oracle="""
+WITH e AS (
+  SELECT 'lang' AS col_name, lang AS val, doc_id FROM documents
+  UNION ALL
+  SELECT 'source' AS col_name, source AS val, doc_id FROM documents
+), c AS (
+  SELECT col_name, val,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM e GROUP BY 1, 2
+), t AS (
+  SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ta,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+  FROM documents
+)
+SELECT col_name, val,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(ABS(na * tb - nb * ta) AS BIGINT) AS drift_num,
+       CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb AS rate_delta
+FROM c, t
+ORDER BY col_name, val
+""",
+    doc="X58: cross-snapshot distribution drift — x16's snapshot diff "
+    "raised to DISTRIBUTION level (x16 says which ROWS changed; x58 "
+    "says whether the corpus MIX moved): per categorical column "
+    "(lang, source), each category's count in snapshot A vs snapshot B "
+    "(the doc_id parity split, the x2f convention) with the drift "
+    "numerator |nA·totB − nB·totA| as an EXACT BIGINT cross-multiply "
+    "(zero until the mix genuinely moves — the total-variation "
+    "numerator before its one division; Σ drift_num / (2·totA·totB) = "
+    "TV distance, pinned by the Python property test) and rate_delta "
+    "as the difference of two correctly-rounded IEEE divisions "
+    "(deterministic per SURVEY 5.3 rule 3 — each division exactly "
+    "rounded, the subtraction exactly rounded, no intermediate "
+    "rounding). The crawl-snapshot drift monitor every ingest pipeline "
+    "wants before a new snapshot poisons the mixing weights (x7's "
+    "ratios assume a stable mix; x58 is the alarm that they no longer "
+    "hold). 100 TB shape: ONE scan (a 2-wide explode), one "
+    "category-bounded exchange (partial-agg'd map-side — the exchange "
+    "carries ≤ |langs|+|sources| rows per partition), totals as a "
+    "1-row broadcast cross-join (the x22/x42 pattern, no driver-side "
+    "action).",
+)
+def x58_snapshot_drift(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("col_name"), F.col("lang").alias("val")
+                ),
+                F.struct(
+                    F.lit("source").alias("col_name"),
+                    F.col("source").alias("val"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.col_name", "e.val")
+    is_a = (F.col("doc_id") % 2 == 0).cast("bigint")
+    is_b = (F.col("doc_id") % 2 == 1).cast("bigint")
+    c = pairs.groupBy("col_name", "val").agg(
+        F.sum(is_a).alias("na"), F.sum(is_b).alias("nb")
+    )
+    tot = d.agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("bigint")).alias("ta"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("bigint")).alias("tb"),
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            "col_name",
+            "val",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.abs(F.col("na") * F.col("tb") - F.col("nb") * F.col("ta"))
+            .cast("bigint")
+            .alias("drift_num"),
+            (
+                F.col("na").cast("double") / F.col("ta")
+                - F.col("nb").cast("double") / F.col("tb")
+            ).alias("rate_delta"),
+        )
+        .orderBy("col_name", "val")
+    )

@@ -769,3 +769,12 @@ def test_x57_plan_shape(spark, sf_smoke):
     p = plan_str(load_all()["x57_incremental_lsh"].fn(spark, sf_smoke))
     assert "band_sig" in p, "probe/index join must be keyed by band signature"
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_x58_plan_shape(spark, sf_smoke):
+    """x58: one category-bounded exchange; the totals row joins by
+    BROADCAST (nested-loop on a 1-row side is fine, SMJ is not); no
+    Window, no driver-side action before the returned plan."""
+    p = plan_str(load_all()["x58_snapshot_drift"].fn(spark, sf_smoke))
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p

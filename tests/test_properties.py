@@ -1436,3 +1436,36 @@ def test_x57_equals_cross_slice_of_full_pair_set(spark, sf_dir):
         for r in full.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_x58_drift_reconciles_and_tv_bounds(spark, sf_dir):
+    """Per column: counts reconcile with the snapshot totals, drift_num
+    replays exactly in integer Python, TV = sum(drift_num)/(2*ta*tb) lands
+    in [0, 1], and rate_delta equals the same two-division float sequence."""
+    from collections import Counter
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t as load_t
+
+    rows = load_all()["x58_snapshot_drift"].fn(spark, sf_dir).collect()
+    docs = (
+        load_t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .collect()
+    )
+    ta = sum(1 for r in docs if r["doc_id"] % 2 == 0)
+    tb = len(docs) - ta
+    for col in ("lang", "source"):
+        ca = Counter(r[col] for r in docs if r["doc_id"] % 2 == 0)
+        cb = Counter(r[col] for r in docs if r["doc_id"] % 2 == 1)
+        sub = [r for r in rows if r["col_name"] == col]
+        assert {r["val"] for r in sub} == set(ca) | set(cb)
+        assert sum(r["n_a"] for r in sub) == ta
+        assert sum(r["n_b"] for r in sub) == tb
+        for r in sub:
+            na, nb = ca.get(r["val"], 0), cb.get(r["val"], 0)
+            assert (r["n_a"], r["n_b"]) == (na, nb)
+            assert r["drift_num"] == abs(na * tb - nb * ta)
+            assert r["rate_delta"] == na / ta - nb / tb
+        tv = sum(r["drift_num"] for r in sub) / (2.0 * ta * tb)
+        assert 0.0 <= tv <= 1.0
