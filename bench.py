@@ -100,6 +100,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   is j8 (~0.5 s) — u8 exists to exercise and price the pandas path.
 #   t21/t22 time full 8-stage streaming replays.
 EXTRA_QUERIES = [
+    "t26_windowed_streaming_cms",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",
@@ -171,10 +172,43 @@ EXTRA_QUERIES = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed single-threaded CPU-bound loop (~1 s nominal on an idle core).
+
+    Timed at bench start and end and reported in the JSON so cross-round
+    rows can be normalized for ambient host load: the sandbox shares its
+    cores with unrelated work (load-avg swings of 2-9 observed), which in
+    rounds 3 and 9 shifted EVERY query's wall time 17-30% uniformly with
+    zero code change on those paths. The loop is pure integer xorshift —
+    no allocation, no syscalls — so its wall time moves only with CPU
+    contention/frequency, never with this repo's code.
+    """
+    t0 = time.perf_counter()
+    x = 0x9E3779B97F4A7C15
+    acc = 0
+    for _ in range(4_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        acc ^= x
+    assert acc != 0  # keep the loop un-eliminable
+    return round(time.perf_counter() - t0, 3)
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    calib_start = _calibrate()
+    load_start = _loadavg()
 
     from ez_cdc_spark.session import get_spark
     from ez_cdc_spark.queries import load_all
@@ -303,6 +337,13 @@ def main() -> None:
         events_per_s = None
         t9_events_per_s = None
 
+    calib_end = _calibrate()
+    load_end = _loadavg()
+    calibration = {
+        "calibration_sec": [calib_start, calib_end],
+        "loadavg_1_5_15": {"start": load_start, "end": load_end},
+    }
+
     print(
         json.dumps(
             {
@@ -313,6 +354,26 @@ def main() -> None:
                 "sf": sf,
                 "streaming_events_per_s": events_per_s,
                 "cdc_upsert_events_per_s": t9_events_per_s,
+                **calibration,
+            }
+        )
+    )
+    # Compact duplicate of the totals as the VERY LAST stdout line: the
+    # driver's tail capture truncated the (now 85-entry) queries dict
+    # mid-JSON in round 9 and lost the headline number entirely (r9
+    # verdict, "What's wrong" #1). Totals + throughputs + calibration only
+    # — small enough that no tail window can cut it.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries_timed": len(timings),
+                "streaming_events_per_s": events_per_s,
+                "cdc_upsert_events_per_s": t9_events_per_s,
+                **calibration,
             }
         )
     )

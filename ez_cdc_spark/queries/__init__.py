@@ -49,23 +49,10 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # the change they cover.)
 # (r8's 4-entry batch — u7, s15, t16, x40 — all came back hash-green in
 # CORRECTNESS_r08.json, so the set was cleared at the start of round 9.)
-_REATTEST: set[str] = {
-    # r9: p4's predicates re-declared to hit the fixture domain — the r1
-    # BRASS/[0-9]$ pair returned 0 rows at every SF, so its green hash
-    # compared two empty sets (vacuous; r8 verdict finding #1).
-    "p4_like_regex",
-    # r9: j5 now anti-joins the URGENT-order subset — the r1 form was
-    # vacuous for the same reason (every fixture customer has >=1 order).
-    "j5_left_anti",
-    # r9: x4d's corpus size N folded into the plan (1-row count aggregate
-    # broadcast cross-join) instead of a driver-side d.count() action.
-    "x4d_tfidf",
-    # r9: x40's pair-gen bounds the collect_list buffer — df is computed
-    # first and the gram stream is semi-joined to the df∈[2,20] band
-    # BEFORE collect_list, so zipf-head grams never materialize an
-    # unbounded single-group aggregation buffer (r8 ADVICE, medium).
-    "x40_ngram_containment",
-}
+# (r9's 4-entry batch — p4, j5, x4d, x40 — all came back hash-green in
+# CORRECTNESS_r09.json — p4 at 405 rows and j5 at 203 rows, closing the
+# vacuous-0-row finding — so the set was cleared at the start of round 10.)
+_REATTEST: set[str] = set()
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

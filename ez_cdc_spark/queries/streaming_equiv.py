@@ -1635,3 +1635,146 @@ def t25_streaming_bitmap(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "t26_windowed_streaming_cms",
+    oracle="""
+WITH j4 AS (
+  SELECT unnest(range(4)) AS row_id
+), ev AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wsec, user_id
+  FROM events
+), cells AS (
+  SELECT ev.wsec, j4.row_id,
+         CAST('0x' || substr(md5(CAST(j4.row_id AS VARCHAR) || ':' ||
+              CAST(ev.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM ev, j4
+), sketch AS (
+  SELECT wsec, row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+), truth AS (
+  SELECT wsec, user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM ev GROUP BY 1, 2
+), probes AS (
+  SELECT * FROM truth ORDER BY true_cnt DESC, wsec, user_id LIMIT 10
+), pc AS (
+  SELECT p.wsec, p.user_id, p.true_cnt, j4.row_id,
+         CAST('0x' || substr(md5(CAST(j4.row_id AS VARCHAR) || ':' ||
+              CAST(p.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM probes p, j4
+)
+SELECT strftime(to_timestamp(pc.wsec), '%Y-%m-%d %H:%M:%S') AS wstart,
+       pc.user_id, pc.true_cnt,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(s.cnt) - pc.true_cnt AS BIGINT) AS overestimate
+FROM pc JOIN sketch s USING (wsec, row_id, bucket)
+GROUP BY pc.wsec, pc.user_id, pc.true_cnt
+ORDER BY pc.true_cnt DESC, wstart, pc.user_id
+""",
+    doc="T26: the windowed streaming count-min sketch — t24's cells keyed "
+    "by 30-min EVENT-TIME window with watermark GC, the one open cell in "
+    "the windowed x sketch matrix (t18 = windowed counts, t23 = windowed "
+    "HLL registers, t24 = global CMS cells; t26 = windowed CMS cells): "
+    "per-window burst-frequency tracking whose closed windows the state "
+    "store garbage-collects. State at any instant is bounded by OPEN "
+    "windows x d*w = 1024 cells — input-size-free AND time-bounded "
+    "(t23's eviction contract applied to a SUM-merged sketch; the "
+    "layout test pins real eviction with zero watermark drops on the "
+    "time-ordered replay). Update-mode emissions are MONOTONE (a cell's "
+    "windowed count only grows), so the finishing max per (window, "
+    "cell) equals the final cell value — t24's argument per window. "
+    "The finishing probe pass is a22/t24's verbatim, per window: true "
+    "top-10 (window, user) pairs (deterministic true_cnt DESC, wstart, "
+    "user_id tie-break), estimate = MIN over the pair's 4 cells in ITS "
+    "window, overestimate never negative. The PROBE side broadcasts "
+    "(40 rows) rather than t24's sketch side — windows x 1024 cells is "
+    "corpus-sized here, never assumed broadcastable. Oracle = the "
+    "identical epoch-floored batch pipeline in DuckDB.",
+)
+def t26_windowed_streaming_cms(spark, sf_dir):
+    from ez_cdc_spark.streaming.replay import _pin_confs, events_parquet_time_split
+
+    # date_format over window bounds binds the session TZ at ANALYSIS time
+    # (SURVEY §7 gotcha 7, found via t23) — pin UTC before building any
+    # rendering expression.
+    _pin_confs(spark)
+    path = events_parquet_time_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    width, depth = 256, 4
+
+    def bucket(j, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(j)), key_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % width
+
+    key = F.col("user_id").cast("string")
+    cells = ev.withWatermark("ts", "1 minute").select(
+        "ts",
+        F.posexplode(F.array(*[bucket(j, key) for j in range(depth)])).alias(
+            "row_id", "bucket"
+        ),
+    )
+    regs = (
+        cells.groupBy(F.window("ts", "30 minutes"), "row_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "row_id",
+            "bucket",
+            "cnt",
+        )
+    )
+    emitted = run_to_memory(regs, "t26_windowed_cms", output_mode="update")
+    sketch = emitted.groupBy("wstart", "row_id", "bucket").agg(
+        F.max("cnt").cast("bigint").alias("cnt")
+    )
+
+    ev_b = t(spark, sf_dir, "events").select(
+        F.expr(
+            "cast(floor(unix_timestamp(ts) / 1800) * 1800 as bigint)"
+        ).alias("wsec"),
+        "user_id",
+    )
+    truth = ev_b.groupBy("wsec", "user_id").agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    probes = truth.orderBy(
+        F.desc("true_cnt"), F.asc("wsec"), F.asc("user_id")
+    ).limit(10)
+    probe_cells = probes.select(
+        F.date_format(F.timestamp_seconds("wsec"), "yyyy-MM-dd HH:mm:ss").alias(
+            "wstart"
+        ),
+        "user_id",
+        "true_cnt",
+        F.posexplode(
+            F.array(
+                *[bucket(j, F.col("user_id").cast("string")) for j in range(depth)]
+            )
+        ).alias("row_id", "bucket"),
+    )
+    return (
+        sketch.join(F.broadcast(probe_cells), ["wstart", "row_id", "bucket"])
+        .groupBy("wstart", "user_id", "true_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "wstart",
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("wstart"), F.asc("user_id"))
+    )

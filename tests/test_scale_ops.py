@@ -727,3 +727,113 @@ def test_t23_windowed_hll_evicts_closed_windows(spark, sf_dir, tmp_path):
         f"watermark must evict closed windows: state={final_state}, "
         f"registers={total_registers}"
     )
+
+
+def test_t26_windowed_cms_evicts_closed_windows(spark, sf_dir, tmp_path):
+    """t26's state contract (t23's eviction test applied to the SUM-merged
+    sketch): watermark GC evicts closed windows' cells during the replay —
+    final-batch state rows are a small fraction of the total (window, cell)
+    pairs produced — while dropping ZERO rows on the time-ordered split."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        checkpoint_dir,
+        events_parquet_time_split,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir)
+    out = str(tmp_path / "emissions")
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+    def bucket(j):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(j)), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % 256
+
+    regs = (
+        ev.withWatermark("ts", "1 minute")
+        .select(
+            "ts",
+            F.posexplode(F.array(*[bucket(j) for j in range(4)])).alias(
+                "row_id", "bucket"
+            ),
+        )
+        .groupBy(F.window("ts", "30 minutes"), "row_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progress) >= 3, "replay must span multiple micro-batches"
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in progress)
+    assert dropped == 0, "time-ordered replay must never lose a row"
+    final_state = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    total_cells = (
+        spark.read.parquet(out).select("window", "row_id", "bucket").distinct().count()
+    )
+    assert total_cells > 10 * final_state > 0, (
+        f"watermark must evict closed windows: state={final_state}, "
+        f"cells={total_cells}"
+    )
+
+
+def test_t26_windowed_cms_python_replay(spark, sf_dir):
+    """Third-implementation check for t26: a straight-line Python CMS
+    replay (hashlib md5, Counter cells) reproduces every probe row's
+    estimate exactly, and the CMS overestimate guarantee est >= truth
+    holds per (window, user) probe."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["t26_windowed_streaming_cms"].fn(spark, sf_dir).collect()
+    assert rows, "probe output must be non-empty"
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ts = pd.to_datetime(ev["ts"])
+    if ts.dt.tz is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    # unit-agnostic epoch seconds (parquet may surface datetime64[us] or [ns])
+    epoch_s = (ts - pd.Timestamp("1970-01-01")) // pd.Timedelta(seconds=1)
+    wsec = (epoch_s // 1800 * 1800).astype("int64")
+
+    def bucket(j, uid):
+        return int(hashlib.md5(f"{j}:{uid}".encode()).hexdigest()[:8], 16) % 256
+
+    cells: Counter = Counter()
+    truth: Counter = Counter()
+    for w, uid in zip(wsec, ev["user_id"]):
+        truth[(w, int(uid))] += 1
+        for j in range(4):
+            cells[(w, j, bucket(j, int(uid)))] += 1
+
+    for r in rows:
+        w = int(
+            pd.Timestamp(r["wstart"]).tz_localize("UTC").value // 10**9
+        )
+        uid = int(r["user_id"])
+        est = min(cells[(w, j, bucket(j, uid))] for j in range(4))
+        assert est == r["cms_est"], (w, uid, est, r["cms_est"])
+        assert truth[(w, uid)] == r["true_cnt"]
+        assert r["overestimate"] >= 0 and r["cms_est"] >= r["true_cnt"]
