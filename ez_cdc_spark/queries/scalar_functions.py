@@ -557,3 +557,65 @@ def f_url(spark, sf_dir):
         F.parse_url(url, F.lit("REF")).alias("fragment"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
     ).orderBy("doc_id")
+
+
+@register(
+    "f_collation",
+    oracle="""
+WITH v AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest([
+      n_name,
+      lower(n_name),
+      concat(upper(substr(lower(n_name), 1, 1)), substr(lower(n_name), 2, 1000)),
+      replace(lower(n_name), 'a', 'á')
+    ]) AS s FROM nation
+  )
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS byte_rnk,
+       CAST(ROW_NUMBER() OVER (ORDER BY lower(s), s) AS BIGINT) AS ci_rnk,
+       s,
+       hex(encode(s)) AS key_hex
+FROM v
+ORDER BY byte_rnk
+""",
+    doc="F-collation: the engine's PORTABLE COLLATION CONTRACT, pinned as a "
+    "query (SURVEY §5.3 rule, r10). Every string ordering in the engine — "
+    "ORDER BY, window ORDER BY, min/max, range fences — compares by raw "
+    "UTF-8 BYTE order (Spark's default UTF8_BINARY collation; DuckDB's "
+    "default binary collation), never by an ICU/locale collator: locale "
+    "tables differ per ICU version and would silently de-synchronize "
+    "engines (and cluster nodes) that upgrade independently. The query "
+    "materializes the contract on case/accent-DIVERGENT strings where "
+    "the two regimes visibly disagree — upper/lower/titlecase/accented "
+    "variants of every nation name — and pins BOTH orders cross-engine: "
+    "byte_rnk (the contract: 'Z' < 'a' < 'á', uppercase block first, "
+    "accented letters after all of ASCII) and ci_rnk (the explicit "
+    "case-insensitive rewrite ORDER BY lower(s), s — the engine-portable "
+    "way to ASK for case folding), plus the hex sort key itself so a "
+    "mismatch shows WHERE the bytes diverged. A property test documents "
+    "exactly where byte order and a locale collator would disagree "
+    "(en_US interleaves case and folds accents; bytes do neither). "
+    "Catalog-sized diagnostic (4 x nations rows, single window) — the "
+    "contract it pins governs every corpus-scale ordering op.",
+)
+def f_collation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    n = t(spark, sf_dir, "nation")
+    lo = F.lower(F.col("n_name"))
+    variants = F.array(
+        F.col("n_name"),
+        lo,
+        F.concat(F.upper(F.substring(lo, 1, 1)), F.substring(lo, 2, 1000)),
+        F.replace(lo, F.lit("a"), F.lit("á")),
+    )
+    v = n.select(F.explode(variants).alias("s")).distinct()
+    w_byte = Window.orderBy("s")
+    w_ci = Window.orderBy(F.lower("s"), F.col("s"))
+    return v.select(
+        F.row_number().over(w_byte).cast("bigint").alias("byte_rnk"),
+        F.row_number().over(w_ci).cast("bigint").alias("ci_rnk"),
+        "s",
+        F.hex(F.encode(F.col("s"), "UTF-8")).alias("key_hex"),
+    ).orderBy("byte_rnk")

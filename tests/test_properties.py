@@ -1469,3 +1469,47 @@ def test_x58_drift_reconciles_and_tv_bounds(spark, sf_dir):
             assert r["rate_delta"] == na / ta - nb / tb
         tv = sum(r["drift_num"] for r in sub) / (2.0 * ta * tb)
         assert 0.0 <= tv <= 1.0
+
+
+def test_f_collation_byte_contract_and_locale_divergence(spark, sf_smoke):
+    """f_collation's contract, checked by a third implementation and
+    documented against the locale alternative it rejects.
+
+    (1) byte_rnk order must equal a straight Python sort by UTF-8 bytes
+    (independent of both Spark's UTF8_BINARY comparator and DuckDB's
+    binary collation), and key_hex must round-trip to the string itself.
+    (2) ci_rnk must equal the Python (s.lower(), s) sort, and must
+    genuinely diverge from byte order on the fixture (the case blocks).
+    (3) Where a locale collator would disagree — pinned so the contract
+    is a documented CHOICE, not an accident: byte order sorts the entire
+    uppercase-initial block before the lowercase block ('Z' < 'a') and
+    every accented string after its ASCII siblings ('á' > 'z' bytewise),
+    whereas an ICU en_US collator interleaves case per word and treats
+    'á' as a variant of 'a'. Accent-folding the strings changes the
+    sort — which is exactly the divergence an ICU upgrade would
+    introduce mid-cluster if the engine keyed ordering on a locale."""
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["f_collation"].fn(spark, sf_smoke).collect()
+    assert len(rows) == 100
+
+    by_byte = [r["s"] for r in sorted(rows, key=lambda r: r["byte_rnk"])]
+    assert by_byte == sorted(by_byte, key=lambda s: s.encode("utf-8"))
+    for r in rows:
+        assert bytes.fromhex(r["key_hex"]).decode("utf-8") == r["s"]
+
+    by_ci = [r["s"] for r in sorted(rows, key=lambda r: r["ci_rnk"])]
+    assert by_ci == sorted(by_ci, key=lambda s: (s.lower(), s))
+    assert by_ci != by_byte, "fixture must exercise case divergence"
+
+    # (3a) whole uppercase-initial block precedes the lowercase block
+    first_lower = next(i for i, s in enumerate(by_byte) if s[0].islower())
+    assert all(s[0].islower() for s in by_byte[first_lower:])
+    # (3b) accented strings sort strictly after ALL pure-ASCII strings
+    # that share no accented prefix (here: after every ASCII string)
+    first_acc = next(i for i, s in enumerate(by_byte) if "á" in s)
+    assert all("á" in s for s in by_byte[first_acc:])
+    # (3c) accent folding changes the order => any accent-folding
+    # (locale) collator disagrees with the byte contract
+    folded = sorted(by_byte, key=lambda s: s.replace("á", "a").encode())
+    assert folded != by_byte
