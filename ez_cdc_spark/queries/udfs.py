@@ -260,23 +260,29 @@ ORDER BY p.event_id
     "path is anchored by the SAME DuckDB ASOF JOIN oracle as the "
     "engine's union+LOCF operator — two independent implementations, "
     "one hash. Determinism discipline: timestamps cross the Arrow "
-    "boundary as unix_micros BIGINTs and the output string renders "
-    "Spark-side BEFORE the cogroup, so no pandas datetime/session-TZ "
-    "conversion can drift; the per-user scan is a vectorized numpy "
-    "searchsorted, not a Python row loop. Scale: one exchange per side "
-    "on the cogroup key; per-task memory is one user's rows (the same "
-    "contract as u6); tie-dedupe of the right side happens Spark-side "
-    "(max_by per (user, ts)) to keep the pandas step pure.",
+    "boundary as unix_micros BIGINTs and the rendered pts string is "
+    "produced JVM-side AFTER the cogroup (r10: the string was pruned "
+    "from the Arrow exchange entirely — j15's render-post-join rule — "
+    "so no pandas datetime/session-TZ conversion can drift and the "
+    "exchange carries integers only); the per-user scan is a vectorized "
+    "numpy searchsorted, not a Python row loop, and the merge body is "
+    "numpy-argsort-only (r10: no per-group DataFrame.sort_values "
+    "copies, direct IntegerArray mask construction — worth ~10% of the "
+    "query; the remaining price is the entry point itself, priced in "
+    "README). Scale: one exchange per side on the cogroup key; per-task "
+    "memory is one user's rows (the same contract as u6); tie-dedupe of "
+    "the right side happens Spark-side (max_by per (user, ts)) to keep "
+    "the pandas step pure.",
 )
 def u8_cogroup_asof(spark, sf_dir):
     import numpy as np
+    from pandas.arrays import IntegerArray
 
     e = t(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts")).alias("tus"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -293,42 +299,50 @@ def u8_cogroup_asof(spark, sf_dir):
         )
     )
 
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.array([], dtype="Int64"),
+            "user_id": pd.array([], dtype="Int64"),
+            "tus": pd.array([], dtype="Int64"),
+            "r_event_id": pd.array([], dtype="Int64"),
+            "r_value": pd.array([], dtype="float64"),
+        }
+    )
+
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.array([], dtype="Int64"),
-                    "user_id": pd.array([], dtype="Int64"),
-                    "pts": pd.array([], dtype=object),
-                    "r_event_id": pd.array([], dtype="Int64"),
-                    "r_value": pd.array([], dtype="float64"),
-                }
-            )
-        left = left.sort_values("tus", kind="mergesort")
-        right = right.sort_values("tus", kind="mergesort")
-        rt = right["tus"].to_numpy(dtype="int64", na_value=0)
-        lt = left["tus"].to_numpy(dtype="int64")
+        lt = left["tus"].to_numpy()
+        n = len(lt)
+        if n == 0:
+            return empty
+        # argsort the raw arrays instead of DataFrame.sort_values: the
+        # frames here are tiny (~13 rows) and the per-call fixed cost of
+        # two frame copies dominated the merge body (~10% of the query
+        # at sf0.1, measured).
+        lo = np.argsort(lt, kind="stable")
+        lt = lt[lo]
+        rt = right["tus"].to_numpy()
+        ro = np.argsort(rt, kind="stable")
+        rt = rt[ro]
         idx = np.searchsorted(rt, lt, side="right") - 1
         hit = idx >= 0
-        safe = np.clip(idx, 0, None)  # gather index; misses masked below
+        safe = np.where(hit, idx, 0)  # gather index; misses masked below
         if len(rt):
-            eid_arr = right["c_event_id"].to_numpy(dtype="int64", na_value=0)
-            val_arr = right["c_value"].to_numpy(dtype="float64", na_value=np.nan)
-            eid_g, val_g = eid_arr[safe], val_arr[safe]
+            eid_g = right["c_event_id"].to_numpy()[ro][safe]
+            val_g = right["c_value"].to_numpy()[ro][safe]
         else:
-            eid_g = np.zeros(len(lt), dtype="int64")
-            val_g = np.full(len(lt), np.nan)
-        r_eid = pd.array(np.where(hit, eid_g, 0), dtype="Int64")
-        r_eid[~hit] = pd.NA
-        r_val = np.where(hit, val_g, np.nan)
+            eid_g = np.zeros(n, dtype="int64")
+            val_g = np.full(n, np.nan)
         return pd.DataFrame(
             {
-                "event_id": left["event_id"].to_numpy(dtype="int64"),
-                "user_id": left["user_id"].to_numpy(dtype="int64"),
-                "pts": left["pts"].to_numpy(dtype=object),
-                "r_event_id": r_eid,
-                "r_value": r_val,
-            }
+                "event_id": left["event_id"].to_numpy()[lo],
+                "user_id": left["user_id"].to_numpy()[lo],
+                "tus": lt,
+                "r_event_id": IntegerArray(
+                    np.where(hit, eid_g, 0).astype("int64"), ~hit
+                ),
+                "r_value": np.where(hit, val_g, np.nan),
+            },
+            copy=False,
         )
 
     out = (
@@ -336,8 +350,16 @@ def u8_cogroup_asof(spark, sf_dir):
         .cogroup(c.groupBy("user_id"))
         .applyInPandas(
             merge,
-            schema="event_id bigint, user_id bigint, pts string, "
+            schema="event_id bigint, user_id bigint, tus bigint, "
             "r_event_id bigint, r_value double",
         )
     )
-    return out.orderBy("event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.timestamp_micros("tus"), "yyyy-MM-dd HH:mm:ss").alias(
+            "pts"
+        ),
+        "r_event_id",
+        "r_value",
+    ).orderBy("event_id")
