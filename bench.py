@@ -101,6 +101,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   t21/t22 time full 8-stage streaming replays.
 EXTRA_QUERIES = [
     "t26_windowed_streaming_cms",
+    "x50_span_removal",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

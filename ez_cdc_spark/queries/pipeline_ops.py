@@ -2273,3 +2273,129 @@ def x58_snapshot_drift(spark, sf_dir):
         )
         .orderBy("col_name", "val")
     )
+
+
+@register(
+    "x50_span_removal",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM tok, unnest(CASE WHEN len(ws) >= 8
+                        THEN generate_series(1, len(ws) - 7)
+                        ELSE CAST([] AS BIGINT[]) END) AS u(i)
+), dfq AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY gram
+  ) WHERE c >= 2
+), hits AS (
+  SELECT doc_id, p FROM g JOIN dfq USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, p + o AS pos
+  FROM hits, unnest(generate_series(0, 7)) AS v(o)
+), tokpos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS tokn
+  FROM tok, unnest(generate_series(1, len(ws))) AS w2(i)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tokn
+  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tokn, ' ' ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(kept_md5, md5('')) AS kept_md5
+FROM tok LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="X50: duplicated-span REMOVAL — the transform x45 only measures "
+    "(Lee et al.'s ExactSubstr dedup applied): every token position "
+    "covered by an 8-token span appearing in >= 2 documents is deleted, "
+    "and each doc's surviving tokens are reassembled in order (rendered "
+    "as md5 — the x6d slim-row rule — plus exact kept/removed counts). "
+    "x45 answers 'how much would span-removal delete'; x50 actually "
+    "deletes it, and the two formulations are INDEPENDENT — x45 unions "
+    "intervals by lag-telescoping over flagged starts, x50 materializes "
+    "the covered-position set — so n_removed == x45.covered_tokens "
+    "per doc is a cross-formulation identity (property-tested, plus a "
+    "straight-Python Counter reimplementation of the whole transform). "
+    "100 TB shape: a corpus REWRITE is inherently O(tokens), and the "
+    "plan touches token-scale rows exactly twice — one (doc, pos)-keyed "
+    "LEFT ANTI join against the covered set (itself only 8x the flagged "
+    "starts, df-bounded) and one doc-keyed reassembly exchange whose "
+    "per-group state is one document's kept tokens (the same bound as "
+    "any per-doc text op); the gram df aggregate absorbs the zipf head "
+    "with map-side distinct-per-doc partials, and the flagged-gram join "
+    "reuses the checkpointed exploded projection (x19/x45's rationale). "
+    "Docs shorter than 8 tokens have no gram, survive whole, and "
+    "fully-duplicated docs degrade to kept_md5 = md5('') — both edges "
+    "pinned by the oracle's COALESCE.",
+)
+def x50_span_removal(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    d = widen_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = F.split(F.col("text"), r"\s+")
+    tok = d.select("doc_id", ws.alias("ws"))
+    grams = F.when(
+        F.size("ws") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 7),
+            lambda i: F.struct(
+                i.cast("long").alias("p"),
+                F.concat_ws(" ", F.slice("ws", i, 8)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:long,gram:string>>"))
+    pos = (
+        tok.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+        .localCheckpoint(eager=True)
+    )
+    flagged = (
+        pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    hits = pos.join(flagged, "gram").select("doc_id", "p")
+    cov = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("pos")
+    ).distinct()
+    tokpos = tok.select(
+        "doc_id", F.posexplode("ws").alias("idx", "tokn")
+    ).select("doc_id", (F.col("idx") + 1).cast("bigint").alias("pos"), "tokn")
+    kept = tokpos.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tokn"))),
+                    lambda s: s.getField("tokn"),
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        tok.select("doc_id", F.size("ws").cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

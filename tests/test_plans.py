@@ -778,3 +778,14 @@ def test_x58_plan_shape(spark, sf_smoke):
     p = plan_str(load_all()["x58_snapshot_drift"].fn(spark, sf_smoke))
     assert "SortMergeJoin" not in p and "Window" not in p
     assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p
+
+
+def test_x50_plan_shape(spark, sf_smoke):
+    """x50: the covered-set subtraction must be a hash LEFT ANTI join on
+    (doc_id, pos) — never a cartesian/BNLJ — with zero Python eval nodes
+    (pure HOF reassembly), and the checkpointed gram projection keeps the
+    interpreted 8-gram HOF out of the executed plan entirely."""
+    p = plan_str(load_all()["x50_span_removal"].fn(spark, sf_smoke))
+    assert "LeftAnti" in p, "covered-position subtraction must be anti-join"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1513,3 +1513,62 @@ def test_f_collation_byte_contract_and_locale_divergence(spark, sf_smoke):
     # (locale) collator disagrees with the byte contract
     folded = sorted(by_byte, key=lambda s: s.replace("á", "a").encode())
     assert folded != by_byte
+
+
+def test_x50_reconciles_with_x45_and_python_replay(spark, sf_dir):
+    """x50 (span removal) vs x45 (span coverage): two independent
+    formulations of the same covered-position union — x45 telescopes
+    intervals with a lag window, x50 materializes the position set and
+    anti-joins — so per doc n_removed must equal x45's covered_tokens
+    exactly. Then a straight-Python Counter reimplementation of the whole
+    transform (shared with neither the Spark HOF plan nor the DuckDB SQL)
+    must reproduce every row including the kept-text md5."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    x50 = {
+        r["doc_id"]: r
+        for r in reg["x50_span_removal"].fn(spark, sf_dir).collect()
+    }
+    x45 = {
+        r["doc_id"]: r
+        for r in reg["x45_dup_span_coverage"].fn(spark, sf_dir).collect()
+    }
+    assert set(x50) == set(x45)
+    for did, r in x50.items():
+        assert r["n_removed"] == x45[did]["covered_tokens"], did
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+    assert any(r["n_removed"] > 0 for r in x50.values()), (
+        "fixture must exercise actual removal"
+    )
+    assert any(r["n_removed"] == 0 for r in x50.values()), (
+        "fixture must keep some docs untouched"
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(r.doc_id): re.split(r"\s+", r.text) for r in docs.itertuples()
+    }
+    df_count: Counter = Counter()
+    for did, ws in toks.items():
+        seen = set()
+        for i in range(len(ws) - 7):
+            seen.add(" ".join(ws[i : i + 8]))
+        for g in seen:
+            df_count[g] += 1
+    for did, ws in toks.items():
+        covered = set()
+        for i in range(len(ws) - 7):
+            if df_count[" ".join(ws[i : i + 8])] >= 2:
+                covered.update(range(i, i + 8))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        r = x50[did]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_removed"] == len(covered), did
+        assert r["kept_md5"] == hashlib.md5(" ".join(kept).encode()).hexdigest(), did
