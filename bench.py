@@ -102,6 +102,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 EXTRA_QUERIES = [
     "t26_windowed_streaming_cms",
     "x50_span_removal",
+    "x7d_stratum_ksample",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

@@ -2399,3 +2399,59 @@ def x50_span_removal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x7d_stratum_ksample",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, md5('x7d:' || CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+), r AS (
+  SELECT doc_id, source, hkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+              AS BIGINT) AS rk
+  FROM h
+)
+SELECT doc_id, source, hkey, rk FROM r WHERE rk <= 12 ORDER BY doc_id
+""",
+    doc="X7d: deterministic fixed-k sample per stratum — the RESERVOIR-"
+    "sampling analog that completes the sampling family (x7 fixed-RATE "
+    "by hash threshold, x7b per-source rates, x7c upsampling; x7d = "
+    "exactly min(k, n) docs per source): keep each source's k docs with "
+    "the SMALLEST portable md5 priority ('x7d:'||doc_id). Because the "
+    "hash is a fixed uniform permutation of doc ids, the kept set is "
+    "distributed exactly as uniform k-without-replacement per stratum "
+    "(Efraimidis-Spirakis with equal weights) — but with ZERO sequential "
+    "state, so unlike a classical reservoir it is deterministic, "
+    "engine-portable, re-runnable, and mergeable (the union's top-k = "
+    "top-k of per-shard top-ks — the same mergeable-summary property as "
+    "the sketch family). Priorities compare as hex strings under the "
+    "f_collation byte contract. 100 TB shape: x18's skew-resistant "
+    "two-phase top-k verbatim — a salt-local row_number prunes every "
+    "(source, salt) to <= k rows BEFORE the per-source window, so a hot "
+    "source never funnels its full row set through one task; the final "
+    "window ranks <= 16k rows per source whatever the corpus. Oracle "
+    "declares the single-window form (algebraically equal, x18's "
+    "argument).",
+)
+def x7d_stratum_ksample(spark, sf_dir):
+    k = 12
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    hkey = F.md5(F.concat(F.lit("x7d:"), F.col("doc_id").cast("string")))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    w_local = Window.partitionBy("source", "salt").orderBy("hkey", "doc_id")
+    survivors = (
+        d.withColumn("hkey", hkey)
+        .withColumn("salt", salt)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)  # phase 1: <= 16k rows/source survive
+        .drop("lrk", "salt")
+    )
+    w_final = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", "hkey", "rk")
+        .orderBy("doc_id")
+    )

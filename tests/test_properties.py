@@ -1572,3 +1572,43 @@ def test_x50_reconciles_with_x45_and_python_replay(spark, sf_dir):
         assert r["n_tokens"] == len(ws)
         assert r["n_removed"] == len(covered), did
         assert r["kept_md5"] == hashlib.md5(" ".join(kept).encode()).hexdigest(), did
+
+
+def test_x7d_ksample_python_replay_and_merge_property(spark, sf_dir):
+    """x7d: (1) exactly min(k, n_source) rows per source; (2) a straight
+    Python replay (hashlib md5 priorities) reproduces the kept set and
+    ranks; (3) the mergeable-summary property that makes it a distributed
+    reservoir: top-k of the union == top-k of the per-shard top-ks, for
+    an arbitrary 3-way shard of the corpus."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    k = 12
+    rows = load_all()["x7d_stratum_ksample"].fn(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def pri(did):
+        return hashlib.md5(f"x7d:{did}".encode()).hexdigest()
+
+    per_src = defaultdict(list)
+    for r in docs.itertuples():
+        per_src[r.source].append((pri(int(r.doc_id)), int(r.doc_id)))
+    expect = {}
+    for src, lst in per_src.items():
+        for rk, (h, did) in enumerate(sorted(lst)[:k], start=1):
+            expect[(did, src)] = (h, rk)
+    got = {(r["doc_id"], r["source"]): (r["hkey"], r["rk"]) for r in rows}
+    assert got == expect
+
+    n_per = Counter(r["source"] for r in rows)
+    for src, lst in per_src.items():
+        assert n_per[src] == min(k, len(lst))
+
+    for src, lst in per_src.items():
+        shards = [sorted(lst[i::3])[:k] for i in range(3)]
+        merged = sorted(x for s in shards for x in s)[:k]
+        assert merged == sorted(lst)[:k], src
