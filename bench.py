@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "t26_windowed_streaming_cms",
     "x50_span_removal",
     "x7d_stratum_ksample",
+    "w19_rolling_drawdown",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

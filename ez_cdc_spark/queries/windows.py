@@ -1149,3 +1149,74 @@ def w18_rolling_mode(spark, sf_dir):
         F.col("mode_cnt_i").cast("bigint").alias("mode_cnt"),
         F.size("arr").cast("bigint").alias("frame_n"),
     ).orderBy("event_id")
+
+
+@register(
+    "w19_rolling_drawdown",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), b AS (
+  SELECT user_id, ts, event_id, cents,
+         CAST(MAX(cents) OVER w AS BIGINT) AS peak_cents
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT user_id, ts, event_id, cents, peak_cents,
+         CAST(peak_cents - cents AS BIGINT) AS dd_cents
+  FROM b
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       cents, peak_cents, dd_cents,
+       CAST(MAX(dd_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS mdd_cents
+FROM d
+ORDER BY event_id
+""",
+    doc="W19: per-user running maximum drawdown — the risk/degradation "
+    "statistic completing the running-extremum family (w15 = CUSUM level "
+    "SHIFT; w19 = worst peak-to-trough DECLINE to date, the quantity "
+    "risk desks and SLO dashboards track): peak_k = max(c_1..c_k), "
+    "dd_k = peak_k − c_k, mdd_k = max(dd_1..dd_k). The nested-window "
+    "reference (a running max OVER another running max's result) is "
+    "w15's trick in max form: two plain window passes sharing the SAME "
+    "partitioning and ordering, so Catalyst plans ONE user-keyed "
+    "exchange + one sort and stacks both Window nodes on it "
+    "(plan-asserted ≤ 2 Window nodes, no join, no HOF/array state). All "
+    "integer cents end to end — max/subtract never leave BIGINT, so "
+    "there is no rounding discipline at all. At 100 TB: per-user series "
+    "ride one exchange; state per row is O(1) (the two running maxes), "
+    "never the frame or the history.",
+)
+def w19_rolling_drawdown(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    c = e.select("user_id", "ts", "event_id", cents.alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("peak_cents"),
+    )
+    d = b.withColumn(
+        "dd_cents", (F.col("peak_cents") - F.col("cents")).cast("bigint")
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "cents",
+        "peak_cents",
+        "dd_cents",
+        F.max("dd_cents").over(w).cast("bigint").alias("mdd_cents"),
+    ).orderBy("event_id")

@@ -789,3 +789,16 @@ def test_x50_plan_shape(spark, sf_smoke):
     assert "LeftAnti" in p, "covered-position subtraction must be anti-join"
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_w19_plan_shape(spark, sf_smoke):
+    """w19: the nested running max (mdd over dd over peak) must share ONE
+    user-keyed exchange and stack at most two Window nodes on the same
+    sort (w15's contract in max form) — no join, no HOF/array state, no
+    Python."""
+    reg = load_all()
+    p = plan_str(reg["w19_rolling_drawdown"].fn(spark, sf_smoke))
+    assert "Join" not in p, "w19 must not join"
+    assert p.count("hashpartitioning") == 1, "w19: one user-keyed exchange"
+    assert p.count("+- Window") <= 2, "w19: at most two stacked Window nodes"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1612,3 +1612,45 @@ def test_x7d_ksample_python_replay_and_merge_property(spark, sf_dir):
         shards = [sorted(lst[i::3])[:k] for i in range(3)]
         merged = sorted(x for s in shards for x in s)[:k]
         assert merged == sorted(lst)[:k], src
+
+
+def test_w19_drawdown_python_replay(spark, sf_dir):
+    """w19: a straight-Python per-user fold of the drawdown recurrence
+    (running peak, dd, running max dd) reproduces every row, and the
+    invariants hold: dd >= 0, mdd nondecreasing per user, mdd >= dd."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["w19_rolling_drawdown"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).sort_values(["ts", "event_id"], kind="mergesort")
+    state = defaultdict(lambda: (-(1 << 62), -(1 << 62)))  # (peak, mdd)
+    expect = {}
+    for r in ev.itertuples():
+        cents = int(
+            Decimal(str(r.value)).quantize(Decimal("0.01")) * 100
+        )
+        peak, mdd = state[r.user_id]
+        peak = max(peak, cents)
+        dd = peak - cents
+        mdd = max(mdd, dd)
+        state[r.user_id] = (peak, mdd)
+        expect[int(r.event_id)] = (cents, peak, dd, mdd)
+    last_mdd = {}
+    for r in sorted(rows, key=lambda r: r["event_id"]):
+        cents, peak, dd, mdd = expect[r["event_id"]]
+        assert (r["cents"], r["peak_cents"], r["dd_cents"], r["mdd_cents"]) == (
+            cents,
+            peak,
+            dd,
+            mdd,
+        ), r["event_id"]
+        assert dd >= 0 and mdd >= dd
+        assert mdd >= last_mdd.get(r["user_id"], 0)
+        last_mdd[r["user_id"]] = mdd
+    assert len(rows) == len(expect)
