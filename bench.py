@@ -104,6 +104,7 @@ EXTRA_QUERIES = [
     "x50_span_removal",
     "x7d_stratum_ksample",
     "w19_rolling_drawdown",
+    "x59_zipf_slope",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

@@ -2455,3 +2455,93 @@ def x7d_stratum_ksample(spark, sf_dir):
         .select("doc_id", "source", "hkey", "rk")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x59_zipf_slope",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+), hist AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY source, w
+), r AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk
+  FROM hist
+), terms AS (
+  SELECT source,
+         CAST(ROUND(ln(rk), 6) AS DECIMAL(18,6)) AS lx,
+         CAST(ROUND(ln(cnt), 6) AS DECIMAL(18,6)) AS ly
+  FROM r
+), s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(lx) AS DOUBLE) AS sx,
+         CAST(SUM(ly) AS DOUBLE) AS sy,
+         CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+         CAST(SUM(lx * lx) AS DOUBLE) AS sxx
+  FROM terms GROUP BY source
+)
+SELECT source, n_types,
+       (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+       (sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx)
+         / CAST(n_types AS DOUBLE) AS intercept
+FROM s
+ORDER BY source
+""",
+    doc="X59: per-source Zipf slope — the log-log OLS exponent of each "
+    "source's token-frequency distribution (healthy natural text ≈ −1; "
+    "template spam and synthetic data bend it): the tokenizer-design / "
+    "corpus-health companion to x42 (coverage curve), x49 (Gini) and "
+    "x35 (KL), fitting ln(freq) on ln(rank) over the vocab histogram. "
+    "Determinism composes two proven recipes: each ln term is "
+    "ROUND(ln,6) cast to exact DECIMAL (x34's order-free log-domain "
+    "rule — products and sums stay exact decimal, so summation order "
+    "cannot matter), and the OLS tail is w14's exactly-cast IEEE "
+    "pipeline: the five sums cast to DOUBLE once, slope/intercept "
+    "computed with pinned parenthesization — bit-identical cross-engine "
+    "with no final rounding at all. Rank ties break (cnt DESC, token) "
+    "under the f_collation byte contract. 100 TB shape: x49's verbatim "
+    "— the corpus collapses to the (source, token) histogram in one "
+    "partial-agg exchange; the rank window and the moment sums touch "
+    "vocabulary rows only (Heaps-bounded), and the result is one row "
+    "per source.",
+)
+def x59_zipf_slope(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import widen_partitions
+
+    d = widen_partitions(t(spark, sf_dir, "documents").select("source", "text"))
+    tok = d.select("source", F.explode(F.split("text", r"\s+")).alias("w"))
+    hist = tok.groupBy("source", "w").agg(F.count("*").cast("bigint").alias("cnt"))
+    wr = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
+    r = hist.select("source", "cnt", F.row_number().over(wr).alias("rk"))
+    terms = r.select(
+        "source",
+        F.round(F.log(F.col("rk").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lx"),
+        F.round(F.log(F.col("cnt").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("ly"),
+    )
+    s = terms.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    nD = F.col("n_types").cast("double")
+    slope = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        "n_types",
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nD).alias("intercept"),
+    ).orderBy("source")

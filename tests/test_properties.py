@@ -1654,3 +1654,53 @@ def test_w19_drawdown_python_replay(spark, sf_dir):
         assert mdd >= last_mdd.get(r["user_id"], 0)
         last_mdd[r["user_id"]] = mdd
     assert len(rows) == len(expect)
+
+
+def test_x59_zipf_python_replay_and_ln_margins(spark, sf_dir):
+    """x59: (1) x34-style boundary-margin guard — every ln(rank) and
+    ln(cnt) term in the fixture histogram clears the 6-dp rounding
+    boundary by a wide margin, so Spark/DuckDB/Python rounding modes
+    cannot disagree; (2) an exact-Decimal Python replay (quantized terms,
+    exact sums, one float conversion, same parenthesization) reproduces
+    slope and intercept bit-for-bit."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = {r["source"]: r for r in load_all()["x59_zipf_slope"].fn(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    hists = defaultdict(Counter)
+    for r in docs.itertuples():
+        hists[r.source].update(re.split(r"\s+", r.text))
+
+    q6 = Decimal("0.000001")
+    for source, h in hists.items():
+        ranked = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))
+        sx = sy = sxy = sxx = Decimal(0)
+        n = len(ranked)
+        for rk, (_, cnt) in enumerate(ranked, start=1):
+            for v in (rk, cnt):
+                scaled = math.log(v) * 1e6
+                assert abs(abs(scaled - math.floor(scaled)) - 0.5) > 1e-3, (
+                    source, v, scaled,
+                )
+            lx = Decimal(repr(math.log(rk))).quantize(q6, ROUND_HALF_UP)
+            ly = Decimal(repr(math.log(cnt))).quantize(q6, ROUND_HALF_UP)
+            sx += lx
+            sy += ly
+            sxy += lx * ly
+            sxx += lx * lx
+        fsx, fsy, fsxy, fsxx = map(float, (sx, sy, sxy, sxx))
+        fn = float(n)
+        slope = (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx)
+        intercept = (fsy - slope * fsx) / fn
+        r = rows[source]
+        assert r["n_types"] == n
+        assert r["zipf_slope"] == slope, source
+        assert r["intercept"] == intercept, source
+    assert set(rows) == set(hists)
