@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "x7d_stratum_ksample",
     "w19_rolling_drawdown",
     "x59_zipf_slope",
+    "s21_csv_malformed_modes",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

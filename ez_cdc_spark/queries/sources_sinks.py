@@ -866,3 +866,105 @@ def s20_partition_evolution(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s21_csv_malformed_modes",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders
+), good AS (
+  SELECT * FROM src WHERE o_orderkey % 10 <> 0
+), bad AS (
+  SELECT * FROM src WHERE o_orderkey % 10 = 0
+)
+SELECT 'dropmalformed' AS mode, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_keys,
+       CAST(SUM(p) AS DOUBLE) AS total FROM good
+UNION ALL
+SELECT 'permissive_corrupt', CAST(COUNT(*) AS BIGINT),
+       CAST(0 AS BIGINT),
+       CAST(SUM(CAST(o_orderkey AS DECIMAL(12,2))) AS DOUBLE)
+FROM bad
+UNION ALL
+SELECT 'permissive_good', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderkey) AS BIGINT), CAST(SUM(p) AS DOUBLE)
+FROM good
+ORDER BY mode
+""",
+    doc="S21: the CSV malformed-row contract — s3b's corrupt-record "
+    "isolation for the OTHER text wire format (real CSV feeds always "
+    "carry broken lines: truncated writes, stray headers, type drift). "
+    "A CSV with deterministically injected malformed lines (every "
+    "o_orderkey % 10 == 0 row becomes a non-numeric 2-field line) is "
+    "read back under an explicit schema in BOTH recovery modes and the "
+    "counts must reconcile: PERMISSIVE + columnNameOfCorruptRecord "
+    "buckets each broken line into _corrupt_record (job survives, "
+    "nothing silently lost — permissive_good + permissive_corrupt = "
+    "file lines), while DROPMALFORMED silently discards them "
+    "(dropmalformed == permissive_good — the equality that quantifies "
+    "exactly what DROPMALFORMED would hide). Two parser contracts are "
+    "pinned along the way because both are production footguns: (1) "
+    "CSV COLUMN PRUNING means an unreferenced column's malformed token "
+    "is never converted and the line is NOT flagged — the query keeps "
+    "the broken field load-bearing (count(o_orderkey), 0 on corrupt "
+    "rows) in both reads, or the whole check is vacuous; (2) "
+    "PERMISSIVE keeps the fields that DID parse on a corrupt line "
+    "(here the second token lands in p while o_orderkey nulls), so the "
+    "oracle mirrors that partial-parse sum rather than pretending the "
+    "row is all-NULL. FAILFAST is the third mode; it raises by "
+    "contract and is pinned by a pytest (a query can't return a "
+    "raise). 100 TB: both reads are single-pass map-side scans — "
+    "corruption handling happens per line in the parser, no shuffle; "
+    "the oracle recomputes from the clean source table, so the round "
+    "trip must lose nothing it didn't declare.",
+)
+def s21_csv_malformed_modes(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("p")
+    )
+    line = F.when(
+        F.col("o_orderkey") % 10 == 0,
+        F.concat(F.lit("corrupt_line,"), F.col("o_orderkey").cast("string")),
+    ).otherwise(
+        F.concat_ws(",", F.col("o_orderkey").cast("string"), F.col("p").cast("string"))
+    )
+    path = _scratch(sf_dir, "s21csv")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = "o_orderkey BIGINT, p DECIMAL(12,2)"
+    perm = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # CSV parser column pruning (on by default) means an unreferenced
+    # column is never type-converted, so its malformed token raises no
+    # error and the line is NOT flagged corrupt — the o_orderkey count
+    # below keeps the broken field load-bearing in BOTH reads (and is
+    # itself part of the contract: corrupt rows contribute 0 keys).
+    lab = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("permissive_corrupt")
+    ).otherwise(F.lit("permissive_good"))
+    perm_agg = (
+        perm.select(lab.alias("mode"), "o_orderkey", "p")
+        .groupBy("mode")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum("p").cast("double").alias("total"),
+        )
+    )
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum("p").cast("double").alias("total"),
+        )
+        .select(F.lit("dropmalformed").alias("mode"), "n", "n_keys", "total")
+    )
+    return dropped.unionByName(perm_agg).orderBy("mode")

@@ -103,3 +103,33 @@ def test_data_bytes_matches_local_stat_and_takes_uris(spark, tmp_path):
     assert expect > 0
     assert data_bytes(spark, path) == expect
     assert data_bytes(spark, f"file:{path}") == expect
+
+
+def test_s21_failfast_raises_and_counts_reconcile(spark, sf_dir):
+    """s21's third mode: FAILFAST must abort the read on the first
+    malformed line (pinned here because a registry query cannot return a
+    raise), and the PERMISSIVE split must account for every file line."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+
+    rows = {
+        r["mode"]: r
+        for r in load_all()["s21_csv_malformed_modes"].fn(spark, sf_dir).collect()
+    }
+    path = _scratch(sf_dir, "s21csv")
+    n_lines = spark.read.text(path).count()
+    assert rows["permissive_good"]["n"] + rows["permissive_corrupt"]["n"] == n_lines
+    assert rows["dropmalformed"]["n"] == rows["permissive_good"]["n"]
+    assert rows["permissive_corrupt"]["n"] > 0
+
+    ff = (
+        spark.read.schema("o_orderkey BIGINT, p DECIMAL(12,2)")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        # o_orderkey must be load-bearing here too (CSV column pruning)
+        ff.agg(F.count("o_orderkey")).collect()
