@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "w19_rolling_drawdown",
     "x59_zipf_slope",
     "s21_csv_malformed_modes",
+    "j19_correlated_subqueries",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

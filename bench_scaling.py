@@ -40,7 +40,8 @@ OPS = os.environ.get(
     "x3b_blocked_topk,a16_portable_hll,w12_rolling_mad_outlier,a17_trimmed_mean,"
     "w13_rolling_regression_slope,a18_weighted_trimmed_mean,j17_bloom_pruned_join,"
     "x46_bigram_logprob,x57_incremental_lsh,a22_count_min_sketch,"
-    "a23_bitmap_distinct,w18_rolling_mode",
+    "a23_bitmap_distinct,w18_rolling_mode,x50_span_removal,"
+    "w19_rolling_drawdown,x59_zipf_slope,x7d_stratum_ksample",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 

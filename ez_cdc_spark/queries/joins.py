@@ -755,3 +755,60 @@ def j18_range_anti_join(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "j19_correlated_subqueries",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+       (SELECT CAST(MAX(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_price,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_returnflag = 'R')
+                 THEN 1 ELSE 0 END AS INT) AS has_return
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+ORDER BY o.o_orderkey
+""",
+    doc="J19: correlated-subquery DECORRELATION — the SQL surface the "
+    "DataFrame join rows (j1-j18) never exercise: two correlated scalar "
+    "subqueries (COUNT and MAX per outer row) plus a correlated EXISTS, "
+    "written as a user would write them. Executing them as written "
+    "would be O(|orders| x |lineitem|) nested-loop re-scans; the engine "
+    "contract is Catalyst's DecorrelateInnerQuery/RewriteCorrelated"
+    "ScalarSubquery pipeline rewriting all three into key-partitioned "
+    "aggregate + outer-join plans — plan-asserted: >= 2 equi-joins, "
+    "zero cartesian/nested-loop nodes, so the 100 TB cost is three "
+    "hash-keyed exchanges, not quadratic probing (the same class of "
+    "silent rewrite as J17's bloom injection: the user writes intent, "
+    "the optimizer owns the strategy). Semantics pinned cross-engine: "
+    "COUNT over an empty correlation is 0 (not NULL — the classic "
+    "COUNT-bug case decorrelation must preserve), MAX over it is NULL, "
+    "EXISTS rendered as INT for portable stringification. DuckDB runs "
+    "the IDENTICAL SQL text through its own decorrelator, so agreement "
+    "checks the rewrite's semantics, not a shared implementation.",
+)
+def j19_correlated_subqueries(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("j19_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("j19_lineitem")
+    return spark.sql(
+        """
+SELECT o.o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM j19_lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+       (SELECT CAST(MAX(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        FROM j19_lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_price,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM j19_lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_returnflag = 'R')
+                 THEN 1 ELSE 0 END AS INT) AS has_return
+FROM j19_orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+ORDER BY o.o_orderkey
+"""
+    )

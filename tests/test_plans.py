@@ -802,3 +802,17 @@ def test_w19_plan_shape(spark, sf_smoke):
     assert p.count("hashpartitioning") == 1, "w19: one user-keyed exchange"
     assert p.count("+- Window") <= 2, "w19: at most two stacked Window nodes"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_j19_decorrelation_plan_shape(spark, sf_smoke):
+    """j19: Catalyst must rewrite the correlated scalar subqueries and the
+    EXISTS into key-partitioned aggregate + join plans — equi-joins only,
+    zero cartesian/nested-loop nodes (executing as written would be
+    O(|orders| x |lineitem|) re-scans)."""
+    p = plan_str(load_all()["j19_correlated_subqueries"].fn(spark, sf_smoke))
+    n_joins = sum(
+        p.count(x)
+        for x in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins >= 2, "subqueries must decorrelate into equi-joins"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
