@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "x59_zipf_slope",
     "s21_csv_malformed_modes",
     "j19_correlated_subqueries",
+    "s22_range_clustered_rewrite",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

@@ -968,3 +968,61 @@ def s21_csv_malformed_modes(spark, sf_dir):
         .select(F.lit("dropmalformed").alias("mode"), "n", "n_keys", "total")
     )
     return dropped.unionByName(perm_agg).orderBy("mode")
+
+
+@register(
+    "s22_range_clustered_rewrite",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_shipdate, CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+  FROM lineitem
+)
+SELECT CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+                AS BIGINT)) AS BIGINT) AS key_sig,
+       CAST(SUM(p) AS DOUBLE) AS total
+FROM li GROUP BY ship_year ORDER BY ship_year
+""",
+    doc="S22: range-clustered rewrite — the 1-D member completing the "
+    "scan-avoidance family (static pushdown → S16 DPP → J17 bloom → S15 "
+    "z-order for 2-D; S22 = the time-series layout every fact table "
+    "actually ships with): lineitem rewritten via repartitionByRange on "
+    "l_shipdate (Spark's sampled range partitioner — the distributed "
+    "sort-by-write primitive) + sortWithinPartitions, so parquet footer "
+    "min/max spans become NON-OVERLAPPING across files and a date "
+    "predicate prunes to the one file covering it (pinned in pytest: "
+    "per-file spans are disjoint and each file covers ~1/N of the date "
+    "domain vs 100% per file before the rewrite). The query reads the "
+    "clustered COPY back and aggregates per ship year with the s12/s13 "
+    "order-free content signature, so any row lost/duplicated/"
+    "reordered-into-the-wrong-value by the rewrite is a hash mismatch "
+    "against the ORIGINAL table. 100 TB: repartitionByRange is ONE "
+    "sampled exchange (no global single-task sort); the payoff is "
+    "every later time-windowed scan reading |window|/|history| of the "
+    "files — the dominant query class on telemetry/CDC fact tables.",
+)
+def s22_range_clustered_rewrite(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", dec("l_extendedprice").alias("p")
+    )
+    path = _scratch(sf_dir, "s22range")
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    sig = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        back.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(sig).cast("bigint").alias("key_sig"),
+            F.sum("p").cast("double").alias("total"),
+        )
+        .orderBy("ship_year")
+    )

@@ -133,3 +133,35 @@ def test_s21_failfast_raises_and_counts_reconcile(spark, sf_dir):
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         # o_orderkey must be load-bearing here too (CSV column pruning)
         ff.agg(F.count("o_orderkey")).collect()
+
+
+def test_s22_range_cluster_spans_disjoint_and_narrow(spark, sf_dir):
+    """s22's layout contract: after repartitionByRange +
+    sortWithinPartitions, per-file (min, max) l_shipdate spans are
+    pairwise DISJOINT (footer min/max becomes a binary-searchable index —
+    a date predicate prunes to the files covering it) and each file
+    covers a small fraction of the global date domain."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+
+    load_all()["s22_range_clustered_rewrite"].fn(spark, sf_dir).collect()
+    path = _scratch(sf_dir, "s22range")
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 8, "range partitioner must spread files"
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    glo = min(s[0] for s in spans)
+    ghi = max(s[1] for s in spans)
+    total = (ghi - glo).total_seconds()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file spans must be disjoint (boundary rows aside)"
+    narrow = [s for s in spans if (s[1] - s[0]).total_seconds() < 0.25 * total]
+    assert len(narrow) >= len(spans) - 2, (
+        "each file must cover a small slice of the date domain"
+    )
