@@ -108,6 +108,10 @@ EXTRA_QUERIES = [
     "s21_csv_malformed_modes",
     "j19_correlated_subqueries",
     "s22_range_clustered_rewrite",
+    "j20_not_in_null_aware",
+    "s23_bucketed_agg",
+    "f_variant",
+    "x51_cluster_keywords",
     "w14_rolling_correlation",
     "x47_holdout_with_floors",
     "w15_cusum_drift",

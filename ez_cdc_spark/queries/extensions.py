@@ -2016,3 +2016,86 @@ def x57_incremental_lsh(spark, sf_dir):
         F.col("corpus_id").cast("bigint").alias("corpus_id"),
         F.round(inter / union, 4).alias("jaccard"),
     ).orderBy("doc_id", "corpus_id")
+
+
+@register(
+    "x51_cluster_keywords",
+    oracle=_x38_cte()
+    + r""",
+tok AS (
+  SELECT a.cid, unnest(regexp_split_to_array(d.text, '\s+')) AS w
+  FROM a3 a JOIN documents d ON d.doc_id = a.vec_id
+), ctf AS (
+  SELECT cid, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY cid, w
+), cdf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT cid, w FROM ctf) GROUP BY w
+), sc AS (
+  SELECT c.cid, c.w, c.cnt, f.df,
+         c.cnt * CAST(ROUND(ln(8.0 / f.df), 6) AS DECIMAL(18,6)) AS score
+  FROM ctf c JOIN cdf f USING (w)
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY score DESC, w) AS rk
+  FROM sc
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(rk AS BIGINT) AS rk,
+       w AS token, cnt, df, CAST(score AS DOUBLE) AS ctfidf
+FROM r WHERE rk <= 5
+ORDER BY cluster_id, rk
+""",
+    doc="X51: per-cluster topic keywords (class-TF-IDF, BERTopic's c-TF-IDF "
+    "over the engine's own k-means clustering) — WHAT each x38 embedding "
+    "cluster is ABOUT, in tokens: joins the memoized Lloyd assignment "
+    "(doc_id == vec_id, the x5 multimodal contract) to document text, "
+    "counts tokens per cluster, and scores cnt × ln(k/df) where df = "
+    "clusters containing the token — ubiquitous tokens (df = k) score "
+    "exactly 0 and cluster-specific ones rise. The labeling step that "
+    "turns clustering from a blocking key (x39 SemDeDup) into a "
+    "human-auditable topic map for mixture decisions (x7b weights per "
+    "TOPIC, not just per source). Determinism: the IDF factor is "
+    "ROUND(ln,6) exact DECIMAL (x34's rule; df ∈ {1..k} gives 8 ln "
+    "values, margin-guard-tested, ln(1) = exact 0), the score is an "
+    "exact BIGINT × DECIMAL product RANKED as decimal (ties impossible "
+    "to mis-order cross-engine) with (score DESC, token) total order, "
+    "and only the rendered column casts to DOUBLE. 100 TB shape: "
+    "corpus collapses to the (cluster, token) histogram via one "
+    "partial-agg exchange (x49's rule); df is a token-keyed count over "
+    "distinct (cid, w) rows; the rank window touches k × vocab rows "
+    "only; the Lloyd assignment cost is session-memoized across the "
+    "x38 family.",
+)
+def x51_cluster_keywords(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import load_table
+
+    assigned = _kmeans_assign(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        assigned.select("vec_id", "cid")
+        .join(d, assigned.vec_id == d.doc_id)
+        .select("cid", F.explode(F.split("text", r"\s+")).alias("w"))
+    )
+    ctf = tok.groupBy("cid", "w").agg(F.count("*").cast("bigint").alias("cnt"))
+    cdf = (
+        ctf.select("cid", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    idf = F.round(F.log(F.lit(8.0) / F.col("df")), 6).cast("decimal(18,6)")
+    sc = ctf.join(cdf, "w").select(
+        "cid", "w", "cnt", "df", (F.col("cnt") * idf).alias("score")
+    )
+    wr = Window.partitionBy("cid").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        sc.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "rk",
+            F.col("w").alias("token"),
+            "cnt",
+            "df",
+            F.col("score").cast("double").alias("ctfidf"),
+        )
+        .orderBy("cluster_id", "rk")
+    )

@@ -812,3 +812,66 @@ WHERE o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
 ORDER BY o.o_orderkey
 """
     )
+
+
+@register(
+    "j20_not_in_null_aware",
+    oracle="""
+WITH probe AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events
+  WHERE event_type = 'error'
+), probe_null AS (
+  SELECT CASE WHEN uid % 97 = 0 THEN NULL ELSE uid END AS uid FROM probe
+)
+SELECT 'not_in_clean' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey NOT IN (SELECT uid FROM probe)
+UNION ALL
+SELECT 'not_in_with_null', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_custkey NOT IN (SELECT uid FROM probe_null)
+UNION ALL
+SELECT 'not_exists_with_null', CAST(COUNT(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (
+  SELECT 1 FROM probe_null p WHERE p.uid = c.c_custkey)
+ORDER BY variant
+""",
+    doc="J20: NULL-AWARE anti join — SQL's most notorious semantics trap "
+    "pinned as a three-variant contract: NOT IN over a NULL-free "
+    "subquery behaves like the plain anti join (j5), NOT IN over a "
+    "subquery CONTAINING a NULL returns ZERO rows (x <> NULL is "
+    "UNKNOWN, so no row can prove membership-absence — three-valued "
+    "logic, P7's rule surfacing inside a join), while NOT EXISTS over "
+    "the same null-bearing set ignores the NULL and returns the anti "
+    "set — the rewrite every SQL linter tells users to make, here "
+    "quantified exactly. Engine contract: a naive null-aware plan is a "
+    "BroadcastNestedLoopJoin over |probe| comparisons per row; Spark's "
+    "single-column optimization plans it as a BroadcastHashJoin with "
+    "isNullAware=true (one hash probe + one null flag — plan-asserted), "
+    "and the NULL-free / NOT EXISTS variants stay ordinary LeftAnti "
+    "hash joins. At 100 TB the fact side never shuffles: all three "
+    "probe sets are distinct-key dims that broadcast. DuckDB evaluates "
+    "the IDENTICAL SQL through its own MARK-join machinery — agreement "
+    "checks the three-valued-logic semantics, not a shared plan.",
+)
+def j20_not_in_null_aware(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("j20_customer")
+    t(spark, sf_dir, "events").createOrReplaceTempView("j20_events")
+    return spark.sql(
+        """
+WITH probe AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM j20_events
+  WHERE event_type = 'error'
+), probe_null AS (
+  SELECT CASE WHEN uid % 97 = 0 THEN NULL ELSE uid END AS uid FROM probe
+)
+SELECT 'not_in_clean' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+FROM j20_customer WHERE c_custkey NOT IN (SELECT uid FROM probe)
+UNION ALL
+SELECT 'not_in_with_null', CAST(COUNT(*) AS BIGINT)
+FROM j20_customer WHERE c_custkey NOT IN (SELECT uid FROM probe_null)
+UNION ALL
+SELECT 'not_exists_with_null', CAST(COUNT(*) AS BIGINT)
+FROM j20_customer c WHERE NOT EXISTS (
+  SELECT 1 FROM probe_null p WHERE p.uid = c.c_custkey)
+ORDER BY variant
+"""
+    )

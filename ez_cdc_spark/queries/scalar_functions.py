@@ -619,3 +619,69 @@ def f_collation(spark, sf_dir):
         "s",
         F.hex(F.encode(F.col("s"), "UTF-8")).alias("key_hex"),
     ).orderBy("byte_rnk")
+
+
+@register(
+    "f_variant",
+    oracle="""
+WITH j AS (
+  SELECT event_id,
+         props,
+         '{"a":' || CAST(user_id AS VARCHAR) || ',"b":{"c":"' || event_type
+           || '"},"arr":[1,' || CAST(event_id % 5 AS VARCHAR) || ']}' AS doc
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(doc, '$.a') AS BIGINT) AS a_int,
+       json_extract_string(doc, '$.b.c') AS bc_str,
+       CAST(json_extract(doc, '$.arr[1]') AS BIGINT) AS arr_1,
+       CAST(json_extract(doc, '$.missing') IS NULL AS INT) AS missing_is_null
+FROM j
+ORDER BY event_id
+""",
+    doc="F-variant: Spark 4's VARIANT type — the open-schema semi-"
+    "structured column (binary-encoded JSON with typed path access, the "
+    "lakehouse answer to string-JSON columns that re-parse on every "
+    "touch): parse_json once, then variant_get extracts TYPED values by "
+    "JSONPath — top-level scalar, nested object member, array element "
+    "by index, and a missing path (NULL via try_variant_get, the "
+    "schema-drift-tolerant accessor). The engine contract vs the "
+    "f_map_json family: a VARIANT column parses ONCE at ingest and "
+    "every later extraction is a binary-offset walk, where "
+    "get_json_object re-parses the string per expression — at 100 TB "
+    "the difference between one decode and one decode per query "
+    "column. All map-side codegen, zero shuffle. DuckDB mirrors with "
+    "its own native JSON type (json_extract / json_extract_string) — "
+    "two independent semi-structured engines agreeing on typed path "
+    "semantics.",
+)
+def f_variant(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"a":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"b":{"c":"'),
+        F.col("event_type"),
+        F.lit('"},"arr":[1,'),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("]}"),
+    )
+    j = e.select(
+        "event_id",
+        F.parse_json("props").alias("vp"),
+        F.parse_json(doc).alias("vd"),
+    )
+    return j.select(
+        "event_id",
+        F.variant_get("vp", "$.k", "bigint").alias("k_int"),
+        F.variant_get("vp", "$.k", "string").alias("k_str"),
+        F.variant_get("vd", "$.a", "bigint").alias("a_int"),
+        F.variant_get("vd", "$.b.c", "string").alias("bc_str"),
+        F.variant_get("vd", "$.arr[1]", "bigint").alias("arr_1"),
+        F.try_variant_get("vd", "$.missing", "string")
+        .isNull()
+        .cast("int")
+        .alias("missing_is_null"),
+    ).orderBy("event_id")

@@ -1026,3 +1026,53 @@ def s22_range_clustered_rewrite(spark, sf_dir):
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "s23_bucketed_agg",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+ORDER BY o_custkey
+""",
+    doc="S23: exchange-free AGGREGATION over a bucketed table — the other "
+    "half of j13's pay-the-shuffle-once contract: a table bucketed by "
+    "o_custkey satisfies the hash aggregate's ClusteredDistribution "
+    "straight off the scan, so groupBy(o_custkey) plans with ZERO "
+    "Exchange anywhere (plan-asserted) — the bucket layout written once "
+    "serves every later join (j13) AND every later keyed aggregate "
+    "(s23) on that key. At 100 TB this is the difference between "
+    "re-shuffling the fact table per dashboard query and reading "
+    "pre-clustered buckets; the HAVING filter runs post-agg map-side. "
+    "Oracle recomputes from the ORIGINAL orders table, so the bucketed "
+    "copy must be content-identical.",
+)
+def s23_bucketed_agg(spark, sf_dir):
+    from ez_cdc_spark.sources.bucketing import write_bucketed
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", dec("o_totalprice").alias("p")
+    )
+    write_bucketed(o, "s23_orders_b", "o_custkey")
+    b = spark.table("s23_orders_b")
+    # group on the RAW bucket column: wrapping the key in a cast makes it
+    # a different expression than the bucket spec and reintroduces the
+    # exchange the layout exists to avoid (cast in the projection instead)
+    return (
+        b.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("p").cast("double").alias("total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("o_custkey")
+    )

@@ -816,3 +816,24 @@ def test_j19_decorrelation_plan_shape(spark, sf_smoke):
     )
     assert n_joins >= 2, "subqueries must decorrelate into equi-joins"
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_j20_naaj_and_s23_bucketed_agg_plan_shapes(spark, sf_smoke):
+    """j20: without the single-column null-aware-anti-join optimization,
+    the NOT-IN-with-NULL variant CANNOT be a hash join at all (the
+    null-aware condition forces BroadcastNestedLoop) — so three
+    BroadcastHashJoin LeftAnti nodes and zero BNLJ IS the NAAJ proof.
+    s23: the bucketed scan satisfies the aggregate's distribution, so no
+    hash exchange appears anywhere (the only exchange is the presentation
+    sort's range partitioning)."""
+    reg = load_all()
+    p20 = plan_str(reg["j20_not_in_null_aware"].fn(spark, sf_smoke))
+    assert "BroadcastNestedLoop" not in p20 and "CartesianProduct" not in p20
+    assert p20.count("BroadcastHashJoin LeftAnti") == 3
+
+    p23 = plan_str(reg["s23_bucketed_agg"].fn(spark, sf_smoke))
+    assert "Bucketed: true" in p23, "scan must read bucket layout"
+    assert "hashpartitioning" not in p23, "bucketed agg must not re-shuffle"
+
+    pv = plan_str(reg["f_variant"].fn(spark, sf_smoke))
+    assert "hashpartitioning" not in pv and "Python" not in pv

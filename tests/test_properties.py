@@ -1704,3 +1704,38 @@ def test_x59_zipf_python_replay_and_ln_margins(spark, sf_dir):
         assert r["zipf_slope"] == slope, source
         assert r["intercept"] == intercept, source
     assert set(rows) == set(hists)
+
+
+def test_x51_ctfidf_margins_and_reconciliation(spark, sf_dir):
+    """x51: (1) all 8 possible IDF values ln(8/df), df in 1..8, clear the
+    6-dp rounding boundary (ln(1) is exactly 0 — no boundary at all);
+    (2) per-cluster output is exactly 5 rows with contiguous ranks and
+    decimal-exact score ordering; (3) a ubiquitous token (df == 8) can
+    never outrank a token with positive score."""
+    import math
+
+    from ez_cdc_spark.queries import load_all
+
+    for df in range(1, 9):
+        v = math.log(8.0 / df)
+        if v == 0.0:
+            continue
+        scaled = v * 1e6
+        assert abs(abs(scaled - math.floor(scaled)) - 0.5) > 1e-3, df
+
+    rows = load_all()["x51_cluster_keywords"].fn(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) > 1
+    for cid, rs in by_cluster.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 5
+        for a, b in zip(rs, rs[1:]):
+            assert (a["ctfidf"], ) >= (b["ctfidf"], ), (cid, a, b)
+            if a["ctfidf"] == b["ctfidf"]:
+                assert a["token"] < b["token"]
+        for r in rs:
+            if r["df"] == 8:
+                assert r["ctfidf"] == 0.0
