@@ -755,3 +755,26 @@ def test_w18_is_per_user_local_at_10x(spark, sf_dir, r8b_10x_dir):
     assert len(big) == 10 * len(base)
     rep0 = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
     assert rep0 == base
+
+
+def test_x50_replicated_corpus_removes_everything(spark, r8b_10x_dir):
+    """x50 on the 10x exact-duplicate corpus: every 8-gram of every doc
+    with >= 8 tokens also lives in its 9 replicas, so span removal must
+    delete the ENTIRE document (n_kept == 0, kept_md5 == md5('')) while
+    docs under 8 tokens survive verbatim — x45's closed-form endpoint
+    applied to the transform, plus the removal/coverage identity holding
+    at 10x."""
+    import hashlib
+
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    x50 = reg["x50_span_removal"].fn(spark, r8b_10x_dir).collect()
+    assert len(x50) > 0
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in x50:
+        if r["n_tokens"] >= 8:
+            assert r["n_kept"] == 0 and r["n_removed"] == r["n_tokens"], r
+            assert r["kept_md5"] == empty_md5, r
+        else:
+            assert r["n_removed"] == 0 and r["n_kept"] == r["n_tokens"], r
