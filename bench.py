@@ -100,6 +100,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   is j8 (~0.5 s) — u8 exists to exercise and price the pandas path.
 #   t21/t22 time full 8-stage streaming replays.
 EXTRA_QUERIES = [
+    "t27_windowed_streaming_bitmap",
     "t26_windowed_streaming_cms",
     "x50_span_removal",
     "x7d_stratum_ksample",

@@ -1778,3 +1778,87 @@ def t26_windowed_streaming_cms(spark, sf_dir):
         )
         .orderBy(F.desc("true_cnt"), F.asc("wstart"), F.asc("user_id"))
     )
+
+
+@register(
+    "t27_windowed_streaming_bitmap",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS wsec,
+         event_type AS grp,
+         user_id // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS word
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT strftime(to_timestamp(wsec), '%Y-%m-%d %H:%M:%S') AS wstart,
+       grp,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="T27: the windowed streaming EXACT-distinct bitmap — t25's "
+    "per-(grp, word) bit_or keyed by 30-min EVENT-TIME window with "
+    "watermark GC, extending the windowed x sketch matrix to its exact "
+    "column (t18 = windowed counts, t23 = windowed HLL, t26 = windowed "
+    "CMS, t27 = windowed exact bitmap): per-window exact distinct-user "
+    "counts per event type whose closed windows the state store garbage-"
+    "collects. State at any instant is bounded by OPEN windows x groups "
+    "x (keyspace/32) words — input-size-free in the stream length AND "
+    "time-bounded (t23's eviction contract; the layout test pins real "
+    "eviction with zero watermark drops on the time-ordered replay). "
+    "Update emissions are MONOTONE in the bit lattice per (window, grp, "
+    "word) — OR only sets bits — so the finishing bit_or over all "
+    "emitted updates equals the final word exactly, and unlike t26's "
+    "SUM-merged cells the merge is IDEMPOTENT: replayed or duplicated "
+    "emissions cannot corrupt the count (t25's at-least-once argument, "
+    "per window). The finishing popcount rollup is a23's verbatim keyed "
+    "by window. 100 TB shape: the streaming exchange carries one row "
+    "per (window, grp, word) cell, never per event (map-side partial "
+    "bit_or), and the finishing pass aggregates the bounded emission "
+    "log, not the corpus. Oracle = the identical epoch-floored batch "
+    "pipeline in DuckDB (t25's SQL keyed by wsec).",
+)
+def t27_windowed_streaming_bitmap(spark, sf_dir):
+    from ez_cdc_spark.streaming.replay import _pin_confs, events_parquet_time_split
+
+    # date_format over window bounds binds the session TZ at ANALYSIS time
+    # (SURVEY §7 gotcha 7, found via t23) — pin UTC before building any
+    # rendering expression.
+    _pin_confs(spark)
+    path = events_parquet_time_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    words = (
+        ev.withWatermark("ts", "1 minute")
+        .select(
+            "ts",
+            F.col("event_type").alias("grp"),
+            F.expr("user_id div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+            ).alias("bit"),
+        )
+        .groupBy(F.window("ts", "30 minutes"), "grp", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "grp",
+            "word_idx",
+            "word",
+        )
+    )
+    emitted = run_to_memory(words, "t27_windowed_bitmap", output_mode="update")
+    final_words = emitted.groupBy("wstart", "grp", "word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+    return (
+        final_words.groupBy("wstart", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("wstart", "grp")
+    )

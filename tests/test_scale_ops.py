@@ -837,3 +837,96 @@ def test_t26_windowed_cms_python_replay(spark, sf_dir):
         assert est == r["cms_est"], (w, uid, est, r["cms_est"])
         assert truth[(w, uid)] == r["true_cnt"]
         assert r["overestimate"] >= 0 and r["cms_est"] >= r["true_cnt"]
+
+
+def test_t27_windowed_bitmap_evicts_closed_windows(spark, sf_dir, tmp_path):
+    """t27's state contract (t23's eviction test applied to the idempotent
+    OR-merged bitmap): watermark GC evicts closed windows' words during the
+    replay — final-batch state rows are a small fraction of the total
+    (window, grp, word) cells produced — while dropping ZERO rows on the
+    time-ordered split."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        checkpoint_dir,
+        events_parquet_time_split,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir)
+    out = str(tmp_path / "emissions")
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    regs = (
+        ev.withWatermark("ts", "1 minute")
+        .select(
+            "ts",
+            F.col("event_type").alias("grp"),
+            F.expr("user_id div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+            ).alias("bit"),
+        )
+        .groupBy(F.window("ts", "30 minutes"), "grp", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progress) >= 3, "replay must span multiple micro-batches"
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in progress)
+    assert dropped == 0, "time-ordered replay must never lose a row"
+    final_state = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    total_cells = (
+        spark.read.parquet(out).select("window", "grp", "word_idx").distinct().count()
+    )
+    assert total_cells > 10 * final_state > 0, (
+        f"watermark must evict closed windows: state={final_state}, "
+        f"cells={total_cells}"
+    )
+
+
+def test_t27_windowed_bitmap_python_replay(spark, sf_dir):
+    """Third-implementation check for t27: a straight-line Python replay
+    (per-(window, grp) set of user_ids) reproduces every output row's
+    n_distinct exactly and every word count, proving the word/popcount
+    pipeline computes EXACT windowed distincts."""
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["t27_windowed_streaming_bitmap"].fn(spark, sf_dir).collect()
+    assert rows, "output must be non-empty"
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    ts = pd.to_datetime(ev["ts"])
+    if ts.dt.tz is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    # unit-agnostic epoch seconds (parquet may surface datetime64[us] or [ns])
+    epoch_s = (ts - pd.Timestamp("1970-01-01")) // pd.Timedelta(seconds=1)
+    wsec = (epoch_s // 1800 * 1800).astype("int64")
+
+    users: dict = {}
+    for w, uid, grp in zip(wsec, ev["user_id"], ev["event_type"]):
+        users.setdefault((int(w), grp), set()).add(int(uid))
+
+    seen = set()
+    for r in rows:
+        w = int(pd.Timestamp(r["wstart"]).tz_localize("UTC").value // 10**9)
+        key = (w, r["grp"])
+        seen.add(key)
+        uids = users[key]
+        assert r["n_distinct"] == len(uids), (key, r["n_distinct"], len(uids))
+        assert r["n_words"] == len({u // 32 for u in uids}), key
+    assert seen == set(users), "every (window, grp) must be emitted"
