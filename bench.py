@@ -101,6 +101,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   t21/t22 time full 8-stage streaming replays.
 EXTRA_QUERIES = [
     "t27_windowed_streaming_bitmap",
+    "x52_cluster_balanced_mix",
     "t26_windowed_streaming_cms",
     "x50_span_removal",
     "x7d_stratum_ksample",

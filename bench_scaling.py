@@ -41,7 +41,8 @@ OPS = os.environ.get(
     "w13_rolling_regression_slope,a18_weighted_trimmed_mean,j17_bloom_pruned_join,"
     "x46_bigram_logprob,x57_incremental_lsh,a22_count_min_sketch,"
     "a23_bitmap_distinct,w18_rolling_mode,x50_span_removal,"
-    "w19_rolling_drawdown,x59_zipf_slope,x7d_stratum_ksample",
+    "w19_rolling_drawdown,x59_zipf_slope,x7d_stratum_ksample,"
+    "x52_cluster_balanced_mix",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 

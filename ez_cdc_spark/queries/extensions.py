@@ -2099,3 +2099,105 @@ def x51_cluster_keywords(spark, sf_dir):
         )
         .orderBy("cluster_id", "rk")
     )
+
+
+@register(
+    "x52_cluster_balanced_mix",
+    oracle=_x38_cte()
+    + r""",
+dc AS (
+  SELECT a.cid, d.doc_id
+  FROM a3 a JOIN documents d ON d.doc_id = a.vec_id
+), nc AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dc GROUP BY cid
+), w AS (
+  SELECT cid, n_docs,
+         least(1000000, greatest(10000,
+           ((SELECT SUM(n_docs) FROM nc) // 8) * 1000000 // n_docs
+         )) AS weight_ppm
+  FROM nc
+), s AS (
+  SELECT dc.cid, dc.doc_id
+  FROM dc JOIN w USING (cid)
+  WHERE CAST('0x' || substr(md5(CAST(dc.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < w.weight_ppm
+)
+SELECT CAST(w.cid AS BIGINT) AS cluster_id,
+       w.n_docs,
+       CAST(w.weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled,
+       CAST(MIN(s.doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(s.doc_id) AS BIGINT) AS max_doc
+FROM w LEFT JOIN s USING (cid)
+GROUP BY w.cid, w.n_docs, w.weight_ppm
+ORDER BY cluster_id
+""",
+    doc="X52: cluster-balanced mixture weights — x7b's source-weighting "
+    "step recomputed per TOPIC (the x38 embedding cluster), closing the "
+    "loop clustering (x38) -> labeling (x51) -> mixing: per-cluster "
+    "retention weights that equalize topic mass in the training mix "
+    "instead of trusting source labels. Weight is pure integer "
+    "parts-per-million: target = total div k docs per cluster, "
+    "weight_ppm = clamp(target * 1e6 div n_c, 1% floor, 100% cap) — "
+    "over-represented topics are down-sampled toward the uniform "
+    "target, small topics keep everything, and the 1% floor guarantees "
+    "no topic is annihilated (the x7c floor/cap discipline applied "
+    "downward). Membership is the portable md5 hash gate (x7's rule): "
+    "doc survives iff phash(doc_id) % 1e6 < weight_ppm, so the sample "
+    "is deterministic, reproducible cross-engine, and consistent with "
+    "every other phash-gated sample in the engine. All arithmetic is "
+    "non-negative BIGINT, so Spark's truncating div == DuckDB's "
+    "flooring // (x38's rule); counts to ~1e12 docs keep "
+    "target*1e6 < 2^63. 100 TB shape: the weight table is k rows "
+    "(broadcast back), the gate is a map-side filter on the corpus — "
+    "the only exchanges are the k-row aggregates and the memoized "
+    "Lloyd assignment the whole x38 family shares. Oracle: the same "
+    "integer spec over the unrolled DuckDB k-means CTE.",
+)
+def x52_cluster_balanced_mix(spark, sf_dir):
+    from ez_cdc_spark.sources.tables import load_table
+
+    assigned = _kmeans_assign(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    dc = (
+        assigned.select("vec_id", "cid")
+        .join(d, assigned.vec_id == d.doc_id)
+        .select("cid", "doc_id")
+    )
+    nc = dc.groupBy("cid").agg(F.count("*").cast("bigint").alias("n_docs"))
+    total = nc.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    w = nc.crossJoin(F.broadcast(total)).select(
+        "cid",
+        "n_docs",
+        F.expr(
+            "least(cast(1000000 as bigint), greatest(cast(10000 as bigint), "
+            "(total div 8) * 1000000 div n_docs))"
+        ).alias("weight_ppm"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    s = (
+        dc.join(F.broadcast(w.select("cid", "weight_ppm")), "cid")
+        .filter(gate < F.col("weight_ppm"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+    return (
+        w.join(F.broadcast(s), "cid", "left")
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "n_docs",
+            F.col("weight_ppm").cast("bigint"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+            "min_doc",
+            "max_doc",
+        )
+        .orderBy("cluster_id")
+    )

@@ -837,3 +837,14 @@ def test_j20_naaj_and_s23_bucketed_agg_plan_shapes(spark, sf_smoke):
 
     pv = plan_str(reg["f_variant"].fn(spark, sf_smoke))
     assert "hashpartitioning" not in pv and "Python" not in pv
+
+
+def test_x52_plan_shape(spark, sf_smoke):
+    """x52: the k-row weight table must reach the corpus gate by BROADCAST
+    (never SMJ — the corpus must not shuffle to be sampled), the total
+    rides a one-row broadcast cross join, and the gate itself is pure JVM
+    (no Python eval nodes)."""
+    p = plan_str(load_all()["x52_cluster_balanced_mix"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, "x52: weight table must broadcast to the gate"
+    assert "SortMergeJoin" not in p, "x52: corpus must not SMJ to be sampled"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

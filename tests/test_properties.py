@@ -1739,3 +1739,44 @@ def test_x51_ctfidf_margins_and_reconciliation(spark, sf_dir):
         for r in rs:
             if r["df"] == 8:
                 assert r["ctfidf"] == 0.0
+
+
+def test_x52_weights_and_sample_reconcile(spark, sf_dir):
+    """Independent Python reimplementation of x52: taking the (already
+    hash-attested) x38 assignment as ground truth, recompute every
+    cluster's weight_ppm from the integer formula and every n_sampled /
+    min_doc / max_doc by replaying the md5 gate in hashlib — row-for-row
+    equality, plus the invariants n_sampled <= n_docs, weights in
+    [10_000, 1_000_000], and over-target clusters strictly down-weighted."""
+    import hashlib
+
+    from ez_cdc_spark.queries import load_all
+
+    reg = load_all()
+    rows = {r["cluster_id"]: r for r in reg["x52_cluster_balanced_mix"].fn(spark, sf_dir).collect()}
+    assert rows, "x52 output must be non-empty"
+    assign = reg["x38_kmeans_clusters"].fn(spark, sf_dir).collect()
+
+    by_cluster: dict = {}
+    for a in assign:
+        by_cluster.setdefault(a["cluster_id"], []).append(int(a["vec_id"]))
+    total = sum(len(v) for v in by_cluster.values())
+    target = total // 8
+
+    def gate(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    assert set(rows) == set(by_cluster)
+    for cid, ids in by_cluster.items():
+        n_docs = len(ids)
+        w = min(1_000_000, max(10_000, target * 1_000_000 // n_docs))
+        sampled = sorted(i for i in ids if gate(i) < w)
+        r = rows[cid]
+        assert r["n_docs"] == n_docs and r["weight_ppm"] == w, (cid, dict(r.asDict()))
+        assert r["n_sampled"] == len(sampled) <= n_docs
+        if sampled:
+            assert r["min_doc"] == sampled[0] and r["max_doc"] == sampled[-1]
+        else:
+            assert r["min_doc"] is None and r["max_doc"] is None
+        if n_docs > target:
+            assert w < 1_000_000, "over-target cluster must be down-weighted"
