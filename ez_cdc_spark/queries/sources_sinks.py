@@ -1076,3 +1076,86 @@ def s23_bucketed_agg(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "s24_sorted_bucket_window",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, rn
+""",
+    doc="S24: sorted-bucket merge read — the third bucketed-layout payoff "
+    "after j13 (exchange-free join) and s23 (exchange-free agg): a table "
+    "bucketed by o_custkey and SORTED within buckets by (o_custkey, "
+    "o_orderdate, o_orderkey) feeds a per-customer running-total Window "
+    "with ZERO Exchange and ZERO Sort in the plan — the scan's sort "
+    "metadata satisfies the Window's required ordering directly, so the "
+    "per-key time-ordered pass (cumulative revenue, order sequence "
+    "numbers) is a pure streaming read of pre-sorted buckets. Two "
+    "honestly-documented conditions Spark imposes: (1) the scan trusts "
+    "sort metadata only when EVERY selected bucket is one file "
+    "(write_bucketed one_file_per_bucket=True aligns task hash with "
+    "bucket hash; at 100 TB you size n_buckets so one bucket file stays "
+    "manageable, compacting with s12 as batches accrete), and (2) the "
+    "read session must opt in via spark.sql.legacy.bucketedTableScan."
+    "outputOrdering (off by default since 3.0) — the query pins the "
+    "conf just for plan construction and restores it, forcing the "
+    "physical plan while the conf holds (QueryExecution caches it). "
+    "Frame is ROWS (not the default RANGE) so ties cannot blur the "
+    "running sum; DECIMAL(12,2) keeps it exact cross-engine. Oracle "
+    "recomputes from the ORIGINAL orders table, so the bucketed copy "
+    "must be content-identical row-for-row.",
+)
+def s24_sorted_bucket_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ez_cdc_spark.sources.bucketing import write_bucketed
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", dec("o_totalprice").alias("p")
+    )
+    write_bucketed(
+        o,
+        "s24_orders_sb",
+        "o_custkey",
+        sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+        one_file_per_bucket=True,
+    )
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        b = spark.table("s24_orders_sb")
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            b.select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                F.row_number()
+                .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+                .cast("bigint")
+                .alias("rn"),
+                F.sum("p").over(w).cast("double").alias("running_total"),
+            )
+            .orderBy("o_custkey", "rn")
+        )
+        # Planning must happen while the conf holds: force the physical
+        # plan now (QueryExecution caches its lazy vals, so the later
+        # driver-side collect reuses this Sort-free plan).
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        spark.conf.set(conf_key, prev)

@@ -54,11 +54,23 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort: bool = True,
+    sort_cols: list[str] | None = None,
+    one_file_per_bucket: bool = False,
 ) -> None:
     """Persist ``df`` bucketed (and sorted) by ``bucket_col``.
 
     Sorting within buckets lets the sort-merge join skip its sort step too
     (plan shows neither Exchange nor Sort above the scans).
+
+    ``sort_cols`` extends the within-bucket sort beyond the bucket key
+    (e.g. ``[key, ts, id]`` so a per-key time-ordered Window needs no Sort
+    at read time). ``one_file_per_bucket`` repartitions by the bucket
+    column before writing so each writer task holds exactly one bucket
+    (task hash == bucket hash, both murmur HashPartitioning): Spark only
+    trusts a bucketed scan's SORT metadata when every selected bucket is
+    a single file — with several files per bucket the per-file runs would
+    need a merge the scan node doesn't do (s24's contract; the read side
+    must also enable spark.sql.legacy.bucketedTableScan.outputOrdering).
 
     Drops any stale catalog entry AND its warehouse location first: a
     fresh in-memory catalog over a leftover warehouse dir (previous
@@ -84,9 +96,12 @@ def write_bucketed(
         loc = os.path.join(wh, rel) if wh else None
     if loc:
         shutil.rmtree(loc, ignore_errors=True)
+    if one_file_per_bucket:
+        df = df.repartition(n_buckets, bucket_col)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
-        writer = writer.sortBy(bucket_col)
+        cols = sort_cols if sort_cols else [bucket_col]
+        writer = writer.sortBy(*cols)
     writer.format("parquet").saveAsTable(table)
 
 

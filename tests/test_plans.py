@@ -848,3 +848,26 @@ def test_x52_plan_shape(spark, sf_smoke):
     assert "BroadcastHashJoin" in p, "x52: weight table must broadcast to the gate"
     assert "SortMergeJoin" not in p, "x52: corpus must not SMJ to be sampled"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_s24_plan_shape(spark, sf_smoke):
+    """s24: the per-customer running-total Window must plan with ZERO
+    Exchange and ZERO Sort — the sorted single-file-per-bucket layout
+    satisfies both the Window's distribution and its ordering straight
+    off the scan (the sorted-bucket merge-read contract) — and both
+    window expressions (rn, running_total) share ONE Window node. The
+    legacy outputOrdering conf must be restored after the call."""
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(conf_key, "false")
+    df = load_all()["s24_sorted_bucket_window"].fn(spark, sf_smoke)
+    assert spark.conf.get(conf_key) == "false", "conf must be restored"
+    # simple string plan: tree prints top-down, so everything at/after the
+    # Window line is the window's input subtree — the final global orderBy
+    # above it is allowed its range exchange+sort; the WINDOW itself must
+    # sit directly on the sorted bucketed scan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("+- Window") == 1, "rn and running_total share one Window"
+    win = p[p.index("+- Window") :]
+    assert "Exchange" not in win, "window input must not shuffle"
+    assert "Sort" not in win, "window input must not re-sort"
+    assert "Bucketed: true" in win, "scan must be the bucketed table"

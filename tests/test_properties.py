@@ -1780,3 +1780,45 @@ def test_x52_weights_and_sample_reconcile(spark, sf_dir):
             assert r["min_doc"] is None and r["max_doc"] is None
         if n_docs > target:
             assert w < 1_000_000, "over-target cluster must be down-weighted"
+
+
+def test_s24_running_totals_reconcile(spark, sf_dir):
+    """Independent Python reimplementation of s24: per-customer running
+    totals recomputed in exact Decimal cents over pandas (HALF_UP to
+    match Spark's double->DECIMAL(12,2) cast), compared row-for-row
+    against the bucketed-scan Window output — proving the sorted-bucket
+    read returns exactly the original rows in exactly per-key time
+    order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["s24_sorted_bucket_window"].fn(spark, sf_dir).collect()
+    assert rows, "output must be non-empty"
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cents = {
+        int(k): int(
+            Decimal(str(p)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100
+        )
+        for k, p in zip(o["o_orderkey"], o["o_totalprice"])
+    }
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    expect: dict = {}
+    run: dict = {}
+    rn: dict = {}
+    for k, c, d in zip(o["o_orderkey"], o["o_custkey"], o["o_orderdate"]):
+        c = int(c)
+        run[c] = run.get(c, 0) + cents[int(k)]
+        rn[c] = rn.get(c, 0) + 1
+        expect[int(k)] = (c, str(pd.Timestamp(d).date()), rn[c], run[c])
+    assert len(rows) == len(expect)
+    for r in rows:
+        c, odate, n, cents_total = expect[r["o_orderkey"]]
+        assert (r["o_custkey"], r["odate"], r["rn"]) == (c, odate, n), dict(r.asDict())
+        assert round(r["running_total"] * 100) == cents_total, dict(r.asDict())
