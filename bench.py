@@ -100,6 +100,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 #   is j8 (~0.5 s) — u8 exists to exercise and price the pandas path.
 #   t21/t22 time full 8-stage streaming replays.
 EXTRA_QUERIES = [
+    "x60_hierarchy_flatten",
     "s24_sorted_bucket_window",
     "t27_windowed_streaming_bitmap",
     "x52_cluster_balanced_mix",

@@ -2201,3 +2201,74 @@ def x52_cluster_balanced_mix(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "x60_hierarchy_flatten",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CASE WHEN c_custkey <= 10 OR c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(c_custkey // 2 AS BIGINT) END AS parent
+  FROM customer
+), up AS (
+  SELECT id AS c_custkey, id AS cur,
+         CAST(0 AS BIGINT) AS depth, CAST(0 AS BIGINT) AS path_sum
+  FROM edges
+  UNION ALL
+  SELECT u.c_custkey, e.parent, u.depth + 1, u.path_sum + e.parent
+  FROM up u JOIN edges e ON e.id = u.cur
+  WHERE e.parent IS NOT NULL
+)
+SELECT u.c_custkey, u.cur AS root_id, u.depth, u.path_sum
+FROM up u JOIN edges e ON e.id = u.cur
+WHERE e.parent IS NULL
+ORDER BY u.c_custkey
+""",
+    doc="X60: hierarchy flatten / transitive closure to root — the "
+    "recursive-CTE capability class (org charts, BOM explosion, category "
+    "trees, reply threads). Spark has no WITH RECURSIVE, so the naive "
+    "port walks one parent edge per join: O(depth) shuffle rounds — at "
+    "100 TB a depth-30 hierarchy is 30 sequential shuffles. This "
+    "implements POINTER DOUBLING instead: state (id, anc, depth-to-anc, "
+    "sum-of-ancestor-keys-to-anc) self-joined on anc==id doubles the "
+    "covered distance every round, so exactly 5 rounds resolve any "
+    "depth <= 2^5 = 32 (the fixture forest's halving parent rule bounds "
+    "depth by log2(N): 11 at sf0.01, 31 at 1.5e9 customers — the spec "
+    "pins 5 rounds and a property test asserts the margin). Roots are "
+    "their own fixpoint (anc=self, d=0, s=0), so converged rows pass "
+    "through later rounds unchanged — no convergence test, no early "
+    "exit, bit-deterministic. Every value is BIGINT arithmetic (depth "
+    "add, key sum): zero floats end-to-end. Each round is one slim "
+    "equi-join (4-column state, never the customer payload) with "
+    "localCheckpoint truncating lineage (x11/x37's iterative pattern — "
+    "plan depth O(1) per round). The synthetic forest derives "
+    "deterministically from the dense customer key domain: parent = "
+    "id div 2 except roots at id <= 10 or id % 7 = 0. Oracle: DuckDB "
+    "native WITH RECURSIVE over the identical edge rule — the engines "
+    "agree via entirely different evaluation strategies (rowwise "
+    "fixpoint vs logarithmic batch doubling).",
+)
+def x60_hierarchy_flatten(spark, sf_dir):
+    from ez_cdc_spark.operators.hierarchy import pointer_double_flatten
+
+    ids = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    is_root = (F.col("id") <= 10) | (F.col("id") % 7 == 0)
+    edges = ids.select(
+        "id",
+        F.when(is_root, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("id div 2").cast("bigint"))
+        .alias("parent"),
+    )
+    # State invariant (pointer_double_flatten): anc is an ancestor of id;
+    # d = #edges on id->anc; s = sum of keys on (id, anc]. 5 rounds cover
+    # depth <= 32; the halving forest's depth is log2(N) (11 at sf0.01).
+    state = pointer_double_flatten(edges, rounds=5)
+    return state.select(
+        F.col("id").alias("c_custkey"),
+        F.col("anc").alias("root_id"),
+        F.col("d").alias("depth"),
+        F.col("s").alias("path_sum"),
+    ).orderBy("c_custkey")

@@ -1822,3 +1822,96 @@ def test_s24_running_totals_reconcile(spark, sf_dir):
         c, odate, n, cents_total = expect[r["o_orderkey"]]
         assert (r["o_custkey"], r["odate"], r["rn"]) == (c, odate, n), dict(r.asDict())
         assert round(r["running_total"] * 100) == cents_total, dict(r.asDict())
+
+
+def test_x60_pointer_doubling_matches_sequential_walk(spark, sf_dir):
+    """Independent Python reimplementation of x60: a plain sequential
+    parent walk (the O(depth) algorithm the pointer-doubling plan
+    replaces) recomputed per customer, compared row-for-row. Also pins
+    the doubling-round margin: 5 rounds resolve depth <= 32, and the
+    fixture's halving forest must sit well inside it."""
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["x60_hierarchy_flatten"].fn(spark, sf_dir).collect()
+    assert rows, "output must be non-empty"
+
+    import pandas as pd
+
+    ids = sorted(
+        int(v)
+        for v in pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ]
+    )
+    idset = set(ids)
+
+    def parent(i: int) -> int | None:
+        return None if (i <= 10 or i % 7 == 0) else i // 2
+
+    # every non-root's parent must exist: the dense-key contract the
+    # synthetic forest relies on
+    for i in ids:
+        p = parent(i)
+        assert p is None or p in idset, (i, p)
+
+    expect = {}
+    max_depth = 0
+    for i in ids:
+        cur, depth, psum = i, 0, 0
+        while (p := parent(cur)) is not None:
+            cur, depth, psum = p, depth + 1, psum + p
+        expect[i] = (cur, depth, psum)
+        max_depth = max(max_depth, depth)
+    assert max_depth < 32, f"5 doubling rounds cover depth<=32, saw {max_depth}"
+    assert max_depth >= 3, "fixture must exercise real multi-level paths"
+
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r["root_id"], r["depth"], r["path_sum"]) == expect[r["c_custkey"]], (
+            dict(r.asDict())
+        )
+    # roots are their own fixpoint
+    for r in rows:
+        if r["c_custkey"] <= 10 or r["c_custkey"] % 7 == 0:
+            assert (r["root_id"], r["depth"], r["path_sum"]) == (r["c_custkey"], 0, 0)
+
+
+def test_x60_doubling_round_boundary(spark):
+    """Pins pointer_double_flatten's coverage contract at the exact
+    boundary: 5 rounds resolve depth <= 2^5 = 32 (a 33-node chain,
+    deepest node depth 32, resolves), one more edge does NOT (the
+    depth-33 node of a 34-node chain returns its distance-32 ancestor,
+    not the root), and rounds=6 resolves it — the honest statement of
+    what 'exactly 5 rounds' buys x60 and why log2(depth) rounds always
+    suffice at scale."""
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.operators.hierarchy import pointer_double_flatten
+
+    def chain(n):
+        # ids 0..n-1, parent(i) = i-1, root 0: a pure depth-(n-1) chain
+        return spark.range(n).select(
+            F.col("id").cast("bigint").alias("id"),
+            F.when(F.col("id") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("id") - 1)
+            .alias("parent"),
+        )
+
+    deepest = {
+        r["id"]: r
+        for r in pointer_double_flatten(chain(33), rounds=5).collect()
+    }[32]
+    assert (deepest["anc"], deepest["d"]) == (0, 32)
+    assert deepest["s"] == sum(range(32))  # strict ancestors 0..31
+
+    over = {
+        r["id"]: r
+        for r in pointer_double_flatten(chain(34), rounds=5).collect()
+    }[33]
+    assert (over["anc"], over["d"]) == (1, 32), "depth 33 must NOT resolve in 5 rounds"
+
+    over6 = {
+        r["id"]: r
+        for r in pointer_double_flatten(chain(34), rounds=6).collect()
+    }[33]
+    assert (over6["anc"], over6["d"]) == (0, 33)
