@@ -42,7 +42,7 @@ OPS = os.environ.get(
     "x46_bigram_logprob,x57_incremental_lsh,a22_count_min_sketch,"
     "a23_bitmap_distinct,w18_rolling_mode,x50_span_removal,"
     "w19_rolling_drawdown,x59_zipf_slope,x7d_stratum_ksample,"
-    "x52_cluster_balanced_mix",
+    "x52_cluster_balanced_mix,s24_sorted_bucket_window",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 
