@@ -871,3 +871,65 @@ def test_s24_plan_shape(spark, sf_smoke):
     assert "Exchange" not in win, "window input must not shuffle"
     assert "Sort" not in win, "window input must not re-sort"
     assert "Bucketed: true" in win, "scan must be the bucketed table"
+
+
+def test_s24_contract_conditions_are_load_bearing(spark, sf_smoke):
+    """Negative controls for the s24 sorted-bucket contract: each of the
+    two documented conditions, violated alone, makes Spark re-insert the
+    Sort under the Window — proving the query's setup is load-bearing,
+    not superstition. (a) sorted buckets but SEVERAL files per bucket:
+    sort metadata is untrusted (per-file runs would need a merge the
+    scan node doesn't do); (b) one file per bucket but the legacy
+    outputOrdering conf off: sort metadata is ignored by default."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ez_cdc_spark.queries._util import t
+    from ez_cdc_spark.sources.bucketing import write_bucketed
+
+    o = t(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+    def window_plan(table):
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df = spark.table(table).select(
+            "o_orderkey", F.count("*").over(w).alias("rn")
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # (a) several files per bucket (no pre-repartition: 2+ writer tasks
+    # per bucket), conf ON -> Sort must appear
+    write_bucketed(
+        o.repartition(4),
+        "s24_neg_multifile",
+        "o_custkey",
+        sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+        one_file_per_bucket=False,
+    )
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        p = window_plan("s24_neg_multifile")
+        win = p[p.index("Window") :]
+        assert "Sort" in win, "multi-file buckets must force a Sort"
+        assert "Exchange" not in win, "bucketing still satisfies distribution"
+    finally:
+        spark.conf.set(conf_key, prev)
+
+    # (b) one file per bucket but conf OFF (the default) -> Sort appears
+    write_bucketed(
+        o,
+        "s24_neg_confoff",
+        "o_custkey",
+        sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+        one_file_per_bucket=True,
+    )
+    spark.conf.set(conf_key, "false")
+    p = window_plan("s24_neg_confoff")
+    win = p[p.index("Window") :]
+    assert "Sort" in win, "default conf must ignore bucket sort metadata"
+    assert "Exchange" not in win, "bucketing still satisfies distribution"
