@@ -52,14 +52,10 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r9's 4-entry batch — p4, j5, x4d, x40 — all came back hash-green in
 # CORRECTNESS_r09.json — p4 at 405 rows and j5 at 203 rows, closing the
 # vacuous-0-row finding — so the set was cleared at the start of round 10.)
-_REATTEST: set[str] = {
-    # r10: u8's merge body went numpy-argsort-only and the rendered pts
-    # string was pruned from the Arrow exchange (rendered JVM-side after
-    # the cogroup from the tus bigint) — ~10% faster at sf0.1, identical
-    # rows (j8 row-for-row equivalence test re-run green), but the
-    # implementation changed so the driver re-attests it.
-    "u8_cogroup_asof",
-}
+# (r10's single entry — u8_cogroup_asof after its numpy-only rewrite — came
+# back hash-green in CORRECTNESS_r10.json, so the set was cleared at the
+# start of round 11.)
+_REATTEST: set[str] = set()
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

@@ -1129,6 +1129,15 @@ def s24_sorted_bucket_window(spark, sf_dir):
         sort_cols=["o_custkey", "o_orderdate", "o_orderkey"],
         one_file_per_bucket=True,
     )
+    # CONCURRENCY CAVEAT (r10 verdict): this legacy conf is SESSION-GLOBAL,
+    # not query-scoped — any OTHER query whose physical plan is constructed
+    # in this session during the window below would also plan under
+    # outputOrdering=true (harmless for correctness — the metadata is real —
+    # but it could silently change that query's plan shape). The try/finally
+    # plus eager plan forcing keeps the window to this one planning call, and
+    # the driver/bench harnesses run queries sequentially, so the exposure is
+    # nil there; do NOT call this query from a thread that plans other
+    # DataFrames concurrently on the same session.
     conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     prev = spark.conf.get(conf_key, "false")
     spark.conf.set(conf_key, "true")
