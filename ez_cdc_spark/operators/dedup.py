@@ -395,3 +395,106 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_similarity_join(
+    docs: DataFrame,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X61: EXACT set-similarity self-join via the prefix filter
+    (PPJoin-lite; public algorithm — Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin, and the Vernica-Carey-Li map-reduce formulation) — the exact
+    complement to :func:`minhash_lsh_candidates`' MinHash approximation,
+    over the SAME unit (distinct word ``shingle_n``-gram sets).
+
+    Threshold is the rational ``tau = tau_num / tau_den`` so the final
+    J >= tau gate is evaluated in INTEGER arithmetic
+    (``tau_den * |A∩B| >= tau_num * |A∪B|``) — no float boundary risk.
+
+    Algorithm (all DataFrame ops, no UDF):
+      1. global shingle frequencies (one agg; the vocabulary-sized table is
+         NOT assumed broadcastable — the tok⋈freq join shuffles on shingle),
+      2. per doc, order shingles rarest-first by (freq ASC, shingle ASC) and
+         emit only the first ``|d| - ceil(tau*|d|) + 1`` as join keys: if
+         J(A,B) >= tau then |A∩B| >= ceil(tau*max(|A|,|B|)) (the union
+         contains the larger set), and by pigeonhole two sets with overlap
+         >= alpha must collide within their first ``|d| - alpha + 1``
+         ordered elements — so every qualifying pair shares a PREFIX token
+         and the candidate set is provably complete (property-tested
+         against exact all-pairs),
+      3. self-join prefixes on shingle (id_a < id_b, distinct) — bucket
+         width is docs-per-prefix-shingle, smallest for the rarest
+         shingles, which is exactly what rarest-first ordering puts in
+         prefixes,
+      4. exact verify on candidates only: re-join the two full shingle
+         sets, J = |A∩B| / (|A|+|B|-|A∩B|) with the integer gate above.
+
+    At 100 TB nothing is corpus x corpus: the only self-join is on prefix
+    shingles (step 3), and verify cost is candidates, not pairs.
+    """
+    ws = docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
+    sets_df = (
+        ws.select(
+            "doc_id", F.array_distinct(ngrams_from_words(F.col("ws"), shingle_n)).alias("ss")
+        )
+        .filter(F.size("ss") > 0)
+        .select("doc_id", "ss", F.size("ss").cast("bigint").alias("n"))
+    )
+    tok = sets_df.select("doc_id", "n", F.explode("ss").alias("s"))
+    freq = tok.groupBy("s").agg(F.count("*").cast("bigint").alias("cnt"))
+    # prefix_len = n - ceil(tau*n) + 1, in pure integer arithmetic:
+    # ceil(n*num/den) = (n*num + den - 1) DIV den
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"(n * {tau_num} + {tau_den} - 1) DIV {tau_den}")
+        + 1
+    ).cast("int")
+    pref = (
+        tok.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cnt"), F.col("s")))
+            ).alias("ord_toks"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.slice(F.col("ord_toks"), 1, prefix_len), lambda x: x["s"])
+            ).alias("s"),
+        )
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sets_df.select(
+        F.col("doc_id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n").alias("n_a")
+    )
+    b = sets_df.select(
+        F.col("doc_id").alias("id_b"), F.col("ss").alias("ss_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")
+    union = F.col("n_a") + F.col("n_b") - F.col("inter_size")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter_size", inter)
+        .filter(F.lit(tau_den) * F.col("inter_size") >= F.lit(tau_num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "inter_size",
+            (F.col("inter_size").cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )

@@ -2272,3 +2272,58 @@ def x60_hierarchy_flatten(spark, sf_dir):
         F.col("d").alias("depth"),
         F.col("s").alias("path_sum"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "x61_prefix_filter_join",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN list_transform(
+                generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+), s AS (
+  SELECT doc_id, list_distinct(grams) AS ss FROM g WHERE len(grams) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.ss) AS BIGINT) AS n_a,
+       CAST(len(b.ss) AS BIGINT) AS n_b,
+       CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter_size,
+       CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE 2 * len(list_intersect(a.ss, b.ss))
+      >= 1 * (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))
+ORDER BY id_a, id_b
+""",
+    doc="X61: prefix-filter EXACT set-similarity self-join (PPJoin-lite) — "
+    "the exact complement to x2's MinHash-LSH approximation over the SAME "
+    "unit (distinct 3-gram word shingles, same g/s CTE shapes as the x2 "
+    "oracle family), J >= 1/2. operators/dedup.py:prefix_similarity_join: "
+    "global shingle frequencies -> rarest-first ordering -> each doc "
+    "emits only its first |d| - ceil(tau|d|) + 1 shingles as join keys "
+    "(prefix-filter completeness: a qualifying pair MUST collide in its "
+    "prefixes; property-tested as candidates ⊇ exact-pairs against an "
+    "independent Python reimplementation) -> self-join on prefix shingle "
+    "-> exact Jaccard verify on candidates only, with the threshold gate "
+    "in INTEGER arithmetic (tau_den*inter >= tau_num*union) so no float "
+    "boundary can flip membership; the reported jaccard is the single "
+    "IEEE division of two exact ints (§5.3 rule 3). The ORACLE is the "
+    "brute-force all-pairs definition — deliberately a DIFFERENT "
+    "algorithm, so the hash check proves the filtered join computes the "
+    "same relation, not the same code. At 100 TB: no corpus x corpus "
+    "anywhere — the self-join is on prefix shingles (bucket width = docs "
+    "per rare shingle), the frequency table shuffles rather than assuming "
+    "broadcastability (x59's bigram rule), verify cost ∝ candidates. "
+    "Plan-asserted cartesian-free.",
+)
+def x61_prefix_filter_join(spark, sf_dir):
+    from ez_cdc_spark.operators.dedup import prefix_similarity_join
+
+    d = t(spark, sf_dir, "documents")
+    return prefix_similarity_join(d, tau_num=1, tau_den=2).orderBy("id_a", "id_b")

@@ -2545,3 +2545,104 @@ def x59_zipf_slope(spark, sf_dir):
         slope.alias("zipf_slope"),
         ((F.col("sy") - slope * F.col("sx")) / nD).alias("intercept"),
     ).orderBy("source")
+
+
+@register(
+    "x62_cooccurrence_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support FROM items GROUP BY 1
+), fi AS (
+  SELECT l_partkey, support FROM freq WHERE support >= 30
+), ranked AS (
+  SELECT i.l_orderkey, i.l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY i.l_orderkey
+                            ORDER BY f.support DESC, i.l_partkey) AS rn
+  FROM items i JOIN fi f USING (l_partkey)
+), topf AS (
+  SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= 5
+), pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+  FROM topf a JOIN topf b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS pair_support
+FROM pairs GROUP BY item_a, item_b
+HAVING COUNT(*) >= 2
+ORDER BY item_a, item_b
+""",
+    doc="X62: bounded co-occurrence (market-basket) pair mining — the "
+    "item-pair explosion tamed map-side: baskets = orders, items = "
+    "distinct parts per order. Support-prune first (items in >= 30 "
+    "baskets — a broadcast-sized dimension after the prune), then cap "
+    "each basket to its top-5 surviving items by (global support DESC, "
+    "partkey ASC) so pair generation is <= C(5,2) = 10 pairs per basket "
+    "REGARDLESS of basket size — the explosion is bounded before any "
+    "shuffle, not filtered after. Spark shape: distinct -> item-frequency "
+    "agg -> broadcast the pruned frequency dim back onto items -> ONE "
+    "groupBy(basket) that sorts each basket's (−support, partkey) structs "
+    "in-array, slices 5, and pair-expands via nested F.transform "
+    "(i<j index windows) entirely JVM-side -> explode -> pair-count agg. "
+    "No self-join on basket (the oracle's formulation) and no window "
+    "row_number pass: the basket cap happens inside one aggregation's "
+    "project, so the whole op is two keyed exchanges (basket, pair) plus "
+    "the small frequency agg. At 100 TB: per-basket state is the basket's "
+    "distinct frequent items (bounded by the prune), pair cardinality is "
+    "<= 10 x baskets, and the frequency dim after support pruning is "
+    "vocabulary-sized — broadcastable by construction. Tie-break parity "
+    "with the oracle: array_sort over struct(-support, partkey) ascending "
+    "== ROW_NUMBER ORDER BY support DESC, partkey ASC (support ties "
+    "broken by partkey both sides).",
+)
+def x62_cooccurrence_pairs(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 30)
+    )
+    enriched = items.join(F.broadcast(freq), "l_partkey")
+    # One aggregation does cap + pair-gen: sort the basket's items by
+    # (-support, partkey), keep the first 5, expand i<j pairs in-array.
+    basket = enriched.groupBy("l_orderkey").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("support")).alias("ns"), F.col("l_partkey").alias("pk")))
+            ),
+            1,
+            5,
+        ).alias("top_items")
+    )
+    pairs = basket.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("top_items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("top_items"),
+                            i + 2,
+                            F.greatest(F.size(F.col("top_items")) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            F.least(x["pk"], y["pk"]).alias("pa"),
+                            F.greatest(x["pk"], y["pk"]).alias("pb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.pa").cast("bigint").alias("item_a"),
+            F.col("p.pb").cast("bigint").alias("item_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("pair_support"))
+        .filter(F.col("pair_support") >= 2)
+        .orderBy("item_a", "item_b")
+    )
