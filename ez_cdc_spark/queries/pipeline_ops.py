@@ -2646,3 +2646,137 @@ def x62_cooccurrence_pairs(spark, sf_dir):
         .filter(F.col("pair_support") >= 2)
         .orderBy("item_a", "item_b")
     )
+
+
+# BM25 query terms (x63) — embedded as literals on BOTH engine sides.
+_BM25_TERMS = ["merge", "window", "filter", "scan"]
+
+
+@register(
+    "x63_bm25_retrieval",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('merge', 'window', 'filter', 'scan')
+  GROUP BY doc_id, token
+), dfq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), idf AS (
+  SELECT token,
+         CAST(ROUND(ln((tots.n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+              AS DECIMAL(18,6)) AS idf
+  FROM dfq, tots
+), terms AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           CAST(idf.idf AS DOUBLE)
+           * (CAST(22 * tots.total_tokens * tf.tf AS DOUBLE)
+              / CAST(10 * tots.total_tokens * tf.tf
+                     + 3 * tots.total_tokens
+                     + 9 * dl.dl * tots.n_docs AS DOUBLE)), 12)
+           AS DECIMAL(24,12)) AS term_score
+  FROM tf
+  JOIN idf USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN tots
+)
+SELECT t.doc_id, d.dl,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(t.term_score) AS DOUBLE) AS bm25
+FROM terms t JOIN dl d USING (doc_id)
+GROUP BY t.doc_id, d.dl
+ORDER BY t.doc_id
+""",
+    doc="X63: BM25 ranked retrieval scoring (Robertson-Sparck Jones / "
+    "Lucene-variant idf, k1=1.2, b=0.75) over the documents table for a "
+    "fixed 4-term query — the retrieval-side text op completing the "
+    "LM-scoring family (x34 unigram logprob = generative quality, x35 "
+    "KL = source drift, x63 = query relevance). Determinism composes the "
+    "proven recipes: idf = ROUND(ln((N-df+0.5)/(df+0.5)+1), 6) as exact "
+    "DECIMAL (x34's ln recipe; margin-guard property test), the tf "
+    "saturation factor cleared of floats entirely — with k1=6/5, b=3/4 "
+    "rational, tf(k1+1)/(tf + k1(1-b+b*dl*N/A)) scales by 10A/10A to "
+    "(22*A*tf)/(10*A*tf + 3*A + 9*dl*N), all exact BIGINTs — so each "
+    "term score is ONE decimal-to-double cast times ONE IEEE division of "
+    "exact ints, ROUND(,12) to DECIMAL(24,12), summed EXACTLY (order-"
+    "free; float sum order would diverge cross-engine — x35's shape). "
+    "At 100 TB: the query-term tf table is corpus-filtered map-side "
+    "(token IN (...) before any shuffle), df/idf is 4 rows broadcast, "
+    "doc lengths partial-aggregate into one doc-keyed exchange; the "
+    "full-corpus term explode never shuffles on token. At larger A the "
+    "integer factors move to DECIMAL(38,0) headroom (documented; "
+    "2^53 bounds checked in the property test).",
+)
+def x63_bm25_retrieval(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    tots = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    idf = dfq.join(F.broadcast(tots)).select(
+        "token",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    terms = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(tots))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf").cast("double")
+                * (
+                    (F.lit(22) * F.col("total_tokens") * F.col("tf")).cast("double")
+                    / (
+                        F.lit(10) * F.col("total_tokens") * F.col("tf")
+                        + F.lit(3) * F.col("total_tokens")
+                        + F.lit(9) * F.col("dl") * F.col("n_docs")
+                    ).cast("double")
+                ),
+                12,
+            )
+            .cast("decimal(24,12)")
+            .alias("term_score"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("term_score").alias("score_dec"),
+        )
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "dl",
+            "n_terms",
+            F.col("score_dec").cast("double").alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )

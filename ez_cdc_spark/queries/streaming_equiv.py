@@ -1862,3 +1862,56 @@ def t27_windowed_streaming_bitmap(spark, sf_dir):
         )
         .orderBy("wstart", "grp")
     )
+
+
+@register(
+    "t28_streaming_ohlc",
+    oracle="""
+WITH b AS (
+  SELECT user_id,
+         strftime(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+                  '%Y-%m-%d %H:%M:%S') AS wstart,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS vol,
+         CAST(epoch_us(ts) AS HUGEINT) * 100000000000000::HUGEINT
+           + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)
+              + 2000000000000::HUGEINT) AS ordv
+  FROM events
+)
+SELECT user_id, wstart,
+       CAST(MIN(ordv) % 100000000000000::HUGEINT - 2000000000000 AS BIGINT)
+         AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(ordv) % 100000000000000::HUGEINT - 2000000000000 AS BIGINT)
+         AS close_cents,
+       CASE WHEN SUM(vol) > 0
+            THEN CAST(SUM(cents * vol) AS DOUBLE) / CAST(SUM(vol) AS DOUBLE)
+            ELSE NULL END AS vwap_cents,
+       CAST(SUM(vol) AS BIGINT) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b
+GROUP BY user_id, wstart
+ORDER BY user_id, wstart
+""",
+    doc="T28: streaming OHLC bar builder — w20's EXACT shared expression "
+    "(operators/resample.py: the decimal (time, price) arg-extrema "
+    "encoding) run over the file-replay event stream in complete mode, "
+    "proving the batch bar semantics and the streaming bar semantics are "
+    "ONE definition, not two implementations: the oracle is literally "
+    "w20's SQL, so hash-green means the stream's per-window running "
+    "state (eight scalars: two decimal extrema, two bigint extrema, two "
+    "sums, a count — all min/max/SUM-mergeable, so micro-batch merge "
+    "order cannot change the result) converged to the batch answer "
+    "bar-for-bar, vwap bit included. At 100 TB streaming: state is O(1) "
+    "per open (user, bucket) window; production would add a watermark + "
+    "append mode for eviction (t23/t26/t27 prove that machinery for "
+    "this exact window shape) — complete mode here is what makes the "
+    "full-history oracle comparison meaningful.",
+)
+def t28_streaming_ohlc(spark, sf_dir):
+    from ez_cdc_spark.operators.resample import ohlc_bars
+
+    ev = stream_events(spark, sf_dir)
+    bars = ohlc_bars(ev, "30 minutes")
+    return run_to_memory(bars, "t28_streaming_ohlc").orderBy("user_id", "wstart")

@@ -1231,15 +1231,18 @@ WITH b AS (
                   '%Y-%m-%d %H:%M:%S') AS wstart,
          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(json_extract(props, '$.k') AS BIGINT) AS vol,
-         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-'
-           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+         CAST(epoch_us(ts) AS HUGEINT) * 100000000000000::HUGEINT
+           + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT)
+              + 2000000000000::HUGEINT) AS ordv
   FROM events
 )
 SELECT user_id, wstart,
-       CAST(arg_min(cents, ord) AS BIGINT) AS open_cents,
+       CAST(MIN(ordv) % 100000000000000::HUGEINT - 2000000000000 AS BIGINT)
+         AS open_cents,
        CAST(MAX(cents) AS BIGINT) AS high_cents,
        CAST(MIN(cents) AS BIGINT) AS low_cents,
-       CAST(arg_max(cents, ord) AS BIGINT) AS close_cents,
+       CAST(MAX(ordv) % 100000000000000::HUGEINT - 2000000000000 AS BIGINT)
+         AS close_cents,
        CASE WHEN SUM(vol) > 0
             THEN CAST(SUM(cents * vol) AS DOUBLE) / CAST(SUM(vol) AS DOUBLE)
             ELSE NULL END AS vwap_cents,
@@ -1250,62 +1253,34 @@ GROUP BY user_id, wstart
 ORDER BY user_id, wstart
 """,
     doc="W20: per-(user, 30-min bucket) OHLC downsample bars — the telemetry "
-    "resample primitive beside w7's time-weighted average: open/close via "
-    "min_by/max_by on a zero-padded (epoch-micros, event_id) string "
-    "ordering key (DuckDB 1.0 arg_min/arg_max take no struct ordering, so "
-    "the composite is rendered as one lexicographic VARCHAR — event_id "
-    "uniqueness makes the key total, so ties cannot make min_by/arg_min "
-    "disagree), high/low as plain extrema, and a volume-weighted average "
-    "price in integer cents: pv = SUM(cents*k) and v = SUM(k) are exact "
-    "BIGINTs, so vwap is the single IEEE division of two exact integers "
-    "(§5.3 rule 3) — bit-identical cross-engine, NULL-guarded for "
-    "all-zero-volume bars (props.k is 0 for ~1% of events). One keyed "
-    "exchange total: F.window() is a row-local projection, so the plan is "
-    "scan -> partial agg -> exchange on (user_id, window) -> final agg. "
+    "resample primitive beside w7's time-weighted average (shared "
+    "expression: operators/resample.py, run as a stream by t28). "
+    "Open/close are "
+    "arg-extrema via ONE numeric encoding: ordv = epoch_micros * 10^14 + "
+    "(cents + 2e12), a DECIMAL(38,0)-class integer ordered by (time, "
+    "price). Neither F.min_by (declarative struct buffer) nor a string "
+    "min/max key is hash-aggregable — both force the ENTIRE aggregate "
+    "into SortAggregate, a full map-side sort of the input at 100 TB — "
+    "but decimal agg buffers ARE UnsafeRow-mutable, so the numeric "
+    "encoding keeps the whole bar aggregate in one HashAggregate pass "
+    "(plan-asserted: no SortAggregate, no Window, one keyed exchange). "
+    "Determinism under ties needs no event_id: if two events share (user, "
+    "bucket, microsecond), min ordv falls through to the smaller CENTS — "
+    "and since open/close only report cents, equal-cents duplicates are "
+    "interchangeable, so the result is total-order deterministic cross-"
+    "engine by construction. Extraction is ordv % 10^14 - 2e12 (the +2e12 "
+    "offset keeps the payload field sign-free for cents in +-10^12; "
+    "Spark side uses exact DECIMAL(20,0)*DECIMAL(15,0)->DECIMAL(36,0) "
+    "widening, DuckDB side HUGEINT — both exact integer arithmetic). "
+    "VWAP: pv = SUM(cents*k), v = SUM(k) are exact BIGINTs, vwap = the "
+    "single IEEE division of two exact integers (§5.3 rule 3), NULL-"
+    "guarded for all-zero-volume bars (props.k is 0 for ~1% of events). "
     "At 100 TB: bar state is O(1) per (user, bucket) — eight running "
-    "scalars, never the row set; cardinality is bounded by users x "
-    "buckets, and the same expression runs under a watermark as a "
-    "streaming bar builder (t2's shape).",
+    "scalars, never the row set; the same expression runs under a "
+    "watermark as a streaming bar builder (t2\'s shape).",
 )
 def w20_ohlc_bars(spark, sf_dir):
+    from ez_cdc_spark.operators.resample import ohlc_bars
+
     e = t(spark, sf_dir, "events")
-    cents = (dec("value") * 100).cast("bigint")
-    vol = F.get_json_object("props", "$.k").cast("bigint")
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lit("-"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
-    base = e.select(
-        "user_id",
-        "ts",
-        cents.alias("cents"),
-        vol.alias("vol"),
-        ord_key.alias("ord"),
-    )
-    return (
-        base.groupBy("user_id", F.window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.min_by("cents", "ord").alias("open_c"),
-            F.max("cents").alias("high_c"),
-            F.min("cents").alias("low_c"),
-            F.max_by("cents", "ord").alias("close_c"),
-            F.sum(F.col("cents") * F.col("vol")).alias("pv"),
-            F.sum("vol").alias("v"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "user_id",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
-            F.col("open_c").cast("bigint").alias("open_cents"),
-            F.col("high_c").cast("bigint").alias("high_cents"),
-            F.col("low_c").cast("bigint").alias("low_cents"),
-            F.col("close_c").cast("bigint").alias("close_cents"),
-            F.when(
-                F.col("v") > 0, F.col("pv").cast("double") / F.col("v").cast("double")
-            ).alias("vwap_cents"),
-            F.col("v").cast("bigint").alias("volume"),
-            F.col("n").cast("bigint").alias("n_events"),
-        )
-        .orderBy("user_id", "wstart")
-    )
+    return ohlc_bars(e, "30 minutes").orderBy("user_id", "wstart")

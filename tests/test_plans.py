@@ -933,3 +933,65 @@ def test_s24_contract_conditions_are_load_bearing(spark, sf_smoke):
     win = p[p.index("Window") :]
     assert "Sort" in win, "default conf must ignore bucket sort metadata"
     assert "Exchange" not in win, "bucketing still satisfies distribution"
+
+
+def test_w20_plan_shape(spark, sf_smoke):
+    """w20: the whole bar aggregate must be HASH aggregation — the point of
+    the decimal (time, price) encoding is that neither min_by's struct
+    buffer nor a string extremum key is UnsafeRow-mutable, and either one
+    silently drags ALL eight bar aggregates into SortAggregate (a full
+    map-side sort of the input). One keyed exchange, no Window, no join,
+    no Python."""
+    p = plan_str(load_all()["w20_ohlc_bars"].fn(spark, sf_smoke))
+    assert "SortAggregate" not in p, "w20 must hash-aggregate, not sort"
+    assert "HashAggregate" in p
+    assert "Join" not in p and "+- Window" not in p
+    assert p.count("hashpartitioning(") == 1, "w20: one keyed exchange"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_x61_plan_shape(spark, sf_smoke):
+    """x61: the prefix-filter join must never plan a cartesian/BNLJ — the
+    self-join is equi on prefix shingle, the verify joins are equi on
+    doc_id — and the whole pipeline stays JVM-side (no Python eval)."""
+    p = plan_str(load_all()["x61_prefix_filter_join"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_x62_plan_shape(spark, sf_smoke):
+    """x62: pair generation happens inside one basket-keyed aggregation
+    (array_sort + slice + nested transform), so the plan must contain NO
+    self-join on basket (no SortMergeJoin at all at smoke scale) and no
+    cartesian; the pruned frequency dim joins as broadcast; pair explosion
+    is a Generate over the capped in-array pair list."""
+    p = plan_str(load_all()["x62_cooccurrence_pairs"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p, "pruned frequency dim must broadcast"
+    assert "SortMergeJoin" not in p, "x62 must not self-join baskets"
+    assert "Generate" in p and "explode(flatten(transform" in p, (
+        "pair expansion must be the in-array nested-transform explode"
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_s25_plan_reads_only_manifest_files(spark, sf_smoke):
+    """s25: the readback scan's file listing must come from the manifest —
+    the plan's scan location names exactly the committed generation's
+    directory, never gen-1 (superseded) or gen-3 (aborted)."""
+    df = load_all()["s25_manifest_atomic_publish"].fn(spark, sf_smoke)
+    p = plan_str(df)
+    assert "gen-2" in p, "scan must target the committed generation"
+    assert "gen-1" not in p and "gen-3" not in p
+
+
+def test_x63_plan_shape(spark, sf_smoke):
+    """x63: the 4-row idf table must broadcast (never SMJ the query-term tf
+    rows against it); the 1-row totals reach the pipeline as broadcast
+    scalar joins; no cartesian product. The full-corpus token explode
+    feeds only the map-side IN-list filter and the doc-length partial
+    aggregate — never a token-keyed join."""
+    p = plan_str(load_all()["x63_bm25_retrieval"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, "idf must broadcast onto tf"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

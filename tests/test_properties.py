@@ -1915,3 +1915,200 @@ def test_x60_doubling_round_boundary(spark):
         for r in pointer_double_flatten(chain(34), rounds=6).collect()
     }[33]
     assert (over6["anc"], over6["d"]) == (0, 33)
+
+
+def test_w20_ohlc_python_replay(spark, sf_dir):
+    """w20: a straight-Python per-(user, 30-min bucket) fold reproduces
+    every bar — open/close from the (micros, cents) total order, high/low
+    extrema, VWAP as the float division of the two exact integer sums —
+    and the OHLC invariants hold (low <= open/close <= high,
+    low <= vwap <= high whenever volume > 0)."""
+    import json as _json
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["w20_ohlc_bars"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    bars = {}
+    epoch0 = pd.Timestamp("1970-01-01")
+    for r in ev.itertuples():
+        micros = (r.ts - epoch0) // pd.Timedelta(microseconds=1)
+        bucket = (micros // 1_000_000) // 1800 * 1800
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        vol = int(_json.loads(r.props)["k"])
+        key = (int(r.user_id), bucket)
+        b = bars.setdefault(
+            key, {"o": (micros, cents), "c": (micros, cents), "hi": cents,
+                  "lo": cents, "pv": 0, "v": 0, "n": 0}
+        )
+        b["o"] = min(b["o"], (micros, cents))
+        b["c"] = max(b["c"], (micros, cents))
+        b["hi"] = max(b["hi"], cents)
+        b["lo"] = min(b["lo"], cents)
+        b["pv"] += cents * vol
+        b["v"] += vol
+        b["n"] += 1
+    assert len(rows) == len(bars)
+    for r in rows:
+        bucket = int(
+            (pd.Timestamp(r["wstart"]) - epoch0) // pd.Timedelta(seconds=1)
+        )
+        b = bars[(r["user_id"], bucket)]
+        assert r["open_cents"] == b["o"][1] and r["close_cents"] == b["c"][1]
+        assert r["high_cents"] == b["hi"] and r["low_cents"] == b["lo"]
+        assert r["volume"] == b["v"] and r["n_events"] == b["n"]
+        if b["v"] > 0:
+            assert r["vwap_cents"] == b["pv"] / b["v"]  # bit-identical division
+            assert b["lo"] <= r["vwap_cents"] <= b["hi"]
+        else:
+            assert r["vwap_cents"] is None
+        assert b["lo"] <= r["open_cents"] <= b["hi"]
+        assert b["lo"] <= r["close_cents"] <= b["hi"]
+
+
+def _py_shingle_sets(sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for r in docs.itertuples():
+        ws = _re.split(r"\s+", r.text)
+        if len(ws) < 3:
+            continue
+        ss = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if ss:
+            sets[int(r.doc_id)] = ss
+    return sets
+
+
+def test_x61_prefix_candidates_complete_and_output_exact(spark, sf_dir):
+    """x61's two load-bearing claims, against an independent Python
+    reimplementation: (1) COMPLETENESS — every pair with shingle-set
+    Jaccard >= 1/2 collides within the rarest-first prefixes of length
+    |d| - ceil(|d|/2) + 1 (the prefix-filter theorem, empirically pinned
+    on the real corpus), and (2) EXACTNESS — the operator's output is
+    precisely the brute-force all-pairs J >= 1/2 relation, including the
+    integer intersection sizes and the division-exact jaccard values."""
+    from collections import Counter
+    from math import ceil
+
+    from ez_cdc_spark.queries import load_all
+
+    sets = _py_shingle_sets(sf_dir)
+    ids = sorted(sets)
+    exact = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 2 * inter >= union:
+                exact[(a, b)] = (len(sets[a]), len(sets[b]), inter, inter / union)
+    assert exact, "fixture must contain qualifying near-dup pairs"
+
+    freq = Counter()
+    for ss in sets.values():
+        freq.update(ss)
+    prefixes = {}
+    for d, ss in sets.items():
+        ordered = sorted(ss, key=lambda s: (freq[s], s))
+        plen = len(ss) - ceil(len(ss) / 2) + 1
+        prefixes[d] = set(ordered[:plen])
+    for a, b in exact:
+        assert prefixes[a] & prefixes[b], (
+            f"prefix filter dropped qualifying pair {(a, b)} — completeness broken"
+        )
+
+    rows = load_all()["x61_prefix_filter_join"].fn(spark, sf_dir).collect()
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["inter_size"], r["jaccard"])
+        for r in rows
+    }
+    assert got == exact
+
+
+def test_x62_python_replay(spark, sf_dir):
+    """x62: an independent pandas replay of the whole pipeline — distinct
+    items, support prune at 30, per-basket top-5 by (support desc, partkey),
+    unordered in-basket pairs, pair support >= 2 — reproduces the operator
+    exactly, and the map-side explosion bound holds (<= C(5,2) pairs per
+    basket)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    support = li.groupby("l_partkey").size()
+    frequent = set(support[support >= 30].index)
+    pair_support = Counter()
+    for _, grp in li[li.l_partkey.isin(frequent)].groupby("l_orderkey"):
+        items = sorted(
+            (int(pk) for pk in grp.l_partkey),
+            key=lambda pk: (-int(support[pk]), pk),
+        )[:5]
+        pairs = {
+            (min(a, b), max(a, b))
+            for i, a in enumerate(items)
+            for b in items[i + 1 :]
+        }
+        assert len(pairs) <= 10  # C(5,2): the map-side bound
+        pair_support.update(pairs)
+    expect = {p: c for p, c in pair_support.items() if c >= 2}
+    rows = load_all()["x62_cooccurrence_pairs"].fn(spark, sf_dir).collect()
+    got = {(r["item_a"], r["item_b"]): r["pair_support"] for r in rows}
+    assert got == expect
+
+
+def test_x63_bm25_python_replay_and_margins(spark, sf_dir):
+    """x63: (1) margin guard — every idf's ln lands >= 1e-3 away from the
+    ROUND(,6) boundary on this corpus (the x34/x59 rule that makes the
+    6-dp cross-engine rounding safe), (2) the integer saturation factors
+    stay under 2^53 (exact-double territory), and (3) a straight-Python
+    BM25 replay (same idf/saturation/ROUND(,12) recipe) reproduces every
+    score bit-for-bit."""
+    import re as _re
+    from collections import Counter
+    from decimal import Decimal
+    from math import log
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.pipeline_ops import _BM25_TERMS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dl, tf = {}, {}
+    dfq = Counter()
+    for r in docs.itertuples():
+        ws = _re.split(r"\s+", r.text)
+        dl[int(r.doc_id)] = len(ws)
+        c = Counter(w for w in ws if w in _BM25_TERMS)
+        if c:
+            tf[int(r.doc_id)] = dict(c)
+            dfq.update(c.keys())
+    n_docs, total = len(dl), sum(dl.values())
+    idf = {}
+    for term, df_ in dfq.items():
+        x = log((n_docs - df_ + 0.5) / (df_ + 0.5) + 1)
+        assert abs(x * 1e6 - round(x * 1e6)) > 1e-3, (term, x)  # margin guard
+        idf[term] = Decimal(str(round(x, 6)))
+    expect = {}
+    for d, terms in tf.items():
+        score = Decimal(0)
+        for term, tfreq in terms.items():
+            num = 22 * total * tfreq
+            den = 10 * total * tfreq + 3 * total + 9 * dl[d] * n_docs
+            assert num < 2**53 and den < 2**53
+            score += Decimal(str(round(float(idf[term]) * (num / den), 12)))
+        expect[d] = (dl[d], len(terms), float(score))
+    rows = load_all()["x63_bm25_retrieval"].fn(spark, sf_dir).collect()
+    got = {r["doc_id"]: (r["dl"], r["n_terms"], r["bm25"]) for r in rows}
+    assert got == expect
