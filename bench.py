@@ -109,12 +109,14 @@ NEW_THIS_ROUND = [
     "s25_manifest_atomic_publish",
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",
+    "f_interval",
 ]
 
 EXTRA_QUERIES = [
     "w20_ohlc_bars",
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",
+    "f_interval",
     "x61_prefix_filter_join",
     "x62_cooccurrence_pairs",
     "s25_manifest_atomic_publish",

@@ -685,3 +685,66 @@ def f_variant(spark, sf_dir):
         .cast("int")
         .alias("missing_is_null"),
     ).orderBy("event_id")
+
+
+@register(
+    "f_interval",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL '3 days 4 hours 5 minutes 6 seconds',
+                '%Y-%m-%d %H:%M:%S') AS plus_dt,
+       strftime(o_orderdate + INTERVAL '1 year 2 months', '%Y-%m-%d') AS plus_ym,
+       strftime(o_orderdate - INTERVAL '10 days', '%Y-%m-%d %H:%M:%S') AS minus_dt,
+       CAST(date_diff('hour', o_orderdate, TIMESTAMP '1998-01-01 00:00:00')
+            AS BIGINT) AS hours_to_98,
+       strftime(o_orderdate + INTERVAL '6 months', '%Y-%m-%d') AS plus_2q,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+            AS BIGINT) AS days_to_98
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+    doc="F-interval: the ANSI INTERVAL arithmetic family — Spark 3.2+ typed "
+    "intervals constructed with make_dt_interval (day-time) and "
+    "make_ym_interval (year-month) added to and subtracted from "
+    "timestamps, plus timestampdiff/timestampadd units and date-level "
+    "datediff; DuckDB's single INTERVAL type computes the identical "
+    "calendar results. Semantics pinned by the fixture: orders dates are "
+    "midnight-aligned so Spark's timestampdiff (whole elapsed units) and "
+    "DuckDB's date_diff (boundary crossings) coincide on the hour unit "
+    "(divergence only exists for sub-unit offsets — documented, not "
+    "exercised); 1189 fixture rows carry day-of-month >= 29, so the "
+    "month-addition END-OF-MONTH CLAMP (Jan 31 + 1 month = Feb 28/29) is "
+    "genuinely exercised and must agree cross-engine (both clamp). All "
+    "outputs rendered as strings/BIGINTs (interval-typed output columns "
+    "are banned by the driver-canonicalization conventions test). "
+    "Map-side projection, no shuffle but the determinism ORDER BY.",
+)
+def f_interval(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    ts98 = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.make_dt_interval(F.lit(3), F.lit(4), F.lit(5), F.lit(6.0)),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("plus_dt"),
+        F.date_format(
+            F.col("o_orderdate") + F.make_ym_interval(F.lit(1), F.lit(2)), "yyyy-MM-dd"
+        ).alias("plus_ym"),
+        F.date_format(
+            F.col("o_orderdate") - F.make_dt_interval(F.lit(10), F.lit(0), F.lit(0), F.lit(0.0)),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("minus_dt"),
+        F.expr(
+            "timestampdiff(HOUR, o_orderdate, TIMESTAMP '1998-01-01 00:00:00')"
+        )
+        .cast("bigint")
+        .alias("hours_to_98"),
+        F.date_format(F.expr("timestampadd(QUARTER, 2, o_orderdate)"), "yyyy-MM-dd").alias(
+            "plus_2q"
+        ),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_98"),
+    ).orderBy("o_orderkey")

@@ -995,3 +995,12 @@ def test_x63_plan_shape(spark, sf_smoke):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p, "idf must broadcast onto tf"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_f_interval_plan_shape(spark, sf_smoke):
+    """f_interval: a pure map-side projection — the ONLY exchange is the
+    determinism ORDER BY (rangepartitioning); the key filter is pushed to
+    the parquet scan."""
+    p = plan_str(load_all()["f_interval"].fn(spark, sf_smoke))
+    assert p.count("hashpartitioning") == 0, "f_interval must not shuffle"
+    assert "PushedFilters: [" in p and "LessThanOrEqual(o_orderkey,2000)" in p

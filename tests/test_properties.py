@@ -2140,3 +2140,55 @@ def test_x63_bm25_python_replay_and_margins(spark, sf_dir):
     rows = load_all()["x63_bm25_retrieval"].fn(spark, sf_dir).collect()
     got = {r["doc_id"]: (r["dl"], r["n_terms"], r["bm25"]) for r in rows}
     assert got == expect
+
+
+def test_f_interval_month_clamp_python_replay(spark, sf_dir):
+    """f_interval: the year-month additions must apply the END-OF-MONTH
+    clamp identically to a straight-Python calendar replay (Jan 31 + 1
+    month = Feb 28/29) — the fixture carries 1000+ day>=29 order dates, so
+    this is exercised for real, and the day-time arithmetic must be exact
+    second arithmetic (no DST/locale surprises under the pinned-UTC
+    session)."""
+    import calendar
+    import datetime as dt
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["f_interval"].fn(spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    o = o[o.o_orderkey <= 2000]
+
+    def add_months(d, months):
+        y, m = divmod((d.year * 12 + d.month - 1) + months, 12)
+        m += 1
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return d.replace(year=y, month=m, day=day)
+
+    expect = {}
+    for r in o.itertuples():
+        d = r.o_orderdate.to_pydatetime()
+        expect[int(r.o_orderkey)] = (
+            (d + dt.timedelta(days=3, hours=4, minutes=5, seconds=6)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            add_months(d, 14).strftime("%Y-%m-%d"),
+            (d - dt.timedelta(days=10)).strftime("%Y-%m-%d %H:%M:%S"),
+            add_months(d, 6).strftime("%Y-%m-%d"),
+            (dt.datetime(1998, 1, 1) - d).days,
+        )
+    assert len(rows) == len(expect)
+    clamped = 0
+    for r in rows:
+        plus_dt, plus_ym, minus_dt, plus_2q, days = expect[r["o_orderkey"]]
+        assert (r["plus_dt"], r["plus_ym"], r["minus_dt"], r["plus_2q"]) == (
+            plus_dt,
+            plus_ym,
+            minus_dt,
+            plus_2q,
+        ), r["o_orderkey"]
+        assert r["days_to_98"] == days
+        assert r["hours_to_98"] == days * 24  # midnight-aligned fixture
+        clamped += 1 if r["plus_ym"][-2:] == "28" else 0
+    assert clamped > 0, "fixture must exercise the end-of-month clamp"
