@@ -110,6 +110,7 @@ NEW_THIS_ROUND = [
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",
     "f_interval",
+    "s26_manifest_compaction",
 ]
 
 EXTRA_QUERIES = [
@@ -117,6 +118,7 @@ EXTRA_QUERIES = [
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",
     "f_interval",
+    "s26_manifest_compaction",
     "x61_prefix_filter_join",
     "x62_cooccurrence_pairs",
     "s25_manifest_atomic_publish",

@@ -44,7 +44,8 @@ OPS = os.environ.get(
     "w19_rolling_drawdown,x59_zipf_slope,x7d_stratum_ksample,"
     "x52_cluster_balanced_mix,s24_sorted_bucket_window,"
     "w20_ohlc_bars,x61_prefix_filter_join,x62_cooccurrence_pairs,"
-    "s25_manifest_atomic_publish,t28_streaming_ohlc,x63_bm25_retrieval",
+    "s25_manifest_atomic_publish,t28_streaming_ohlc,x63_bm25_retrieval,"
+    "s26_manifest_compaction",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 

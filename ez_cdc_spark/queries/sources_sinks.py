@@ -1229,3 +1229,61 @@ def s25_manifest_atomic_publish(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s26_manifest_compaction",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="S26: generation-compacted manifest table — s25's atomic protocol "
+    "composed with s12's small-file remedy, i.e. the maintenance "
+    "operation real table formats call OPTIMIZE/rewrite_data_files: "
+    "publish a 12-small-file generation, then COMPACT it by reading "
+    "exactly the committed file list, rewriting as one file, and "
+    "committing the rewrite as a NEW generation under the same "
+    "one-pointer-swap (sources/manifest.py:compact). A racing reader "
+    "sees the old generation or the new one, never a mix and never a "
+    "partial rewrite; the superseded small files remain on disk, "
+    "invisible, until GC. The oracle recomputes the content from the "
+    "ORIGINAL orders table, so hash-green proves the compaction rewrite "
+    "was lossless END TO END through both publishes; the file-count drop "
+    "(12 -> 1) and the old generation's invisibility are pinned "
+    "path-level in pytest. At 100 TB this is the steady-state loop of a "
+    "streaming lakehouse: frequent small appends (cheap commits), "
+    "periodic compaction (bounded rewrite), readers always on exactly "
+    "one committed generation.",
+)
+def s26_manifest_compaction(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import compact, publish, read_committed
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table_dir = _scratch(sf_dir, "s26compact")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(12), table_dir, generation=1
+    )
+    compact(spark, table_dir, generation=2, target_files=1)
+    back = read_committed(spark, table_dir)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

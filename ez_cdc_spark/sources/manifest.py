@@ -101,3 +101,19 @@ def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read exactly the committed generation — staged/aborted/superseded
     files in data/ are never touched."""
     return spark.read.parquet(*committed_files(table_dir))
+
+
+def compact(
+    spark: SparkSession, table_dir: str, generation: int, target_files: int = 1
+) -> dict:
+    """S26: generation compaction under the SAME atomic protocol — the
+    maintenance op real table formats run (Delta OPTIMIZE / Iceberg
+    rewrite_data_files): read exactly the committed file list, rewrite it
+    as ``target_files`` larger files, publish the rewrite as a NEW
+    generation with the one-pointer-swap commit. Readers racing the
+    compaction see either the old generation or the new one — never a mix,
+    never a partial rewrite — and the superseded small files stay on disk
+    (invisible) until garbage collection. Content is untouched by
+    construction: the input is the committed generation itself."""
+    df = read_committed(spark, table_dir).coalesce(target_files)
+    return publish(df, table_dir, generation)

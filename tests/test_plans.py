@@ -1004,3 +1004,11 @@ def test_f_interval_plan_shape(spark, sf_smoke):
     p = plan_str(load_all()["f_interval"].fn(spark, sf_smoke))
     assert p.count("hashpartitioning") == 0, "f_interval must not shuffle"
     assert "PushedFilters: [" in p and "LessThanOrEqual(o_orderkey,2000)" in p
+
+
+def test_s26_plan_reads_only_compacted_generation(spark, sf_smoke):
+    """s26: the readback scan must name only the compacted generation's
+    directory — neither the 12-file pre-compaction generation nor anything
+    outside the manifest."""
+    p = plan_str(load_all()["s26_manifest_compaction"].fn(spark, sf_smoke))
+    assert "gen-2" in p and "gen-1" not in p

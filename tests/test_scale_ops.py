@@ -1009,3 +1009,37 @@ def test_t28_time_split_layout_forces_cross_batch_bar_merge(spark, sf_dir):
     s = sorted(tuple(str(v) for v in r) for r in streamed.collect())
     b = sorted(tuple(str(v) for v in r) for r in batch.collect())
     assert s == b and len(s) > 0
+
+
+def test_s26_compaction_lossless_and_superseded_invisible(spark, sf_dir):
+    """s26 path-level contract: after compaction the committed generation
+    is ONE file; the 12 superseded small files are still on disk but
+    unreferenced; the compacted content is row-for-row identical to the
+    pre-compaction generation (signature compare, not just aggregates);
+    and a further compaction of an already-compact generation is a no-op
+    content-wise."""
+    import glob
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import committed_files, compact, read_committed
+
+    load_all()["s26_manifest_compaction"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s26compact")
+
+    cf = committed_files(td)
+    assert len(cf) == 1 and all("gen-2" in f for f in cf)
+    g1 = glob.glob(os.path.join(td, "data", "gen-1", "*.parquet"))
+    assert len(g1) == 12, "superseded small files must remain on disk"
+
+    def signature(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    pre = signature(spark.read.parquet(*g1))
+    post = signature(read_committed(spark, td))
+    assert pre == post, "compaction must be lossless row-for-row"
+
+    compact(spark, td, generation=3, target_files=2)
+    assert signature(read_committed(spark, td)) == post
+    assert all("gen-3" in f for f in committed_files(td))
