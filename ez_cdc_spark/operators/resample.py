@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, functions as F
 
 _PAYLOAD_MOD = 100_000_000_000_000  # 10^14: payload field width
 _PAYLOAD_OFF = 2_000_000_000_000  # keeps cents in +-1e12 sign-free
+# Epoch-micros shift keeping the whole ordv non-negative: `%` is a
+# sign-following remainder on BOTH engines, so a negative dividend (pre-1970
+# ts) would decode garbage payloads consistently-but-wrongly. +1e16 µs covers
+# every timestamp after ~1653-02-10 (and through ~2286 within decimal(20,0));
+# the shift is a constant multiple of _PAYLOAD_MOD, so decode and ordering
+# are bit-identical for post-1970 data — no oracle change.
+_EPOCH_SHIFT = 10_000_000_000_000_000  # 10^16 µs
 
 
 def ohlc_bars(events: DataFrame, window: str = "30 minutes") -> DataFrame:
@@ -34,7 +41,7 @@ def ohlc_bars(events: DataFrame, window: str = "30 minutes") -> DataFrame:
     cents = cents.cast("bigint")
     vol = F.get_json_object("props", "$.k").cast("bigint")
     ordv = (
-        F.unix_micros(F.col("ts")).cast("decimal(20,0)")
+        (F.unix_micros(F.col("ts")) + F.lit(_EPOCH_SHIFT)).cast("decimal(20,0)")
         * F.lit(_PAYLOAD_MOD).cast("decimal(15,0)")
         + (cents + F.lit(_PAYLOAD_OFF)).cast("decimal(14,0)")
     )

@@ -55,7 +55,10 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r10's single entry — u8_cogroup_asof after its numpy-only rewrite — came
 # back hash-green in CORRECTNESS_r10.json, so the set was cleared at the
 # start of round 11.)
-_REATTEST: set[str] = set()
+# r12: operators/resample.py gained the _EPOCH_SHIFT ordv offset (pre-1970
+# guard) — decode is argued bit-identical on the fixture, but the contract is
+# strict: any implementation change re-attests.
+_REATTEST: set[str] = {"w20_ohlc_bars", "t28_streaming_ohlc"}
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

@@ -1287,3 +1287,130 @@ def s26_manifest_compaction(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "s27_manifest_time_travel",
+    oracle="""
+SELECT * FROM (
+  SELECT 'g1_asof' AS gen_view,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'g2_current' AS gen_view,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+ORDER BY gen_view
+""",
+    doc="S27: manifest time travel — the read-path completion of the "
+    "s25/s26 family (Iceberg's snapshot-as-of / Delta's VERSION AS OF): "
+    "every committed generation manifest is immutable, self-describing "
+    "JSON, so an un-GC'd older snapshot resolves BY GENERATION NUMBER "
+    "(sources/manifest.py:read_manifest as_of_generation) with no pointer "
+    "read and no locking — publish gen-1 (even keys), publish gen-2 "
+    "(keys % 3 == 0), then read BOTH views from one table dir: "
+    "as_of_generation=1 must serve exactly the superseded snapshot while "
+    "the pointer serves gen-2. The oracle recomputes each view from the "
+    "ORIGINAL orders, so hash-green proves the historical read is exact "
+    "(not a cached approximation) and the current read leaks nothing "
+    "backward. GC honesty: a collected generation fails loudly "
+    "(FileNotFoundError, pytest-pinned) and gc(older_than_s=...) is the "
+    "retention contract that keeps time travel alive for long-lived "
+    "readers. At 100 TB: time travel is O(1) manifest resolution — no log "
+    "replay, no directory diffing; reproducing last week's training run "
+    "is the same cheap read as today's.",
+)
+def s27_manifest_time_travel(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import publish, read_committed
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = _scratch(sf_dir, "s27timetravel")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(o.filter(F.col("o_orderkey") % 2 == 0), table_dir, generation=1)
+    publish(o.filter(F.col("o_orderkey") % 3 == 0), table_dir, generation=2)
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("gen_view"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+
+    asof = agg(read_committed(spark, table_dir, as_of_generation=1), "g1_asof")
+    cur = agg(read_committed(spark, table_dir), "g2_current")
+    return asof.unionByName(cur).orderBy("gen_view")
+
+
+@register(
+    "s28_manifest_stats_skipping",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="S28: manifest min/max file skipping — the metadata half of the "
+    "scan-avoidance family (static pushdown -> S16 DPP -> J17 bloom -> "
+    "S15 z-order -> S22 range-cluster laid the LAYOUT; S28 adds the "
+    "Iceberg/Delta payoff: per-file column min/max recorded in the "
+    "manifest AT PUBLISH TIME, read driver-side from the parquet footers "
+    "— O(files) metadata, no Spark job — and the file list pruned against "
+    "a [lo, hi] predicate BEFORE Spark sees a single path "
+    "(sources/manifest.py:pruned_files). The publish range-clusters "
+    "orders on o_orderkey into 8 files (S22's move), so BETWEEN 1000 AND "
+    "5000 keeps ~1 of 8 files; pruning is provably conservative (a file "
+    "is skipped only when its recorded range cannot overlap; missing "
+    "stats always keep) and the predicate is still applied after the "
+    "read, so correctness never depends on stats coverage. The oracle "
+    "recomputes from the ORIGINAL orders — hash-green proves the pruned "
+    "read lost no qualifying row; the path-level never-opens-skipped-"
+    "files contract (df.inputFiles() disjoint from the skipped list, "
+    "skipped nonempty) is pytest-pinned. At 100 TB: footer-range pruning "
+    "over a range-clustered table turns a full-table scan into reading "
+    "only the files covering the predicate — query cost proportional to "
+    "answer size, not table size, with zero data-path I/O spent deciding.",
+)
+def s28_manifest_stats_skipping(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import publish, read_pruned
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = _scratch(sf_dir, "s28skip")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["o_orderkey"],
+    )
+    back = read_pruned(spark, table_dir, "o_orderkey", 1000, 5000)
+    return (
+        back.filter(F.col("o_orderkey").between(1000, 5000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

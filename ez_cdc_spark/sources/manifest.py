@@ -1,4 +1,4 @@
-"""Manifest-committed atomic multi-partition publish (S25).
+"""Manifest-committed atomic multi-partition publish (S25/S26/S27/S28).
 
 The lakehouse atomicity primitive over plain parquet, without a table
 format — the gap left between S7 (partitioned sink) and S18 (dynamic
@@ -10,7 +10,8 @@ formats are built on:
 
     table_dir/
       data/gen-<g>/part-*.parquet    staged data files (NEVER read directly)
-      _manifests/gen-<g>.json        immutable: exact file list + row count
+      _manifests/gen-<g>.json        immutable: exact file list + row schema
+                                     + optional per-file column min/max stats
       _MANIFEST                      pointer file: one atomic swap commits
 
 * ``publish`` stages the generation's files, writes the generation manifest,
@@ -24,27 +25,93 @@ formats are built on:
   exactly one generation — never a mix.
 * ``stage_only`` is the deliberately-aborted write used by tests: data files
   land on disk, no manifest, no swap.
+* Generations are validated monotone: ``publish``/``compact`` refuse a
+  generation <= the committed one and refuse to overwrite an existing
+  ``gen-<g>.json`` — the manifest the protocol documents as immutable stays
+  immutable, and a re-publish can never overwrite the very directory a lazy
+  reader is scanning.
+* ``read_committed(..., as_of_generation=g)`` is time travel (S27): any
+  un-GC'd generation manifest is immutable and fully self-describing, so an
+  older committed snapshot resolves by name without touching the pointer.
+* ``publish(..., stats_columns=[...])`` records per-file column min/max in
+  the manifest (read driver-side from the parquet footers — O(files), no
+  Spark job), and ``pruned_files``/``read_pruned`` drop files whose stats
+  range cannot satisfy a [lo, hi] predicate BEFORE Spark ever sees the file
+  list (S28) — the Iceberg/Delta scan-avoidance payoff on top of S22's
+  range-clustered layout. Files without stats are always kept (pruning is
+  conservative by construction).
 
-Scale note: the manifest holds file PATHS (O(files), not O(rows)) and the
-reader hands Spark an explicit file list — partition pruning and column
-pruning behave exactly as with a directory scan, but listing cost is one
-small JSON read instead of a recursive directory walk (the same reason real
-table formats scale past directory listings at 100 TB).
+Concurrency contract: MANY readers / ONE writer. Commits are atomic for
+readers at any time, but two concurrent writers can interleave
+stage/validate/swap arbitrarily — real table formats serialize writers via
+an atomic compare-and-swap on the log tip; this module documents the
+single-writer assumption instead. ``gc`` additionally re-resolves the
+pointer after listing and skips any generation NEWER than the one it
+resolved, so even a publish racing a GC (a writer-exclusivity violation)
+cannot have its fresh commit collected; an ``older_than_s`` retention
+threshold protects long-lived readers of superseded generations.
+
+Durability: manifest and pointer contents are fsynced, and the containing
+directories are fsynced after each ``os.replace`` so the rename itself is
+recorded. Staged parquet data files are written by Spark and their
+durability is delegated to the filesystem (local fs here; a production
+deployment on HDFS/object storage gets close/flush durability from the
+store's own commit semantics).
+
+Scale note: the manifest holds file PATHS + footer stats (O(files), not
+O(rows)) and the reader hands Spark an explicit file list — partition
+pruning and column pruning behave exactly as with a directory scan, but
+listing cost is one small JSON read instead of a recursive directory walk
+(the same reason real table formats scale past directory listings at
+100 TB). At that scale stats collection would move into the write tasks
+(each task already has its footer in memory); the driver-side footer read
+here is the same O(files) metadata pass.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 _POINTER = "_MANIFEST"
+_GEN_RE = re.compile(r"gen-(\d+)(?:\.json)?$")
 
 
 def _stage_dir(table_dir: str, generation: int) -> str:
     return os.path.join(table_dir, "data", f"gen-{generation}")
+
+
+def _manifest_path(table_dir: str, generation: int) -> str:
+    return os.path.join(table_dir, "_manifests", f"gen-{generation}.json")
+
+
+def _fsync_dir(path: str) -> None:
+    """Record a completed rename in the directory itself (POSIX durability)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _gen_of(name: str) -> int | None:
+    m = _GEN_RE.search(name)
+    return int(m.group(1)) if m else None
+
+
+def current_generation(table_dir: str) -> int | None:
+    """Committed generation number, or None if nothing was ever committed."""
+    try:
+        with open(os.path.join(table_dir, _POINTER)) as fh:
+            return _gen_of(json.load(fh)["current"])
+    except FileNotFoundError:
+        return None
 
 
 def stage_only(df: DataFrame, table_dir: str, generation: int) -> list[str]:
@@ -59,10 +126,72 @@ def stage_only(df: DataFrame, table_dir: str, generation: int) -> list[str]:
     )
 
 
-def publish(df: DataFrame, table_dir: str, generation: int) -> dict:
+def _json_safe(v):
+    """Footer stat value -> JSON-storable form that still orders correctly
+    (ISO renderings of date/timestamp compare lexicographically)."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _file_stats(path: str, columns: list[str]) -> dict:
+    """Per-file column min/max from the parquet FOOTER (no data read):
+    merge row-group statistics for each requested column. Missing stats
+    for a column simply omit it — pruning treats absence as 'keep'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for col in columns:
+        ci = names.get(col)
+        if ci is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[col] = [_json_safe(lo), _json_safe(hi)]
+    return out
+
+
+def _validate_generation(table_dir: str, generation: int) -> None:
+    committed = current_generation(table_dir)
+    if committed is not None and generation <= committed:
+        raise ValueError(
+            f"generation {generation} must exceed the committed generation "
+            f"{committed}: re-publishing the current generation would "
+            f"overwrite the directory lazy readers are scanning"
+        )
+    if os.path.exists(_manifest_path(table_dir, generation)):
+        raise FileExistsError(
+            f"manifest gen-{generation}.json already exists and is immutable; "
+            f"pick a fresh generation (a torn commit's manifest is abandoned, "
+            f"never rewritten)"
+        )
+
+
+def publish(
+    df: DataFrame,
+    table_dir: str,
+    generation: int,
+    stats_columns: list[str] | None = None,
+) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
-    in one atomic step; nothing in between is observable."""
+    in one atomic step; nothing in between is observable. The manifest
+    stores the DataFrame schema (so an empty publish stays readable) and,
+    when ``stats_columns`` is given, per-file footer min/max for those
+    columns (S28 file skipping)."""
+    _validate_generation(table_dir, generation)
     files = stage_only(df, table_dir, generation)
     mdir = os.path.join(table_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)
@@ -70,41 +199,128 @@ def publish(df: DataFrame, table_dir: str, generation: int) -> dict:
         "generation": generation,
         "files": [os.path.relpath(f, table_dir) for f in files],
         "n_files": len(files),
+        "schema": json.loads(df.schema.json()),
     }
-    mname = f"gen-{generation}.json"
-    mtmp = os.path.join(mdir, f".{mname}.{uuid.uuid4().hex}.tmp")
+    if stats_columns:
+        manifest["stats"] = {
+            os.path.relpath(f, table_dir): _file_stats(f, stats_columns)
+            for f in files
+        }
+    mpath = _manifest_path(table_dir, generation)
+    mtmp = os.path.join(mdir, f".gen-{generation}.json.{uuid.uuid4().hex}.tmp")
     with open(mtmp, "w") as fh:
         json.dump(manifest, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(mtmp, os.path.join(mdir, mname))
+    os.replace(mtmp, mpath)
+    _fsync_dir(mdir)
 
     ptmp = os.path.join(table_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
     with open(ptmp, "w") as fh:
-        json.dump({"current": mname}, fh)
+        json.dump({"current": f"gen-{generation}.json"}, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(ptmp, os.path.join(table_dir, _POINTER))  # THE commit point
+    _fsync_dir(table_dir)
     return manifest
 
 
-def committed_files(table_dir: str) -> list[str]:
+def read_manifest(table_dir: str, as_of_generation: int | None = None) -> dict:
+    """Resolve a generation manifest: the pointer's by default, or — time
+    travel (S27) — any still-retained older generation by number. Committed
+    manifests are immutable JSON, so an as-of read needs no pointer and no
+    locking; it fails loudly (FileNotFoundError) if GC already collected
+    that generation."""
+    if as_of_generation is None:
+        with open(os.path.join(table_dir, _POINTER)) as fh:
+            name = json.load(fh)["current"]
+    else:
+        name = f"gen-{as_of_generation}.json"
+    with open(os.path.join(table_dir, "_manifests", name)) as fh:
+        return json.load(fh)
+
+
+def committed_files(table_dir: str, as_of_generation: int | None = None) -> list[str]:
     """Resolve pointer -> manifest -> absolute file list (no directory walk)."""
-    with open(os.path.join(table_dir, _POINTER)) as fh:
-        pointer = json.load(fh)
-    with open(os.path.join(table_dir, "_manifests", pointer["current"])) as fh:
-        manifest = json.load(fh)
+    manifest = read_manifest(table_dir, as_of_generation)
     return [os.path.join(table_dir, rel) for rel in manifest["files"]]
 
 
-def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read exactly the committed generation — staged/aborted/superseded
-    files in data/ are never touched."""
-    return spark.read.parquet(*committed_files(table_dir))
+def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list[str]):
+    if not files:
+        schema = manifest.get("schema")
+        if schema is None:
+            raise ValueError(
+                "empty generation with no stored schema (pre-schema manifest)"
+            )
+        return spark.createDataFrame([], StructType.fromJson(schema))
+    return spark.read.parquet(*files)
+
+
+def read_committed(
+    spark: SparkSession, table_dir: str, as_of_generation: int | None = None
+) -> DataFrame:
+    """Read exactly the committed generation (or, time travel, an older
+    retained one) — staged/aborted/superseded files in data/ are never
+    touched. An empty generation reads as an empty DataFrame under the
+    manifest's stored schema instead of failing."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    files = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    return _read_files(spark, manifest, table_dir, files)
+
+
+def pruned_files(
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    as_of_generation: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """S28: split the committed file list into (kept, skipped) for the
+    predicate ``column BETWEEN lo AND hi`` using the manifest's per-file
+    footer stats — BEFORE Spark sees a single path. A file is skipped only
+    when its recorded [min, max] provably cannot overlap [lo, hi]; files
+    or columns without stats are kept (conservative superset, so the
+    post-read predicate still applies and correctness never depends on
+    stats coverage)."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    stats = manifest.get("stats", {})
+    lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+    kept: list[str] = []
+    skipped: list[str] = []
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(column)
+        full = os.path.join(table_dir, rel)
+        if rng is not None and (rng[0] > hi_s or rng[1] < lo_s):
+            skipped.append(full)
+        else:
+            kept.append(full)
+    return kept, skipped
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    as_of_generation: int | None = None,
+) -> DataFrame:
+    """Read only the files that can satisfy ``column BETWEEN lo AND hi``
+    (S28). The [lo, hi] predicate itself is NOT applied here — pruning
+    yields a superset and callers filter as usual; what's saved is the I/O
+    and task overhead of files whose footer range excludes the predicate."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    kept, _ = pruned_files(table_dir, column, lo, hi, as_of_generation)
+    return _read_files(spark, manifest, table_dir, kept)
 
 
 def compact(
-    spark: SparkSession, table_dir: str, generation: int, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    generation: int,
+    target_files: int = 1,
+    stats_columns: list[str] | None = None,
 ) -> dict:
     """S26: generation compaction under the SAME atomic protocol — the
     maintenance op real table formats run (Delta OPTIMIZE / Iceberg
@@ -114,38 +330,80 @@ def compact(
     compaction see either the old generation or the new one — never a mix,
     never a partial rewrite — and the superseded small files stay on disk
     (invisible) until garbage collection. Content is untouched by
-    construction: the input is the committed generation itself."""
+    construction: the input is the committed generation itself. Generation
+    monotonicity is validated up front (same guard as ``publish``)."""
+    _validate_generation(table_dir, generation)
     df = read_committed(spark, table_dir).coalesce(target_files)
-    return publish(df, table_dir, generation)
+    return publish(df, table_dir, generation, stats_columns=stats_columns)
 
 
-def gc(table_dir: str) -> list[str]:
+def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     """Garbage-collect unreferenced generations: delete every data/gen-*
     directory and _manifests/gen-*.json NOT named by the current pointer.
-    Safe by construction — the committed generation is resolved FIRST and
-    exempted, so a reader that resolved the pointer before the GC ran is
-    only at risk if it raced the PREVIOUS commit (the standard table-format
-    caveat: retain superseded generations for the maximum reader lifetime
-    before collecting; a production deployment would add an age threshold
-    here, which the sandbox's synchronous tests don't need). Returns the
-    deleted paths."""
-    import shutil
 
-    keep = {os.path.dirname(f) for f in committed_files(table_dir)}
-    with open(os.path.join(table_dir, _POINTER)) as fh:
-        keep_manifest = json.load(fh)["current"]
-    deleted: list[str] = []
+    Safety, in order of defense:
+    1. the committed generation is resolved FIRST and exempted;
+    2. after listing candidates the pointer is RE-resolved, and any
+       generation numbered at or above the newer resolved generation is
+       skipped — so a publish racing this GC (violating the documented
+       single-writer assumption) cannot have its fresh commit collected;
+    3. ``older_than_s`` (seconds, by manifest/data mtime) retains young
+       superseded generations for long-lived readers — the standard
+       table-format retention threshold. ``None`` collects regardless of
+       age (the sandbox's synchronous tests).
+
+    A reader that resolved the pointer before the GC ran is only at risk
+    if it raced the PREVIOUS commit and holds a superseded generation
+    older than the threshold. Returns the deleted paths."""
+    import shutil
+    import time
+
+    keep_dirs = {os.path.dirname(f) for f in committed_files(table_dir)}
+    committed = current_generation(table_dir)
+    keep_manifests = {f"gen-{committed}.json"}
+
     data_root = os.path.join(table_dir, "data")
-    if os.path.isdir(data_root):
-        for d in sorted(os.listdir(data_root)):
-            full = os.path.join(data_root, d)
-            if full not in keep:
-                shutil.rmtree(full)
-                deleted.append(full)
     mdir = os.path.join(table_dir, "_manifests")
-    if os.path.isdir(mdir):
-        for m in sorted(os.listdir(mdir)):
-            if m != keep_manifest:
-                os.remove(os.path.join(mdir, m))
-                deleted.append(os.path.join(mdir, m))
+    candidates = sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []
+    mcandidates = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+
+    # Re-resolve: a commit that landed between the first resolution and now
+    # must survive, as must everything at/above it (its own generation).
+    recheck = current_generation(table_dir)
+    if recheck is not None and committed is not None and recheck != committed:
+        floor = min(committed, recheck)
+    else:
+        floor = committed
+    keep_dirs |= {os.path.dirname(f) for f in committed_files(table_dir)}
+    keep_manifests.add(f"gen-{recheck}.json")
+
+    now = time.time()
+
+    def _young(path: str) -> bool:
+        if older_than_s is None:
+            return False
+        try:
+            return (now - os.path.getmtime(path)) < older_than_s
+        except OSError:
+            return True  # can't date it -> keep it
+
+    deleted: list[str] = []
+    for d in candidates:
+        full = os.path.join(data_root, d)
+        g = _gen_of(d)
+        if full in keep_dirs or (g is not None and floor is not None and g >= floor):
+            continue
+        if _young(full):
+            continue
+        shutil.rmtree(full)
+        deleted.append(full)
+    for m in mcandidates:
+        g = _gen_of(m)
+        full = os.path.join(mdir, m)
+        if m in keep_manifests or (g is not None and floor is not None and g >= floor):
+            continue
+        if _young(full):
+            continue
+        os.remove(full)
+        deleted.append(full)
     return deleted

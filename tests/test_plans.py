@@ -1012,3 +1012,32 @@ def test_s26_plan_reads_only_compacted_generation(spark, sf_smoke):
     outside the manifest."""
     p = plan_str(load_all()["s26_manifest_compaction"].fn(spark, sf_smoke))
     assert "gen-2" in p and "gen-1" not in p
+
+
+def test_s27_plan_two_generation_scans(spark, sf_smoke):
+    """s27: the union's two legs scan DIFFERENT generations of the same
+    table dir — the as-of leg names gen-1, the current leg gen-2; nothing
+    outside the two manifests (no directory-walk scan of data/)."""
+    p = plan_str(load_all()["s27_manifest_time_travel"].fn(spark, sf_smoke))
+    assert "gen-1" in p and "gen-2" in p
+    assert "Union" in p
+
+
+def test_s28_plan_scans_only_unpruned_files(spark, sf_smoke):
+    """s28: the scan's file list is the manifest-pruned subset — the
+    executed plan reads strictly fewer files than the generation holds,
+    the BETWEEN predicate is still pushed to the parquet scan, and the
+    pre-Spark pruning shows up as the scan naming only kept files."""
+    import os
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import pruned_files
+
+    df = load_all()["s28_manifest_stats_skipping"].fn(spark, sf_smoke)
+    p = plan_str(df)
+    assert "PushedFilters: [" in p and "GreaterThanOrEqual(o_orderkey,1000)" in p
+    kept, skipped = pruned_files(_scratch(sf_smoke, "s28skip"), "o_orderkey", 1000, 5000)
+    assert skipped, "pruning must bite on the range-clustered layout"
+    opened = {os.path.basename(f) for f in df.inputFiles()}
+    assert opened == {os.path.basename(f) for f in kept}
+    assert not opened & {os.path.basename(f) for f in skipped}

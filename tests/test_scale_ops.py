@@ -978,10 +978,20 @@ def test_s25_aborted_and_superseded_generations_invisible(spark, sf_dir):
         )
     assert read_committed(spark, td).count() == n2, "unswapped manifest leaked"
 
-    # real publish flips atomically to the new generation
-    publish(g4, td, generation=4)
+    # the torn generation's manifest is immutable debris: re-publishing it is
+    # refused (recovery = abandon the torn gen and move on), as is any
+    # generation at or below the committed one
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        publish(g4, td, generation=4)
+    with pytest.raises(ValueError):
+        publish(g4, td, generation=2)
+
+    # real publish of a FRESH generation flips atomically
+    publish(g4, td, generation=5)
     assert read_committed(spark, td).count() == g4.count()
-    assert all("gen-4" in f for f in committed_files(td))
+    assert all("gen-5" in f for f in committed_files(td))
 
 
 def test_t28_time_split_layout_forces_cross_batch_bar_merge(spark, sf_dir):
@@ -1070,3 +1080,126 @@ def test_s25_gc_removes_only_unreferenced_generations(spark, sf_dir):
     assert after == before
     assert all("gen-2" in f for f in committed_files(td))
     assert gc(td) == [], "second GC must be a no-op"
+
+
+def test_s27_time_travel_gc_honesty_and_retention(spark, sf_dir):
+    """s27 path-level contract: as_of_generation=1 serves EXACTLY the
+    superseded snapshot while the pointer serves gen-2; after GC collects
+    gen-1, the as-of read fails loudly (FileNotFoundError, never a silent
+    wrong answer); and gc(older_than_s=...) retains a YOUNG superseded
+    generation — the retention threshold that keeps time travel alive for
+    long-lived readers."""
+    import pytest
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import gc, publish, read_committed
+
+    load_all()["s27_manifest_time_travel"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s27timetravel")
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n1 = o.filter("o_orderkey % 2 = 0").count()
+    assert read_committed(spark, td, as_of_generation=1).count() == n1
+    assert read_committed(spark, td).count() == o.filter("o_orderkey % 3 = 0").count()
+
+    # a young superseded generation survives a thresholded GC...
+    assert gc(td, older_than_s=3600.0) == []
+    assert read_committed(spark, td, as_of_generation=1).count() == n1
+    # ...an unthresholded GC collects it, and time travel then fails LOUDLY
+    deleted = gc(td)
+    assert any("gen-1" in p for p in deleted)
+    with pytest.raises(FileNotFoundError):
+        read_committed(spark, td, as_of_generation=1)
+    # the committed generation is untouched either way
+    assert read_committed(spark, td).count() == o.filter("o_orderkey % 3 = 0").count()
+
+    # gc's floor: debris numbered ABOVE the committed generation (a racing
+    # writer's commit may be in flight — manifest written, swap imminent)
+    # is never collected, while superseded generations BELOW it are
+    import json as _json
+    import os as _os
+
+    publish(o.filter("o_orderkey % 5 = 0"), td, generation=9)  # supersedes gen-2
+    from ez_cdc_spark.sources.manifest import stage_only
+
+    files10 = stage_only(o.filter("o_orderkey % 7 = 0"), td, generation=10)
+    with open(_os.path.join(td, "_manifests", "gen-10.json"), "w") as fh:
+        _json.dump(
+            {"generation": 10, "files": [_os.path.relpath(f, td) for f in files10]}, fh
+        )
+    deleted = gc(td)
+    assert any("gen-2" in p for p in deleted), "superseded gen must be collected"
+    assert not any("gen-10" in p for p in deleted), "in-flight gen must survive"
+    assert not any("gen-9" in p for p in deleted)
+
+
+def test_s28_pruned_read_never_opens_skipped_files(spark, sf_dir):
+    """s28 path-level contract: the manifest's footer stats prune files
+    BEFORE Spark sees the list — skipped is nonempty on the range-clustered
+    layout, the executed scan's inputFiles are disjoint from it, and the
+    pruned+filtered aggregate equals the unpruned+filtered one (pruning is
+    a conservative superset, never a semantic filter)."""
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import pruned_files, read_committed, read_pruned
+
+    load_all()["s28_manifest_stats_skipping"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s28skip")
+
+    kept, skipped = pruned_files(td, "o_orderkey", 1000, 5000)
+    assert kept and skipped, "range-clustered layout must make pruning bite"
+
+    pruned = read_pruned(spark, td, "o_orderkey", 1000, 5000)
+    opened = {os.path.basename(f) for f in pruned.inputFiles()}
+    assert opened == {os.path.basename(f) for f in kept}
+    assert not opened & {os.path.basename(f) for f in skipped}
+
+    full = read_committed(spark, td).filter("o_orderkey BETWEEN 1000 AND 5000")
+    sub = pruned.filter("o_orderkey BETWEEN 1000 AND 5000")
+    sig = lambda df: sorted(tuple(str(v) for v in r) for r in df.collect())  # noqa: E731
+    assert sig(sub) == sig(full) and len(sig(sub)) > 0
+
+
+def test_manifest_empty_publish_stays_readable(spark, sf_dir):
+    """ADVICE r11: a publish whose DataFrame yields zero part files must
+    leave the table readable — read_committed returns an empty DataFrame
+    under the manifest's STORED schema, and pruning over it is a no-op."""
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import publish, read_committed, read_pruned
+
+    td = _scratch(sf_dir, "s25empty")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    publish(o.filter("o_orderkey < 0"), td, generation=1, stats_columns=["o_orderkey"])
+    back = read_committed(spark, td)
+    assert back.count() == 0
+    assert back.columns == ["o_orderkey", "o_orderstatus"]
+    assert read_pruned(spark, td, "o_orderkey", 0, 10).count() == 0
+
+
+def test_w20_ohlc_pre_1970_timestamps_decode_correctly(spark):
+    """ADVICE r11 (resample.py): the ordv payload decode uses `%`, a
+    sign-following remainder — without the _EPOCH_SHIFT a pre-1970 ts made
+    open/close decode garbage. Pin the fix: a 1960s bar decodes the true
+    first/last prices."""
+    import datetime
+
+    from ez_cdc_spark.operators.resample import ohlc_bars
+
+    rows = [
+        (1, datetime.datetime(1960, 5, 1, 10, 0, 1), 7.25, '{"k": 2}'),
+        (1, datetime.datetime(1960, 5, 1, 10, 0, 2), 3.50, '{"k": 1}'),
+        (1, datetime.datetime(1960, 5, 1, 10, 0, 3), 9.75, '{"k": 4}'),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double, props string")
+    [bar] = ohlc_bars(df, "30 minutes").collect()
+    assert bar.open_cents == 725 and bar.close_cents == 975
+    assert bar.high_cents == 975 and bar.low_cents == 350
+    assert bar.volume == 7 and bar.n_events == 3
