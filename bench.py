@@ -103,23 +103,18 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
-    "w20_ohlc_bars",
-    "x61_prefix_filter_join",
-    "x62_cooccurrence_pairs",
-    "s25_manifest_atomic_publish",
-    "t28_streaming_ohlc",
-    "x63_bm25_retrieval",
-    "f_interval",
-    "s26_manifest_compaction",
+    "s27_manifest_time_travel",
+    "s28_manifest_stats_skipping",
 ]
 
 EXTRA_QUERIES = [
+    "s27_manifest_time_travel",
+    "s28_manifest_stats_skipping",
     "w20_ohlc_bars",
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",
     "f_interval",
     "s26_manifest_compaction",
-    "x61_prefix_filter_join",
     "x62_cooccurrence_pairs",
     "s25_manifest_atomic_publish",
     "x60_hierarchy_flatten",
@@ -193,6 +188,11 @@ EXTRA_QUERIES = [
     "x2d_embedding_neardup",
     "x10_corpus_pipeline",
     "x11_neardup_clusters",
+    # x61 timed right after x11 (x24's marginal-cost pattern, r11 verdict
+    # #4): both dedup families now share the session-memoized shingle-set
+    # table, so x11 carries the one-time set materialization and x61's row
+    # is the marginal prefix-gen + verify cost.
+    "x61_prefix_filter_join",
     "x24_cluster_canonical",
     "x36_cluster_split",
     "x37_pagerank_centrality",
@@ -319,6 +319,21 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
+
+    # Interleaved calibration (r11 verdict #1): the two point samples at
+    # start/end straddled a uniform 15-33% tail drift in r11 without
+    # explaining it — ambient contention during the middle of the window is
+    # invisible to endpoints. A fixed-work sample every ~20 timed queries
+    # makes the contention profile OF THE BENCH WINDOW itself part of the
+    # record: if per-query drift tracks these rows, it's host load, not a
+    # plan regression. Entries are [n_queries_timed_so_far, sec].
+    calib_samples: list[list[float]] = [[0, calib_start]]
+
+    def _maybe_calibrate(force: bool = False) -> None:
+        n = len(timings)
+        if force or (n and n % 20 == 0 and calib_samples[-1][0] != n):
+            calib_samples.append([n, _calibrate()])
+
     for name in BATCH_QUERIES + STREAM_QUERIES:
         # streaming callables manage checkpoint/state dirs: a re-run would
         # replay against warm state and under-report — time those once
@@ -331,6 +346,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+        _maybe_calibrate()
 
     # t9 warm: timed IMMEDIATELY after the cold run and min-of-3. Round 7
     # timed a single warm run after the whole EXTRA_QUERIES list, and the
@@ -352,10 +368,12 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["t9_cdc_upsert_warm"] = round(best, 3)
 
+    _maybe_calibrate(force=True)  # boundary: headline set done, extras begin
     for name in EXTRA_QUERIES:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        _maybe_calibrate()
 
     # Streaming throughput: events/s through the tumbling-window replay
     # (n events incl. none dropped) using the t2 wall time, and change
@@ -375,9 +393,11 @@ def main() -> None:
         t9_events_per_s = None
 
     calib_end = _calibrate()
+    calib_samples.append([len(timings), calib_end])
     load_end = _loadavg()
     calibration = {
         "calibration_sec": [calib_start, calib_end],
+        "calibration_interleaved": calib_samples,
         "loadavg_1_5_15": {"start": load_start, "end": load_end},
     }
 

@@ -93,6 +93,33 @@ def _perm_coeffs(j: int) -> tuple:
     return F.lit(a), F.lit(b)
 
 
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The shared dedup unit: (doc_id, ss, n) where ``ss`` is the DISTINCT
+    raw word ``shingle_n``-gram set and ``n`` its size. Both dedup families
+    — MinHash-LSH (x2: hash ss per permutation slot) and the exact prefix
+    filter (x61: order ss rarest-first) — consume this identical table, so
+    a session that materializes it once (the x2/x61 query layer memoizes +
+    localCheckpoints it) pays the split→shingle→distinct projection — the
+    dominant per-row cost of either family — a single time. Zero-shingle
+    docs (< shingle_n words) are dropped: they cannot reach any Jaccard
+    threshold (empty intersection) and their all-identical empty signatures
+    would otherwise funnel into one degenerate LSH bucket."""
+    ws = docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
+    return (
+        ws.select(
+            "doc_id",
+            F.array_distinct(ngrams_from_words(F.col("ws"), shingle_n)).alias("ss"),
+        )
+        .filter(F.size("ss") > 0)
+        .select("doc_id", "ss", F.size("ss").cast("bigint").alias("n"))
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -101,6 +128,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     portable: bool = False,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """X2: banding — docs sharing any band signature become candidate pairs.
 
@@ -110,18 +138,31 @@ def minhash_lsh_candidates(
     verified (so no false positives leave the operator). ``portable``
     switches shingle hashing to the md5-derived form so a SQL oracle can
     reproduce the exact candidate set + jaccards (x2's driver check).
+
+    ``sets_df`` (optional): a prebuilt :func:`shingle_sets` table — hashing
+    a distinct raw-shingle set yields the identical hash set as hashing the
+    raw n-gram stream (distinct commutes with a per-element map up to set
+    equality, and every consumer below is set-shaped: array_min per
+    permutation slot, array_intersect/union sizes), so the shared table is
+    a drop-in; the equality is pinned in tests/test_properties.py.
     """
     rows_per_band = num_hashes // bands
-    shingled = (
-        widen_partitions(
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    h = portable_hash32 if portable else F.xxhash64
+    if sets_df is not None:
+        shingled = sets_df.select(
+            "doc_id", F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles")
         )
-        .select("doc_id", words(F.col("__text")).alias("ws"))
-        .select(
-            "doc_id",
-            shingle_hashes(F.col("ws"), shingle_n, portable=portable).alias("shingles"),
+    else:
+        shingled = (
+            widen_partitions(
+                docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+            )
+            .select("doc_id", words(F.col("__text")).alias("ws"))
+            .select(
+                "doc_id",
+                shingle_hashes(F.col("ws"), shingle_n, portable=portable).alias("shingles"),
+            )
         )
-    )
     sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
 
     # Slim banding rows: (doc_id, band_id, band_sig) only. Shuffling the full
@@ -404,6 +445,7 @@ def prefix_similarity_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """X61: EXACT set-similarity self-join via the prefix filter
     (PPJoin-lite; public algorithm — Chaudhuri et al. SSJoin / Xiao et al.
@@ -446,20 +488,19 @@ def prefix_similarity_join(
     At 100 TB nothing is corpus x corpus: the only self-join is on prefix
     shingles (step 3), and verify cost is candidates, not pairs.
     """
-    ws = docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
-    sets_df = (
-        ws.select(
-            "doc_id", F.array_distinct(ngrams_from_words(F.col("ws"), shingle_n)).alias("ss")
-        )
-        .filter(F.size("ss") > 0)
-        .select("doc_id", "ss", F.size("ss").cast("bigint").alias("n"))
-    )
-    # The set table feeds THREE consumers (prefix generation + both verify
-    # sides): materialize it once (x40's checkpoint-projection pattern) so
-    # the split→shingle→distinct work — the dominant per-row cost — is paid
-    # a single time and the downstream joins scan a compact columnar block
-    # with truncated lineage instead of recomputing the projection.
-    sets_df = sets_df.localCheckpoint(eager=True)
+    if sets_df is None:
+        # The set table feeds THREE consumers (prefix generation + both
+        # verify sides): materialize it once (x40's checkpoint-projection
+        # pattern) so the split→shingle→distinct work — the dominant
+        # per-row cost — is paid a single time and the downstream joins
+        # scan a compact columnar block with truncated lineage instead of
+        # recomputing the projection. Callers that already hold the shared
+        # session-memoized table (queries/extensions._shared_shingle_sets —
+        # the SAME unit the x2 MinHash family hashes) pass it in, and the
+        # materialization is paid once per session across BOTH families.
+        sets_df = shingle_sets(
+            docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        ).localCheckpoint(eager=True)
     tok = sets_df.select("doc_id", "n", F.explode("ss").alias("s"))
     freq = tok.groupBy("s").agg(F.count("*").cast("bigint").alias("cnt"))
     # prefix_len = n - ceil(tau*n) + 1, in pure integer arithmetic:

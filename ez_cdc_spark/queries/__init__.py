@@ -55,10 +55,22 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r10's single entry — u8_cogroup_asof after its numpy-only rewrite — came
 # back hash-green in CORRECTNESS_r10.json, so the set was cleared at the
 # start of round 11.)
-# r12: operators/resample.py gained the _EPOCH_SHIFT ordv offset (pre-1970
-# guard) — decode is argued bit-identical on the fixture, but the contract is
-# strict: any implementation change re-attests.
-_REATTEST: set[str] = {"w20_ohlc_bars", "t28_streaming_ohlc"}
+# r12: (a) operators/resample.py gained the _EPOCH_SHIFT ordv offset
+# (pre-1970 guard) — decode is argued bit-identical on the fixture, but the
+# contract is strict: any implementation change re-attests (w20, t28);
+# (b) the x61/x2-family shingle-set unification (r11 verdict #4) rebuilt
+# x61's set table and _shared_neardup_pairs over _shared_shingle_sets —
+# x61 and every r8+-vintage consumer of the shared pair/CC caches re-attest
+# (x48, x53, x55; the r7-vintage consumers x11/x24/x36/x37 float first via
+# the derived staleness order anyway).
+_REATTEST: set[str] = {
+    "w20_ohlc_bars",
+    "t28_streaming_ohlc",
+    "x61_prefix_filter_join",
+    "x48_dedup_dashboard",
+    "x53_minhash_calibration",
+    "x55_cluster_size_histogram",
+}
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

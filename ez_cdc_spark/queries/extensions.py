@@ -71,13 +71,43 @@ def _corpus_fingerprint(sf_dir, table: str = "documents") -> tuple:
 
 _NEARDUP_PAIRS_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
 
+_SHINGLE_SETS_CACHE: dict[tuple[str, str, tuple], "DataFrame"] = {}
+
+
+def _shared_shingle_sets(spark, sf_dir):
+    """The shared dedup unit (r11 verdict #4): the distinct word 3-gram
+    shingle-SET table (doc_id, ss, n) both dedup families consume — the
+    x2 MinHash family hashes it per permutation slot, the x61 exact prefix
+    filter orders it rarest-first — memoized + localCheckpointed with the
+    same key discipline as the pair/CC caches, so the split→shingle→
+    distinct projection (the dominant per-row cost of either family, ~5 s
+    at sf0.1) is paid ONCE per session across both. Representation
+    equality (hash(shared ss) == the x2 family's own shingle hashes, per
+    doc, as sets) is pinned in tests/test_properties.py."""
+    from ez_cdc_spark.operators.dedup import shingle_sets
+
+    key = (spark.sparkContext.applicationId, str(sf_dir), _corpus_fingerprint(sf_dir))
+    sets_df = _SHINGLE_SETS_CACHE.get(key)
+    if sets_df is None:
+        for stale in [k for k in _SHINGLE_SETS_CACHE if k[:2] == key[:2]]:
+            try:
+                _SHINGLE_SETS_CACHE.pop(stale).unpersist()
+            except Exception:
+                pass  # releasing superseded checkpoint blocks is best-effort
+        sets_df = shingle_sets(t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+        _SHINGLE_SETS_CACHE[key] = sets_df
+    return sets_df
+
 
 def _shared_neardup_pairs(spark, sf_dir):
     """The x2 candidate pair set (jaccard >= 0.5), memoized and pinned with
     the same key discipline as the CC cache — pair-gen is the dominant
     cost, and x11 (CC), x24 (election), x36 (cluster split), and x37
     (centrality) all consume the identical set. Pinned rows are slim
-    (id_a, id_b, jaccard) triples."""
+    (id_a, id_b, jaccard) triples. Built over the shared shingle-set table
+    (dropping zero-shingle docs changes nothing here: an empty set's
+    jaccard is NULL against anything, which the >= 0.5 gate already
+    drops), so its one-time cost is shared with x61."""
     key = (spark.sparkContext.applicationId, str(sf_dir), _corpus_fingerprint(sf_dir))
     pairs = _NEARDUP_PAIRS_CACHE.get(key)
     if pairs is None:
@@ -86,9 +116,10 @@ def _shared_neardup_pairs(spark, sf_dir):
                 _NEARDUP_PAIRS_CACHE.pop(stale).unpersist()
             except Exception:
                 pass  # releasing superseded checkpoint blocks is best-effort
-        d = t(spark, sf_dir, "documents")
         pairs = (
-            minhash_lsh_candidates(d, portable=True)
+            minhash_lsh_candidates(
+                None, portable=True, sets_df=_shared_shingle_sets(spark, sf_dir)
+            )
             .filter(F.col("jaccard") >= 0.5)
             .localCheckpoint(eager=True)
         )
@@ -2330,4 +2361,10 @@ def x61_prefix_filter_join(spark, sf_dir):
     from ez_cdc_spark.operators.dedup import prefix_similarity_join
 
     d = t(spark, sf_dir, "documents")
-    return prefix_similarity_join(d, tau_num=1, tau_den=2).orderBy("id_a", "id_b")
+    # r12: the set table is the session-shared one — the SAME materialized
+    # unit the x2 MinHash family hashes (_shared_shingle_sets), so the ~5 s
+    # split→shingle→distinct cost is paid once per session across both
+    # dedup families; x61's marginal cost is prefix-gen + verify.
+    return prefix_similarity_join(
+        d, tau_num=1, tau_den=2, sets_df=_shared_shingle_sets(spark, sf_dir)
+    ).orderBy("id_a", "id_b")

@@ -2192,3 +2192,39 @@ def test_f_interval_month_clamp_python_replay(spark, sf_dir):
         assert r["hours_to_98"] == days * 24  # midnight-aligned fixture
         clamped += 1 if r["plus_ym"][-2:] == "28" else 0
     assert clamped > 0, "fixture must exercise the end-of-month clamp"
+
+
+def test_shared_shingle_sets_representation_equality(spark, sf_dir):
+    """r11 verdict #4: the session-shared shingle-set table is the SAME
+    unit both dedup families consume — hashing the shared distinct raw
+    shingle set per doc must equal the x2 family's own shingle_hashes
+    output as a SET (distinct commutes with the per-element hash), and the
+    shared table must be the x61 path's set table verbatim (same doc_ids,
+    same sets, same sizes)."""
+    import pyspark.sql.functions as F
+
+    from ez_cdc_spark.operators.dedup import portable_hash32, shingle_hashes, shingle_sets
+    from ez_cdc_spark.functions.text import words
+    from ez_cdc_spark.queries._util import t
+
+    d = t(spark, sf_dir, "documents")
+    shared = shingle_sets(d)
+    hashed_shared = {
+        r["doc_id"]: frozenset(r["h"])
+        for r in shared.select(
+            "doc_id", F.transform("ss", lambda s: portable_hash32(s)).alias("h")
+        ).collect()
+    }
+    own = {
+        r["doc_id"]: frozenset(r["h"])
+        for r in d.select(F.col("doc_id"), words(F.col("text")).alias("ws"))
+        .select("doc_id", shingle_hashes(F.col("ws"), 3, portable=True).alias("h"))
+        .filter(F.size("h") > 0)
+        .collect()
+    }
+    assert hashed_shared == own and len(own) > 0
+
+    # and the memoized instance is served object-identical within a session
+    from ez_cdc_spark.queries.extensions import _shared_shingle_sets
+
+    assert _shared_shingle_sets(spark, sf_dir) is _shared_shingle_sets(spark, sf_dir)
