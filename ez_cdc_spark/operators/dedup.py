@@ -220,6 +220,64 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_probe_pairs(
+    shingled: DataFrame,
+    is_probe,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Index-probe LSH (x57's probe path as a reusable unit, consumed by
+    x64): ``shingled`` is (doc_id, shingles) with the PORTABLE hash
+    discipline; rows where ``is_probe`` (a boolean Column over doc_id) are
+    the query batch, the rest are the stored index. Probe rows join the
+    index on (band_id, band_sig) — NO all-pairs generation on either side,
+    never index x index — then exact shingle Jaccard verifies just the
+    candidates. Returns (probe_id, corpus_id, jaccard). The banding
+    expression is literal-for-literal minhash_lsh_candidates' (same
+    permutation constants, same band hash), so the candidate set equals
+    the cross-split slice of the full pair set (x57's pinned property)."""
+    rows_per_band = num_hashes // bands
+    sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ),
+    ).select("doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
+    index = banded.filter(~is_probe).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_sig"
+    )
+    probe = banded.filter(is_probe)
+    cand = (
+        probe.join(index, ["band_id", "band_sig"])
+        .select(F.col("doc_id").alias("probe_id"), "corpus_id")
+        .dropDuplicates(["probe_id", "corpus_id"])
+    )
+    with_sh = cand.join(
+        shingled.select(F.col("doc_id").alias("probe_id"), F.col("shingles").alias("sh_a")),
+        "probe_id",
+    ).join(
+        shingled.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return with_sh.select(
+        "probe_id", "corpus_id", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
 def token_hashes(text_col, portable: bool = False) -> F.Column:
     """Array of per-token hashes: xxhash64 by default (fastest JVM path),
     or the first 8 hex chars of md5 when ``portable`` — bit-identical in

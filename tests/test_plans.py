@@ -1041,3 +1041,40 @@ def test_s28_plan_scans_only_unpruned_files(spark, sf_smoke):
     opened = {os.path.basename(f) for f in df.inputFiles()}
     assert opened == {os.path.basename(f) for f in kept}
     assert not opened & {os.path.basename(f) for f in skipped}
+
+
+def test_a24_plan_shape(spark, sf_smoke):
+    """a24: the ONLY data-sized exchange is the (group, bucket) partial
+    HashAggregate — input-size-free shuffle like a16/a22/a23; everything
+    downstream (windows, quantile pick) runs on the bucket table; the
+    4-row quantile dim joins as broadcast; no SortAggregate on the data
+    path, no Python UDF."""
+    p = plan_str(load_all()["a24_hdr_rank_sketch"].fn(spark, sf_smoke))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+        "quantile dim must broadcast"
+    )
+    assert "CartesianProduct" not in p
+    head = p.split("Window")[0]  # the data path: scan -> bucket agg
+    assert "HashAggregate" in head and "SortAggregate" not in head
+
+
+def test_w21_plan_two_keyed_exchanges(spark, sf_smoke):
+    """w21: the resample->detect pipeline is ONE plan with exactly two
+    keyed exchanges — the bar HashAggregate's (user, bucket) partial agg
+    and the user-keyed frame window; the bar layer must stay HashAggregate
+    (the decimal arg-extrema encoding), no UDF anywhere."""
+    p = plan_str(load_all()["w21_ohlc_bar_anomaly"].fn(spark, sf_smoke))
+    assert p.count("hashpartitioning") == 2, p[:600]
+    assert "SortAggregate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_x64_probe_plan_no_allpairs(spark, sf_smoke):
+    """x64: the contamination probe joins the benchmark band rows against
+    the index on (band_id, band_sig) — cartesian-free, no corpus-side
+    self-join, no UDF; verify is candidates-only."""
+    p = plan_str(load_all()["x64_neardup_contamination"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "band_sig" in p, "candidates must join on the band signature"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -2228,3 +2228,139 @@ def test_shared_shingle_sets_representation_equality(spark, sf_dir):
     from ez_cdc_spark.queries.extensions import _shared_shingle_sets
 
     assert _shared_shingle_sets(spark, sf_dir) is _shared_shingle_sets(spark, sf_dir)
+
+
+def test_a24_rank_sketch_error_bound_and_mergeability(spark, sf_dir):
+    """a24's two contracts, against an independent Python reimplementation:
+    (1) a-priori relative error — for every (group, q) the estimate lb
+    satisfies lb <= true_q < lb * (1 + 2^-7) + 1 (the true quantile lies in
+    the picked bucket, whose width is < lb/128); (2) mergeability — bucket
+    histograms built per shard and summed equal the single-pass histogram
+    (counts ADD, the a16 register discipline)."""
+    import math
+
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["a24_hdr_rank_sketch"].fn(spark, sf_dir).collect()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    li["cents"] = (li.l_extendedprice.round(2) * 100).round().astype("int64")
+    qmap = {"p25": (1, 4), "p50": (2, 4), "p75": (3, 4), "p90": (9, 10)}
+    assert len(rows) == 3 * len(qmap)
+    for r in rows:
+        vals = sorted(li[li.l_returnflag == r.l_returnflag].cents)
+        num, den = qmap[r.q_label]
+        true_q = vals[(len(vals) * num + den - 1) // den - 1]
+        assert r.n == len(vals)
+        assert r.est_cents <= true_q, (r.q_label, r.est_cents, true_q)
+        assert true_q < r.est_cents * (1 + 1 / 128) + 1, (r.q_label, r.est_cents, true_q)
+
+    def bucket(v):
+        shift = max(v.bit_length() - 8, 0)
+        return (v >> shift) << shift
+
+    # mergeability: 5 hash-shards' histograms summed == the global histogram
+    from collections import Counter
+
+    global_hist = Counter(bucket(v) for v in li.cents)
+    shards = [Counter() for _ in range(5)]
+    for i, v in enumerate(li.cents):
+        shards[i % 5][bucket(v)] += 1
+    merged = Counter()
+    for s in shards:
+        merged.update(s)
+    assert merged == global_hist and len(global_hist) > 100
+
+
+def test_w21_matches_independent_python_pipeline(spark, sf_dir):
+    """w21 against a from-scratch pandas/python reimplementation of the
+    WHOLE pipeline (bars by floor-epoch bucketing + last-(ts,cents) close,
+    then trailing-7 lower-median/MAD fence) — independent of both the
+    Spark expression and the DuckDB oracle SQL."""
+    import pandas as pd
+
+    from ez_cdc_spark.queries import load_all
+
+    rows = load_all()["w21_ohlc_bar_anomaly"].fn(spark, sf_dir).collect()
+    got = {(r.user_id, r.wstart): (r.close_cents, r.frame_n, r.med_cents, r.mad_cents) for r in rows}
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev["cents"] = (ev.value.round(2) * 100).round().astype("int64")
+    ev["bucket"] = (ev.ts.astype("int64") // 10**6 // 1800) * 1800
+    # close = cents of the max (ts_micros, cents) pair per (user, bucket)
+    ev["ordk"] = list(zip(ev.ts.astype("int64"), ev.cents))
+    bars = (
+        ev.groupby(["user_id", "bucket"])["ordk"].max().apply(lambda t: t[1]).reset_index(name="close")
+    )
+    expect = {}
+    for uid, g in bars.sort_values(["user_id", "bucket"]).groupby("user_id"):
+        closes = list(g.close)
+        buckets = list(g.bucket)
+        for i in range(len(closes)):
+            frame = sorted(closes[max(0, i - 6) : i + 1])
+            n = len(frame)
+            if n < 5:
+                continue
+            med = frame[(n + 1) // 2 - 1]
+            mad = sorted(abs(x - med) for x in frame)[(n + 1) // 2 - 1]
+            if abs(closes[i] - med) > 3 * mad:
+                ws = pd.Timestamp(buckets[i], unit="s").strftime("%Y-%m-%d %H:%M:%S")
+                expect[(int(uid), ws)] = (closes[i], n, med, mad)
+    assert got == expect and len(expect) > 0
+
+
+def test_x64_planted_neardup_recall(spark, sf_dir):
+    """x64's detection property: paraphrase-perturbed copies of corpus docs
+    (every 20th word dropped — a format/paraphrase shift that leaves NO
+    shared exact 5-gram guarantee but keeps shingle-Jaccard ~0.85) planted
+    as benchmark docs (id = 7 * base, so % 7 == 0) must ALL be recovered
+    by the LSH probe at J >= 0.5 against their source doc. At J ~ 0.85 the
+    16-band/4-row S-curve's miss probability is < 1e-5 per pair, and the
+    hashes are fixed, so this is deterministic on the fixture."""
+    import pyspark.sql.functions as F
+
+    from ez_cdc_spark.operators.dedup import (
+        lsh_probe_pairs,
+        portable_hash32,
+        shingle_sets,
+    )
+    from ez_cdc_spark.queries._util import t
+
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 7 != 0) & (F.size(F.split("text", r"\s+")) >= 40))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    )
+    assert len(base) == 30
+
+    def perturb(text):
+        ws = text.split()
+        return " ".join(w for i, w in enumerate(ws) if i % 20 != 19)
+
+    rows = [(r.doc_id, r.text) for r in base] + [
+        (7 * r.doc_id, perturb(r.text)) for r in base
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = shingle_sets(docs).select(
+        "doc_id",
+        F.array_distinct(F.transform("ss", lambda s: portable_hash32(s))).alias(
+            "shingles"
+        ),
+    )
+    found = {
+        (r.probe_id, r.corpus_id)
+        for r in lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    planted = {(7 * r.doc_id, r.doc_id) for r in base}
+    missed = planted - found
+    assert not missed, f"planted near-dups not recovered: {sorted(missed)[:5]}"
+    # structural: the probe never emits corpus x corpus or bench x bench
+    assert all(p % 7 == 0 and c % 7 != 0 for p, c in found)
