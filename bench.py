@@ -105,11 +105,22 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 NEW_THIS_ROUND = [
     "s27_manifest_time_travel",
     "s28_manifest_stats_skipping",
+    "a24_hdr_rank_sketch",
+    "w21_ohlc_bar_anomaly",
+    "x64_neardup_contamination",
+    "x65_contamination_removal",
+    "s29_manifest_partition_publish",
+    "x61_prefix_filter_join",  # not new, but its r12 bench row changed
+    # meaning: timed after x11 as the marginal cost over the shared
+    # shingle-set table (r11 verdict #4)
 ]
 
 EXTRA_QUERIES = [
     "s27_manifest_time_travel",
     "s28_manifest_stats_skipping",
+    "a24_hdr_rank_sketch",
+    "w21_ohlc_bar_anomaly",
+    "s29_manifest_partition_publish",
     "w20_ohlc_bars",
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",
@@ -193,6 +204,12 @@ EXTRA_QUERIES = [
     # table, so x11 carries the one-time set materialization and x61's row
     # is the marginal prefix-gen + verify cost.
     "x61_prefix_filter_join",
+    # x64 right after x61: the contamination probe reuses the same shared
+    # shingle-set table, so its row is probe + verify cost only.
+    "x64_neardup_contamination",
+    # x65 right after x64: removal reuses the same probe machinery, its
+    # row is the anti-join + accounting marginal cost.
+    "x65_contamination_removal",
     "x24_cluster_canonical",
     "x36_cluster_split",
     "x37_pagerank_centrality",

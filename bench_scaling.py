@@ -45,7 +45,9 @@ OPS = os.environ.get(
     "x52_cluster_balanced_mix,s24_sorted_bucket_window,"
     "w20_ohlc_bars,x61_prefix_filter_join,x62_cooccurrence_pairs,"
     "s25_manifest_atomic_publish,t28_streaming_ohlc,x63_bm25_retrieval,"
-    "s26_manifest_compaction",
+    "s26_manifest_compaction,s27_manifest_time_travel,"
+    "s28_manifest_stats_skipping,a24_hdr_rank_sketch,w21_ohlc_bar_anomaly,"
+    "x64_neardup_contamination,x65_contamination_removal,s29_manifest_partition_publish",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 

@@ -63,6 +63,8 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # x61 and every r8+-vintage consumer of the shared pair/CC caches re-attest
 # (x48, x53, x55; the r7-vintage consumers x11/x24/x36/x37 float first via
 # the derived staleness order anyway).
+# (c) sources/manifest.py was hardened (generation validation, dir fsyncs,
+# schema-bearing manifests, gc retention/race floor) — s25/s26 re-attest.
 _REATTEST: set[str] = {
     "w20_ohlc_bars",
     "t28_streaming_ohlc",
@@ -70,6 +72,8 @@ _REATTEST: set[str] = {
     "x48_dedup_dashboard",
     "x53_minhash_calibration",
     "x55_cluster_size_histogram",
+    "s25_manifest_atomic_publish",
+    "s26_manifest_compaction",
 }
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative

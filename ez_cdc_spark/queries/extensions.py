@@ -2093,11 +2093,10 @@ FROM cross_pairs GROUP BY corpus_id ORDER BY corpus_id
 def x64_neardup_contamination(spark, sf_dir):
     from ez_cdc_spark.operators.dedup import lsh_probe_pairs, portable_hash32
 
+    h = portable_hash32  # by-value bind (worker-closure convention)
     shingled = _shared_shingle_sets(spark, sf_dir).select(
         "doc_id",
-        F.array_distinct(
-            F.transform("ss", lambda s: portable_hash32(s))
-        ).alias("shingles"),
+        F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles"),
     )
     pairs = lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0)
     return (
@@ -2109,6 +2108,85 @@ def x64_neardup_contamination(spark, sf_dir):
             F.min("probe_id").cast("bigint").alias("example_bench_id"),
         )
         .orderBy("corpus_id")
+    )
+
+
+@register(
+    "x65_contamination_removal",
+    oracle="WITH "
+    + _x2_pair_ctes()
+    + r""",
+flagged AS (
+  SELECT DISTINCT CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS doc_id
+  FROM pairs
+  WHERE ((id_a % 7 = 0) <> (id_b % 7 = 0)) AND jaccard >= 0.5
+), corpus AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_flagged
+  FROM documents d LEFT JOIN flagged f USING (doc_id)
+  WHERE d.doc_id % 7 <> 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_flagged) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) - SUM(is_flagged) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_flagged = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM corpus GROUP BY source ORDER BY source
+""",
+    doc="X65: contamination REMOVAL transform — x64 flags, x65 acts (the "
+    "flag→act completion, exactly as x50's span removal completed x45's "
+    "span diagnostic): corpus docs with any benchmark near-dup at "
+    "J >= 0.5 are dropped via a LEFT ANTI-join against the flagged-id "
+    "set, and the per-source accounting reconciles EXACTLY with x64's "
+    "report — n_docs = n_removed + n_kept per source (pytest-pinned "
+    "against x64's flagged ids, plus chars_kept = the kept docs' "
+    "n_chars sum, the number a training-mix planner actually consumes). "
+    "The flagged-id set comes from the same lsh_probe_pairs machinery "
+    "over the session-shared shingle table, so x65 after x64 costs the "
+    "anti-join + one aggregate. Oracle: the shared pair CTEs "
+    "cross-filtered and LEFT-joined back to documents — a different "
+    "join shape (outer + CASE) than the engine's anti-join, so "
+    "hash-green proves the removal relation, not the code. At 100 TB: "
+    "the flagged set is benchmark-bounded (tiny) and broadcasts; the "
+    "corpus is scanned once map-side — removal costs one pass, like "
+    "every x7-family gate.",
+)
+def x65_contamination_removal(spark, sf_dir):
+    from ez_cdc_spark.operators.dedup import lsh_probe_pairs, portable_hash32
+
+    h = portable_hash32  # by-value bind (worker-closure convention)
+    shingled = _shared_shingle_sets(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles"),
+    )
+    flagged = (
+        lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    kept = d.join(F.broadcast(flagged), "doc_id", "left_anti")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+    return (
+        per_source.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
     )
 
 

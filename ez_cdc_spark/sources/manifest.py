@@ -193,8 +193,6 @@ def publish(
     columns (S28 file skipping)."""
     _validate_generation(table_dir, generation)
     files = stage_only(df, table_dir, generation)
-    mdir = os.path.join(table_dir, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
     manifest = {
         "generation": generation,
         "files": [os.path.relpath(f, table_dir) for f in files],
@@ -206,6 +204,15 @@ def publish(
             os.path.relpath(f, table_dir): _file_stats(f, stats_columns)
             for f in files
         }
+    return _commit_manifest(table_dir, generation, manifest)
+
+
+def _commit_manifest(table_dir: str, generation: int, manifest: dict) -> dict:
+    """The shared two-phase commit tail: fsynced immutable manifest write,
+    then the one atomic pointer swap (with directory fsyncs recording both
+    renames)."""
+    mdir = os.path.join(table_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
     mpath = _manifest_path(table_dir, generation)
     mtmp = os.path.join(mdir, f".gen-{generation}.json.{uuid.uuid4().hex}.tmp")
     with open(mtmp, "w") as fh:
@@ -223,6 +230,75 @@ def publish(
     os.replace(ptmp, os.path.join(table_dir, _POINTER))  # THE commit point
     _fsync_dir(table_dir)
     return manifest
+
+
+def publish_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    generation: int,
+    partition_col: str,
+) -> dict:
+    """S29: partition-aware atomic publish — S25's two-phase protocol
+    composed with S7's partitionBy layout: the generation stages as
+    Hive-style ``<partition_col>=<value>/`` subdirectories and the manifest
+    records each file's PARTITION VALUE alongside its path, so
+    :func:`read_committed_partitions` can partition-prune from manifest
+    metadata alone — no directory listing, no filesystem-level partition
+    discovery (the manifest is the partition spec, which is exactly what
+    Iceberg/Delta store in their metadata layers). Commit is the same one
+    atomic pointer swap."""
+    import urllib.parse
+
+    _validate_generation(table_dir, generation)
+    stage = _stage_dir(table_dir, generation)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    files: list[str] = []
+    partitions: dict[str, str] = {}
+    for sub in sorted(os.listdir(stage)):
+        if not sub.startswith(f"{partition_col}="):
+            continue
+        value = urllib.parse.unquote(sub.split("=", 1)[1])
+        for f in sorted(os.listdir(os.path.join(stage, sub))):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                rel = os.path.relpath(os.path.join(stage, sub, f), table_dir)
+                files.append(rel)
+                partitions[rel] = value
+    manifest = {
+        "generation": generation,
+        "files": files,
+        "n_files": len(files),
+        "schema": json.loads(df.schema.json()),
+        "partition_col": partition_col,
+        "partitions": partitions,
+    }
+    return _commit_manifest(table_dir, generation, manifest)
+
+
+def read_committed_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    values: list[str],
+    as_of_generation: int | None = None,
+) -> DataFrame:
+    """S29 read path: resolve the manifest, keep ONLY the files whose
+    recorded partition value is in ``values``, and read them under the
+    generation's basePath so the partition column is reconstructed from
+    the directory layout. Files of other partitions are never opened —
+    partition pruning decided entirely from the manifest's metadata."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    wanted = set(values)
+    kept = [
+        os.path.join(table_dir, rel)
+        for rel in manifest["files"]
+        if manifest.get("partitions", {}).get(rel) in wanted
+    ]
+    base = _stage_dir(table_dir, manifest["generation"])
+    if not kept:
+        schema = manifest.get("schema")
+        if schema is None:
+            raise ValueError("empty partition selection with no stored schema")
+        return spark.createDataFrame([], StructType.fromJson(schema))
+    return spark.read.option("basePath", base).parquet(*kept)
 
 
 def read_manifest(table_dir: str, as_of_generation: int | None = None) -> dict:

@@ -1078,3 +1078,23 @@ def test_x64_probe_plan_no_allpairs(spark, sf_smoke):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "band_sig" in p, "candidates must join on the band signature"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_s29_plan_scans_only_requested_partitions(spark, sf_smoke):
+    """s29: the scan's location names only the requested partitions'
+    directories; the basePath read reconstructs the partition column."""
+    df = load_all()["s29_manifest_partition_publish"].fn(spark, sf_smoke)
+    p = plan_str(df)
+    assert "1-URGENT" in p or "1-URGENT" in " ".join(df.inputFiles())
+    for other in ("2-HIGH", "3-MEDIUM", "4-NOT"):
+        assert other not in " ".join(df.inputFiles()), other
+
+
+def test_x65_plan_broadcast_antijoin(spark, sf_smoke):
+    """x65: the flagged-id set is benchmark-bounded and must broadcast
+    into the anti-join; the corpus is scanned map-side, never
+    cartesian/UDF."""
+    p = plan_str(load_all()["x65_contamination_removal"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -2364,3 +2364,30 @@ def test_x64_planted_neardup_recall(spark, sf_dir):
     assert not missed, f"planted near-dups not recovered: {sorted(missed)[:5]}"
     # structural: the probe never emits corpus x corpus or bench x bench
     assert all(p % 7 == 0 and c % 7 != 0 for p, c in found)
+
+
+def test_x65_reconciles_exactly_with_x64(spark, sf_dir):
+    """x65's accounting must reconcile EXACTLY with x64's report: per
+    source, n_removed equals the count of x64's flagged corpus doc ids in
+    that source, and n_docs = n_removed + n_kept."""
+    from collections import Counter
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries._util import t
+
+    reg = load_all()
+    x64 = reg["x64_neardup_contamination"].fn(spark, sf_dir).collect()
+    x65 = reg["x65_contamination_removal"].fn(spark, sf_dir).collect()
+    flagged_ids = {r.corpus_id for r in x64}
+    src = {
+        r.doc_id: r.source
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter("doc_id % 7 != 0")
+        .collect()
+    }
+    removed_by_source = Counter(src[i] for i in flagged_ids)
+    for r in x65:
+        assert r.n_docs == r.n_removed + r.n_kept, r
+        assert r.n_removed == removed_by_source.get(r.source, 0), r
+    assert sum(r.n_removed for r in x65) == len(flagged_ids) > 0

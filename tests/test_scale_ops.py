@@ -1203,3 +1203,43 @@ def test_w20_ohlc_pre_1970_timestamps_decode_correctly(spark):
     assert bar.open_cents == 725 and bar.close_cents == 975
     assert bar.high_cents == 975 and bar.low_cents == 350
     assert bar.volume == 7 and bar.n_events == 3
+
+
+def test_s29_partition_read_opens_only_requested_partitions(spark, sf_dir):
+    """s29 path-level contract: the partition-pruned read's inputFiles are
+    exactly the manifest's files for the requested partition values —
+    other partitions' files (on disk, committed) are never opened — and
+    an empty selection stays readable under the stored schema."""
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        read_committed_partitions,
+        read_manifest,
+    )
+
+    load_all()["s29_manifest_partition_publish"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s29part")
+    man = read_manifest(td)
+    assert man["partition_col"] == "o_orderpriority"
+    values = set(man["partitions"].values())
+    assert len(values) == 5, values
+
+    # one write task serves every partition dir, so BASENAMES repeat across
+    # partitions — compare the (partition dir, file) suffix instead
+    def key(path):
+        parts = path.rstrip("/").split("/")
+        return (parts[-2], parts[-1])
+
+    want = {"1-URGENT", "5-LOW"}
+    df = read_committed_partitions(spark, td, sorted(want))
+    opened = {key(f) for f in df.inputFiles()}
+    expected = {key(rel) for rel, v in man["partitions"].items() if v in want}
+    other = {key(rel) for rel, v in man["partitions"].items() if v not in want}
+    assert opened == expected and not opened & other
+    # the partition column is reconstructed from the directory layout
+    assert set(r.o_orderpriority for r in df.select("o_orderpriority").distinct().collect()) == want
+
+    empty = read_committed_partitions(spark, td, ["NO-SUCH-PARTITION"])
+    assert empty.count() == 0 and "o_orderpriority" in empty.columns
