@@ -110,6 +110,7 @@ NEW_THIS_ROUND = [
     "x64_neardup_contamination",
     "x65_contamination_removal",
     "s29_manifest_partition_publish",
+    "t29_stream_dim_interval_join",
     "x61_prefix_filter_join",  # not new, but its r12 bench row changed
     # meaning: timed after x11 as the marginal cost over the shared
     # shingle-set table (r11 verdict #4)
@@ -121,6 +122,7 @@ EXTRA_QUERIES = [
     "a24_hdr_rank_sketch",
     "w21_ohlc_bar_anomaly",
     "s29_manifest_partition_publish",
+    "t29_stream_dim_interval_join",
     "w20_ohlc_bars",
     "t28_streaming_ohlc",
     "x63_bm25_retrieval",

@@ -1915,3 +1915,78 @@ def t28_streaming_ohlc(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     bars = ohlc_bars(ev, "30 minutes")
     return run_to_memory(bars, "t28_streaming_ohlc").orderBy("user_id", "wstart")
+
+
+@register(
+    "t29_stream_dim_interval_join",
+    oracle="""
+SELECT b.event_id AS purchase_id, b.user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS dim_ts,
+       CAST(CAST(a.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS tier_cents,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS age_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+ORDER BY purchase_id, dim_ts, tier_cents
+""",
+    doc="T29: stream-stream VALIDITY-INTERVAL enrichment join — the other "
+    "state-retention path beside j11's symmetric band self-join: a "
+    "slowly-updated dimension stream (signup events carrying a tier "
+    "attribute, the versioned-dimension stand-in) enriches a fact stream "
+    "(purchases) under a HALF-OPEN validity window — fact.ts ∈ "
+    "[dim.ts, dim.ts + 30 min) — with ASYMMETRIC watermarks (dimension "
+    "2 h, fact 1 h: the dimension side must be retained longer, and "
+    "Spark derives each side's state-eviction bound from the OTHER "
+    "side's watermark through the join condition — the retention "
+    "machinery j11's equal-delay band never exercises). The half-open "
+    "upper bound pins the validity-boundary semantics (a fact exactly "
+    "at dim.ts + 30 min matches the NEXT version, never two): '<' vs "
+    "'<=' is load-bearing and the oracle mirrors it. Inner join, append "
+    "mode, availableNow replay; batch-equivalence vs DuckDB's theta "
+    "join; cross-batch state handoff forced in pytest via the "
+    "time-split one-file-per-trigger layout (dimension rows arriving "
+    "in earlier micro-batches than the facts they enrich). At 100 TB: "
+    "state is bounded by watermark x validity width per side — the "
+    "dimension state holds one 2-h window of versions, never the "
+    "dimension's history.",
+)
+def t29_stream_dim_interval_join(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("dim_user"),
+            F.col("ts").alias("dim_ts_t"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("tier_cents"),
+        )
+        .withWatermark("dim_ts_t", "2 hours")
+    )
+    fact = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("fact_ts"),
+        )
+        .withWatermark("fact_ts", "1 hour")
+    )
+    joined = fact.join(
+        dim,
+        (F.col("user_id") == F.col("dim_user"))
+        & (F.col("fact_ts") >= F.col("dim_ts_t"))
+        & (F.col("fact_ts") < F.col("dim_ts_t") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("dim_ts_t", "yyyy-MM-dd HH:mm:ss").alias("dim_ts"),
+        "tier_cents",
+        (F.unix_timestamp("fact_ts") - F.unix_timestamp("dim_ts_t"))
+        .cast("bigint")
+        .alias("age_s"),
+    )
+    return run_to_memory(joined, "t29_dim_interval", output_mode="append").orderBy(
+        "purchase_id", "dim_ts", "tier_cents"
+    )

@@ -1243,3 +1243,58 @@ def test_s29_partition_read_opens_only_requested_partitions(spark, sf_dir):
 
     empty = read_committed_partitions(spark, td, ["NO-SUCH-PARTITION"])
     assert empty.count() == 0 and "o_orderpriority" in empty.columns
+
+
+def test_t29_time_split_forces_cross_batch_dim_state(spark, sf_dir):
+    """t29's state claim under forced MULTI-batch replay: the time-split
+    layout streamed one file per trigger makes dimension rows arrive in
+    EARLIER micro-batches than the facts they enrich, so every match
+    crosses the stream-stream join's buffered state — and the final
+    append-mode table still equals the single-batch registered result
+    row-for-row (which itself hash-matches the DuckDB theta join)."""
+    import pyspark.sql.functions as F
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        events_parquet_time_split,
+        run_to_memory,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("dim_user"),
+            F.col("ts").alias("dim_ts_t"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("tier_cents"),
+        )
+        .withWatermark("dim_ts_t", "2 hours")
+    )
+    fact = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("fact_ts"))
+        .withWatermark("fact_ts", "1 hour")
+    )
+    joined = fact.join(
+        dim,
+        (F.col("user_id") == F.col("dim_user"))
+        & (F.col("fact_ts") >= F.col("dim_ts_t"))
+        & (F.col("fact_ts") < F.col("dim_ts_t") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("dim_ts_t", "yyyy-MM-dd HH:mm:ss").alias("dim_ts"),
+        "tier_cents",
+        (F.unix_timestamp("fact_ts") - F.unix_timestamp("dim_ts_t")).cast("bigint").alias("age_s"),
+    )
+    streamed = run_to_memory(joined, "t29_split", output_mode="append")
+    batch = load_all()["t29_stream_dim_interval_join"].fn(spark, sf_dir)
+    s = sorted(tuple(str(v) for v in r) for r in streamed.collect())
+    b = sorted(tuple(str(v) for v in r) for r in batch.collect())
+    assert s == b and len(s) > 0
