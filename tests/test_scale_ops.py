@@ -1298,3 +1298,146 @@ def test_t29_time_split_forces_cross_batch_dim_state(spark, sf_dir):
     s = sorted(tuple(str(v) for v in r) for r in streamed.collect())
     b = sorted(tuple(str(v) for v in r) for r in batch.collect())
     assert s == b and len(s) > 0
+
+
+def test_t29_join_state_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
+    """t29 under a real kill+restart: stream-stream join state (BOTH
+    buffered sides) must restore from the checkpoint so matches whose
+    dimension row arrived before the kill and whose fact arrives after it
+    are still produced. Append-mode emissions across the two runs are
+    at-least-once (an interrupted batch replays), so the union is
+    DISTINCT-collapsed — identical rows are the exactly-once contract
+    here — and must equal the one-shot batch theta join row-for-row."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.streaming.replay import (
+        EVENTS_JSON_SCHEMA,
+        events_parquet_time_split,
+    )
+
+    path = events_parquet_time_split(spark, sf_dir, n_stages=8)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emissions")
+
+    def start():
+        ev = (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        dim = (
+            ev.filter(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("dim_user"),
+                F.col("ts").alias("dim_ts_t"),
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .alias("tier_cents"),
+            )
+            .withWatermark("dim_ts_t", "2 hours")
+        )
+        fact = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("fact_ts"),
+            )
+            .withWatermark("fact_ts", "1 hour")
+        )
+        joined = fact.join(
+            dim,
+            (F.col("user_id") == F.col("dim_user"))
+            & (F.col("fact_ts") >= F.col("dim_ts_t"))
+            & (F.col("fact_ts") < F.col("dim_ts_t") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(
+            "purchase_id",
+            "user_id",
+            F.date_format("dim_ts_t", "yyyy-MM-dd HH:mm:ss").alias("dim_ts"),
+            "tier_cents",
+            (F.unix_timestamp("fact_ts") - F.unix_timestamp("dim_ts_t"))
+            .cast("bigint")
+            .alias("age_s"),
+        )
+        return (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1, "restart must drain the remaining files"
+
+    got = sorted(
+        tuple(str(v) for v in r) for r in spark.read.parquet(out).distinct().collect()
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in load_all()["t29_stream_dim_interval_join"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_manifest_racing_reader_always_sees_one_complete_generation(spark, sf_dir):
+    """The s25 atomicity claim under an ACTUAL race (not just the torn-state
+    snapshots): a reader thread hammers pointer->manifest->files resolution
+    while the writer publishes five more generations. Every single
+    resolution must land on exactly one committed generation — its row
+    count (summed from parquet footers, no Spark) must equal one of the
+    published generations' counts, every named file must exist, and no
+    resolution may error mid-swap (os.replace atomicity)."""
+    import shutil
+    import threading
+
+    import pyarrow.parquet as pq
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import committed_files, publish
+
+    td = _scratch(sf_dir, "s25race")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").limit(4000)
+    o = o.cache()
+    expected = {}
+    gen_df = {g: o.filter(f"o_orderkey % {g + 1} = 0") for g in range(1, 7)}
+    for g, df in gen_df.items():
+        expected[g] = df.count()
+    publish(gen_df[1], td, generation=1)
+
+    violations = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                files = committed_files(td)
+                n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+                if n not in set(expected.values()):
+                    violations.append(("torn count", n))
+            except Exception as ex:  # noqa: BLE001 — any error IS the bug
+                violations.append(("reader error", repr(ex)))
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for g in range(2, 7):
+            publish(gen_df[g], td, generation=g)
+    finally:
+        stop.set()
+        th.join()
+    assert not violations, violations[:5]
+    o.unpersist()
