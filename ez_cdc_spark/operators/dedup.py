@@ -220,25 +220,20 @@ def minhash_lsh_candidates(
     )
 
 
-def lsh_probe_pairs(
-    shingled: DataFrame,
-    is_probe,
-    num_hashes: int = 64,
-    bands: int = 16,
+def band_rows(
+    shingled: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Index-probe LSH (x57's probe path as a reusable unit, consumed by
-    x64): ``shingled`` is (doc_id, shingles) with the PORTABLE hash
-    discipline; rows where ``is_probe`` (a boolean Column over doc_id) are
-    the query batch, the rest are the stored index. Probe rows join the
-    index on (band_id, band_sig) — NO all-pairs generation on either side,
-    never index x index — then exact shingle Jaccard verifies just the
-    candidates. Returns (probe_id, corpus_id, jaccard). The banding
-    expression is literal-for-literal minhash_lsh_candidates' (same
-    permutation constants, same band hash), so the candidate set equals
-    the cross-split slice of the full pair set (x57's pinned property)."""
+    """The LSH index unit: (doc_id, band_id, band_sig) from a (doc_id,
+    shingles) table — minhash signatures sliced into band hashes, the
+    expression literal-for-literal minhash_lsh_candidates' (same
+    permutation constants, same band hash). Factored out so the probe
+    family (x64 contamination, x65 removal) can memoize ONE banded index
+    per session instead of re-running the 64-permutation minhash per
+    query — at scale this is the stored band table an index maintainer
+    (x57) keeps on disk."""
     rows_per_band = num_hashes // bands
     sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -255,6 +250,27 @@ def lsh_probe_pairs(
             )
         ),
     ).select("doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
+
+
+def lsh_probe_pairs(
+    shingled: DataFrame,
+    is_probe,
+    num_hashes: int = 64,
+    bands: int = 16,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """Index-probe LSH (x57's probe path as a reusable unit, consumed by
+    x64/x65): ``shingled`` is (doc_id, shingles) with the PORTABLE hash
+    discipline; rows where ``is_probe`` (a boolean Column over doc_id) are
+    the query batch, the rest are the stored index. Probe rows join the
+    index on (band_id, band_sig) — NO all-pairs generation on either side,
+    never index x index — then exact shingle Jaccard verifies just the
+    candidates. Returns (probe_id, corpus_id, jaccard). ``banded``
+    (optional): a prebuilt/memoized :func:`band_rows` table — callers that
+    run several probes per session pass it so the minhash/banding cost is
+    paid once (the stored-index reality x57 models)."""
+    if banded is None:
+        banded = band_rows(shingled, num_hashes=num_hashes, bands=bands)
     index = banded.filter(~is_probe).select(
         F.col("doc_id").alias("corpus_id"), "band_id", "band_sig"
     )

@@ -99,6 +99,43 @@ def _shared_shingle_sets(spark, sf_dir):
     return sets_df
 
 
+_PROBE_TABLES_CACHE: dict[tuple[str, str, tuple], tuple] = {}
+
+
+def _shared_probe_tables(spark, sf_dir):
+    """The LSH probe family's shared session state (x64 contamination,
+    x65 removal): the hashed shingle table AND its banded index
+    (doc_id, band_id, band_sig), both checkpointed once — the in-session
+    stand-in for the stored band table an index maintainer (x57) keeps on
+    disk, so each additional probe query pays only its band join + verify,
+    never the 64-permutation minhash again. Same cache-key discipline as
+    the pair/CC caches."""
+    from ez_cdc_spark.operators.dedup import band_rows, portable_hash32
+
+    key = (spark.sparkContext.applicationId, str(sf_dir), _corpus_fingerprint(sf_dir))
+    hit = _PROBE_TABLES_CACHE.get(key)
+    if hit is None:
+        for stale in [k for k in _PROBE_TABLES_CACHE if k[:2] == key[:2]]:
+            for df in _PROBE_TABLES_CACHE.pop(stale):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # releasing superseded checkpoint blocks is best-effort
+        h = portable_hash32  # by-value bind (worker-closure convention)
+        shingled = (
+            _shared_shingle_sets(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        banded = band_rows(shingled).localCheckpoint(eager=True)
+        hit = (shingled, banded)
+        _PROBE_TABLES_CACHE[key] = hit
+    return hit
+
+
 def _shared_neardup_pairs(spark, sf_dir):
     """The x2 candidate pair set (jaccard >= 0.5), memoized and pinned with
     the same key discipline as the CC cache — pair-gen is the dominant
@@ -2091,14 +2128,10 @@ FROM cross_pairs GROUP BY corpus_id ORDER BY corpus_id
     "screening costs the benchmark, not the corpus.",
 )
 def x64_neardup_contamination(spark, sf_dir):
-    from ez_cdc_spark.operators.dedup import lsh_probe_pairs, portable_hash32
+    from ez_cdc_spark.operators.dedup import lsh_probe_pairs
 
-    h = portable_hash32  # by-value bind (worker-closure convention)
-    shingled = _shared_shingle_sets(spark, sf_dir).select(
-        "doc_id",
-        F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles"),
-    )
-    pairs = lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0)
+    shingled, banded = _shared_probe_tables(spark, sf_dir)
+    pairs = lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0, banded=banded)
     return (
         pairs.filter(F.col("jaccard") >= 0.5)
         .groupBy(F.col("corpus_id").cast("bigint").alias("corpus_id"))
@@ -2153,15 +2186,11 @@ FROM corpus GROUP BY source ORDER BY source
     "every x7-family gate.",
 )
 def x65_contamination_removal(spark, sf_dir):
-    from ez_cdc_spark.operators.dedup import lsh_probe_pairs, portable_hash32
+    from ez_cdc_spark.operators.dedup import lsh_probe_pairs
 
-    h = portable_hash32  # by-value bind (worker-closure convention)
-    shingled = _shared_shingle_sets(spark, sf_dir).select(
-        "doc_id",
-        F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles"),
-    )
+    shingled, banded = _shared_probe_tables(spark, sf_dir)
     flagged = (
-        lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0)
+        lsh_probe_pairs(shingled, (F.col("doc_id") % 7) == 0, banded=banded)
         .filter(F.col("jaccard") >= 0.5)
         .select(F.col("corpus_id").alias("doc_id"))
         .distinct()
