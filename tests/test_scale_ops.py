@@ -1441,3 +1441,47 @@ def test_manifest_racing_reader_always_sees_one_complete_generation(spark, sf_di
         th.join()
     assert not violations, violations[:5]
     o.unpersist()
+
+
+def test_s28_pruning_composes_with_s27_time_travel(spark, sf_dir):
+    """The manifest API matrix's last cell: footer-stats pruning applies
+    to an AS-OF generation too (each generation's manifest carries its own
+    stats), and a superseding publish changes neither the old generation's
+    pruned file list nor its answer."""
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import publish, pruned_files, read_pruned
+
+    td = _scratch(sf_dir, "s28asof")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    publish(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        td,
+        generation=1,
+        stats_columns=["o_orderkey"],
+    )
+    kept1, skipped1 = pruned_files(td, "o_orderkey", 1000, 5000, as_of_generation=1)
+    want = o.filter("o_orderkey BETWEEN 1000 AND 5000").count()
+    got = (
+        read_pruned(spark, td, "o_orderkey", 1000, 5000, as_of_generation=1)
+        .filter("o_orderkey BETWEEN 1000 AND 5000")
+        .count()
+    )
+    assert skipped1 and got == want
+
+    # a superseding generation (different layout, no stats) leaves the
+    # as-of pruned read untouched; the CURRENT read keeps everything
+    # (missing stats => conservative)
+    publish(o.repartition(4), td, generation=2)
+    kept1b, skipped1b = pruned_files(td, "o_orderkey", 1000, 5000, as_of_generation=1)
+    assert (kept1b, skipped1b) == (kept1, skipped1)
+    kept2, skipped2 = pruned_files(td, "o_orderkey", 1000, 5000)
+    assert not skipped2 and len(kept2) == 4
+    assert (
+        read_pruned(spark, td, "o_orderkey", 1000, 5000, as_of_generation=1)
+        .filter("o_orderkey BETWEEN 1000 AND 5000")
+        .count()
+        == want
+    )
