@@ -2391,3 +2391,31 @@ def test_x65_reconciles_exactly_with_x64(spark, sf_dir):
         assert r.n_docs == r.n_removed + r.n_kept, r
         assert r.n_removed == removed_by_source.get(r.source, 0), r
     assert sum(r.n_removed for r in x65) == len(flagged_ids) > 0
+
+
+def test_a24_bucket_math_invariants_hypothesis():
+    """a24's bucket function over the whole positive-int64 domain (pure
+    Python mirror of the shared Spark/DuckDB expression): the bucket lower
+    bound never exceeds the value, the bucket width never exceeds lb/128
+    (the a-priori 2^-7 relative error), small values (< 2^8) bucket to
+    themselves exactly, and bucketing is monotone non-decreasing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def bucket(v: int) -> int:
+        shift = max(v.bit_length() - 8, 0)
+        return (v >> shift) << shift
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62))
+    def check(v):
+        lb = bucket(v)
+        shift = max(v.bit_length() - 8, 0)
+        assert lb <= v < lb + (1 << shift)
+        if shift:
+            assert (1 << shift) * 128 <= lb, "width must be < lb/128"
+        else:
+            assert lb == v, "sub-256 values are exact buckets"
+        assert bucket(v) <= bucket(v + 1), "bucketing must be monotone"
+
+    check()
