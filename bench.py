@@ -209,8 +209,10 @@ EXTRA_QUERIES = [
     # x64 right after x61: the contamination probe reuses the same shared
     # shingle-set table, so its row is probe + verify cost only.
     "x64_neardup_contamination",
-    # x65 right after x64: removal reuses the same probe machinery, its
-    # row is the anti-join + accounting marginal cost.
+    # x64 carries the probe-index BUILD (shared shingle hashing + the
+    # 64-permutation minhash + banding, checkpointed once per session);
+    # x65 right after it is the marginal row: band join + verify +
+    # one-pass removal accounting only.
     "x65_contamination_removal",
     "x24_cluster_canonical",
     "x36_cluster_split",

@@ -109,7 +109,13 @@ def shingle_sets(
     docs (< shingle_n words) are dropped: they cannot reach any Jaccard
     threshold (empty intersection) and their all-identical empty signatures
     would otherwise funnel into one degenerate LSH bucket."""
-    ws = docs.select(F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws"))
+    # widen_partitions: a single-row-group source file scans as ONE task,
+    # which would serialize the CPU-heavy split→shingle→distinct projection
+    # (and everything downstream of a checkpoint taken here) on one core —
+    # the same reason the x2 path widened before shingling.
+    ws = widen_partitions(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ).select("doc_id", words(F.col("__text")).alias("ws"))
     return (
         ws.select(
             "doc_id",

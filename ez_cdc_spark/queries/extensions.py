@@ -2195,25 +2195,25 @@ def x65_contamination_removal(spark, sf_dir):
         .select(F.col("corpus_id").alias("doc_id"))
         .distinct()
     )
+    # ONE corpus pass: the benchmark-bounded flagged set broadcasts into a
+    # LEFT join and removal + accounting fold into a single conditional
+    # aggregate — the anti-join semantics expressed as is_flagged IS NULL
+    # (scanning documents twice for per_source + kept would double the
+    # corpus I/O the doc advertises as one pass).
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
-    kept = d.join(F.broadcast(flagged), "doc_id", "left_anti")
-    per_source = d.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    marked = d.join(
+        F.broadcast(flagged.withColumn("__f", F.lit(1))), "doc_id", "left"
     )
-    kept_agg = kept.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.sum("n_chars").cast("bigint").alias("chars_kept"),
-    )
+    kept = F.col("__f").isNull()
     return (
-        per_source.join(kept_agg, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
             .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+            .alias("chars_kept"),
         )
         .orderBy("source")
     )

@@ -70,7 +70,6 @@ here is the same O(files) metadata pass.
 
 from __future__ import annotations
 
-import datetime
 import json
 import os
 import re
@@ -126,20 +125,17 @@ def stage_only(df: DataFrame, table_dir: str, generation: int) -> list[str]:
     )
 
 
-def _json_safe(v):
-    """Footer stat value -> JSON-storable form that still orders correctly
-    (ISO renderings of date/timestamp compare lexicographically)."""
-    if isinstance(v, (datetime.date, datetime.datetime)):
-        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
-    if isinstance(v, bytes):
-        return v.decode("utf-8", errors="replace")
-    return v
-
-
 def _file_stats(path: str, columns: list[str]) -> dict:
     """Per-file column min/max from the parquet FOOTER (no data read):
     merge row-group statistics for each requested column. Missing stats
-    for a column simply omit it — pruning treats absence as 'keep'."""
+    for a column simply omit it — pruning treats absence as 'keep'.
+
+    Only int/float/str stats are recorded: date/timestamp footers render
+    tz-dependently (a tz-aware '...+00:00' string compares wrong against a
+    naive bound at the boundary) and bytes decoded with errors='replace'
+    are not order-preserving — for those types the column is simply not
+    recorded and pruning conservatively keeps the file (extend with typed
+    comparisons when a consumer needs temporal skipping)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -158,9 +154,34 @@ def _file_stats(path: str, columns: list[str]) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if ok and lo is not None:
-            out[col] = [_json_safe(lo), _json_safe(hi)]
+        if (
+            ok
+            and lo is not None
+            and not isinstance(lo, bool)
+            and isinstance(lo, (int, float, str))
+            and isinstance(hi, (int, float, str))
+        ):
+            out[col] = [lo, hi]
     return out
+
+
+def _range_excludes(rng: list, lo, hi) -> bool:
+    """True only when the stats range PROVABLY cannot overlap [lo, hi]:
+    the comparison must be same-kind (both numeric or both str) — any type
+    mismatch keeps the file (conservative, never a silent wrong skip)."""
+    def kind(v):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return "num"
+        if isinstance(v, str):
+            return "str"
+        return None
+
+    kinds = {kind(rng[0]), kind(rng[1]), kind(lo), kind(hi)}
+    if len(kinds) != 1 or None in kinds:
+        return False
+    return rng[0] > hi or rng[1] < lo
 
 
 def _validate_generation(table_dir: str, generation: int) -> None:
@@ -330,6 +351,14 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
                 "empty generation with no stored schema (pre-schema manifest)"
             )
         return spark.createDataFrame([], StructType.fromJson(schema))
+    if manifest.get("partition_col") is not None:
+        # Partitioned generation (S29): the partition column lives in the
+        # directory names, not the data files — reading leaf paths without
+        # basePath would silently DROP it (and a compact would then commit
+        # a generation missing the column). Anchor discovery at the
+        # generation dir so every read shape matches the stored schema.
+        base = _stage_dir(table_dir, manifest["generation"])
+        return spark.read.option("basePath", base).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -351,23 +380,26 @@ def pruned_files(
     lo,
     hi,
     as_of_generation: int | None = None,
+    manifest: dict | None = None,
 ) -> tuple[list[str], list[str]]:
     """S28: split the committed file list into (kept, skipped) for the
     predicate ``column BETWEEN lo AND hi`` using the manifest's per-file
     footer stats — BEFORE Spark sees a single path. A file is skipped only
-    when its recorded [min, max] provably cannot overlap [lo, hi]; files
-    or columns without stats are kept (conservative superset, so the
-    post-read predicate still applies and correctness never depends on
-    stats coverage)."""
-    manifest = read_manifest(table_dir, as_of_generation)
+    when its recorded [min, max] provably cannot overlap [lo, hi] under a
+    same-kind comparison (int/float vs int/float, str vs str); files or
+    columns without stats, and any kind mismatch, are kept (conservative
+    superset, so the post-read predicate still applies and correctness
+    never depends on stats coverage). ``manifest`` lets callers that
+    already resolved the generation skip a second JSON read."""
+    if manifest is None:
+        manifest = read_manifest(table_dir, as_of_generation)
     stats = manifest.get("stats", {})
-    lo_s, hi_s = _json_safe(lo), _json_safe(hi)
     kept: list[str] = []
     skipped: list[str] = []
     for rel in manifest["files"]:
         rng = stats.get(rel, {}).get(column)
         full = os.path.join(table_dir, rel)
-        if rng is not None and (rng[0] > hi_s or rng[1] < lo_s):
+        if rng is not None and _range_excludes(rng, lo, hi):
             skipped.append(full)
         else:
             kept.append(full)
@@ -387,7 +419,7 @@ def read_pruned(
     yields a superset and callers filter as usual; what's saved is the I/O
     and task overhead of files whose footer range excludes the predicate."""
     manifest = read_manifest(table_dir, as_of_generation)
-    kept, _ = pruned_files(table_dir, column, lo, hi, as_of_generation)
+    kept, _ = pruned_files(table_dir, column, lo, hi, manifest=manifest)
     return _read_files(spark, manifest, table_dir, kept)
 
 
@@ -409,7 +441,13 @@ def compact(
     construction: the input is the committed generation itself. Generation
     monotonicity is validated up front (same guard as ``publish``)."""
     _validate_generation(table_dir, generation)
+    manifest = read_manifest(table_dir)
     df = read_committed(spark, table_dir).coalesce(target_files)
+    pcol = manifest.get("partition_col")
+    if pcol is not None:
+        # a partitioned generation compacts INTO a partitioned generation —
+        # the layout (and the column that lives in it) must survive
+        return publish_partitioned(df, table_dir, generation, partition_col=pcol)
     return publish(df, table_dir, generation, stats_columns=stats_columns)
 
 
@@ -434,7 +472,21 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     import shutil
     import time
 
-    keep_dirs = {os.path.dirname(f) for f in committed_files(table_dir)}
+    data_root_for_keys = os.path.join(table_dir, "data")
+
+    def _gen_dirs(files: list[str]) -> set[str]:
+        # map each committed file to its TOP-LEVEL generation dir under
+        # data/ — a partitioned generation's files live in pcol=value
+        # subdirectories, and plain dirname would leave data/gen-g itself
+        # unprotected by this layer (the floor would be the only defense)
+        out = set()
+        for f in files:
+            rel = os.path.relpath(f, data_root_for_keys)
+            if not rel.startswith(".."):
+                out.add(os.path.join(data_root_for_keys, rel.split(os.sep)[0]))
+        return out
+
+    keep_dirs = _gen_dirs(committed_files(table_dir))
     committed = current_generation(table_dir)
     keep_manifests = {f"gen-{committed}.json"}
 
@@ -450,7 +502,7 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
         floor = min(committed, recheck)
     else:
         floor = committed
-    keep_dirs |= {os.path.dirname(f) for f in committed_files(table_dir)}
+    keep_dirs |= _gen_dirs(committed_files(table_dir))
     keep_manifests.add(f"gen-{recheck}.json")
 
     now = time.time()
@@ -465,6 +517,8 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
 
     deleted: list[str] = []
     for d in candidates:
+        if d.startswith("."):
+            continue  # a racing writer's in-flight temp — never collect
         full = os.path.join(data_root, d)
         g = _gen_of(d)
         if full in keep_dirs or (g is not None and floor is not None and g >= floor):
@@ -474,6 +528,10 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
         shutil.rmtree(full)
         deleted.append(full)
     for m in mcandidates:
+        if m.startswith("."):
+            continue  # .gen-N.json.<uuid>.tmp mid-commit — deleting it
+            # would make the racing publish's os.replace fail (the
+            # docstring's layer-2 guarantee covers the tmp too)
         g = _gen_of(m)
         full = os.path.join(mdir, m)
         if m in keep_manifests or (g is not None and floor is not None and g >= floor):

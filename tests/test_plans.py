@@ -1090,11 +1090,13 @@ def test_s29_plan_scans_only_requested_partitions(spark, sf_smoke):
         assert other not in " ".join(df.inputFiles()), other
 
 
-def test_x65_plan_broadcast_antijoin(spark, sf_smoke):
+def test_x65_plan_broadcast_single_corpus_pass(spark, sf_smoke):
     """x65: the flagged-id set is benchmark-bounded and must broadcast
-    into the anti-join; the corpus is scanned map-side, never
-    cartesian/UDF."""
+    into ONE left join over a SINGLE corpus scan (removal + accounting
+    fold into one conditional aggregate — never two documents scans);
+    no cartesian, no UDF."""
     p = plan_str(load_all()["x65_contamination_removal"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("documents.parquet") == 1, "corpus must be scanned once"

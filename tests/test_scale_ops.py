@@ -1485,3 +1485,44 @@ def test_s28_pruning_composes_with_s27_time_travel(spark, sf_dir):
         .count()
         == want
     )
+
+
+def test_compact_preserves_partitioned_layout_and_column(spark, sf_dir):
+    """Review finding (r12): reading a partitioned generation without its
+    basePath silently DROPPED the directory-borne partition column, so a
+    compact would commit a generation missing it. Pin the fix end to end:
+    compact on an s29 table keeps the column, rewrites INTO a partitioned
+    layout, and the compacted content equals the original row-for-row."""
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        compact,
+        read_committed,
+        read_committed_partitions,
+        read_manifest,
+    )
+    from ez_cdc_spark.sources.manifest import publish_partitioned
+
+    td = _scratch(sf_dir, "s29compact")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    publish_partitioned(o, td, generation=1, partition_col="o_orderpriority")
+
+    def sig(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    before = sig(read_committed(spark, td))
+    assert read_committed(spark, td).columns == ["o_orderkey", "o_orderpriority"]
+
+    compact(spark, td, generation=2)
+    man = read_manifest(td)
+    assert man["partition_col"] == "o_orderpriority", "layout must survive compact"
+    after = read_committed(spark, td)
+    assert after.columns == ["o_orderkey", "o_orderpriority"]
+    assert sig(after) == before and len(before) > 0
+    # the partition-pruned read path still works on the compacted gen
+    urgent = read_committed_partitions(spark, td, ["1-URGENT"])
+    assert urgent.count() == o.filter("o_orderpriority = '1-URGENT'").count()
