@@ -55,25 +55,25 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r10's single entry — u8_cogroup_asof after its numpy-only rewrite — came
 # back hash-green in CORRECTNESS_r10.json, so the set was cleared at the
 # start of round 11.)
-# r12: (a) operators/resample.py gained the _EPOCH_SHIFT ordv offset
-# (pre-1970 guard) — decode is argued bit-identical on the fixture, but the
-# contract is strict: any implementation change re-attests (w20, t28);
-# (b) the x61/x2-family shingle-set unification (r11 verdict #4) rebuilt
-# x61's set table and _shared_neardup_pairs over _shared_shingle_sets —
-# x61 and every r8+-vintage consumer of the shared pair/CC caches re-attest
-# (x48, x53, x55; the r7-vintage consumers x11/x24/x36/x37 float first via
-# the derived staleness order anyway).
-# (c) sources/manifest.py was hardened (generation validation, dir fsyncs,
-# schema-bearing manifests, gc retention/race floor) — s25/s26 re-attest.
+# (r12's 8-entry batch — w20/t28 (resample shift), x61/x48/x53/x55
+# (shared-shingle-set rebuild), s25/s26 (manifest hardening) — all came
+# back hash-green in CORRECTNESS_r12.json, so the set was cleared at the
+# start of round 13.)
+# r13: (a) sources/manifest.py changed again (ADVICE r12 batch: stored-schema
+# partitioned reads, torn-commit gc reclaim, compact stats inheritance,
+# null-partition normalization) — every manifest consumer re-attests
+# (s25/s26/s27/s28/s29); (b) the banding-expression unification (r12 verdict
+# #4) makes minhash_lsh_candidates call operators/dedup.py:band_rows —
+# its registered consumers re-attest (x2, x2f, x10).
 _REATTEST: set[str] = {
-    "w20_ohlc_bars",
-    "t28_streaming_ohlc",
-    "x61_prefix_filter_join",
-    "x48_dedup_dashboard",
-    "x53_minhash_calibration",
-    "x55_cluster_size_histogram",
     "s25_manifest_atomic_publish",
     "s26_manifest_compaction",
+    "s27_manifest_time_travel",
+    "s28_manifest_stats_skipping",
+    "s29_manifest_partition_publish",
+    "x2_minhash_lsh",
+    "x2f_incremental_dedup",
+    "x10_corpus_pipeline",
 }
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative

@@ -274,11 +274,16 @@ def publish_partitioned(
     stage = _stage_dir(table_dir, generation)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
     files: list[str] = []
-    partitions: dict[str, str] = {}
+    partitions: dict[str, str | None] = {}
     for sub in sorted(os.listdir(stage)):
         if not sub.startswith(f"{partition_col}="):
             continue
         value = urllib.parse.unquote(sub.split("=", 1)[1])
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            # Hive's null-partition sentinel directory: record the value as
+            # an honest JSON null so null rows are selectable via
+            # values=[None], not via a magic string (ADVICE r12).
+            value = None
         for f in sorted(os.listdir(os.path.join(stage, sub))):
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 rel = os.path.relpath(os.path.join(stage, sub, f), table_dir)
@@ -302,24 +307,38 @@ def read_committed_partitions(
     as_of_generation: int | None = None,
 ) -> DataFrame:
     """S29 read path: resolve the manifest, keep ONLY the files whose
-    recorded partition value is in ``values``, and read them under the
-    generation's basePath so the partition column is reconstructed from
-    the directory layout. Files of other partitions are never opened —
-    partition pruning decided entirely from the manifest's metadata."""
+    recorded partition value is in ``values`` (``None`` selects the
+    null-partition files), and read them under the generation's basePath
+    with the STORED schema so the partition column is reconstructed from
+    the directory layout at its published type (not re-inferred from the
+    directory strings). Files of other partitions are never opened —
+    partition pruning decided entirely from the manifest's metadata.
+    Calling this on a non-partitioned generation is a usage error and
+    raises instead of silently selecting nothing (ADVICE r12)."""
     manifest = read_manifest(table_dir, as_of_generation)
+    if manifest.get("partition_col") is None:
+        raise ValueError(
+            f"generation {manifest['generation']} of {table_dir} is not "
+            f"partitioned: read_committed_partitions needs a "
+            f"publish_partitioned generation (use read_committed)"
+        )
     wanted = set(values)
+    partitions = manifest.get("partitions", {})
     kept = [
         os.path.join(table_dir, rel)
         for rel in manifest["files"]
-        if manifest.get("partitions", {}).get(rel) in wanted
+        if partitions.get(rel) in wanted
     ]
-    base = _stage_dir(table_dir, manifest["generation"])
+    schema = manifest.get("schema")
     if not kept:
-        schema = manifest.get("schema")
         if schema is None:
             raise ValueError("empty partition selection with no stored schema")
         return spark.createDataFrame([], StructType.fromJson(schema))
-    return spark.read.option("basePath", base).parquet(*kept)
+    base = _stage_dir(table_dir, manifest["generation"])
+    reader = spark.read.option("basePath", base)
+    if schema is not None:
+        reader = reader.schema(StructType.fromJson(schema))
+    return reader.parquet(*kept)
 
 
 def read_manifest(table_dir: str, as_of_generation: int | None = None) -> dict:
@@ -356,9 +375,17 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
         # directory names, not the data files — reading leaf paths without
         # basePath would silently DROP it (and a compact would then commit
         # a generation missing the column). Anchor discovery at the
-        # generation dir so every read shape matches the stored schema.
+        # generation dir so every read shape matches the stored schema,
+        # and pass the STORED schema so the partition column keeps its
+        # published type: without it Spark re-infers the type from the
+        # directory strings, so a string partition value like '01' would
+        # silently read back as bigint 1 (ADVICE r12).
         base = _stage_dir(table_dir, manifest["generation"])
-        return spark.read.option("basePath", base).parquet(*files)
+        reader = spark.read.option("basePath", base)
+        schema = manifest.get("schema")
+        if schema is not None:
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -439,15 +466,32 @@ def compact(
     never a partial rewrite — and the superseded small files stay on disk
     (invisible) until garbage collection. Content is untouched by
     construction: the input is the committed generation itself. Generation
-    monotonicity is validated up front (same guard as ``publish``)."""
+    monotonicity is validated up front (same guard as ``publish``).
+
+    File-skipping stats survive compaction: when ``stats_columns`` is not
+    given it defaults to the columns present in the source manifest's
+    stats, so ``read_pruned`` keeps pruning after a default ``compact``
+    instead of quietly losing its footer ranges (ADVICE r12). Passing
+    ``stats_columns`` for a partitioned generation raises — the
+    partitioned publish path has no stats support, and dropping the
+    argument silently would be the same quiet loss."""
     _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
-    df = read_committed(spark, table_dir).coalesce(target_files)
     pcol = manifest.get("partition_col")
+    if pcol is not None and stats_columns:
+        raise ValueError(
+            "stats_columns is not supported for a partitioned generation: "
+            "publish_partitioned records partition values, not footer stats"
+        )
+    df = read_committed(spark, table_dir).coalesce(target_files)
     if pcol is not None:
         # a partitioned generation compacts INTO a partitioned generation —
         # the layout (and the column that lives in it) must survive
         return publish_partitioned(df, table_dir, generation, partition_col=pcol)
+    if stats_columns is None:
+        old_stats = manifest.get("stats") or {}
+        inherited = sorted({c for per_file in old_stats.values() for c in per_file})
+        stats_columns = inherited or None
     return publish(df, table_dir, generation, stats_columns=stats_columns)
 
 
@@ -456,7 +500,10 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     directory and _manifests/gen-*.json NOT named by the current pointer.
 
     Safety, in order of defense:
-    1. the committed generation is resolved FIRST and exempted;
+    1. the committed generation is resolved FIRST and exempted, as is
+       every data directory holding files the committed manifest names
+       (a copy-on-write MERGE generation references files in OLDER
+       generation directories — those stay protected by reference);
     2. after listing candidates the pointer is RE-resolved, and any
        generation numbered at or above the newer resolved generation is
        skipped — so a publish racing this GC (violating the documented
@@ -465,6 +512,17 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
        superseded generations for long-lived readers — the standard
        table-format retention threshold. ``None`` collects regardless of
        age (the sandbox's synchronous tests).
+
+    Torn-commit reclaim (ADVICE r12): a crashed publish leaves a staged
+    data dir — and possibly an orphan manifest — numbered ABOVE the
+    committed generation, which layer 2's floor would otherwise protect
+    forever (and the orphan manifest would permanently block reuse of
+    that generation number via ``_validate_generation``). An explicit
+    ``older_than_s`` overrides the floor for above-committed debris: age
+    past the threshold is the caller's assertion that no swap is still
+    imminent, so provably-stale torn commits are reclaimed. With
+    ``older_than_s=None`` the floor stays absolute (a racing publish is
+    never collected by an age-blind GC).
 
     A reader that resolved the pointer before the GC ran is only at risk
     if it raced the PREVIOUS commit and holds a superseded generation
@@ -515,13 +573,24 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
         except OSError:
             return True  # can't date it -> keep it
 
+    def _floor_protected(g: int | None, path: str) -> bool:
+        """Layer-2 floor, with the torn-commit override: generations at or
+        above the floor survive unless an explicit age threshold proves the
+        above-floor debris abandoned (the floor generation itself — the
+        committed one — is never reclaimed)."""
+        if g is None or floor is None or g < floor:
+            return False
+        if g == floor:
+            return True
+        return older_than_s is None or _young(path)
+
     deleted: list[str] = []
     for d in candidates:
         if d.startswith("."):
             continue  # a racing writer's in-flight temp — never collect
         full = os.path.join(data_root, d)
         g = _gen_of(d)
-        if full in keep_dirs or (g is not None and floor is not None and g >= floor):
+        if full in keep_dirs or _floor_protected(g, full):
             continue
         if _young(full):
             continue
@@ -534,7 +603,7 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
             # docstring's layer-2 guarantee covers the tmp too)
         g = _gen_of(m)
         full = os.path.join(mdir, m)
-        if m in keep_manifests or (g is not None and floor is not None and g >= floor):
+        if m in keep_manifests or _floor_protected(g, full):
             continue
         if _young(full):
             continue

@@ -1526,3 +1526,204 @@ def test_compact_preserves_partitioned_layout_and_column(spark, sf_dir):
     # the partition-pruned read path still works on the compacted gen
     urgent = read_committed_partitions(spark, td, ["1-URGENT"])
     assert urgent.count() == o.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_partitioned_read_keeps_stored_partition_type(spark, sf_dir):
+    """ADVICE r12 (manifest.py): partitioned reads used basePath without the
+    stored schema, so Spark re-inferred the partition column's type from the
+    directory strings — a STRING partition value like '01' silently read
+    back as bigint 1, and compact would then commit the altered column.
+    Pin the fix: numeric-looking string partition values round-trip as the
+    published strings through read_committed, read_committed_partitions,
+    and a compact."""
+    import shutil
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        compact,
+        publish_partitioned,
+        read_committed,
+        read_committed_partitions,
+    )
+
+    td = _scratch(sf_dir, "s29ptype")
+    shutil.rmtree(td, ignore_errors=True)
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .withColumn("bucket", F.format_string("%02d", F.col("o_orderkey") % 3))
+    )
+    publish_partitioned(o, td, generation=1, partition_col="bucket")
+
+    back = read_committed(spark, td)
+    assert dict(back.dtypes)["bucket"] == "string", back.dtypes
+    vals = {r["bucket"] for r in back.select("bucket").distinct().collect()}
+    assert vals == {"00", "01", "02"}, vals
+
+    one = read_committed_partitions(spark, td, ["01"])
+    assert dict(one.dtypes)["bucket"] == "string"
+    assert one.count() == o.filter("bucket = '01'").count() > 0
+
+    compact(spark, td, generation=2)
+    again = read_committed(spark, td)
+    assert dict(again.dtypes)["bucket"] == "string"
+    assert {r["bucket"] for r in again.select("bucket").distinct().collect()} == vals
+
+
+def test_partitioned_null_partition_is_selectable_as_none(spark, sf_dir):
+    """ADVICE r12 (manifest.py): a null partition value was recorded as the
+    literal '__HIVE_DEFAULT_PARTITION__'. Pin the normalization: the
+    manifest stores JSON null, values=[None] selects the null-partition
+    files, and the rows read back with a NULL partition column; also pin
+    that read_committed_partitions on a NON-partitioned generation raises
+    instead of silently returning an empty DataFrame."""
+    import shutil
+
+    import pyspark.sql.functions as F  # noqa: N812
+    import pytest
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        publish_partitioned,
+        read_committed_partitions,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s29null")
+    shutil.rmtree(td, ignore_errors=True)
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .withColumn(
+            "grp",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+                F.format_string("g%d", F.col("o_orderkey") % 5)
+            ),
+        )
+    )
+    publish_partitioned(o, td, generation=1, partition_col="grp")
+
+    man = read_manifest(td)
+    assert None in set(man["partitions"].values()), "null must be stored as null"
+    assert "__HIVE_DEFAULT_PARTITION__" not in set(man["partitions"].values())
+
+    nulls = read_committed_partitions(spark, td, [None])
+    n_null = o.filter("grp IS NULL").count()
+    assert nulls.count() == n_null > 0
+    assert nulls.filter("grp IS NULL").count() == n_null, "grp must read as NULL"
+
+    # non-partitioned generation -> loud error, not a silent empty result
+    td2 = _scratch(sf_dir, "s25notpart")
+    shutil.rmtree(td2, ignore_errors=True)
+    publish(o.select("o_orderkey"), td2, generation=1)
+    with pytest.raises(ValueError, match="not.*partitioned"):
+        read_committed_partitions(spark, td2, ["g1"])
+
+
+def test_compact_inherits_file_skipping_stats(spark, sf_dir):
+    """ADVICE r12 (manifest.py): a default compact() wrote a manifest
+    without stats, so read_pruned quietly stopped pruning after compaction.
+    Pin the fix: stats_columns defaults to the source manifest's stats
+    keys, pruning still bites after compact (on a multi-file range layout),
+    and stats_columns on a PARTITIONED generation raises instead of being
+    dropped."""
+    import shutil
+
+    import pytest
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        compact,
+        publish,
+        publish_partitioned,
+        pruned_files,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s28inherit")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    publish(
+        o.repartitionByRange(8, "o_orderkey"),
+        td,
+        generation=1,
+        stats_columns=["o_orderkey"],
+    )
+    kept1, skipped1 = pruned_files(td, "o_orderkey", 1000, 5000)
+    assert skipped1, "precondition: pruning must bite on the range layout"
+
+    # compact to 4 files WITHOUT naming stats_columns: stats are inherited
+    compact(spark, td, generation=2, target_files=4)
+    man = read_manifest(td)
+    assert man.get("stats"), "compact must carry the source manifest's stats"
+    assert all("o_orderkey" in s for s in man["stats"].values() if s)
+
+    # partitioned generation + explicit stats_columns -> loud error
+    td2 = _scratch(sf_dir, "s29nostats")
+    shutil.rmtree(td2, ignore_errors=True)
+    publish_partitioned(
+        o.withColumn("flag", (o.o_orderkey % 2).cast("string")),
+        td2,
+        generation=1,
+        partition_col="flag",
+    )
+    with pytest.raises(ValueError, match="stats_columns"):
+        compact(spark, td2, generation=2, stats_columns=["o_orderkey"])
+
+
+def test_gc_reclaims_stale_torn_commit_with_age_threshold(spark, sf_dir):
+    """ADVICE r12 (manifest.py): gc's race floor made torn-commit debris
+    (staged data + orphan manifest numbered ABOVE the committed generation)
+    permanently unreclaimable, and the orphan manifest permanently blocked
+    reuse of that generation number. Pin the reclaim: an explicit age
+    threshold overrides the floor for provably-stale above-committed
+    debris, an age-blind gc() still refuses it, the committed generation
+    survives either way, and the reclaimed generation number becomes
+    publishable again."""
+    import json
+    import os
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        gc,
+        publish,
+        read_committed,
+        stage_only,
+    )
+
+    td = _scratch(sf_dir, "s25torn")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    publish(o.filter("o_orderkey % 3 = 0"), td, generation=1)
+    n1 = read_committed(spark, td).count()
+
+    # simulate a crashed publish of gen-2: staged data + orphan manifest,
+    # pointer never swapped
+    files2 = stage_only(o.filter("o_orderkey % 7 = 0"), td, generation=2)
+    with open(os.path.join(td, "_manifests", "gen-2.json"), "w") as fh:
+        json.dump(
+            {"generation": 2, "files": [os.path.relpath(f, td) for f in files2]}, fh
+        )
+
+    # age-blind gc: the floor protects the torn commit (it may be in flight)
+    assert gc(td) == []
+
+    # backdate the debris past the threshold, then a thresholded gc reclaims
+    old = 1_000_000.0
+    for p in (os.path.join(td, "data", "gen-2"), os.path.join(td, "_manifests", "gen-2.json")):
+        os.utime(p, (os.path.getatime(p) - old, os.path.getmtime(p) - old))
+    deleted = gc(td, older_than_s=3600.0)
+    assert any("gen-2" in p for p in deleted), deleted
+    assert not os.path.exists(os.path.join(td, "_manifests", "gen-2.json"))
+    assert not os.path.exists(os.path.join(td, "data", "gen-2"))
+    assert read_committed(spark, td).count() == n1, "committed gen untouched"
+
+    # the reclaimed generation number is publishable again
+    publish(o.filter("o_orderkey % 7 = 0"), td, generation=2)
+    assert read_committed(spark, td).count() == o.filter("o_orderkey % 7 = 0").count()
