@@ -103,20 +103,13 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
-    "s27_manifest_time_travel",
-    "s28_manifest_stats_skipping",
-    "a24_hdr_rank_sketch",
-    "w21_ohlc_bar_anomaly",
-    "x64_neardup_contamination",
-    "x65_contamination_removal",
-    "s29_manifest_partition_publish",
-    "t29_stream_dim_interval_join",
-    "x61_prefix_filter_join",  # not new, but its r12 bench row changed
-    # meaning: timed after x11 as the marginal cost over the shared
-    # shingle-set table (r11 verdict #4)
+    "s30_manifest_merge_cow",
+    "a25_spacesaving_topk",
 ]
 
 EXTRA_QUERIES = [
+    "s30_manifest_merge_cow",
+    "a25_spacesaving_topk",
     "s27_manifest_time_travel",
     "s28_manifest_stats_skipping",
     "a24_hdr_rank_sketch",
@@ -355,10 +348,19 @@ def main() -> None:
         if force or (n and n % 20 == 0 and calib_samples[-1][0] != n):
             calib_samples.append([n, _calibrate()])
 
+    # Throughput-probe bracketing (r12 verdict #6): the two streaming
+    # throughput denominators (t2 wall, t9 warm wall) get a fixed-work
+    # calibration sample IMMEDIATELY before and after, so a throughput
+    # delta vs a prior round can be read against the ambient factor AT
+    # THE PROBE INSTANT, not the bench average.
+    throughput_bracket: dict[str, float] = {}
+
     for name in BATCH_QUERIES + STREAM_QUERIES:
         # streaming callables manage checkpoint/state dirs: a re-run would
         # replay against warm state and under-report — time those once
         n = 1 if name in STREAM_QUERIES else runs
+        if name in STREAM_QUERIES:
+            throughput_bracket[f"{name}_pre"] = _calibrate()
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
@@ -367,6 +369,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+        if name in STREAM_QUERIES:
+            throughput_bracket[f"{name}_post"] = _calibrate()
         _maybe_calibrate()
 
     # t9 warm: timed IMMEDIATELY after the cold run and min-of-3. Round 7
@@ -380,6 +384,7 @@ def main() -> None:
     # work warm — min-of-N is valid here exactly like the batch rows, and
     # it is the denominator of cdc_upsert_events_per_s, so it must be the
     # uncontended estimate.
+    throughput_bracket["t9_cdc_upsert_warm_pre"] = _calibrate()
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -388,6 +393,7 @@ def main() -> None:
         ).save()
         best = min(best, time.perf_counter() - t0)
     timings["t9_cdc_upsert_warm"] = round(best, 3)
+    throughput_bracket["t9_cdc_upsert_warm_post"] = _calibrate()
 
     _maybe_calibrate(force=True)  # boundary: headline set done, extras begin
     for name in EXTRA_QUERIES:
@@ -419,6 +425,9 @@ def main() -> None:
     calibration = {
         "calibration_sec": [calib_start, calib_end],
         "calibration_interleaved": calib_samples,
+        "calibration_throughput_bracket": {
+            k: round(v, 3) for k, v in throughput_bracket.items()
+        },
         "loadavg_1_5_15": {"start": load_start, "end": load_end},
     }
 
@@ -449,6 +458,28 @@ def main() -> None:
                 "sf": sf,
                 "queries": {
                     name: timings[name] for name in NEW_THIS_ROUND if name in timings
+                },
+            }
+        )
+    )
+    # Frozen-15 per-query timings in their own compact line (r12 verdict
+    # #7): the big all-queries dict keeps getting tail-truncated in the
+    # driver's capture, which silently drops the cross-round comparable
+    # rows. 16 entries — small enough to always survive the tail window.
+    print(
+        json.dumps(
+            {
+                "metric": "frozen_15_queries",
+                "unit": "sec",
+                "sf": sf,
+                "queries": {
+                    name: timings[name]
+                    for name in (
+                        *BATCH_QUERIES,
+                        *STREAM_QUERIES,
+                        "t9_cdc_upsert_warm",
+                    )
+                    if name in timings
                 },
             }
         )

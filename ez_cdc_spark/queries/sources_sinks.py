@@ -1474,3 +1474,125 @@ def s29_manifest_partition_publish(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "o_orderstatus")
     )
+
+
+@register(
+    "s30_manifest_merge_cow",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer
+),
+final AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM base
+    WHERE NOT (c_custkey <= 400 AND (c_custkey % 10) IN (3, 7))
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal + 200.00 AS DECIMAL(12,2))
+    FROM base WHERE c_custkey <= 400 AND c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, 'reborn-' || CAST(c_custkey AS VARCHAR),
+           c_nationkey, c_acctbal
+    FROM base WHERE c_custkey <= 400 AND c_custkey % 100 = 17
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey <= 400 AND c_custkey % 10 = 5
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM final
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S30: copy-on-write MERGE into a manifest-committed table — the "
+    "row-level half of what real table formats do (Delta MERGE / Iceberg "
+    "copy-on-write) and the natural completion of the repo's CDC and "
+    "manifest families: T9's keyed last-event-wins upsert semantics "
+    "(reference README.md:331 op codes c/u/d, init.sql:10 REPLICA "
+    "IDENTITY) landing as ONE atomic lakehouse commit via the s25 "
+    "pointer-swap protocol, with s28's per-file key stats pruning the "
+    "candidate set so only files that can CONTAIN a changed key are "
+    "rewritten (sources/manifest.py:merge_cow). The lifecycle: customer "
+    "range-clusters on c_custkey into 8 stats-bearing files (gen-1); a "
+    "CDC batch confined to keys <= 400 applies double-updates (seq 1 "
+    "then seq 2 — last wins), deletes, a delete-then-reinsert (op "
+    "ordering across kinds), and out-of-range inserts at key+1000000; "
+    "merge commits gen-2 where the files whose key ranges exclude the "
+    "batch are carried BY REFERENCE — byte-identical, never read — and "
+    "only the hit files rewrite (pytest pins carried>0, identical bytes, "
+    "and reader isolation across a racing commit). The oracle replays "
+    "the same change set declaratively over the ORIGINAL customer table "
+    "— hash-green proves the merged table equals the replayed state "
+    "exactly, carried files included. At 100 TB: a 10k-row CDC batch "
+    "against a range-clustered million-file table rewrites only the "
+    "files its keys hit — merge cost proportional to the CHANGE, not "
+    "the table, with the same atomic-reader guarantee as every other "
+    "manifest commit.",
+)
+def s30_manifest_merge_cow(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import merge_cow, publish, read_committed
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s30merge")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+
+    key = F.col("c_custkey")
+    in_batch = key <= 400
+    base = c.filter(in_batch)
+
+    def ev(df, op, seq, name=None, bal=None):
+        return df.select(
+            "c_custkey",
+            (name if name is not None else F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+            dec(bal if bal is not None else F.col("c_acctbal")).alias("c_acctbal"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    upd = base.filter(key % 10 == 3)
+    # exact-decimal bumps (a double literal would detour through float math)
+    bump = lambda n: F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)")  # noqa: E731
+    changes = (
+        ev(upd, "u", 1, bal=bump(100))
+        .unionByName(ev(upd, "u", 2, bal=bump(200)))
+        .unionByName(ev(base.filter(key % 10 == 7), "d", 1))
+        .unionByName(
+            ev(
+                base.filter(key % 100 == 17),
+                "c",
+                2,
+                name=F.concat(F.lit("reborn-"), key.cast("string")),
+            )
+        )
+        .unionByName(
+            ev(base.filter(key % 10 == 5), "c", 1).withColumn(
+                "c_custkey", key + 1000000
+            )
+        )
+    )
+    merge_cow(spark, table_dir, changes, key_col="c_custkey", generation=2)
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -495,6 +495,160 @@ def compact(
     return publish(df, table_dir, generation, stats_columns=stats_columns)
 
 
+def _merge_rewrite(
+    spark: SparkSession,
+    manifest: dict,
+    table_dir: str,
+    touched_abs: list[str],
+    final: DataFrame,
+    upserts: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """The merge's rewrite plan (factored so plan tests can assert its
+    shape un-executed): touched rows minus changed keys, plus surviving
+    upserts. The change side is micro-batch-sized -> broadcast the
+    LEFT ANTI join; the table side never shuffles."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    old_kept = _read_files(spark, manifest, table_dir, touched_abs).join(
+        F.broadcast(final.select(key_col)), on=key_col, how="left_anti"
+    )
+    return old_kept.unionByName(upserts)
+
+
+def merge_cow(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_col: str,
+    generation: int,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "d",
+) -> dict:
+    """S30: copy-on-write MERGE of a keyed change batch into a
+    manifest-committed table — the row-level half of what real table
+    formats do (Delta MERGE / Iceberg copy-on-write), and the engine
+    analog of the reference's entire purpose: materializing a CDC stream
+    of ``op in {c, u, d}`` envelopes (reference README.md:331 op codes,
+    init.sql:10 REPLICA IDENTITY) into a queryable table, atomically.
+
+    ``changes`` carries ``key_col``, ``op_col`` (create/update rows upsert,
+    ``delete_op`` rows delete), ``seq_col`` (the per-key total order — the
+    envelope's LSN), and the table's data columns (the after-image; ignored
+    on deletes). Multiple events per key resolve last-by-(seq, op) — the
+    same last-event-wins contract as T9's streaming upsert.
+
+    The copy-on-write move: only files that can CONTAIN a changed key are
+    rewritten. The committed manifest's per-file min/max stats on
+    ``key_col`` (S28) split the file list into touched/untouched —
+    untouched files are carried into the new generation's manifest BY
+    REFERENCE, byte-identical, never read, never rewritten (their stats
+    entries carry over too). Touched files are read, changed keys removed
+    (broadcast anti-join — the change batch is micro-batch-sized by the
+    CDC contract), surviving upserts appended, and the result staged as the
+    new generation's files with fresh footer stats. Commit is the same one
+    atomic pointer swap: a racing reader sees the complete old table or the
+    complete new one, never a mix.
+
+    Driver-side state is bounded metadata, not data: the distinct changed
+    keys (batch-sized, the same class as t9's touched-bucket IDs) are
+    collected once to binary-search each file's stats range — O(files ·
+    log batch) pruning with zero data-path I/O. Files without key stats
+    are conservatively touched, so correctness never depends on stats
+    coverage. At 100 TB: a 10k-row CDC batch against a range-clustered
+    10M-file table rewrites only the handful of files whose key ranges are
+    hit — merge cost proportional to the CHANGE, not the table.
+
+    v1 scope: unpartitioned generations (the partitioned analog adds
+    partition-value routing on top of the same protocol)."""
+    import bisect
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    _validate_generation(table_dir, generation)
+    manifest = read_manifest(table_dir)
+    if manifest.get("partition_col") is not None:
+        raise ValueError(
+            "merge_cow v1 supports unpartitioned generations only: "
+            "compact the table or publish unpartitioned first"
+        )
+    schema = manifest.get("schema")
+    if schema is None:
+        raise ValueError("merge_cow needs a schema-bearing manifest")
+    table_cols = [f["name"] for f in schema["fields"]]
+    if key_col not in table_cols:
+        raise ValueError(f"key column {key_col!r} is not a table column")
+    missing = [c for c in (*table_cols, op_col, seq_col) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    # Resolve last-event-wins per key: one struct-ordered max_by keeps the
+    # whole resolution in a single HashAggregate (deterministic: the order
+    # key is (seq, op), and equal (seq, op) pairs tie-break on the payload
+    # struct itself, so the winner never depends on partition layout).
+    payload = [c for c in table_cols if c != key_col]
+    final = (
+        changes.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in payload]),
+                F.struct(F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]),
+            ).alias("_last")
+        )
+        .select(key_col, "_last.*")
+    )
+    upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
+
+    # Bounded-metadata collect: the batch's distinct keys, sorted for the
+    # per-file binary search against the manifest's stats ranges.
+    keys = sorted(r[0] for r in final.select(key_col).collect())
+
+    stats = manifest.get("stats", {})
+
+    def _touched(rel: str) -> bool:
+        rng = stats.get(rel, {}).get(key_col)
+        if rng is None:
+            return True  # no stats -> must assume the file holds changed keys
+        try:
+            i = bisect.bisect_left(keys, rng[0])
+            return i < len(keys) and keys[i] <= rng[1]
+        except TypeError:
+            return True  # cross-kind comparison -> conservative touch
+
+    touched_rel = [rel for rel in manifest["files"] if _touched(rel)]
+    untouched_rel = [rel for rel in manifest["files"] if rel not in set(touched_rel)]
+
+    # Rewrite = touched rows minus changed keys, plus surviving upserts.
+    touched_abs = [os.path.join(table_dir, rel) for rel in touched_rel]
+    rewrite = _merge_rewrite(
+        spark, manifest, table_dir, touched_abs, final, upserts, key_col
+    )
+    new_files = stage_only(rewrite, table_dir, generation)
+
+    stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
+    new_manifest = {
+        "generation": generation,
+        "files": untouched_rel + [os.path.relpath(f, table_dir) for f in new_files],
+        "n_files": len(untouched_rel) + len(new_files),
+        "schema": schema,
+        "stats": {
+            **{rel: stats[rel] for rel in untouched_rel if rel in stats},
+            **{
+                os.path.relpath(f, table_dir): _file_stats(f, stats_cols)
+                for f in new_files
+            },
+        },
+        "merge": {
+            "parent": manifest["generation"],
+            "rewritten_files": len(touched_rel),
+            "carried_files": len(untouched_rel),
+            "changed_keys": len(keys),
+        },
+    }
+    return _commit_manifest(table_dir, generation, new_manifest)
+
+
 def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     """Garbage-collect unreferenced generations: delete every data/gen-*
     directory and _manifests/gen-*.json NOT named by the current pointer.

@@ -1100,3 +1100,53 @@ def test_x65_plan_broadcast_single_corpus_pass(spark, sf_smoke):
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("documents.parquet") == 1, "corpus must be scanned once"
+
+
+def test_s30_plan_broadcast_anti_join_and_pruned_rewrite(spark, sf_smoke):
+    """s30: the merge's data path is bounded by the CHANGE, not the table —
+    the changed-key removal is a broadcast LEFT ANTI hash join (the batch
+    side broadcasts, never a shuffle of the table), no cartesian, no UDF;
+    and the final read's inputFiles mix carried gen-1 files with rewritten
+    gen-2 files, proving the stats pruning kept the out-of-range files out
+    of the rewrite."""
+    df = load_all()["s30_manifest_merge_cow"].fn(spark, sf_smoke)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    opened = " ".join(df.inputFiles())
+    assert "gen-2" in opened, "rewritten files must be read"
+    # at the smoke SF all 150 keys may fall inside the batch's range —
+    # carried-by-reference coverage is pinned at the oracle SF in
+    # test_scale_ops.py::test_s30_merge_carries_untouched_files_byte_identical
+
+    # the rewrite plan itself: broadcast LEFT ANTI, table side unshuffled
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        _merge_rewrite,
+        committed_files,
+        read_manifest,
+    )
+
+    td = _scratch(sf_smoke, "s30merge")
+    man = read_manifest(td)
+    batch = spark.range(5).select(
+        F.col("id").alias("c_custkey"),
+        F.lit("n").alias("c_name"),
+        F.lit(0).cast("bigint").alias("c_nationkey"),
+        F.lit(None).cast("decimal(12,2)").alias("c_acctbal"),
+        F.lit("d").alias("_op"),
+    )
+    rw = _merge_rewrite(
+        spark,
+        man,
+        td,
+        committed_files(td),
+        batch.select("c_custkey", "_op"),
+        batch.filter("_op <> 'd'").drop("_op"),
+        "c_custkey",
+    )
+    rp = plan_str(rw)
+    assert "BroadcastHashJoin" in rp and "LeftAnti" in rp, rp[:800]
+    assert "CartesianProduct" not in rp

@@ -2457,3 +2457,58 @@ def test_band_rows_matches_inline_banding_via_cross_split(spark, sf_dir):
         if (r.id_a % 7 == 0) != (r.id_b % 7 == 0)
     }
     assert probed == cross and len(cross) > 0
+
+
+merge_events = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # key (small domain -> multi-event keys)
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(0, 99),  # payload discriminator
+        st.integers(0, 30),  # seq (duplicates possible -> tie-break path)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(events=merge_events, base_keys=st.sets(st.integers(0, 9), max_size=6))
+def test_s30_merge_equals_python_replay(spark, events, base_keys):
+    """s30 merge_cow state == pure-Python last-event-wins replay of the
+    same change batch over the same base table, for arbitrary op/seq
+    interleavings on a colliding key domain (updates of absent keys land
+    as inserts, deletes of absent keys are no-ops, the max-(seq, op,
+    payload) winner is deterministic even under duplicate seqs)."""
+    td = tempfile.mkdtemp(prefix="prop_merge_")
+    try:
+        from ez_cdc_spark.sources.manifest import merge_cow, publish, read_committed
+
+        base = [(k, f"base{k}") for k in sorted(base_keys)]
+        bdf = spark.createDataFrame(base or [(None, None)], "k int, v string")
+        if not base:
+            bdf = bdf.filter("k IS NOT NULL")
+        publish(bdf, td, generation=1, stats_columns=["k"])
+
+        cdf = spark.createDataFrame(
+            [(k, f"p{payload}", op, seq) for k, op, payload, seq in events],
+            "k int, v string, op string, seq int",
+        )
+        merge_cow(spark, td, cdf, key_col="k", generation=2)
+        got = {r["k"]: r["v"] for r in read_committed(spark, td).collect()}
+
+        # Python replay: per key, the (seq, op, payload-struct) max wins —
+        # mirror merge_cow's deterministic struct ordering exactly
+        last = {}
+        for k, op, payload, seq in events:
+            cand = (seq, op, f"p{payload}")
+            if k not in last or cand > last[k]:
+                last[k] = cand
+        expect = {k: v for k, v in base}
+        for k, (_, op, val) in last.items():
+            if op == "d":
+                expect.pop(k, None)
+            else:
+                expect[k] = val
+        assert got == expect
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
