@@ -1651,3 +1651,56 @@ def a24_hdr_rank_sketch(spark, sf_dir):
         )
         .orderBy("l_returnflag", "q_label")
     )
+
+
+@register(
+    "a25_spacesaving_topk",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM cnt
+), rival AS (
+  SELECT COALESCE(MAX(CASE WHEN rank = 21 THEN n END), CAST(0 AS BIGINT))
+           AS rival_n
+  FROM ranked
+)
+SELECT rank, token, n AS est_count, CAST(0 AS BIGINT) AS err_bound,
+       n AS lo_bound, n > (SELECT rival_n FROM rival) AS guaranteed
+FROM ranked WHERE rank <= 20 ORDER BY rank
+""",
+    doc="A25: SpaceSaving heavy hitters (operators/sketches.py:ss_topk) — "
+    "the heavy-hitter column's closing member beside a14's Misra-Gries, "
+    "run over the SAME token stream deliberately so the two summaries' "
+    "estimates are directly comparable. Where MG underestimates with one "
+    "global offset, SpaceSaving OVERestimates with PER-ITEM error: a new "
+    "token at capacity replaces the minimum-count item inheriting its "
+    "count (est = mu + c, err = mu), so every summarized token carries a "
+    "certified interval [est - err, est] ∋ true, and each top-k row gets "
+    "the Metwally GUARANTEED flag — provably in the true top-k when its "
+    "lower bound strictly beats every rival's upper bound (the (k+1)-th "
+    "merged est, or Σ mu_p for tokens absent from every partition "
+    "summary). Partition summaries merge by the mergeable-summaries rule "
+    "(absent partition contributes (mu_p, mu_p)) as one token-keyed "
+    "aggregate over sketch-sized rows + a broadcast Σ mu_p. Registered "
+    "in EXACT MODE (m = 2^22 exceeds any partition's distinct tokens: "
+    "no evictions, every mu_p = 0, est == true, err == 0, and the "
+    "guaranteed flag degenerates to count > count_(k+1)) against the "
+    "exact DuckDB top-20 with (count desc, token) tie-break; the m=64 "
+    "eviction regime's guarantees (overestimate interval, absent <= mu, "
+    "N/m survival, merge-rule validity) are property-pinned in "
+    "tests/test_properties.py. The global window runs over the MERGED "
+    "SKETCH (<= m * partitions rows), never the token stream.",
+)
+def a25_spacesaving_topk(spark, sf_dir):
+    from ez_cdc_spark.operators.sketches import ss_topk
+
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    return ss_topk(tokens, "token", m=1 << 22, k=20)

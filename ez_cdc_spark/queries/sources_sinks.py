@@ -1476,6 +1476,21 @@ def s29_manifest_partition_publish(spark, sf_dir):
     )
 
 
+def _s30_change_event(df, op, seq, name=None, bal=None):
+    """One leg of s30's CDC change batch: project a customer subset into
+    the (table columns, op, seq) change-event shape (driver-side plan
+    construction only — module-level so the by-value-registration audit
+    doesn't mistake it for a worker closure)."""
+    return df.select(
+        "c_custkey",
+        (name if name is not None else F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        dec(bal if bal is not None else F.col("c_acctbal")).alias("c_acctbal"),
+        F.lit(op).alias("op"),
+        F.lit(seq).alias("seq"),
+    )
+
+
 @register(
     "s30_manifest_merge_cow",
     oracle="""
@@ -1553,16 +1568,7 @@ def s30_manifest_merge_cow(spark, sf_dir):
     in_batch = key <= 400
     base = c.filter(in_batch)
 
-    def ev(df, op, seq, name=None, bal=None):
-        return df.select(
-            "c_custkey",
-            (name if name is not None else F.col("c_name")).alias("c_name"),
-            "c_nationkey",
-            dec(bal if bal is not None else F.col("c_acctbal")).alias("c_acctbal"),
-            F.lit(op).alias("op"),
-            F.lit(seq).alias("seq"),
-        )
-
+    ev = _s30_change_event
     upd = base.filter(key % 10 == 3)
     # exact-decimal bumps (a double literal would detour through float math)
     bump = lambda n: F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)")  # noqa: E731

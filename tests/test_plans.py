@@ -1150,3 +1150,20 @@ def test_s30_plan_broadcast_anti_join_and_pruned_rewrite(spark, sf_smoke):
     rp = plan_str(rw)
     assert "BroadcastHashJoin" in rp and "LeftAnti" in rp, rp[:800]
     assert "CartesianProduct" not in rp
+
+
+def test_a25_plan_shape(spark, sf_smoke):
+    """a25: the token stream is consumed ONCE by the mapInPandas partials
+    (localCheckpoint-pinned, like a14); everything downstream — token
+    merge, ranking window, rival/mu dims — runs over sketch-sized rows
+    with the two 1-row dims joined as broadcast; no cartesian, no
+    row-at-a-time Python UDF (the partials are the one Arrow exchange)."""
+    p = plan_str(load_all()["a25_spacesaving_topk"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+        "the 1-row rival/mu dims must broadcast"
+    )
+    # the corpus pass is pinned: the plan reads the checkpointed partials,
+    # never documents.parquet directly
+    assert "documents.parquet" not in p, "partials must be checkpoint-pinned"

@@ -2512,3 +2512,107 @@ def test_s30_merge_equals_python_replay(spark, events, base_keys):
         assert got == expect
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+ss_stream = st.lists(
+    st.integers(0, 25).map(lambda i: f"t{i:02d}"),  # 26-token domain
+    min_size=1,
+    max_size=400,
+)
+
+
+def _ss_run(stream, m, batch_size=7):
+    """Fold a token stream through ss_fold in fixed-size batches (exact
+    per-batch counts, like ss_partials' value_counts)."""
+    from collections import Counter
+
+    from ez_cdc_spark.operators.sketches import ss_fold, ss_mu
+
+    state, heap = {}, []
+    for i in range(0, len(stream), batch_size):
+        batch = dict(Counter(stream[i : i + batch_size]))
+        state, heap = ss_fold(state, heap, batch, m)
+    return state, ss_mu(state, m)
+
+
+@settings(max_examples=60, deadline=None)
+@given(stream=ss_stream, m=st.integers(2, 8))
+def test_a25_spacesaving_invariants_under_eviction(stream, m):
+    """a25 eviction-regime guarantees (pure-Python, no Spark): with m far
+    below the token domain the summary genuinely evicts, and still (1)
+    est >= true >= est - err for every summarized token, (2) an absent
+    token's true count <= mu, (3) mu <= N/m so every token with true
+    count > N/m is summarized, (4) the summary never exceeds m entries."""
+    from collections import Counter
+
+    true = Counter(stream)
+    state, mu = _ss_run(stream, m)
+    n = len(stream)
+
+    assert len(state) <= m
+    for tok, (est, err) in state.items():
+        assert est >= true[tok] >= est - err, (tok, est, err, true[tok])
+    for tok, c in true.items():
+        if tok not in state:
+            assert c <= mu, (tok, c, mu)
+    assert mu <= n // m + (n % m > 0)  # mu <= ceil(N/m) (integer form of N/m)
+    for tok, c in true.items():
+        if c > n / m:
+            assert tok in state, (tok, c, n, m)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    stream=ss_stream,
+    m=st.integers(2, 8),
+    n_parts=st.integers(1, 4),
+)
+def test_a25_spacesaving_merge_rule_preserves_bounds(stream, m, n_parts):
+    """a25 merge rule (mergeable summaries): shard the stream, summarize
+    each shard independently, merge with the absent-shard (mu_p, mu_p)
+    contribution — and the merged (est, err) still bracket every token's
+    TRUE global count, including tokens absent from some (or all) shards."""
+    from collections import Counter
+
+    true = Counter(stream)
+    shards = [stream[i::n_parts] for i in range(n_parts)]
+    summaries = [_ss_run(s, m) for s in shards]
+    mu_total = sum(mu for _, mu in summaries)
+
+    for tok, c in true.items():
+        est = err = 0
+        for state, mu in summaries:
+            if tok in state:
+                est += state[tok][0]
+                err += state[tok][1]
+            else:
+                est += mu
+                err += mu
+        assert est >= c >= est - err, (tok, est, err, c)
+    # a token absent from EVERY summary is bounded by mu_total
+    for tok, c in true.items():
+        if all(tok not in state for state, _ in summaries):
+            assert c <= mu_total
+
+
+def test_a25_spacesaving_exact_mode_is_exact_and_eviction_fires():
+    """a25 exact-mode anchor + a non-vacuity check on the eviction tests:
+    with m >= distinct tokens the summary is the exact histogram (err == 0,
+    mu == 0); with m == 3 over a 10-token stream, eviction demonstrably
+    fires (mu > 0, summary pinned at m entries, and at least one est
+    carries a nonzero inherited err)."""
+    from collections import Counter
+
+    # hot count 150 > N/m = 350/3: survival is THEORY-guaranteed, not luck
+    stream = [f"t{i % 10:02d}" for i in range(200)] + ["hot"] * 150
+    true = Counter(stream)
+
+    state, mu = _ss_run(stream, m=64)
+    assert mu == 0 and len(state) == len(true)
+    assert {t: v[0] for t, v in state.items()} == dict(true)
+    assert all(v[1] == 0 for v in state.values())
+
+    state, mu = _ss_run(stream, m=3)
+    assert len(state) == 3 and mu > 0
+    assert any(v[1] > 0 for v in state.values()), "eviction must have fired"
+    assert "hot" in state, "the true heavy hitter must survive m=3"
