@@ -152,7 +152,6 @@ def minhash_lsh_candidates(
     permutation slot, array_intersect/union sizes), so the shared table is
     a drop-in; the equality is pinned in tests/test_properties.py.
     """
-    rows_per_band = num_hashes // bands
     h = portable_hash32 if portable else F.xxhash64
     if sets_df is not None:
         shingled = sets_df.select(
@@ -169,28 +168,13 @@ def minhash_lsh_candidates(
                 shingle_hashes(F.col("ws"), shingle_n, portable=portable).alias("shingles"),
             )
         )
-    sig = shingled.withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
-
-    # Slim banding rows: (doc_id, band_id, band_sig) only. Shuffling the full
-    # shingle arrays through the 16x explode would amplify the exchange 16x
-    # at 100 TB; shingles are re-joined below for just the candidate pairs.
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ),
-    ).select("doc_id", F.col("pos").alias("band_id"), F.col("col").alias("band_sig"))
+    # Slim banding rows: (doc_id, band_id, band_sig) only — band_rows is
+    # THE banding expression (r12 verdict #4 unified the two formerly
+    # literal-identical copies; the probe family x57/x64/x65 shares it).
+    # Shuffling the full shingle arrays through the 16x explode would
+    # amplify the exchange 16x at 100 TB; shingles are re-joined below for
+    # just the candidate pairs.
+    banded = band_rows(shingled, num_hashes=num_hashes, bands=bands)
 
     # Bucket by band signature and emit all i<j pairs inside each bucket.
     # One shuffle over the slim banding rows; a self-join would evaluate the

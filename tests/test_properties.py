@@ -2421,44 +2421,6 @@ def test_a24_bucket_math_invariants_hypothesis():
     check()
 
 
-def test_band_rows_matches_inline_banding_via_cross_split(spark, sf_dir):
-    """band_rows (the factored probe-index expression) must stay
-    literal-equivalent to minhash_lsh_candidates' inline banding: the
-    probe pairs produced through band_rows equal the cross-split slice of
-    the full candidate set — any desync of permutation constants, band
-    hash, or slice math breaks this equality."""
-    import pyspark.sql.functions as F
-
-    from ez_cdc_spark.operators.dedup import (
-        band_rows,
-        lsh_probe_pairs,
-        minhash_lsh_candidates,
-        portable_hash32,
-        shingle_sets,
-    )
-    from ez_cdc_spark.queries._util import t
-
-    d = t(spark, sf_dir, "documents")
-    h = portable_hash32
-    shingled = shingle_sets(d).select(
-        "doc_id",
-        F.array_distinct(F.transform("ss", lambda s: h(s))).alias("shingles"),
-    )
-    probed = {
-        (r.probe_id, r.corpus_id, r.jaccard)
-        for r in lsh_probe_pairs(
-            shingled, (F.col("doc_id") % 7) == 0, banded=band_rows(shingled)
-        ).collect()
-    }
-    full = minhash_lsh_candidates(d, portable=True).collect()
-    cross = {
-        (r.id_a, r.id_b, r.jaccard) if r.id_a % 7 == 0 else (r.id_b, r.id_a, r.jaccard)
-        for r in full
-        if (r.id_a % 7 == 0) != (r.id_b % 7 == 0)
-    }
-    assert probed == cross and len(cross) > 0
-
-
 merge_events = st.lists(
     st.tuples(
         st.integers(0, 9),  # key (small domain -> multi-event keys)
