@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from ez_cdc_spark.streaming.cdc import ENVELOPE_JSON_SCHEMA, upsert_batch
 from ez_cdc_spark.streaming.replay import checkpoint_dir
 
+from tests.conftest import stop_and_await
+
 
 def _env(op, id_, lsn, first=None, last=None, email=None, before=None, snapshot="false"):
     row = (
@@ -785,8 +787,7 @@ def test_t9_upsert_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
@@ -846,8 +847,7 @@ def test_t15_jdbc_landing_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir)
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
     q2 = start()
     q2.awaitTermination()
 
@@ -934,8 +934,7 @@ def test_t13_agg_maintenance_recovers_from_mid_stream_kill(spark, tmp_path, sf_d
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
     q2 = start()
     q2.awaitTermination()
 
@@ -997,8 +996,7 @@ def test_t14_scd2_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
     q2 = start()
     q2.awaitTermination()
 
@@ -1087,8 +1085,7 @@ def test_t19_ewma_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
@@ -1165,8 +1162,7 @@ def test_t20_hll_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
@@ -1239,8 +1235,7 @@ def test_t18_windowed_topk_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
@@ -1336,8 +1331,7 @@ def test_t22_cusum_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
     q2 = start()
     q2.awaitTermination()
     assert len(q2.recentProgress) >= 1
@@ -1427,8 +1421,7 @@ def test_t24_cms_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
@@ -1499,8 +1492,7 @@ def test_t25_bitmap_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
@@ -1572,8 +1564,7 @@ def test_t21_minhash_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()

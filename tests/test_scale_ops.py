@@ -6,6 +6,8 @@ from ez_cdc_spark.functions.similarity import brute_force_topk, ivf_topk
 from ez_cdc_spark.operators.skew import salted_join
 from ez_cdc_spark.sources.tables import load_table
 
+from tests.conftest import stop_and_await
+
 
 def test_salted_join_equals_plain_join_under_skew(spark):
     # one hot key (90% of the big side) + a tail
@@ -1375,8 +1377,7 @@ def test_t29_join_state_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     while not q.recentProgress and time.time() < deadline:
         time.sleep(0.2)
     assert q.recentProgress, "first micro-batch never committed"
-    q.stop()
-    q.awaitTermination()
+    stop_and_await(q)
 
     q2 = start()
     q2.awaitTermination()
