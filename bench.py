@@ -105,11 +105,15 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 NEW_THIS_ROUND = [
     "s30_manifest_merge_cow",
     "a25_spacesaving_topk",
+    "s31_manifest_append",
+    "t30_lakehouse_cdc_merge",
 ]
 
 EXTRA_QUERIES = [
     "s30_manifest_merge_cow",
     "a25_spacesaving_topk",
+    "s31_manifest_append",
+    "t30_lakehouse_cdc_merge",
     "s27_manifest_time_travel",
     "s28_manifest_stats_skipping",
     "a24_hdr_rank_sketch",

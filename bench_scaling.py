@@ -48,7 +48,7 @@ OPS = os.environ.get(
     "s26_manifest_compaction,s27_manifest_time_travel,"
     "s28_manifest_stats_skipping,a24_hdr_rank_sketch,w21_ohlc_bar_anomaly,"
     "x64_neardup_contamination,x65_contamination_removal,s29_manifest_partition_publish,t29_stream_dim_interval_join,"
-    "s30_manifest_merge_cow,a25_spacesaving_topk",
+    "s30_manifest_merge_cow,a25_spacesaving_topk,s31_manifest_append,t30_lakehouse_cdc_merge",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 

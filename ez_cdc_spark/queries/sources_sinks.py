@@ -1602,3 +1602,75 @@ def s30_manifest_merge_cow(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s31_manifest_append",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="S31: incremental manifest append — the cheap write path (INSERT "
+    "INTO / Iceberg appendFiles) completing the manifest family's write "
+    "surface beside full publish (s25), compact (s26) and merge (s30): "
+    "`sources/manifest.py:publish_append` stages ONLY the new batch's "
+    "files and commits a generation whose manifest carries the previous "
+    "file list BY REFERENCE plus the new files — no existing file read "
+    "or rewritten, schema strictly validated against the stored one "
+    "(names, types AND order; silent widening would poison every future "
+    "reader), stats inherited for carried files and freshly footer-read "
+    "for appended ones so s28 pruning and s30's touched-file split keep "
+    "working across appends. Commit stays the one atomic pointer swap: a "
+    "racing reader sees the table entirely without or entirely with the "
+    "batch. The query splits orders three ways (%3), publishes the first "
+    "slice, appends the other two as gen-2/gen-3, and aggregates the "
+    "final read; the oracle recomputes from the ORIGINAL orders — "
+    "hash-green proves two appends lost nothing and duplicated nothing. "
+    "Pytest pins the by-reference carry (same rel paths, mtimes predate "
+    "the append), schema-mismatch rejection, and stats inheritance. At "
+    "100 TB: landing a batch costs O(batch) I/O + O(files) metadata — "
+    "the steady state is this plus periodic compact().",
+)
+def s31_manifest_append(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import publish, publish_append, read_committed
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = _scratch(sf_dir, "s31append")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        o.filter("o_orderkey % 3 = 0").repartitionByRange(4, "o_orderkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["o_orderkey"],
+    )
+    publish_append(
+        o.filter("o_orderkey % 3 = 1").repartitionByRange(2, "o_orderkey"),
+        table_dir,
+        generation=2,
+    )
+    publish_append(
+        o.filter("o_orderkey % 3 = 2").repartitionByRange(2, "o_orderkey"),
+        table_dir,
+        generation=3,
+    )
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

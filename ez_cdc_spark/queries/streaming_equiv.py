@@ -1990,3 +1990,55 @@ def t29_stream_dim_interval_join(spark, sf_dir):
     return run_to_memory(joined, "t29_dim_interval", output_mode="append").orderBy(
         "purchase_id", "dim_ts", "tier_cents"
     )
+
+
+@register(
+    "t30_lakehouse_cdc_merge",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T30: streaming CDC -> lakehouse — the t9 upsert and the s30 "
+    "copy-on-write MERGE composed end to end, the full engine analog of "
+    "the reference's purpose (README.md:331 op codes, init.sql:10): every "
+    "micro-batch of Debezium envelopes lands as ONE merge_cow manifest "
+    "commit (streaming/cdc.py:lakehouse_merge_batch) — stats-pruned "
+    "rewrite of only the files the batch's keys hit, untouched files "
+    "carried by reference, one pointer swap per batch — so a reader "
+    "racing the sink sees a complete committed state, never a "
+    "half-applied batch (exact isolation where t9's bucket-dir swap "
+    "approximates it). Idempotence is the Delta txn-version pattern: the "
+    "manifest records (tag, batch_id) and a replayed batch at or below "
+    "the committed watermark is skipped without reading data "
+    "(kill+restart pinned in tests/test_cdc_goldens.py). Replay is the "
+    "lsn-split layout one file per trigger, so the merge provably spans "
+    "multiple micro-batches under t9's per-key-order input contract. "
+    "Oracle: the same declarative last-event-wins replay that anchors "
+    "t9 — hash-green proves the per-batch atomic commits compose to the "
+    "identical final state. At 100 TB: per-batch cost tracks the BATCH "
+    "(stats-pruned rewrite + O(files) metadata), state lives in plain "
+    "parquet + manifests, and every intermediate generation is a free "
+    "time-travel snapshot of the table's history.",
+)
+def t30_lakehouse_cdc_merge(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse
+
+    state = materialize_lakehouse(spark, sf_dir)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id")

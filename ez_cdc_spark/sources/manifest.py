@@ -495,6 +495,82 @@ def compact(
     return publish(df, table_dir, generation, stats_columns=stats_columns)
 
 
+def publish_append(
+    df: DataFrame,
+    table_dir: str,
+    generation: int,
+    stats_columns: list[str] | None = None,
+) -> dict:
+    """S31: incremental append — the cheap write path real table formats
+    serve with INSERT INTO / appendFiles, completing the manifest family's
+    write surface (full publish S25, compact S26, merge S30): stage ONLY
+    the new batch's files, and commit a new generation whose manifest is
+    the committed file list carried BY REFERENCE plus the new files —
+    nothing existing is read or rewritten, and the commit is the same one
+    atomic pointer swap, so a racing reader sees the table entirely
+    without or entirely with the batch.
+
+    The appended DataFrame must match the stored schema exactly (field
+    names and types) — a silent widening here would poison every future
+    reader, so mismatch raises. Stats columns default to the source
+    manifest's stats keys (the compact() inheritance rule): appended files
+    get fresh footer stats, carried files keep their entries verbatim, so
+    S28 pruning and S30's touched-file split keep working across appends.
+
+    At 100 TB: appending a batch costs O(batch) data I/O + O(files)
+    manifest metadata — never a table rewrite; the steady state the S26
+    docstring promises (frequent cheap appends + periodic bounded
+    compaction) is this function plus compact().
+
+    v1 scope: unpartitioned generations (same note as merge_cow)."""
+    _validate_generation(table_dir, generation)
+    manifest = read_manifest(table_dir)
+    if manifest.get("partition_col") is not None:
+        raise ValueError(
+            "publish_append v1 supports unpartitioned generations only"
+        )
+    schema = manifest.get("schema")
+    if schema is None:
+        raise ValueError("publish_append needs a schema-bearing manifest")
+    # strict: names, types AND order (parquet schema merge takes column
+    # order from the first footer, so an order drift would flip the
+    # table's read shape); nullability/metadata may differ
+    stored = [(f["name"], f["type"]) for f in schema["fields"]]
+    incoming = [
+        (f["name"], f["type"]) for f in json.loads(df.schema.json())["fields"]
+    ]
+    if incoming != stored:
+        raise ValueError(
+            f"append schema mismatch: table has {stored}, batch has {incoming}"
+        )
+
+    new_files = stage_only(df, table_dir, generation)
+    stats = manifest.get("stats", {})
+    if stats_columns is None:
+        stats_columns = sorted({c for s in stats.values() for c in s}) or None
+    new_rel = [os.path.relpath(f, table_dir) for f in new_files]
+    new_manifest = {
+        "generation": generation,
+        "files": manifest["files"] + new_rel,
+        "n_files": len(manifest["files"]) + len(new_rel),
+        "schema": schema,
+        "append": {
+            "parent": manifest["generation"],
+            "appended_files": len(new_rel),
+            "carried_files": len(manifest["files"]),
+        },
+    }
+    if stats_columns:
+        new_manifest["stats"] = {
+            **stats,
+            **{
+                os.path.relpath(f, table_dir): _file_stats(f, stats_columns)
+                for f in new_files
+            },
+        }
+    return _commit_manifest(table_dir, generation, new_manifest)
+
+
 def _merge_rewrite(
     spark: SparkSession,
     manifest: dict,
@@ -525,6 +601,7 @@ def merge_cow(
     op_col: str = "op",
     seq_col: str = "seq",
     delete_op: str = "d",
+    txn: dict | None = None,
 ) -> dict:
     """S30: copy-on-write MERGE of a keyed change batch into a
     manifest-committed table — the row-level half of what real table
@@ -646,6 +723,13 @@ def merge_cow(
             "changed_keys": len(keys),
         },
     }
+    if txn is not None:
+        # caller-supplied transaction metadata (e.g. a streaming sink's
+        # batch_id) recorded IN the committed manifest — the Delta
+        # txn-version pattern: a restarted writer reads the committed
+        # watermark and skips already-applied batches, so replays are
+        # idempotent without exactly-once delivery
+        new_manifest["txn"] = txn
     return _commit_manifest(table_dir, generation, new_manifest)
 
 

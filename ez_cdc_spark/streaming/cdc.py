@@ -917,3 +917,112 @@ def materialize_jdbc(
         .option("driver", driver)
         .load()
     )
+
+
+def lakehouse_merge_batch(table_dir: str, tag: str = "t30"):
+    """T30 foreachBatch: the T9 upsert landed as an ATOMIC LAKEHOUSE COMMIT
+    — each micro-batch of CDC envelopes becomes one manifest generation via
+    merge_cow (sources/manifest.py): stats-pruned copy-on-write rewrite of
+    only the files the batch's keys hit, one pointer swap per batch, so a
+    reader racing the sink always sees a complete committed state — never
+    a half-applied batch (the isolation t9's bucket-dir swap approximates,
+    made exact by the manifest protocol).
+
+    Idempotence is the Delta txn-version pattern: the committed manifest
+    records (tag, batch_id); a replayed batch at or below the committed
+    watermark is skipped without reading its data. A crashed attempt can
+    leave an orphan manifest at the next generation number — recovery
+    bumps to the next free number (the orphan is provably uncommitted:
+    the pointer never swapped; gc(older_than_s) reclaims it later).
+
+    Same input contract as T9: per-key order ACROSS batches (the lsn-split
+    replay / a keyed Kafka partition) — the merge forgets a tombstone's
+    lsn once the key is removed."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import merge_cow, read_manifest
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        last = (man.get("txn") or {}).get("batch_id", -1)
+        if (man.get("txn") or {}).get("tag") == tag and batch_id <= last:
+            return  # already committed — at-least-once replay skipped
+        changes = batch.select(
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.col("after.first_name").alias("first_name"),
+            F.col("after.last_name").alias("last_name"),
+            F.col("after.email").alias("email"),
+            F.col("op").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        )
+        gen = man["generation"] + 1
+        for _ in range(100):
+            try:
+                merge_cow(
+                    spark,
+                    table_dir,
+                    changes,
+                    key_col="id",
+                    generation=gen,
+                    txn={"tag": tag, "batch_id": batch_id},
+                )
+                return
+            except FileExistsError:
+                gen += 1  # orphan manifest from a crashed attempt — skip over
+        raise RuntimeError(f"no free generation number near {gen}")
+
+    return apply
+
+
+def materialize_lakehouse(
+    spark: SparkSession, sf_dir: str, tag: str = "t30"
+) -> DataFrame:
+    """T30 end-to-end: lsn-split envelope stream (one file per trigger, so
+    the merge provably spans multiple micro-batches) → per-batch merge_cow
+    commits into a manifest table bootstrapped as an empty schema-bearing
+    generation → final committed state. Returns read_committed of the
+    final generation."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources.manifest import publish, read_committed
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-{tag}-{os.getpid()}")
+    if os.path.exists(table_dir):
+        shutil.rmtree(table_dir)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(lakehouse_merge_batch(table_dir, tag))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_committed(spark, table_dir)

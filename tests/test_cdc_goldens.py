@@ -1582,3 +1582,126 @@ def test_t21_minhash_recovers_from_mid_stream_kill(spark, tmp_path, sf_dir):
     docs_b = load_table(spark, sf_dir, "documents").select("lang", "text")
     want = sorted(tuple(r) for r in regs_of(docs_b).collect())
     assert got == want and len(got) > 0
+
+
+def test_t30_lakehouse_merge_kill_restart_and_snapshot_history(spark, tmp_path, sf_dir):
+    """t30 under a real kill+restart: the per-batch merge_cow commits must
+    survive a mid-stream kill — the txn watermark in the committed manifest
+    skips replayed batches (Delta txn-version idempotence), the restart
+    drains the remaining lsn-split stages, and the final committed state
+    equals the one-shot t9 oracle state row-for-row. Every intermediate
+    generation is additionally a FREE consistent snapshot: time-traveling
+    to the generation committed by batch k reproduces the pure-Python
+    last-event-wins fold of envelope stages 0..k exactly."""
+    import json as _json
+    import os
+    import time
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.sources.manifest import read_committed, read_manifest
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        lakehouse_merge_batch,
+    )
+    from ez_cdc_spark.sources.manifest import publish
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    td = str(tmp_path / "laketable")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], schema), td, generation=1, stats_columns=["id"])
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return (
+            env.writeStream.foreachBatch(lakehouse_merge_batch(td, tag="t30kill"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    stop_and_await(q)
+
+    q2 = start()
+    q2.awaitTermination()
+
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in read_committed(spark, td)
+        .select("id", "lsn", "first_name", "last_name", "email")
+        .collect()
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in load_all()["t9_cdc_upsert"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # idempotence: replaying the last committed batch is a no-op skip
+    man = read_manifest(td)
+    last_bid = man["txn"]["batch_id"]
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    replay = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        os.path.join(path, stage_files[-1])
+    )
+    lakehouse_merge_batch(td, tag="t30kill")(replay, last_bid)
+    assert read_manifest(td)["generation"] == man["generation"], "replay must skip"
+
+    # snapshot history: each committed generation's txn batch_id k
+    # reproduces the python fold of stages 0..k (read via time travel)
+    mdir = os.path.join(td, "_manifests")
+    gens = sorted(
+        int(f.split("-")[1].split(".")[0])
+        for f in os.listdir(mdir)
+        if f.startswith("gen-")
+    )
+    folds = []  # fold state after each stage
+    state: dict = {}
+    for f in stage_files:
+        events = [
+            _json.loads(line)
+            for line in open(os.path.join(path, f))
+            if line.strip()
+        ]
+        for ev in sorted(events, key=lambda e: e["source"]["lsn"]):
+            # the JSON writer omits null struct fields ('d' has no after)
+            key = (ev.get("after") or ev.get("before"))["id"]
+            if ev["op"] == "d":
+                state.pop(key, None)
+            else:
+                state[key] = (ev["source"]["lsn"], ev["after"]["first_name"])
+        folds.append(dict(state))
+    for g in gens:
+        man_g = read_manifest(td, as_of_generation=g)
+        txn = man_g.get("txn")
+        if txn is None:
+            continue  # the empty bootstrap generation
+        k = txn["batch_id"]
+        snap = {
+            r["id"]: (r["lsn"], r["first_name"])
+            for r in read_committed(spark, td, as_of_generation=g).collect()
+        }
+        assert snap == folds[k], f"generation {g} != fold of stages 0..{k}"

@@ -1880,3 +1880,68 @@ def test_s30_merge_reader_isolation_and_replay_equivalence(spark, sf_dir):
     man2 = read_manifest(td2)
     assert man2["merge"]["carried_files"] == 0, "no stats -> nothing provably safe"
     assert read_committed(spark, td2).count() == n_before - exp_deleted
+
+
+def test_s31_append_carries_files_and_validates_schema(spark, sf_dir):
+    """s31 path-level contract: after the registered query's lifecycle
+    (publish + two appends), the final manifest references all three
+    generations' data dirs — carried files by the SAME relative paths with
+    mtimes predating the append, stats entries carried verbatim and fresh
+    stats recorded for appended files (pruning still bites) — and an
+    append whose schema drifts (extra column, reordered columns, wrong
+    type) is rejected loudly."""
+    import os
+
+    import pyspark.sql.functions as F  # noqa: N812
+    import pytest
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        publish_append,
+        pruned_files,
+        read_manifest,
+    )
+
+    load_all()["s31_manifest_append"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s31append")
+
+    man1 = read_manifest(td, as_of_generation=1)
+    man3 = read_manifest(td)
+    assert man3["append"] == {
+        "parent": 2,
+        "appended_files": 2,
+        "carried_files": len(man1["files"]) + 2,
+    }
+    # gen-1 and gen-2 files carried by the same rel paths
+    assert set(man1["files"]) < set(man3["files"])
+    gen3_dir = os.path.join(td, "data", "gen-3")
+    appended_at = min(
+        os.path.getmtime(os.path.join(gen3_dir, f)) for f in os.listdir(gen3_dir)
+    )
+    for rel in man1["files"]:
+        assert os.path.getmtime(os.path.join(td, rel)) <= appended_at, rel
+        assert man3["stats"][rel] == man1["stats"][rel], rel
+    # appended files got fresh stats and pruning still bites across appends
+    for rel in man3["files"]:
+        assert "o_orderkey" in man3["stats"][rel], rel
+    kept, skipped = pruned_files(td, "o_orderkey", 1, 50)
+    assert skipped, "stats must keep pruning after appends"
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(o.withColumn("extra", F.lit(1)), td, generation=4)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(
+            o.select("o_orderstatus", "o_orderkey", "o_totalprice"),
+            td,
+            generation=4,
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(
+            o.withColumn("o_orderkey", F.col("o_orderkey").cast("int")),
+            td,
+            generation=4,
+        )
