@@ -1674,3 +1674,317 @@ def s31_manifest_append(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _s30b_change_event(df, op, seq, name=None, bal=None):
+    """One leg of s30b's CDC change batch over the PARTITIONED customer
+    table: (c_custkey, c_name, c_mktsegment, c_acctbal, op, seq). The
+    partition value always travels with the event (stable-partition
+    contract: a key never changes segment)."""
+    return df.select(
+        "c_custkey",
+        (name if name is not None else F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+        dec(bal if bal is not None else F.col("c_acctbal")).alias("c_acctbal"),
+        F.lit(op).alias("op"),
+        F.lit(seq).alias("seq"),
+    )
+
+
+@register(
+    "s30b_manifest_merge_cow_partitioned",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer
+),
+tgt AS (
+    SELECT * FROM base
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_custkey <= 600
+),
+final AS (
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM base
+    WHERE NOT (c_mktsegment IN ('BUILDING', 'MACHINERY')
+               AND c_custkey <= 600 AND (c_custkey % 10) IN (3, 7))
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(c_acctbal + 250.00 AS DECIMAL(12,2))
+    FROM tgt WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, 'reborn-' || CAST(c_custkey AS VARCHAR),
+           c_mktsegment, c_acctbal
+    FROM tgt WHERE c_custkey % 100 = 17
+    UNION ALL
+    SELECT c_custkey + 2000000, c_name, c_mktsegment, c_acctbal
+    FROM tgt WHERE c_custkey % 10 = 5
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM final
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="S30b: PARTITIONED copy-on-write MERGE — r13 verdict #1, lifting "
+    "s30's v1 unpartitioned-only scope: the same last-event-wins CDC "
+    "semantics (reference README.md:331 op codes, init.sql:10 REPLICA "
+    "IDENTITY) applied to a Hive-partitioned manifest table, with the "
+    "touched-file split now running per (partition, key-range): customer "
+    "publishes partitioned by c_mktsegment with per-file c_custkey footer "
+    "stats (publish_partitioned grew stats support this round — the two "
+    "metadata layers compose); a CDC batch confined to two segments and "
+    "keys <= 600 applies double-updates, deletes, a delete-then-reinsert "
+    "and fresh inserts; merge_cow(stable_partition_keys=True) prunes "
+    "first on the manifest's partition values (files of the three "
+    "untargeted segments carry BY REFERENCE without a stats probe), then "
+    "binary-searches key stats within the targeted segments, rewrites "
+    "only the hit files, and stages the rewrite back under the partition "
+    "layout so the committed generation keeps S29 partition pruning. "
+    "Under the default stable_partition_keys=False the same call stays "
+    "correct for keys that MOVE partitions (key-range pruning across all "
+    "partitions — pytest pins a cross-partition move). The oracle "
+    "replays the change set declaratively over the original customer "
+    "table. At 100 TB: a date-partitioned fact table takes a CDC batch "
+    "touching 3 of 3000 partitions by rewriting only those partitions' "
+    "hit files — merge cost proportional to the change, partition prune "
+    "decided from manifest metadata alone, zero data I/O outside the "
+    "targeted partitions.",
+)
+def s30b_manifest_merge_cow_partitioned(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish_partitioned,
+        read_committed,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s30bmerge")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish_partitioned(
+        c.repartitionByRange(8, "c_mktsegment", "c_custkey").sortWithinPartitions(
+            "c_mktsegment", "c_custkey"
+        ),
+        table_dir,
+        generation=1,
+        partition_col="c_mktsegment",
+        stats_columns=["c_custkey"],
+    )
+
+    key = F.col("c_custkey")
+    tgt = c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY") & (key <= 600)
+    )
+    ev = _s30b_change_event
+    upd = tgt.filter(key % 10 == 3)
+    bump = lambda n: F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)")  # noqa: E731
+    changes = (
+        ev(upd, "u", 1, bal=bump(150))
+        .unionByName(ev(upd, "u", 2, bal=bump(250)))
+        .unionByName(ev(tgt.filter(key % 10 == 7), "d", 1))
+        .unionByName(
+            ev(
+                tgt.filter(key % 100 == 17),
+                "c",
+                2,
+                name=F.concat(F.lit("reborn-"), key.cast("string")),
+            )
+        )
+        .unionByName(
+            ev(tgt.filter(key % 10 == 5), "c", 1).withColumn(
+                "c_custkey", key + 2000000
+            )
+        )
+    )
+    merge_cow(
+        spark,
+        table_dir,
+        changes,
+        key_col="c_custkey",
+        generation=2,
+        stable_partition_keys=True,
+    )
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "s31b_manifest_append_partitioned",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="S31b: PARTITIONED incremental append — the second half of r13 "
+    "verdict #1: publish_append on a publish_partitioned table stages "
+    "the batch under the table's own Hive partitionBy layout into the "
+    "new generation's data dir, extends the manifest's partition-value "
+    "map for the new files, and carries every prior file by reference "
+    "with its recorded partition value and footer stats intact — so S29 "
+    "partition pruning, S28 stats pruning and s30b's partitioned merge "
+    "split all keep working across appends, and the commit stays the one "
+    "atomic pointer swap. Orders split three ways (%3): partitioned "
+    "publish of the first slice, two partitioned appends; the oracle "
+    "recomputes from the original orders — hash-green proves the "
+    "partition-routed appends lost nothing and duplicated nothing. "
+    "Pytest pins the per-partition staging (appended files live under "
+    "gen-N/o_orderstatus=V dirs), the carried partition map, and "
+    "read_committed_partitions serving a single partition ACROSS all "
+    "three generations' files. At 100 TB: a streaming ingest appends "
+    "each micro-batch into only the partitions it carries — O(batch) "
+    "I/O, partition metadata maintained without a directory walk.",
+)
+def s31b_manifest_append_partitioned(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        publish_append,
+        publish_partitioned,
+        read_committed,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = _scratch(sf_dir, "s31bappend")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish_partitioned(
+        o.filter("o_orderkey % 3 = 0").repartitionByRange(4, "o_orderkey"),
+        table_dir,
+        generation=1,
+        partition_col="o_orderstatus",
+        stats_columns=["o_orderkey"],
+    )
+    publish_append(
+        o.filter("o_orderkey % 3 = 1").repartitionByRange(2, "o_orderkey"),
+        table_dir,
+        generation=2,
+    )
+    publish_append(
+        o.filter("o_orderkey % 3 = 2").repartitionByRange(2, "o_orderkey"),
+        table_dir,
+        generation=3,
+    )
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "s32_manifest_schema_evolution",
+    oracle="""
+WITH evolved AS (
+    SELECT c_custkey, c_name,
+           CAST(NULL AS VARCHAR) AS c_tier,
+           CAST(NULL AS BIGINT) AS c_score
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE 'std' END,
+           CAST(c_custkey * 2 AS BIGINT)
+    FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT c_tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_score) AS BIGINT) AS total_score,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM evolved
+GROUP BY c_tier
+ORDER BY c_tier
+""",
+    doc="S32: additive schema evolution on a manifest table — the Delta/"
+    "Iceberg ALTER TABLE ADD COLUMN analog the family still lacked (r13 "
+    "verdict #4): `sources/manifest.py:evolve_schema` commits a NEW "
+    "generation whose schema appends nullable columns, with every data "
+    "file, partition value, stats entry and txn watermark carried by "
+    "reference — a pure metadata commit, zero data I/O. Readers NULL-"
+    "fill: all read paths apply the STORED schema, so pre-evolution "
+    "files read the appended columns as NULL (S11's additive contract "
+    "decided from manifest metadata, no footer scan / mergeSchema "
+    "needed), while publish_append keeps its strict gate against the "
+    "EVOLVED schema — a post-evolution batch must carry the new columns "
+    "and reorders/retypes still reject (pytest pins both plus non-"
+    "additive evolution rejection). Lifecycle here: even-keyed customers "
+    "publish under (c_custkey, c_name); evolve adds nullable c_tier/"
+    "c_score; odd-keyed customers append WITH values. The oracle builds "
+    "the same NULL-filled union declaratively. At 100 TB: adding a "
+    "column to a trillion-row table is one O(files) manifest write — "
+    "exactly why table formats make evolution metadata-only.",
+)
+def s32_manifest_schema_evolution(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from ez_cdc_spark.sources.manifest import (
+        evolve_schema,
+        publish,
+        publish_append,
+        read_committed,
+    )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    table_dir = _scratch(sf_dir, "s32evolve")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.filter("c_custkey % 2 = 0").repartitionByRange(4, "c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+    evolve_schema(
+        table_dir,
+        generation=2,
+        added_fields=[
+            StructField("c_tier", StringType(), True),
+            StructField("c_score", LongType(), True),
+        ],
+    )
+    batch = c.filter("c_custkey % 2 = 1").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 3 == 0, "gold")
+        .otherwise("std")
+        .alias("c_tier"),
+        (F.col("c_custkey") * 2).cast("bigint").alias("c_score"),
+    )
+    publish_append(batch.repartitionByRange(2, "c_custkey"), table_dir, generation=3)
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_score").cast("bigint").alias("total_score"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_tier")
+    )

@@ -205,13 +205,16 @@ def publish(
     table_dir: str,
     generation: int,
     stats_columns: list[str] | None = None,
+    txn: dict | None = None,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
     in one atomic step; nothing in between is observable. The manifest
     stores the DataFrame schema (so an empty publish stays readable) and,
     when ``stats_columns`` is given, per-file footer min/max for those
-    columns (S28 file skipping)."""
+    columns (S28 file skipping). ``txn`` records caller transaction
+    metadata in the manifest (the Delta txn-version pattern — see
+    merge_cow)."""
     _validate_generation(table_dir, generation)
     files = stage_only(df, table_dir, generation)
     manifest = {
@@ -225,6 +228,8 @@ def publish(
             os.path.relpath(f, table_dir): _file_stats(f, stats_columns)
             for f in files
         }
+    if txn is not None:
+        manifest["txn"] = txn
     return _commit_manifest(table_dir, generation, manifest)
 
 
@@ -253,24 +258,14 @@ def _commit_manifest(table_dir: str, generation: int, manifest: dict) -> dict:
     return manifest
 
 
-def publish_partitioned(
-    df: DataFrame,
-    table_dir: str,
-    generation: int,
-    partition_col: str,
-) -> dict:
-    """S29: partition-aware atomic publish — S25's two-phase protocol
-    composed with S7's partitionBy layout: the generation stages as
-    Hive-style ``<partition_col>=<value>/`` subdirectories and the manifest
-    records each file's PARTITION VALUE alongside its path, so
-    :func:`read_committed_partitions` can partition-prune from manifest
-    metadata alone — no directory listing, no filesystem-level partition
-    discovery (the manifest is the partition spec, which is exactly what
-    Iceberg/Delta store in their metadata layers). Commit is the same one
-    atomic pointer swap."""
+def _stage_partitioned(
+    df: DataFrame, table_dir: str, generation: int, partition_col: str
+) -> tuple[list[str], dict[str, str | None]]:
+    """Stage a partitionBy layout and return (rel file list, rel ->
+    partition value). The Hive null-partition sentinel directory records
+    as an honest JSON null (ADVICE r12)."""
     import urllib.parse
 
-    _validate_generation(table_dir, generation)
     stage = _stage_dir(table_dir, generation)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
     files: list[str] = []
@@ -280,15 +275,41 @@ def publish_partitioned(
             continue
         value = urllib.parse.unquote(sub.split("=", 1)[1])
         if value == "__HIVE_DEFAULT_PARTITION__":
-            # Hive's null-partition sentinel directory: record the value as
-            # an honest JSON null so null rows are selectable via
-            # values=[None], not via a magic string (ADVICE r12).
             value = None
         for f in sorted(os.listdir(os.path.join(stage, sub))):
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 rel = os.path.relpath(os.path.join(stage, sub, f), table_dir)
                 files.append(rel)
                 partitions[rel] = value
+    return files, partitions
+
+
+def publish_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    generation: int,
+    partition_col: str,
+    stats_columns: list[str] | None = None,
+    txn: dict | None = None,
+) -> dict:
+    """S29: partition-aware atomic publish — S25's two-phase protocol
+    composed with S7's partitionBy layout: the generation stages as
+    Hive-style ``<partition_col>=<value>/`` subdirectories and the manifest
+    records each file's PARTITION VALUE alongside its path, so
+    :func:`read_committed_partitions` can partition-prune from manifest
+    metadata alone — no directory listing, no filesystem-level partition
+    discovery (the manifest is the partition spec, which is exactly what
+    Iceberg/Delta store in their metadata layers). Commit is the same one
+    atomic pointer swap.
+
+    ``stats_columns`` records per-file footer min/max exactly as
+    :func:`publish` does (r14: stats and partition values compose — the
+    partitioned merge's touched-file split needs both). The partition
+    column itself never appears in footers (it lives in the directory
+    names), so requesting it simply records nothing for it — pruning on
+    the partition column is served by the ``partitions`` map instead."""
+    _validate_generation(table_dir, generation)
+    files, partitions = _stage_partitioned(df, table_dir, generation, partition_col)
     manifest = {
         "generation": generation,
         "files": files,
@@ -297,6 +318,13 @@ def publish_partitioned(
         "partition_col": partition_col,
         "partitions": partitions,
     }
+    if stats_columns:
+        manifest["stats"] = {
+            rel: _file_stats(os.path.join(table_dir, rel), stats_columns)
+            for rel in files
+        }
+    if txn is not None:
+        manifest["txn"] = txn
     return _commit_manifest(table_dir, generation, manifest)
 
 
@@ -329,16 +357,9 @@ def read_committed_partitions(
         for rel in manifest["files"]
         if partitions.get(rel) in wanted
     ]
-    schema = manifest.get("schema")
-    if not kept:
-        if schema is None:
-            raise ValueError("empty partition selection with no stored schema")
-        return spark.createDataFrame([], StructType.fromJson(schema))
-    base = _stage_dir(table_dir, manifest["generation"])
-    reader = spark.read.option("basePath", base)
-    if schema is not None:
-        reader = reader.schema(StructType.fromJson(schema))
-    return reader.parquet(*kept)
+    if not kept and manifest.get("schema") is None:
+        raise ValueError("empty partition selection with no stored schema")
+    return _read_files(spark, manifest, table_dir, kept)
 
 
 def read_manifest(table_dir: str, as_of_generation: int | None = None) -> dict:
@@ -370,22 +391,42 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
                 "empty generation with no stored schema (pre-schema manifest)"
             )
         return spark.createDataFrame([], StructType.fromJson(schema))
+    schema = manifest.get("schema")
     if manifest.get("partition_col") is not None:
         # Partitioned generation (S29): the partition column lives in the
         # directory names, not the data files — reading leaf paths without
         # basePath would silently DROP it (and a compact would then commit
-        # a generation missing the column). Anchor discovery at the
-        # generation dir so every read shape matches the stored schema,
-        # and pass the STORED schema so the partition column keeps its
-        # published type: without it Spark re-infers the type from the
-        # directory strings, so a string partition value like '01' would
-        # silently read back as bigint 1 (ADVICE r12).
-        base = _stage_dir(table_dir, manifest["generation"])
-        reader = spark.read.option("basePath", base)
-        schema = manifest.get("schema")
-        if schema is not None:
-            reader = reader.schema(StructType.fromJson(schema))
-        return reader.parquet(*files)
+        # a generation missing the column). Anchor discovery at each
+        # file's own generation dir (after a partitioned append/merge the
+        # committed file list spans SEVERAL data/gen-* dirs — a single
+        # basePath would not be an ancestor of carried files), and pass
+        # the STORED schema so the partition column keeps its published
+        # type: without it Spark re-infers the type from the directory
+        # strings, so a string partition value like '01' would silently
+        # read back as bigint 1 (ADVICE r12). Group count is O(live
+        # generations since the last compact) — bounded metadata, and
+        # each group is one ordinary pruned parquet scan.
+        data_root = os.path.join(table_dir, "data")
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f, data_root)
+            top = rel.split(os.sep)[0]
+            groups.setdefault(os.path.join(data_root, top), []).append(f)
+        out = None
+        for base in sorted(groups):
+            reader = spark.read.option("basePath", base)
+            if schema is not None:
+                reader = reader.schema(StructType.fromJson(schema))
+            part = reader.parquet(*groups[base])
+            out = part if out is None else out.unionByName(part)
+        return out
+    if schema is not None:
+        # Stored-schema read: files written before an additive schema
+        # evolution (S32) lack the appended columns — the explicit schema
+        # reads them back NULL-filled, which IS the evolution contract
+        # (same shape as S11's mergeSchema widening, decided by manifest
+        # metadata instead of a footer scan).
+        return spark.read.schema(StructType.fromJson(schema)).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -471,28 +512,33 @@ def compact(
     File-skipping stats survive compaction: when ``stats_columns`` is not
     given it defaults to the columns present in the source manifest's
     stats, so ``read_pruned`` keeps pruning after a default ``compact``
-    instead of quietly losing its footer ranges (ADVICE r12). Passing
-    ``stats_columns`` for a partitioned generation raises — the
-    partitioned publish path has no stats support, and dropping the
-    argument silently would be the same quiet loss."""
+    instead of quietly losing its footer ranges (ADVICE r12) — on
+    partitioned generations too, now that publish_partitioned records
+    stats (r14). Transaction metadata (``txn``) carries forward verbatim:
+    compaction changes the file layout, never the applied-batch watermark
+    — dropping it would make a restarted CDC sink re-apply batches the
+    table already absorbed."""
     _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
     pcol = manifest.get("partition_col")
-    if pcol is not None and stats_columns:
-        raise ValueError(
-            "stats_columns is not supported for a partitioned generation: "
-            "publish_partitioned records partition values, not footer stats"
-        )
-    df = read_committed(spark, table_dir).coalesce(target_files)
-    if pcol is not None:
-        # a partitioned generation compacts INTO a partitioned generation —
-        # the layout (and the column that lives in it) must survive
-        return publish_partitioned(df, table_dir, generation, partition_col=pcol)
     if stats_columns is None:
         old_stats = manifest.get("stats") or {}
         inherited = sorted({c for per_file in old_stats.values() for c in per_file})
         stats_columns = inherited or None
-    return publish(df, table_dir, generation, stats_columns=stats_columns)
+    txn = manifest.get("txn")
+    df = read_committed(spark, table_dir).coalesce(target_files)
+    if pcol is not None:
+        # a partitioned generation compacts INTO a partitioned generation —
+        # the layout (and the column that lives in it) must survive
+        return publish_partitioned(
+            df,
+            table_dir,
+            generation,
+            partition_col=pcol,
+            stats_columns=stats_columns,
+            txn=txn,
+        )
+    return publish(df, table_dir, generation, stats_columns=stats_columns, txn=txn)
 
 
 def publish_append(
@@ -522,13 +568,15 @@ def publish_append(
     docstring promises (frequent cheap appends + periodic bounded
     compaction) is this function plus compact().
 
-    v1 scope: unpartitioned generations (same note as merge_cow)."""
+    Partitioned generations (r14, lifting the v1 restriction): the batch
+    stages under the table's partitionBy layout into this generation's
+    own data dir, the manifest's partition-value map extends with the new
+    files, and carried files keep their recorded values — so S29
+    partition pruning, S28 stats pruning, and S30's touched-file split
+    all keep working across appends. Transaction metadata carries forward
+    (appending never rewinds the applied-batch watermark)."""
     _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
-    if manifest.get("partition_col") is not None:
-        raise ValueError(
-            "publish_append v1 supports unpartitioned generations only"
-        )
     schema = manifest.get("schema")
     if schema is None:
         raise ValueError("publish_append needs a schema-bearing manifest")
@@ -544,11 +592,17 @@ def publish_append(
             f"append schema mismatch: table has {stored}, batch has {incoming}"
         )
 
-    new_files = stage_only(df, table_dir, generation)
+    pcol = manifest.get("partition_col")
+    if pcol is not None:
+        new_rel, new_parts = _stage_partitioned(df, table_dir, generation, pcol)
+        new_files = [os.path.join(table_dir, rel) for rel in new_rel]
+    else:
+        new_files = stage_only(df, table_dir, generation)
+        new_rel = [os.path.relpath(f, table_dir) for f in new_files]
+        new_parts = None
     stats = manifest.get("stats", {})
     if stats_columns is None:
         stats_columns = sorted({c for s in stats.values() for c in s}) or None
-    new_rel = [os.path.relpath(f, table_dir) for f in new_files]
     new_manifest = {
         "generation": generation,
         "files": manifest["files"] + new_rel,
@@ -560,6 +614,9 @@ def publish_append(
             "carried_files": len(manifest["files"]),
         },
     }
+    if pcol is not None:
+        new_manifest["partition_col"] = pcol
+        new_manifest["partitions"] = {**manifest.get("partitions", {}), **new_parts}
     if stats_columns:
         new_manifest["stats"] = {
             **stats,
@@ -568,6 +625,80 @@ def publish_append(
                 for f in new_files
             },
         }
+    if manifest.get("txn") is not None:
+        new_manifest["txn"] = manifest["txn"]
+    return _commit_manifest(table_dir, generation, new_manifest)
+
+
+def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
+    """S32: additive schema evolution — the manifest analog of Delta/
+    Iceberg ``ALTER TABLE ADD COLUMN``, and the one table-format capability
+    the family still lacked (r13 verdict #4): commit a NEW generation
+    whose schema is the stored schema plus appended NULLABLE fields, with
+    every data file, partition value, stats entry, and the transaction
+    watermark carried by reference — a pure metadata commit, zero data
+    I/O, one pointer swap.
+
+    Readers NULL-fill: every read path applies the STORED schema, so
+    files written before the evolution read the appended columns as NULL
+    (S11's additive contract, decided from manifest metadata instead of a
+    footer scan). ``publish_append`` keeps its strict gate against the
+    evolved schema — batches must now carry the new columns, and reorders
+    or retypes still reject — while ``merge_cow``/``compact`` compose
+    unchanged (their rewrites read and restage under the evolved schema).
+
+    Validation is strictly additive: appended fields must be nullable
+    (existing files have no values for them — a non-null column would lie
+    to every reader) and must not collide with existing names
+    (case-insensitively, matching Spark's default resolution). Anything
+    else — dropping, reordering, retyping — is not evolution and raises.
+
+    ``added_fields`` is a ``StructType`` or list of ``StructField``.
+
+    At 100 TB: cost is one O(files) manifest write; no file is opened."""
+    fields = (
+        list(added_fields.fields)
+        if isinstance(added_fields, StructType)
+        else list(added_fields)
+    )
+    if not fields:
+        raise ValueError("evolve_schema needs at least one added field")
+    _validate_generation(table_dir, generation)
+    manifest = read_manifest(table_dir)
+    schema = manifest.get("schema")
+    if schema is None:
+        raise ValueError("evolve_schema needs a schema-bearing manifest")
+    existing = {f["name"].lower() for f in schema["fields"]}
+    for f in fields:
+        if not f.nullable:
+            raise ValueError(
+                f"added column {f.name!r} must be nullable: existing files "
+                f"hold no values for it"
+            )
+        if f.name.lower() in existing:
+            raise ValueError(f"column {f.name!r} already exists")
+        existing.add(f.name.lower())
+    new_schema = {
+        **schema,
+        "fields": schema["fields"] + json.loads(StructType(fields).json())["fields"],
+    }
+    carried = {
+        k: v
+        for k, v in manifest.items()
+        # lineage keys (merge/append/evolve) describe the PARENT's commit,
+        # not this one — everything else (files, partitions, stats, txn)
+        # carries by reference
+        if k not in ("generation", "schema", "merge", "append", "evolve")
+    }
+    new_manifest = {
+        **carried,
+        "generation": generation,
+        "schema": new_schema,
+        "evolve": {
+            "parent": manifest["generation"],
+            "added": [f.name for f in fields],
+        },
+    }
     return _commit_manifest(table_dir, generation, new_manifest)
 
 
@@ -602,6 +733,7 @@ def merge_cow(
     seq_col: str = "seq",
     delete_op: str = "d",
     txn: dict | None = None,
+    stable_partition_keys: bool = False,
 ) -> dict:
     """S30: copy-on-write MERGE of a keyed change batch into a
     manifest-committed table — the row-level half of what real table
@@ -637,19 +769,35 @@ def merge_cow(
     10M-file table rewrites only the handful of files whose key ranges are
     hit — merge cost proportional to the CHANGE, not the table.
 
-    v1 scope: unpartitioned generations (the partitioned analog adds
-    partition-value routing on top of the same protocol)."""
+    Partitioned generations (r14, lifting the v1 restriction): the
+    touched-file split runs per (partition, key-range) and the rewrite
+    stages back under the table's partitionBy layout, so the new
+    generation keeps partition pruning and untouched partitions' files
+    carry by reference exactly like out-of-range files. Two pruning
+    regimes:
+
+    * default (``stable_partition_keys=False``) — keys may MOVE between
+      partitions (an update that changes the partition value must delete
+      the key's old row wherever it lives), so the batch's partition
+      values say nothing about where OLD rows live: the touched split
+      uses key-range stats alone, across all partitions. Always correct.
+    * ``stable_partition_keys=True`` — the caller's contract that a key's
+      partition value never changes (the common date-partitioned-fact
+      shape). Upsert rows then prune to their own partition's files;
+      delete rows prune to their recorded partition when the batch
+      carries one and conservatively to EVERY partition when it is NULL
+      (a payload-less delete envelope cannot name its partition —
+      treating that null as "the null partition" would silently strand
+      the old row). Honored only for string/int partition columns, whose
+      batch values render identically to the Hive directory names the
+      manifest records; other types fall back to key-range pruning
+      (conservative, never a wrong skip)."""
     import bisect
 
     from pyspark.sql import functions as F  # noqa: N812
 
     _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
-    if manifest.get("partition_col") is not None:
-        raise ValueError(
-            "merge_cow v1 supports unpartitioned generations only: "
-            "compact the table or publish unpartitioned first"
-        )
     schema = manifest.get("schema")
     if schema is None:
         raise ValueError("merge_cow needs a schema-bearing manifest")
@@ -659,6 +807,13 @@ def merge_cow(
     missing = [c for c in (*table_cols, op_col, seq_col) if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    pcol = manifest.get("partition_col")
+    if pcol == key_col:
+        raise ValueError(
+            "merge_cow key column cannot be the partition column: the keyed "
+            "split needs key ranges INSIDE files, and a partition value is "
+            "constant per file — repartition the table or key on a data column"
+        )
 
     # Resolve last-event-wins per key: one struct-ordered max_by keeps the
     # whole resolution in a single HashAggregate (deterministic: the order
@@ -677,19 +832,62 @@ def merge_cow(
     )
     upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
 
-    # Bounded-metadata collect: the batch's distinct keys, sorted for the
-    # per-file binary search against the manifest's stats ranges.
-    keys = sorted(r[0] for r in final.select(key_col).collect())
+    # Bounded-metadata collect: the batch's distinct keys (plus, in stable
+    # partitioned mode, each key's partition value and delete flag), sorted
+    # for the per-file binary search against the manifest's stats ranges.
+    partitions = manifest.get("partitions", {})
+    ptype = next(
+        (f["type"] for f in schema["fields"] if f["name"] == pcol), None
+    )
+    part_prune = (
+        stable_partition_keys
+        and pcol is not None
+        and ptype in ("string", "long", "integer", "short", "byte")
+    )
+    keys_by_part: dict[str | None, list] = {}
+    global_keys: list = []
+    if part_prune:
+        rows = final.select(
+            key_col, F.col(pcol), (F.col("_op") == delete_op).alias("_d")
+        ).collect()
+        for k, pv, is_del in rows:
+            if is_del and pv is None:
+                global_keys.append(k)  # payload-less delete: every partition
+            else:
+                keys_by_part.setdefault(
+                    None if pv is None else str(pv), []
+                ).append(k)
+        for ks in keys_by_part.values():
+            ks.sort()
+        global_keys.sort()
+        n_keys = len(rows)
+    else:
+        global_keys = sorted(r[0] for r in final.select(key_col).collect())
+        n_keys = len(global_keys)
 
     stats = manifest.get("stats", {})
 
+    def _overlaps(ks: list, rng: list) -> bool:
+        i = bisect.bisect_left(ks, rng[0])
+        return i < len(ks) and ks[i] <= rng[1]
+
     def _touched(rel: str) -> bool:
+        if part_prune:
+            ks = keys_by_part.get(partitions.get(rel), [])
+            if not ks and not global_keys:
+                return False  # no batch key targets this partition
+            rng = stats.get(rel, {}).get(key_col)
+            if rng is None:
+                return True  # no stats -> assume the file holds changed keys
+            try:
+                return _overlaps(ks, rng) or _overlaps(global_keys, rng)
+            except TypeError:
+                return True  # cross-kind comparison -> conservative touch
         rng = stats.get(rel, {}).get(key_col)
         if rng is None:
             return True  # no stats -> must assume the file holds changed keys
         try:
-            i = bisect.bisect_left(keys, rng[0])
-            return i < len(keys) and keys[i] <= rng[1]
+            return _overlaps(global_keys, rng)
         except TypeError:
             return True  # cross-kind comparison -> conservative touch
 
@@ -701,7 +899,12 @@ def merge_cow(
     rewrite = _merge_rewrite(
         spark, manifest, table_dir, touched_abs, final, upserts, key_col
     )
-    new_files = stage_only(rewrite, table_dir, generation)
+    if pcol is not None:
+        new_rel, new_parts = _stage_partitioned(rewrite, table_dir, generation, pcol)
+        new_files = [os.path.join(table_dir, rel) for rel in new_rel]
+    else:
+        new_files = stage_only(rewrite, table_dir, generation)
+        new_parts = None
 
     stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
     new_manifest = {
@@ -720,9 +923,15 @@ def merge_cow(
             "parent": manifest["generation"],
             "rewritten_files": len(touched_rel),
             "carried_files": len(untouched_rel),
-            "changed_keys": len(keys),
+            "changed_keys": n_keys,
         },
     }
+    if pcol is not None:
+        new_manifest["partition_col"] = pcol
+        new_manifest["partitions"] = {
+            **{rel: partitions.get(rel) for rel in untouched_rel},
+            **new_parts,
+        }
     if txn is not None:
         # caller-supplied transaction metadata (e.g. a streaming sink's
         # batch_id) recorded IN the committed manifest — the Delta

@@ -1629,11 +1629,10 @@ def test_compact_inherits_file_skipping_stats(spark, sf_dir):
     without stats, so read_pruned quietly stopped pruning after compaction.
     Pin the fix: stats_columns defaults to the source manifest's stats
     keys, pruning still bites after compact (on a multi-file range layout),
-    and stats_columns on a PARTITIONED generation raises instead of being
-    dropped."""
+    and (r14) stats compose with a PARTITIONED generation — compact
+    records footer stats for every rewritten partition file instead of
+    the old loud refusal."""
     import shutil
-
-    import pytest
 
     from ez_cdc_spark.queries.sources_sinks import _scratch
     from ez_cdc_spark.sources.manifest import (
@@ -1664,17 +1663,26 @@ def test_compact_inherits_file_skipping_stats(spark, sf_dir):
     assert man.get("stats"), "compact must carry the source manifest's stats"
     assert all("o_orderkey" in s for s in man["stats"].values() if s)
 
-    # partitioned generation + explicit stats_columns -> loud error
+    # partitioned generation + explicit stats_columns -> stats recorded
+    # per partition file and pruning bites across the partition layout
     td2 = _scratch(sf_dir, "s29nostats")
     shutil.rmtree(td2, ignore_errors=True)
     publish_partitioned(
-        o.withColumn("flag", (o.o_orderkey % 2).cast("string")),
+        o.withColumn("flag", (o.o_orderkey % 2).cast("string")).repartitionByRange(
+            4, "o_orderkey"
+        ),
         td2,
         generation=1,
         partition_col="flag",
     )
-    with pytest.raises(ValueError, match="stats_columns"):
-        compact(spark, td2, generation=2, stats_columns=["o_orderkey"])
+    compact(spark, td2, generation=2, target_files=2, stats_columns=["o_orderkey"])
+    man2 = read_manifest(td2)
+    assert man2["partition_col"] == "flag"
+    assert man2.get("stats") and all(
+        "o_orderkey" in s for s in man2["stats"].values() if s
+    )
+    kept2, skipped2 = pruned_files(td2, "o_orderkey", 1, 10)
+    assert skipped2, "footer stats must prune partitioned files too"
 
 
 def test_gc_reclaims_stale_torn_commit_with_age_threshold(spark, sf_dir):
@@ -1945,3 +1953,300 @@ def test_s31_append_carries_files_and_validates_schema(spark, sf_dir):
             td,
             generation=4,
         )
+
+
+def test_s30b_partitioned_merge_prunes_untargeted_partitions(spark, sf_dir):
+    """r13 verdict #1 'done' conditions for the partitioned merge: (a)
+    only partitions containing changed keys have rewritten files — the
+    change batch targets BUILDING/MACHINERY, so every file of the other
+    three segments carries BY REFERENCE into gen-2 with its partition
+    value and stats entry verbatim — and (b) carried files are
+    byte-untouched across partitions (mtimes predate the gen-2 staging)."""
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    load_all()["s30b_manifest_merge_cow_partitioned"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s30bmerge")
+
+    man1 = read_manifest(td, as_of_generation=1)
+    man2 = read_manifest(td)
+    assert man2["merge"]["parent"] == 1
+    assert man2["partition_col"] == "c_mktsegment"
+
+    targeted = {"BUILDING", "MACHINERY"}
+    carried = [rel for rel in man2["files"] if rel in set(man1["files"])]
+    fresh = [rel for rel in man2["files"] if rel not in set(man1["files"])]
+    assert carried and fresh, (len(carried), len(fresh))
+
+    # (a) rewritten files live ONLY in the targeted partitions — the
+    # partition-prune stage decided the other segments from metadata alone
+    assert all(man2["partitions"][rel] in targeted for rel in fresh), [
+        man2["partitions"][rel] for rel in fresh
+    ]
+    # every untargeted-segment file of gen-1 carried with value + stats
+    for rel in man1["files"]:
+        if man1["partitions"][rel] not in targeted:
+            assert rel in set(carried), rel
+            assert man2["partitions"][rel] == man1["partitions"][rel]
+            assert man2["stats"][rel] == man1["stats"][rel]
+
+    # (b) carried bytes untouched: mtimes predate the gen-2 staging
+    gen2_files = [rel for rel in man2["files"] if f"gen-2{os.sep}" in rel or "gen-2/" in rel]
+    staged_at = min(os.path.getmtime(os.path.join(td, rel)) for rel in gen2_files)
+    for rel in carried:
+        assert os.path.getmtime(os.path.join(td, rel)) <= staged_at, rel
+
+
+def test_s30b_key_moves_partitions_under_default_mode(spark, sf_dir):
+    """The regime split that makes the partitioned merge honest: under the
+    DEFAULT stable_partition_keys=False, an update that moves a key to a
+    different partition deletes the old row wherever it lives (key-range
+    pruning across all partitions) — no duplicate, no stranded row. Under
+    stable_partition_keys=True, a payload-less delete (NULL partition
+    value) still removes the row via the every-partition fallback instead
+    of being misrouted to the null partition."""
+    import shutil
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish_partitioned,
+        read_committed,
+    )
+
+    rows = [(k, f"n{k}", "A" if k <= 50 else "B") for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k bigint, name string, seg string")
+
+    # regime 1: default mode, key 7 MOVES A -> B
+    td = _scratch(sf_dir, "s30bmove")
+    shutil.rmtree(td, ignore_errors=True)
+    publish_partitioned(
+        df.repartitionByRange(4, "seg", "k"),
+        td,
+        generation=1,
+        partition_col="seg",
+        stats_columns=["k"],
+    )
+    changes = spark.createDataFrame(
+        [(7, "moved", "B", "u", 1)], "k bigint, name string, seg string, op string, seq int"
+    )
+    merge_cow(spark, td, changes, key_col="k", generation=2)
+    out = read_committed(spark, td)
+    got = out.filter("k = 7").collect()
+    assert len(got) == 1 and got[0]["seg"] == "B" and got[0]["name"] == "moved"
+    assert out.count() == 100
+    assert out.filter("seg = 'A'").count() == 49
+
+    # regime 2: stable mode, delete with NULL partition value (payload-less
+    # envelope) — the key's row lives in partition A and must still go
+    td2 = _scratch(sf_dir, "s30bnulldel")
+    shutil.rmtree(td2, ignore_errors=True)
+    publish_partitioned(
+        df.repartitionByRange(4, "seg", "k"),
+        td2,
+        generation=1,
+        partition_col="seg",
+        stats_columns=["k"],
+    )
+    del_changes = spark.createDataFrame(
+        [(9, None, None, "d", 1)], "k bigint, name string, seg string, op string, seq int"
+    )
+    merge_cow(
+        spark, td2, del_changes, key_col="k", generation=2, stable_partition_keys=True
+    )
+    out2 = read_committed(spark, td2)
+    assert out2.filter("k = 9").count() == 0
+    assert out2.count() == 99
+
+    # stable mode partition prune actually bites: an upsert confined to B
+    # carries every A file by reference even though A's key ranges overlap
+    changes_b = spark.createDataFrame(
+        [(60, "upd", "B", "u", 1)], "k bigint, name string, seg string, op string, seq int"
+    )
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    merge_cow(
+        spark, td2, changes_b, key_col="k", generation=3, stable_partition_keys=True
+    )
+    man3 = read_manifest(td2)
+    man2 = read_manifest(td2, as_of_generation=2)
+    a_files = [rel for rel in man2["files"] if man2["partitions"][rel] == "A"]
+    assert a_files and all(rel in set(man3["files"]) for rel in a_files)
+    assert read_committed(spark, td2).filter("k = 60").collect()[0]["name"] == "upd"
+
+
+def test_s31b_partitioned_append_routes_and_reads_across_generations(spark, sf_dir):
+    """s31b path-level contract: appended files stage under THEIR OWN
+    generation's partition dirs, the manifest's partition map covers every
+    file, carried files keep their values and stats verbatim, and
+    read_committed_partitions serves one partition ACROSS all three
+    generations' data dirs (the multi-basePath read)."""
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        read_committed_partitions,
+        read_manifest,
+    )
+
+    load_all()["s31b_manifest_append_partitioned"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s31bappend")
+
+    man1 = read_manifest(td, as_of_generation=1)
+    man3 = read_manifest(td)
+    assert man3["partition_col"] == "o_orderstatus"
+    assert set(man3["partitions"]) == set(man3["files"])
+    for rel in man1["files"]:
+        assert man3["partitions"][rel] == man1["partitions"][rel]
+        assert man3["stats"][rel] == man1["stats"][rel]
+    # appended files live under their generation's own partition dirs
+    gens = {rel.split(os.sep)[1] for rel in man3["files"]}
+    assert gens == {"gen-1", "gen-2", "gen-3"}, gens
+    for rel in man3["files"]:
+        assert f"o_orderstatus={man3['partitions'][rel]}" in rel.replace(
+            "%20", " "
+        ) or man3["partitions"][rel] is None, rel
+
+    # single-partition read spans all three generations
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for status in ("F", "O"):
+        got = read_committed_partitions(spark, td, [status])
+        assert got.count() == o.filter(f"o_orderstatus = '{status}'").count()
+        assert set(got.columns) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+
+
+def test_s32_schema_evolution_contracts(spark, sf_dir):
+    """s32 pins: evolution is metadata-only (files carried by reference),
+    pre-evolution files read NULL-filled, time travel to the pre-evolution
+    generation still serves the OLD schema, the strict append gate tracks
+    the EVOLVED schema (old-shape batches, reorders and retypes reject),
+    and non-additive evolution (non-nullable or duplicate column) rejects."""
+    import pyspark.sql.functions as F  # noqa: N812
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        evolve_schema,
+        publish_append,
+        read_committed,
+        read_manifest,
+    )
+
+    load_all()["s32_manifest_schema_evolution"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s32evolve")
+
+    man1 = read_manifest(td, as_of_generation=1)
+    man2 = read_manifest(td, as_of_generation=2)
+    assert man2["files"] == man1["files"], "evolution must not touch data files"
+    assert man2["evolve"] == {"parent": 1, "added": ["c_tier", "c_score"]}
+    assert man2["stats"] == man1["stats"]
+
+    # pre-evolution files read NULL-filled under the evolved schema
+    evolved_view = read_committed(spark, td, as_of_generation=2)
+    assert evolved_view.columns == ["c_custkey", "c_name", "c_tier", "c_score"]
+    assert evolved_view.filter(F.col("c_tier").isNotNull()).count() == 0
+    # time travel to gen-1 serves the OLD two-column schema
+    assert read_committed(spark, td, as_of_generation=1).columns == [
+        "c_custkey",
+        "c_name",
+    ]
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    old_shape = c.select("c_custkey", "c_name")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(old_shape, td, generation=4)  # evolved gate: new cols required
+    evolved_shape = old_shape.select(
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("string").alias("c_tier"),
+        F.lit(None).cast("bigint").alias("c_score"),
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(
+            evolved_shape.select("c_name", "c_custkey", "c_tier", "c_score"),
+            td,
+            generation=4,
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(
+            evolved_shape.withColumn("c_score", F.col("c_score").cast("int")),
+            td,
+            generation=4,
+        )
+
+    with pytest.raises(ValueError, match="nullable"):
+        evolve_schema(td, 4, [StructField("c_rank", LongType(), False)])
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_schema(td, 4, [StructField("C_TIER", StringType(), True)])
+    with pytest.raises(ValueError, match="at least one"):
+        evolve_schema(td, 4, [])
+
+
+def test_partitioned_merge_matches_python_replay_multi_batch(spark, sf_dir):
+    """Seeded multi-batch replay equivalence for the PARTITIONED merge
+    (the s30 hypothesis test's partitioned sibling): three CDC batches of
+    mixed creates/updates/deletes — including cross-partition moves —
+    applied by merge_cow under the DEFAULT regime must equal a pure-Python
+    last-event-wins dict replay, after every batch."""
+    import random
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish_partitioned,
+        read_committed,
+    )
+
+    rng = random.Random(1405)
+    segs = ["A", "B", "C"]
+    state = {k: (f"n{k}", segs[k % 3]) for k in range(1, 81)}
+    rows = [(k, v[0], v[1]) for k, v in state.items()]
+    df = spark.createDataFrame(rows, "k bigint, name string, seg string")
+
+    td = _scratch(sf_dir, "s30breplay")
+    shutil.rmtree(td, ignore_errors=True)
+    publish_partitioned(
+        df.repartitionByRange(4, "seg", "k"),
+        td,
+        generation=1,
+        partition_col="seg",
+        stats_columns=["k"],
+    )
+
+    gen = 1
+    for _ in range(3):
+        batch = []
+        for seq in range(1, 26):
+            k = rng.randrange(1, 101)
+            op = rng.choice(["c", "u", "u", "d"])
+            seg = rng.choice(segs)  # moves allowed
+            if op == "d":
+                batch.append((k, None, None, "d", seq))
+                state.pop(k, None)
+            else:
+                batch.append((k, f"v{seq}-{k}", seg, op, seq))
+                state[k] = (f"v{seq}-{k}", seg)
+        gen += 1
+        merge_cow(
+            spark,
+            td,
+            spark.createDataFrame(
+                batch, "k bigint, name string, seg string, op string, seq int"
+            ),
+            key_col="k",
+            generation=gen,
+        )
+        got = {
+            r["k"]: (r["name"], r["seg"])
+            for r in read_committed(spark, td).collect()
+        }
+        assert got == state
