@@ -919,7 +919,13 @@ def materialize_jdbc(
     )
 
 
-def lakehouse_merge_batch(table_dir: str, tag: str = "t30"):
+def lakehouse_merge_batch(
+    table_dir: str,
+    tag: str = "t30",
+    max_files: int | None = None,
+    compact_target_files: int = 4,
+    gc_older_than_s: float | None = 0.0,
+):
     """T30 foreachBatch: the T9 upsert landed as an ATOMIC LAKEHOUSE COMMIT
     — each micro-batch of CDC envelopes becomes one manifest generation via
     merge_cow (sources/manifest.py): stats-pruned copy-on-write rewrite of
@@ -937,10 +943,34 @@ def lakehouse_merge_batch(table_dir: str, tag: str = "t30"):
 
     Same input contract as T9: per-key order ACROSS batches (the lsn-split
     replay / a keyed Kafka partition) — the merge forgets a tombstone's
-    lsn once the key is removed."""
+    lsn once the key is removed.
+
+    Steady-state maintenance (r13 verdict #3 — the S26 docstring's
+    append/merge + periodic-compact loop, run BY the sink instead of
+    out-of-band): one generation per micro-batch accrues superseded
+    generations and small files without bound; with ``max_files`` set,
+    whenever a merge commits a generation holding more than ``max_files``
+    data files the sink immediately compacts it to
+    ``compact_target_files`` files and garbage-collects superseded
+    generations older than ``gc_older_than_s`` seconds — all inside the
+    same single-writer loop, so the writer-exclusivity contract holds by
+    construction. ``compact`` carries the (tag, batch_id) txn watermark
+    forward, so a restart right after a maintenance commit still skips
+    already-applied batches; a reader racing the compaction sees the
+    pre- or post-compaction generation atomically, and ``gc_older_than_s``
+    is the standard retention knob for long-lived snapshot readers
+    (``None`` collects regardless of age — only safe when no reader can
+    hold a stale generation). Live state stays bounded: ≤ max_files +
+    batch's own files at any commit, and generations bounded by the
+    retention window instead of the stream's lifetime."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        from ez_cdc_spark.sources.manifest import merge_cow, read_manifest
+        from ez_cdc_spark.sources.manifest import (
+            compact,
+            gc,
+            merge_cow,
+            read_manifest,
+        )
 
         spark = batch.sparkSession
         man = read_manifest(table_dir)
@@ -961,7 +991,7 @@ def lakehouse_merge_batch(table_dir: str, tag: str = "t30"):
         gen = man["generation"] + 1
         for _ in range(100):
             try:
-                merge_cow(
+                merged = merge_cow(
                     spark,
                     table_dir,
                     changes,
@@ -969,10 +999,26 @@ def lakehouse_merge_batch(table_dir: str, tag: str = "t30"):
                     generation=gen,
                     txn={"tag": tag, "batch_id": batch_id},
                 )
-                return
+                break
             except FileExistsError:
                 gen += 1  # orphan manifest from a crashed attempt — skip over
-        raise RuntimeError(f"no free generation number near {gen}")
+        else:
+            raise RuntimeError(f"no free generation number near {gen}")
+
+        # steady-state maintenance, same single-writer loop (r13 verdict #3)
+        if max_files is not None and merged["n_files"] > max_files:
+            cgen = merged["generation"] + 1
+            for _ in range(100):
+                try:
+                    compact(
+                        spark, table_dir, cgen, target_files=compact_target_files
+                    )
+                    break
+                except FileExistsError:
+                    cgen += 1
+            else:
+                raise RuntimeError(f"no free generation number near {cgen}")
+            gc(table_dir, older_than_s=gc_older_than_s)
 
     return apply
 
@@ -984,7 +1030,11 @@ def materialize_lakehouse(
     the merge provably spans multiple micro-batches) → per-batch merge_cow
     commits into a manifest table bootstrapped as an empty schema-bearing
     generation → final committed state. Returns read_committed of the
-    final generation."""
+    final generation. The sink runs its steady-state maintenance policy
+    (max_files=8 → compact to 2 + collect superseded generations), so the
+    registered query exercises merge AND maintenance in one replay — the
+    result must be invariant to when compaction fires (content-preserving
+    by construction)."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -1019,7 +1069,15 @@ def materialize_lakehouse(
         .json(path)
     )
     q = (
-        env.writeStream.foreachBatch(lakehouse_merge_batch(table_dir, tag))
+        env.writeStream.foreachBatch(
+            lakehouse_merge_batch(
+                table_dir,
+                tag,
+                max_files=8,
+                compact_target_files=2,
+                gc_older_than_s=0.0,
+            )
+        )
         .option("checkpointLocation", checkpoint_dir())
         .trigger(availableNow=True)
         .start()

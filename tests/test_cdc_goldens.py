@@ -1705,3 +1705,147 @@ def test_t30_lakehouse_merge_kill_restart_and_snapshot_history(spark, tmp_path, 
             for r in read_committed(spark, td, as_of_generation=g).collect()
         }
         assert snap == folds[k], f"generation {g} != fold of stages 0..{k}"
+
+
+def test_t30_maintenance_policy_bounds_state_and_readers(spark, tmp_path, sf_dir):
+    """r13 verdict #3 'done' conditions: the sink's steady-state policy
+    (merge + threshold compact + gc, all inside the single-writer loop)
+    replayed over 14 CDC batches keeps (a) the committed file count and
+    live generation/manifest counts BOUNDED instead of growing with the
+    stream's lifetime, carries the (tag, batch_id) txn watermark through
+    every maintenance commit (a post-compaction replay still skips), and
+    (b/c) a reader racing the merge+compact loop only ever observes one of
+    the per-batch committed states — never a torn or half-compacted mix."""
+    import json
+    import os
+    import threading
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        read_committed,
+        read_manifest,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        lakehouse_merge_batch,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    n_batches = 14
+
+    def mk_batches(root):
+        """Write 14 JSONL envelope batches; return (paths, folds) where
+        folds[b] is the pure-Python last-event-wins state after batch b."""
+        os.makedirs(root, exist_ok=True)
+        paths, folds, state = [], [], {}
+        for b in range(n_batches):
+            events = []
+            for i in range(12):
+                k = (7 * b + 3 * i) % 30
+                lsn = b * 100 + i
+                op = "d" if (b + i) % 5 == 4 else ("c" if i == 0 else "u")
+                ev = {"op": op, "source": {"lsn": lsn}, "ts_ms": lsn}
+                if op == "d":
+                    ev["before"] = {"id": k}
+                else:
+                    ev["after"] = {
+                        "id": k,
+                        "first_name": f"fn{b}-{i}",
+                        "last_name": str(k),
+                        "email": f"e{k}",
+                    }
+                events.append(ev)
+            for ev in sorted(events, key=lambda e: e["source"]["lsn"]):
+                key = (ev.get("after") or ev.get("before"))["id"]
+                if ev["op"] == "d":
+                    state.pop(key, None)
+                else:
+                    state[key] = ev["after"]["first_name"]
+            folds.append(dict(state))
+            p = os.path.join(root, f"batch-{b:03d}.json")
+            with open(p, "w") as fh:
+                fh.write("\n".join(json.dumps(e) for e in events))
+            paths.append(p)
+        return paths, folds
+
+    paths, folds = mk_batches(str(tmp_path / "stages"))
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+
+    def read_batch(p):
+        return spark.read.schema(ENVELOPE_JSON_SCHEMA).json(p)
+
+    def committed_state(td, as_of=None):
+        return {
+            r["id"]: r["first_name"]
+            for r in read_committed(spark, td, as_of_generation=as_of).collect()
+        }
+
+    # ---- run A: tight policy + immediate gc -> bounded live state ----
+    td = str(tmp_path / "laketable-a")
+    publish(spark.createDataFrame([], schema), td, generation=1, stats_columns=["id"])
+    # max_files=0 trips maintenance on EVERY merge commit — the tightest
+    # regime, so the bound pins are deterministic regardless of how many
+    # files a tiny batch's rewrite happens to stage
+    sink = lakehouse_merge_batch(
+        td, tag="t30maint", max_files=0, compact_target_files=1, gc_older_than_s=0.0
+    )
+    for b, p in enumerate(paths):
+        sink(read_batch(p), b)
+        man = read_manifest(td)
+        assert man["n_files"] <= 2, (b, man["n_files"])
+        assert man["txn"] == {"tag": "t30maint", "batch_id": b}, (
+            "txn watermark must survive maintenance commits"
+        )
+        assert committed_state(td) == folds[b], f"state diverged at batch {b}"
+    # live metadata bounded: not one generation per batch left behind
+    data_dirs = [d for d in os.listdir(os.path.join(td, "data")) if d.startswith("gen-")]
+    manifests = [m for m in os.listdir(os.path.join(td, "_manifests")) if m.startswith("gen-")]
+    assert len(data_dirs) <= 4, data_dirs
+    assert len(manifests) <= 4, manifests
+    # post-compaction replay of the last batch is still a no-op skip
+    gen_before = read_manifest(td)["generation"]
+    sink(read_batch(paths[-1]), n_batches - 1)
+    assert read_manifest(td)["generation"] == gen_before
+
+    # ---- run B: retention window + a reader racing merge+compact ----
+    td2 = str(tmp_path / "laketable-b")
+    publish(spark.createDataFrame([], schema), td2, generation=1, stats_columns=["id"])
+    sink2 = lakehouse_merge_batch(
+        td2, tag="t30race", max_files=0, compact_target_files=1, gc_older_than_s=3600.0
+    )
+    valid = [frozenset()] + [frozenset(f.items()) for f in folds]
+    errors: list = []
+    seen: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                st = frozenset(committed_state(td2).items())
+                seen.append(st)
+                if st not in valid:
+                    errors.append(("inconsistent state", sorted(st)))
+                    return
+            except Exception as exc:  # a torn read would surface here
+                errors.append(("read failed", repr(exc)))
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    try:
+        for b, p in enumerate(paths):
+            sink2(read_batch(p), b)
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert not errors, errors[:3]
+    assert len(seen) >= 3, "racing reader barely ran"
+    assert committed_state(td2) == folds[-1]
