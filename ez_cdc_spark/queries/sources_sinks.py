@@ -1988,3 +1988,90 @@ def s32_manifest_schema_evolution(spark, sf_dir):
         )
         .orderBy("c_tier")
     )
+
+
+@register(
+    "s33_concurrent_writers",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="S33: optimistic multi-writer concurrency — closing the manifest "
+    "family's one documented limitation (the module docstring's former "
+    "'MANY readers / ONE writer' contract): commits are now a real "
+    "compare-and-swap like every production table format's log-tip CAS. "
+    "Three serialization layers in `sources/manifest.py`: (1) an O_EXCL "
+    "generation-number RESERVATION taken before any data stages, so two "
+    "writers racing from the same parent can never stage into the same "
+    "data/gen-N dir (the loser re-picks a higher number having written "
+    "nothing); (2) the immutable manifest is created with os.link — an "
+    "atomic create-if-absent, Delta's putIfAbsent-on-the-next-log-file — "
+    "closing the old validate-then-replace TOCTOU; (3) the pointer swap "
+    "re-validates under a microseconds-held lock that the committed "
+    "generation is still the expected_parent the writer derived from, "
+    "raising CommitConflictError instead of silently losing an update — "
+    "the loser's output stays gc-reclaimable debris and retry_commit "
+    "re-derives from the new state. The query runs the real thing: three "
+    "THREADS append disjoint orders slices concurrently through "
+    "retry_commit onto a published base; whatever the interleaving, the "
+    "final committed table must equal the full orders table — which is "
+    "exactly what the oracle recomputes, so hash-green certifies no lost "
+    "update, no duplicate, no torn commit under genuine concurrency. "
+    "Pytest additionally pins the deterministic conflict (stale parent "
+    "-> CommitConflictError, orphan reclaim), reservation serialization, "
+    "stale-lock/stale-reservation recovery, and a 4-writer merge stress "
+    "whose committed lineage must form a strict parent chain. At 100 TB: "
+    "N independent ingest jobs share one table; a conflict costs a "
+    "metadata re-derive (plus re-staging the loser's batch), never a "
+    "table rewrite, and readers are never blocked.",
+)
+def s33_concurrent_writers(spark, sf_dir):
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        publish_append,
+        read_committed,
+        retry_commit,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = _scratch(sf_dir, "s33writers")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        o.filter("o_orderkey % 4 = 0").repartitionByRange(2, "o_orderkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["o_orderkey"],
+    )
+
+    def appender(i: int) -> dict:
+        batch = o.filter(f"o_orderkey % 4 = {i}").repartitionByRange(
+            2, "o_orderkey"
+        )
+        return retry_commit(
+            lambda g: publish_append(batch, table_dir, g), table_dir
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(appender, [1, 2, 3]))
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

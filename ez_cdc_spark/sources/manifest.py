@@ -41,14 +41,21 @@ formats are built on:
   range-clustered layout. Files without stats are always kept (pruning is
   conservative by construction).
 
-Concurrency contract: MANY readers / ONE writer. Commits are atomic for
-readers at any time, but two concurrent writers can interleave
-stage/validate/swap arbitrarily — real table formats serialize writers via
-an atomic compare-and-swap on the log tip; this module documents the
-single-writer assumption instead. ``gc`` additionally re-resolves the
-pointer after listing and skips any generation NEWER than the one it
-resolved, so even a publish racing a GC (a writer-exclusivity violation)
-cannot have its fresh commit collected; an ``older_than_s`` retention
+Concurrency contract (S33, r14 — the former single-writer assumption made
+a real compare-and-swap): MANY readers / MANY writers. Commits are atomic
+for readers at any time; writers serialize exactly the way real table
+formats do on the log tip: (1) the generation manifest is reserved with an
+atomic create-if-absent (``os.link`` — Delta's putIfAbsent on the next log
+file; two writers racing to the same number: exactly one wins, the loser
+retries at a higher number), and (2) the pointer swap re-validates under a
+microseconds-held lock that the committed generation is still the
+``expected_parent`` this writer's manifest was derived from — a concurrent
+commit in between raises :class:`CommitConflictError` (no lost updates;
+the loser's staged output remains gc-reclaimable debris) and the caller
+re-derives from the new state, the standard optimistic conflict-retry
+loop. ``gc`` additionally re-resolves the pointer after listing and skips
+any generation NEWER than the one it resolved, so even a publish racing a
+GC cannot have its fresh commit collected; an ``older_than_s`` retention
 threshold protects long-lived readers of superseded generations.
 
 Durability: manifest and pointer contents are fsynced, and the containing
@@ -80,6 +87,18 @@ from pyspark.sql.types import StructType
 
 _POINTER = "_MANIFEST"
 _GEN_RE = re.compile(r"gen-(\d+)(?:\.json)?$")
+_COMMIT_LOCK = ".commit.lock"
+_AUTO = object()  # "capture expected_parent at call time" sentinel
+_LOCK_STALE_S = 30.0  # a crashed writer's lock is broken after this age
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed between this writer's read of the
+    table state and its pointer swap (S33 optimistic concurrency): the
+    losing commit is rejected — its manifest and staged files remain as
+    reclaimable debris (``gc`` with an age threshold collects them) — and
+    the caller retries from the NEW committed state, exactly the
+    Delta/Iceberg conflict-retry loop."""
 
 
 def _stage_dir(table_dir: str, generation: int) -> str:
@@ -184,7 +203,22 @@ def _range_excludes(rng: list, lo, hi) -> bool:
     return rng[0] > hi or rng[1] < lo
 
 
-def _validate_generation(table_dir: str, generation: int) -> None:
+def _reserve_path(table_dir: str, generation: int) -> str:
+    return os.path.join(table_dir, "_manifests", f".reserve-gen-{generation}")
+
+
+def _validate_generation(
+    table_dir: str, generation: int, reserve: bool = True
+) -> None:
+    """Monotonicity + immutability guards, and — S33 — an atomic
+    RESERVATION of the generation number taken BEFORE any data is staged:
+    two writers racing from the same parent would otherwise both stage
+    into ``data/gen-N`` and corrupt each other's files long before either
+    reached the manifest step. The O_EXCL reservation file serializes
+    number assignment (the loser re-picks a higher number having written
+    nothing); it is deleted once the immutable manifest exists and takes
+    over the blocking, and a crashed writer's stale reservation is
+    age-reclaimed by ``gc(older_than_s=...)``."""
     committed = current_generation(table_dir)
     if committed is not None and generation <= committed:
         raise ValueError(
@@ -198,6 +232,22 @@ def _validate_generation(table_dir: str, generation: int) -> None:
             f"pick a fresh generation (a torn commit's manifest is abandoned, "
             f"never rewritten)"
         )
+    if not reserve:
+        return  # fail-fast pre-check only (compact validates before its read,
+        # then the publish it delegates to takes the real reservation)
+    os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
+    try:
+        os.close(
+            os.open(
+                _reserve_path(table_dir, generation),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        )
+    except FileExistsError:
+        raise FileExistsError(
+            f"generation {generation} is reserved by a concurrent writer; "
+            f"pick a fresh generation"
+        ) from None
 
 
 def publish(
@@ -206,6 +256,7 @@ def publish(
     generation: int,
     stats_columns: list[str] | None = None,
     txn: dict | None = None,
+    expected_parent=_AUTO,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
@@ -214,7 +265,11 @@ def publish(
     when ``stats_columns`` is given, per-file footer min/max for those
     columns (S28 file skipping). ``txn`` records caller transaction
     metadata in the manifest (the Delta txn-version pattern — see
-    merge_cow)."""
+    merge_cow). ``expected_parent`` is the CAS guard (S33): by default
+    the generation committed NOW must still be committed at the pointer
+    swap; derived writers (compact) pass the generation they read."""
+    if expected_parent is _AUTO:
+        expected_parent = current_generation(table_dir)
     _validate_generation(table_dir, generation)
     files = stage_only(df, table_dir, generation)
     manifest = {
@@ -230,13 +285,65 @@ def publish(
         }
     if txn is not None:
         manifest["txn"] = txn
-    return _commit_manifest(table_dir, generation, manifest)
+    return _commit_manifest(
+        table_dir, generation, manifest, expected_parent=expected_parent
+    )
 
 
-def _commit_manifest(table_dir: str, generation: int, manifest: dict) -> dict:
-    """The shared two-phase commit tail: fsynced immutable manifest write,
-    then the one atomic pointer swap (with directory fsyncs recording both
-    renames)."""
+def _acquire_pointer_lock(table_dir: str) -> int:
+    """Short-critical-section mutual exclusion around the pointer swap
+    (held for the microseconds of one re-read + one rename, never during
+    data staging). O_CREAT|O_EXCL is the POSIX putIfAbsent; a lock older
+    than ``_LOCK_STALE_S`` belongs to a crashed writer and is broken —
+    the same lease-style recovery object-store commit services use."""
+    import time
+
+    lock = os.path.join(table_dir, _COMMIT_LOCK)
+    deadline = time.time() + _LOCK_STALE_S * 2
+    while True:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                    os.unlink(lock)  # crashed holder; next loop re-races
+                    continue
+            except OSError:
+                continue  # holder released between stat and unlink
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock stuck at {lock}") from None
+            time.sleep(0.005)
+
+
+def _release_pointer_lock(table_dir: str, fd: int) -> None:
+    os.close(fd)
+    try:
+        os.unlink(os.path.join(table_dir, _COMMIT_LOCK))
+    except FileNotFoundError:
+        pass  # broken as stale by a waiter (only possible past _LOCK_STALE_S)
+
+
+def _commit_manifest(
+    table_dir: str, generation: int, manifest: dict, expected_parent: int | None
+) -> dict:
+    """The shared two-phase commit tail, now a real compare-and-swap
+    (S33, closing the module's documented single-writer assumption):
+
+    1. The generation manifest is reserved with ``os.link`` — an atomic
+       create-if-absent, so two writers that both picked gen-N cannot
+       both own it (the old os.replace had a validate→write TOCTOU
+       window where the second writer silently overwrote the first's
+       "immutable" manifest). The loser gets FileExistsError and retries
+       at a higher number — the Delta putIfAbsent-on-the-next-log-file
+       move.
+    2. The pointer swap re-validates under a short-lived lock that the
+       committed generation is STILL ``expected_parent`` — the state this
+       writer's manifest was derived from. A concurrent commit in between
+       raises :class:`CommitConflictError` instead of silently clobbering
+       it (lost update): the loser's manifest/files stay as gc-reclaimable
+       debris and the caller retries from the new state. Readers are
+       never blocked — they only ever see complete committed pointers.
+    """
     mdir = os.path.join(table_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     mpath = _manifest_path(table_dir, generation)
@@ -245,17 +352,71 @@ def _commit_manifest(table_dir: str, generation: int, manifest: dict) -> dict:
         json.dump(manifest, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(mtmp, mpath)
+    try:
+        os.link(mtmp, mpath)  # atomic reservation: exactly one writer owns gen-N
+    except FileExistsError:
+        raise FileExistsError(
+            f"manifest gen-{generation}.json already exists and is immutable; "
+            f"pick a fresh generation (a torn commit's manifest is abandoned, "
+            f"never rewritten)"
+        ) from None
+    finally:
+        os.unlink(mtmp)
+    try:
+        # the immutable manifest now blocks gen-N reuse; the staging-phase
+        # reservation has done its job
+        os.unlink(_reserve_path(table_dir, generation))
+    except FileNotFoundError:
+        pass  # direct _commit_manifest callers (tests) never reserved
     _fsync_dir(mdir)
 
-    ptmp = os.path.join(table_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
-    with open(ptmp, "w") as fh:
-        json.dump({"current": f"gen-{generation}.json"}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(ptmp, os.path.join(table_dir, _POINTER))  # THE commit point
-    _fsync_dir(table_dir)
+    fd = _acquire_pointer_lock(table_dir)
+    try:
+        cur = current_generation(table_dir)
+        if cur != expected_parent:
+            raise CommitConflictError(
+                f"table advanced to generation {cur} while this writer was "
+                f"building on {expected_parent}: commit of gen-{generation} "
+                f"rejected, retry from the new committed state"
+            )
+        ptmp = os.path.join(table_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
+        with open(ptmp, "w") as fh:
+            json.dump({"current": f"gen-{generation}.json"}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptmp, os.path.join(table_dir, _POINTER))  # THE commit point
+        _fsync_dir(table_dir)
+    finally:
+        _release_pointer_lock(table_dir, fd)
     return manifest
+
+
+def retry_commit(write, table_dir: str, max_attempts: int = 50) -> dict:
+    """S33 conflict-retry loop — the optimistic-concurrency driver every
+    real table format wraps around its log-tip CAS: derive the next free
+    generation number from the CURRENT committed state, run
+    ``write(generation)`` (which must itself re-read that state —
+    ``publish_append`` / ``merge_cow`` / ``compact`` / ``evolve_schema``
+    all re-resolve the manifest per call, so a retried call is re-derived,
+    never a stale replay), and on any of the conflict shapes — number
+    reserved by a concurrent writer, manifest already existing, pointer
+    moved past this writer's parent — re-derive and try again, bumping
+    past orphan-blocked numbers. Returns the committed manifest.
+
+    At 100 TB this is the commit protocol for N independent ingest jobs
+    sharing one table: conflicts cost a re-derive of METADATA (and for
+    merge/append a re-stage of the batch), never a table rewrite."""
+    last: Exception | None = None
+    gen = 0
+    for _ in range(max_attempts):
+        gen = max((current_generation(table_dir) or 0) + 1, gen + 1)
+        try:
+            return write(gen)
+        except (CommitConflictError, FileExistsError) as e:
+            last = e
+    raise RuntimeError(
+        f"commit did not land within {max_attempts} attempts"
+    ) from last
 
 
 def _stage_partitioned(
@@ -291,6 +452,7 @@ def publish_partitioned(
     partition_col: str,
     stats_columns: list[str] | None = None,
     txn: dict | None = None,
+    expected_parent=_AUTO,
 ) -> dict:
     """S29: partition-aware atomic publish — S25's two-phase protocol
     composed with S7's partitionBy layout: the generation stages as
@@ -308,6 +470,8 @@ def publish_partitioned(
     column itself never appears in footers (it lives in the directory
     names), so requesting it simply records nothing for it — pruning on
     the partition column is served by the ``partitions`` map instead."""
+    if expected_parent is _AUTO:
+        expected_parent = current_generation(table_dir)
     _validate_generation(table_dir, generation)
     files, partitions = _stage_partitioned(df, table_dir, generation, partition_col)
     manifest = {
@@ -325,7 +489,9 @@ def publish_partitioned(
         }
     if txn is not None:
         manifest["txn"] = txn
-    return _commit_manifest(table_dir, generation, manifest)
+    return _commit_manifest(
+        table_dir, generation, manifest, expected_parent=expected_parent
+    )
 
 
 def read_committed_partitions(
@@ -518,7 +684,7 @@ def compact(
     compaction changes the file layout, never the applied-batch watermark
     — dropping it would make a restarted CDC sink re-apply batches the
     table already absorbed."""
-    _validate_generation(table_dir, generation)
+    _validate_generation(table_dir, generation, reserve=False)
     manifest = read_manifest(table_dir)
     pcol = manifest.get("partition_col")
     if stats_columns is None:
@@ -537,8 +703,16 @@ def compact(
             partition_col=pcol,
             stats_columns=stats_columns,
             txn=txn,
+            expected_parent=manifest["generation"],
         )
-    return publish(df, table_dir, generation, stats_columns=stats_columns, txn=txn)
+    return publish(
+        df,
+        table_dir,
+        generation,
+        stats_columns=stats_columns,
+        txn=txn,
+        expected_parent=manifest["generation"],
+    )
 
 
 def publish_append(
@@ -575,7 +749,6 @@ def publish_append(
     partition pruning, S28 stats pruning, and S30's touched-file split
     all keep working across appends. Transaction metadata carries forward
     (appending never rewinds the applied-batch watermark)."""
-    _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
     schema = manifest.get("schema")
     if schema is None:
@@ -591,6 +764,10 @@ def publish_append(
         raise ValueError(
             f"append schema mismatch: table has {stored}, batch has {incoming}"
         )
+    # reservation LAST, after every cheap validation: a reservation that
+    # outlives its writer then only ever means a mid-write crash — the
+    # gc-reclaimable torn-commit debris class, never a rejected argument
+    _validate_generation(table_dir, generation)
 
     pcol = manifest.get("partition_col")
     if pcol is not None:
@@ -627,7 +804,9 @@ def publish_append(
         }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
-    return _commit_manifest(table_dir, generation, new_manifest)
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
 
 
 def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
@@ -663,7 +842,6 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
     )
     if not fields:
         raise ValueError("evolve_schema needs at least one added field")
-    _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
     schema = manifest.get("schema")
     if schema is None:
@@ -678,6 +856,7 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
         if f.name.lower() in existing:
             raise ValueError(f"column {f.name!r} already exists")
         existing.add(f.name.lower())
+    _validate_generation(table_dir, generation)  # reservation last (see append)
     new_schema = {
         **schema,
         "fields": schema["fields"] + json.loads(StructType(fields).json())["fields"],
@@ -699,7 +878,9 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
             "added": [f.name for f in fields],
         },
     }
-    return _commit_manifest(table_dir, generation, new_manifest)
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
 
 
 def _merge_rewrite(
@@ -796,7 +977,6 @@ def merge_cow(
 
     from pyspark.sql import functions as F  # noqa: N812
 
-    _validate_generation(table_dir, generation)
     manifest = read_manifest(table_dir)
     schema = manifest.get("schema")
     if schema is None:
@@ -814,6 +994,7 @@ def merge_cow(
             "split needs key ranges INSIDE files, and a partition value is "
             "constant per file — repartition the table or key on a data column"
         )
+    _validate_generation(table_dir, generation)  # reservation last (see append)
 
     # Resolve last-event-wins per key: one struct-ordered max_by keeps the
     # whole resolution in a single HashAggregate (deterministic: the order
@@ -939,7 +1120,9 @@ def merge_cow(
         # watermark and skips already-applied batches, so replays are
         # idempotent without exactly-once delivery
         new_manifest["txn"] = txn
-    return _commit_manifest(table_dir, generation, new_manifest)
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
 
 
 def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
@@ -1044,6 +1227,18 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
         shutil.rmtree(full)
         deleted.append(full)
     for m in mcandidates:
+        if m.startswith(".reserve-gen-"):
+            # a crashed writer's staging-phase reservation permanently
+            # blocks its generation number; an explicit age threshold is
+            # the caller's assertion the writer is gone (S33)
+            full = os.path.join(mdir, m)
+            if older_than_s is not None and not _young(full):
+                try:
+                    os.unlink(full)
+                    deleted.append(full)
+                except FileNotFoundError:
+                    pass  # the writer finished its commit mid-gc
+            continue
         if m.startswith("."):
             continue  # .gen-N.json.<uuid>.tmp mid-commit — deleting it
             # would make the racing publish's os.replace fail (the

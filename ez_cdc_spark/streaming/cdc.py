@@ -1024,7 +1024,10 @@ def lakehouse_merge_batch(
 
 
 def materialize_lakehouse(
-    spark: SparkSession, sf_dir: str, tag: str = "t30"
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t30",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """T30 end-to-end: lsn-split envelope stream (one file per trigger, so
     the merge provably spans multiple micro-batches) → per-batch merge_cow
@@ -1034,7 +1037,16 @@ def materialize_lakehouse(
     (max_files=8 → compact to 2 + collect superseded generations), so the
     registered query exercises merge AND maintenance in one replay — the
     result must be invariant to when compaction fires (content-preserving
-    by construction)."""
+    by construction).
+
+    ``partition_col`` (t30b) bootstraps the table PARTITIONED: every
+    micro-batch then runs the r14 partitioned merge — the rewrite stages
+    back under the Hive layout and the manifest keeps partition pruning.
+    The natural column here is ``first_name`` (the event type), which
+    CHANGES across a key's updates — deliberately, because it proves the
+    default key-range pruning regime's correctness under cross-partition
+    key moves in the live streaming path (a moved key's old row is
+    deleted wherever it lives; stable_partition_keys stays False)."""
     from pyspark.sql.types import (
         LongType,
         StringType,

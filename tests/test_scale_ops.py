@@ -2250,3 +2250,198 @@ def test_partitioned_merge_matches_python_replay_multi_batch(spark, sf_dir):
             for r in read_committed(spark, td).collect()
         }
         assert got == state
+
+
+def test_s33_cas_rejects_lost_update_and_reclaims_loser(spark, sf_dir):
+    """The CAS contract, deterministically: a writer that derived its
+    manifest from generation 1 must NOT be able to swap the pointer after
+    a concurrent writer committed generation 2 in between — the classic
+    lost update. The loser raises CommitConflictError, the winner's state
+    keeps serving, the loser's manifest is orphan debris an aged gc
+    reclaims, and its generation number becomes publishable again."""
+    import os
+    import shutil
+
+    import pytest
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        CommitConflictError,
+        _commit_manifest,
+        gc,
+        publish_append,
+        read_committed,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s33cas")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    from ez_cdc_spark.sources.manifest import publish
+
+    publish(o.filter("o_orderkey % 3 = 0"), td, generation=1)
+
+    # writer A reads gen-1 as its parent ... then writer B commits gen-2
+    man1 = read_manifest(td)
+    publish_append(o.filter("o_orderkey % 3 = 1"), td, generation=2)
+    n_after_b = read_committed(spark, td).count()
+
+    # ... and A's swap must now be rejected, manifest left as debris
+    stale = {**man1, "generation": 3}
+    with pytest.raises(CommitConflictError, match="advanced to generation 2"):
+        _commit_manifest(td, 3, stale, expected_parent=1)
+    assert read_manifest(td)["generation"] == 2
+    assert read_committed(spark, td).count() == n_after_b
+    assert os.path.exists(os.path.join(td, "_manifests", "gen-3.json"))
+
+    # the orphan blocks gen-3 reuse until an aged gc reclaims it
+    with pytest.raises(FileExistsError):
+        publish_append(o.filter("o_orderkey % 3 = 2"), td, generation=3)
+    deleted = gc(td, older_than_s=0.0)
+    assert any(p.endswith("gen-3.json") for p in deleted), deleted
+    publish_append(o.filter("o_orderkey % 3 = 2"), td, generation=3)
+    assert read_committed(spark, td).count() == o.count()
+
+
+def test_s33_reservation_serializes_staging_and_releases_on_bad_args(
+    spark, sf_dir
+):
+    """The staging-phase reservation: two writers picking the same
+    generation number cannot both proceed (the second fails BEFORE any
+    data is staged — the data/gen-N collision that would corrupt files is
+    structurally impossible), a writer rejected on a CHEAP validation
+    (schema mismatch) leaves no reservation behind (the number stays
+    usable), and a crashed writer's stale reservation is age-reclaimed by
+    gc and the number becomes publishable again."""
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F  # noqa: N812
+    import pytest
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        _reserve_path,
+        _validate_generation,
+        gc,
+        publish,
+        publish_append,
+        read_committed,
+    )
+
+    td = _scratch(sf_dir, "s33reserve")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    publish(o.filter("o_orderkey % 2 = 0"), td, generation=1)
+
+    # same-number race: exactly one reservation wins, before any staging
+    _validate_generation(td, 2)
+    with pytest.raises(FileExistsError, match="reserved by a concurrent writer"):
+        _validate_generation(td, 2)
+    os.unlink(_reserve_path(td, 2))  # release the probe's reservation
+
+    # a rejected append leaves NO reservation: the retry at the same
+    # number must hit the schema gate again, not a phantom reservation
+    bad = o.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        publish_append(bad, td, generation=2)
+    publish_append(o.filter("o_orderkey % 2 = 1"), td, generation=2)
+    assert read_committed(spark, td).count() == o.count()
+
+    # crashed writer: stale reservation blocks, aged gc reclaims
+    stale = _reserve_path(td, 5)
+    os.close(os.open(stale, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    with pytest.raises(FileExistsError, match="reserved"):
+        _validate_generation(td, 5)
+    deleted = gc(td, older_than_s=60.0)
+    assert any(p.endswith(".reserve-gen-5") for p in deleted), deleted
+    _validate_generation(td, 5)  # number usable again
+    os.unlink(_reserve_path(td, 5))
+
+
+def test_s33_stale_pointer_lock_is_broken(spark, sf_dir):
+    """A crashed writer that died INSIDE the pointer critical section must
+    not wedge the table: a lock file older than the stale threshold is
+    broken by the next committer and its commit proceeds."""
+    import os
+    import shutil
+    import time
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        _COMMIT_LOCK,
+        publish,
+        read_committed,
+    )
+
+    td = _scratch(sf_dir, "s33lock")
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td)
+    lock = os.path.join(td, _COMMIT_LOCK)
+    os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    publish(o.limit(10), td, generation=1)  # must break the stale lock
+    assert read_committed(spark, td).count() == 10
+    assert not os.path.exists(lock)
+
+
+def test_s33_concurrent_merges_serialize_into_a_parent_chain(spark, sf_dir):
+    """4 threads merge disjoint key ranges into one table through
+    retry_commit. Whatever the interleaving: every upsert lands (no lost
+    update), and the four committed manifests form a STRICT parent chain
+    gen1 <- c1 <- c2 <- c3 <- c4 — the serializability witness."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish,
+        read_committed,
+        retry_commit,
+    )
+
+    td = _scratch(sf_dir, "s33merge")
+    shutil.rmtree(td, ignore_errors=True)
+    rows = [(k, f"n{k}") for k in range(1, 201)]
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    publish(
+        df.repartitionByRange(4, "k"), td, generation=1, stats_columns=["k"]
+    )
+
+    def worker(i: int) -> dict:
+        lo, hi = i * 50 + 1, (i + 1) * 50
+        changes = spark.createDataFrame(
+            [(k, f"w{i}-{k}", "u", 1) for k in range(lo, hi + 1)],
+            "k bigint, name string, op string, seq int",
+        )
+        return retry_commit(
+            lambda g: merge_cow(spark, td, changes, key_col="k", generation=g),
+            td,
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        commits = list(ex.map(worker, range(4)))
+
+    # serializability witness: commit parents form a strict chain from 1
+    by_gen = {m["generation"]: m for m in commits}
+    gens = sorted(by_gen)
+    parents = [by_gen[g]["merge"]["parent"] for g in gens]
+    assert parents == [1] + gens[:-1], (gens, parents)
+
+    # no lost update: every worker's 50 upserts survive
+    got = {r["k"]: r["name"] for r in read_committed(spark, td).collect()}
+    assert len(got) == 200
+    for i in range(4):
+        for k in range(i * 50 + 1, (i + 1) * 50 + 1):
+            assert got[k] == f"w{i}-{k}", (k, got[k])
