@@ -2042,3 +2042,55 @@ def t30_lakehouse_cdc_merge(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id")
+
+
+@register(
+    "t30b_lakehouse_cdc_merge_partitioned",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T30b: streaming CDC -> PARTITIONED lakehouse — t30's sink "
+    "composed with the r14 partitioned merge (s30b), end to end in the "
+    "live streaming path: the table bootstraps partitioned by first_name "
+    "(the event type), each micro-batch lands as one partitioned "
+    "merge_cow commit whose rewrite stages back under the Hive layout, "
+    "and the manifest keeps partition pruning across the whole replay. "
+    "first_name is chosen DELIBERATELY because it changes across a key's "
+    "updates: every update that flips a key's event type MOVES the row "
+    "between partitions, so the replay exercises the default key-range "
+    "pruning regime's correctness under cross-partition moves on every "
+    "batch — the old row deleted wherever it lives, the new row landing "
+    "in its new partition dir, no duplicates and no strandings, which is "
+    "exactly what hash-equality against the same declarative last-event-"
+    "wins oracle as t9/t30 certifies. The maintenance policy runs too "
+    "(threshold compact + gc inside the single-writer loop), so "
+    "partitioned compaction is exercised under streaming commits. At "
+    "100 TB: a CDC stream lands into a date/tenant-partitioned lakehouse "
+    "table with per-batch cost tracking the batch, and readers get "
+    "partition-pruned scans plus atomic snapshots for free.",
+)
+def t30b_lakehouse_cdc_merge_partitioned(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse
+
+    state = materialize_lakehouse(
+        spark, sf_dir, tag="t30b", partition_col="first_name"
+    )
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id")

@@ -1054,7 +1054,11 @@ def materialize_lakehouse(
         StructType,
     )
 
-    from ez_cdc_spark.sources.manifest import publish, read_committed
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        publish_partitioned,
+        read_committed,
+    )
 
     table_dir = _dir_for(sf_dir, f"lakehouse-{tag}-{os.getpid()}")
     if os.path.exists(table_dir):
@@ -1068,12 +1072,21 @@ def materialize_lakehouse(
             StructField("email", StringType()),
         ]
     )
-    publish(
-        spark.createDataFrame([], schema),
-        table_dir,
-        generation=1,
-        stats_columns=["id"],
-    )
+    if partition_col is None:
+        publish(
+            spark.createDataFrame([], schema),
+            table_dir,
+            generation=1,
+            stats_columns=["id"],
+        )
+    else:
+        publish_partitioned(
+            spark.createDataFrame([], schema),
+            table_dir,
+            generation=1,
+            partition_col=partition_col,
+            stats_columns=["id"],
+        )
     path = envelopes_jsonl_lsn_split(spark, sf_dir)
     env = (
         spark.readStream.schema(ENVELOPE_JSON_SCHEMA)

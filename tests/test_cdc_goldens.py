@@ -1849,3 +1849,48 @@ def test_t30_maintenance_policy_bounds_state_and_readers(spark, tmp_path, sf_dir
     assert not errors, errors[:3]
     assert len(seen) >= 3, "racing reader barely ran"
     assert committed_state(td2) == folds[-1]
+
+
+def test_t30b_partitioned_sink_layout_and_partition_reads(spark, sf_dir):
+    """t30b path-level pins: after the partitioned streaming replay the
+    committed manifest IS a partitioned generation (partition_col,
+    per-file values, Hive dirs), the final state matches t30's
+    unpartitioned run row-for-row (layout must not change semantics —
+    the replay's updates move keys between partitions on every batch),
+    and read_committed_partitions serves single event-type partitions
+    consistent with the full read."""
+    import os
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.sources.manifest import (
+        read_committed_partitions,
+        read_manifest,
+    )
+    from ez_cdc_spark.streaming.replay import _dir_for
+
+    got_b = sorted(
+        tuple(str(v) for v in r)
+        for r in load_all()["t30b_lakehouse_cdc_merge_partitioned"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    got_a = sorted(
+        tuple(str(v) for v in r)
+        for r in load_all()["t30_lakehouse_cdc_merge"].fn(spark, sf_dir).collect()
+    )
+    assert got_b == got_a and len(got_b) > 0
+
+    td = _dir_for(sf_dir, f"lakehouse-t30b-{os.getpid()}")
+    man = read_manifest(td)
+    assert man["partition_col"] == "first_name"
+    assert set(man["partitions"]) == set(man["files"])
+    values = {v for v in man["partitions"].values()}
+    assert len(values) >= 2, values
+    for rel in man["files"]:
+        assert f"first_name={man['partitions'][rel]}" in rel.replace("%20", " ")
+
+    full = {r[0]: r[2] for r in got_b}  # stringified id -> first_name
+    for v in sorted(values):
+        part = read_committed_partitions(spark, td, [v])
+        ids = {str(r["id"]) for r in part.collect()}
+        assert ids == {k for k, fn in full.items() if fn == v}, v
