@@ -103,13 +103,19 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
-    "s30_manifest_merge_cow",
-    "a25_spacesaving_topk",
-    "s31_manifest_append",
-    "t30_lakehouse_cdc_merge",
+    "s30b_manifest_merge_cow_partitioned",
+    "s31b_manifest_append_partitioned",
+    "s32_manifest_schema_evolution",
+    "s33_concurrent_writers",
+    "t30b_lakehouse_cdc_merge_partitioned",
 ]
 
 EXTRA_QUERIES = [
+    "s30b_manifest_merge_cow_partitioned",
+    "s31b_manifest_append_partitioned",
+    "s32_manifest_schema_evolution",
+    "s33_concurrent_writers",
+    "t30b_lakehouse_cdc_merge_partitioned",
     "s30_manifest_merge_cow",
     "a25_spacesaving_topk",
     "s31_manifest_append",
