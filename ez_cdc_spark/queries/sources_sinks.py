@@ -2075,3 +2075,75 @@ def s33_concurrent_writers(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s28b_temporal_stats_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       STRFTIME(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_d,
+       STRFTIME(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_d
+FROM orders
+WHERE CAST(o_orderdate AS DATE)
+      BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+""",
+    doc="S28b: temporal file skipping — extends s28's footer-stats pruning "
+    "to date/timestamp columns, the most common real partition/key type "
+    "at 100 TB (r14; the old _file_stats skipped temporal columns "
+    "because parquet footers render them tz-dependently and a tz-aware "
+    "string compares wrong against a naive bound at the boundary). The "
+    "fix is an integer encoding at RECORD time (`manifest.py:_encode_"
+    "stat`): dates as epoch-day counts, timestamps as epoch-microsecond "
+    "counts (naive = UTC by the engine's session contract), so every "
+    "comparison — read_pruned bounds, merge_cow's key binary search — is "
+    "integer arithmetic that no timezone can corrupt; all comparisons "
+    "normalize through one shared `_norm`, and any unencodable value "
+    "keeps the file (conservative, never a wrong skip). The query "
+    "publishes orders date-clustered with o_odate stats, reads through "
+    "read_pruned for H1-1994 and aggregates the exact filter; the oracle "
+    "recomputes from the original orders — hash-green proves pruning "
+    "returned a correct superset under a hostile non-UTC driver session. "
+    "Pytest pins non-empty skipping on both the DATE and TIMESTAMP "
+    "flavors, kept∪filter == full-table filter (never a wrong skip), the "
+    "integer stats encoding in the manifest, and a date-KEYED merge_cow "
+    "whose touched-file split now prunes (carried>0) instead of "
+    "rewriting the table. At 100 TB: a time-range query on a "
+    "date-clustered table opens only the days it asks for — decided from "
+    "manifest metadata before Spark sees a path.",
+)
+def s28b_temporal_stats_skipping(spark, sf_dir):
+    import datetime
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import publish, read_pruned
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_odate"),
+        "o_totalprice",
+    )
+    table_dir = _scratch(sf_dir, "s28btemporal")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        o.repartitionByRange(8, "o_odate", "o_orderkey").sortWithinPartitions(
+            "o_odate"
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["o_odate"],
+    )
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1996, 6, 30)
+    pruned = read_pruned(spark, table_dir, "o_odate", lo, hi)
+    return pruned.filter(
+        (F.col("o_odate") >= F.lit(lo)) & (F.col("o_odate") <= F.lit(hi))
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        F.date_format(F.min("o_odate"), "yyyy-MM-dd").alias("min_d"),
+        F.date_format(F.max("o_odate"), "yyyy-MM-dd").alias("max_d"),
+    )

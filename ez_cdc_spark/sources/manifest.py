@@ -144,17 +144,64 @@ def stage_only(df: DataFrame, table_dir: str, generation: int) -> list[str]:
     )
 
 
+def _encode_stat(v):
+    """JSON-safe, tz-unambiguous encoding of a footer/bound value (r14,
+    extending S28/S30 pruning to temporal columns — the most common real
+    partition/key type): dates become day counts ``{"d": n}`` and
+    timestamps epoch-microsecond counts ``{"us": n}`` (a naive timestamp
+    is UTC by this engine's session contract; an aware one converts
+    exactly) — integer arithmetic, so no tz-dependent string rendering
+    can ever corrupt a comparison. int/float/str pass through; anything
+    else returns None and the caller stays conservative."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return {"us": int(v.timestamp() * 1_000_000)}
+    if isinstance(v, _dt.date):
+        return {"d": (v - _dt.date(1970, 1, 1)).days}
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _norm(v):
+    """Normalize a stats/bound/key value to a comparable (kind, value)
+    pair, or None when no provable comparison exists. All pruning
+    comparisons go through this, so recorded stats and caller bounds use
+    the identical encoding."""
+    if not isinstance(v, dict):  # raw bound/key -> encode; stats dict is
+        v = _encode_stat(v)  # already in the stored encoding
+    if isinstance(v, dict):
+        if "d" in v:
+            return ("date", v["d"])
+        if "us" in v:
+            return ("ts", v["us"])
+        return None
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    return None
+
+
 def _file_stats(path: str, columns: list[str]) -> dict:
     """Per-file column min/max from the parquet FOOTER (no data read):
     merge row-group statistics for each requested column. Missing stats
     for a column simply omit it — pruning treats absence as 'keep'.
 
-    Only int/float/str stats are recorded: date/timestamp footers render
-    tz-dependently (a tz-aware '...+00:00' string compares wrong against a
-    naive bound at the boundary) and bytes decoded with errors='replace'
-    are not order-preserving — for those types the column is simply not
-    recorded and pruning conservatively keeps the file (extend with typed
-    comparisons when a consumer needs temporal skipping)."""
+    int/float/str stats record verbatim; date/timestamp stats record in
+    the integer encoding of :func:`_encode_stat` (r14 — the old code
+    skipped temporal columns entirely because tz-dependent string
+    rendering compared wrong at boundaries; day/microsecond integers
+    cannot). bytes (decoded with errors='replace', not order-preserving)
+    and other types stay unrecorded — pruning conservatively keeps the
+    file."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -173,34 +220,26 @@ def _file_stats(path: str, columns: list[str]) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if (
-            ok
-            and lo is not None
-            and not isinstance(lo, bool)
-            and isinstance(lo, (int, float, str))
-            and isinstance(hi, (int, float, str))
-        ):
-            out[col] = [lo, hi]
+        if not ok or lo is None:
+            continue
+        lo_e, hi_e = _encode_stat(lo), _encode_stat(hi)
+        if lo_e is not None and hi_e is not None:
+            out[col] = [lo_e, hi_e]
     return out
 
 
 def _range_excludes(rng: list, lo, hi) -> bool:
     """True only when the stats range PROVABLY cannot overlap [lo, hi]:
-    the comparison must be same-kind (both numeric or both str) — any type
-    mismatch keeps the file (conservative, never a silent wrong skip)."""
-    def kind(v):
-        if isinstance(v, bool):
-            return None
-        if isinstance(v, (int, float)):
-            return "num"
-        if isinstance(v, str):
-            return "str"
-        return None
-
-    kinds = {kind(rng[0]), kind(rng[1]), kind(lo), kind(hi)}
-    if len(kinds) != 1 or None in kinds:
+    every value normalizes through :func:`_norm` (numbers, strings, and
+    the r14 temporal integer encodings) and the comparison must be
+    same-kind — any mismatch or unencodable value keeps the file
+    (conservative, never a silent wrong skip). Callers pass temporal
+    bounds as plain date/datetime objects."""
+    vals = [_norm(rng[0]), _norm(rng[1]), _norm(lo), _norm(hi)]
+    if any(v is None for v in vals) or len({k for k, _ in vals}) != 1:
         return False
-    return rng[0] > hi or rng[1] < lo
+    (_, r0), (_, r1), (_, b0), (_, b1) = vals
+    return r0 > b1 or r1 < b0
 
 
 def _reserve_path(table_dir: str, generation: int) -> str:
@@ -1025,34 +1064,50 @@ def merge_cow(
         and pcol is not None
         and ptype in ("string", "long", "integer", "short", "byte")
     )
+    # Keys normalize through _norm (so temporal keys compare against the
+    # r14 integer-encoded footer stats); an unencodable key (decimal,
+    # null) makes the whole batch unprunable — conservative full touch.
     keys_by_part: dict[str | None, list] = {}
     global_keys: list = []
+    unprunable = False
     if part_prune:
         rows = final.select(
             key_col, F.col(pcol), (F.col("_op") == delete_op).alias("_d")
         ).collect()
         for k, pv, is_del in rows:
+            kn = _norm(k)
+            if kn is None:
+                unprunable = True
+                break
             if is_del and pv is None:
-                global_keys.append(k)  # payload-less delete: every partition
+                global_keys.append(kn)  # payload-less delete: every partition
             else:
                 keys_by_part.setdefault(
                     None if pv is None else str(pv), []
-                ).append(k)
+                ).append(kn)
         for ks in keys_by_part.values():
             ks.sort()
         global_keys.sort()
         n_keys = len(rows)
     else:
-        global_keys = sorted(r[0] for r in final.select(key_col).collect())
-        n_keys = len(global_keys)
+        raw = [r[0] for r in final.select(key_col).collect()]
+        normed = [_norm(k) for k in raw]
+        unprunable = any(kn is None for kn in normed)
+        global_keys = sorted(normed) if not unprunable else []
+        n_keys = len(raw)
 
     stats = manifest.get("stats", {})
 
     def _overlaps(ks: list, rng: list) -> bool:
-        i = bisect.bisect_left(ks, rng[0])
-        return i < len(ks) and ks[i] <= rng[1]
+        r0, r1 = _norm(rng[0]), _norm(rng[1])
+        if r0 is None or r1 is None or (ks and ks[0][0] != r0[0]):
+            raise TypeError("cross-kind stats range")  # -> conservative
+        i = bisect.bisect_left(ks, r0)
+        return i < len(ks) and ks[i] <= r1
 
     def _touched(rel: str) -> bool:
+        if unprunable:
+            return True  # a key the encoding can't order -> rewrite all
         if part_prune:
             ks = keys_by_part.get(partitions.get(rel), [])
             if not ks and not global_keys:

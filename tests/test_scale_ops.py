@@ -2445,3 +2445,109 @@ def test_s33_concurrent_merges_serialize_into_a_parent_chain(spark, sf_dir):
     for i in range(4):
         for k in range(i * 50 + 1, (i + 1) * 50 + 1):
             assert got[k] == f"w{i}-{k}", (k, got[k])
+
+
+def test_s28b_temporal_pruning_skips_and_never_wrong_skips(spark, sf_dir):
+    """Temporal footer stats (r14): the DATE flavor (after the registered
+    query's lifecycle) and the TIMESTAMP flavor (events.ts) both (a)
+    actually SKIP files on a clustered layout, (b) record the integer
+    encoding ({'d': n} / {'us': n}) in the manifest — no tz-renderable
+    strings, (c) kept-set reads reproduce the full-table filter exactly
+    (conservative superset, never a wrong skip) even under boundary
+    bounds, and (d) a date-KEYED merge_cow prunes its touched split
+    (carried > 0) instead of conservatively rewriting the table."""
+    import datetime
+    import shutil
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish,
+        pruned_files,
+        read_committed,
+        read_manifest,
+        read_pruned,
+    )
+
+    # --- DATE flavor, on the registered query's table ---
+    load_all()["s28b_temporal_stats_skipping"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s28btemporal")
+    man = read_manifest(td)
+    for rel in man["files"]:
+        rng = man["stats"][rel].get("o_odate")
+        assert rng and isinstance(rng[0], dict) and "d" in rng[0], rng
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1996, 6, 30)
+    kept, skipped = pruned_files(td, "o_odate", lo, hi)
+    assert skipped, "date-clustered layout must skip out-of-range files"
+    full = read_committed(spark, td).filter(
+        (F.col("o_odate") >= F.lit(lo)) & (F.col("o_odate") <= F.lit(hi))
+    )
+    pruned = read_pruned(spark, td, "o_odate", lo, hi).filter(
+        (F.col("o_odate") >= F.lit(lo)) & (F.col("o_odate") <= F.lit(hi))
+    )
+    assert pruned.count() == full.count() > 0
+
+    # boundary bounds: a [min_d, min_d] probe must still find its rows
+    min_d = full.agg(F.min("o_odate")).collect()[0][0]
+    k2, _ = pruned_files(td, "o_odate", min_d, min_d)
+    n_exact = (
+        read_committed(spark, td).filter(F.col("o_odate") == F.lit(min_d)).count()
+    )
+    got = read_pruned(spark, td, "o_odate", min_d, min_d).filter(
+        F.col("o_odate") == F.lit(min_d)
+    )
+    assert got.count() == n_exact > 0
+
+    # --- TIMESTAMP flavor on events.ts ---
+    td2 = _scratch(sf_dir, "s28bts")
+    shutil.rmtree(td2, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    publish(
+        ev.repartitionByRange(8, "ts"),
+        td2,
+        generation=1,
+        stats_columns=["ts"],
+    )
+    man2 = read_manifest(td2)
+    for rel in man2["files"]:
+        rng = man2["stats"][rel].get("ts")
+        assert rng and isinstance(rng[0], dict) and "us" in rng[0], rng
+    bounds = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid_lo = bounds[0] + (bounds[1] - bounds[0]) / 4
+    mid_hi = bounds[0] + (bounds[1] - bounds[0]) / 2
+    kept_t, skipped_t = pruned_files(td2, "ts", mid_lo, mid_hi)
+    assert skipped_t, "ts-clustered layout must skip out-of-range files"
+    full_t = read_committed(spark, td2).filter(
+        (F.col("ts") >= F.lit(mid_lo)) & (F.col("ts") <= F.lit(mid_hi))
+    )
+    pruned_t = read_pruned(spark, td2, "ts", mid_lo, mid_hi).filter(
+        (F.col("ts") >= F.lit(mid_lo)) & (F.col("ts") <= F.lit(mid_hi))
+    )
+    assert pruned_t.count() == full_t.count() > 0
+
+    # --- date-KEYED copy-on-write merge prunes its touched split ---
+    td3 = _scratch(sf_dir, "s30date")
+    shutil.rmtree(td3, ignore_errors=True)
+    base = datetime.date(2020, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), f"v{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "d date, val string")
+    publish(
+        df.repartitionByRange(6, "d"), td3, generation=1, stats_columns=["d"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(days=i), f"upd{i}", "u", 1)
+            for i in range(10, 16)
+        ],
+        "d date, val string, op string, seq int",
+    )
+    merge_cow(spark, td3, changes, key_col="d", generation=2)
+    man3 = read_manifest(td3)
+    assert man3["merge"]["carried_files"] > 0, "date keys must prune"
+    got3 = {str(r["d"]): r["val"] for r in read_committed(spark, td3).collect()}
+    for i in range(120):
+        want = f"upd{i}" if 10 <= i <= 15 else f"v{i}"
+        assert got3[str(base + datetime.timedelta(days=i))] == want, i
