@@ -1894,3 +1894,85 @@ def test_t30b_partitioned_sink_layout_and_partition_reads(spark, sf_dir):
         part = read_committed_partitions(spark, td, [v])
         ids = {str(r["id"]) for r in part.collect()}
         assert ids == {k for k, fn in full.items() if fn == v}, v
+
+
+def test_t30b_partitioned_sink_kill_restart(spark, tmp_path, sf_dir):
+    """t30b under the same kill rig as t30: a mid-stream kill of the
+    PARTITIONED lakehouse sink, a same-checkpoint restart, and the final
+    committed state must equal the one-shot t9 oracle state row-for-row —
+    the partitioned merge's txn watermark and layout survive the crash."""
+    import time
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.sources.manifest import (
+        publish_partitioned,
+        read_committed,
+        read_manifest,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        lakehouse_merge_batch,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    td = str(tmp_path / "laketable-part")
+    ckpt = str(tmp_path / "ckpt-part")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish_partitioned(
+        spark.createDataFrame([], schema),
+        td,
+        generation=1,
+        partition_col="first_name",
+        stats_columns=["id"],
+    )
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return (
+            env.writeStream.foreachBatch(
+                lakehouse_merge_batch(td, tag="t30bkill", max_files=8,
+                                      compact_target_files=2,
+                                      gc_older_than_s=3600.0)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    stop_and_await(q)
+
+    q2 = start()
+    q2.awaitTermination()
+
+    man = read_manifest(td)
+    assert man["partition_col"] == "first_name"
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in read_committed(spark, td)
+        .select("id", "lsn", "first_name", "last_name", "email")
+        .collect()
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in load_all()["t9_cdc_upsert"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

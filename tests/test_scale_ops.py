@@ -2551,3 +2551,93 @@ def test_s28b_temporal_pruning_skips_and_never_wrong_skips(spark, sf_dir):
     for i in range(120):
         want = f"upd{i}" if 10 <= i <= 15 else f"v{i}"
         assert got3[str(base + datetime.timedelta(days=i))] == want, i
+
+
+def _s33_process_writer(args):
+    """Module-level worker for the cross-process CAS race (spawn targets
+    must be picklable): commit `n_commits` trivial manifests against one
+    table_dir, re-deriving from the committed state on every conflict.
+    Records the (expected_parent, generation) of each commit INSIDE the
+    manifest so the parent chain can be audited afterwards. Pure
+    filesystem — no Spark in the child processes, which is the point: the
+    O_EXCL reservation, os.link create-if-absent, and pointer-CAS must
+    serialize across PROCESS boundaries, not just threads."""
+    table_dir, writer_id, n_commits = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources.manifest import (
+        CommitConflictError,
+        _commit_manifest,
+        current_generation,
+        read_manifest,
+    )
+
+    committed, conflicts = [], 0
+    done = 0
+    gen = 0
+    while done < n_commits:
+        cur = current_generation(table_dir)
+        gen = max((cur or 0) + 1, gen + 1)
+        man = {
+            "generation": gen,
+            "files": [],
+            "n_files": 0,
+            "schema": read_manifest(table_dir)["schema"],
+            "test_writer": writer_id,
+            "test_parent": cur,
+        }
+        try:
+            _commit_manifest(table_dir, gen, man, expected_parent=cur)
+            committed.append(gen)
+            done += 1
+        except (CommitConflictError, FileExistsError):
+            conflicts += 1
+            if conflicts > 5000:
+                raise RuntimeError("livelock")
+    return writer_id, committed, conflicts
+
+
+def test_s33_cross_process_cas_serializes_writers(spark, sf_dir):
+    """The s33 primitives across PROCESS boundaries (r14 candidate #2):
+    4 spawned OS processes each land 8 commits against one table. Audit:
+    all 32 commits carry distinct generations, and the recorded
+    (parent -> generation) edges form ONE strict chain from the bootstrap
+    to the final committed generation — the cross-process serializability
+    witness. No commit is lost, none observes a torn parent."""
+    import multiprocessing as mp
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        current_generation,
+        publish,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s33procs")
+    shutil.rmtree(td, ignore_errors=True)
+    publish(
+        spark.read.parquet(f"{sf_dir}/region.parquet").limit(1), td, generation=1
+    )
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.map(
+            _s33_process_writer, [(td, w, 8) for w in range(4)]
+        )
+
+    all_gens = [g for _, gens, _ in results for g in gens]
+    assert len(all_gens) == 32 and len(set(all_gens)) == 32, all_gens
+    final = current_generation(td)
+    assert final == max(all_gens)
+
+    # chain audit: every committed manifest's recorded parent is the
+    # previous committed generation — one linear history, no forks
+    chain = {}
+    for g in sorted(all_gens):
+        man = read_manifest(td, as_of_generation=g)
+        chain[g] = man["test_parent"]
+    gens_sorted = [1] + sorted(all_gens)
+    for prev, cur in zip(gens_sorted, gens_sorted[1:]):
+        assert chain[cur] == prev, (cur, chain[cur], prev)
