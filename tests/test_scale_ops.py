@@ -2641,3 +2641,62 @@ def test_s33_cross_process_cas_serializes_writers(spark, sf_dir):
     gens_sorted = [1] + sorted(all_gens)
     for prev, cur in zip(gens_sorted, gens_sorted[1:]):
         assert chain[cur] == prev, (cur, chain[cur], prev)
+
+
+def test_s32_evolution_composes_with_merge_and_compact(spark, sf_dir):
+    """The composition cell the s32 contracts imply but nothing pinned:
+    after an additive evolution, a copy-on-write MERGE whose changes carry
+    the new column must (a) NULL-fill the new column for carried/rewritten
+    OLD rows, (b) land the batch's values for merged keys, and (c) a
+    subsequent compact must preserve the evolved schema and the merged
+    state byte-for-value. Also pins that merge REJECTS changes missing the
+    evolved column (the strict column gate tracks the evolved schema)."""
+    import shutil
+
+    import pytest
+    from pyspark.sql.types import StringType, StructField
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        compact,
+        evolve_schema,
+        merge_cow,
+        publish,
+        read_committed,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s32compose")
+    shutil.rmtree(td, ignore_errors=True)
+    rows = [(k, f"n{k}") for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    publish(df.repartitionByRange(4, "k"), td, generation=1, stats_columns=["k"])
+    evolve_schema(td, 2, [StructField("tag", StringType(), True)])
+
+    # merge rejects the PRE-evolution change shape
+    old_shape = spark.createDataFrame(
+        [(5, "x", "u", 1)], "k bigint, name string, op string, seq int"
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_cow(spark, td, old_shape, key_col="k", generation=3)
+
+    changes = spark.createDataFrame(
+        [(5, "upd5", "tagged", "u", 1), (200, "new200", "fresh", "c", 1),
+         (7, None, None, "d", 1)],
+        "k bigint, name string, tag string, op string, seq int",
+    )
+    merge_cow(spark, td, changes, key_col="k", generation=3)
+    man3 = read_manifest(td)
+    assert man3["merge"]["carried_files"] > 0  # stats survived evolution
+    got = {r["k"]: (r["name"], r["tag"]) for r in read_committed(spark, td).collect()}
+    assert got[5] == ("upd5", "tagged")
+    assert got[200] == ("new200", "fresh")
+    assert 7 not in got
+    assert got[1] == ("n1", None) and got[99] == ("n99", None)  # NULL-fill
+    assert len(got) == 100
+
+    compact(spark, td, generation=4, target_files=1)
+    man4 = read_manifest(td)
+    assert [f["name"] for f in man4["schema"]["fields"]] == ["k", "name", "tag"]
+    got4 = {r["k"]: (r["name"], r["tag"]) for r in read_committed(spark, td).collect()}
+    assert got4 == got
