@@ -1167,3 +1167,27 @@ def test_a25_plan_shape(spark, sf_smoke):
     # the corpus pass is pinned: the plan reads the checkpointed partials,
     # never documents.parquet directly
     assert "documents.parquet" not in p, "partials must be checkpoint-pinned"
+
+
+def test_s30b_partitioned_plan_broadcast_anti_and_partition_scoped_rewrite(
+    spark, sf_smoke
+):
+    """s30b: the partitioned merge keeps the s30 plan discipline — no
+    cartesian, no row-at-a-time Python, broadcast LEFT ANTI in the rewrite
+    — and under stable partition pruning the final read's inputFiles mix
+    carried gen-1 partition files with rewritten gen-2 files (the
+    untargeted segments never entered the rewrite)."""
+    df = load_all()["s30b_manifest_merge_cow_partitioned"].fn(spark, sf_smoke)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    opened = " ".join(df.inputFiles())
+    assert "gen-2" in opened, "rewritten files must be read"
+    assert "gen-1" in opened, "untargeted partitions must carry by reference"
+    # partition scoping: every rewritten (gen-2) file sits in a targeted
+    # segment's Hive dir
+    for f in df.inputFiles():
+        if "gen-2" in f:
+            assert (
+                "c_mktsegment=BUILDING" in f or "c_mktsegment=MACHINERY" in f
+            ), f
