@@ -334,7 +334,15 @@ def _acquire_pointer_lock(table_dir: str) -> int:
     (held for the microseconds of one re-read + one rename, never during
     data staging). O_CREAT|O_EXCL is the POSIX putIfAbsent; a lock older
     than ``_LOCK_STALE_S`` belongs to a crashed writer and is broken —
-    the same lease-style recovery object-store commit services use."""
+    the same lease-style recovery object-store commit services use.
+
+    Breaking is serialized by an atomic RENAME to a unique name: with a
+    bare unlink, two waiters could both "break" — the second unlinking
+    the first's freshly re-acquired lock — and both enter; a rename has
+    exactly one winner and the loser just re-loops. The standard lease
+    assumption remains and is honest here: the break threshold (30 s) is
+    seven orders of magnitude above the critical section (µs), so a lock
+    that old belongs to a dead process, not a slow one."""
     import time
 
     lock = os.path.join(table_dir, _COMMIT_LOCK)
@@ -345,10 +353,13 @@ def _acquire_pointer_lock(table_dir: str) -> int:
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
-                    os.unlink(lock)  # crashed holder; next loop re-races
+                    # atomic one-winner break of the crashed holder's lock
+                    broken = f"{lock}.broken.{uuid.uuid4().hex}"
+                    os.rename(lock, broken)
+                    os.unlink(broken)
                     continue
             except OSError:
-                continue  # holder released between stat and unlink
+                continue  # holder released / another waiter won the break
             if time.time() > deadline:
                 raise TimeoutError(f"commit lock stuck at {lock}") from None
             time.sleep(0.005)
