@@ -16,9 +16,15 @@ import pathlib
 
 ROOT = pathlib.Path(__file__).resolve().parents[1] / "ez_cdc_spark"
 
-# foreachBatch callbacks execute on the DRIVER, where ez_cdc_spark is
-# importable — module references from them are fine.
-DRIVER_SIDE_CALLBACKS = {"apply"}
+# Nested functions that execute on the DRIVER, where ez_cdc_spark is
+# importable — module references from them are fine:
+#   apply     — foreachBatch callbacks (driver-side by the Streaming API)
+#   appender  — s33's ThreadPoolExecutor task (driver threads, never
+#               cloudpickled; it drives retry_commit/publish_append)
+#   _touched / _overlaps — merge_cow's metadata pruning helpers: pure
+#               driver-side binary search over manifest stats, never
+#               handed to a Spark worker API
+DRIVER_SIDE_CALLBACKS = {"apply", "appender", "_touched", "_overlaps"}
 
 
 def _module_opts_into_by_value(tree: ast.Module) -> bool:
