@@ -2147,3 +2147,82 @@ def s28b_temporal_stats_skipping(spark, sf_dir):
         F.date_format(F.min("o_odate"), "yyyy-MM-dd").alias("min_d"),
         F.date_format(F.max("o_odate"), "yyyy-MM-dd").alias("max_d"),
     )
+
+
+@register(
+    "s34_partial_compaction",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="S34: partial compaction — Delta OPTIMIZE [WHERE] / Iceberg "
+    "rewrite_data_files with a file filter, the maintenance shape a "
+    "100 TB steady state actually needs: an append/merge stream accretes "
+    "SMALL files next to large settled ones, and S26's full compact "
+    "would make every maintenance cycle cost the TABLE — "
+    "`sources/manifest.py:compact_partial` rewrites ONLY the selected "
+    "files (explicit rel-path list, or every file under max_file_bytes) "
+    "into target_files larger ones and carries the rest with partition "
+    "values and stats verbatim, under the same one-pointer-swap commit "
+    "with the txn watermark carried forward; selecting <2 files is an "
+    "honest no-op (no commit, no burned generation). The t30/t30b sink "
+    "policy now runs THIS instead of the full compact (its "
+    "compact_small_file_bytes threshold), so streaming maintenance cost "
+    "tracks the churn. Lifecycle here: orders slice A publishes as 2 "
+    "settled files, slice B appends as 10 small files, compact_partial "
+    "rewrites exactly the 10 appended files — the query aggregates the "
+    "final read and the oracle recomputes from the ORIGINAL orders, so "
+    "hash-green proves the selective rewrite lost nothing and duplicated "
+    "nothing. Pytest pins the settled files carried byte-identical (and "
+    "their stats), the small tail actually rewritten, the size-threshold "
+    "selection mode, the no-op contract, and the partitioned variant. "
+    "At 100 TB: maintenance rewrites megabytes of churn against "
+    "petabytes of settled data — cost tracks the CHURN.",
+)
+def s34_partial_compaction(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_partial,
+        publish,
+        publish_append,
+        read_committed,
+        read_manifest,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = _scratch(sf_dir, "s34partial")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        o.filter("o_orderkey % 2 = 0").repartitionByRange(2, "o_orderkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["o_orderkey"],
+    )
+    publish_append(
+        o.filter("o_orderkey % 2 = 1").repartitionByRange(10, "o_orderkey"),
+        table_dir,
+        generation=2,
+    )
+    man2 = read_manifest(table_dir)
+    small = [rel for rel in man2["files"] if "gen-2" in rel]
+    compact_partial(spark, table_dir, generation=3, files=small, target_files=2)
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -765,6 +765,105 @@ def compact(
     )
 
 
+def compact_partial(
+    spark: SparkSession,
+    table_dir: str,
+    generation: int,
+    max_file_bytes: int | None = None,
+    files: list[str] | None = None,
+    target_files: int = 1,
+) -> dict:
+    """S34: PARTIAL compaction — Delta ``OPTIMIZE [WHERE]`` / Iceberg
+    rewrite_data_files with a file filter: rewrite ONLY the selected
+    files (explicit ``files`` rel-path list, or every file smaller than
+    ``max_file_bytes``) into ``target_files`` larger ones and carry the
+    rest — partition values and stats verbatim — under the same one
+    atomic pointer swap. This is the compaction a 100 TB steady state
+    actually runs: an append/merge stream accretes SMALL files next to
+    large settled ones, and rewriting the whole table per maintenance
+    cycle (S26's full compact) would make maintenance cost track the
+    TABLE; selecting just the small tail keeps it tracking the CHURN.
+
+    Selecting fewer than 2 files is a no-op: there is nothing to bin-pack,
+    and committing a generation that rewrites one file into one file
+    would burn a generation number for zero I/O benefit — the committed
+    manifest is returned unchanged, no commit happens.
+
+    Stats columns are inherited from the source manifest (the S26 rule);
+    rewritten files get fresh footer stats; the txn watermark carries
+    forward (maintenance never rewinds the applied-batch state). On a
+    partitioned table the rewrite stages back under the partitionBy
+    layout and the new files' partition values come from their Hive
+    dirs."""
+    manifest = read_manifest(table_dir)
+    all_rel = manifest["files"]
+    if files is not None:
+        unknown = [r for r in files if r not in set(all_rel)]
+        if unknown:
+            raise ValueError(f"not committed files: {unknown}")
+        selected = [r for r in all_rel if r in set(files)]  # manifest order
+    elif max_file_bytes is not None:
+        selected = [
+            r
+            for r in all_rel
+            if os.path.getsize(os.path.join(table_dir, r)) < max_file_bytes
+        ]
+    else:
+        raise ValueError("pass max_file_bytes or an explicit files list")
+    if len(selected) < 2:
+        return manifest  # nothing to bin-pack — explicit no-op, no commit
+
+    _validate_generation(table_dir, generation)
+    stats = manifest.get("stats", {})
+    stats_cols = sorted({c for s in stats.values() for c in s}) or None
+    pcol = manifest.get("partition_col")
+    partitions = manifest.get("partitions", {})
+
+    sel_abs = [os.path.join(table_dir, r) for r in selected]
+    rewrite = _read_files(spark, manifest, table_dir, sel_abs).coalesce(
+        target_files
+    )
+    if pcol is not None:
+        new_rel, new_parts = _stage_partitioned(rewrite, table_dir, generation, pcol)
+        new_files = [os.path.join(table_dir, r) for r in new_rel]
+    else:
+        new_files = stage_only(rewrite, table_dir, generation)
+        new_rel = [os.path.relpath(f, table_dir) for f in new_files]
+        new_parts = None
+
+    carried = [r for r in all_rel if r not in set(selected)]
+    new_manifest = {
+        "generation": generation,
+        "files": carried + new_rel,
+        "n_files": len(carried) + len(new_rel),
+        "schema": manifest.get("schema"),
+        "compact": {
+            "parent": manifest["generation"],
+            "rewritten_files": len(selected),
+            "carried_files": len(carried),
+        },
+    }
+    if pcol is not None:
+        new_manifest["partition_col"] = pcol
+        new_manifest["partitions"] = {
+            **{r: partitions.get(r) for r in carried},
+            **new_parts,
+        }
+    if stats_cols:
+        new_manifest["stats"] = {
+            **{r: stats[r] for r in carried if r in stats},
+            **{
+                os.path.relpath(f, table_dir): _file_stats(f, stats_cols)
+                for f in new_files
+            },
+        }
+    if manifest.get("txn") is not None:
+        new_manifest["txn"] = manifest["txn"]
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
+
+
 def publish_append(
     df: DataFrame,
     table_dir: str,

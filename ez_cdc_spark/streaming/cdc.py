@@ -925,6 +925,7 @@ def lakehouse_merge_batch(
     max_files: int | None = None,
     compact_target_files: int = 4,
     gc_older_than_s: float | None = 0.0,
+    compact_small_file_bytes: int = 128 << 20,
 ):
     """T30 foreachBatch: the T9 upsert landed as an ATOMIC LAKEHOUSE COMMIT
     — each micro-batch of CDC envelopes becomes one manifest generation via
@@ -966,7 +967,7 @@ def lakehouse_merge_batch(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         from ez_cdc_spark.sources.manifest import (
-            compact,
+            compact_partial,
             gc,
             merge_cow,
             read_manifest,
@@ -1005,20 +1006,30 @@ def lakehouse_merge_batch(
         else:
             raise RuntimeError(f"no free generation number near {gen}")
 
-        # steady-state maintenance, same single-writer loop (r13 verdict #3)
+        # steady-state maintenance, same single-writer loop (r13 verdict #3).
+        # PARTIAL compaction (r14, s34): only files under the small-file
+        # threshold rewrite — at 100 TB the table is mostly large settled
+        # files plus the churn's small tail, and a maintenance cycle must
+        # cost the CHURN, not the table (the full-compact policy would
+        # re-write petabytes per trigger threshold).
         if max_files is not None and merged["n_files"] > max_files:
             cgen = merged["generation"] + 1
             for _ in range(100):
                 try:
-                    compact(
-                        spark, table_dir, cgen, target_files=compact_target_files
+                    after = compact_partial(
+                        spark,
+                        table_dir,
+                        cgen,
+                        max_file_bytes=compact_small_file_bytes,
+                        target_files=compact_target_files,
                     )
                     break
                 except FileExistsError:
                     cgen += 1
             else:
                 raise RuntimeError(f"no free generation number near {cgen}")
-            gc(table_dir, older_than_s=gc_older_than_s)
+            if after["generation"] != merged["generation"]:  # committed
+                gc(table_dir, older_than_s=gc_older_than_s)
 
     return apply
 

@@ -2700,3 +2700,92 @@ def test_s32_evolution_composes_with_merge_and_compact(spark, sf_dir):
     assert [f["name"] for f in man4["schema"]["fields"]] == ["k", "name", "tag"]
     got4 = {r["k"]: (r["name"], r["tag"]) for r in read_committed(spark, td).collect()}
     assert got4 == got
+
+
+def test_s34_partial_compaction_rewrites_only_selected_files(spark, sf_dir):
+    """s34 path-level contract: after the registered query, the settled
+    gen-1 files are carried by the SAME rel paths with mtimes predating
+    the compaction and stats entries verbatim, the 10 appended small
+    files are gone from the manifest (rewritten into 2), the lineage
+    records {rewritten: 10, carried: 2}, and the txn watermark (absent
+    here) rule plus no-op and threshold-selection modes hold; the
+    partitioned variant stages back under the Hive layout."""
+    import os
+    import shutil
+
+    import pytest
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        compact_partial,
+        publish_partitioned,
+        read_committed,
+        read_manifest,
+    )
+
+    load_all()["s34_partial_compaction"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s34partial")
+
+    man1 = read_manifest(td, as_of_generation=1)
+    man3 = read_manifest(td)
+    assert man3["compact"] == {"parent": 2, "rewritten_files": 10, "carried_files": 2}
+    # settled files carried by reference: same rel paths, stats verbatim,
+    # mtimes predate the gen-3 staging
+    gen3_files = [rel for rel in man3["files"] if "gen-3" in rel]
+    assert gen3_files and all("gen-2" not in rel for rel in man3["files"])
+    staged_at = min(os.path.getmtime(os.path.join(td, r)) for r in gen3_files)
+    for rel in man1["files"]:
+        assert rel in set(man3["files"]), rel
+        assert man3["stats"][rel] == man1["stats"][rel], rel
+        assert os.path.getmtime(os.path.join(td, rel)) <= staged_at, rel
+    # rewritten files got fresh stats
+    for rel in gen3_files:
+        assert "o_orderkey" in man3["stats"][rel], rel
+
+    # no-op contract: selecting < 2 files commits nothing
+    before = man3["generation"]
+    out = compact_partial(spark, td, generation=9, files=[gen3_files[0]])
+    assert out["generation"] == before
+    assert read_manifest(td)["generation"] == before
+    assert not os.path.exists(os.path.join(td, "_manifests", "gen-9.json"))
+
+    # size-threshold mode: settled files are bigger than the rewritten
+    # tail, so a threshold between them selects exactly the small ones
+    sizes = {r: os.path.getsize(os.path.join(td, r)) for r in read_manifest(td)["files"]}
+    small = [r for r in sizes if "gen-3" in r]
+    big = [r for r in sizes if "gen-1" in r]
+    cut = max(sizes[r] for r in small) + 1
+    if all(sizes[r] >= cut for r in big):
+        compact_partial(spark, td, generation=4, max_file_bytes=cut, target_files=1)
+        man4 = read_manifest(td)
+        assert man4["compact"]["rewritten_files"] == len(small)
+        assert set(big) < set(man4["files"])
+
+    # unknown selection rejects loudly
+    with pytest.raises(ValueError, match="not committed"):
+        compact_partial(spark, td, generation=8, files=["data/gen-99/x.parquet"])
+
+    # partitioned variant: rewrite stages back under the Hive layout
+    td2 = _scratch(sf_dir, "s34part")
+    shutil.rmtree(td2, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    publish_partitioned(
+        o.repartitionByRange(6, "o_orderkey"),
+        td2,
+        generation=1,
+        partition_col="o_orderstatus",
+        stats_columns=["o_orderkey"],
+    )
+    man = read_manifest(td2)
+    sel = man["files"][:4]
+    compact_partial(spark, td2, generation=2, files=sel, target_files=1)
+    man2 = read_manifest(td2)
+    assert man2["partition_col"] == "o_orderstatus"
+    assert set(man2["partitions"]) == set(man2["files"])
+    for rel in man2["files"]:
+        if "gen-2" in rel:
+            assert f"o_orderstatus={man2['partitions'][rel]}" in rel
+    assert read_committed(spark, td2).count() == o.count()
