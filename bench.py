@@ -103,6 +103,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "s28c_conjunctive_zorder_pruning",
     "s34_partial_compaction",
     "s28b_temporal_stats_skipping",
     "s30b_manifest_merge_cow_partitioned",
@@ -113,6 +114,7 @@ NEW_THIS_ROUND = [
 ]
 
 EXTRA_QUERIES = [
+    "s28c_conjunctive_zorder_pruning",
     "s34_partial_compaction",
     "s28b_temporal_stats_skipping",
     "s30b_manifest_merge_cow_partitioned",

@@ -2226,3 +2226,102 @@ def s34_partial_compaction(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s28c_conjunctive_zorder_pruning",
+    oracle="""
+WITH coded AS (
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity
+    FROM lineitem
+),
+bounds AS (
+    SELECT MIN(l_partkey) AS lo_pk, MAX(l_partkey) AS hi_pk,
+           MIN(l_suppkey) AS lo_sk, MAX(l_suppkey) AS hi_sk
+    FROM coded
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_sk,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+FROM coded, bounds
+WHERE l_partkey BETWEEN lo_pk AND lo_pk + (hi_pk - lo_pk) / 8
+  AND l_suppkey BETWEEN lo_sk AND lo_sk + (hi_sk - lo_sk) / 8
+""",
+    doc="S28c: conjunctive file skipping over a z-ordered manifest table — "
+    "the scan shape interleaved clustering EXISTS for, composing three "
+    "prior members: s15's Morton z-order (every clustered column gets a "
+    "narrow per-file range), s25/s28's manifest footer stats, and the "
+    "new `manifest.py:pruned_files_multi` which skips a file when ANY "
+    "conjunct's [min,max] provably cannot overlap its bound (one "
+    "impossible conjunct makes the conjunction impossible; each "
+    "comparison is the same-kind-only _range_excludes, temporal "
+    "encodings included, so the multi-column form inherits the "
+    "never-wrong-skip guarantee). lineitem z-orders on (l_partkey, "
+    "l_suppkey) into 16 bucket files, publishes with stats on BOTH "
+    "columns, and a corner query (bottom ~1/8 of each dimension) reads "
+    "through read_pruned_multi + the exact filter; the oracle recomputes "
+    "from the original lineitem. Pytest pins that the conjunction skips "
+    "MORE files than either predicate alone (the multiplicative payoff "
+    "single-column pruning cannot reach on a z-layout) and that "
+    "kept-set reads reproduce the full-table filter exactly. At 100 TB: "
+    "a two-dimension range query on a z-ordered table opens ~the overlap "
+    "cells, not a full stripe per dimension.",
+)
+def s28c_conjunctive_zorder_pruning(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.functions.zorder import quantize16, z_interleave
+    from ez_cdc_spark.sources.manifest import publish, read_pruned_multi
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        dec("l_quantity").alias("l_quantity"),
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+        F.min("l_suppkey").alias("lo_sk"),
+        F.max("l_suppkey").alias("hi_sk"),
+    )
+    lo_pk, hi_pk, lo_sk, hi_sk = b.collect()[0]
+    u16 = quantize16(F.col("l_partkey"), F.lit(lo_pk), F.lit(hi_pk))
+    v16 = quantize16(F.col("l_suppkey"), F.lit(lo_sk), F.lit(hi_sk))
+    coded = li.withColumn("z", z_interleave(u16, v16))
+
+    table_dir = _scratch(sf_dir, "s28czorder")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    # range-partition the MORTON CODE itself: each file holds one
+    # contiguous z slice, so BOTH interleaved columns get narrow footer
+    # ranges (hash-partitioning a bucket id would merge distant quadrants
+    # into one file and widen every range)
+    publish(
+        coded.repartitionByRange(16, "z").sortWithinPartitions("z").drop("z"),
+        table_dir,
+        generation=1,
+        stats_columns=["l_partkey", "l_suppkey"],
+    )
+
+    pk_hi = lo_pk + (hi_pk - lo_pk) // 8
+    sk_hi = lo_sk + (hi_sk - lo_sk) // 8
+    pruned = read_pruned_multi(
+        spark,
+        table_dir,
+        [("l_partkey", lo_pk, pk_hi), ("l_suppkey", lo_sk, sk_hi)],
+    )
+    return pruned.filter(
+        F.col("l_partkey").between(lo_pk, pk_hi)
+        & F.col("l_suppkey").between(lo_sk, sk_hi)
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+        F.min("l_partkey").cast("bigint").alias("min_pk"),
+        F.max("l_partkey").cast("bigint").alias("max_pk"),
+        F.min("l_suppkey").cast("bigint").alias("min_sk"),
+        F.max("l_suppkey").cast("bigint").alias("max_sk"),
+    )

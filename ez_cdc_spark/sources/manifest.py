@@ -707,6 +707,55 @@ def read_pruned(
     return _read_files(spark, manifest, table_dir, kept)
 
 
+def pruned_files_multi(
+    table_dir: str,
+    predicates: list,
+    as_of_generation: int | None = None,
+    manifest: dict | None = None,
+) -> tuple[list[str], list[str]]:
+    """S28c: conjunctive file skipping — ``predicates`` is a list of
+    ``(column, lo, hi)`` ANDed together, and a file is skipped when ANY
+    single predicate's recorded [min, max] provably cannot overlap its
+    bound (if one conjunct is impossible on a file, the conjunction is).
+    Each per-predicate comparison is :func:`_range_excludes` — same-kind
+    only, temporal integer encodings included — so the multi-column form
+    inherits the conservative never-wrong-skip guarantee. This is the
+    scan shape a z-ordered layout exists for: interleaved clustering
+    gives EVERY clustered column a narrow per-file range, so a
+    conjunctive predicate multiplies the skip sets instead of being
+    served by one dimension only."""
+    if manifest is None:
+        manifest = read_manifest(table_dir, as_of_generation)
+    stats = manifest.get("stats", {})
+    kept: list[str] = []
+    skipped: list[str] = []
+    for rel in manifest["files"]:
+        per_file = stats.get(rel, {})
+        full = os.path.join(table_dir, rel)
+        excluded = any(
+            per_file.get(col) is not None
+            and _range_excludes(per_file[col], lo, hi)
+            for col, lo, hi in predicates
+        )
+        (skipped if excluded else kept).append(full)
+    return kept, skipped
+
+
+def read_pruned_multi(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list,
+    as_of_generation: int | None = None,
+) -> DataFrame:
+    """Read only the files that can satisfy EVERY ``(column, lo, hi)``
+    conjunct (S28c). Like :func:`read_pruned`, the predicates themselves
+    are NOT applied — pruning yields a conservative superset and callers
+    filter as usual."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    kept, _ = pruned_files_multi(table_dir, predicates, manifest=manifest)
+    return _read_files(spark, manifest, table_dir, kept)
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,

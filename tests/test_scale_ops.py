@@ -2789,3 +2789,50 @@ def test_s34_partial_compaction_rewrites_only_selected_files(spark, sf_dir):
         if "gen-2" in rel:
             assert f"o_orderstatus={man2['partitions'][rel]}" in rel
     assert read_committed(spark, td2).count() == o.count()
+
+
+def test_s28c_conjunctive_pruning_beats_single_column(spark, sf_dir):
+    """s28c payoff pin: on the z-ordered layout the conjunctive skip set
+    is the UNION of the per-dimension skip sets — strictly larger than
+    either alone (the multiplicative payoff z-order exists for) — and the
+    kept-set read reproduces the full-table conjunctive filter exactly."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        pruned_files,
+        pruned_files_multi,
+        read_committed,
+        read_pruned_multi,
+    )
+
+    load_all()["s28c_conjunctive_zorder_pruning"].fn(spark, sf_dir).collect()
+    td = _scratch(sf_dir, "s28czorder")
+
+    li = read_committed(spark, td)
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    lo_pk, hi_pk, lo_sk, hi_sk = b
+    pk_hi = lo_pk + (hi_pk - lo_pk) // 8
+    sk_hi = lo_sk + (hi_sk - lo_sk) // 8
+    preds = [("l_partkey", lo_pk, pk_hi), ("l_suppkey", lo_sk, sk_hi)]
+
+    _, sk_pk = pruned_files(td, "l_partkey", lo_pk, pk_hi)
+    _, sk_sk = pruned_files(td, "l_suppkey", lo_sk, sk_hi)
+    kept_m, sk_m = pruned_files_multi(td, preds)
+    assert set(sk_m) == set(sk_pk) | set(sk_sk)
+    assert len(sk_m) > len(sk_pk) and len(sk_m) > len(sk_sk), (
+        len(sk_pk), len(sk_sk), len(sk_m),
+        "z-order must let BOTH dimensions contribute skips",
+    )
+    assert kept_m, "the corner cell itself must survive"
+
+    cond = F.col("l_partkey").between(lo_pk, pk_hi) & F.col(
+        "l_suppkey"
+    ).between(lo_sk, sk_hi)
+    full_n = li.filter(cond).count()
+    got_n = read_pruned_multi(spark, td, preds).filter(cond).count()
+    assert got_n == full_n > 0
