@@ -1339,6 +1339,85 @@ def merge_cow(
     )
 
 
+def vacuum(table_dir: str, older_than_s: float) -> list[str]:
+    """File-level data reclaim — Delta VACUUM's analog, and the completion
+    partial compaction (S34) and copy-on-write merges (S30) make
+    necessary: both leave SUPERSEDED files inside generation dirs that
+    still hold carried (referenced) files, and :func:`gc`'s dir-granular
+    reclaim can never touch such a dir — without this op a long-running
+    merge stream leaks every rewritten file's old bytes forever.
+
+    Deletes every ``*.parquet`` under ``data/`` that (a) is referenced by
+    NO retained manifest — retained = the committed generation plus every
+    generation manifest younger than ``older_than_s`` (time travel inside
+    the retention window keeps working; beyond it, as in Delta, vacuum is
+    what breaks it) — and (b) is itself older than ``older_than_s``. The
+    age floor also protects a racing writer's freshly staged files, and
+    the pointer is re-resolved after listing so a commit landing mid-scan
+    has both its old and new file sets protected. ``older_than_s`` is
+    REQUIRED (0.0 means "reclaim everything unreferenced now" — only safe
+    in a single-writer window with no snapshot readers). Returns deleted
+    paths; prunes directories the deletions emptied."""
+    import time
+
+    mdir = os.path.join(table_dir, "_manifests")
+    data_root = os.path.join(table_dir, "data")
+    now = time.time()
+
+    def _retained_files() -> set[str]:
+        refs: set[str] = set()
+        committed = current_generation(table_dir)
+        for m in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+            g = _gen_of(m)
+            if g is None:
+                continue
+            full = os.path.join(mdir, m)
+            try:
+                young = (now - os.path.getmtime(full)) < older_than_s
+            except OSError:
+                young = True
+            if g == committed or young:
+                try:
+                    with open(full) as fh:
+                        refs.update(json.load(fh)["files"])
+                except (OSError, ValueError):
+                    continue  # unreadable manifest protects nothing
+        return refs
+
+    referenced = _retained_files()
+    deleted: list[str] = []
+    if not os.path.isdir(data_root):
+        return deleted
+    candidates: list[tuple[str, str]] = []  # (rel, abs)
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            full = os.path.join(root, f)
+            candidates.append((os.path.relpath(full, table_dir), full))
+    # re-resolve: a commit that landed during the walk protects BOTH sides
+    referenced |= _retained_files()
+    for rel, full in candidates:
+        if rel in referenced:
+            continue
+        try:
+            if (now - os.path.getmtime(full)) < older_than_s:
+                continue  # young: racing writer's staging / recent rewrite
+            os.unlink(full)
+            deleted.append(full)
+        except OSError:
+            continue  # vanished mid-scan (gc/another vacuum) — fine
+    # prune dirs the deletions emptied (bottom-up; rmdir refuses non-empty
+    # dirs, so trying unconditionally is safe), never data/ itself
+    for root, _dirs, _files in os.walk(data_root, topdown=False):
+        if root != data_root:
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return deleted
+
+
 def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     """Garbage-collect unreferenced generations: delete every data/gen-*
     directory and _manifests/gen-*.json NOT named by the current pointer.

@@ -971,6 +971,7 @@ def lakehouse_merge_batch(
             gc,
             merge_cow,
             read_manifest,
+            vacuum,
         )
 
         spark = batch.sparkSession
@@ -1030,6 +1031,16 @@ def lakehouse_merge_batch(
                 raise RuntimeError(f"no free generation number near {cgen}")
             if after["generation"] != merged["generation"]:  # committed
                 gc(table_dir, older_than_s=gc_older_than_s)
+                # file-level reclaim (r14): gc is dir-granular, but the
+                # merge stream supersedes files INSIDE dirs that still
+                # hold carried ones — vacuum is what keeps disk usage
+                # bounded in the steady state
+                vacuum(
+                    table_dir,
+                    older_than_s=(
+                        0.0 if gc_older_than_s is None else gc_older_than_s
+                    ),
+                )
 
     return apply
 

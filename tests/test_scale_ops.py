@@ -2836,3 +2836,59 @@ def test_s28c_conjunctive_pruning_beats_single_column(spark, sf_dir):
     full_n = li.filter(cond).count()
     got_n = read_pruned_multi(spark, td, preds).filter(cond).count()
     assert got_n == full_n > 0
+
+
+def test_vacuum_reclaims_superseded_files_inside_shared_dirs(spark, sf_dir):
+    """The leak s34/s30 create and dir-granular gc cannot fix: a merge
+    rewrites SOME of gen-1's files, so gen-1's dir holds carried
+    (referenced) files next to superseded ones — gc must keep the whole
+    dir, vacuum(0.0) deletes exactly the superseded files, the committed
+    read is untouched, and retention: with a large older_than_s nothing
+    is deleted (young manifests retain their generations' files, so
+    time travel inside the window keeps working)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        gc,
+        merge_cow,
+        publish,
+        read_committed,
+        read_manifest,
+        vacuum,
+    )
+
+    td = _scratch(sf_dir, "s34vacuum")
+    shutil.rmtree(td, ignore_errors=True)
+    rows = [(k, f"n{k}") for k in range(1, 401)]
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    publish(df.repartitionByRange(8, "k"), td, generation=1, stats_columns=["k"])
+    man1 = read_manifest(td)
+
+    changes = spark.createDataFrame(
+        [(k, f"u{k}", "u", 1) for k in range(10, 30)],
+        "k bigint, name string, op string, seq int",
+    )
+    merge_cow(spark, td, changes, key_col="k", generation=2)
+    man2 = read_manifest(td)
+    carried = [r for r in man2["files"] if r in set(man1["files"])]
+    superseded = [r for r in man1["files"] if r not in set(man2["files"])]
+    assert carried and superseded, (len(carried), len(superseded))
+
+    # retention: a large window deletes nothing (gen-1's manifest is young)
+    assert vacuum(td, older_than_s=3600.0) == []
+    # dir-granular gc cannot reclaim the mixed gen-1 dir's superseded files
+    gc(td, older_than_s=0.0)
+    for rel in superseded:
+        assert os.path.exists(os.path.join(td, rel)), rel
+
+    before = {r["k"]: r["name"] for r in read_committed(spark, td).collect()}
+    deleted = vacuum(td, older_than_s=0.0)
+    assert sorted(os.path.relpath(p, td) for p in deleted) == sorted(superseded)
+    for rel in carried:
+        assert os.path.exists(os.path.join(td, rel)), rel
+    after = {r["k"]: r["name"] for r in read_committed(spark, td).collect()}
+    assert after == before and after[10] == "u10" and len(after) == 400
