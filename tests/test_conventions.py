@@ -24,7 +24,15 @@ ROOT = pathlib.Path(__file__).resolve().parents[1] / "ez_cdc_spark"
 #   _touched / _overlaps — merge_cow's metadata pruning helpers: pure
 #               driver-side binary search over manifest stats, never
 #               handed to a Spark worker API
-DRIVER_SIDE_CALLBACKS = {"apply", "appender", "_touched", "_overlaps"}
+#   _retained_files — vacuum's manifest-reference scan: pure driver-side
+#               filesystem/JSON walking, no Spark at all
+DRIVER_SIDE_CALLBACKS = {
+    "apply",
+    "appender",
+    "_touched",
+    "_overlaps",
+    "_retained_files",
+}
 
 
 def _module_opts_into_by_value(tree: ast.Module) -> bool:
