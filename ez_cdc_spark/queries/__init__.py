@@ -62,22 +62,10 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r13's 8-entry batch — s25/s26/s27/s28/s29 (manifest ADVICE hardening),
 # x2/x2f/x10 (banding unification) — all came back hash-green in
 # CORRECTNESS_r13.json, so the set was cleared at the start of round 14.)
-# r14: sources/manifest.py changed again (r13 verdict #1/#3/#4: partitioned
-# merge_cow/publish_append, stats on publish_partitioned, multi-generation
-# partitioned reads in _read_files, stored-schema NULL-fill reads, txn
-# carried through compact/append, evolve_schema) — every manifest consumer
-# re-attests (s25..s31); streaming/cdc.py's t30 sink gained the steady-state
-# compact+gc maintenance policy — t30 re-attests.
-_REATTEST: set[str] = {
-    "s25_manifest_atomic_publish",
-    "s26_manifest_compaction",
-    "s27_manifest_time_travel",
-    "s28_manifest_stats_skipping",
-    "s29_manifest_partition_publish",
-    "s30_manifest_merge_cow",
-    "s31_manifest_append",
-    "t30_lakehouse_cdc_merge",
-}
+# (r14's 8-entry batch — s25/s26/s27/s28/s29/s30/s31 (manifest partitioning
+# rework) + t30 (sink maintenance policy) — all came back hash-green in
+# CORRECTNESS_r14.json, so the set was cleared at the start of round 15.)
+_REATTEST: set[str] = set()
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group
