@@ -160,7 +160,12 @@ def _encode_stat(v):
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
-        return {"us": int(v.timestamp() * 1_000_000)}
+        # exact integer arithmetic (ADVICE r14): timestamp() goes through a
+        # float whose rounding plus int() truncation can land 1µs below the
+        # true value, and a max recorded 1µs low makes _range_excludes
+        # wrongly skip a file whose boundary row equals the query's lo bound
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return {"us": (v - epoch) // _dt.timedelta(microseconds=1)}
     if isinstance(v, _dt.date):
         return {"d": (v - _dt.date(1970, 1, 1)).days}
     if isinstance(v, (int, float, str)):
@@ -366,11 +371,28 @@ def _acquire_pointer_lock(table_dir: str) -> int:
 
 
 def _release_pointer_lock(table_dir: str, fd: int) -> None:
-    os.close(fd)
+    """Release only a lock we still OWN (ADVICE r14): if this holder
+    stalled past ``_LOCK_STALE_S`` and a waiter broke + re-acquired, an
+    unconditional unlink-by-name would delete the WAITER's lock and admit
+    a third writer into the CAS section alongside it — a lost update. The
+    break path renames the old lock away, so ownership is provable by
+    inode: the fd still refers to our original file; unlink only when the
+    name's inode matches. (The residual stat→unlink window requires the
+    lock to be >30 s old AND a break+re-acquire to land inside it —
+    nanoseconds vs the µs-held critical section; the lease assumption the
+    acquire docstring states covers it.)"""
+    lock = os.path.join(table_dir, _COMMIT_LOCK)
     try:
-        os.unlink(os.path.join(table_dir, _COMMIT_LOCK))
-    except FileNotFoundError:
-        pass  # broken as stale by a waiter (only possible past _LOCK_STALE_S)
+        owned = os.fstat(fd).st_ino == os.stat(lock).st_ino
+    except OSError:
+        owned = False  # renamed away by a breaker / already gone
+    finally:
+        os.close(fd)
+    if owned:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # broken as stale by a waiter after the inode check
 
 
 def _commit_manifest(
@@ -424,6 +446,21 @@ def _commit_manifest(
     try:
         cur = current_generation(table_dir)
         if cur != expected_parent:
+            # ADVICE r14 (medium): the loser's gen-N manifest is already on
+            # disk (the os.link reservation above), and leaving it would let
+            # read_manifest(as_of_generation=N) serve a REJECTED writer's
+            # state as committed history. It is exclusively owned here (the
+            # link had exactly one winner and the pointer never named it),
+            # so unlink it under the lock; the staged data files become
+            # ordinary unreferenced debris for gc/vacuum, no longer
+            # "protected" by an orphan manifest while young. A later writer
+            # reusing the freed number is safe: staging always writes
+            # mode("overwrite"), so the loser's data dir is replaced whole.
+            try:
+                os.unlink(mpath)
+            except FileNotFoundError:
+                pass
+            _fsync_dir(mdir)
             raise CommitConflictError(
                 f"table advanced to generation {cur} while this writer was "
                 f"building on {expected_parent}: commit of gen-{generation} "
@@ -1062,10 +1099,12 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
     carried = {
         k: v
         for k, v in manifest.items()
-        # lineage keys (merge/append/evolve) describe the PARENT's commit,
-        # not this one — everything else (files, partitions, stats, txn)
-        # carries by reference
-        if k not in ("generation", "schema", "merge", "append", "evolve")
+        # lineage keys (merge/append/evolve/compact) describe the PARENT's
+        # commit, not this one — everything else (files, partitions, stats,
+        # txn) carries by reference ("compact" was missing from this list
+        # until ADVICE r14: evolving right after a compaction misdescribed
+        # the evolution commit as a compaction)
+        if k not in ("generation", "schema", "merge", "append", "evolve", "compact")
     }
     new_manifest = {
         **carried,
@@ -1418,6 +1457,23 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
     return deleted
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime under ``path`` recursively — the path itself, every
+    subdirectory, every file. A writer actively staging a PARTITIONED
+    layout touches only leaf files inside ``pcol=value`` subdirs, so the
+    generation dir's own mtime goes stale minutes before the write
+    finishes (ADVICE r14): liveness checks must see the deepest write.
+    Raises OSError only if the top path itself cannot be dated."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                continue  # vanished mid-walk
+    return newest
+
+
 def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     """Garbage-collect unreferenced generations: delete every data/gen-*
     directory and _manifests/gen-*.json NOT named by the current pointer.
@@ -1431,10 +1487,16 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
        generation numbered at or above the newer resolved generation is
        skipped — so a publish racing this GC (violating the documented
        single-writer assumption) cannot have its fresh commit collected;
-    3. ``older_than_s`` (seconds, by manifest/data mtime) retains young
-       superseded generations for long-lived readers — the standard
-       table-format retention threshold. ``None`` collects regardless of
-       age (the sandbox's synchronous tests).
+    3. ``older_than_s`` (seconds, by manifest/data mtime — directories by
+       their newest RECURSIVE mtime, so an in-flight staging stays young
+       while leaf files are still landing) retains young superseded
+       generations for long-lived readers — the standard table-format
+       retention threshold. ``None`` collects regardless of age (the
+       sandbox's synchronous tests). When writers run CONCURRENTLY with
+       gc, ``older_than_s`` must exceed the longest pause between two of
+       one writer's filesystem writes (ADVICE r14; the recursive-mtime
+       probe keeps an actively-writing staging young across the whole
+       staging duration).
 
     Torn-commit reclaim (ADVICE r12): a crashed publish leaves a staged
     data dir — and possibly an orphan manifest — numbered ABOVE the
@@ -1489,10 +1551,14 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     now = time.time()
 
     def _young(path: str) -> bool:
+        # directories date by their newest RECURSIVE mtime (ADVICE r14): an
+        # in-flight partitioned staging writes into pcol=value subdirs, so
+        # the top dir's own mtime can be stale while files are still landing
         if older_than_s is None:
             return False
         try:
-            return (now - os.path.getmtime(path)) < older_than_s
+            mt = _newest_mtime(path) if os.path.isdir(path) else os.path.getmtime(path)
+            return (now - mt) < older_than_s
         except OSError:
             return True  # can't date it -> keep it
 
@@ -1523,9 +1589,20 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
         if m.startswith(".reserve-gen-"):
             # a crashed writer's staging-phase reservation permanently
             # blocks its generation number; an explicit age threshold is
-            # the caller's assertion the writer is gone (S33)
+            # the caller's assertion the writer is gone (S33). A LIVE
+            # writer's staging can outlast a small threshold (ADVICE r14),
+            # so the reservation also counts as young while anything under
+            # its data/gen-N is still being written — the recursive-mtime
+            # liveness probe; with that, older_than_s need only exceed the
+            # longest WRITE PAUSE (one file flush to the next), not the
+            # whole staging duration, for concurrent gc to be safe.
             full = os.path.join(mdir, m)
-            if older_than_s is not None and not _young(full):
+            g = _gen_of(m)
+            stage = _stage_dir(table_dir, g) if g is not None else None
+            staging_live = (
+                stage is not None and os.path.isdir(stage) and _young(stage)
+            )
+            if older_than_s is not None and not _young(full) and not staging_live:
                 try:
                     os.unlink(full)
                     deleted.append(full)

@@ -1723,9 +1723,17 @@ def test_gc_reclaims_stale_torn_commit_with_age_threshold(spark, sf_dir):
     # age-blind gc: the floor protects the torn commit (it may be in flight)
     assert gc(td) == []
 
-    # backdate the debris past the threshold, then a thresholded gc reclaims
+    # backdate the debris past the threshold, then a thresholded gc
+    # reclaims. RECURSIVELY: directories now date by their newest inner
+    # mtime (ADVICE r14 — a fresh leaf file means a LIVE writer is still
+    # staging and protects the dir), so a truly crashed writer's debris
+    # is old all the way down.
     old = 1_000_000.0
-    for p in (os.path.join(td, "data", "gen-2"), os.path.join(td, "_manifests", "gen-2.json")):
+    targets = [os.path.join(td, "_manifests", "gen-2.json")]
+    for root, dirs, fs in os.walk(os.path.join(td, "data", "gen-2")):
+        targets.append(root)
+        targets.extend(os.path.join(root, f) for f in fs)
+    for p in targets:
         os.utime(p, (os.path.getatime(p) - old, os.path.getmtime(p) - old))
     deleted = gc(td, older_than_s=3600.0)
     assert any("gen-2" in p for p in deleted), deleted
@@ -2257,8 +2265,10 @@ def test_s33_cas_rejects_lost_update_and_reclaims_loser(spark, sf_dir):
     manifest from generation 1 must NOT be able to swap the pointer after
     a concurrent writer committed generation 2 in between — the classic
     lost update. The loser raises CommitConflictError, the winner's state
-    keeps serving, the loser's manifest is orphan debris an aged gc
-    reclaims, and its generation number becomes publishable again."""
+    keeps serving, and — ADVICE r14 — the loser's never-committed manifest
+    is unlinked IN the conflict path: time travel can no longer serve a
+    rejected writer's state as history, and the generation number is
+    immediately publishable again (no aged gc needed)."""
     import os
     import shutil
 
@@ -2268,7 +2278,6 @@ def test_s33_cas_rejects_lost_update_and_reclaims_loser(spark, sf_dir):
     from ez_cdc_spark.sources.manifest import (
         CommitConflictError,
         _commit_manifest,
-        gc,
         publish_append,
         read_committed,
         read_manifest,
@@ -2288,21 +2297,22 @@ def test_s33_cas_rejects_lost_update_and_reclaims_loser(spark, sf_dir):
     publish_append(o.filter("o_orderkey % 3 = 1"), td, generation=2)
     n_after_b = read_committed(spark, td).count()
 
-    # ... and A's swap must now be rejected, manifest left as debris
+    # ... and A's swap must now be rejected, its manifest unlinked
     stale = {**man1, "generation": 3}
     with pytest.raises(CommitConflictError, match="advanced to generation 2"):
         _commit_manifest(td, 3, stale, expected_parent=1)
     assert read_manifest(td)["generation"] == 2
     assert read_committed(spark, td).count() == n_after_b
-    assert os.path.exists(os.path.join(td, "_manifests", "gen-3.json"))
+    # the rejected commit is NOT history: as-of gen-3 must fail loudly,
+    # not serve the loser's state (ADVICE r14 medium)
+    assert not os.path.exists(os.path.join(td, "_manifests", "gen-3.json"))
+    with pytest.raises(FileNotFoundError):
+        read_manifest(td, as_of_generation=3)
 
-    # the orphan blocks gen-3 reuse until an aged gc reclaims it
-    with pytest.raises(FileExistsError):
-        publish_append(o.filter("o_orderkey % 3 = 2"), td, generation=3)
-    deleted = gc(td, older_than_s=0.0)
-    assert any(p.endswith("gen-3.json") for p in deleted), deleted
+    # the number is immediately reusable — no orphan blocks it
     publish_append(o.filter("o_orderkey % 3 = 2"), td, generation=3)
     assert read_committed(spark, td).count() == o.count()
+    assert read_manifest(td, as_of_generation=3)["append"]["parent"] == 2
 
 
 def test_s33_reservation_serializes_staging_and_releases_on_bad_args(
@@ -2892,3 +2902,158 @@ def test_vacuum_reclaims_superseded_files_inside_shared_dirs(spark, sf_dir):
         assert os.path.exists(os.path.join(td, rel)), rel
     after = {r["k"]: r["name"] for r in read_committed(spark, td).collect()}
     assert after == before and after[10] == "u10" and len(after) == 400
+
+
+def test_encode_stat_timestamp_is_integer_exact(spark):
+    """ADVICE r14: the old float path (int(v.timestamp() * 1e6)) can land
+    1µs below the true microsecond count — a max recorded 1µs low lets
+    _range_excludes wrongly skip a file whose boundary row equals the
+    query's lo bound. The encoding must be integer-exact for EVERY
+    microsecond value; the sweep also proves it is non-vacuous by finding
+    at least one value where the float path actually differs."""
+    import datetime as dt
+
+    from ez_cdc_spark.sources.manifest import _encode_stat
+
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    float_path_diverged = 0
+    # scan odd microsecond offsets across several decades (the float error
+    # grows with magnitude; modern epochs expose the truncation)
+    for base_s in (1_100_000_000, 1_400_000_000, 1_700_000_000, 2_000_000_000):
+        for us in range(1, 2_000, 7):
+            total_us = base_s * 1_000_000 + us
+            v = epoch + dt.timedelta(microseconds=total_us)
+            assert _encode_stat(v) == {"us": total_us}, v
+            if int(v.timestamp() * 1_000_000) != total_us:
+                float_path_diverged += 1
+    assert float_path_diverged > 0  # the sweep covers the failure class
+
+    # naive timestamps are UTC by the session contract — same exactness
+    naive = dt.datetime(2024, 3, 1, 12, 0, 0, 1)
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    assert _encode_stat(naive) == _encode_stat(aware)
+    assert _encode_stat(naive)["us"] % 1_000_000 == 1
+
+
+def test_pointer_lock_release_checks_ownership(spark, sf_dir):
+    """ADVICE r14: a holder that stalled past the stale threshold and was
+    broken by a waiter must NOT unlink the waiter's fresh lock on its own
+    release — that would admit a third writer into the CAS section. The
+    release verifies inode ownership before unlinking."""
+    import os
+    import shutil
+    import time
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        _COMMIT_LOCK,
+        _acquire_pointer_lock,
+        _release_pointer_lock,
+    )
+
+    td = _scratch(sf_dir, "s33lockown")
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td)
+    lock = os.path.join(td, _COMMIT_LOCK)
+
+    # holder A acquires, then stalls past the stale threshold
+    fd_a = _acquire_pointer_lock(td)
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+
+    # waiter B breaks the stale lock and acquires its own
+    fd_b = _acquire_pointer_lock(td)
+    ino_b = os.stat(lock).st_ino
+
+    # A's late release must leave B's lock untouched
+    _release_pointer_lock(td, fd_a)
+    assert os.path.exists(lock) and os.stat(lock).st_ino == ino_b
+
+    # B's own release removes it
+    _release_pointer_lock(td, fd_b)
+    assert not os.path.exists(lock)
+
+
+def test_gc_keeps_reservation_of_actively_staging_writer(spark, sf_dir):
+    """ADVICE r14: a live writer's staging can outlast a small
+    older_than_s — gc must treat a reservation as live while anything
+    under its data/gen-N is still fresh (recursive mtime: partitioned
+    staging writes land in pcol=value SUBDIRS, so the top dir's own mtime
+    goes stale), and must not rmtree the in-flight staging dir either.
+    Once everything is genuinely old, both are reclaimed."""
+    import os
+    import shutil
+    import time
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        _reserve_path,
+        _stage_dir,
+        gc,
+        publish,
+    )
+
+    td = _scratch(sf_dir, "s33gclive")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    publish(o.limit(10), td, generation=1)
+
+    # a writer reserved gen-5 a while ago and is STILL staging: the
+    # reservation file and the staging dirs are old, but a leaf file
+    # inside a partition subdir is fresh (the write that just landed)
+    res = _reserve_path(td, 5)
+    os.close(os.open(res, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    stage = _stage_dir(td, 5)
+    sub = os.path.join(stage, "p=a")
+    os.makedirs(sub)
+    fresh = os.path.join(sub, "part-0.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"x")
+    old = time.time() - 3600
+    for p in (res, stage, sub):
+        os.utime(p, (old, old))
+
+    deleted = gc(td, older_than_s=60.0)
+    assert os.path.exists(res), deleted  # reservation stays: staging is live
+    assert os.path.exists(fresh), deleted  # staging dir not rmtree'd
+
+    # writer truly gone: everything old -> both reclaimed
+    os.utime(fresh, (old, old))
+    deleted = gc(td, older_than_s=60.0)
+    assert not os.path.exists(res), deleted
+    assert not os.path.exists(stage), deleted
+
+
+def test_evolve_after_compact_drops_parent_lineage(spark, sf_dir):
+    """ADVICE r14: evolve_schema right after a compaction must not carry
+    the parent's "compact" lineage block — the evolution commit would
+    misdescribe itself as a compaction (merge/append/evolve were already
+    stripped; "compact" was the omission)."""
+    import shutil
+
+    from pyspark.sql.types import StringType, StructField
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        compact_partial,
+        evolve_schema,
+        publish,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s32lineage")
+    shutil.rmtree(td, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    publish(o.limit(100).repartition(4), td, generation=1)
+    compact_partial(
+        spark, td, generation=2, max_file_bytes=1 << 30, target_files=1
+    )
+    assert "compact" in read_manifest(td)
+
+    evolve_schema(td, 3, [StructField("tag", StringType(), True)])
+    man = read_manifest(td)
+    assert man["evolve"]["parent"] == 2
+    for stale_lineage in ("compact", "merge", "append"):
+        assert stale_lineage not in man, stale_lineage
