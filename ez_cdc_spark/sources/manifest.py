@@ -34,8 +34,9 @@ formats are built on:
   un-GC'd generation manifest is immutable and fully self-describing, so an
   older committed snapshot resolves by name without touching the pointer.
 * ``publish(..., stats_columns=[...])`` records per-file column min/max in
-  the manifest (read driver-side from the parquet footers — O(files), no
-  Spark job), and ``pruned_files``/``read_pruned`` drop files whose stats
+  the manifest (footer reads fanned out to EXECUTORS — one metadata-only
+  Spark job; the driver receives just the stats map, r14 verdict #4), and
+  ``pruned_files``/``read_pruned`` drop files whose stats
   range cannot satisfy a [lo, hi] predicate BEFORE Spark ever sees the file
   list (S28) — the Iceberg/Delta scan-avoidance payoff on top of S22's
   range-clustered layout. Files without stats are always kept (pruning is
@@ -70,9 +71,11 @@ O(rows)) and the reader hands Spark an explicit file list — partition
 pruning and column pruning behave exactly as with a directory scan, but
 listing cost is one small JSON read instead of a recursive directory walk
 (the same reason real table formats scale past directory listings at
-100 TB). At that scale stats collection would move into the write tasks
-(each task already has its footer in memory); the driver-side footer read
-here is the same O(files) metadata pass.
+100 TB). Stats collection runs ON EXECUTORS (``_collect_stats``, r14
+verdict #4): the publish-time footer pass distributes as one
+metadata-only job, so no O(files) file-opening loop remains on the
+driver — at a million files the driver handles only the stats map it
+must embed in the manifest anyway.
 """
 
 from __future__ import annotations
@@ -144,33 +147,114 @@ def stage_only(df: DataFrame, table_dir: str, generation: int) -> list[str]:
     )
 
 
-def _encode_stat(v):
-    """JSON-safe, tz-unambiguous encoding of a footer/bound value (r14,
-    extending S28/S30 pruning to temporal columns — the most common real
-    partition/key type): dates become day counts ``{"d": n}`` and
-    timestamps epoch-microsecond counts ``{"us": n}`` (a naive timestamp
-    is UTC by this engine's session contract; an aware one converts
-    exactly) — integer arithmetic, so no tz-dependent string rendering
-    can ever corrupt a comparison. int/float/str pass through; anything
-    else returns None and the caller stays conservative."""
-    import datetime as _dt
+def _make_stat_kernels():
+    """Factory for the two per-file stat functions. Defining them as
+    CLOSURES (module-attribute lookup by qualname fails) makes cloudpickle
+    serialize them BY VALUE, so :func:`_collect_stats` can ship the footer
+    kernel to executor Python workers even when the driver got this
+    package via a bare sys.path insert (the correctness driver's shape)
+    and the workers cannot ``import ez_cdc_spark`` by reference."""
 
-    if isinstance(v, bool):
+    def _encode_stat(v):
+        """JSON-safe, tz-unambiguous encoding of a footer/bound value (r14,
+        extending S28/S30 pruning to temporal columns — the most common real
+        partition/key type): dates become day counts ``{"d": n}`` and
+        timestamps epoch-microsecond counts ``{"us": n}`` (a naive timestamp
+        is UTC by this engine's session contract; an aware one converts
+        exactly) — integer arithmetic, so no tz-dependent string rendering
+        can ever corrupt a comparison. int/float/str pass through; anything
+        else returns None and the caller stays conservative."""
+        import datetime as _dt
+
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            # exact integer arithmetic (ADVICE r14): timestamp() goes
+            # through a float whose rounding plus int() truncation can land
+            # 1µs below the true value, and a max recorded 1µs low makes
+            # _range_excludes wrongly skip a file whose boundary row exactly
+            # equals the query's lo bound
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return {"us": (v - epoch) // _dt.timedelta(microseconds=1)}
+        if isinstance(v, _dt.date):
+            return {"d": (v - _dt.date(1970, 1, 1)).days}
+        if isinstance(v, (int, float, str)):
+            return v
         return None
-    if isinstance(v, _dt.datetime):
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=_dt.timezone.utc)
-        # exact integer arithmetic (ADVICE r14): timestamp() goes through a
-        # float whose rounding plus int() truncation can land 1µs below the
-        # true value, and a max recorded 1µs low makes _range_excludes
-        # wrongly skip a file whose boundary row equals the query's lo bound
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-        return {"us": (v - epoch) // _dt.timedelta(microseconds=1)}
-    if isinstance(v, _dt.date):
-        return {"d": (v - _dt.date(1970, 1, 1)).days}
-    if isinstance(v, (int, float, str)):
-        return v
-    return None
+
+    def _file_stats(path: str, columns: list[str]) -> dict:
+        """Per-file column min/max from the parquet FOOTER (no data read):
+        merge row-group statistics for each requested column. Missing stats
+        for a column simply omit it — pruning treats absence as 'keep'.
+
+        int/float/str stats record verbatim; date/timestamp stats record in
+        the integer encoding of ``_encode_stat`` (r14 — the old code
+        skipped temporal columns entirely because tz-dependent string
+        rendering compared wrong at boundaries; day/microsecond integers
+        cannot). bytes (decoded with errors='replace', not order-preserving)
+        and other types stay unrecorded — pruning conservatively keeps the
+        file."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict[str, list] = {}
+        for col in columns:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            lo_e, hi_e = _encode_stat(lo), _encode_stat(hi)
+            if lo_e is not None and hi_e is not None:
+                out[col] = [lo_e, hi_e]
+        return out
+
+    return _encode_stat, _file_stats
+
+
+_encode_stat, _file_stats = _make_stat_kernels()
+
+
+def _collect_stats(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    columns: list[str],
+    _kernel=_file_stats,
+) -> dict:
+    """Per-file footer min/max for ``columns``, collected ON EXECUTORS
+    (r14 verdict #4): the old publish path read every staged file's footer
+    in a driver loop — O(files) driver work that becomes THE bottleneck at
+    a million files. One parallelize job ships the by-value footer kernel
+    to the write cluster's workers instead; the driver receives only the
+    O(files) stats map it must embed in the manifest anyway. (An RDD is
+    the honest tool here: per-file imperative metadata work, no rows.)
+    ``_kernel`` is bound at module load so a test can replace the module's
+    ``_file_stats`` with a driver-side tripwire without starving the
+    executors. Returns ``{rel_path: {col: [min, max]}}``."""
+    if not files or not columns:
+        return {}
+    cols = list(columns)
+    kernel = _kernel
+    pairs = [(os.path.relpath(f, table_dir), f) for f in files]
+    n = max(1, min(len(pairs), int(spark.sparkContext.defaultParallelism)))
+    return dict(
+        spark.sparkContext.parallelize(pairs, n)
+        .map(lambda rf: (rf[0], kernel(rf[1], cols)))
+        .collect()
+    )
 
 
 def _norm(v):
@@ -193,44 +277,6 @@ def _norm(v):
     if isinstance(v, str):
         return ("str", v)
     return None
-
-
-def _file_stats(path: str, columns: list[str]) -> dict:
-    """Per-file column min/max from the parquet FOOTER (no data read):
-    merge row-group statistics for each requested column. Missing stats
-    for a column simply omit it — pruning treats absence as 'keep'.
-
-    int/float/str stats record verbatim; date/timestamp stats record in
-    the integer encoding of :func:`_encode_stat` (r14 — the old code
-    skipped temporal columns entirely because tz-dependent string
-    rendering compared wrong at boundaries; day/microsecond integers
-    cannot). bytes (decoded with errors='replace', not order-preserving)
-    and other types stay unrecorded — pruning conservatively keeps the
-    file."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out: dict[str, list] = {}
-    for col in columns:
-        ci = names.get(col)
-        if ci is None:
-            continue
-        lo = hi = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if not ok or lo is None:
-            continue
-        lo_e, hi_e = _encode_stat(lo), _encode_stat(hi)
-        if lo_e is not None and hi_e is not None:
-            out[col] = [lo_e, hi_e]
-    return out
 
 
 def _range_excludes(rng: list, lo, hi) -> bool:
@@ -323,10 +369,9 @@ def publish(
         "schema": json.loads(df.schema.json()),
     }
     if stats_columns:
-        manifest["stats"] = {
-            os.path.relpath(f, table_dir): _file_stats(f, stats_columns)
-            for f in files
-        }
+        manifest["stats"] = _collect_stats(
+            df.sparkSession, table_dir, files, stats_columns
+        )
     if txn is not None:
         manifest["txn"] = txn
     return _commit_manifest(
@@ -570,10 +615,12 @@ def publish_partitioned(
         "partitions": partitions,
     }
     if stats_columns:
-        manifest["stats"] = {
-            rel: _file_stats(os.path.join(table_dir, rel), stats_columns)
-            for rel in files
-        }
+        manifest["stats"] = _collect_stats(
+            df.sparkSession,
+            table_dir,
+            [os.path.join(table_dir, rel) for rel in files],
+            stats_columns,
+        )
     if txn is not None:
         manifest["txn"] = txn
     return _commit_manifest(
@@ -938,10 +985,7 @@ def compact_partial(
     if stats_cols:
         new_manifest["stats"] = {
             **{r: stats[r] for r in carried if r in stats},
-            **{
-                os.path.relpath(f, table_dir): _file_stats(f, stats_cols)
-                for f in new_files
-            },
+            **_collect_stats(spark, table_dir, new_files, stats_cols),
         }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
@@ -1032,10 +1076,7 @@ def publish_append(
     if stats_columns:
         new_manifest["stats"] = {
             **stats,
-            **{
-                os.path.relpath(f, table_dir): _file_stats(f, stats_columns)
-                for f in new_files
-            },
+            **_collect_stats(df.sparkSession, table_dir, new_files, stats_columns),
         }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
@@ -1348,10 +1389,7 @@ def merge_cow(
         "schema": schema,
         "stats": {
             **{rel: stats[rel] for rel in untouched_rel if rel in stats},
-            **{
-                os.path.relpath(f, table_dir): _file_stats(f, stats_cols)
-                for f in new_files
-            },
+            **_collect_stats(spark, table_dir, new_files, stats_cols),
         },
         "merge": {
             "parent": manifest["generation"],

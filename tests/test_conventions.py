@@ -26,12 +26,15 @@ ROOT = pathlib.Path(__file__).resolve().parents[1] / "ez_cdc_spark"
 #               handed to a Spark worker API
 #   _retained_files — vacuum's manifest-reference scan: pure driver-side
 #               filesystem/JSON walking, no Spark at all
+#   _young    — gc's retention-age probe (calls _newest_mtime): pure
+#               driver-side os.walk mtime dating, no Spark at all
 DRIVER_SIDE_CALLBACKS = {
     "apply",
     "appender",
     "_touched",
     "_overlaps",
     "_retained_files",
+    "_young",
 }
 
 

@@ -3057,3 +3057,76 @@ def test_evolve_after_compact_drops_parent_lineage(spark, sf_dir):
     assert man["evolve"]["parent"] == 2
     for stale_lineage in ("compact", "merge", "append"):
         assert stale_lineage not in man, stale_lineage
+
+
+def test_publish_stats_collected_without_driver_footer_reads(
+    spark, sf_dir, monkeypatch
+):
+    """r14 verdict #4: publish-time footer stats must be produced WITHOUT
+    a driver-side O(files) footer loop — the last driver-side O(table)
+    pass in the lakehouse layer. Replace the module's ``_file_stats`` with
+    a tripwire that raises IN THE DRIVER PROCESS: every stats-recording
+    write path (publish, partitioned publish, append, merge, partial
+    compaction) must still produce correct, pruning-usable stats, proving
+    the footer reads ran on executor workers (the kernel is bound into
+    ``_collect_stats`` at module load and ships by value)."""
+    import os
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    driver_pid = os.getpid()
+
+    def tripwire(path, columns):
+        raise AssertionError(
+            f"driver-side footer read of {path} (pid {driver_pid})"
+        )
+
+    monkeypatch.setattr(m, "_file_stats", tripwire)
+
+    td = _scratch(sf_dir, "s25execstats")
+    shutil.rmtree(td, ignore_errors=True)
+    rows = [(k, k % 3, f"n{k}") for k in range(1, 201)]
+    df = spark.createDataFrame(rows, "k bigint, p int, name string")
+
+    # plain publish
+    m.publish(
+        df.filter("p = 0").repartitionByRange(4, "k"),
+        td,
+        generation=1,
+        stats_columns=["k"],
+    )
+    man = m.read_manifest(td)
+    assert man["stats"] and all(
+        "k" in s for s in man["stats"].values()
+    ), man["stats"]
+    kept, skipped = m.pruned_files(td, "k", 1, 10)
+    assert skipped, "stats must actually prune"
+
+    # append: fresh stats for the new files, carried entries kept
+    m.publish_append(df.filter("p = 1"), td, generation=2)
+    man = m.read_manifest(td)
+    assert all("k" in s for s in man["stats"].values())
+
+    # merge: rewritten files get fresh executor-side stats
+    changes = spark.createDataFrame(
+        [(k, 9, f"u{k}", "u", 1) for k in (5, 6)],
+        "k bigint, p int, name string, op string, seq int",
+    )
+    m.merge_cow(spark, td, changes, key_col="k", generation=3)
+    assert m.read_manifest(td)["merge"]["changed_keys"] == 2
+
+    # partial compaction: rewritten tail gets fresh stats
+    m.compact_partial(spark, td, generation=4, max_file_bytes=1 << 30)
+    man = m.read_manifest(td)
+    assert all("k" in s for s in man["stats"].values())
+
+    # partitioned publish records stats too
+    td2 = _scratch(sf_dir, "s29execstats")
+    shutil.rmtree(td2, ignore_errors=True)
+    m.publish_partitioned(
+        df, td2, generation=1, partition_col="p", stats_columns=["k"]
+    )
+    man2 = m.read_manifest(td2)
+    assert man2["stats"] and all("k" in s for s in man2["stats"].values())
