@@ -65,7 +65,30 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # (r14's 8-entry batch — s25/s26/s27/s28/s29/s30/s31 (manifest partitioning
 # rework) + t30 (sink maintenance policy) — all came back hash-green in
 # CORRECTNESS_r14.json, so the set was cleared at the start of round 15.)
-_REATTEST: set[str] = set()
+# r15: sources/manifest.py changed (ADVICE r14 hardening batch: conflict-
+# loser manifest unlink, exact-integer timestamp stat encode, ownership-
+# checked lock release, recursive-mtime gc liveness, evolve lineage keys;
+# r14 verdict #4: executor-side _collect_stats on every stats-recording
+# write path) — every manifest consumer re-attests, plus the t30/t30b
+# sinks whose per-batch merges now take the new stats path.
+_REATTEST: set[str] = {
+    "s25_manifest_atomic_publish",
+    "s26_manifest_compaction",
+    "s27_manifest_time_travel",
+    "s28_manifest_stats_skipping",
+    "s28b_temporal_stats_skipping",
+    "s28c_conjunctive_zorder_pruning",
+    "s29_manifest_partition_publish",
+    "s30_manifest_merge_cow",
+    "s30b_manifest_merge_cow_partitioned",
+    "s31_manifest_append",
+    "s31b_manifest_append_partitioned",
+    "s32_manifest_schema_evolution",
+    "s33_concurrent_writers",
+    "s34_partial_compaction",
+    "t30_lakehouse_cdc_merge",
+    "t30b_lakehouse_cdc_merge_partitioned",
+}
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group
