@@ -2045,6 +2045,72 @@ def t30_lakehouse_cdc_merge(spark, sf_dir):
 
 
 @register(
+    "t31_lakehouse_schema_drift",
+    oracle="""
+WITH env AS (
+  SELECT CAST(event_id % 200 AS BIGINT) AS id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         CAST(event_id AS BIGINT) AS lsn,
+         event_type AS first_name,
+         CAST(user_id AS VARCHAR) AS last_name,
+         CAST(user_id AS VARCHAR) || '@' || event_type AS email,
+         CASE WHEN event_id >= (SELECT MAX(event_id) // 2 FROM events)
+              THEN 'p-' || CAST(event_id AS VARCHAR) END AS phone
+  FROM events
+  UNION ALL
+  SELECT CAST(event_id % 200 AS BIGINT),
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END,
+         CAST(event_id AS BIGINT), event_type, CAST(user_id AS VARCHAR),
+         CAST(user_id AS VARCHAR) || '@' || event_type,
+         CASE WHEN event_id >= (SELECT MAX(event_id) // 2 FROM events)
+              THEN 'p-' || CAST(event_id AS VARCHAR) END
+  FROM events WHERE event_id % 97 = 0
+), latest AS (
+  SELECT id, op, lsn, first_name, last_name, email, phone,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT id, lsn, first_name, last_name, email, phone
+FROM latest WHERE rn = 1 AND op <> 'd'
+ORDER BY id
+""",
+    doc="T31: streaming ADDITIVE SCHEMA DRIFT — the Debezium `ALTER TABLE "
+    "ADD COLUMN` lifecycle replayed through the live lakehouse sink (r14 "
+    "verdict #2): the raw-text envelope stream gains an `after.phone` "
+    "field at the mid-replay LSN threshold (pre-drift lines genuinely "
+    "LACK the key — the envelope is self-describing per message, "
+    "reference README.md:331); the sink detects the widened key set with "
+    "one bounded json_object_keys aggregation per micro-batch, commits an "
+    "S32 additive evolution (pure metadata, txn watermark carried), then "
+    "decodes against the evolved stored schema and merges as usual "
+    "(streaming/cdc.py:lakehouse_drift_merge_batch). Keys whose LAST "
+    "event precedes the drift read phone as NULL — the NULL-filled "
+    "replay the oracle reproduces with a guarded CASE; last-event-wins "
+    "is expressed as ROW_NUMBER-over-lsn rather than max_by because the "
+    "winning event's phone CAN be NULL and the oracle must take the "
+    "winner's value verbatim, not the last non-null. The maintenance "
+    "policy runs mid-stream, so partial compaction restages NULL-filled "
+    "pre-drift rows under the evolved schema too. Kill+restart across "
+    "the evolution boundary is pinned in tests/test_cdc_goldens.py. At "
+    "100 TB: detection is map-side and bounded by column count, the "
+    "evolution is one O(files) metadata commit with zero data I/O, and "
+    "the merge cost still tracks the batch.",
+)
+def t31_lakehouse_schema_drift(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse_drift
+
+    state = materialize_lakehouse_drift(spark, sf_dir)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+        "phone",
+    ).orderBy("id")
+
+
+@register(
     "t30b_lakehouse_cdc_merge_partitioned",
     oracle=ENV_CTE
     + """

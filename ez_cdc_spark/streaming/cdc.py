@@ -51,10 +51,22 @@ ENVELOPE_JSON_SCHEMA = (
 OP_MAP = {"signup": "c", "view": "u", "click": "u", "purchase": "u", "error": "d"}
 
 
-def derive_envelopes(events: DataFrame) -> DataFrame:
+def derive_envelopes(
+    events: DataFrame, drift_threshold: int | None = None
+) -> DataFrame:
     """Deterministic events→envelope mapping (module docstring), duplicates
     included. Pure column expressions so the same logic is one SQL view for
-    the oracle."""
+    the oracle.
+
+    ``drift_threshold`` (T31) models the Debezium ``ALTER TABLE ADD
+    COLUMN`` lifecycle: envelopes whose lsn is at or above the threshold
+    carry an extra ``after.phone`` field (``'p-' || lsn``, deterministic
+    for the oracle); below it the field is NULL, and because the JSON
+    writer drops null fields (spark.sql.jsonGenerator.ignoreNullFields
+    default) the serialized pre-drift envelopes genuinely LACK the key —
+    exactly what a consumer sees when the upstream table is altered
+    mid-stream (the envelope is self-describing per message,
+    reference README.md:331)."""
     # Unknown event_types fall back to 'u', matching the oracle CTE's
     # CASE ... ELSE 'u' so new vocabulary can't silently diverge the two.
     op = F.coalesce(
@@ -62,14 +74,22 @@ def derive_envelopes(events: DataFrame) -> DataFrame:
         F.lit("u"),
     )
     key = (F.col("event_id") % 200).cast("int")
-    row_img = F.struct(
+    after_fields = [
         key.alias("id"),
         F.col("event_type").alias("first_name"),
         F.col("user_id").cast("string").alias("last_name"),
         F.concat_ws("@", F.col("user_id").cast("string"), F.col("event_type")).alias(
             "email"
         ),
-    )
+    ]
+    if drift_threshold is not None:
+        after_fields.append(
+            F.when(
+                F.col("event_id") >= drift_threshold,
+                F.concat(F.lit("p-"), F.col("event_id").cast("string")),
+            ).alias("phone")
+        )
+    row_img = F.struct(*after_fields)
     before_img = F.struct(
         key.alias("id"),
         F.lit(None).cast("string").alias("first_name"),
@@ -194,16 +214,46 @@ def envelopes_jsonl_lsn_split(
     arriving in a later batch would resurrect the key. envelopes_jsonl's
     round-robin files are therefore only safe as a single availableNow
     batch. Idempotent per (sf_dir, n_stages)."""
+    path = _dir_for(sf_dir, f"envelopes-lsnsplit{n_stages}")
+    env = derive_envelopes(load_table(spark, sf_dir, "events"))
+    return _write_lsn_staged(env, path, n_stages)
+
+
+def envelopes_jsonl_drift(
+    spark: SparkSession, sf_dir: str, n_stages: int = 4
+) -> tuple[str, int]:
+    """T31 replay dir: the lsn-staged envelope replay where envelopes at or
+    above the drift threshold (max event_id // 2 — the boundary lands
+    mid-replay, inside stage ~2 of 4) carry the extra ``after.phone``
+    field and earlier envelopes genuinely lack the key. Returns
+    (path, threshold); idempotent per (sf_dir, n_stages)."""
+    threshold = (
+        int(
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("event_id"))
+            .first()[0]
+        )
+        // 2
+    )
+    path = _dir_for(sf_dir, f"envelopes-drift{n_stages}")
+    env = derive_envelopes(
+        load_table(spark, sf_dir, "events"), drift_threshold=threshold
+    )
+    return _write_lsn_staged(env, path, n_stages), threshold
+
+
+def _write_lsn_staged(env: DataFrame, path: str, n_stages: int) -> str:
+    """Write ``env`` as n_stages LSN-ORDERED JSONL files with increasing
+    mtimes (the keyed-Kafka-partition delivery contract — see
+    envelopes_jsonl_lsn_split). Idempotent per path."""
     import time as _time
 
     from pyspark.sql import Window as _W
 
-    path = _dir_for(sf_dir, f"envelopes-lsnsplit{n_stages}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
-        env = derive_envelopes(load_table(spark, sf_dir, "events"))
         n = env.count()
         per = (n + n_stages - 1) // n_stages
         w = _W.orderBy(F.col("source.lsn"))
@@ -966,13 +1016,7 @@ def lakehouse_merge_batch(
     retention window instead of the stream's lifetime."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        from ez_cdc_spark.sources.manifest import (
-            compact_partial,
-            gc,
-            merge_cow,
-            read_manifest,
-            vacuum,
-        )
+        from ez_cdc_spark.sources.manifest import read_manifest
 
         spark = batch.sparkSession
         man = read_manifest(table_dir)
@@ -990,59 +1034,279 @@ def lakehouse_merge_batch(
             F.col("op").alias("op"),
             F.col("source.lsn").cast("bigint").alias("seq"),
         )
-        gen = man["generation"] + 1
+        _merge_and_maintain(
+            spark,
+            table_dir,
+            changes,
+            man,
+            tag,
+            batch_id,
+            max_files,
+            compact_target_files,
+            gc_older_than_s,
+            compact_small_file_bytes,
+        )
+
+    return apply
+
+
+def _merge_and_maintain(
+    spark,
+    table_dir: str,
+    changes: DataFrame,
+    man: dict,
+    tag: str,
+    batch_id: int,
+    max_files: int | None,
+    compact_target_files: int,
+    gc_older_than_s: float | None,
+    compact_small_file_bytes: int,
+) -> dict:
+    """The lakehouse sinks' shared per-batch tail (t30/t30b/t31): one
+    merge_cow commit with orphan-number skipping, then the steady-state
+    maintenance policy — threshold-triggered PARTIAL compaction (s34: a
+    maintenance cycle costs the CHURN, not the table; the full-compact
+    policy would re-write petabytes per trigger at 100 TB), dir-granular
+    gc, and file-level vacuum, all inside the same single-writer loop so
+    the writer-exclusivity contract holds by construction."""
+    from ez_cdc_spark.sources.manifest import (
+        compact_partial,
+        gc,
+        merge_cow,
+        vacuum,
+    )
+
+    gen = man["generation"] + 1
+    for _ in range(100):
+        try:
+            merged = merge_cow(
+                spark,
+                table_dir,
+                changes,
+                key_col="id",
+                generation=gen,
+                txn={"tag": tag, "batch_id": batch_id},
+            )
+            break
+        except FileExistsError:
+            gen += 1  # orphan manifest from a crashed attempt — skip over
+    else:
+        raise RuntimeError(f"no free generation number near {gen}")
+
+    if max_files is not None and merged["n_files"] > max_files:
+        cgen = merged["generation"] + 1
         for _ in range(100):
             try:
-                merged = merge_cow(
+                after = compact_partial(
                     spark,
                     table_dir,
-                    changes,
-                    key_col="id",
-                    generation=gen,
-                    txn={"tag": tag, "batch_id": batch_id},
+                    cgen,
+                    max_file_bytes=compact_small_file_bytes,
+                    target_files=compact_target_files,
                 )
                 break
             except FileExistsError:
-                gen += 1  # orphan manifest from a crashed attempt — skip over
+                cgen += 1
         else:
-            raise RuntimeError(f"no free generation number near {gen}")
+            raise RuntimeError(f"no free generation number near {cgen}")
+        if after["generation"] != merged["generation"]:  # committed
+            gc(table_dir, older_than_s=gc_older_than_s)
+            # file-level reclaim (r14): gc is dir-granular, but the
+            # merge stream supersedes files INSIDE dirs that still
+            # hold carried ones — vacuum is what keeps disk usage
+            # bounded in the steady state
+            vacuum(
+                table_dir,
+                older_than_s=(
+                    0.0 if gc_older_than_s is None else gc_older_than_s
+                ),
+            )
+    return merged
 
-        # steady-state maintenance, same single-writer loop (r13 verdict #3).
-        # PARTIAL compaction (r14, s34): only files under the small-file
-        # threshold rewrite — at 100 TB the table is mostly large settled
-        # files plus the churn's small tail, and a maintenance cycle must
-        # cost the CHURN, not the table (the full-compact policy would
-        # re-write petabytes per trigger threshold).
-        if max_files is not None and merged["n_files"] > max_files:
-            cgen = merged["generation"] + 1
+
+def lakehouse_drift_merge_batch(
+    table_dir: str,
+    tag: str = "t31",
+    max_files: int | None = None,
+    compact_target_files: int = 4,
+    gc_older_than_s: float | None = 0.0,
+    compact_small_file_bytes: int = 128 << 20,
+):
+    """T31 foreachBatch: T30's lakehouse merge under STREAMING ADDITIVE
+    SCHEMA DRIFT — the Debezium ``ALTER TABLE ADD COLUMN`` lifecycle, the
+    one CDC event class the t30 sink could not absorb (r14 verdict #2).
+    The batch arrives as RAW envelope text (the Kafka value shape,
+    reference main.py:42-43): each envelope is self-describing, so the
+    sink, not the stream schema, decides the decode shape:
+
+    1. DETECT — one aggregation over the micro-batch collects the distinct
+       ``after.*`` key set (json_object_keys; bounded by the table's
+       column count, never by rows). Keys absent from the manifest's
+       stored schema are new upstream columns.
+    2. EVOLVE — new columns commit first as an S32 additive evolution
+       (nullable STRING: bare JSON carries no richer provable type — a
+       production Debezium pipe with a schema registry would map real
+       types; the manifest metadata commit is the same either way). The
+       evolution is its own generation; the txn watermark carries through
+       by reference, so a crash BETWEEN evolve and merge replays the
+       batch against the already-evolved schema and just skips step 2
+       (detection finds nothing new) — idempotent across the boundary.
+    3. DECODE + MERGE — from_json against the (possibly just-evolved)
+       STORED schema: pre-drift envelopes NULL-fill the new columns, and
+       rows already in the table NULL-fill on read (S32's contract), so
+       the merge is the ordinary t30 copy-on-write tail, maintenance
+       policy included.
+
+    At 100 TB: drift detection is one map-side key-set aggregation on a
+    batch the sink reads anyway; the evolution commit is O(files)
+    metadata with zero data I/O."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from ez_cdc_spark.sources.manifest import evolve_schema, read_manifest
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        last = (man.get("txn") or {}).get("batch_id", -1)
+        if (man.get("txn") or {}).get("tag") == tag and batch_id <= last:
+            return  # already committed — at-least-once replay skipped
+
+        # 1. detect: distinct after.* keys in THIS batch (bounded collect)
+        keys = {
+            r[0]
+            for r in batch.select(
+                F.explode_outer(
+                    F.json_object_keys(
+                        F.get_json_object(F.col("value"), "$.after")
+                    )
+                ).alias("k")
+            )
+            .where(F.col("k").isNotNull())
+            .distinct()
+            .collect()
+        }
+        stored_names = {f["name"] for f in man["schema"]["fields"]}
+        new_cols = sorted(k for k in keys if k not in stored_names)
+
+        # 2. evolve: additive metadata commit, then re-resolve the manifest
+        if new_cols:
+            gen = man["generation"] + 1
             for _ in range(100):
                 try:
-                    after = compact_partial(
-                        spark,
+                    evolve_schema(
                         table_dir,
-                        cgen,
-                        max_file_bytes=compact_small_file_bytes,
-                        target_files=compact_target_files,
+                        gen,
+                        [StructField(c, StringType(), True) for c in new_cols],
                     )
                     break
                 except FileExistsError:
-                    cgen += 1
+                    gen += 1  # orphan from a crashed attempt — skip over
             else:
-                raise RuntimeError(f"no free generation number near {cgen}")
-            if after["generation"] != merged["generation"]:  # committed
-                gc(table_dir, older_than_s=gc_older_than_s)
-                # file-level reclaim (r14): gc is dir-granular, but the
-                # merge stream supersedes files INSIDE dirs that still
-                # hold carried ones — vacuum is what keeps disk usage
-                # bounded in the steady state
-                vacuum(
-                    table_dir,
-                    older_than_s=(
-                        0.0 if gc_older_than_s is None else gc_older_than_s
-                    ),
-                )
+                raise RuntimeError(f"no free generation number near {gen}")
+            man = read_manifest(table_dir)
+
+        # 3. decode with the stored schema, merge as usual
+        stored = StructType.fromJson(man["schema"])
+        img = StructType([f for f in stored.fields if f.name != "lsn"])
+        env_schema = StructType(
+            [
+                StructField("before", img),
+                StructField("after", img),
+                StructField(
+                    "source", StructType([StructField("lsn", LongType())])
+                ),
+                StructField("op", StringType()),
+            ]
+        )
+        dec = batch.select(F.from_json("value", env_schema).alias("e"))
+        payload = [f.name for f in img.fields if f.name != "id"]
+        changes = dec.select(
+            F.coalesce(F.col("e.after.id"), F.col("e.before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("e.source.lsn").cast("bigint").alias("lsn"),
+            *[F.col(f"e.after.{c}").alias(c) for c in payload],
+            F.col("e.op").alias("op"),
+            F.col("e.source.lsn").cast("bigint").alias("seq"),
+        )
+        _merge_and_maintain(
+            spark,
+            table_dir,
+            changes,
+            man,
+            tag,
+            batch_id,
+            max_files,
+            compact_target_files,
+            gc_older_than_s,
+            compact_small_file_bytes,
+        )
 
     return apply
+
+
+def materialize_lakehouse_drift(
+    spark: SparkSession, sf_dir: str, tag: str = "t31"
+) -> DataFrame:
+    """T31 end-to-end: raw-text lsn-staged drift replay (one file per
+    trigger; envelopes gain ``after.phone`` at the mid-replay threshold) →
+    per-batch detect/evolve/merge commits into a manifest table
+    bootstrapped with the PRE-drift schema → final committed state read
+    under the evolved stored schema (rows last written before the
+    evolution read phone as NULL). The maintenance policy runs, so the
+    partial compaction restages old NULL-filled rows under the evolved
+    schema mid-stream too."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources.manifest import publish, read_committed
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-{tag}-{os.getpid()}")
+    if os.path.exists(table_dir):
+        shutil.rmtree(table_dir)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    path, _threshold = envelopes_jsonl_drift(spark, sf_dir)
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(path)
+    q = (
+        raw.writeStream.foreachBatch(
+            lakehouse_drift_merge_batch(
+                table_dir,
+                tag,
+                max_files=8,
+                compact_target_files=2,
+                gc_older_than_s=0.0,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_committed(spark, table_dir)
 
 
 def materialize_lakehouse(

@@ -1976,3 +1976,142 @@ def test_t30b_partitioned_sink_kill_restart(spark, tmp_path, sf_dir):
         for r in load_all()["t9_cdc_upsert"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_t31_drift_sink_kill_restart_across_evolution(spark, tmp_path, sf_dir):
+    """t31 under the kill rig, with the kill placed ACROSS the schema
+    evolution boundary: run 1 is stopped only after the sink has detected
+    the drifted envelopes and committed the S32 evolution (the table
+    schema already carries `phone`); run 2 resumes from the same
+    checkpoint and must drain the remaining batches against the evolved
+    schema. Pins: (a) final state equals the declarative drift oracle
+    row-for-row, (b) exactly ONE evolution commit exists across both runs
+    (the replayed boundary batch must NOT re-evolve), and (c) pre-drift
+    envelope files genuinely lack the `phone` key while post-drift files
+    carry it (the fixture's honesty — detection has something real to
+    detect)."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F  # noqa: N812
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        read_committed,
+        read_manifest,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        envelopes_jsonl_drift,
+        lakehouse_drift_merge_batch,
+    )
+
+    path, threshold = envelopes_jsonl_drift(spark, sf_dir)
+    stages = sorted(f for f in os.listdir(path) if f.startswith("stage-"))
+    assert len(stages) >= 3, stages
+    first_lines = open(os.path.join(path, stages[0])).read().splitlines()
+    last_lines = open(os.path.join(path, stages[-1])).read().splitlines()
+    assert all('"phone"' not in ln for ln in first_lines), "pre-drift leak"
+    assert any('"phone"' in ln for ln in last_lines), "post-drift missing"
+
+    td = str(tmp_path / "laketable-drift")
+    ckpt = str(tmp_path / "ckpt-drift")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], schema), td, generation=1, stats_columns=["id"])
+
+    def start():
+        raw = spark.readStream.option("maxFilesPerTrigger", 1).text(path)
+        return (
+            raw.writeStream.foreachBatch(
+                lakehouse_drift_merge_batch(
+                    td,
+                    tag="t31kill",
+                    max_files=8,
+                    compact_target_files=2,
+                    gc_older_than_s=3600.0,
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # wait until the EVOLUTION has committed (schema carries phone), then
+    # kill — the boundary batch is the last thing run 1 did
+    deadline = time.time() + 120
+    evolved = False
+    while time.time() < deadline:
+        try:
+            names = [f["name"] for f in read_manifest(td)["schema"]["fields"]]
+            if "phone" in names:
+                evolved = True
+                break
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+        time.sleep(0.1)
+    assert evolved, "evolution never committed in run 1"
+    stop_and_await(q)
+
+    q2 = start()
+    q2.awaitTermination()
+
+    # (b) exactly one evolution commit across both runs
+    mdir = os.path.join(td, "_manifests")
+    evolve_commits = 0
+    for m in os.listdir(mdir):
+        if m.startswith("gen-") and m.endswith(".json"):
+            with open(os.path.join(mdir, m)) as fh:
+                if "evolve" in _json.load(fh):
+                    evolve_commits += 1
+    assert evolve_commits == 1, evolve_commits
+    names = [f["name"] for f in read_manifest(td)["schema"]["fields"]]
+    assert names[-1] == "phone", names
+
+    # (a) final state == the declarative drift oracle
+    from ez_cdc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dup = ev.filter(F.col("event_id") % 97 == 0)
+    env = ev.unionByName(dup).select(
+        (F.col("event_id") % 200).cast("bigint").alias("id"),
+        F.coalesce(
+            F.when(F.col("event_type") == "signup", F.lit("c")),
+            F.when(F.col("event_type") == "error", F.lit("d")),
+            F.lit("u"),
+        ).alias("op"),
+        F.col("event_id").cast("bigint").alias("lsn"),
+        F.col("event_type").alias("first_name"),
+        F.col("user_id").cast("string").alias("last_name"),
+        F.concat_ws("@", F.col("user_id").cast("string"), F.col("event_type")).alias("email"),
+        F.when(
+            F.col("event_id") >= threshold,
+            F.concat(F.lit("p-"), F.col("event_id").cast("string")),
+        ).alias("phone"),
+    )
+    winner = env.groupBy("id").agg(
+        F.max_by(
+            F.struct("op", "lsn", "first_name", "last_name", "email", "phone"),
+            F.col("lsn"),
+        ).alias("w")
+    )
+    want_df = winner.select("id", "w.*").where(F.col("op") != "d").select(
+        "id", "lsn", "first_name", "last_name", "email", "phone"
+    )
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in read_committed(spark, td)
+        .select("id", "lsn", "first_name", "last_name", "email", "phone")
+        .collect()
+    )
+    want = sorted(tuple(str(v) for v in r) for r in want_df.collect())
+    assert got == want and len(got) > 0
