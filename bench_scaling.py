@@ -133,11 +133,169 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
     return out
 
 
+def t30b_fixed_churn_probe(
+    spark,
+    seed_rows: int,
+    sf_dir: str = BASE,
+    n_stages: int = 6,
+    small_file_bytes: int = 64 << 10,
+) -> dict:
+    """r14 verdict #7: the merge-scaling probe (fixed change batch, flat
+    cost across table growth — f86c28e measured it for batch merge_cow)
+    run through the PARTITIONED STREAMING sink with the maintenance
+    policy ON, so t30b's per-batch-cost-tracks-churn claim is measured,
+    not inferred.
+
+    A table of ``seed_rows`` SETTLED rows (ids >= 10_000, partition
+    values seed0..seed7, padded so every settled file sits ABOVE the
+    small-file threshold) is pre-published as gen-1; the FIXED sf-dir
+    envelope replay (ids 0..199 — disjoint from every settled key range)
+    then streams through lakehouse_merge_batch one file per trigger.
+    Steady-state shape by construction: merges touch only churn-sized
+    files, and partial compaction's size filter selects only the churn's
+    small tail — the settled files are carried by reference through
+    EVERY commit, whatever the table size. Returns wall time plus the
+    structural witness: total rewritten-file counts from the retained
+    manifests' merge/compact lineage (these must be IDENTICAL across
+    seed sizes — the flatness pin) and the settled-file carry count."""
+    import json as _json
+
+    from ez_cdc_spark.sources.manifest import publish_partitioned, read_manifest
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        lakehouse_merge_batch,
+    )
+    from ez_cdc_spark.streaming.replay import checkpoint_dir
+
+    td = os.path.join(SCRATCH, f"t30b-churn-{seed_rows}")
+    shutil.rmtree(td, ignore_errors=True)
+    # incompressible padding (hex digests, not a repeated literal — snappy
+    # would flatten the latter below any size threshold) and an explicit
+    # (partition, bucket) file layout: hash-repartitioning on the pair
+    # gives ~64 whole-combo files, no tiny partition-boundary slivers
+    pad = F.concat_ws(
+        "",
+        *[F.sha2((F.col("id") + i).cast("string"), 256) for i in range(4)],
+    )
+    seed = spark.range(seed_rows).select(
+        (F.col("id") + 10_000).alias("id"),
+        F.lit(0).cast("bigint").alias("lsn"),
+        F.concat(F.lit("seed"), (F.col("id") % 8).cast("string")).alias(
+            "first_name"
+        ),
+        F.col("id").cast("string").alias("last_name"),
+        F.concat(F.col("id").cast("string"), pad).alias("email"),
+        ((F.col("id") / 8) % 8).cast("int").alias("bucket"),
+    )
+    n_seed_files = 64
+    publish_partitioned(
+        seed.repartition(n_seed_files, "first_name", "bucket").drop("bucket"),
+        td,
+        generation=1,
+        partition_col="first_name",
+        stats_columns=["id"],
+    )
+    man1 = read_manifest(td)
+    settled = set(man1["files"])
+    sizes = [os.path.getsize(os.path.join(td, r)) for r in settled]
+    assert min(sizes) > small_file_bytes, (
+        f"seed files must sit above the small-file threshold "
+        f"({min(sizes)} <= {small_file_bytes}); raise seed_rows"
+    )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir, n_stages=n_stages)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    t0 = time.perf_counter()
+    q = (
+        env.writeStream.foreachBatch(
+            lakehouse_merge_batch(
+                td,
+                tag=f"t30bprobe{seed_rows}",
+                # low headroom so the maintenance policy actually FIRES
+                # during the replay — its size filter must select only the
+                # churn tail, never the settled files
+                max_files=len(settled) + 2,
+                compact_target_files=4,
+                gc_older_than_s=3600.0,
+                compact_small_file_bytes=small_file_bytes,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink_sec = round(time.perf_counter() - t0, 3)
+
+    merge_rewritten = compact_rewritten = merges = compacts = 0
+    mdir = os.path.join(td, "_manifests")
+    for m in sorted(os.listdir(mdir)):
+        if not (m.startswith("gen-") and m.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, m)) as fh:
+            man = _json.load(fh)
+        if "merge" in man:
+            merges += 1
+            merge_rewritten += man["merge"]["rewritten_files"]
+        if "compact" in man:
+            compacts += 1
+            compact_rewritten += man["compact"]["rewritten_files"]
+    final = read_manifest(td)
+    carried_settled = len(settled & set(final["files"]))
+    return {
+        "probe": "t30b_fixed_churn",
+        "seed_rows": seed_rows,
+        "seed_files": len(settled),
+        "sink_sec": sink_sec,
+        "micro_batches": merges,
+        "merge_rewritten_files_total": merge_rewritten,
+        "compactions": compacts,
+        "compact_rewritten_files_total": compact_rewritten,
+        "settled_files_carried_to_final": carried_settled,
+    }
+
+
 def main() -> None:
     from ez_cdc_spark.queries import load_all
     from ez_cdc_spark.session import get_spark
 
     spark = get_spark("ez_cdc_spark-scaling")
+
+    if os.environ.get("SCALE_T30B"):
+        # fixed-churn probe through the partitioned streaming sink: the
+        # envelope replay is CONSTANT while the settled table grows 16x —
+        # rewritten-file totals must not move (r14 verdict #7)
+        out = [
+            t30b_fixed_churn_probe(spark, n)
+            for n in (100_000, 400_000, 1_600_000)
+        ]
+        for row in out:
+            print(json.dumps(row))
+        base, top = out[0], out[-1]
+        print(
+            json.dumps(
+                {
+                    "t30b_churn_summary": {
+                        "sink_sec_ratio_16x_vs_1x": round(
+                            top["sink_sec"] / base["sink_sec"], 2
+                        ),
+                        "rewritten_flat": (
+                            top["merge_rewritten_files_total"]
+                            == base["merge_rewritten_files_total"]
+                            and top["compact_rewritten_files_total"]
+                            == base["compact_rewritten_files_total"]
+                        ),
+                    }
+                }
+            )
+        )
+        return
+
     reg = load_all()
     # warm codegen/scan paths once
     reg["a2_global_agg"].fn(spark, BASE).write.format("noop").mode("overwrite").save()

@@ -778,3 +778,35 @@ def test_x50_replicated_corpus_removes_everything(spark, r8b_10x_dir):
             assert r["kept_md5"] == empty_md5, r
         else:
             assert r["n_removed"] == 0 and r["n_kept"] == r["n_tokens"], r
+
+
+def test_t30b_fixed_churn_cost_is_flat_across_table_growth(spark, sf_dir):
+    """r14 verdict #7: the f86c28e merge-scaling claim, measured through
+    the PARTITIONED STREAMING sink with the maintenance policy on. The
+    envelope replay (the churn) is CONSTANT while the settled table grows
+    16x; the structural cost witnesses — files rewritten by merges and by
+    the size-filtered partial compactions — must be IDENTICAL at both
+    sizes, every settled file must be carried by reference to the final
+    generation, and the maintenance policy must actually have fired (a
+    never-firing compaction would make the flatness vacuous)."""
+    import importlib
+
+    probe = importlib.import_module("bench_scaling").t30b_fixed_churn_probe
+
+    small = probe(spark, 30_000, sf_dir)
+    big = probe(spark, 480_000, sf_dir)
+
+    assert small["micro_batches"] == big["micro_batches"] > 1
+    assert small["compactions"] == big["compactions"] > 0, (small, big)
+    assert (
+        small["merge_rewritten_files_total"]
+        == big["merge_rewritten_files_total"]
+        > 0
+    ), (small, big)
+    assert (
+        small["compact_rewritten_files_total"]
+        == big["compact_rewritten_files_total"]
+        > 0
+    ), (small, big)
+    assert small["settled_files_carried_to_final"] == small["seed_files"]
+    assert big["settled_files_carried_to_final"] == big["seed_files"]
