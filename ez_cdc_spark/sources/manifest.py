@@ -1425,40 +1425,53 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
     merge stream leaks every rewritten file's old bytes forever.
 
     Deletes every ``*.parquet`` under ``data/`` that (a) is referenced by
-    NO retained manifest — retained = the committed generation plus every
-    generation manifest younger than ``older_than_s`` (time travel inside
-    the retention window keeps working; beyond it, as in Delta, vacuum is
-    what breaks it) — and (b) is itself older than ``older_than_s``. The
-    age floor also protects a racing writer's freshly staged files, and
-    the pointer is re-resolved after listing so a commit landing mid-scan
-    has both its old and new file sets protected. ``older_than_s`` is
-    REQUIRED (0.0 means "reclaim everything unreferenced now" — only safe
-    in a single-writer window with no snapshot readers). Returns deleted
-    paths; prunes directories the deletions emptied."""
+    NO manifest still on disk — manifest LIFECYCLE is ``gc``'s job, so
+    time-travel retention is whatever generation manifests gc has kept
+    (run ``gc(older_than_s)`` first, as the sinks' maintenance step does;
+    a file named by any existing manifest, committed, superseded, or
+    in-flight, is never touched) — (b) is itself older than
+    ``older_than_s``, and (c) — r15, the racing-writer guarantee made
+    structural — does not live under a generation dir whose
+    ``.reserve-gen-N`` staging reservation is still present: a live
+    writer holds the reservation for the WHOLE staging phase (S33) and
+    releases it only after its manifest exists, so every instant of a
+    concurrent writer's staging→link→commit is covered by reservation or
+    manifest reference, with no window even at ``older_than_s=0.0``
+    (candidates are listed BEFORE the protection sets are resolved, so a
+    protection appearing during the walk is always seen; a crashed
+    writer's stale reservation is first reclaimed by an aged ``gc``,
+    which re-opens those files to vacuum). The manifest set is re-read
+    after the walk so a commit landing mid-scan protects both its old
+    and new file sets. ``older_than_s`` is REQUIRED (0.0 means "reclaim
+    everything unreferenced now" — safe for snapshot READERS only in a
+    window where none holds a superseded generation; racing WRITERS are
+    structurally protected). Returns deleted paths; prunes directories
+    the deletions emptied."""
     import time
 
     mdir = os.path.join(table_dir, "_manifests")
     data_root = os.path.join(table_dir, "data")
     now = time.time()
 
+    def _reserved_dirs() -> set[str]:
+        out = set()
+        for m in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+            if m.startswith(".reserve-gen-"):
+                g = _gen_of(m)
+                if g is not None:
+                    out.add(_stage_dir(table_dir, g))
+        return out
+
     def _retained_files() -> set[str]:
         refs: set[str] = set()
-        committed = current_generation(table_dir)
         for m in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
-            g = _gen_of(m)
-            if g is None:
-                continue
-            full = os.path.join(mdir, m)
+            if m.startswith(".") or _gen_of(m) is None:
+                continue  # reservations / mid-commit tmps are not manifests
             try:
-                young = (now - os.path.getmtime(full)) < older_than_s
-            except OSError:
-                young = True
-            if g == committed or young:
-                try:
-                    with open(full) as fh:
-                        refs.update(json.load(fh)["files"])
-                except (OSError, ValueError):
-                    continue  # unreadable manifest protects nothing
+                with open(os.path.join(mdir, m)) as fh:
+                    refs.update(json.load(fh)["files"])
+            except (OSError, ValueError):
+                continue  # unreadable/vanishing manifest protects nothing
         return refs
 
     referenced = _retained_files()
@@ -1472,11 +1485,15 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
                 continue
             full = os.path.join(root, f)
             candidates.append((os.path.relpath(full, table_dir), full))
-    # re-resolve: a commit that landed during the walk protects BOTH sides
+    # re-resolve: a commit that landed during the walk protects BOTH sides,
+    # and a reservation taken during the walk protects its staging dir
     referenced |= _retained_files()
+    reserved = _reserved_dirs()
     for rel, full in candidates:
         if rel in referenced:
             continue
+        if any(full.startswith(d + os.sep) for d in reserved):
+            continue  # live writer mid-staging (S33 reservation held)
         try:
             if (now - os.path.getmtime(full)) < older_than_s:
                 continue  # young: racing writer's staging / recent rewrite
@@ -1484,14 +1501,23 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
             deleted.append(full)
         except OSError:
             continue  # vanished mid-scan (gc/another vacuum) — fine
-    # prune dirs the deletions emptied (bottom-up; rmdir refuses non-empty
-    # dirs, so trying unconditionally is safe), never data/ itself
-    for root, _dirs, _files in os.walk(data_root, topdown=False):
-        if root != data_root:
-            try:
-                os.rmdir(root)
-            except OSError:
-                pass
+    # prune ONLY the dirs this vacuum's own deletions may have emptied
+    # (deepest first; rmdir refuses non-empty dirs). A blanket sweep of
+    # every empty dir raced in-flight writers: Spark's committer mkdirs
+    # the staging dir an instant before writing into it, and the sweep
+    # deleted that empty dir out from under the job (witnessed by the
+    # r15 racing-writer test). Never data/ itself.
+    prune: set[str] = set()
+    for full in deleted:
+        d = os.path.dirname(full)
+        while d != data_root and d.startswith(data_root + os.sep):
+            prune.add(d)
+            d = os.path.dirname(d)
+    for d in sorted(prune, key=len, reverse=True):
+        try:
+            os.rmdir(d)
+        except OSError:
+            pass  # still holds carried files — fine
     return deleted
 
 

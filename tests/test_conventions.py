@@ -26,6 +26,8 @@ ROOT = pathlib.Path(__file__).resolve().parents[1] / "ez_cdc_spark"
 #               handed to a Spark worker API
 #   _retained_files — vacuum's manifest-reference scan: pure driver-side
 #               filesystem/JSON walking, no Spark at all
+#   _reserved_dirs — vacuum's staging-reservation scan (r15 racing-writer
+#               guard): same pure driver-side filesystem class
 #   _young    — gc's retention-age probe (calls _newest_mtime): pure
 #               driver-side os.walk mtime dating, no Spark at all
 DRIVER_SIDE_CALLBACKS = {
@@ -34,6 +36,7 @@ DRIVER_SIDE_CALLBACKS = {
     "_touched",
     "_overlaps",
     "_retained_files",
+    "_reserved_dirs",
     "_young",
 }
 

@@ -3130,3 +3130,143 @@ def test_publish_stats_collected_without_driver_footer_reads(
     )
     man2 = m.read_manifest(td2)
     assert man2["stats"] and all("k" in s for s in man2["stats"].values())
+
+
+def test_vacuum_never_reclaims_a_racing_writers_staging(spark, sf_dir):
+    """r14 verdict #8, witness 1: vacuum runs CONCURRENTLY with a writer
+    whose staging deliberately outlasts older_than_s (files written one
+    by one, each older than the threshold by the time the last lands).
+    The S33 reservation must protect every staged file structurally —
+    age alone would lose the early ones — and after the writer commits,
+    the table must read back complete."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    td = _scratch(sf_dir, "vacrace1")
+    shutil.rmtree(td, ignore_errors=True)
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    m.publish(base, td, generation=1)
+
+    stage = m._stage_dir(td, 2)
+    staged: list[str] = []
+    writer_err: list[Exception] = []
+
+    def writer():
+        try:
+            # reservation FIRST (what _validate_generation does), then a
+            # slow staging: 6 files, 0.15 s apart, against a 0.2 s vacuum
+            # threshold — files 1..4 are provably past the age floor while
+            # staging is still in flight
+            m._validate_generation(td, 2)
+            os.makedirs(stage, exist_ok=True)
+            for i in range(6):
+                p = os.path.join(stage, f"part-{i:03d}.parquet")
+                pq.write_table(
+                    pa.table({"k": [100 + i], "v": [f"s{i}"]}), p
+                )
+                staged.append(p)
+                time.sleep(0.15)
+            manifest = {
+                "generation": 2,
+                "files": [os.path.relpath(f, td) for f in m.committed_files(td)]
+                + [os.path.relpath(f, td) for f in staged],
+                "n_files": 1 + len(staged),
+                "schema": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                    ],
+                },
+            }
+            m._commit_manifest(td, 2, manifest, expected_parent=1)
+        except Exception as ex:  # surface in the main thread
+            writer_err.append(ex)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    # hammer vacuum the whole time the writer is staging + committing
+    reclaimed: list[str] = []
+    while t.is_alive():
+        reclaimed += m.vacuum(td, older_than_s=0.2)
+        time.sleep(0.05)
+    t.join()
+    assert not writer_err, writer_err
+    assert reclaimed == [], f"vacuum stole a racing writer's files: {reclaimed}"
+    for p in staged:
+        assert os.path.exists(p), p
+    got = sorted(
+        (r["k"], r["v"]) for r in m.read_committed(spark, td).collect()
+    )
+    assert got == [(1, "a")] + [(100 + i, f"s{i}") for i in range(6)]
+
+
+def test_vacuum_protects_a_commit_landing_mid_walk(spark, sf_dir):
+    """r14 verdict #8, witness 2: a writer commits WHILE vacuum walks —
+    stressed in a loop (the s33 CAS-stress style): one thread performs
+    back-to-back merge commits, the main thread runs vacuum continuously
+    with a small threshold. No committed generation may ever lose a file:
+    after every round the final committed read must equal the Python
+    model, and every file named by the final manifest must exist."""
+    import os
+    import shutil
+    import threading
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    td = _scratch(sf_dir, "vacrace2")
+    shutil.rmtree(td, ignore_errors=True)
+    rows = [(k, f"n{k}") for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    m.publish(df.repartitionByRange(4, "k"), td, generation=1, stats_columns=["k"])
+
+    model = {k: f"n{k}" for k in range(1, 101)}
+    writer_err: list[Exception] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for round_no in range(6):
+                lo = 10 * round_no + 1
+                batch = [
+                    (k, f"u{round_no}-{k}", "u", round_no + 1)
+                    for k in range(lo, lo + 10)
+                ]
+                for k, v, _op, _seq in batch:
+                    model[k] = v
+                changes = spark.createDataFrame(
+                    batch, "k bigint, name string, op string, seq int"
+                )
+                m.retry_commit(
+                    lambda g, c=changes: m.merge_cow(
+                        spark, td, c, key_col="k", generation=g
+                    ),
+                    td,
+                )
+        except Exception as ex:
+            writer_err.append(ex)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    while not done.is_set():
+        m.vacuum(td, older_than_s=30.0)  # commits are far younger than this
+        m.vacuum(td, older_than_s=0.0)  # and the manifest set protects even at 0
+    t.join()
+    assert not writer_err, writer_err
+
+    final = m.read_manifest(td)
+    for rel in final["files"]:
+        assert os.path.exists(os.path.join(td, rel)), rel
+    got = {r["k"]: r["name"] for r in m.read_committed(spark, td).collect()}
+    assert got == model
