@@ -103,17 +103,11 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
-    "s28c_conjunctive_zorder_pruning",
-    "s34_partial_compaction",
-    "s28b_temporal_stats_skipping",
-    "s30b_manifest_merge_cow_partitioned",
-    "s31b_manifest_append_partitioned",
-    "s32_manifest_schema_evolution",
-    "s33_concurrent_writers",
-    "t30b_lakehouse_cdc_merge_partitioned",
+    "t31_lakehouse_schema_drift",
 ]
 
 EXTRA_QUERIES = [
+    "t31_lakehouse_schema_drift",
     "s28c_conjunctive_zorder_pruning",
     "s34_partial_compaction",
     "s28b_temporal_stats_skipping",
@@ -308,6 +302,11 @@ def main() -> None:
     spark.range(0, 1024, 1, 64).mapInPandas(_warm_workers, "n long").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # The plain-RDD Python worker path (used by the manifest family's
+    # executor-side footer-stats collection, r15) forks its own workers on
+    # first use — same one-time-cost class as the Arrow pool above.
+    spark.sparkContext.parallelize(range(64), 32).map(lambda x: x).count()
 
     # The grouped-map (applyInPandas) eval path compiles separately from
     # mapInPandas; one tiny pass warms it too.
