@@ -1162,6 +1162,24 @@ def lakehouse_drift_merge_batch(
     metadata with zero data I/O."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import read_manifest
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        last = (man.get("txn") or {}).get("batch_id", -1)
+        if (man.get("txn") or {}).get("tag") == tag and batch_id <= last:
+            return  # already committed — at-least-once replay skipped
+
+        # the batch feeds TWO actions (key detection, then the merge) —
+        # persist so the source read happens once per trigger, the
+        # standard foreachBatch multi-action pattern
+        batch.persist()
+        try:
+            _detect_evolve_merge(spark, batch, batch_id, man)
+        finally:
+            batch.unpersist()
+
+    def _detect_evolve_merge(spark, batch, batch_id, man):
         from pyspark.sql.types import (
             LongType,
             StringType,
@@ -1170,12 +1188,6 @@ def lakehouse_drift_merge_batch(
         )
 
         from ez_cdc_spark.sources.manifest import evolve_schema, read_manifest
-
-        spark = batch.sparkSession
-        man = read_manifest(table_dir)
-        last = (man.get("txn") or {}).get("batch_id", -1)
-        if (man.get("txn") or {}).get("tag") == tag and batch_id <= last:
-            return  # already committed — at-least-once replay skipped
 
         # 1. detect: distinct after.* keys in THIS batch (bounded collect)
         keys = {

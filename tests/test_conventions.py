@@ -28,6 +28,9 @@ ROOT = pathlib.Path(__file__).resolve().parents[1] / "ez_cdc_spark"
 #               filesystem/JSON walking, no Spark at all
 #   _reserved_dirs — vacuum's staging-reservation scan (r15 racing-writer
 #               guard): same pure driver-side filesystem class
+#   _detect_evolve_merge — the t31 drift sink's per-batch body, called
+#               only from its foreachBatch apply (driver-side); split out
+#               so the batch persist/unpersist wraps it in try/finally
 #   _young    — gc's retention-age probe (calls _newest_mtime): pure
 #               driver-side os.walk mtime dating, no Spark at all
 DRIVER_SIDE_CALLBACKS = {
@@ -38,6 +41,7 @@ DRIVER_SIDE_CALLBACKS = {
     "_retained_files",
     "_reserved_dirs",
     "_young",
+    "_detect_evolve_merge",
 }
 
 
