@@ -1486,9 +1486,18 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
             full = os.path.join(root, f)
             candidates.append((os.path.relpath(full, table_dir), full))
     # re-resolve: a commit that landed during the walk protects BOTH sides,
-    # and a reservation taken during the walk protects its staging dir
-    referenced |= _retained_files()
+    # and a reservation taken during the walk protects its staging dir.
+    # ORDER IS LOAD-BEARING: reservations FIRST, manifests SECOND. A
+    # committing writer links gen-N.json and only THEN releases its
+    # reservation, so if the reservation read finds nothing, the link has
+    # either already happened (the later manifest read sees it) or the
+    # writer hasn't staged yet (its files were not walk candidates).
+    # Reading manifests first re-opened the window the r15 full-suite
+    # stress actually hit: manifest not yet linked at the manifest read,
+    # reservation already released at the reservation read — a committed
+    # file vacuumed at older_than_s=0.
     reserved = _reserved_dirs()
+    referenced |= _retained_files()
     for rel, full in candidates:
         if rel in referenced:
             continue
