@@ -104,10 +104,12 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
     "t31_lakehouse_schema_drift",
+    "s35_manifest_change_feed",
 ]
 
 EXTRA_QUERIES = [
     "t31_lakehouse_schema_drift",
+    "s35_manifest_change_feed",
     "s28c_conjunctive_zorder_pruning",
     "s34_partial_compaction",
     "s28b_temporal_stats_skipping",

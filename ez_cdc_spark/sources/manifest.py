@@ -1416,6 +1416,83 @@ def merge_cow(
     )
 
 
+def change_feed(
+    spark: SparkSession,
+    table_dir: str,
+    from_generation: int,
+    to_generation: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """S35: CHANGE DATA FEED between two committed generations — the Delta
+    CDF / Iceberg incremental-read analog, derived purely from the
+    copy-on-write structure instead of a side-written _change_data folder:
+    the manifests' file lists identify exactly which files the interval
+    touched (removed = in FROM but not TO; added = in TO but not FROM —
+    carried-by-reference files are byte-identical and contribute nothing),
+    and the row-level delta is the symmetric difference of just those two
+    file sets. Rows a rewrite carried unchanged cancel in the exceptAll,
+    so a pure compaction's change feed is EMPTY by construction — layout
+    maintenance is invisible to downstream consumers, exactly the CDF
+    contract.
+
+    Without ``key_col``: rows only in FROM emit as ``delete``, rows only
+    in TO as ``insert``. With ``key_col`` (a last-write-wins keyed table,
+    the merge_cow invariant): a key present on both sides emits the Delta
+    CDF pair ``update_preimage``/``update_postimage`` instead, classified
+    by one keyed full-outer join of the two (already churn-sized) delta
+    sides. Output: the table's columns plus ``_change_type``.
+
+    At 100 TB this is THE incremental-consumer primitive: a downstream
+    job that processed generation g consumes only the interval's churn —
+    I/O is the rewritten/added files, never the table; the untouched
+    99.99% of a range-clustered table is excluded by manifest metadata
+    before Spark sees a path. FROM must still be retained (un-gc'd);
+    reading a collected generation raises FileNotFoundError loudly."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    if to_generation <= from_generation:
+        raise ValueError("change_feed needs from_generation < to_generation")
+    m_from = read_manifest(table_dir, from_generation)
+    m_to = read_manifest(table_dir, to_generation)
+    from_files = set(m_from["files"])
+    to_files = set(m_to["files"])
+    removed = [os.path.join(table_dir, r) for r in m_from["files"] if r not in to_files]
+    added = [os.path.join(table_dir, r) for r in m_to["files"] if r not in from_files]
+    old = _read_files(spark, m_from, table_dir, removed)
+    new = _read_files(spark, m_to, table_dir, added)
+    # align to the FROM schema's columns plus any TO-side additions
+    # (additive evolution widens; exceptAll needs identical shapes)
+    cols = [f["name"] for f in (m_to.get("schema") or m_from["schema"])["fields"]]
+    for c in cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    old, new = old.select(*cols), new.select(*cols)
+    gone = old.exceptAll(new)  # pre-images of updates + deleted rows
+    came = new.exceptAll(old)  # post-images of updates + inserted rows
+    if key_col is None:
+        return gone.select(F.lit("delete").alias("_change_type"), *cols).unionByName(
+            came.select(F.lit("insert").alias("_change_type"), *cols)
+        )
+    if key_col not in cols:
+        raise ValueError(f"key column {key_col!r} is not a table column")
+    upd_keys = gone.select(key_col).intersect(came.select(key_col))
+    typed_gone = gone.join(upd_keys, on=key_col, how="left_semi").select(
+        F.lit("update_preimage").alias("_change_type"), *cols
+    ).unionByName(
+        gone.join(upd_keys, on=key_col, how="left_anti").select(
+            F.lit("delete").alias("_change_type"), *cols
+        )
+    )
+    typed_came = came.join(upd_keys, on=key_col, how="left_semi").select(
+        F.lit("update_postimage").alias("_change_type"), *cols
+    ).unionByName(
+        came.join(upd_keys, on=key_col, how="left_anti").select(
+            F.lit("insert").alias("_change_type"), *cols
+        )
+    )
+    return typed_gone.unionByName(typed_came)
+
+
 def vacuum(table_dir: str, older_than_s: float) -> list[str]:
     """File-level data reclaim — Delta VACUUM's analog, and the completion
     partial compaction (S34) and copy-on-write merges (S30) make

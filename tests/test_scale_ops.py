@@ -3270,3 +3270,81 @@ def test_vacuum_protects_a_commit_landing_mid_walk(spark, sf_dir):
         assert os.path.exists(os.path.join(td, rel)), rel
     got = {r["k"]: r["name"] for r in m.read_committed(spark, td).collect()}
     assert got == model
+
+
+def test_s35_change_feed_reads_only_touched_files_and_skips_maintenance(
+    spark, sf_dir
+):
+    """s35 structural pins: (1) the feed's plan reads ONLY the symmetric
+    difference of the two manifests' file lists — carried-by-reference
+    files are never opened, so feed I/O tracks the churn; (2) a pure
+    compaction's feed is EMPTY (layout maintenance is invisible to
+    consumers); (3) across an additive schema evolution the FROM side
+    NULL-fills the new column, so pre/post images stay comparable."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import StringType, StructField
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import (
+        change_feed,
+        compact,
+        evolve_schema,
+        merge_cow,
+        publish,
+        publish_append,
+        read_manifest,
+    )
+
+    td = _scratch(sf_dir, "s35pins")
+    shutil.rmtree(td, ignore_errors=True)
+    rows = [(k, f"n{k}") for k in range(1, 401)]
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    publish(df.repartitionByRange(8, "k"), td, generation=1, stats_columns=["k"])
+    man1 = read_manifest(td)
+
+    changes = spark.createDataFrame(
+        [(k, f"u{k}", "u", 1) for k in range(10, 20)]
+        + [(k, None, "d", 1) for k in range(390, 395)]
+        + [(k, f"i{k}", "c", 1) for k in (9001, 9002)],
+        "k bigint, name string, op string, seq int",
+    )
+    merge_cow(spark, td, changes, key_col="k", generation=2)
+    man2 = read_manifest(td)
+
+    feed = change_feed(spark, td, 1, 2, key_col="k")
+    # (1) plan touches only the symmetric difference
+    sym = {
+        os.path.join(td, r)
+        for r in set(man1["files"]).symmetric_difference(man2["files"])
+    }
+    opened = {f.replace("file://", "") for f in feed.inputFiles()}
+    assert opened and opened <= sym, (opened - sym, sym)
+    carried = {
+        os.path.join(td, r) for r in set(man1["files"]) & set(man2["files"])
+    }
+    assert carried and not (opened & carried)
+
+    got = {(r["_change_type"], r["k"]) for r in feed.collect()}
+    want = (
+        {("update_preimage", k) for k in range(10, 20)}
+        | {("update_postimage", k) for k in range(10, 20)}
+        | {("delete", k) for k in range(390, 395)}
+        | {("insert", k) for k in (9001, 9002)}
+    )
+    assert got == want
+
+    # (2) compaction is invisible to the feed
+    compact(spark, td, generation=3, target_files=2)
+    assert change_feed(spark, td, 2, 3, key_col="k").count() == 0
+
+    # (3) additive evolution: FROM side NULL-fills the new column
+    evolve_schema(td, 4, [StructField("tag", StringType(), True)])
+    tagged = spark.createDataFrame([(7777, "new", "T")], "k bigint, name string, tag string")
+    publish_append(tagged, td, generation=5)
+    feed2 = change_feed(spark, td, 3, 5, key_col="k")
+    rows2 = {(r["_change_type"], r["k"], r["tag"]) for r in feed2.collect()}
+    assert rows2 == {("insert", 7777, "T")}
+    # and an evolution alone changes no rows
+    assert change_feed(spark, td, 3, 4, key_col="k").count() == 0
