@@ -1191,3 +1191,16 @@ def test_s30b_partitioned_plan_broadcast_anti_and_partition_scoped_rewrite(
             assert (
                 "c_mktsegment=BUILDING" in f or "c_mktsegment=MACHINERY" in f
             ), f
+
+
+def test_s35_change_feed_plan_no_cartesian_and_churn_only_scan(spark, sf_smoke):
+    """s35's feed plan: no cartesian anywhere (the update classification is
+    a keyed join over two churn-sized delta sides), and the scan set is the
+    symmetric difference only — the structural reason feed I/O tracks the
+    churn at 100 TB."""
+    df = load_all()["s35_manifest_change_feed"].fn(spark, sf_smoke)
+    assert_no_cartesian(df)
+    # churn-only I/O is pinned by inputFiles in
+    # tests/test_scale_ops.py::test_s35_change_feed_reads_only_touched_files…
+    # (exceptAll itself compiles to joins/aggregates, no physical node to
+    # assert on)
