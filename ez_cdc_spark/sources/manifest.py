@@ -1659,6 +1659,19 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
     ``older_than_s=None`` the floor stays absolute (a racing publish is
     never collected by an age-blind GC).
 
+    Racing writers (r15): a generation whose ``.reserve-gen-N`` staging
+    reservation is still held is NEVER collected, whatever the threshold
+    — the whole staging phase is structurally protected. The residual
+    exposure of an aggressive threshold is the commit window itself
+    (manifest linked, pointer not yet swapped, reservation released): a
+    concurrent gc whose threshold is smaller than that window could
+    reclaim the in-flight manifest as torn debris. So with writers
+    CONCURRENT to gc, ``older_than_s`` must exceed the link→swap window
+    (microseconds-to-milliseconds; any real retention dwarfs it);
+    ``older_than_s=0.0`` remains a single-writer-window assertion, which
+    is how the streaming sinks use it (gc runs between their own
+    commits, never beside them).
+
     A reader that resolved the pointer before the GC ran is only at risk
     if it raced the PREVIOUS commit and holds a superseded generation
     older than the threshold. Returns the deleted paths."""
@@ -1723,12 +1736,25 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
             return True
         return older_than_s is None or _young(path)
 
+    # generations whose staging reservation is still held belong to a LIVE
+    # writer: never collect their data dirs, whatever the age threshold
+    # (r15 — the cross-process witness caught gc(0.0) rmtree-ing a
+    # reserved dir between the writer's mkdir and its first file write;
+    # the aggressive threshold may reclaim TORN debris, not live staging).
+    reserved_gens = {
+        _gen_of(m)
+        for m in mcandidates
+        if m.startswith(".reserve-gen-")
+    }
+
     deleted: list[str] = []
     for d in candidates:
         if d.startswith("."):
             continue  # a racing writer's in-flight temp — never collect
         full = os.path.join(data_root, d)
         g = _gen_of(d)
+        if g is not None and g in reserved_gens:
+            continue  # live writer mid-staging (S33 reservation held)
         if full in keep_dirs or _floor_protected(g, full):
             continue
         if _young(full):

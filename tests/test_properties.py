@@ -2578,3 +2578,68 @@ def test_a25_spacesaving_exact_mode_is_exact_and_eviction_fires():
     assert len(state) == 3 and mu > 0
     assert any(v[1] > 0 for v in state.values()), "eviction must have fired"
     assert "hot" in state, "the true heavy hitter must survive m=3"
+
+
+# S35 change-feed property: a randomized keyed table + a randomized CDC
+# batch (updates that may be no-ops, deletes of present or absent keys,
+# inserts) — change_feed(1, 2) must equal the pure-Python keyed diff of the
+# declarative states. Exercises cancellation of rewrite-carried rows,
+# no-op-update invisibility, and the four Delta change types together.
+change_batch = st.lists(
+    st.tuples(
+        st.integers(0, 24),  # key (overlaps and misses the seeded 0..15)
+        st.sampled_from(["u", "d", "c"]),
+        st.integers(0, 3),  # new value domain, small so no-op updates occur
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],  # one event per key: feed diff is per-key
+)
+
+
+@settings(**SETTINGS)
+@given(batch=change_batch)
+def test_s35_change_feed_matches_python_diff(spark, batch):
+    import shutil as _sh
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import change_feed, merge_cow, publish
+
+    td = _scratch("/root/testdata/sf0.01", "s35prop")
+    _sh.rmtree(td, ignore_errors=True)
+    seed = {k: k % 3 for k in range(16)}  # value domain overlaps the batch's
+    df = spark.createDataFrame(
+        [(k, v) for k, v in seed.items()], "k bigint, v int"
+    )
+    publish(df.repartitionByRange(4, "k"), td, generation=1, stats_columns=["k"])
+
+    state2 = dict(seed)
+    for k, op, v in batch:
+        if op == "d":
+            state2.pop(k, None)
+        else:  # 'u' and 'c' both upsert under last-event-wins
+            state2[k] = v
+    changes = spark.createDataFrame(
+        [(k, v, op, 1) for k, op, v in batch] or [(999, 0, "d", 1)],
+        "k bigint, v int, op string, seq int",
+    )
+    merge_cow(spark, td, changes, key_col="k", generation=2)
+
+    want = set()
+    for k in set(seed) | set(state2):
+        before, after = seed.get(k), state2.get(k)
+        if before == after:
+            continue  # untouched or no-op update: invisible to the feed
+        if before is None:
+            want.add(("insert", k, after))
+        elif after is None:
+            want.add(("delete", k, before))
+        else:
+            want.add(("update_preimage", k, before))
+            want.add(("update_postimage", k, after))
+
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in change_feed(spark, td, 1, 2, key_col="k").collect()
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))

@@ -3017,10 +3017,15 @@ def test_gc_keeps_reservation_of_actively_staging_writer(spark, sf_dir):
     assert os.path.exists(res), deleted  # reservation stays: staging is live
     assert os.path.exists(fresh), deleted  # staging dir not rmtree'd
 
-    # writer truly gone: everything old -> both reclaimed
+    # writer truly gone: everything old -> reclaim is TWO-PHASE (r15: a
+    # held reservation protects its data dir unconditionally, so one pass
+    # removes the stale reservation and the next reclaims the
+    # now-unreserved dir — gc stays idempotent and the protection has no
+    # ordering hole)
     os.utime(fresh, (old, old))
     deleted = gc(td, older_than_s=60.0)
     assert not os.path.exists(res), deleted
+    deleted = gc(td, older_than_s=60.0)
     assert not os.path.exists(stage), deleted
 
 
@@ -3348,3 +3353,157 @@ def test_s35_change_feed_reads_only_touched_files_and_skips_maintenance(
     assert rows2 == {("insert", 7777, "T")}
     # and an evolution alone changes no rows
     assert change_feed(spark, td, 3, 4, key_col="k").count() == 0
+
+
+def _vacrace_proc_writer(args):
+    """Spawn-target: commit n generations against one table, each staging a
+    real parquet file (pyarrow, no Spark in children) under a held S33
+    reservation, exactly the library's own write discipline. Returns the
+    committed (generation, value) pairs."""
+    table_dir, n_commits = args
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ez_cdc_spark.sources.manifest import (
+        CommitConflictError,
+        _commit_manifest,
+        _stage_dir,
+        _validate_generation,
+        current_generation,
+        read_manifest,
+    )
+
+    committed = []
+    gen = 1
+    while len(committed) < n_commits:
+        cur = current_generation(table_dir)
+        gen = max((cur or 0) + 1, gen + 1)
+        try:
+            _validate_generation(table_dir, gen)  # takes the reservation
+        except FileExistsError:
+            continue
+        stage = _stage_dir(table_dir, gen)
+        os.makedirs(stage, exist_ok=True)
+        f = os.path.join(stage, "part-000.parquet")
+        pq.write_table(pa.table({"gen": [gen], "v": [gen * 7]}), f)
+        time.sleep(0.01)  # widen the staging window the maintainers race
+        man = {
+            "generation": gen,
+            "files": [os.path.relpath(f, table_dir)],
+            "n_files": 1,
+            "schema": read_manifest(table_dir)["schema"],
+        }
+        try:
+            _commit_manifest(table_dir, gen, man, expected_parent=cur)
+            committed.append((gen, gen * 7))
+        except (CommitConflictError, FileExistsError):
+            pass  # single writer here, but stay conflict-safe
+    open(os.path.join(table_dir, "_WRITER_DONE"), "w").close()
+    return committed
+
+
+def _vacrace_proc_maintainer(args):
+    """Spawn-target: hammer gc(0) + vacuum(0) until the writer finishes."""
+    table_dir, = args
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources.manifest import gc, vacuum
+
+    rounds = 0
+    while not os.path.exists(os.path.join(table_dir, "_WRITER_DONE")):
+        # vacuum at 0.0 is structurally writer-safe (reservation +
+        # manifest-reference protection); gc's threshold must exceed the
+        # link->pointer-swap commit window when writers are concurrent
+        # (manifest.py docstring) — 2 s dwarfs it while still far below
+        # the test's runtime, so gc races every staging and every commit
+        gc(table_dir, older_than_s=2.0)
+        vacuum(table_dir, older_than_s=0.0)
+        rounds += 1
+    return rounds
+
+
+def _vacrace_proc_reader(args):
+    """Spawn-target: repeatedly resolve the pointer and check every file
+    the CURRENT manifest names exists; a missing file is a violation
+    UNLESS the pointer moved in between (a superseded snapshot may be
+    reclaimed at older_than_s=0 by documented contract)."""
+    table_dir, = args
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    violations = []
+    checks = 0
+    while not os.path.exists(os.path.join(table_dir, "_WRITER_DONE")):
+        try:
+            man = read_manifest(table_dir)
+        except (FileNotFoundError, ValueError):
+            continue  # pointer swap / gc mid-resolve: re-resolve
+        for rel in man["files"]:
+            if not os.path.exists(os.path.join(table_dir, rel)):
+                try:
+                    now = read_manifest(table_dir)["generation"]
+                except (FileNotFoundError, ValueError):
+                    continue
+                if now == man["generation"]:
+                    violations.append((man["generation"], rel))
+        checks += 1
+    return checks, violations
+
+
+def test_vacuum_gc_never_touch_the_committed_generation_cross_process(
+    spark, sf_dir
+):
+    """r14 verdict #8 taken cross-PROCESS (the s33 stress style): one OS
+    process commits 25 real-file generations while two maintainer
+    processes hammer gc(0)+vacuum(0) and a reader process continuously
+    audits that the CURRENT pointer's files exist. Zero reader violations,
+    and the final committed file reads back with the last commit's
+    content — the aggressive-reclaim setting can never eat the live
+    generation or an in-flight commit."""
+    import multiprocessing as mp
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import committed_files, publish, read_manifest
+
+    td = _scratch(sf_dir, "vacrace3")
+    shutil.rmtree(td, ignore_errors=True)
+    publish(
+        spark.createDataFrame([(0, 0)], "gen bigint, v bigint"), td, generation=1
+    )
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        writer = pool.apply_async(_vacrace_proc_writer, [(td, 25)])
+        maint1 = pool.apply_async(_vacrace_proc_maintainer, [(td,)])
+        maint2 = pool.apply_async(_vacrace_proc_maintainer, [(td,)])
+        reader = pool.apply_async(_vacrace_proc_reader, [(td,)])
+        committed = writer.get(timeout=300)
+        m1, m2 = maint1.get(timeout=60), maint2.get(timeout=60)
+        checks, violations = reader.get(timeout=60)
+
+    assert len(committed) == 25
+    assert m1 + m2 > 10, "maintainers must actually have raced"
+    assert checks > 10, "reader must actually have audited"
+    assert violations == [], violations
+
+    final_gen, final_val = committed[-1]
+    assert read_manifest(td)["generation"] == final_gen
+    files = committed_files(td)
+    assert len(files) == 1 and os.path.exists(files[0])
+    tbl = pq.read_table(files[0])
+    assert tbl.column("gen").to_pylist() == [final_gen]
+    assert tbl.column("v").to_pylist() == [final_val]
