@@ -1437,10 +1437,11 @@ def change_feed(
 
     Without ``key_col``: rows only in FROM emit as ``delete``, rows only
     in TO as ``insert``. With ``key_col`` (a last-write-wins keyed table,
-    the merge_cow invariant): a key present on both sides emits the Delta
-    CDF pair ``update_preimage``/``update_postimage`` instead, classified
-    by one keyed full-outer join of the two (already churn-sized) delta
-    sides. Output: the table's columns plus ``_change_type``.
+    the merge_cow invariant): a key present on both delta sides emits the
+    Delta CDF pair ``update_preimage``/``update_postimage`` instead —
+    classified against the intersected key set via keyed semi/anti joins
+    over the two (already churn-sized) delta sides. Output: the table's
+    columns plus ``_change_type``.
 
     At 100 TB this is THE incremental-consumer primitive: a downstream
     job that processed generation g consumes only the interval's churn —
