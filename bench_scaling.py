@@ -48,7 +48,12 @@ OPS = os.environ.get(
     "s26_manifest_compaction,s27_manifest_time_travel,"
     "s28_manifest_stats_skipping,a24_hdr_rank_sketch,w21_ohlc_bar_anomaly,"
     "x64_neardup_contamination,x65_contamination_removal,s29_manifest_partition_publish,t29_stream_dim_interval_join,"
-    "s30_manifest_merge_cow,a25_spacesaving_topk,s31_manifest_append,t30_lakehouse_cdc_merge",
+    "s30_manifest_merge_cow,a25_spacesaving_topk,s31_manifest_append,t30_lakehouse_cdc_merge,"
+    "s30b_manifest_merge_cow_partitioned,s31b_manifest_append_partitioned,"
+    "s32_manifest_schema_evolution,s33_concurrent_writers,s34_partial_compaction,"
+    "s28b_temporal_stats_skipping,s28c_conjunctive_zorder_pruning,"
+    "t30b_lakehouse_cdc_merge_partitioned,t31_lakehouse_schema_drift,"
+    "s35_manifest_change_feed",
 ).split(",")
 SCRATCH = os.path.join("/tmp", "ez_cdc_spark_scaling")
 
