@@ -340,6 +340,33 @@ def _validate_generation(
         ) from None
 
 
+def _fold_txns(parent_txns: dict | None, txn: dict | None) -> dict | None:
+    """Per-writer transaction watermarks — the Delta ``txn`` action's
+    appId → version map: the parent's map carried forward with this
+    commit's tagged ``txn`` folded in under its ``tag``, so N independent
+    writers sharing one table each keep their own replay watermark across
+    each other's commits (the single-slot ``txn`` field is last-writer-
+    wins and would lose writer A's watermark the moment writer B commits).
+    Returns None when there is nothing to record."""
+    txns = dict(parent_txns or {})
+    if txn and "tag" in txn:
+        txns[str(txn["tag"])] = {k: v for k, v in txn.items() if k != "tag"}
+    return txns or None
+
+
+def txn_watermark(manifest: dict, tag: str) -> dict | None:
+    """Resolve writer ``tag``'s replay watermark from a committed manifest:
+    the per-tag ``txns`` map when present (multi-writer), else the legacy
+    single-slot ``txn`` when its tag matches (single-writer sinks)."""
+    per_tag = (manifest.get("txns") or {}).get(tag)
+    if per_tag is not None:
+        return per_tag
+    single = manifest.get("txn")
+    if single and single.get("tag") == tag:
+        return {k: v for k, v in single.items() if k != "tag"}
+    return None
+
+
 def publish(
     df: DataFrame,
     table_dir: str,
@@ -347,6 +374,7 @@ def publish(
     stats_columns: list[str] | None = None,
     txn: dict | None = None,
     expected_parent=_AUTO,
+    txns: dict | None = None,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
@@ -374,6 +402,9 @@ def publish(
         )
     if txn is not None:
         manifest["txn"] = txn
+    folded = _fold_txns(txns, txn)
+    if folded:
+        manifest["txns"] = folded
     return _commit_manifest(
         table_dir, generation, manifest, expected_parent=expected_parent
     )
@@ -585,6 +616,7 @@ def publish_partitioned(
     stats_columns: list[str] | None = None,
     txn: dict | None = None,
     expected_parent=_AUTO,
+    txns: dict | None = None,
 ) -> dict:
     """S29: partition-aware atomic publish — S25's two-phase protocol
     composed with S7's partitionBy layout: the generation stages as
@@ -623,6 +655,9 @@ def publish_partitioned(
         )
     if txn is not None:
         manifest["txn"] = txn
+    folded = _fold_txns(txns, txn)
+    if folded:
+        manifest["txns"] = folded
     return _commit_manifest(
         table_dir, generation, manifest, expected_parent=expected_parent
     )
@@ -887,6 +922,7 @@ def compact(
             stats_columns=stats_columns,
             txn=txn,
             expected_parent=manifest["generation"],
+            txns=manifest.get("txns"),
         )
     return publish(
         df,
@@ -895,6 +931,7 @@ def compact(
         stats_columns=stats_columns,
         txn=txn,
         expected_parent=manifest["generation"],
+        txns=manifest.get("txns"),
     )
 
 
@@ -989,6 +1026,8 @@ def compact_partial(
         }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
+    if manifest.get("txns") is not None:
+        new_manifest["txns"] = manifest["txns"]
     return _commit_manifest(
         table_dir, generation, new_manifest, expected_parent=manifest["generation"]
     )
@@ -1080,6 +1119,8 @@ def publish_append(
         }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
+    if manifest.get("txns") is not None:
+        new_manifest["txns"] = manifest["txns"]
     return _commit_manifest(
         table_dir, generation, new_manifest, expected_parent=manifest["generation"]
     )
