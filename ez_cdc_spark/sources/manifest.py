@@ -354,15 +354,30 @@ def _fold_txns(parent_txns: dict | None, txn: dict | None) -> dict | None:
     return txns or None
 
 
-def txn_watermark(manifest: dict, tag: str) -> dict | None:
+def _txns_of(manifest: dict | None) -> dict | None:
+    """A committed manifest's per-tag watermark map, SEEDED from the legacy
+    single-slot ``txn`` when no map exists yet: a table whose last commit
+    predates the multi-writer map must not lose that writer's watermark
+    the moment a differently-tagged writer commits on top (the upgrade is
+    lossless — the slot's tag becomes the map's first entry)."""
+    if not manifest:
+        return None
+    return manifest.get("txns") or _fold_txns(None, manifest.get("txn"))
+
+
+def txn_watermark(manifest: dict, tag) -> dict | None:
     """Resolve writer ``tag``'s replay watermark from a committed manifest:
     the per-tag ``txns`` map when present (multi-writer), else the legacy
-    single-slot ``txn`` when its tag matches (single-writer sinks)."""
-    per_tag = (manifest.get("txns") or {}).get(tag)
+    single-slot ``txn`` when its tag matches (single-writer sinks).
+    Tags normalize through ``str`` on BOTH storage forms so a non-string
+    tag (e.g. an int) resolves identically whether it was folded into the
+    map (which coerces with ``str``) or still sits in the legacy slot
+    (ADVICE r15)."""
+    per_tag = (manifest.get("txns") or {}).get(str(tag))
     if per_tag is not None:
         return per_tag
     single = manifest.get("txn")
-    if single and single.get("tag") == tag:
+    if single and "tag" in single and str(single["tag"]) == str(tag):
         return {k: v for k, v in single.items() if k != "tag"}
     return None
 
@@ -402,6 +417,14 @@ def publish(
         )
     if txn is not None:
         manifest["txn"] = txn
+    # txns defaulting (ADVICE r15): when replacing an EXISTING generation,
+    # other writers' watermarks live in the parent manifest — defaulting
+    # the fold input to the parent's map means a tagged publish over a
+    # shared table cannot silently drop them. Pass txns={} to deliberately
+    # reset the map (a truncate-style rewrite that invalidates replay
+    # history), or an explicit map to override.
+    if txns is None and expected_parent is not None:
+        txns = _txns_of(read_manifest(table_dir, as_of_generation=expected_parent))
     folded = _fold_txns(txns, txn)
     if folded:
         manifest["txns"] = folded
@@ -655,6 +678,10 @@ def publish_partitioned(
         )
     if txn is not None:
         manifest["txn"] = txn
+    # same parent-map defaulting as publish (ADVICE r15): replacing an
+    # existing generation must not drop other writers' watermarks
+    if txns is None and expected_parent is not None:
+        txns = _txns_of(read_manifest(table_dir, as_of_generation=expected_parent))
     folded = _fold_txns(txns, txn)
     if folded:
         manifest["txns"] = folded
@@ -922,7 +949,7 @@ def compact(
             stats_columns=stats_columns,
             txn=txn,
             expected_parent=manifest["generation"],
-            txns=manifest.get("txns"),
+            txns=_txns_of(manifest),
         )
     return publish(
         df,
@@ -931,7 +958,7 @@ def compact(
         stats_columns=stats_columns,
         txn=txn,
         expected_parent=manifest["generation"],
-        txns=manifest.get("txns"),
+        txns=_txns_of(manifest),
     )
 
 
@@ -1452,6 +1479,14 @@ def merge_cow(
         # watermark and skips already-applied batches, so replays are
         # idempotent without exactly-once delivery
         new_manifest["txn"] = txn
+    # carry EVERY writer's watermark: parent's per-tag map folded with this
+    # commit's tagged txn (ADVICE r15 — merge is the primary CDC sink
+    # commit path; dropping the map here would erase other writers'
+    # replay watermarks on the first merge, the exact last-writer-wins
+    # loss the txns map exists to prevent)
+    folded = _fold_txns(_txns_of(manifest), txn)
+    if folded:
+        new_manifest["txns"] = folded
     return _commit_manifest(
         table_dir, generation, new_manifest, expected_parent=manifest["generation"]
     )

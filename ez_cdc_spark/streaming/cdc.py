@@ -1016,12 +1016,16 @@ def lakehouse_merge_batch(
     retention window instead of the stream's lifetime."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        from ez_cdc_spark.sources.manifest import read_manifest
+        from ez_cdc_spark.sources.manifest import read_manifest, txn_watermark
 
         spark = batch.sparkSession
         man = read_manifest(table_dir)
-        last = (man.get("txn") or {}).get("batch_id", -1)
-        if (man.get("txn") or {}).get("tag") == tag and batch_id <= last:
+        # per-tag watermark lookup (ADVICE r15): resolves through the
+        # multi-writer ``txns`` map first, so another tagged writer
+        # committing last can no longer hide THIS sink's watermark and
+        # cause a replayed batch to re-apply
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
             return  # already committed — at-least-once replay skipped
         changes = batch.select(
             F.coalesce(F.col("after.id"), F.col("before.id"))
@@ -1162,12 +1166,16 @@ def lakehouse_drift_merge_batch(
     metadata with zero data I/O."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        from ez_cdc_spark.sources.manifest import read_manifest
+        from ez_cdc_spark.sources.manifest import read_manifest, txn_watermark
 
         spark = batch.sparkSession
         man = read_manifest(table_dir)
-        last = (man.get("txn") or {}).get("batch_id", -1)
-        if (man.get("txn") or {}).get("tag") == tag and batch_id <= last:
+        # per-tag watermark lookup (ADVICE r15): resolves through the
+        # multi-writer ``txns`` map first, so another tagged writer
+        # committing last can no longer hide THIS sink's watermark and
+        # cause a replayed batch to re-apply
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
             return  # already committed — at-least-once replay skipped
 
         # the batch feeds TWO actions (key detection, then the merge) —
