@@ -71,24 +71,14 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # r14 verdict #4: executor-side _collect_stats on every stats-recording
 # write path) — every manifest consumer re-attests, plus the t30/t30b
 # sinks whose per-batch merges now take the new stats path.
-_REATTEST: set[str] = {
-    "s25_manifest_atomic_publish",
-    "s26_manifest_compaction",
-    "s27_manifest_time_travel",
-    "s28_manifest_stats_skipping",
-    "s28b_temporal_stats_skipping",
-    "s28c_conjunctive_zorder_pruning",
-    "s29_manifest_partition_publish",
-    "s30_manifest_merge_cow",
-    "s30b_manifest_merge_cow_partitioned",
-    "s31_manifest_append",
-    "s31b_manifest_append_partitioned",
-    "s32_manifest_schema_evolution",
-    "s33_concurrent_writers",
-    "s34_partial_compaction",
-    "t30_lakehouse_cdc_merge",
-    "t30b_lakehouse_cdc_merge_partitioned",
-}
+_REATTEST: set[str] = set()
+# r16: the r15 batch (16 manifest-family consumers) attested green in
+# CORRECTNESS_r15 and is cleared. The r16 manifest/txns rework (multi-writer
+# watermark carry) changes only commit METADATA, never query results — the
+# whole family was re-verified hash-green by driver simulation after the
+# change — so no forced re-attestation: the remaining ~49 slots drain the
+# 50-query r10-stale cohort (r15 verdict #1), which the derived
+# oldest-attestation-first order selects automatically.
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

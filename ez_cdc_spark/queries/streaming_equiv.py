@@ -2160,3 +2160,59 @@ def t30b_lakehouse_cdc_merge_partitioned(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id")
+
+
+@register(
+    "t32_change_feed_consumer",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         max_by(first_name, lsn) AS first_name,
+         CAST(MAX(lsn) AS BIGINT) AS lsn
+  FROM env GROUP BY id
+)
+SELECT first_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lsn) AS BIGINT) AS sum_lsn
+FROM latest WHERE op <> 'd'
+GROUP BY first_name
+ORDER BY first_name
+""",
+    doc="T32: STREAMING CHANGE-FEED CONSUMPTION (r15 verdict #2) — the "
+    "reference's downstream half (python/cdc_test/main.py:39-47 consumes "
+    "the change topic and processes each event) re-expressed as Delta-CDF-"
+    "style incremental consumption: t30's lakehouse sink commits each "
+    "micro-batch as a merge_cow generation, and INSIDE the same trigger a "
+    "downstream consumer applies change_feed(cursor, cur) (s35) to a "
+    "per-event-type aggregate table — insert/update_postimage rows add "
+    "(+1, +lsn), delete/update_preimage rows subtract, groups whose count "
+    "returns to zero are tombstoned (streaming/cdc.py:consume_feed_step). "
+    "The consumer's cursor is the last upstream generation applied, "
+    "recorded transactionally in the DOWNSTREAM manifest's txn watermark, "
+    "so consume-and-commit is one atomic step: a crash between producer "
+    "and consumer commits replays into 'skip upstream, apply exactly the "
+    "missed interval'; after both, both skip — exactly-once from "
+    "at-least-once with the offset stored in the sink (the reference "
+    "relies on Kafka group offsets + autocommit, main.py:52, which is "
+    "at-most/at-least-once across crashes; the engine's is exact). "
+    "Maintenance compaction runs mid-stream with retention (no gc while "
+    "the consumer lags — the Delta CDF retention contract); pure-"
+    "compaction intervals cancel in the feed by construction. The oracle "
+    "recomputes the final aggregate declaratively from the same envelope "
+    "derivation — hash-green proves every incremental feed application "
+    "composed to the exact full recompute. At 100 TB: feed I/O per step "
+    "is the interval's churn (manifest metadata excludes the untouched "
+    "table), the delta is one churn-sized groupBy, and the downstream "
+    "commit rewrites only the group keys the interval touched.",
+)
+def t32_change_feed_consumer(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_feed_consumer
+
+    agg = materialize_feed_consumer(spark, sf_dir)
+    return agg.select(
+        "first_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_lsn").cast("bigint").alias("sum_lsn"),
+    ).orderBy("first_name")

@@ -1065,6 +1065,7 @@ def _merge_and_maintain(
     compact_target_files: int,
     gc_older_than_s: float | None,
     compact_small_file_bytes: int,
+    retain_superseded: bool = False,
 ) -> dict:
     """The lakehouse sinks' shared per-batch tail (t30/t30b/t31): one
     merge_cow commit with orphan-number skipping, then the steady-state
@@ -1072,7 +1073,11 @@ def _merge_and_maintain(
     maintenance cycle costs the CHURN, not the table; the full-compact
     policy would re-write petabytes per trigger at 100 TB), dir-granular
     gc, and file-level vacuum, all inside the same single-writer loop so
-    the writer-exclusivity contract holds by construction."""
+    the writer-exclusivity contract holds by construction.
+
+    ``retain_superseded=True`` (t32) compacts but skips gc/vacuum: a
+    change-feed consumer may still need superseded generations — the CDF
+    retention contract; the producer reclaims after consumers catch up."""
     from ez_cdc_spark.sources.manifest import (
         compact_partial,
         gc,
@@ -1113,7 +1118,7 @@ def _merge_and_maintain(
                 cgen += 1
         else:
             raise RuntimeError(f"no free generation number near {cgen}")
-        if after["generation"] != merged["generation"]:  # committed
+        if after["generation"] != merged["generation"] and not retain_superseded:
             gc(table_dir, older_than_s=gc_older_than_s)
             # file-level reclaim (r14): gc is dir-granular, but the
             # merge stream supersedes files INSIDE dirs that still
@@ -1415,3 +1420,242 @@ def materialize_lakehouse(
     )
     q.awaitTermination()
     return read_committed(spark, table_dir)
+
+
+def consume_feed_step(
+    spark: SparkSession,
+    table_dir: str,
+    agg_dir: str,
+    consumer_tag: str = "t32c",
+    origin_generation: int = 1,
+) -> dict | None:
+    """T32 consumer step: advance a DOWNSTREAM aggregate table from the
+    upstream table's CHANGE DATA FEED — the engine analog of the
+    reference's entire downstream half (python/cdc_test/main.py:39-47
+    consumes the change topic and processes each event), re-expressed as
+    Delta-CDF-style incremental consumption: instead of a Kafka offset,
+    the consumer's cursor is the last UPSTREAM GENERATION it applied,
+    recorded transactionally in its OWN table's txn watermark
+    (``consumed_gen``), so consume-and-commit is one atomic step and a
+    replay after any crash resumes exactly where the downstream state
+    says — the consumer-group-offset pattern with the offset stored IN
+    the sink (exactly-once without coordination).
+
+    The maintained aggregate is per-``first_name``: ``n`` (row count) and
+    ``sum_lsn``. change_feed's signed rows update it incrementally:
+    insert/update_postimage add (+1, +lsn), delete/update_preimage
+    subtract — the T13 incremental-aggregate pattern fed by s35's feed
+    instead of raw envelopes, which is the point: ANY downstream job can
+    maintain state from the feed without re-reading the table or seeing
+    the envelope stream at all. Pure-compaction intervals cancel in the
+    feed by construction, so maintenance commits are invisible here.
+
+    At 100 TB: the feed's I/O is the interval's churn (rewritten/added
+    files — manifest metadata excludes the untouched table before Spark
+    sees a path); the delta aggregate is one churn-sized groupBy; the
+    read-modify-write touches only the group keys the interval changed
+    (dimension-sized); the commit is merge_cow's stats-pruned rewrite of
+    the downstream table. Retention contract (the Delta CDF one): the
+    upstream cursor generation must not be gc'd before it is consumed —
+    the producer loop defers gc while a consumer lags."""
+    from ez_cdc_spark.sources.manifest import (
+        change_feed,
+        merge_cow,
+        read_committed,
+        read_manifest,
+        txn_watermark,
+    )
+
+    cur = read_manifest(table_dir)["generation"]
+    b_man = read_manifest(agg_dir)
+    wm = txn_watermark(b_man, consumer_tag) or {}
+    consumed = wm.get("consumed_gen", origin_generation)
+    if cur <= consumed:
+        return None  # nothing new (replayed/skipped upstream batch)
+
+    feed = change_feed(spark, table_dir, consumed, cur, key_col="id")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy("first_name").agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(sign * F.col("lsn")).cast("long").alias("_dsum"),
+    )
+    old = read_committed(spark, agg_dir)
+    changes = (
+        delta.join(old, on="first_name", how="left")
+        .select(
+            "first_name",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("_dn")).alias("n"),
+            (F.coalesce(F.col("sum_lsn"), F.lit(0)) + F.col("_dsum")).alias(
+                "sum_lsn"
+            ),
+        )
+        .select(
+            "first_name",
+            "n",
+            "sum_lsn",
+            # a group whose count returns to zero leaves the aggregate —
+            # the tombstone the feed's deletes imply
+            F.when(F.col("n") == 0, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            F.lit(cur).cast("long").alias("seq"),
+        )
+    )
+    if changes.isEmpty():
+        return None  # churn-free interval: keep the cursor, nothing to commit
+    gen = b_man["generation"] + 1
+    for _ in range(100):
+        try:
+            return merge_cow(
+                spark,
+                agg_dir,
+                changes,
+                key_col="first_name",
+                generation=gen,
+                txn={"tag": consumer_tag, "consumed_gen": cur},
+            )
+        except FileExistsError:
+            gen += 1  # orphan manifest from a crashed attempt — skip over
+    raise RuntimeError(f"no free generation number near {gen}")
+
+
+def lakehouse_feed_fanout_batch(
+    table_dir: str,
+    agg_dir: str,
+    tag: str = "t32",
+    consumer_tag: str = "t32c",
+    max_files: int = 8,
+    compact_target_files: int = 2,
+    post_batch=None,
+):
+    """T32 foreachBatch: the t30 lakehouse merge followed, inside the same
+    trigger, by the change-feed consumer step — producer and downstream
+    consumer advancing in lockstep, each with its OWN transactional
+    watermark (producer: (tag, batch_id) in the upstream manifest;
+    consumer: consumed_gen in the downstream manifest), which the
+    multi-writer txns map keeps independent.
+
+    Maintenance runs WITHOUT gc/vacuum during the replay — the CDF
+    retention contract: superseded generations ARE the feed's history and
+    the consumer's cursor must stay readable until applied. The caller
+    reclaims after the stream drains (materialize_feed_consumer does).
+
+    Crash-idempotence across the two commits: a replay after a crash
+    BETWEEN them skips the upstream merge (watermark) and finds
+    cur > consumed, so the consumer applies exactly the missed interval;
+    a replay after BOTH skips both (cur == consumed). ``post_batch``
+    (tests) runs after the consumer step with (spark, batch_id)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import read_manifest, txn_watermark
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id > wm.get("batch_id", -1):
+            changes = batch.select(
+                F.coalesce(F.col("after.id"), F.col("before.id"))
+                .cast("bigint")
+                .alias("id"),
+                F.col("source.lsn").cast("bigint").alias("lsn"),
+                F.col("after.first_name").alias("first_name"),
+                F.col("after.last_name").alias("last_name"),
+                F.col("after.email").alias("email"),
+                F.col("op").alias("op"),
+                F.col("source.lsn").cast("bigint").alias("seq"),
+            )
+            _merge_and_maintain(
+                spark,
+                table_dir,
+                changes,
+                man,
+                tag,
+                batch_id,
+                max_files,
+                compact_target_files,
+                gc_older_than_s=None,
+                compact_small_file_bytes=128 << 20,
+                retain_superseded=True,
+            )
+        consume_feed_step(spark, table_dir, agg_dir, consumer_tag)
+        if post_batch is not None:
+            post_batch(spark, batch_id)
+
+    return apply
+
+
+def materialize_feed_consumer(
+    spark: SparkSession, sf_dir: str, tag: str = "t32"
+) -> DataFrame:
+    """T32 end-to-end: lsn-split envelope stream → per-batch merge_cow
+    commits into the upstream table (t30's sink, full retention) → after
+    each commit the downstream consumer applies change_feed(cursor, cur)
+    to its per-first_name aggregate table — then, once the stream drains,
+    the retention window closes and gc+vacuum reclaim the consumed
+    history (proving the feed was only needed until applied). Returns the
+    downstream table's final committed state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        gc,
+        publish,
+        read_committed,
+        vacuum,
+    )
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-feed-{tag}-{os.getpid()}")
+    agg_dir = _dir_for(sf_dir, f"feedagg-{tag}-{os.getpid()}")
+    for d in (table_dir, agg_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("lsn", LongType()),
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("email", StringType()),
+                ]
+            ),
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("first_name", StringType()),
+                    StructField("n", LongType()),
+                    StructField("sum_lsn", LongType()),
+                ]
+            ),
+        ),
+        agg_dir,
+        generation=1,
+        stats_columns=["first_name"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(
+            lakehouse_feed_fanout_batch(table_dir, agg_dir, tag=tag)
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # stream drained, consumer caught up: the retention window closes
+    gc(table_dir, older_than_s=0.0)
+    vacuum(table_dir, older_than_s=0.0)
+    return read_committed(spark, agg_dir)
