@@ -1498,6 +1498,7 @@ def change_feed(
     from_generation: int,
     to_generation: int,
     key_col: str | None = None,
+    partitions: list | None = None,
 ) -> DataFrame:
     """S35: CHANGE DATA FEED between two committed generations — the Delta
     CDF / Iceberg incremental-read analog, derived purely from the
@@ -1519,12 +1520,32 @@ def change_feed(
     over the two (already churn-sized) delta sides. Output: the table's
     columns plus ``_change_type``.
 
+    ``partitions`` (r16, S29's read-side payoff on the feed): on
+    partitioned generations, restrict the feed to the named partition
+    values — the same ``values`` contract as
+    :func:`read_committed_partitions` (``None`` in the list selects the
+    null partition). Pruning is decided from the manifests' partition
+    maps alone: files of other partitions are never opened. The scope is
+    PER SIDE — a key that MOVED into a requested partition emits only its
+    post-image here and its pre-image in the old partition's feed, so
+    without ``key_col`` the union over all partitions equals the full
+    feed row-for-row; with ``key_col``, a moved key's full-feed
+    ``update_preimage``/``update_postimage`` pair degrades to
+    ``delete``+``insert`` across the two scoped feeds (same rows, the
+    labels a partition-local view can honestly assign). On tables with
+    stable partition keys the scoped feed is exactly the full feed
+    filtered to those partitions, labels included. Raises on
+    non-partitioned generations (a silent full feed would defeat the
+    caller's pruning intent).
+
     At 100 TB this is THE incremental-consumer primitive: a downstream
     job that processed generation g consumes only the interval's churn —
     I/O is the rewritten/added files, never the table; the untouched
     99.99% of a range-clustered table is excluded by manifest metadata
-    before Spark sees a path. FROM must still be retained (un-gc'd);
-    reading a collected generation raises FileNotFoundError loudly."""
+    before Spark sees a path (and a per-tenant/date consumer further
+    prunes to ITS partitions' churn). FROM must still be retained
+    (un-gc'd); reading a collected generation raises FileNotFoundError
+    loudly."""
     from pyspark.sql import functions as F  # noqa: N812
 
     if to_generation <= from_generation:
@@ -1533,8 +1554,20 @@ def change_feed(
     m_to = read_manifest(table_dir, to_generation)
     from_files = set(m_from["files"])
     to_files = set(m_to["files"])
-    removed = [os.path.join(table_dir, r) for r in m_from["files"] if r not in to_files]
-    added = [os.path.join(table_dir, r) for r in m_to["files"] if r not in from_files]
+    removed_rel = [r for r in m_from["files"] if r not in to_files]
+    added_rel = [r for r in m_to["files"] if r not in from_files]
+    if partitions is not None:
+        if m_from.get("partition_col") is None or m_to.get("partition_col") is None:
+            raise ValueError(
+                "partitions filter needs partitioned generations on both sides"
+            )
+        want = {None if v is None else str(v) for v in partitions}
+        pmap_from = m_from.get("partitions", {})
+        pmap_to = m_to.get("partitions", {})
+        removed_rel = [r for r in removed_rel if pmap_from.get(r) in want]
+        added_rel = [r for r in added_rel if pmap_to.get(r) in want]
+    removed = [os.path.join(table_dir, r) for r in removed_rel]
+    added = [os.path.join(table_dir, r) for r in added_rel]
     old = _read_files(spark, m_from, table_dir, removed)
     new = _read_files(spark, m_to, table_dir, added)
     # align to the FROM schema's columns plus any TO-side additions

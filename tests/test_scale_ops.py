@@ -3507,3 +3507,133 @@ def test_vacuum_gc_never_touch_the_committed_generation_cross_process(
     tbl = pq.read_table(files[0])
     assert tbl.column("gen").to_pylist() == [final_gen]
     assert tbl.column("v").to_pylist() == [final_val]
+
+
+def test_change_feed_partition_pruning(spark):
+    """r15 verdict #3: the change feed composes with partitioned
+    generations AND can prune to requested partitions from the manifest
+    map alone — (a) rewrites confined to partition P imply the full
+    feed's inputFiles are a subset of P's churn files, (b) the
+    ``partitions=[...]`` arg returns exactly the full feed filtered to
+    those partitions on a stable-partition-key table, with inputFiles
+    drawn only from them, (c) unrequested partitions yield an empty
+    feed that opens zero files, (d) a moved key's update pair degrades
+    to delete+insert across the two scoped feeds (same rows), and
+    (e) the filter raises on non-partitioned generations."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        change_feed,
+        merge_cow,
+        publish,
+        publish_partitioned,
+        read_manifest,
+    )
+
+    td = tempfile.mkdtemp(prefix="feedprune_")
+    base = spark.range(100).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("p"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    publish_partitioned(base, td, 1, "p", stats_columns=["id"])
+
+    # gen 2: churn confined to partition "1" (stable partition keys)
+    ch1 = spark.createDataFrame(
+        [(1, "1", "new1", "u", 1), (5, "1", "new5", "u", 2), (9, "1", None, "d", 3)],
+        "id bigint, p string, val string, op string, seq bigint",
+    )
+    merge_cow(spark, td, ch1, "id", 2, stable_partition_keys=True)
+
+    m1, m2 = read_manifest(td, 1), read_manifest(td, 2)
+    churn_rel = (set(m1["files"]) - set(m2["files"])) | (
+        set(m2["files"]) - set(m1["files"])
+    )
+    p1_churn_abs = {
+        os.path.join(td, r)
+        for r in churn_rel
+        if (m1.get("partitions", {}).get(r) or m2.get("partitions", {}).get(r)) == "1"
+    }
+    def _paths(df):  # inputFiles returns file:// URIs
+        return {f.removeprefix("file://") for f in df.inputFiles()}
+
+    # (a) every churned file IS partition 1's churn — and the feed opened
+    # only those files
+    full = change_feed(spark, td, 1, 2, key_col="id")
+    full_rows = sorted(map(tuple, full.collect()))
+    assert _paths(full) <= p1_churn_abs
+    assert {r[2] for r in full_rows} == {"1"}  # p column: only partition 1
+
+    # (b) the scoped feed equals the full feed (stable keys, churn in P)
+    scoped = change_feed(spark, td, 1, 2, key_col="id", partitions=["1"])
+    assert sorted(map(tuple, scoped.collect())) == full_rows
+    assert _paths(scoped) <= p1_churn_abs
+
+    # (c) an unrequested partition's feed is empty and opens nothing
+    other = change_feed(spark, td, 1, 2, key_col="id", partitions=["2"])
+    assert other.inputFiles() == [] and other.count() == 0
+
+    # multi-partition churn: scoped feeds partition the full feed
+    ch2 = spark.createDataFrame(
+        [(0, "0", "new0", "u", 10), (2, "2", "new2", "u", 11)],
+        "id bigint, p string, val string, op string, seq bigint",
+    )
+    merge_cow(spark, td, ch2, "id", 3, stable_partition_keys=True)
+    full23 = sorted(map(tuple, change_feed(spark, td, 2, 3, key_col="id").collect()))
+    f0 = sorted(
+        map(tuple, change_feed(spark, td, 2, 3, key_col="id", partitions=["0"]).collect())
+    )
+    f2 = sorted(
+        map(tuple, change_feed(spark, td, 2, 3, key_col="id", partitions=["2"]).collect())
+    )
+    assert sorted(f0 + f2) == full23
+    assert all(r[2] == "0" for r in f0) and all(r[2] == "2" for r in f2)
+    both = sorted(
+        map(
+            tuple,
+            change_feed(
+                spark, td, 2, 3, key_col="id", partitions=["0", "2"]
+            ).collect(),
+        )
+    )
+    assert both == full23
+
+    # (d) a key MOVING partitions (default regime): full feed emits the
+    # update pair; the two scoped feeds see delete / insert with the
+    # same row payloads
+    mv = spark.createDataFrame(
+        [(3, "0", "moved3", "u", 20)],  # id 3 lived in partition "3"
+        "id bigint, p string, val string, op string, seq bigint",
+    )
+    merge_cow(spark, td, mv, "id", 4)  # stable_partition_keys=False
+    full34 = change_feed(spark, td, 3, 4, key_col="id")
+    pair = {
+        r["_change_type"] for r in full34.where(F.col("id") == 3).collect()
+    }
+    assert pair == {"update_preimage", "update_postimage"}
+    old_side = change_feed(spark, td, 3, 4, key_col="id", partitions=["3"])
+    new_side = change_feed(spark, td, 3, 4, key_col="id", partitions=["0"])
+    assert {r["_change_type"] for r in old_side.where(F.col("id") == 3).collect()} == {
+        "delete"
+    }
+    assert {r["_change_type"] for r in new_side.where(F.col("id") == 3).collect()} == {
+        "insert"
+    }
+    # same rows modulo label: drop _change_type and the union matches
+    drop = lambda rows: sorted(tuple(r)[1:] for r in rows)  # noqa: E731
+    assert drop(
+        old_side.where(F.col("id") == 3).collect()
+        + new_side.where(F.col("id") == 3).collect()
+    ) == drop(full34.where(F.col("id") == 3).collect())
+
+    # (e) the filter is an error on non-partitioned generations
+    import pytest as _pytest
+
+    td2 = tempfile.mkdtemp(prefix="feedprune_flat_")
+    publish(spark.range(5).select("id"), td2, 1, stats_columns=["id"])
+    publish(spark.range(6).select("id"), td2, 2)
+    with _pytest.raises(ValueError, match="partitioned"):
+        change_feed(spark, td2, 1, 2, partitions=["x"])
