@@ -1229,6 +1229,87 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
     )
 
 
+def evolve_schema_nested(
+    table_dir: str, generation: int, path: str, added_fields
+) -> dict:
+    """Additive schema evolution INSIDE a struct column (r15 verdict #6's
+    enabling op): append nullable members to the StructType at dotted
+    ``path`` (e.g. ``"address"`` or ``"address.geo"``) — the nested half
+    of :func:`evolve_schema`, with the same guarantees: pure O(files)
+    metadata commit, no file opened, txn watermarks carried by reference,
+    lineage keys dropped. Readers NULL-fill the new member on files
+    written before the evolution (S19's pinned parquet contract: a struct
+    member absent from a file's footer schema reads as null).
+
+    Validation mirrors evolve_schema: every path segment must name an
+    existing STRUCT field (case-insensitively resolved, like Spark), the
+    added members must be nullable and must not collide with the target
+    struct's existing member names. ``added_fields`` is a ``StructType``
+    or list of ``StructField``."""
+    fields = (
+        list(added_fields.fields)
+        if isinstance(added_fields, StructType)
+        else list(added_fields)
+    )
+    if not fields:
+        raise ValueError("evolve_schema_nested needs at least one added field")
+    if not path:
+        raise ValueError("path is required; use evolve_schema for top-level adds")
+    manifest = read_manifest(table_dir)
+    schema = manifest.get("schema")
+    if schema is None:
+        raise ValueError("evolve_schema_nested needs a schema-bearing manifest")
+
+    # deep-copy walk: rebuild the schema json with the target struct widened
+    new_schema = json.loads(json.dumps(schema))
+    node = new_schema
+    for seg in path.split("."):
+        hit = next(
+            (
+                f
+                for f in node["fields"]
+                if f["name"].lower() == seg.lower()
+            ),
+            None,
+        )
+        if hit is None:
+            raise ValueError(f"path segment {seg!r} of {path!r} does not exist")
+        if not (isinstance(hit["type"], dict) and hit["type"].get("type") == "struct"):
+            raise ValueError(f"path segment {seg!r} of {path!r} is not a struct")
+        node = hit["type"]
+    existing = {f["name"].lower() for f in node["fields"]}
+    for f in fields:
+        if not f.nullable:
+            raise ValueError(
+                f"added member {f.name!r} must be nullable: existing files "
+                f"hold no values for it"
+            )
+        if f.name.lower() in existing:
+            raise ValueError(f"member {f.name!r} already exists under {path!r}")
+        existing.add(f.name.lower())
+    _validate_generation(table_dir, generation)
+    node["fields"] = (
+        node["fields"] + json.loads(StructType(fields).json())["fields"]
+    )
+    carried = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("generation", "schema", "merge", "append", "evolve", "compact")
+    }
+    new_manifest = {
+        **carried,
+        "generation": generation,
+        "schema": new_schema,
+        "evolve": {
+            "parent": manifest["generation"],
+            "added": [f"{path}.{f.name}" for f in fields],
+        },
+    }
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
+
+
 def _merge_rewrite(
     spark: SparkSession,
     manifest: dict,

@@ -1133,6 +1133,21 @@ def _merge_and_maintain(
     return merged
 
 
+def _struct_paths(schema_json: dict, prefix: str = "") -> list[tuple[str, dict]]:
+    """Dotted paths of every StructType field (recursively) in a manifest
+    schema json — the probe set for recursive drift detection: each path
+    needs its own json_object_keys aggregation because a new key INSIDE
+    an existing struct is invisible to the top-level key set."""
+    out: list[tuple[str, dict]] = []
+    for f in schema_json.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            p = f"{prefix}{f['name']}"
+            out.append((p, t))
+            out.extend(_struct_paths(t, p + "."))
+    return out
+
+
 def lakehouse_drift_merge_batch(
     table_dir: str,
     tag: str = "t31",
@@ -1202,24 +1217,39 @@ def lakehouse_drift_merge_batch(
 
         from ez_cdc_spark.sources.manifest import evolve_schema, read_manifest
 
-        # 1. detect: distinct after.* keys in THIS batch (bounded collect)
-        keys = {
-            r[0]
-            for r in batch.select(
+        # 1. detect: distinct after.* key PATHS in THIS batch — recursing
+        # into every struct member the STORED schema declares (r15 verdict
+        # #6: top-level-only detection would let an upstream ADD COLUMN
+        # inside a nested struct slip past from_json silently — silent
+        # data loss). One unioned aggregate, still bounded by the schema's
+        # column count times batch-present keys, never by rows.
+        probes = [("", "$.after")] + [
+            (p, "$.after." + p) for p, _ in _struct_paths(man["schema"])
+        ]
+        probe_df = None
+        for prefix, jpath in probes:
+            part = batch.select(
+                F.lit(prefix).alias("p"),
                 F.explode_outer(
-                    F.json_object_keys(
-                        F.get_json_object(F.col("value"), "$.after")
-                    )
-                ).alias("k")
+                    F.json_object_keys(F.get_json_object(F.col("value"), jpath))
+                ).alias("k"),
             )
-            .where(F.col("k").isNotNull())
-            .distinct()
-            .collect()
+            probe_df = part if probe_df is None else probe_df.unionByName(part)
+        keys = {
+            (r["p"], r["k"])
+            for r in probe_df.where(F.col("k").isNotNull()).distinct().collect()
         }
         stored_names = {f["name"] for f in man["schema"]["fields"]}
-        new_cols = sorted(k for k in keys if k not in stored_names)
+        member_names = {
+            p: {f["name"] for f in st["fields"]}
+            for p, st in _struct_paths(man["schema"])
+        }
+        new_cols = sorted(k for p, k in keys if p == "" and k not in stored_names)
+        new_nested = sorted(
+            (p, k) for p, k in keys if p != "" and k not in member_names[p]
+        )
 
-        # 2. evolve: additive metadata commit, then re-resolve the manifest
+        # 2. evolve: additive metadata commits, then re-resolve the manifest
         if new_cols:
             gen = man["generation"] + 1
             for _ in range(100):
@@ -1232,6 +1262,21 @@ def lakehouse_drift_merge_batch(
                     break
                 except FileExistsError:
                     gen += 1  # orphan from a crashed attempt — skip over
+            else:
+                raise RuntimeError(f"no free generation number near {gen}")
+            man = read_manifest(table_dir)
+        for p, k in new_nested:
+            from ez_cdc_spark.sources.manifest import evolve_schema_nested
+
+            gen = man["generation"] + 1
+            for _ in range(100):
+                try:
+                    evolve_schema_nested(
+                        table_dir, gen, p, [StructField(k, StringType(), True)]
+                    )
+                    break
+                except FileExistsError:
+                    gen += 1
             else:
                 raise RuntimeError(f"no free generation number near {gen}")
             man = read_manifest(table_dir)
