@@ -103,11 +103,15 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
-    "t31_lakehouse_schema_drift",
-    "s35_manifest_change_feed",
+    "t32_change_feed_consumer",
+    "s36_merge_on_read",
+    "t33_lakehouse_mor_sink",
 ]
 
 EXTRA_QUERIES = [
+    "t32_change_feed_consumer",
+    "s36_merge_on_read",
+    "t33_lakehouse_mor_sink",
     "t31_lakehouse_schema_drift",
     "s35_manifest_change_feed",
     "s28c_conjunctive_zorder_pruning",

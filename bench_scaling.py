@@ -265,11 +265,129 @@ def t30b_fixed_churn_probe(
     }
 
 
+def t30_churn_spread_probe(
+    spark,
+    n_churn_keys: int,
+    spread: str,
+    seed_rows: int = 400_000,
+    n_batches: int = 4,
+    n_seed_files: int = 64,
+) -> dict:
+    """r15 verdict #4: isolate WHY the unpartitioned t30 sink's
+    content-varied ratio (1.92 at 10×) outgrows t30b's (1.21) — measure
+    the touched-file count per merge batch as churn GROWS and SPREADS on
+    a range-clustered table. Two arms per churn size:
+
+    * ``spread='uniform'`` — batch keys uniform over the settled id range:
+      every file's key range overlaps some batch key once the batch has
+      ~more keys than there are files, so the copy-on-write touched-file
+      split SATURATES at the whole table — the degradation the verdict
+      hypothesized, made measurable.
+    * ``spread='local'`` — the same batch size confined to one narrow id
+      band: touched files stay O(batch/file_rows) however large the
+      batch, proving the saturation is the SPREAD, not the size.
+
+    Returns per-batch rewritten/carried counts from the merge lineage —
+    the structural witness for the SURVEY design note (copy-on-write's
+    per-batch cost is O(touched files); uniform-key churn defeats any
+    range clustering, and the honest scale paths are the partitioned
+    sink for partition-local churn or the S36 merge-on-read commit for
+    uniform churn)."""
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        merge_mor,
+        publish,
+        read_manifest,
+    )
+
+    td = os.path.join(SCRATCH, f"t30-spread-{spread}-{n_churn_keys}")
+    shutil.rmtree(td, ignore_errors=True)
+    seed = (
+        spark.range(seed_rows)
+        .select(
+            F.col("id"),
+            F.lit(0).cast("bigint").alias("lsn"),
+            (F.col("id") % 97).cast("string").alias("first_name"),
+            F.col("id").cast("string").alias("last_name"),
+            F.concat(F.col("id").cast("string"), F.lit("@seed")).alias("email"),
+        )
+        .repartitionByRange(n_seed_files, "id")
+    )
+    publish(seed, td, generation=1, stats_columns=["id"])
+
+    rows_per_file = seed_rows // n_seed_files
+    per_batch = []
+    t0 = time.perf_counter()
+    for b in range(n_batches):
+        if spread in ("uniform", "mor"):
+            # n keys spread evenly across the whole settled range
+            ids = [
+                (i * seed_rows) // n_churn_keys + b  # shift per batch
+                for i in range(n_churn_keys)
+            ]
+        else:  # 'local': same count confined to one file-sized band
+            lo = (b % n_seed_files) * rows_per_file
+            ids = [lo + (i % rows_per_file) for i in range(n_churn_keys)]
+        ch = spark.createDataFrame(
+            [
+                (int(i), 100 + b, f"u{b}", str(i), f"{i}@b{b}", "u", 100 + b)
+                for i in ids
+            ],
+            "id bigint, lsn bigint, first_name string, last_name string, "
+            "email string, op string, seq bigint",
+        )
+        if spread == "mor":
+            # the s36 fix arm: same uniform churn, merge-on-read commit —
+            # zero rewrites by construction; record appended files instead
+            man = merge_mor(
+                spark, td, ch, "id", read_manifest(td)["generation"] + 1
+            )
+            per_batch.append((0, man["mor"]["appended_files"]))
+        else:
+            man = merge_cow(
+                spark, td, ch, "id", read_manifest(td)["generation"] + 1
+            )
+            per_batch.append(
+                (man["merge"]["rewritten_files"], man["merge"]["carried_files"])
+            )
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "probe": "t30_churn_spread",
+        "spread": spread,
+        "n_churn_keys": n_churn_keys,
+        "seed_files": n_seed_files,
+        "per_batch_rewritten": [r for r, _ in per_batch],
+        "per_batch_carried": [c for _, c in per_batch],
+        "merge_wall_sec": wall,
+    }
+
+
 def main() -> None:
     from ez_cdc_spark.queries import load_all
     from ez_cdc_spark.session import get_spark
 
     spark = get_spark("ez_cdc_spark-scaling")
+
+    if os.environ.get("SCALE_T30_SPREAD"):
+        out = []
+        for n in (200, 600, 2000):
+            for spread in ("uniform", "local", "mor"):
+                row = t30_churn_spread_probe(spark, n, spread)
+                out.append(row)
+                print(json.dumps(row))
+        print(
+            json.dumps(
+                {
+                    "t30_spread_summary": {
+                        f"{r['spread']}_{r['n_churn_keys']}": max(
+                            r["per_batch_rewritten"]
+                        )
+                        for r in out
+                    }
+                }
+            )
+        )
+        return
 
     if os.environ.get("SCALE_T30B"):
         # fixed-churn probe through the partitioned streaming sink: the

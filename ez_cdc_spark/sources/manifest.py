@@ -740,9 +740,13 @@ def read_manifest(table_dir: str, as_of_generation: int | None = None) -> dict:
 
 
 def committed_files(table_dir: str, as_of_generation: int | None = None) -> list[str]:
-    """Resolve pointer -> manifest -> absolute file list (no directory walk)."""
+    """Resolve pointer -> manifest -> absolute file list (no directory walk).
+    Includes a merge-on-read generation's DELETE files: every file the
+    manifest references must stay gc-protected, and callers that read data
+    go through read_committed/read_mor, not this listing."""
     manifest = read_manifest(table_dir, as_of_generation)
-    return [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    rels = list(manifest["files"]) + list(manifest.get("delete_files") or [])
+    return [os.path.join(table_dir, rel) for rel in rels]
 
 
 def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list[str]):
@@ -800,6 +804,7 @@ def read_committed(
     touched. An empty generation reads as an empty DataFrame under the
     manifest's stored schema instead of failing."""
     manifest = read_manifest(table_dir, as_of_generation)
+    _require_cow(manifest, "read_committed")
     files = [os.path.join(table_dir, rel) for rel in manifest["files"]]
     return _read_files(spark, manifest, table_dir, files)
 
@@ -849,6 +854,7 @@ def read_pruned(
     yields a superset and callers filter as usual; what's saved is the I/O
     and task overhead of files whose footer range excludes the predicate."""
     manifest = read_manifest(table_dir, as_of_generation)
+    _require_cow(manifest, "read_pruned")
     kept, _ = pruned_files(table_dir, column, lo, hi, manifest=manifest)
     return _read_files(spark, manifest, table_dir, kept)
 
@@ -898,6 +904,7 @@ def read_pruned_multi(
     are NOT applied — pruning yields a conservative superset and callers
     filter as usual."""
     manifest = read_manifest(table_dir, as_of_generation)
+    _require_cow(manifest, "read_pruned_multi")
     kept, _ = pruned_files_multi(table_dir, predicates, manifest=manifest)
     return _read_files(spark, manifest, table_dir, kept)
 
@@ -931,6 +938,7 @@ def compact(
     table already absorbed."""
     _validate_generation(table_dir, generation, reserve=False)
     manifest = read_manifest(table_dir)
+    _require_cow(manifest, "compact")
     pcol = manifest.get("partition_col")
     if stats_columns is None:
         old_stats = manifest.get("stats") or {}
@@ -993,6 +1001,7 @@ def compact_partial(
     layout and the new files' partition values come from their Hive
     dirs."""
     manifest = read_manifest(table_dir)
+    _require_cow(manifest, "compact_partial")
     all_rel = manifest["files"]
     if files is not None:
         unknown = [r for r in files if r not in set(all_rel)]
@@ -1095,6 +1104,7 @@ def publish_append(
     all keep working across appends. Transaction metadata carries forward
     (appending never rewinds the applied-batch watermark)."""
     manifest = read_manifest(table_dir)
+    _require_cow(manifest, "publish_append")
     schema = manifest.get("schema")
     if schema is None:
         raise ValueError("publish_append needs a schema-bearing manifest")
@@ -1405,6 +1415,7 @@ def merge_cow(
     from pyspark.sql import functions as F  # noqa: N812
 
     manifest = read_manifest(table_dir)
+    _require_cow(manifest, "merge_cow")
     schema = manifest.get("schema")
     if schema is None:
         raise ValueError("merge_cow needs a schema-bearing manifest")
@@ -1633,6 +1644,8 @@ def change_feed(
         raise ValueError("change_feed needs from_generation < to_generation")
     m_from = read_manifest(table_dir, from_generation)
     m_to = read_manifest(table_dir, to_generation)
+    _require_cow(m_from, "change_feed")
+    _require_cow(m_to, "change_feed")
     from_files = set(m_from["files"])
     to_files = set(m_to["files"])
     removed_rel = [r for r in m_from["files"] if r not in to_files]
@@ -1682,6 +1695,254 @@ def change_feed(
         )
     )
     return typed_gone.unionByName(typed_came)
+
+
+def _require_cow(manifest: dict, op: str) -> None:
+    """Reject raw-file operations on a merge-on-read generation: every op
+    that reads or carries ``manifest['files']`` WITHOUT applying the
+    manifest's delete files would silently RESURRECT rows a delete entry
+    killed (or leak dead pre-images into a feed). MOR tables resolve
+    through read_mor, and convert back to plain copy-on-write generations
+    via compact_mor."""
+    if manifest.get("delete_files"):
+        raise ValueError(
+            f"{op} reads raw data files, but this generation is merge-on-read "
+            f"({len(manifest['delete_files'])} delete files pending): resolve "
+            f"with read_mor, or fold the deletes with compact_mor first"
+        )
+
+
+def merge_mor(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_col: str,
+    generation: int,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "d",
+    txn: dict | None = None,
+) -> dict:
+    """S36: MERGE-ON-READ commit — the Iceberg v2 equality-delete / Delta
+    deletion-vector analog, and the answer to copy-on-write's measured
+    failure mode (bench_scaling.py:t30_churn_spread_probe): on a
+    range-clustered table, UNIFORM-key churn overlaps every file's key
+    range once the batch has ~more distinct keys than the table has
+    files, so merge_cow's touched-file split saturates at
+    rewrite-the-whole-table per batch — 64/64 files at just 200 spread
+    keys in the probe, however the table is clustered. No clustering can
+    fix that; changing the COMMIT SHAPE does.
+
+    merge_mor never rewrites a data file. One commit stages (a) the
+    batch's surviving upserts as NEW data files tagged with this
+    generation as their sequence number, and (b) the batch's distinct
+    changed keys as one EQUALITY-DELETE file tagged likewise. The kill
+    rule is Iceberg v2's: a data row is dead iff some delete entry for
+    its key carries a sequence STRICTLY greater than the row's file
+    sequence — so a commit's own upserts survive its own delete entries
+    while every older version of the key dies. Per-batch cost is
+    O(batch) — data staged once, keys staged once, O(files) manifest
+    metadata — regardless of how the keys spread.
+
+    The trade is read-side work (:func:`read_mor` anti-resolves the
+    accumulated delete entries) growing with churn-since-compaction, and
+    :func:`compact_mor` is the maintenance op that folds the log back
+    into a plain copy-on-write generation. Every raw-file consumer
+    (read_committed, read_pruned, change_feed, merge_cow, compact,
+    append) REFUSES a MOR generation loudly rather than resurrecting
+    dead rows.
+
+    Scope: unpartitioned generations (the probe's saturating case);
+    partition-LOCAL churn already has its honest scale path in the
+    partitioned COW sink (t30b — flat rewrite counts measured across
+    16× growth). Same input contract as merge_cow: per-key order across
+    batches, last-event-wins within a batch."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    manifest = read_manifest(table_dir)
+    schema = manifest.get("schema")
+    if schema is None:
+        raise ValueError("merge_mor needs a schema-bearing manifest")
+    if manifest.get("partition_col") is not None:
+        raise ValueError(
+            "merge_mor v1 is unpartitioned (uniform churn is its use case); "
+            "partition-local churn scales through the partitioned COW sink"
+        )
+    mor_key = manifest.get("mor_key")
+    if mor_key is not None and mor_key != key_col:
+        raise ValueError(
+            f"this table's merge-on-read log is keyed by {mor_key!r}; "
+            f"equality deletes on {key_col!r} would not resolve against it"
+        )
+    table_cols = [f["name"] for f in schema["fields"]]
+    if key_col not in table_cols:
+        raise ValueError(f"key column {key_col!r} is not a table column")
+    missing = [c for c in (*table_cols, op_col, seq_col) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    _validate_generation(table_dir, generation)
+
+    # last-event-wins resolution — merge_cow's exact shape
+    payload = [c for c in table_cols if c != key_col]
+    final = (
+        changes.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in payload]),
+                F.struct(F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]),
+            ).alias("_last")
+        )
+        .select(key_col, "_last.*")
+    )
+    upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
+
+    new_files = stage_only(upserts, table_dir, generation)
+    # the equality-delete file: every changed key (upserted keys must kill
+    # their older versions too), one small parquet under the same gen dir
+    ddir = os.path.join(_stage_dir(table_dir, generation), "deletes")
+    final.select(key_col).coalesce(1).write.mode("overwrite").parquet(ddir)
+    delete_rels = [
+        os.path.relpath(os.path.join(ddir, f), table_dir)
+        for f in sorted(os.listdir(ddir))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+    parent_gen = manifest["generation"]
+    new_rels = [os.path.relpath(f, table_dir) for f in new_files]
+    # sequence numbers: parent files default to the PARENT's generation
+    # (they were current as of it); this commit's files carry its own
+    file_seq = {
+        **{rel: manifest.get("file_seq", {}).get(rel, parent_gen)
+           for rel in manifest["files"]},
+        **{rel: generation for rel in new_rels},
+    }
+    stats = manifest.get("stats", {})
+    stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
+    new_manifest = {
+        "generation": generation,
+        "files": manifest["files"] + new_rels,
+        "n_files": len(manifest["files"]) + len(new_rels),
+        "schema": schema,
+        "file_seq": file_seq,
+        "delete_files": list(manifest.get("delete_files") or []) + delete_rels,
+        "delete_seq": {
+            **(manifest.get("delete_seq") or {}),
+            **{rel: generation for rel in delete_rels},
+        },
+        "mor_key": key_col,
+        "stats": {
+            **stats,
+            **_collect_stats(spark, table_dir, new_files, stats_cols),
+        },
+        "mor": {
+            "parent": parent_gen,
+            "appended_files": len(new_rels),
+            "delete_files_total": len(manifest.get("delete_files") or [])
+            + len(delete_rels),
+        },
+    }
+    if txn is not None:
+        new_manifest["txn"] = txn
+    folded = _fold_txns(_txns_of(manifest), txn)
+    if folded:
+        new_manifest["txns"] = folded
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=parent_gen
+    )
+
+
+def read_mor(
+    spark: SparkSession, table_dir: str, as_of_generation: int | None = None
+) -> DataFrame:
+    """S36 read path: resolve a merge-on-read generation to its live rows
+    by anti-applying the equality-delete log. Data files group by their
+    recorded sequence number (groups are O(commits since compaction) —
+    bounded by the maintenance policy, each group one ordinary parquet
+    scan); delete files reduce to one per-key MAX delete sequence
+    (equality deletes on a last-write-wins keyed table: only the newest
+    kill matters); the resolve is a single left join keeping rows with no
+    kill or a kill at-or-below their own sequence. The delete side is
+    churn-since-compaction-sized — AQE picks a broadcast build when it
+    fits, and compact_mor bounds it structurally. On a plain
+    copy-on-write generation this is exactly read_committed."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    manifest = read_manifest(table_dir, as_of_generation)
+    if not manifest.get("delete_files"):
+        return read_committed(spark, table_dir, as_of_generation)
+    key_col = manifest["mor_key"]
+    cols = [f["name"] for f in manifest["schema"]["fields"]]
+    fseq = manifest.get("file_seq", {})
+    groups: dict[int, list[str]] = {}
+    for rel in manifest["files"]:
+        groups.setdefault(int(fseq.get(rel, 0)), []).append(
+            os.path.join(table_dir, rel)
+        )
+    data = None
+    for seq in sorted(groups):
+        part = _read_files(spark, manifest, table_dir, groups[seq]).withColumn(
+            "_seq", F.lit(seq).cast("long")
+        )
+        data = part if data is None else data.unionByName(part)
+
+    key_field = StructType.fromJson(manifest["schema"])[key_col]
+    dseq = manifest.get("delete_seq", {})
+    dgroups: dict[int, list[str]] = {}
+    for rel in manifest["delete_files"]:
+        dgroups.setdefault(int(dseq.get(rel, 0)), []).append(
+            os.path.join(table_dir, rel)
+        )
+    dels = None
+    for seq in sorted(dgroups):
+        part = (
+            spark.read.schema(StructType([key_field]))
+            .parquet(*dgroups[seq])
+            .withColumn("_dseq", F.lit(seq).cast("long"))
+        )
+        dels = part if dels is None else dels.unionByName(part)
+    dead = dels.groupBy(key_col).agg(F.max("_dseq").alias("_dseq"))
+    live = (
+        data.join(dead, on=key_col, how="left")
+        .where(F.col("_dseq").isNull() | (F.col("_dseq") <= F.col("_seq")))
+        .select(*cols)
+    )
+    return live
+
+
+def compact_mor(
+    spark: SparkSession,
+    table_dir: str,
+    generation: int,
+    target_files: int = 4,
+    stats_columns: list[str] | None = None,
+) -> dict:
+    """S36 maintenance: fold the merge-on-read log back into a plain
+    copy-on-write generation — resolve the live rows once (read_mor),
+    publish them as ``target_files`` fresh files, and the delete log is
+    gone: readers stop paying the anti-join, change_feed/merge_cow/
+    compact compose again, and the next merge_mor run starts a new
+    bounded log. The txn watermarks carry (maintenance never rewinds
+    applied-batch state). This is Iceberg's rewrite_data_files with
+    delete-file expiry — the half of the MOR bargain that keeps read
+    amplification bounded."""
+    manifest = read_manifest(table_dir)
+    if stats_columns is None:
+        old_stats = manifest.get("stats") or {}
+        inherited = sorted({c for s in old_stats.values() for c in s})
+        mk = manifest.get("mor_key")
+        if mk:
+            inherited = sorted(set(inherited) | {mk})
+        stats_columns = inherited or None
+    resolved = read_mor(spark, table_dir).coalesce(target_files)
+    return publish(
+        resolved,
+        table_dir,
+        generation,
+        stats_columns=stats_columns,
+        txn=manifest.get("txn"),
+        expected_parent=manifest["generation"],
+        txns=_txns_of(manifest),
+    )
 
 
 def vacuum(table_dir: str, older_than_s: float) -> list[str]:
@@ -1737,7 +1998,9 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
                 continue  # reservations / mid-commit tmps are not manifests
             try:
                 with open(os.path.join(mdir, m)) as fh:
-                    refs.update(json.load(fh)["files"])
+                    man = json.load(fh)
+                    refs.update(man["files"])
+                    refs.update(man.get("delete_files") or [])
             except (OSError, ValueError):
                 continue  # unreadable/vanishing manifest protects nothing
         return refs

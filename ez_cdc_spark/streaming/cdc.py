@@ -1704,3 +1704,139 @@ def materialize_feed_consumer(
     gc(table_dir, older_than_s=0.0)
     vacuum(table_dir, older_than_s=0.0)
     return read_committed(spark, agg_dir)
+
+
+def lakehouse_mor_batch(
+    table_dir: str,
+    tag: str = "t33",
+    max_delete_files: int = 6,
+    compact_target_files: int = 2,
+    gc_older_than_s: float | None = 0.0,
+):
+    """T33 foreachBatch: the lakehouse CDC sink with MERGE-ON-READ commits
+    (s36) — t30's exact contract (atomic generation per micro-batch, txn
+    watermark idempotence, per-key order across batches) with the commit
+    shape that survives UNIFORM-key churn: merge_mor stages the batch's
+    upserts as new data files plus one equality-delete file and rewrites
+    NOTHING, so per-batch cost is O(batch) however the keys spread —
+    where merge_cow's touched-file split measurably saturates at
+    rewrite-the-whole-table (bench_scaling.py:t30_churn_spread_probe:
+    64/64 files at 200 uniform keys). The read-amplification half of the
+    bargain is bounded by the same in-loop maintenance pattern as t30's
+    compaction policy: when the delete log exceeds ``max_delete_files``
+    the sink folds it with compact_mor (one resolve + publish, txn
+    watermark carried) and reclaims superseded generations."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import (
+            compact_mor,
+            gc,
+            merge_mor,
+            read_manifest,
+            txn_watermark,
+            vacuum,
+        )
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return  # already committed — at-least-once replay skipped
+        changes = batch.select(
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.col("after.first_name").alias("first_name"),
+            F.col("after.last_name").alias("last_name"),
+            F.col("after.email").alias("email"),
+            F.col("op").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        )
+        gen = man["generation"] + 1
+        for _ in range(100):
+            try:
+                merged = merge_mor(
+                    spark,
+                    table_dir,
+                    changes,
+                    key_col="id",
+                    generation=gen,
+                    txn={"tag": tag, "batch_id": batch_id},
+                )
+                break
+            except FileExistsError:
+                gen += 1  # orphan from a crashed attempt — skip over
+        else:
+            raise RuntimeError(f"no free generation number near {gen}")
+
+        if len(merged.get("delete_files") or []) > max_delete_files:
+            cgen = merged["generation"] + 1
+            for _ in range(100):
+                try:
+                    compact_mor(
+                        spark,
+                        table_dir,
+                        cgen,
+                        target_files=compact_target_files,
+                    )
+                    break
+                except FileExistsError:
+                    cgen += 1
+            else:
+                raise RuntimeError(f"no free generation number near {cgen}")
+            gc(table_dir, older_than_s=gc_older_than_s)
+            vacuum(
+                table_dir,
+                older_than_s=(
+                    0.0 if gc_older_than_s is None else gc_older_than_s
+                ),
+            )
+
+    return apply
+
+
+def materialize_lakehouse_mor(
+    spark: SparkSession, sf_dir: str, tag: str = "t33"
+) -> DataFrame:
+    """T33 end-to-end: lsn-split envelope stream → per-batch MERGE-ON-READ
+    commits (new files + equality-delete file, zero rewrites) with the
+    in-loop compact_mor maintenance policy → final state resolved through
+    read_mor (the tail of the replay may legitimately leave a pending
+    delete log; resolving it IS the op under test)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import publish, read_mor
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-mor-{tag}-{os.getpid()}")
+    if os.path.exists(table_dir):
+        shutil.rmtree(table_dir)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(lakehouse_mor_batch(table_dir, tag=tag))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_mor(spark, table_dir)

@@ -2445,3 +2445,113 @@ def test_evolve_schema_nested_validation(spark, tmp_path):
 
     meta = next(f for f in read_manifest(td)["schema"]["fields"] if f["name"] == "meta")
     assert [f["name"] for f in meta["type"]["fields"]] == ["kind", "x"]
+
+
+def test_t33_mor_sink_kill_restart_and_bounded_delete_log(spark, tmp_path, sf_dir):
+    """t33 under a real mid-stream kill+restart: the merge-on-read sink's
+    txn watermark skips replayed batches, the restart drains the
+    remaining stages, and the read_mor-resolved final state equals the
+    one-shot t9 oracle state row-for-row. The in-loop compact_mor policy
+    must have fired (the lsn-split replay exceeds max_delete_files) and
+    the pending delete log stays bounded by the threshold + the batches
+    since the last fold."""
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.queries import load_all
+    from ez_cdc_spark.sources.manifest import publish, read_manifest, read_mor
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        lakehouse_mor_batch,
+    )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    td = str(tmp_path / "mortable")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], schema), td, generation=1, stats_columns=["id"])
+
+    max_dels = 2  # low threshold so the fold provably fires mid-replay
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return (
+            env.writeStream.foreachBatch(
+                lakehouse_mor_batch(td, tag="t33kill", max_delete_files=max_dels)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never committed"
+    stop_and_await(q)
+
+    q2 = start()
+    q2.awaitTermination()
+
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in read_mor(spark, td)
+        .select("id", "lsn", "first_name", "last_name", "email")
+        .collect()
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in load_all()["t9_cdc_upsert"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the fold fired and bounded the log: a compact_mor commit exists
+    # (a generation with no delete_files whose parent had them), and the
+    # final pending log is at most the threshold + 1 (one merge can land
+    # after the last fold before the stream drains)
+    import json as _json
+    import os as _os
+
+    mdir = _os.path.join(td, "_manifests")
+    folds = 0
+    for f in sorted(_os.listdir(mdir)):
+        if not (f.startswith("gen-") and f.endswith(".json")):
+            continue
+        with open(_os.path.join(mdir, f)) as fh:
+            man = _json.load(fh)
+        if man.get("mor") is None and not man.get("delete_files") and man[
+            "generation"
+        ] > 1 and "merge" not in man and "append" not in man:
+            folds += 1  # a publish over a MOR parent == compact_mor commit
+    assert folds >= 1, "compact_mor never fired during the replay"
+    final = read_manifest(td)
+    assert len(final.get("delete_files") or []) <= max_dels + 1
+
+    # replay idempotence: re-applying the last batch is a no-op
+    stage_files = sorted(
+        f for f in _os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    wm_tag_man = read_manifest(td)
+    from ez_cdc_spark.sources.manifest import txn_watermark
+
+    last_bid = txn_watermark(wm_tag_man, "t33kill")["batch_id"]
+    replay = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        _os.path.join(path, stage_files[-1])
+    )
+    lakehouse_mor_batch(td, tag="t33kill", max_delete_files=max_dels)(replay, last_bid)
+    assert read_manifest(td)["generation"] == wm_tag_man["generation"]

@@ -3637,3 +3637,267 @@ def test_change_feed_partition_pruning(spark):
     publish(spark.range(6).select("id"), td2, 2)
     with _pytest.raises(ValueError, match="partitioned"):
         change_feed(spark, td2, 1, 2, partitions=["x"])
+
+
+def _mor_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, val string, op string, seq bigint"
+    )
+
+
+def test_s36_mor_commit_rewrites_nothing_and_resolves_exactly(spark):
+    """The merge-on-read contract: a merge_mor commit leaves EVERY parent
+    data file referenced byte-identical (zero rewrites — the property
+    merge_cow measurably loses under uniform churn,
+    bench_scaling.py:t30_churn_spread_probe), adds only batch-sized new
+    files plus one equality-delete file, and read_mor resolves the
+    sequence-numbered kill rule to the exact python replay — including a
+    commit's own upserts surviving its own delete entries while every
+    older version dies, across multiple commits."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        merge_mor,
+        publish,
+        read_manifest,
+        read_mor,
+    )
+
+    td = tempfile.mkdtemp(prefix="mor_rewrite_")
+    base = spark.range(1000).select(
+        "id", F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    publish(
+        base.repartitionByRange(8, "id"), td, 1, stats_columns=["id"]
+    )
+    m1 = read_manifest(td)
+    hashes = {
+        rel: hashlib.md5(open(os.path.join(td, rel), "rb").read()).hexdigest()
+        for rel in m1["files"]
+    }
+
+    # uniform churn: keys spread across every file's range
+    state = {i: f"v{i}" for i in range(1000)}
+    for b, (upserts, deletes) in enumerate(
+        [
+            ([(i, f"a{i}") for i in range(0, 1000, 125)], [3, 503]),
+            ([(i, f"b{i}") for i in range(0, 1000, 125)], [250]),  # re-update
+        ],
+        start=2,
+    ):
+        rows = [(k, v, "u", 100 * b + j) for j, (k, v) in enumerate(upserts)]
+        rows += [(k, None, "d", 100 * b + 50 + j) for j, k in enumerate(deletes)]
+        merge_mor(spark, td, _mor_changes(spark, rows), "id", b)
+        for k, v in upserts:
+            state[k] = v
+        for k in deletes:
+            state.pop(k, None)
+
+    m3 = read_manifest(td)
+    # every parent file still referenced, byte-identical (never rewritten)
+    for rel, h in hashes.items():
+        assert rel in set(m3["files"]), f"parent file {rel} dropped"
+        assert (
+            hashlib.md5(open(os.path.join(td, rel), "rb").read()).hexdigest() == h
+        ), f"parent file {rel} was rewritten"
+    assert len(m3["delete_files"]) == 2 and m3["mor_key"] == "id"
+    # sequence numbers recorded for every file
+    assert set(m3["file_seq"]) == set(m3["files"])
+    got = {r["id"]: r["val"] for r in read_mor(spark, td).collect()}
+    assert got == state
+
+
+def test_s36_guards_compaction_and_interop(spark):
+    """Raw-file consumers refuse a MOR generation loudly (silently
+    resurrecting killed rows is the failure mode); compact_mor folds the
+    log into a plain COW generation equal to the resolve; merge_cow /
+    change_feed / read_committed compose again afterwards; txn
+    watermarks thread through merge_mor and compact_mor; vacuum/gc
+    never reclaim a referenced delete file."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        change_feed,
+        compact,
+        compact_mor,
+        gc,
+        merge_cow,
+        merge_mor,
+        publish,
+        publish_append,
+        read_committed,
+        read_manifest,
+        read_mor,
+        read_pruned,
+        txn_watermark,
+        vacuum,
+    )
+
+    td = tempfile.mkdtemp(prefix="mor_guard_")
+    publish(
+        spark.range(100).select("id", (F.col("id") % 5).cast("string").alias("val"))
+        .repartitionByRange(4, "id"),
+        td,
+        1,
+        stats_columns=["id"],
+    )
+    merge_mor(
+        spark,
+        td,
+        _mor_changes(spark, [(1, "x", "u", 1), (99, None, "d", 2)]),
+        "id",
+        2,
+        txn={"tag": "morsink", "batch_id": 7},
+    )
+    resolved = sorted(map(tuple, read_mor(spark, td).collect()))
+
+    for fn, name in [
+        (lambda: read_committed(spark, td), "read_committed"),
+        (lambda: read_pruned(spark, td, "id", 0, 10), "read_pruned"),
+        (
+            lambda: merge_cow(
+                spark, td, _mor_changes(spark, [(2, "y", "u", 3)]), "id", 3
+            ),
+            "merge_cow",
+        ),
+        (lambda: compact(spark, td, 3), "compact"),
+        (
+            lambda: publish_append(
+                spark.createDataFrame([(5000, "z")], "id bigint, val string"),
+                td,
+                3,
+            ),
+            "publish_append",
+        ),
+        (lambda: change_feed(spark, td, 1, 2), "change_feed"),
+    ]:
+        with _pytest.raises(ValueError, match="merge-on-read"):
+            fn()
+
+    # key consistency is enforced across commits
+    with _pytest.raises(ValueError, match="keyed by"):
+        merge_mor(
+            spark,
+            td,
+            spark.createDataFrame(
+                [("a", 1, "u", 9)], "val string, id bigint, op string, seq bigint"
+            ),
+            "val",
+            3,
+        )
+
+    # vacuum/gc keep every referenced file (delete file included)
+    gc(td, older_than_s=0.0)
+    vacuum(td, older_than_s=0.0)
+    m = read_manifest(td)
+    for rel in list(m["files"]) + list(m["delete_files"]):
+        assert os.path.exists(os.path.join(td, rel)), rel
+    assert txn_watermark(m, "morsink") == {"batch_id": 7}
+
+    # fold: same rows, no delete log, watermark carried, interop restored
+    compact_mor(spark, td, m["generation"] + 1, target_files=2)
+    m2 = read_manifest(td)
+    assert not m2.get("delete_files")
+    assert sorted(map(tuple, read_committed(spark, td).collect())) == resolved
+    assert txn_watermark(m2, "morsink") == {"batch_id": 7}
+    merge_cow(
+        spark, td, _mor_changes(spark, [(2, "y", "u", 3)]), "id", m2["generation"] + 1
+    )
+    feed = change_feed(spark, td, m2["generation"], m2["generation"] + 1, key_col="id")
+    assert feed.count() == 2  # the update pair
+
+
+def test_s36_mor_equals_cow_on_identical_batches(spark):
+    """Differential: the same change batches through merge_mor+read_mor
+    and through merge_cow+read_committed produce the identical final
+    state — the two commit shapes are semantically interchangeable, only
+    their cost profiles differ."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        merge_mor,
+        publish,
+        read_committed,
+        read_mor,
+    )
+
+    base = spark.range(500).select(
+        "id", (F.col("id") % 13).cast("string").alias("val")
+    )
+    batches = [
+        [(i, f"a{i}", "u", 100 + i) for i in range(0, 500, 7)]
+        + [(i, None, "d", 200 + i) for i in range(3, 500, 101)],
+        [(i, f"b{i}", "u", 1000 + i) for i in range(0, 500, 11)]
+        + [(i, None, "d", 2000 + i) for i in range(5, 500, 97)]
+        + [(i + 10000, f"n{i}", "u", 3000 + i) for i in range(0, 50, 9)],
+    ]
+    tds = {}
+    for mode in ("cow", "mor"):
+        td = tempfile.mkdtemp(prefix=f"mor_diff_{mode}_")
+        publish(base.repartitionByRange(6, "id"), td, 1, stats_columns=["id"])
+        for g, rows in enumerate(batches, start=2):
+            ch = _mor_changes(spark, rows)
+            if mode == "cow":
+                merge_cow(spark, td, ch, "id", g)
+            else:
+                merge_mor(spark, td, ch, "id", g)
+        tds[mode] = td
+    cow = sorted(map(tuple, read_committed(spark, tds["cow"]).collect()))
+    mor = sorted(map(tuple, read_mor(spark, tds["mor"]).collect()))
+    assert cow == mor and len(cow) > 400
+
+
+def test_footer_stats_pass_is_metadata_only(spark):
+    """r15 verdict #5, measured-won't-fix witness: the publish path's
+    stats collection reads parquet FOOTERS, not data — its cost must be
+    data-size-independent. A file ~100x bigger must stat in nowhere near
+    100x the time (we allow 10x for noise); and the footer pass on the
+    big file must be far cheaper than even the cheapest whole-file read
+    (min/max agg). The real design alternatives are argued with numbers
+    in README's r16 note; this pin keeps the claim honest."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import _collect_stats, stage_only
+
+    def staged(n_rows):
+        td = tempfile.mkdtemp(prefix="statspin_")
+        df = spark.range(n_rows).select(
+            "id", F.sha2(F.col("id").cast("string"), 256).alias("pad")
+        )
+        return td, stage_only(df.coalesce(1), td, 1)
+
+    td_small, small = staged(20_000)
+    td_big, big = staged(2_000_000)  # ~100x the rows/bytes
+
+    def best_of(fn, n=3):
+        out = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            out = min(out, time.perf_counter() - t0)
+        return out
+
+    _collect_stats(spark, td_small, small, ["id"])  # warm the job path
+    t_small = best_of(lambda: _collect_stats(spark, td_small, small, ["id"]))
+    t_big = best_of(lambda: _collect_stats(spark, td_big, big, ["id"]))
+    assert t_big < t_small * 10, (t_small, t_big)
+
+    t_scan = best_of(
+        lambda: spark.read.parquet(*big).agg(F.min("id"), F.max("id")).collect(),
+        n=2,
+    )
+    assert t_big < t_scan, (t_big, t_scan)
