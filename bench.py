@@ -106,12 +106,18 @@ NEW_THIS_ROUND = [
     "t32_change_feed_consumer",
     "s36_merge_on_read",
     "t33_lakehouse_mor_sink",
+    "s37_restore",
+    "a4b_approx_distinct_anchor",
+    "x2eb_lsh_recall_anchor",
 ]
 
 EXTRA_QUERIES = [
     "t32_change_feed_consumer",
     "s36_merge_on_read",
     "t33_lakehouse_mor_sink",
+    "s37_restore",
+    "a4b_approx_distinct_anchor",
+    "x2eb_lsh_recall_anchor",
     "t31_lakehouse_schema_drift",
     "s35_manifest_change_feed",
     "s28c_conjunctive_zorder_pruning",

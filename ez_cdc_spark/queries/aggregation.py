@@ -1704,3 +1704,39 @@ def a25_spacesaving_topk(spark, sf_dir):
         F.explode(F.split(F.col("text"), r"\s+")).alias("token")
     )
     return ss_topk(tokens, "token", m=1 << 22, k=20)
+
+
+@register(
+    "a4b_approx_distinct_anchor",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_5pct
+FROM lineitem
+""",
+    doc="A4b: DRIVER-VISIBLE anchor for a4 (r15 verdict 'what's wrong' #2 "
+    "— the approximate op's exactness evidence lived only in pytest; this "
+    "query makes the CORRECTNESS artifact itself prove it): one row with "
+    "the EXACT distinct count and the boolean "
+    "|approx - exact| / exact <= 0.05 computed engine-side from Spark's "
+    "HLL++ at rsd=0.01. The oracle states the exact count and literal "
+    "TRUE declaratively, so hash-green holds iff the sketch's estimate "
+    "is within the declared 5% envelope of the true value — if the HLL "
+    "ever drifts, the driver records the mismatch, no pytest needed. "
+    "(a4 itself stays rows-only: DuckDB's approx_count_distinct uses "
+    "different HLL parameters, so estimate-vs-estimate can never "
+    "hash-match — SURVEY A4.)",
+)
+def a4b_approx_distinct_anchor(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+    )
+    return agg.select(
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        (
+            F.abs(F.col("approx") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )

@@ -2538,3 +2538,53 @@ def x61_prefix_filter_join(spark, sf_dir):
     return prefix_similarity_join(
         d, tau_num=1, tau_den=2, sets_df=_shared_shingle_sets(spark, sf_dir)
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x2eb_lsh_recall_anchor",
+    oracle="""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(0 AS BIGINT) AS false_positives,
+       TRUE AS recall_ge_090
+FROM pairs
+""",
+    doc="X2eb: DRIVER-VISIBLE anchor for x2e (r15 verdict 'what's wrong' "
+    "#2): one row relating the LSH-bucketed near-dup pair set to the "
+    "exact x2d pair set — the exact pair count, the LSH path's false "
+    "positives (must be 0: in-bucket exact-cosine verification admits "
+    "nothing below threshold), and the boolean recall >= 0.90. The "
+    "oracle computes the exact pair count from the same DuckDB "
+    "cosine self-join that hash-anchors x2d and states 0/TRUE "
+    "declaratively — hash-green holds iff the approximate path's "
+    "exactness contract holds, visible in the CORRECTNESS artifact "
+    "without consulting pytest. (x2e itself stays rows-only: its pair "
+    "set is approximate by construction.)",
+)
+def x2eb_lsh_recall_anchor(spark, sf_dir):
+    from ez_cdc_spark.functions.similarity import lsh_neardup_pairs, neardup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    exact = neardup_pairs(e, threshold=0.4).select("id_a", "id_b")
+    lsh = lsh_neardup_pairs(e, threshold=0.4, n_bits=64, bands=16).select(
+        "id_a", "id_b"
+    )
+    matched = lsh.join(exact, on=["id_a", "id_b"], how="left_semi")
+    stats = exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        lsh.agg(F.count("*").alias("n_lsh"))
+    ).crossJoin(matched.agg(F.count("*").alias("n_matched")))
+    return stats.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("n_lsh") - F.col("n_matched")).cast("bigint").alias(
+            "false_positives"
+        ),
+        (F.col("n_matched") >= F.lit(0.90) * F.col("n_exact")).alias(
+            "recall_ge_090"
+        ),
+    )

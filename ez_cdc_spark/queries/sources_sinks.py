@@ -2532,3 +2532,87 @@ def s36_merge_on_read(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s37_restore",
+    oracle="""
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S37: RESTORE / rollback — Delta RESTORE and Iceberg "
+    "rollback_to_snapshot as one metadata commit "
+    "(sources/manifest.py:restore): a new generation whose entire content "
+    "is a retained older generation's BY REFERENCE (file list, schema, "
+    "stats, partition map — zero data I/O), under the same atomic pointer "
+    "swap and CAS as every other commit, with history kept monotonic: the "
+    "rolled-back generations stay time-travel readable until gc, and a "
+    "restore is itself just a commit a later restore can undo. Replay "
+    "semantics are the load-bearing choice: the restored manifest carries "
+    "the TARGET's txn watermarks, so a restarted CDC sink re-applies "
+    "exactly the batches the rollback un-applied — carrying the newer "
+    "watermark would skip them silently (data loss by bookkeeping). "
+    "Dangling references are impossible: restore stats every target file "
+    "first and raises FileNotFoundError if retention already reclaimed "
+    "any. The lifecycle: customer publishes as gen-1 (8 range-clustered "
+    "stats-bearing files); a destructive CDC batch (updates + deletes + "
+    "inserts) merges as gen-2; restore commits gen-3 pointing back at "
+    "gen-1's exact files. The oracle aggregates the ORIGINAL customer "
+    "table directly — hash-green proves the rollback restored the exact "
+    "pre-merge state (pytest additionally pins gen-3's file list == "
+    "gen-1's verbatim, zero new files staged, watermark rewind, gc "
+    "protection of the restored-into files, and the already-current "
+    "error). At 100 TB: bad-deploy recovery is one O(files) metadata "
+    "commit — no PB-scale copy-back, bounded only by manifest size.",
+)
+def s37_restore(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish,
+        read_committed,
+        restore,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s37restore")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+    key = F.col("c_custkey")
+    ev = _s30_change_event
+    bump = lambda n: F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)")  # noqa: E731
+    changes = (
+        ev(c.filter(key % 10 == 3), "u", 1, bal=bump(500))
+        .unionByName(ev(c.filter(key % 10 == 7), "d", 1))
+        .unionByName(
+            ev(c.filter(key % 100 == 17), "c", 1).withColumn(
+                "c_custkey", key + 3000000
+            )
+        )
+    )
+    merge_cow(spark, table_dir, changes, key_col="c_custkey", generation=2)
+    restore(table_dir, generation=3, as_of_generation=1)
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

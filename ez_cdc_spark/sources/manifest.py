@@ -1697,6 +1697,69 @@ def change_feed(
     return typed_gone.unionByName(typed_came)
 
 
+def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
+    """S37: RESTORE — Delta RESTORE / Iceberg rollback_to_snapshot: commit
+    a NEW generation whose content is a retained older generation's,
+    entirely BY REFERENCE — zero data I/O, one O(files) metadata commit,
+    the same atomic pointer swap. History stays monotonic: the rolled-back
+    generations remain readable via time travel until gc reclaims them,
+    and the restore itself is just another commit a further restore can
+    undo.
+
+    Replay-state semantics: the restored manifest carries the TARGET
+    generation's txn watermarks, not the current one's — a restore rewinds
+    the applied-batch state together with the data it applied to, so a
+    restarted CDC sink re-applies exactly the batches the rollback
+    un-applied (carrying the newer watermark instead would silently skip
+    them — data loss by bookkeeping). Everything else (schema, stats,
+    partition map, a MOR generation's delete log and sequence numbers)
+    carries by reference from the target too: restoring a state means ALL
+    of that state.
+
+    Raises FileNotFoundError if any of the target's files were already
+    gc'd/vacuumed (a restore must never commit dangling references), and
+    the usual CommitConflictError under the CAS if a concurrent writer
+    advanced the table."""
+    manifest = read_manifest(table_dir)
+    target = read_manifest(table_dir, as_of_generation)
+    if as_of_generation == manifest["generation"]:
+        raise ValueError(
+            f"generation {as_of_generation} is already the committed state"
+        )
+    missing = [
+        rel
+        for rel in list(target["files"]) + list(target.get("delete_files") or [])
+        if not os.path.exists(os.path.join(table_dir, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to generation {as_of_generation}: "
+            f"{len(missing)} referenced files were already reclaimed "
+            f"(first: {missing[0]!r}) — restore requires the target "
+            f"generation to be retained (un-gc'd)"
+        )
+    _validate_generation(table_dir, generation)
+    carried = {
+        k: v
+        for k, v in target.items()
+        # lineage keys describe the TARGET's own commit, not this one
+        if k not in ("generation", "merge", "append", "evolve", "compact",
+                     "mor", "restore")
+    }
+    new_manifest = {
+        **carried,
+        "generation": generation,
+        "restore": {
+            "parent": manifest["generation"],
+            "restored_from": target["generation"],
+        },
+    }
+    return _commit_manifest(
+        table_dir, generation, new_manifest,
+        expected_parent=manifest["generation"],
+    )
+
+
 def _require_cow(manifest: dict, op: str) -> None:
     """Reject raw-file operations on a merge-on-read generation: every op
     that reads or carries ``manifest['files']`` WITHOUT applying the

@@ -3901,3 +3901,91 @@ def test_footer_stats_pass_is_metadata_only(spark):
         n=2,
     )
     assert t_big < t_scan, (t_big, t_scan)
+
+
+def test_s37_restore_is_metadata_only_and_rewinds_watermarks(spark):
+    """s37 contract: the restore generation references the target's files
+    VERBATIM (zero new files staged, bytes untouched), carries the
+    TARGET's txn watermarks (replay state rewinds with the data), keeps
+    rolled-back history time-travelable, protects everything through gc,
+    composes with MOR generations, refuses dangling references and
+    restore-to-current, and is itself undoable by a further restore."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        gc,
+        merge_cow,
+        merge_mor,
+        publish,
+        read_committed,
+        read_manifest,
+        read_mor,
+        restore,
+        txn_watermark,
+        vacuum,
+    )
+
+    td = tempfile.mkdtemp(prefix="restore_")
+    base = spark.range(200).select(
+        "id", F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    publish(
+        base.repartitionByRange(4, "id"),
+        td,
+        1,
+        stats_columns=["id"],
+        txn={"tag": "sink", "batch_id": 3},
+    )
+    m1 = read_manifest(td)
+    orig = sorted(map(tuple, read_committed(spark, td).collect()))
+
+    ch = spark.createDataFrame(
+        [(5, "X", "u", 100), (7, None, "d", 101)],
+        "id bigint, val string, op string, seq bigint",
+    )
+    merge_cow(spark, td, ch, "id", 2, txn={"tag": "sink", "batch_id": 9})
+    assert txn_watermark(read_manifest(td), "sink") == {"batch_id": 9}
+
+    # restore: content == gen-1 exactly, file list verbatim, no staging dir
+    restore(td, generation=3, as_of_generation=1)
+    m3 = read_manifest(td)
+    assert m3["files"] == m1["files"]
+    assert m3["stats"] == m1["stats"]
+    assert m3["restore"] == {"parent": 2, "restored_from": 1}
+    assert not os.path.exists(os.path.join(td, "data", "gen-3"))
+    assert sorted(map(tuple, read_committed(spark, td).collect())) == orig
+    # replay state rewound with the data: batch 9 must RE-APPLY now
+    assert txn_watermark(m3, "sink") == {"batch_id": 3}
+    # rolled-back state stays time-travelable
+    assert read_committed(spark, td, as_of_generation=2).where(
+        F.col("id") == 5
+    ).first()["val"] == "X"
+
+    # errors: already-current, dangling after reclaim
+    with _pytest.raises(ValueError, match="already the committed state"):
+        restore(td, 4, as_of_generation=3)
+
+    # gc keeps every file the restore references; then undo the restore
+    gc(td, older_than_s=0.0)
+    vacuum(td, older_than_s=0.0)
+    assert sorted(map(tuple, read_committed(spark, td).collect())) == orig
+    # gen-2's manifest was superseded+collected -> restoring to it must
+    # now refuse (either missing manifest or missing files — loud, never
+    # a dangling commit)
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        restore(td, 4, as_of_generation=2)
+
+    # MOR interop: a restore of a MOR generation carries its delete log
+    merge_mor(spark, td, ch, "id", read_manifest(td)["generation"] + 1)
+    g_mor = read_manifest(td)["generation"]
+    mor_rows = sorted(map(tuple, read_mor(spark, td).collect()))
+    restore(td, g_mor + 1, as_of_generation=3)  # back to clean COW
+    assert sorted(map(tuple, read_committed(spark, td).collect())) == orig
+    restore(td, g_mor + 2, as_of_generation=g_mor)  # undo the undo
+    m_back = read_manifest(td)
+    assert m_back.get("delete_files"), "MOR delete log must carry by reference"
+    assert sorted(map(tuple, read_mor(spark, td).collect())) == mor_rows
