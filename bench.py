@@ -107,6 +107,7 @@ NEW_THIS_ROUND = [
     "s36_merge_on_read",
     "t33_lakehouse_mor_sink",
     "s37_restore",
+    "s36b_mor_change_feed",
     "a4b_approx_distinct_anchor",
     "x2eb_lsh_recall_anchor",
 ]
@@ -116,6 +117,7 @@ EXTRA_QUERIES = [
     "s36_merge_on_read",
     "t33_lakehouse_mor_sink",
     "s37_restore",
+    "s36b_mor_change_feed",
     "a4b_approx_distinct_anchor",
     "x2eb_lsh_recall_anchor",
     "t31_lakehouse_schema_drift",

@@ -2616,3 +2616,114 @@ def s37_restore(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s36b_mor_change_feed",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer
+),
+changed AS (
+    SELECT c_custkey FROM base WHERE c_custkey % 50 IN (3, 21)
+    UNION
+    SELECT c_custkey + 2000000 FROM base WHERE c_custkey % 100 = 53
+),
+pre AS (SELECT b.* FROM base b JOIN changed USING (c_custkey)),
+post_all AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 100 = 3
+                     THEN CAST(c_acctbal + 300.00 AS DECIMAL(12,2))
+                WHEN c_custkey % 50 = 3
+                     THEN CAST(c_acctbal + 100.00 AS DECIMAL(12,2))
+                ELSE c_acctbal END AS c_acctbal
+    FROM base WHERE c_custkey % 50 <> 21
+    UNION ALL
+    SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey % 100 = 53
+),
+post AS (SELECT p.* FROM post_all p JOIN changed USING (c_custkey)),
+gone AS (SELECT * FROM pre EXCEPT ALL SELECT * FROM post),
+came AS (SELECT * FROM post EXCEPT ALL SELECT * FROM pre),
+upd AS (SELECT c_custkey FROM gone INTERSECT SELECT c_custkey FROM came),
+feed AS (
+    SELECT 'update_preimage' AS _change_type, g.* FROM gone g
+    WHERE g.c_custkey IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT 'delete', g.* FROM gone g
+    WHERE g.c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT 'update_postimage', c.* FROM came c
+    WHERE c.c_custkey IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT 'insert', c.* FROM came c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+)
+SELECT _change_type, c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM feed
+ORDER BY _change_type, c_custkey
+""",
+    doc="S36b: CHANGE DATA FEED over a merge-on-read interval — the "
+    "consumer side that completes s36 (s35's raw symmetric-difference "
+    "read is WRONG on MOR manifests and refuses them): between two "
+    "generations of one un-folded MOR log, the interval's equality-delete "
+    "files ARE the changed-key set, so the feed derives "
+    "churn-proportionally (sources/manifest.py:change_feed_mor): changed "
+    "keys from the interval's delete files (batch-sized); pre/post images "
+    "as the FROM/TO states resolved for JUST those keys — broadcast "
+    "semi-join plus stats-pruning of data-file groups to the keys' "
+    "ranges, so the resolve opens only overlapping files; identical rows "
+    "cancel via exceptAll; the shared classifier emits Delta's four "
+    "change types. The interval must not cross a compact_mor fold or a "
+    "restore (structurally detected — TO must still reference every FROM "
+    "file; the CDF retention contract: consume before folding, pinned "
+    "with the t32 consumer pattern in pytest). This query feeds s36's "
+    "exact two-batch lifecycle (uniform churn, cross-commit kills, "
+    "deletes, inserts) and emits the full typed 1→3 feed; the oracle "
+    "rebuilds pre/post declaratively from the original customer table "
+    "and classifies with the same EXCEPT ALL/INTERSECT algebra — "
+    "hash-green proves the churn-pruned derivation equals the state "
+    "diff exactly, labels included. At 100 TB: a downstream consumer of "
+    "a MOR CDC sink reads the interval's churn, never the table.",
+)
+def s36b_mor_change_feed(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import change_feed_mor, merge_mor, publish
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s36bfeed")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+    key = F.col("c_custkey")
+    ev = _s30_change_event
+    bump = lambda n: F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)")  # noqa: E731
+    b1 = ev(c.filter(key % 50 == 3), "u", 1, bal=bump(100))
+    merge_mor(spark, table_dir, b1, key_col="c_custkey", generation=2)
+    b2 = (
+        ev(c.filter(key % 100 == 3), "u", 2, bal=bump(300))
+        .unionByName(ev(c.filter(key % 50 == 21), "d", 2))
+        .unionByName(
+            ev(c.filter(key % 100 == 53), "c", 2).withColumn(
+                "c_custkey", key + 2000000
+            )
+        )
+    )
+    merge_mor(spark, table_dir, b2, key_col="c_custkey", generation=3)
+    return change_feed_mor(spark, table_dir, 1, 3).select(
+        "_change_type",
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    ).orderBy("_change_type", "c_custkey")

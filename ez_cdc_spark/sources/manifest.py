@@ -1673,6 +1673,17 @@ def change_feed(
     old, new = old.select(*cols), new.select(*cols)
     gone = old.exceptAll(new)  # pre-images of updates + deleted rows
     came = new.exceptAll(old)  # post-images of updates + inserted rows
+    return _classify_feed(gone, came, key_col, cols)
+
+
+def _classify_feed(gone, came, key_col: str | None, cols: list) -> DataFrame:
+    """Shared CDF classification tail (change_feed / change_feed_mor):
+    untyped feeds emit delete/insert; keyed feeds split each side on the
+    intersected key set into the Delta update pre/post pair vs plain
+    delete/insert — keyed joins over the two already-churn-sized delta
+    sides."""
+    from pyspark.sql import functions as F  # noqa: N812
+
     if key_col is None:
         return gone.select(F.lit("delete").alias("_change_type"), *cols).unionByName(
             came.select(F.lit("insert").alias("_change_type"), *cols)
@@ -1695,6 +1706,118 @@ def change_feed(
         )
     )
     return typed_gone.unionByName(typed_came)
+
+
+def change_feed_mor(
+    spark: SparkSession,
+    table_dir: str,
+    from_generation: int,
+    to_generation: int,
+) -> DataFrame:
+    """S36b: CHANGE DATA FEED over a MERGE-ON-READ interval — completes
+    the MOR story's consumer side (s35 is the COW feed; its raw
+    symmetric-difference read is WRONG on MOR manifests and refuses them):
+    between two generations of one un-folded MOR log, the interval's
+    equality-delete files ARE the changed-key set, so the feed is derived
+    churn-proportionally:
+
+    1. changed keys = the delete files added in the interval (every
+       merge_mor commit records all its batch's keys there — upserts and
+       deletes alike);
+    2. pre-images = the FROM state resolved for just those keys,
+       post-images = the TO state likewise — both via read_mor restricted
+       with a broadcast semi-join, with data-file groups stats-pruned to
+       the changed keys' ranges before Spark sees a path;
+    3. rows identical on both sides cancel (exceptAll), and the shared
+       classification emits the four Delta change types keyed by the
+       table's mor_key.
+
+    The interval must not cross a compact_mor fold or a restore
+    (structurally detected: the TO manifest must still reference every
+    FROM file and delete file) — the CDF retention contract, same class
+    as s35's requirement that FROM be un-gc'd: consume before folding.
+    At 100 TB: I/O is the interval's churn (new delete files are
+    batch-sized; the pre/post resolves open only stats-overlapping
+    files), never the table."""
+    import bisect
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    if to_generation <= from_generation:
+        raise ValueError("change_feed_mor needs from_generation < to_generation")
+    m_from = read_manifest(table_dir, from_generation)
+    m_to = read_manifest(table_dir, to_generation)
+    log_intact = set(m_from["files"]) <= set(m_to["files"]) and set(
+        m_from.get("delete_files") or []
+    ) <= set(m_to.get("delete_files") or [])
+    if not log_intact:
+        raise ValueError(
+            "interval crosses a compact_mor fold or a restore (or this is a "
+            "copy-on-write interval — use change_feed): a MOR feed must be "
+            "consumed before the log folds (CDF retention contract)"
+        )
+    if m_to.get("mor_key") is None:
+        raise ValueError(
+            "to_generation is not merge-on-read: use change_feed for COW intervals"
+        )
+    key_col = m_to["mor_key"]
+    cols = [f["name"] for f in m_to["schema"]["fields"]]
+    new_dfiles = [
+        os.path.join(table_dir, rel)
+        for rel in m_to["delete_files"]
+        if rel not in set(m_from.get("delete_files") or [])
+    ]
+    key_field = StructType.fromJson(m_to["schema"])[key_col]
+    keys_df = (
+        spark.read.schema(StructType([key_field])).parquet(*new_dfiles).distinct()
+        if new_dfiles
+        else spark.createDataFrame([], StructType([key_field]))
+    )
+
+    # stats pruning of the pre/post resolves: collect the (churn-sized)
+    # key set once and keep only data files whose recorded key range can
+    # contain one — merge_cow's exact binary-search discipline, so a file
+    # without stats or an unencodable key falls back to a conservative read
+    normed = [_norm(r[0]) for r in keys_df.collect()]
+    unprunable = any(k is None for k in normed)
+    sorted_keys = sorted(normed) if not unprunable else []
+
+    def _overlaps(rng) -> bool:
+        if unprunable or rng is None:
+            return True
+        try:
+            r0, r1 = _norm(rng[0]), _norm(rng[1])
+            if r0 is None or r1 is None or (
+                sorted_keys and sorted_keys[0][0] != r0[0]
+            ):
+                return True
+            i = bisect.bisect_left(sorted_keys, r0)
+            return i < len(sorted_keys) and sorted_keys[i] <= r1
+        except TypeError:
+            return True
+
+    def _state_for_keys(man):
+        stats = man.get("stats", {})
+        kept = [
+            rel
+            for rel in man["files"]
+            if _overlaps(stats.get(rel, {}).get(key_col))
+        ]
+        pruned = {**man, "files": kept, "n_files": len(kept)}
+        if pruned.get("delete_files"):
+            state = _read_mor_manifest(spark, table_dir, pruned)
+        else:  # the COW seed side of the first MOR interval
+            state = _read_files(
+                spark, pruned, table_dir,
+                [os.path.join(table_dir, r) for r in kept],
+            )
+        return state.join(F.broadcast(keys_df), on=key_col, how="left_semi")
+
+    pre = _state_for_keys(m_from).select(*cols)
+    post = _state_for_keys(m_to).select(*cols)
+    gone = pre.exceptAll(post)
+    came = post.exceptAll(pre)
+    return _classify_feed(gone, came, key_col, cols)
 
 
 def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
@@ -1933,6 +2056,18 @@ def read_mor(
     manifest = read_manifest(table_dir, as_of_generation)
     if not manifest.get("delete_files"):
         return read_committed(spark, table_dir, as_of_generation)
+    return _read_mor_manifest(spark, table_dir, manifest)
+
+
+def _read_mor_manifest(
+    spark: SparkSession, table_dir: str, manifest: dict
+) -> DataFrame:
+    """The MOR resolve over an explicit (possibly file-pruned) manifest —
+    factored so change_feed_mor can stats-prune the data-file list before
+    resolving. The delete side always reads in full: kills from commits
+    outside a pruned file set still apply to the rows that remain."""
+    from pyspark.sql import functions as F  # noqa: N812
+
     key_col = manifest["mor_key"]
     cols = [f["name"] for f in manifest["schema"]["fields"]]
     fseq = manifest.get("file_seq", {})
@@ -1947,6 +2082,8 @@ def read_mor(
             "_seq", F.lit(seq).cast("long")
         )
         data = part if data is None else data.unionByName(part)
+    if data is None:  # every data file pruned away
+        return spark.createDataFrame([], StructType.fromJson(manifest["schema"]))
 
     key_field = StructType.fromJson(manifest["schema"])[key_col]
     dseq = manifest.get("delete_seq", {})

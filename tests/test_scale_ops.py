@@ -3989,3 +3989,121 @@ def test_s37_restore_is_metadata_only_and_rewinds_watermarks(spark):
     m_back = read_manifest(td)
     assert m_back.get("delete_files"), "MOR delete log must carry by reference"
     assert sorted(map(tuple, read_mor(spark, td).collect())) == mor_rows
+
+
+def test_s36b_mor_feed_composition_pruning_and_fold_guard(spark):
+    """change_feed_mor contract: per-interval feeds match the state diff
+    and compose (1→2 then 2→3 vs 1→3 as a net diff); the resolve opens
+    only stats-overlapping data files (churn-proportional I/O); an
+    interval crossing a compact_mor fold or restore refuses loudly; and
+    the feed drives the t32 consumer pattern (incremental aggregate ==
+    full recompute)."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        change_feed_mor,
+        compact_mor,
+        merge_mor,
+        publish,
+        read_manifest,
+        read_mor,
+    )
+
+    td = tempfile.mkdtemp(prefix="morfeed_")
+    base = spark.range(400).select(
+        "id", (F.col("id") % 9).cast("string").alias("val")
+    )
+    publish(base.repartitionByRange(8, "id"), td, 1, stats_columns=["id"])
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, val string, op string, seq bigint"
+        )
+
+    merge_mor(spark, td, ch([(5, "x", "u", 101), (7, None, "d", 102)]), "id", 2)
+    merge_mor(
+        spark,
+        td,
+        ch([(5, "x2", "u", 201), (7, "back", "u", 202), (350, None, "d", 203)]),
+        "id",
+        3,
+    )
+
+    f12 = sorted(
+        (r["_change_type"], r["id"], r["val"])
+        for r in change_feed_mor(spark, td, 1, 2).collect()
+    )
+    assert f12 == [
+        ("delete", 7, "7"),
+        ("update_postimage", 5, "x"),
+        ("update_preimage", 5, "5"),
+    ]
+    f23 = sorted(
+        (r["_change_type"], r["id"], r["val"])
+        for r in change_feed_mor(spark, td, 2, 3).collect()
+    )
+    assert f23 == [
+        ("delete", 350, "8"),
+        ("insert", 7, "back"),
+        ("update_postimage", 5, "x2"),
+        ("update_preimage", 5, "x"),
+    ]
+    # net diff 1->3: key 7 deleted-then-reinserted shows as ONE update pair
+    f13 = sorted(
+        (r["_change_type"], r["id"], r["val"])
+        for r in change_feed_mor(spark, td, 1, 3).collect()
+    )
+    assert f13 == [
+        ("delete", 350, "8"),
+        ("update_postimage", 5, "x2"),
+        ("update_postimage", 7, "back"),
+        ("update_preimage", 5, "5"),
+        ("update_preimage", 7, "7"),
+    ]
+
+    # t32 consumer pattern: feed-applied aggregate == full recompute
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        change_feed_mor(spark, td, 1, 3)
+        .groupBy("val")
+        .agg(F.sum(sign).alias("dn"))
+    )
+    base_counts = base.groupBy("val").agg(F.count("*").alias("n"))
+    applied = sorted(
+        (r["val"], r["n"])
+        for r in base_counts.join(delta, "val", "left")
+        .select("val", (F.col("n") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"))
+        .collect()
+        if r["n"] > 0
+    )
+    # new vals from inserts/updates not in base buckets
+    extra = sorted(
+        (r["val"], r["dn"])
+        for r in delta.join(base_counts, "val", "left_anti").collect()
+    )
+    recomputed = sorted(
+        (r["val"], r["n"])
+        for r in read_mor(spark, td).groupBy("val").agg(F.count("*").alias("n")).collect()
+    )
+    assert sorted(applied + extra) == recomputed
+
+    # churn-proportional I/O: a 1-key interval opens < half the data files
+    merge_mor(spark, td, ch([(3, "y", "u", 301)]), "id", 4)
+    feed = change_feed_mor(spark, td, 3, 4)
+    n_data = read_manifest(td)["n_files"]
+    assert len(feed.inputFiles()) < n_data / 2 + len(
+        read_manifest(td)["delete_files"]
+    )
+
+    # fold guard
+    compact_mor(spark, td, 5)
+    with _pytest.raises(ValueError, match="fold"):
+        change_feed_mor(spark, td, 3, 5)
+    # COW target refuses too (its fresh files fail the log-intact check)
+    with _pytest.raises(ValueError, match="fold"):
+        change_feed_mor(spark, td, 4, 5)
