@@ -86,7 +86,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _POINTER = "_MANIFEST"
 _GEN_RE = re.compile(r"gen-(\d+)(?:\.json)?$")
@@ -390,6 +390,7 @@ def publish(
     txn: dict | None = None,
     expected_parent=_AUTO,
     txns: dict | None = None,
+    lineage: dict | None = None,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
@@ -415,6 +416,10 @@ def publish(
         manifest["stats"] = _collect_stats(
             df.sparkSession, table_dir, files, stats_columns
         )
+    if lineage:
+        # caller-supplied commit lineage (e.g. compact_mor's fold marker) —
+        # recorded so chain walkers (change_feed_mor) can trace parents
+        manifest.update(lineage)
     if txn is not None:
         manifest["txn"] = txn
     # txns defaulting (ADVICE r15): when replacing an EXISTING generation,
@@ -1223,7 +1228,8 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
         # txn) carries by reference ("compact" was missing from this list
         # until ADVICE r14: evolving right after a compaction misdescribed
         # the evolution commit as a compaction)
-        if k not in ("generation", "schema", "merge", "append", "evolve", "compact")
+        if k not in ("generation", "schema", "merge", "append", "evolve",
+                     "compact", "mor", "fold", "restore")
     }
     new_manifest = {
         **carried,
@@ -1304,7 +1310,8 @@ def evolve_schema_nested(
     carried = {
         k: v
         for k, v in manifest.items()
-        if k not in ("generation", "schema", "merge", "append", "evolve", "compact")
+        if k not in ("generation", "schema", "merge", "append", "evolve",
+                     "compact", "mor", "fold", "restore")
     }
     new_manifest = {
         **carried,
@@ -1708,6 +1715,19 @@ def _classify_feed(gone, came, key_col: str | None, cols: list) -> DataFrame:
     return typed_gone.unionByName(typed_came)
 
 
+def _parent_gen_of(manifest: dict) -> int | None:
+    """The generation this commit was derived from, traced through its
+    lineage record (merge_mor's ``mor``, compact_mor's ``fold``, merge's
+    ``merge``, partial compaction's ``compact``, append/evolve/restore).
+    A plain publish records no parent and returns None — chains cannot
+    be traced across it."""
+    for k in ("mor", "fold", "merge", "append", "evolve", "compact", "restore"):
+        lin = manifest.get(k)
+        if isinstance(lin, dict) and "parent" in lin:
+            return lin["parent"]
+    return None
+
+
 def change_feed_mor(
     spark: SparkSession,
     table_dir: str,
@@ -1716,68 +1736,142 @@ def change_feed_mor(
 ) -> DataFrame:
     """S36b: CHANGE DATA FEED over a MERGE-ON-READ interval — completes
     the MOR story's consumer side (s35 is the COW feed; its raw
-    symmetric-difference read is WRONG on MOR manifests and refuses them):
-    between two generations of one un-folded MOR log, the interval's
-    equality-delete files ARE the changed-key set, so the feed is derived
-    churn-proportionally:
+    symmetric-difference read is WRONG on MOR manifests and refuses them).
+    Within one un-folded log epoch the interval's equality-delete files
+    ARE the changed-key set, so the feed derives churn-proportionally:
 
     1. changed keys = the delete files added in the interval (every
        merge_mor commit records all its batch's keys there — upserts and
        deletes alike);
     2. pre-images = the FROM state resolved for just those keys,
-       post-images = the TO state likewise — both via read_mor restricted
-       with a broadcast semi-join, with data-file groups stats-pruned to
-       the changed keys' ranges before Spark sees a path;
+       post-images = the TO state likewise — both via the MOR resolve
+       restricted with a broadcast semi-join, data-file groups
+       stats-pruned to the changed keys' ranges before Spark sees a path;
     3. rows identical on both sides cancel (exceptAll), and the shared
        classification emits the four Delta change types keyed by the
        table's mor_key.
 
-    The interval must not cross a compact_mor fold or a restore
-    (structurally detected: the TO manifest must still reference every
-    FROM file and delete file) — the CDF retention contract, same class
-    as s35's requirement that FROM be un-gc'd: consume before folding.
-    At 100 TB: I/O is the interval's churn (new delete files are
-    batch-sized; the pre/post resolves open only stats-overlapping
-    files), never the table."""
-    import bisect
+    Intervals CROSSING compact_mor folds compose (r16): the commit chain
+    is traced backward through each manifest's lineage parent, split at
+    fold commits (content-preserving by construction — they contribute
+    nothing), and the feed is the union of the per-epoch feeds. Signed
+    consumers (the t32 pattern) telescope exactly to the net state
+    change; the label stream across folds is the concatenation of
+    per-epoch net diffs (a key updated in one epoch and deleted in the
+    next emits both transitions — Delta CDF's per-commit view), while a
+    single-epoch interval is a pure net diff. Retention contract: every
+    manifest on the chain must still be on disk (read_manifest raises
+    loudly otherwise — same class as s35's un-gc'd FROM requirement).
+    Intervals crossing a RESTORE refuse: a feed across a rollback is
+    semantically undefined — consume before restoring.
 
+    At 100 TB: I/O is the interval's churn (delete files are batch-sized;
+    the pre/post resolves open only stats-overlapping files), never the
+    table."""
     from pyspark.sql import functions as F  # noqa: N812
 
     if to_generation <= from_generation:
         raise ValueError("change_feed_mor needs from_generation < to_generation")
-    m_from = read_manifest(table_dir, from_generation)
-    m_to = read_manifest(table_dir, to_generation)
-    log_intact = set(m_from["files"]) <= set(m_to["files"]) and set(
-        m_from.get("delete_files") or []
-    ) <= set(m_to.get("delete_files") or [])
-    if not log_intact:
+    # trace the commit chain to -> from via lineage parents
+    chain = []
+    cur = read_manifest(table_dir, to_generation)
+    while cur["generation"] > from_generation:
+        chain.append(cur)
+        par = _parent_gen_of(cur)
+        if par is None or par < from_generation:
+            raise ValueError(
+                "cannot trace the commit lineage from to_generation back to "
+                "from_generation: the interval crosses an untraceable commit "
+                "(a plain publish/replace) or from_generation is not an "
+                "ancestor of to_generation"
+            )
+        cur = read_manifest(table_dir, par)
+    chain.append(cur)
+    chain.reverse()  # from -> to
+    if any("restore" in m for m in chain[1:]):
         raise ValueError(
-            "interval crosses a compact_mor fold or a restore (or this is a "
-            "copy-on-write interval — use change_feed): a MOR feed must be "
-            "consumed before the log folds (CDF retention contract)"
+            "interval crosses a restore: a change feed across a rollback is "
+            "undefined — consume the feed before restoring"
         )
-    if m_to.get("mor_key") is None:
+    if not any(m.get("mor_key") for m in chain):
         raise ValueError(
-            "to_generation is not merge-on-read: use change_feed for COW intervals"
+            "interval holds no merge-on-read commits: use change_feed for "
+            "copy-on-write intervals"
         )
-    key_col = m_to["mor_key"]
-    cols = [f["name"] for f in m_to["schema"]["fields"]]
+    # split at fold commits; each epoch contributes its own churn feed
+    segments: list[tuple[dict, dict]] = []
+    seg_start, prev = chain[0], chain[0]
+    for m in chain[1:]:
+        if "fold" in m:
+            if seg_start["generation"] != prev["generation"]:
+                segments.append((seg_start, prev))
+            seg_start = m
+        prev = m
+    if seg_start["generation"] != chain[-1]["generation"]:
+        segments.append((seg_start, chain[-1]))
+
+    cols_to = [f["name"] for f in chain[-1]["schema"]["fields"]]
+    out = None
+    for a, b in segments:
+        part = _feed_segment(spark, table_dir, a, b, cols_to)
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # pure-fold interval: layout only, no content change
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("_change_type", StringType())]
+                + list(StructType.fromJson(chain[-1]["schema"]).fields)
+            ),
+        )
+    return out
+
+
+def _feed_segment(
+    spark: SparkSession,
+    table_dir: str,
+    m_from: dict,
+    m_to: dict,
+    out_cols: list,
+) -> DataFrame:
+    """One un-folded epoch's churn feed (see change_feed_mor). ``out_cols``
+    is the overall TO schema's column list — both sides null-fill columns
+    an evolution added later, so segment feeds union cleanly."""
+    import bisect
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    if not (
+        set(m_from["files"]) <= set(m_to["files"])
+        and set(m_from.get("delete_files") or [])
+        <= set(m_to.get("delete_files") or [])
+    ):
+        raise AssertionError(
+            "internal: segment endpoints are not log-intact — the fold "
+            "split should have separated them"
+        )
     new_dfiles = [
         os.path.join(table_dir, rel)
-        for rel in m_to["delete_files"]
+        for rel in (m_to.get("delete_files") or [])
         if rel not in set(m_from.get("delete_files") or [])
     ]
+    empty_schema = StructType(
+        [StructField("_change_type", StringType())]
+        + list(StructType.fromJson(m_to["schema"]).fields)
+    )
+    if not new_dfiles:  # no merges in this epoch segment
+        return spark.createDataFrame([], empty_schema).select(
+            "_change_type", *out_cols
+        )
+    key_col = m_to["mor_key"]
     key_field = StructType.fromJson(m_to["schema"])[key_col]
     keys_df = (
         spark.read.schema(StructType([key_field])).parquet(*new_dfiles).distinct()
-        if new_dfiles
-        else spark.createDataFrame([], StructType([key_field]))
     )
 
-    # stats pruning of the pre/post resolves: collect the (churn-sized)
-    # key set once and keep only data files whose recorded key range can
-    # contain one — merge_cow's exact binary-search discipline, so a file
-    # without stats or an unencodable key falls back to a conservative read
+    # stats pruning: collect the (churn-sized) key set once and keep only
+    # data files whose recorded key range can contain one — merge_cow's
+    # binary-search discipline; stats-less files and unencodable keys fall
+    # back to a conservative read
     normed = [_norm(r[0]) for r in keys_df.collect()]
     unprunable = any(k is None for k in normed)
     sorted_keys = sorted(normed) if not unprunable else []
@@ -1813,11 +1907,18 @@ def change_feed_mor(
             )
         return state.join(F.broadcast(keys_df), on=key_col, how="left_semi")
 
-    pre = _state_for_keys(m_from).select(*cols)
-    post = _state_for_keys(m_to).select(*cols)
+    pre = _state_for_keys(m_from)
+    post = _state_for_keys(m_to)
+    # null-fill columns the FROM side predates (additive evolution)
+    for c in out_cols:
+        if c not in pre.columns:
+            pre = pre.withColumn(c, F.lit(None).cast(post.schema[c].dataType))
+        if c not in post.columns:
+            post = post.withColumn(c, F.lit(None).cast(pre.schema[c].dataType))
+    pre, post = pre.select(*out_cols), post.select(*out_cols)
     gone = pre.exceptAll(post)
     came = post.exceptAll(pre)
-    return _classify_feed(gone, came, key_col, cols)
+    return _classify_feed(gone, came, key_col, out_cols)
 
 
 def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
@@ -1867,7 +1968,7 @@ def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
         for k, v in target.items()
         # lineage keys describe the TARGET's own commit, not this one
         if k not in ("generation", "merge", "append", "evolve", "compact",
-                     "mor", "restore")
+                     "mor", "fold", "restore")
     }
     new_manifest = {
         **carried,
@@ -2142,6 +2243,7 @@ def compact_mor(
         txn=manifest.get("txn"),
         expected_parent=manifest["generation"],
         txns=_txns_of(manifest),
+        lineage={"fold": {"parent": manifest["generation"]}},
     )
 
 

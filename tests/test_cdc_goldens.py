@@ -2555,3 +2555,81 @@ def test_t33_mor_sink_kill_restart_and_bounded_delete_log(spark, tmp_path, sf_di
     )
     lakehouse_mor_batch(td, tag="t33kill", max_delete_files=max_dels)(replay, last_bid)
     assert read_manifest(td)["generation"] == wm_tag_man["generation"]
+
+
+def test_s37_restore_rewinds_sink_watermark_and_replay_reapplies(
+    spark, tmp_path, sf_dir
+):
+    """The s37 watermark-rewind contract exercised through the LIVE
+    lakehouse sink: after restoring to the generation batch k committed,
+    the sink's replay-skip watermark is k again — a replayed batch k
+    SKIPS (still applied in the restored state) while batch k+1
+    RE-APPLIES (the restore un-applied it), and the re-applied state
+    equals the original batch-(k+1) generation row-for-row. Carrying the
+    newer watermark through restore would have skipped k+1 silently —
+    the data-loss-by-bookkeeping failure the restore semantics exist to
+    prevent."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        read_committed,
+        read_manifest,
+        restore,
+        txn_watermark,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        lakehouse_merge_batch,
+    )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    assert len(stage_files) >= 4
+    td = str(tmp_path / "restoretable")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], schema), td, generation=1, stats_columns=["id"])
+
+    sink = lakehouse_merge_batch(td, tag="t30res")  # no maintenance: retain all
+    batches = [
+        spark.read.schema(ENVELOPE_JSON_SCHEMA).json(os.path.join(path, f))
+        for f in stage_files
+    ]
+    gen_of_batch = {}
+    for i, b in enumerate(batches):
+        sink(b, i)
+        gen_of_batch[i] = read_manifest(td)["generation"]
+
+    k = 1  # restore to the state after batch 1 (un-applying 2..n)
+    snap_k1 = sorted(
+        map(
+            tuple,
+            read_committed(
+                spark, td, as_of_generation=gen_of_batch[k + 1]
+            ).collect(),
+        )
+    )
+    restore(td, read_manifest(td)["generation"] + 1, as_of_generation=gen_of_batch[k])
+    assert txn_watermark(read_manifest(td), "t30res") == {"batch_id": k}
+
+    g_before = read_manifest(td)["generation"]
+    sink(batches[k], k)  # replay of an applied batch: must skip
+    assert read_manifest(td)["generation"] == g_before
+    sink(batches[k + 1], k + 1)  # un-applied by the restore: must re-apply
+    assert read_manifest(td)["generation"] > g_before
+    got = sorted(map(tuple, read_committed(spark, td).collect()))
+    assert got == snap_k1, "re-applied batch must reproduce the original state"
+    assert txn_watermark(read_manifest(td), "t30res") == {"batch_id": k + 1}

@@ -4100,10 +4100,26 @@ def test_s36b_mor_feed_composition_pruning_and_fold_guard(spark):
         read_manifest(td)["delete_files"]
     )
 
-    # fold guard
+    # fold composition (r16): intervals crossing compact_mor compose —
+    # the chain splits at the fold, which contributes nothing
     compact_mor(spark, td, 5)
-    with _pytest.raises(ValueError, match="fold"):
-        change_feed_mor(spark, td, 3, 5)
-    # COW target refuses too (its fresh files fail the log-intact check)
-    with _pytest.raises(ValueError, match="fold"):
-        change_feed_mor(spark, td, 4, 5)
+    f35 = sorted(
+        (r["_change_type"], r["id"], r["val"])
+        for r in change_feed_mor(spark, td, 3, 5).collect()
+    )
+    assert f35 == [
+        ("update_postimage", 3, "y"),
+        ("update_preimage", 3, "3"),
+    ]
+    # a pure-fold interval is an EMPTY feed (layout maintenance invisible)
+    assert change_feed_mor(spark, td, 4, 5).count() == 0
+    # an interval with no MOR commits refuses (use change_feed)
+    from ez_cdc_spark.sources.manifest import merge_cow, restore
+
+    merge_cow(spark, td, ch([(9, "z", "u", 401)]), "id", 6)
+    with _pytest.raises(ValueError, match="copy-on-write"):
+        change_feed_mor(spark, td, 5, 6)
+    # crossing a restore refuses: a feed across a rollback is undefined
+    restore(td, 7, as_of_generation=3)
+    with _pytest.raises(ValueError, match="restore"):
+        change_feed_mor(spark, td, 3, 7)
