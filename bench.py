@@ -108,6 +108,7 @@ NEW_THIS_ROUND = [
     "t33_lakehouse_mor_sink",
     "s37_restore",
     "s36b_mor_change_feed",
+    "t34_mor_feed_consumer",
     "a4b_approx_distinct_anchor",
     "x2eb_lsh_recall_anchor",
 ]
@@ -118,6 +119,7 @@ EXTRA_QUERIES = [
     "t33_lakehouse_mor_sink",
     "s37_restore",
     "s36b_mor_change_feed",
+    "t34_mor_feed_consumer",
     "a4b_approx_distinct_anchor",
     "x2eb_lsh_recall_anchor",
     "t31_lakehouse_schema_drift",

@@ -2270,3 +2270,52 @@ def t33_lakehouse_mor_sink(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id")
+
+
+@register(
+    "t34_mor_feed_consumer",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         max_by(first_name, lsn) AS first_name,
+         CAST(MAX(lsn) AS BIGINT) AS lsn
+  FROM env GROUP BY id
+)
+SELECT first_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lsn) AS BIGINT) AS sum_lsn
+FROM latest WHERE op <> 'd'
+GROUP BY first_name
+ORDER BY first_name
+""",
+    doc="T34: the FULL merge-on-read produce→consume loop — t33's MOR "
+    "sink and the t32 incremental consumer composed through s36b's feed, "
+    "with the fold cadence set aggressively LOW so compact_mor fires "
+    "repeatedly MID-STREAM between the consumer's reads "
+    "(streaming/cdc.py:lakehouse_mor_fanout_batch): every few triggers "
+    "the consumer's interval (previous merge generation → current merge "
+    "generation) CROSSES a fold commit and composes through it via the "
+    "r16 chain-split — zero coordination between the consumer and the "
+    "maintenance policy, which is the property that makes MOR feeds "
+    "operable (a consumer that must outrun compaction is a pager, not a "
+    "pipeline). The consumer maintains the same per-event-type aggregate "
+    "as t32 (signed feed rows; cursor stored transactionally in the "
+    "downstream manifest's txn watermark: exactly-once from "
+    "at-least-once), and the oracle recomputes the final aggregate "
+    "declaratively — hash-green proves every churn-pruned, fold-crossing "
+    "incremental application composed to the exact full recompute. At "
+    "100 TB: uniform-PK CDC commits at O(batch), downstream consumers "
+    "read churn-proportional feeds, and maintenance runs on its own "
+    "schedule.",
+)
+def t34_mor_feed_consumer(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_mor_feed_consumer
+
+    agg = materialize_mor_feed_consumer(spark, sf_dir)
+    return agg.select(
+        "first_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_lsn").cast("bigint").alias("sum_lsn"),
+    ).orderBy("first_name")

@@ -1473,6 +1473,7 @@ def consume_feed_step(
     agg_dir: str,
     consumer_tag: str = "t32c",
     origin_generation: int = 1,
+    mor: bool = False,
 ) -> dict | None:
     """T32 consumer step: advance a DOWNSTREAM aggregate table from the
     upstream table's CHANGE DATA FEED — the engine analog of the
@@ -1505,6 +1506,7 @@ def consume_feed_step(
     the producer loop defers gc while a consumer lags."""
     from ez_cdc_spark.sources.manifest import (
         change_feed,
+        change_feed_mor,
         merge_cow,
         read_committed,
         read_manifest,
@@ -1518,7 +1520,13 @@ def consume_feed_step(
     if cur <= consumed:
         return None  # nothing new (replayed/skipped upstream batch)
 
-    feed = change_feed(spark, table_dir, consumed, cur, key_col="id")
+    if mor:
+        # t34: the MOR producer's churn-proportional feed — fold commits
+        # inside the interval compose away (change_feed_mor's chain split),
+        # so the consumer never coordinates with the maintenance cadence
+        feed = change_feed_mor(spark, table_dir, consumed, cur)
+    else:
+        feed = change_feed(spark, table_dir, consumed, cur, key_col="id")
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -1840,3 +1848,162 @@ def materialize_lakehouse_mor(
     )
     q.awaitTermination()
     return read_mor(spark, table_dir)
+
+
+def lakehouse_mor_fanout_batch(
+    table_dir: str,
+    agg_dir: str,
+    tag: str = "t34",
+    consumer_tag: str = "t34c",
+    max_delete_files: int = 2,
+    compact_target_files: int = 2,
+    post_batch=None,
+):
+    """T34 foreachBatch: the FULL merge-on-read produce→consume loop —
+    t33's MOR sink (merge_mor per batch, in-loop compact_mor past the
+    delete-log threshold) followed, inside the same trigger, by the t32
+    consumer applying change_feed_mor(cursor, cur) to its downstream
+    aggregate. The fold threshold here is deliberately LOW so folds fire
+    repeatedly MID-STREAM between the consumer's reads — exercising the
+    r16 fold-composition contract on every such trigger: the consumer's
+    interval (prev merge gen → current merge gen) crosses the fold commit
+    and composes through it with zero coordination. Superseded
+    generations are retained during the replay (the chain the feed walks
+    must stay on disk — the CDF retention contract); the caller reclaims
+    after the stream drains. Crash-idempotence is t32's exactly: producer
+    watermark upstream, consumer cursor downstream, each commit atomic."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import (
+            compact_mor,
+            merge_mor,
+            read_manifest,
+            txn_watermark,
+        )
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id > wm.get("batch_id", -1):
+            changes = batch.select(
+                F.coalesce(F.col("after.id"), F.col("before.id"))
+                .cast("bigint")
+                .alias("id"),
+                F.col("source.lsn").cast("bigint").alias("lsn"),
+                F.col("after.first_name").alias("first_name"),
+                F.col("after.last_name").alias("last_name"),
+                F.col("after.email").alias("email"),
+                F.col("op").alias("op"),
+                F.col("source.lsn").cast("bigint").alias("seq"),
+            )
+            gen = man["generation"] + 1
+            for _ in range(100):
+                try:
+                    merged = merge_mor(
+                        spark, table_dir, changes, key_col="id",
+                        generation=gen, txn={"tag": tag, "batch_id": batch_id},
+                    )
+                    break
+                except FileExistsError:
+                    gen += 1
+            else:
+                raise RuntimeError(f"no free generation number near {gen}")
+        else:
+            merged = man  # replayed batch: upstream skipped
+
+        # consume BEFORE this trigger's fold is also fine — but running the
+        # consumer first would hide the composition the test exists to
+        # exercise, so the fold lands first when the threshold trips
+        if len(merged.get("delete_files") or []) > max_delete_files:
+            cgen = merged["generation"] + 1
+            for _ in range(100):
+                try:
+                    compact_mor(
+                        spark, table_dir, cgen,
+                        target_files=compact_target_files,
+                    )
+                    break
+                except FileExistsError:
+                    cgen += 1
+            else:
+                raise RuntimeError(f"no free generation number near {cgen}")
+        consume_feed_step(spark, table_dir, agg_dir, consumer_tag, mor=True)
+        if post_batch is not None:
+            post_batch(spark, batch_id)
+
+    return apply
+
+
+def materialize_mor_feed_consumer(
+    spark: SparkSession, sf_dir: str, tag: str = "t34"
+) -> DataFrame:
+    """T34 end-to-end: lsn-split envelope stream → per-batch merge_mor
+    commits with an aggressive in-loop fold cadence → after each trigger
+    the downstream consumer applies change_feed_mor(cursor, cur) to its
+    per-event-type aggregate, composing through every mid-stream fold →
+    once the stream drains, gc+vacuum reclaim the consumed history.
+    Returns the downstream table's final committed state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        gc,
+        publish,
+        read_committed,
+        vacuum,
+    )
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-morfeed-{tag}-{os.getpid()}")
+    agg_dir = _dir_for(sf_dir, f"morfeedagg-{tag}-{os.getpid()}")
+    for d in (table_dir, agg_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("lsn", LongType()),
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("email", StringType()),
+                ]
+            ),
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("first_name", StringType()),
+                    StructField("n", LongType()),
+                    StructField("sum_lsn", LongType()),
+                ]
+            ),
+        ),
+        agg_dir,
+        generation=1,
+        stats_columns=["first_name"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(
+            lakehouse_mor_fanout_batch(table_dir, agg_dir, tag=tag)
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    gc(table_dir, older_than_s=0.0)
+    vacuum(table_dir, older_than_s=0.0)
+    return read_committed(spark, agg_dir)

@@ -2633,3 +2633,65 @@ def test_s37_restore_rewinds_sink_watermark_and_replay_reapplies(
     got = sorted(map(tuple, read_committed(spark, td).collect()))
     assert got == snap_k1, "re-applied batch must reproduce the original state"
     assert txn_watermark(read_manifest(td), "t30res") == {"batch_id": k + 1}
+
+
+def test_t34_mor_feed_consumer_composes_across_midstream_folds(
+    spark, tmp_path, sf_dir
+):
+    """t34's load-bearing property: the downstream aggregate maintained
+    purely from change_feed_mor equals a full recompute of the upstream
+    MOR state after EVERY trigger — including the triggers whose consumer
+    interval crosses a mid-stream compact_mor fold (we assert folds
+    really fired between consumer reads, so the composition path is
+    provably on the line, not idle machinery)."""
+    import os
+
+    from ez_cdc_spark.sources.manifest import read_manifest, read_mor
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_lsn_split,
+        lakehouse_mor_fanout_batch,
+    )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    td, ad = _t32_bootstrap(spark, tmp_path)
+    fanout = lakehouse_mor_fanout_batch(
+        td, ad, tag="t34g", consumer_tag="t34gc", max_delete_files=1
+    )
+    batches = [
+        spark.read.schema(ENVELOPE_JSON_SCHEMA).json(os.path.join(path, f))
+        for f in stage_files
+    ]
+
+    def recompute():
+        import pyspark.sql.functions as F  # noqa: N812
+
+        return sorted(
+            (r["first_name"], r["n"], r["s"])
+            for r in read_mor(spark, td)
+            .groupBy("first_name")
+            .agg(F.count("*").alias("n"), F.sum("lsn").alias("s"))
+            .collect()
+        )
+
+    folds_seen = 0
+    prev_dels = 0
+    for i, batch in enumerate(batches):
+        fanout(batch, i)
+        cur_dels = len(read_manifest(td).get("delete_files") or [])
+        if cur_dels < prev_dels:
+            folds_seen += 1
+        prev_dels = cur_dels
+        assert _t32_agg_state(spark, ad) == recompute(), (
+            f"MOR feed-driven aggregate diverged after batch {i}"
+        )
+    assert folds_seen >= 1, "no mid-stream fold fired — raise the replay size"
+
+    # replay of the last trigger: both watermarks skip, nothing moves
+    g_td, g_ad = read_manifest(td)["generation"], read_manifest(ad)["generation"]
+    fanout(batches[-1], len(batches) - 1)
+    assert read_manifest(td)["generation"] == g_td
+    assert read_manifest(ad)["generation"] == g_ad
