@@ -108,6 +108,7 @@ NEW_THIS_ROUND = [
     "t33_lakehouse_mor_sink",
     "s37_restore",
     "s36b_mor_change_feed",
+    "s36c_merge_on_read_partitioned",
     "t34_mor_feed_consumer",
     "a4b_approx_distinct_anchor",
     "x2eb_lsh_recall_anchor",
@@ -119,6 +120,7 @@ EXTRA_QUERIES = [
     "t33_lakehouse_mor_sink",
     "s37_restore",
     "s36b_mor_change_feed",
+    "s36c_merge_on_read_partitioned",
     "t34_mor_feed_consumer",
     "a4b_approx_distinct_anchor",
     "x2eb_lsh_recall_anchor",

@@ -2727,3 +2727,121 @@ def s36b_mor_change_feed(spark, sf_dir):
         "c_nationkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
     ).orderBy("_change_type", "c_custkey")
+
+
+@register(
+    "s36c_merge_on_read_partitioned",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+    FROM customer
+),
+final AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 100 = 3
+                     THEN CAST(c_acctbal + 300.00 AS DECIMAL(12,2))
+                WHEN c_custkey % 50 = 3
+                     THEN CAST(c_acctbal + 100.00 AS DECIMAL(12,2))
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 100 = 3 THEN 'MOVED2'
+                WHEN c_custkey % 50 = 3 THEN 'MOVED1'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM base WHERE c_custkey % 50 <> 21
+    UNION ALL
+    SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM base WHERE c_custkey % 100 = 53
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM final
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="S36c: PARTITIONED merge-on-read (r16, lifting s36's v1 "
+    "restriction) — completing the commit-shape × layout matrix (s30 "
+    "COW, s30b partitioned COW, s36 MOR, s36c partitioned MOR): upserts "
+    "stage under the Hive layout so partition pruning survives the MOR "
+    "log, the partitions map carries per commit, and compact_mor folds "
+    "back into a partitioned COW generation (publish_partitioned with "
+    "fold lineage). The equality-delete file stays GLOBAL, which is the "
+    "load-bearing choice: this lifecycle's updates CHANGE c_mktsegment "
+    "(the partition column) on keys spread uniformly across every "
+    "partition, so rows MOVE partitions and a partition-scoped delete "
+    "would strand each moved key's old row — the global kill join "
+    "resolves by key value wherever the row lives. Two batches drive "
+    "cross-commit kills (batch 2 re-moves half of batch 1's keys), "
+    "deletes, and inserts; the final aggregate GROUPS BY the partition "
+    "column, whose values reconstruct from the directory layout on read "
+    "— hash-green therefore proves row-level kill-rule correctness AND "
+    "partition routing under moves simultaneously. Raw partitioned reads "
+    "(read_committed_partitions) refuse MOR generations loudly. At "
+    "100 TB: a date/tenant-partitioned CDC table takes O(batch) commits "
+    "under uniform churn, keeps pruned reads after each fold, and "
+    "tolerates partition moves without strandings.",
+)
+def s36c_merge_on_read_partitioned(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_mor,
+        merge_mor,
+        publish_partitioned,
+        read_committed,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        dec("c_acctbal").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    table_dir = _scratch(sf_dir, "s36cmorp")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish_partitioned(
+        c, table_dir, 1, partition_col="c_mktsegment", stats_columns=["c_custkey"]
+    )
+
+    key = F.col("c_custkey")
+    bump = lambda n: dec(F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)"))  # noqa: E731
+
+    def ev(df, op, seq, seg=None, bal=None):
+        return df.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (bal if bal is not None else dec(F.col("c_acctbal"))).alias("c_acctbal"),
+            (seg if seg is not None else F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    b1 = ev(c.filter(key % 50 == 3), "u", 1, seg=F.lit("MOVED1"), bal=bump(100))
+    merge_mor(spark, table_dir, b1, key_col="c_custkey", generation=2)
+    b2 = (
+        ev(c.filter(key % 100 == 3), "u", 2, seg=F.lit("MOVED2"), bal=bump(300))
+        .unionByName(ev(c.filter(key % 50 == 21), "d", 2))
+        .unionByName(
+            ev(c.filter(key % 100 == 53), "c", 2).withColumn(
+                "c_custkey", key + 2000000
+            )
+        )
+    )
+    merge_mor(spark, table_dir, b2, key_col="c_custkey", generation=3)
+    compact_mor(spark, table_dir, 4, target_files=5)
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -645,6 +645,7 @@ def publish_partitioned(
     txn: dict | None = None,
     expected_parent=_AUTO,
     txns: dict | None = None,
+    lineage: dict | None = None,
 ) -> dict:
     """S29: partition-aware atomic publish — S25's two-phase protocol
     composed with S7's partitionBy layout: the generation stages as
@@ -681,6 +682,8 @@ def publish_partitioned(
             [os.path.join(table_dir, rel) for rel in files],
             stats_columns,
         )
+    if lineage:
+        manifest.update(lineage)
     if txn is not None:
         manifest["txn"] = txn
     # same parent-map defaulting as publish (ADVICE r15): replacing an
@@ -711,6 +714,7 @@ def read_committed_partitions(
     Calling this on a non-partitioned generation is a usage error and
     raises instead of silently selecting nothing (ADVICE r12)."""
     manifest = read_manifest(table_dir, as_of_generation)
+    _require_cow(manifest, "read_committed_partitions")
     if manifest.get("partition_col") is None:
         raise ValueError(
             f"generation {manifest['generation']} of {table_dir} is not "
@@ -2039,21 +2043,26 @@ def merge_mor(
     append) REFUSES a MOR generation loudly rather than resurrecting
     dead rows.
 
-    Scope: unpartitioned generations (the probe's saturating case);
-    partition-LOCAL churn already has its honest scale path in the
-    partitioned COW sink (t30b — flat rewrite counts measured across
-    16× growth). Same input contract as merge_cow: per-key order across
-    batches, last-event-wins within a batch."""
+    Partitioned generations compose (r16): upserts stage under the Hive
+    layout (partition pruning survives), the partitions map carries, and
+    compact_mor folds back into a partitioned COW generation. The
+    equality-delete file stays GLOBAL — keys may move partitions, and a
+    partition-scoped delete would strand a moved key's old row; the kill
+    join resolves by key value wherever the row lives. Same input
+    contract as merge_cow: per-key order across batches, last-event-wins
+    within a batch."""
     from pyspark.sql import functions as F  # noqa: N812
 
     manifest = read_manifest(table_dir)
     schema = manifest.get("schema")
     if schema is None:
         raise ValueError("merge_mor needs a schema-bearing manifest")
-    if manifest.get("partition_col") is not None:
+    pcol = manifest.get("partition_col")
+    if pcol == key_col:
         raise ValueError(
-            "merge_mor v1 is unpartitioned (uniform churn is its use case); "
-            "partition-local churn scales through the partitioned COW sink"
+            "merge_mor key column cannot be the partition column: equality "
+            "deletes resolve by key VALUE and a partition value is constant "
+            "per file — key on a data column"
         )
     mor_key = manifest.get("mor_key")
     if mor_key is not None and mor_key != key_col:
@@ -2083,7 +2092,18 @@ def merge_mor(
     )
     upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
 
-    new_files = stage_only(upserts, table_dir, generation)
+    # partitioned generations (r16, lifting the v1 restriction): upserts
+    # stage under the Hive layout so partition pruning survives; the
+    # equality-delete file stays GLOBAL (keys may move partitions — a
+    # partition-scoped delete would strand a moved key's old row)
+    if pcol is not None:
+        new_rels_p, new_parts = _stage_partitioned(
+            upserts, table_dir, generation, pcol
+        )
+        new_files = [os.path.join(table_dir, rel) for rel in new_rels_p]
+    else:
+        new_files = stage_only(upserts, table_dir, generation)
+        new_parts = None
     # the equality-delete file: every changed key (upserted keys must kill
     # their older versions too), one small parquet under the same gen dir
     ddir = os.path.join(_stage_dir(table_dir, generation), "deletes")
@@ -2128,6 +2148,12 @@ def merge_mor(
             + len(delete_rels),
         },
     }
+    if pcol is not None:
+        new_manifest["partition_col"] = pcol
+        new_manifest["partitions"] = {
+            **manifest.get("partitions", {}),
+            **(new_parts or {}),
+        }
     if txn is not None:
         new_manifest["txn"] = txn
     folded = _fold_txns(_txns_of(manifest), txn)
@@ -2235,6 +2261,21 @@ def compact_mor(
             inherited = sorted(set(inherited) | {mk})
         stats_columns = inherited or None
     resolved = read_mor(spark, table_dir).coalesce(target_files)
+    pcol = manifest.get("partition_col")
+    if pcol is not None:
+        # a partitioned MOR log folds INTO a partitioned COW generation —
+        # the layout (and the column that lives in it) must survive
+        return publish_partitioned(
+            resolved,
+            table_dir,
+            generation,
+            partition_col=pcol,
+            stats_columns=stats_columns,
+            txn=manifest.get("txn"),
+            expected_parent=manifest["generation"],
+            txns=_txns_of(manifest),
+            lineage={"fold": {"parent": manifest["generation"]}},
+        )
     return publish(
         resolved,
         table_dir,

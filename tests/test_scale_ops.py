@@ -4123,3 +4123,103 @@ def test_s36b_mor_feed_composition_pruning_and_fold_guard(spark):
     restore(td, 7, as_of_generation=3)
     with _pytest.raises(ValueError, match="restore"):
         change_feed_mor(spark, td, 3, 7)
+
+
+def test_s36c_partitioned_mor_moves_folds_and_differential(spark):
+    """Partitioned MOR contract: the GLOBAL equality-delete kills a moved
+    key's old row in its ORIGINAL partition (a partition-scoped delete
+    would strand it); upsert files land under the Hive layout; the fold
+    keeps the partitioned layout and restores pruned partition reads;
+    the same change batches through partitioned merge_cow produce the
+    identical state (differential); raw partitioned reads refuse MOR
+    generations; key==partition-column refuses."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_mor,
+        merge_cow,
+        merge_mor,
+        publish_partitioned,
+        read_committed,
+        read_committed_partitions,
+        read_manifest,
+        read_mor,
+    )
+
+    base = spark.range(300).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, p string, val string, op string, seq bigint"
+        )
+
+    batches = [
+        # moves: ids 0,30,60,... move to partition "9"; a delete; an insert
+        [(i, "9", f"m{i}", "u", 100 + i) for i in range(0, 300, 30)]
+        + [(7, None, None, "d", 500), (5000, "2", "new", "u", 501)],
+        # re-move half back; delete one of the moved
+        [(i, "1", f"b{i}", "u", 1000 + i) for i in range(0, 300, 60)]
+        + [(30, None, None, "d", 1500)],
+    ]
+
+    tds = {}
+    for mode in ("mor", "cow"):
+        td = tempfile.mkdtemp(prefix=f"morpart_{mode}_")
+        publish_partitioned(base, td, 1, "p", stats_columns=["id"])
+        for g, rows in enumerate(batches, start=2):
+            if mode == "mor":
+                merge_mor(spark, td, ch(rows), "id", g)
+            else:
+                merge_cow(spark, td, ch(rows), "id", g)
+        tds[mode] = td
+
+    mor_rows = sorted(
+        map(tuple, read_mor(spark, tds["mor"]).select("id", "p", "val").collect())
+    )
+    cow_rows = sorted(
+        map(
+            tuple,
+            read_committed(spark, tds["cow"]).select("id", "p", "val").collect(),
+        )
+    )
+    assert mor_rows == cow_rows and len(mor_rows) == 299
+    by_id = {r[0]: r for r in mor_rows}
+    assert by_id[0][1] == "1" and by_id[60][1] == "1"  # re-moved
+    assert by_id[90][1] == "9"  # first move stands
+    assert 7 not in by_id and 30 not in by_id
+    assert by_id[5000] == (5000, "2", "new")
+
+    td = tds["mor"]
+    m = read_manifest(td)
+    # upsert files landed under the Hive layout with recorded partitions
+    new_rels = [r for r in m["files"] if "gen-2" in r or "gen-3" in r]
+    assert new_rels and all("p=" in r for r in new_rels)
+    assert all(m["partitions"].get(r) is not None for r in new_rels)
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        read_committed_partitions(spark, td, ["9"])
+    with _pytest.raises(ValueError, match="partition column"):
+        merge_mor(spark, td, ch([(1, "1", "x", "u", 9)]), "p", 9)
+
+    # fold: layout survives, pruned partition reads return, content equal
+    compact_mor(spark, td, read_manifest(td)["generation"] + 1, target_files=3)
+    m2 = read_manifest(td)
+    assert m2["partition_col"] == "p" and not m2.get("delete_files")
+    assert (
+        sorted(
+            map(
+                tuple,
+                read_committed(spark, td).select("id", "p", "val").collect(),
+            )
+        )
+        == mor_rows
+    )
+    p9 = {r["id"] for r in read_committed_partitions(spark, td, ["9"]).collect()}
+    assert 90 in p9 and 0 not in p9
