@@ -1204,3 +1204,36 @@ def test_s35_change_feed_plan_no_cartesian_and_churn_only_scan(spark, sf_smoke):
     # tests/test_scale_ops.py::test_s35_change_feed_reads_only_touched_files…
     # (exceptAll itself compiles to joins/aggregates, no physical node to
     # assert on)
+
+
+def test_s36_mor_resolve_plan_no_cartesian_and_seq_kill_join(spark, sf_smoke):
+    """s36's resolve plan (read_mor): the kill rule compiles to ONE keyed
+    left join against the per-key max-kill-sequence aggregate plus a
+    filter — no cartesian, no nested loop; the registered query's whole
+    lifecycle plan stays cartesian-free. The delete side is
+    churn-since-compaction-sized, so at 100 TB AQE builds it broadcast;
+    what we pin structurally here is the join SHAPE, not the strategy."""
+    df = load_all()["s36_merge_on_read"].fn(spark, sf_smoke)
+    assert_no_cartesian(df)
+    p = plan_str(df)
+    assert "_dseq" in p and "Join" in p  # the kill join is in the plan
+
+
+def test_s36b_mor_feed_plan_broadcast_keys_and_no_cartesian(spark, sf_smoke):
+    """s36b's feed plan: the changed-key restriction is an explicit
+    BROADCAST left-semi join on both the pre and post resolves (the key
+    set is interval-churn-sized by construction), and nothing in the
+    derivation introduces a cartesian."""
+    df = load_all()["s36b_mor_change_feed"].fn(spark, sf_smoke)
+    assert_no_cartesian(df)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_s36c_partitioned_mor_plan_no_cartesian(spark, sf_smoke):
+    """s36c: the partitioned MOR lifecycle's final aggregate plan stays
+    cartesian-free, and the partition column survives the fold (grouping
+    on it is served by the reconstructed directory values)."""
+    df = load_all()["s36c_merge_on_read_partitioned"].fn(spark, sf_smoke)
+    assert_no_cartesian(df)
+    assert "c_mktsegment" in plan_str(df)
