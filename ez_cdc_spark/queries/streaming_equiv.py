@@ -2319,3 +2319,55 @@ def t34_mor_feed_consumer(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_lsn").cast("bigint").alias("sum_lsn"),
     ).orderBy("first_name")
+
+
+@register(
+    "t35_lakehouse_restore_replay",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T35: RESTORE-aware streaming sink — the s37 watermark-rewind "
+    "contract exercised through the LIVE t30 sink (r16 candidate #4): a "
+    "full lsn-staged replay lands one merge_cow commit per micro-batch, "
+    "the table is then RESTOREd to the mid-stream generation batch 1 "
+    "committed (one by-reference metadata commit, zero data I/O, which "
+    "rewinds the sink's txn watermark together with the data — "
+    "sources/manifest.py:restore), and a FRESH-checkpoint replay "
+    "redelivers every batch, the at-least-once redelivery a restarted "
+    "consumer of a keyed Kafka partition sees (reference "
+    "python/cdc_test/main.py:39 resumes from the committed offset; here "
+    "the offset IS the rewound watermark). Batches at or below the "
+    "rewound watermark skip without reading data; exactly the batches "
+    "the rollback un-applied re-apply in order "
+    "(streaming/cdc.py:_run_lakehouse_restore, recovery pinned in "
+    "tests/test_cdc_goldens.py). Hash-equality against the SAME "
+    "full-replay oracle as t30 is the load-bearing check: had restore "
+    "carried the NEWER watermark instead of the target's, the second "
+    "replay would skip everything and the table would be stuck at the "
+    "rolled-back state — silent data loss by bookkeeping. At 100 TB: "
+    "rollback cost is O(files) metadata, recovery cost is the un-applied "
+    "churn, never the table.",
+)
+def t35_lakehouse_restore_replay(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse_restore
+
+    state = materialize_lakehouse_restore(spark, sf_dir)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id")

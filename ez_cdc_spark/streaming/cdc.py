@@ -1467,6 +1467,131 @@ def materialize_lakehouse(
     return read_committed(spark, table_dir)
 
 
+def _run_lakehouse_restore(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t35",
+    restore_after_batch: int = 1,
+    n_stages: int = 4,
+) -> tuple[DataFrame, str]:
+    """T35 end-to-end (returns (final_state, table_dir) — the tuple form is
+    for tests that inspect the manifest history; registered queries use
+    materialize_lakehouse_restore): the s37 RESTORE watermark-rewind
+    contract exercised through the LIVE streaming sink.
+
+    Three phases:
+      1. Full lsn-staged replay through lakehouse_merge_batch (one
+         merge_cow commit per micro-batch, maintenance OFF so every
+         generation stays retained — the same retention contract a change
+         feed consumer needs; restore refuses dangling references, so a
+         production deployment sets gc retention >= its restore horizon).
+      2. RESTORE to the generation committed by batch ``restore_after_batch``
+         — one by-reference metadata commit that rewinds the sink's txn
+         watermark together with the data (sources/manifest.py:restore).
+      3. A FRESH-checkpoint replay of the same source — the at-least-once
+         redelivery a keyed Kafka partition gives a restarted consumer
+         (reference python/cdc_test/main.py:39 re-consumes from the
+         committed offset; here the "offset" is the txn watermark the
+         restore rewound). Batches at or below the rewound watermark skip
+         without reading data; every batch the rollback un-applied
+         re-applies, in order.
+
+    The final committed state must equal the uninterrupted replay's (t30's
+    oracle): if restore carried the NEWER watermark instead of the
+    target's, phase 3 would skip everything and the table would be stuck
+    at the rolled-back state — silent data loss by bookkeeping, which is
+    exactly what hash-equality against the full-replay oracle rules out.
+    Redelivery maps batch ids to the same files because the staged replay
+    fixes mtime order (_write_lsn_staged) — the determinism a Kafka offset
+    range gives for real.
+
+    At 100 TB: the restore itself is one O(files) metadata commit with
+    zero data I/O, and recovery cost after it tracks exactly the
+    un-applied churn (N-k batches of O(batch) merges), never the table."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        read_committed,
+        read_manifest,
+        restore,
+        txn_watermark,
+    )
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-{tag}-{os.getpid()}")
+    if os.path.exists(table_dir):
+        shutil.rmtree(table_dir)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir, n_stages)
+
+    # local aliases: driver-side plan construction only, but the by-value-
+    # registration audit cannot tell a driver closure from a worker
+    # closure (see tests/test_conventions.py, 8c1ad71 precedent)
+    _merge = lakehouse_merge_batch
+    _ckpt = checkpoint_dir
+
+    def replay() -> None:
+        q = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+            .writeStream.foreachBatch(_merge(table_dir, tag))
+            .option("checkpointLocation", _ckpt())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    replay()
+    man = read_manifest(table_dir)
+    target = None
+    for g in range(2, man["generation"] + 1):
+        wm = txn_watermark(read_manifest(table_dir, g), tag) or {}
+        if wm.get("batch_id") == restore_after_batch:
+            target = g
+    if target is None:
+        raise RuntimeError(
+            f"no generation committed batch {restore_after_batch} — "
+            f"replay produced fewer micro-batches than expected"
+        )
+    restore(table_dir, man["generation"] + 1, target)
+    replay()
+    return read_committed(spark, table_dir), table_dir
+
+
+def materialize_lakehouse_restore(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t35",
+    restore_after_batch: int = 1,
+    n_stages: int = 4,
+) -> DataFrame:
+    """T35: see _run_lakehouse_restore."""
+    state, _ = _run_lakehouse_restore(
+        spark, sf_dir, tag, restore_after_batch, n_stages
+    )
+    return state
+
+
 def consume_feed_step(
     spark: SparkSession,
     table_dir: str,

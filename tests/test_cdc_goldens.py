@@ -2695,3 +2695,149 @@ def test_t34_mor_feed_consumer_composes_across_midstream_folds(
     fanout(batches[-1], len(batches) - 1)
     assert read_manifest(td)["generation"] == g_td
     assert read_manifest(ad)["generation"] == g_ad
+
+
+def test_t35_restore_rewinds_watermark_and_replay_reapplies_exactly(
+    spark, sf_dir
+):
+    """T35 recovery contract, pinned commit by commit: restore rewinds the
+    sink's txn watermark to the TARGET generation's (s37), and the fresh
+    at-least-once redelivery then re-applies exactly the batches the
+    rollback un-applied — no fewer (data loss), no more (double apply)."""
+    from ez_cdc_spark.sources.manifest import (
+        read_committed,
+        read_manifest,
+        txn_watermark,
+    )
+    from ez_cdc_spark.streaming.cdc import _run_lakehouse_restore
+
+    tag = "t35pin"
+    state, td = _run_lakehouse_restore(
+        spark, sf_dir, tag=tag, restore_after_batch=1
+    )
+    man = read_manifest(td)
+    manifests = {
+        g: read_manifest(td, g) for g in range(1, man["generation"] + 1)
+    }
+    restore_gens = [g for g, m in manifests.items() if "restore" in m]
+    assert len(restore_gens) == 1, f"exactly one restore commit: {restore_gens}"
+    rg = restore_gens[0]
+
+    # the restore commit's watermark is the TARGET's, not the parent's
+    assert txn_watermark(manifests[rg], tag)["batch_id"] == 1
+    target = manifests[rg]["restore"]["restored_from"]
+    assert txn_watermark(manifests[target], tag)["batch_id"] == 1
+    pre_restore_wm = txn_watermark(manifests[rg - 1], tag)["batch_id"]
+    assert pre_restore_wm > 1, "phase 1 must have applied batches past the target"
+
+    # phase 3 re-applied exactly batches 2..N-1, in order, once each
+    n_batches = pre_restore_wm + 1
+    post = [g for g in sorted(manifests) if g > rg and "merge" in manifests[g]]
+    assert [
+        txn_watermark(manifests[g], tag)["batch_id"] for g in post
+    ] == list(range(2, n_batches))
+
+    # final state == the uninterrupted replay's committed state,
+    # and the rolled-back mid state genuinely differs (re-apply happened)
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(state) == rows(read_committed(spark, td, rg - 1))
+    assert rows(state) != rows(read_committed(spark, td, target))
+
+
+def test_t35_carrying_newer_watermark_loses_the_unapplied_batches(
+    spark, sf_dir, tmp_path
+):
+    """The counterfactual that makes s37's rewind load-bearing: a rollback
+    commit that carries the PARENT's (newer) txn watermark instead of the
+    target's leaves redelivery skipping every batch — the table stays
+    stuck at the rolled-back state forever, silent data loss by
+    bookkeeping. This is the failure mode the t35 oracle equality rules
+    out; here it is witnessed directly against manifest internals."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources.manifest import (
+        _commit_manifest,
+        publish,
+        read_committed,
+        read_manifest,
+        txn_watermark,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        envelopes_jsonl_lsn_split,
+        lakehouse_merge_batch,
+    )
+
+    tag = "t35bad"
+    td = str(tmp_path / "t35bad-table")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], schema), td, generation=1,
+            stats_columns=["id"])
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+
+    def replay():
+        q = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+            .writeStream.foreachBatch(lakehouse_merge_batch(td, tag))
+            .option("checkpointLocation", checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    replay()
+    man = read_manifest(td)
+    manifests = {
+        g: read_manifest(td, g) for g in range(2, man["generation"] + 1)
+    }
+    target = next(
+        g for g, m in manifests.items()
+        if (txn_watermark(m, tag) or {}).get("batch_id") == 1
+    )
+
+    # the BUGGY rollback: target's content, parent's watermark map
+    bad = {
+        k: v
+        for k, v in manifests[target].items()
+        if k not in ("generation", "merge")
+    }
+    bad["generation"] = man["generation"] + 1
+    bad["txns"] = man["txns"]  # <- carries the newer watermark (the bug)
+    bad["restore"] = {
+        "parent": man["generation"], "restored_from": target,
+    }
+    _commit_manifest(td, bad["generation"], bad,
+                     expected_parent=man["generation"])
+
+    replay()  # fresh checkpoint: full at-least-once redelivery
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    after = read_manifest(td)
+    # every batch skipped: not one merge commit landed after the rollback
+    assert after["generation"] == bad["generation"]
+    # and the table is stuck at the rolled-back state, missing the
+    # un-applied batches the correct rewind would have recovered
+    assert rows(read_committed(spark, td)) == rows(
+        read_committed(spark, td, target)
+    )
+    assert rows(read_committed(spark, td)) != rows(
+        read_committed(spark, td, man["generation"])
+    )
