@@ -2371,3 +2371,52 @@ def t35_lakehouse_restore_replay(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id")
+
+
+@register(
+    "t36_mor_restore_replay",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T36: MERGE-ON-READ restore — t35's restore-replay loop under "
+    "s36's commit shape, restoring TO a generation that still carries a "
+    "pending equality-delete log (folds disabled so every commit stays "
+    "MOR): s37 carries the delete log, per-file sequence numbers, and "
+    "mor_key by reference, the rewound watermark makes the fresh "
+    "at-least-once redelivery skip the still-applied prefix, and the "
+    "re-applied batches land NEW merge_mor commits ON TOP of the carried "
+    "log (streaming/cdc.py:_run_lakehouse_mor_restore). Sequence "
+    "correctness across the rewind is structural: seqs are generation "
+    "numbers, so re-applied deletes (committed strictly above everything "
+    "the restore carried) kill every carried version of a changed key — "
+    "Iceberg v2's strict-greater rule — while the carried log keeps "
+    "killing what it always killed. read_mor of the final state "
+    "hash-matches the same uninterrupted-replay oracle as t33 "
+    "(recovery pinned in tests/test_cdc_goldens.py). At 100 TB this is "
+    "the rollback story for the uniform-churn regime: O(batch) commits, "
+    "O(files) metadata rollback, zero data rewritten to roll back OR to "
+    "recover — recovery cost is the un-applied churn.",
+)
+def t36_mor_restore_replay(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse_mor_restore
+
+    state = materialize_lakehouse_mor_restore(spark, sf_dir)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id")

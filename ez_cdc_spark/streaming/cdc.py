@@ -1592,6 +1592,123 @@ def materialize_lakehouse_restore(
     return state
 
 
+def _run_lakehouse_mor_restore(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t36",
+    restore_after_batch: int = 1,
+    n_stages: int = 4,
+) -> tuple[DataFrame, str]:
+    """T36 end-to-end (tuple form for manifest-inspecting tests; registered
+    queries use materialize_lakehouse_mor_restore): t35's restore-replay
+    loop with MERGE-ON-READ commits — restore TO a generation that still
+    carries a pending equality-delete log, then redeliver.
+
+    What this pins beyond t35: s37 claims a MOR generation's delete log
+    and sequence numbers carry by reference ("restoring a state means ALL
+    of that state"). Here the restore target IS a merge-on-read
+    generation (folds disabled via a high max_delete_files, so every
+    commit leaves the log pending), and the redelivered batches land NEW
+    merge_mor commits ON TOP of the restored log. Sequence numbers stay
+    correct across the rewind because they are generation numbers: the
+    re-applied batches commit at generations strictly above everything
+    the restore carried, so their delete entries kill every carried
+    version of a changed key (Iceberg v2 strict-greater rule) while the
+    carried delete log keeps killing what it always killed. read_mor of
+    the final state must equal the uninterrupted replay's — the t33
+    oracle.
+
+    At 100 TB this is the rollback story for the uniform-churn regime:
+    the MOR sink is the O(batch) commit path, and its restore is the same
+    one O(files) metadata commit — no data rewritten to roll back, no
+    data rewritten to recover, recovery cost = the un-applied churn."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        read_manifest,
+        read_mor,
+        restore,
+        txn_watermark,
+    )
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-mor-{tag}-{os.getpid()}")
+    if os.path.exists(table_dir):
+        shutil.rmtree(table_dir)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir, n_stages)
+
+    # local aliases — by-value-registration audit (see t35)
+    _mor = lakehouse_mor_batch
+    _ckpt = checkpoint_dir
+
+    def replay() -> None:
+        q = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+            # folds disabled: every generation stays a retained MOR commit,
+            # so the restore target genuinely carries a pending delete log
+            # (and retention for the restore horizon holds by construction)
+            .writeStream.foreachBatch(
+                _mor(table_dir, tag=tag, max_delete_files=1_000_000)
+            )
+            .option("checkpointLocation", _ckpt())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    replay()
+    man = read_manifest(table_dir)
+    target = None
+    for g in range(2, man["generation"] + 1):
+        wm = txn_watermark(read_manifest(table_dir, g), tag) or {}
+        if wm.get("batch_id") == restore_after_batch:
+            target = g
+    if target is None:
+        raise RuntimeError(
+            f"no generation committed batch {restore_after_batch} — "
+            f"replay produced fewer micro-batches than expected"
+        )
+    restore(table_dir, man["generation"] + 1, target)
+    replay()
+    return read_mor(spark, table_dir), table_dir
+
+
+def materialize_lakehouse_mor_restore(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t36",
+    restore_after_batch: int = 1,
+    n_stages: int = 4,
+) -> DataFrame:
+    """T36: see _run_lakehouse_mor_restore."""
+    state, _ = _run_lakehouse_mor_restore(
+        spark, sf_dir, tag, restore_after_batch, n_stages
+    )
+    return state
+
+
 def consume_feed_step(
     spark: SparkSession,
     table_dir: str,

@@ -2841,3 +2841,61 @@ def test_t35_carrying_newer_watermark_loses_the_unapplied_batches(
     assert rows(read_committed(spark, td)) != rows(
         read_committed(spark, td, man["generation"])
     )
+
+
+def test_t36_mor_restore_carries_delete_log_and_reapplies_exactly(
+    spark, sf_dir
+):
+    """T36 recovery contract: the restore target is a GENUINE merge-on-read
+    generation (pending equality-delete log), the restore commit carries
+    that log + sequence maps by reference, and the redelivery lands new
+    merge_mor commits on top — exactly the un-applied batches, in order,
+    with the resolved state converging to the uninterrupted replay's."""
+    from ez_cdc_spark.sources.manifest import (
+        read_manifest,
+        read_mor,
+        txn_watermark,
+    )
+    from ez_cdc_spark.streaming.cdc import _run_lakehouse_mor_restore
+
+    tag = "t36pin"
+    state, td = _run_lakehouse_mor_restore(
+        spark, sf_dir, tag=tag, restore_after_batch=1
+    )
+    man = read_manifest(td)
+    manifests = {
+        g: read_manifest(td, g) for g in range(1, man["generation"] + 1)
+    }
+    restore_gens = [g for g, m in manifests.items() if "restore" in m]
+    assert len(restore_gens) == 1
+    rg = restore_gens[0]
+    target = manifests[rg]["restore"]["restored_from"]
+
+    # the target is genuinely merge-on-read, and the restore commit
+    # carried its whole MOR state by reference, watermark included
+    assert manifests[target].get("delete_files"), "target must carry a pending log"
+    assert manifests[rg]["delete_files"] == manifests[target]["delete_files"]
+    assert manifests[rg]["file_seq"] == manifests[target]["file_seq"]
+    assert manifests[rg]["delete_seq"] == manifests[target]["delete_seq"]
+    assert manifests[rg]["mor_key"] == manifests[target]["mor_key"]
+    assert txn_watermark(manifests[rg], tag)["batch_id"] == 1
+
+    # redelivery re-applied exactly batches 2..N-1 as NEW MOR commits
+    pre_restore_wm = txn_watermark(manifests[rg - 1], tag)["batch_id"]
+    assert pre_restore_wm > 1
+    post = [g for g in sorted(manifests) if g > rg and "mor" in manifests[g]]
+    assert [
+        txn_watermark(manifests[g], tag)["batch_id"] for g in post
+    ] == list(range(2, pre_restore_wm + 1))
+    # and they stacked ON TOP of the carried log (no fold in between)
+    assert set(manifests[target]["delete_files"]).issubset(
+        set(man["delete_files"])
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # resolved final state == uninterrupted replay's resolved state,
+    # and the rolled-back mid state genuinely differs
+    assert rows(state) == rows(read_mor(spark, td, rg - 1))
+    assert rows(state) != rows(read_mor(spark, td, target))
