@@ -1473,6 +1473,8 @@ def _run_lakehouse_restore(
     tag: str = "t35",
     restore_after_batch: int = 1,
     n_stages: int = 4,
+    max_files: int | None = None,
+    gc_older_than_s: float | None = 0.0,
 ) -> tuple[DataFrame, str]:
     """T35 end-to-end (returns (final_state, table_dir) — the tuple form is
     for tests that inspect the manifest history; registered queries use
@@ -1481,10 +1483,14 @@ def _run_lakehouse_restore(
 
     Three phases:
       1. Full lsn-staged replay through lakehouse_merge_batch (one
-         merge_cow commit per micro-batch, maintenance OFF so every
-         generation stays retained — the same retention contract a change
-         feed consumer needs; restore refuses dangling references, so a
-         production deployment sets gc retention >= its restore horizon).
+         merge_cow commit per micro-batch; ``max_files=None`` — the t35
+         default — keeps maintenance OFF so every generation stays
+         retained. Restore refuses dangling references, so a production
+         deployment sets gc retention >= its restore horizon:
+         ``max_files``/``gc_older_than_s`` let tests run maintenance LIVE
+         with a retention window covering — or deliberately not
+         covering — the restore target, pinning both halves of that
+         contract).
       2. RESTORE to the generation committed by batch ``restore_after_batch``
          — one by-reference metadata commit that rewinds the sink's txn
          watermark together with the data (sources/manifest.py:restore).
@@ -1554,7 +1560,14 @@ def _run_lakehouse_restore(
             spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .json(path)
-            .writeStream.foreachBatch(_merge(table_dir, tag))
+            .writeStream.foreachBatch(
+                _merge(
+                    table_dir,
+                    tag,
+                    max_files=max_files,
+                    gc_older_than_s=gc_older_than_s,
+                )
+            )
             .option("checkpointLocation", _ckpt())
             .trigger(availableNow=True)
             .start()
@@ -1564,11 +1577,27 @@ def _run_lakehouse_restore(
     replay()
     man = read_manifest(table_dir)
     target = None
+    reclaimed = 0
     for g in range(2, man["generation"] + 1):
-        wm = txn_watermark(read_manifest(table_dir, g), tag) or {}
+        try:
+            wm = txn_watermark(read_manifest(table_dir, g), tag) or {}
+        except FileNotFoundError:
+            reclaimed += 1  # gc-collected generation (maintenance-ON runs)
+            continue
         if wm.get("batch_id") == restore_after_batch:
             target = g
     if target is None:
+        if reclaimed:
+            # the restore horizon exceeded the retention window: every
+            # generation that committed the requested batch was already
+            # gc'd — the same loud refusal restore itself gives for
+            # dangling file references, surfaced at target resolution
+            raise FileNotFoundError(
+                f"cannot restore to batch {restore_after_batch}: all "
+                f"generations carrying that watermark were gc-reclaimed "
+                f"({reclaimed} collected) — retention must cover the "
+                f"restore horizon"
+            )
         raise RuntimeError(
             f"no generation committed batch {restore_after_batch} — "
             f"replay produced fewer micro-batches than expected"

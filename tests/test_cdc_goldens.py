@@ -2899,3 +2899,68 @@ def test_t36_mor_restore_carries_delete_log_and_reapplies_exactly(
     # and the rolled-back mid state genuinely differs
     assert rows(state) == rows(read_mor(spark, td, rg - 1))
     assert rows(state) != rows(read_mor(spark, td, target))
+
+
+def test_t35_restore_succeeds_under_live_maintenance_with_retention(
+    spark, sf_dir
+):
+    """Retention >= restore horizon, pinned in the LIVE maintenance loop:
+    the sink compacts mid-stream but gc/vacuum run with a retention window
+    (1 h) that covers the whole replay, so every generation the restore
+    might target stays retained — restore succeeds and the redelivery
+    converges exactly as in the maintenance-off t35."""
+    from ez_cdc_spark.sources.manifest import read_committed, read_manifest
+    from ez_cdc_spark.streaming.cdc import _run_lakehouse_restore
+
+    state, td = _run_lakehouse_restore(
+        spark,
+        sf_dir,
+        tag="t35ret",
+        restore_after_batch=1,
+        max_files=1,
+        gc_older_than_s=3600.0,
+    )
+    man = read_manifest(td)
+    manifests = {
+        g: read_manifest(td, g) for g in range(1, man["generation"] + 1)
+    }
+    restore_gens = [g for g, m in manifests.items() if "restore" in m]
+    assert len(restore_gens) == 1
+    rg = restore_gens[0]
+    # compaction genuinely fired during the replay (the live-maintenance
+    # half of the claim — without it this collapses to the plain t35 pin)
+    assert any("compact" in m for m in manifests.values()), (
+        "maintenance never fired — lower max_files"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(state) == rows(read_committed(spark, td, rg - 1))
+    assert rows(state) != rows(
+        read_committed(spark, td, manifests[rg]["restore"]["restored_from"])
+    )
+
+
+def test_t35_restore_refuses_when_gc_outran_the_restore_horizon(
+    spark, sf_dir
+):
+    """The other half of the retention contract: with aggressive reclaim
+    (retention 0 s, compaction firing in-loop), the generations that
+    committed the early batches are gc'd by the time the replay drains —
+    restoring to them must refuse LOUDLY (FileNotFoundError at target
+    resolution or at restore's dangling-reference check), never commit a
+    rollback pointing at reclaimed state."""
+    import pytest as _pytest
+
+    from ez_cdc_spark.streaming.cdc import _run_lakehouse_restore
+
+    with _pytest.raises(FileNotFoundError):
+        _run_lakehouse_restore(
+            spark,
+            sf_dir,
+            tag="t35gc",
+            restore_after_batch=0,
+            max_files=1,
+            gc_older_than_s=0.0,
+        )
