@@ -105,6 +105,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 NEW_THIS_ROUND = [
     "t36_mor_restore_replay",
     "t35_lakehouse_restore_replay",
+    "t35b_partitioned_restore_replay",
     "t32_change_feed_consumer",
     "s36_merge_on_read",
     "t33_lakehouse_mor_sink",
@@ -119,6 +120,7 @@ NEW_THIS_ROUND = [
 EXTRA_QUERIES = [
     "t36_mor_restore_replay",
     "t35_lakehouse_restore_replay",
+    "t35b_partitioned_restore_replay",
     "t32_change_feed_consumer",
     "s36_merge_on_read",
     "t33_lakehouse_mor_sink",

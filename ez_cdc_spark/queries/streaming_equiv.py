@@ -2374,6 +2374,55 @@ def t35_lakehouse_restore_replay(spark, sf_dir):
 
 
 @register(
+    "t35b_partitioned_restore_replay",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T35b: PARTITIONED restore-replay — t35's rollback-recover loop "
+    "under the t30b regime: the table is Hive-partitioned by first_name "
+    "(the event type, which CHANGES across a key's updates — every "
+    "re-applied batch exercises cross-partition key moves), restore "
+    "carries the partition map by reference together with files, stats, "
+    "and the rewound txn watermark, and the redelivered batches run "
+    "PARTITIONED merge_cow commits on top of the restored layout "
+    "(streaming/cdc.py:_run_lakehouse_restore with partition_col). "
+    "Hash-equality against the same full-replay oracle as t30/t30b "
+    "proves the rewound partitioned replay converges — a dropped "
+    "partition-map entry, a mis-restored directory key, or a moved key "
+    "stranded by the rollback would all surface as row diffs. At 100 TB: "
+    "rollback of a partitioned table is STILL one O(files) metadata "
+    "commit — no partition directory is touched — and recovery keeps "
+    "partition pruning because the map travels with the manifest, not "
+    "the directory tree.",
+)
+def t35b_partitioned_restore_replay(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse_restore
+
+    state = materialize_lakehouse_restore(
+        spark, sf_dir, tag="t35b", partition_col="first_name"
+    )
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id")
+
+
+@register(
     "t36_mor_restore_replay",
     oracle=ENV_CTE
     + """

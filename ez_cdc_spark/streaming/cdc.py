@@ -1475,6 +1475,7 @@ def _run_lakehouse_restore(
     n_stages: int = 4,
     max_files: int | None = None,
     gc_older_than_s: float | None = 0.0,
+    partition_col: str | None = None,
 ) -> tuple[DataFrame, str]:
     """T35 end-to-end (returns (final_state, table_dir) — the tuple form is
     for tests that inspect the manifest history; registered queries use
@@ -1523,6 +1524,7 @@ def _run_lakehouse_restore(
 
     from ez_cdc_spark.sources.manifest import (
         publish,
+        publish_partitioned,
         read_committed,
         read_manifest,
         restore,
@@ -1541,12 +1543,24 @@ def _run_lakehouse_restore(
             StructField("email", StringType()),
         ]
     )
-    publish(
-        spark.createDataFrame([], schema),
-        table_dir,
-        generation=1,
-        stats_columns=["id"],
-    )
+    if partition_col is None:
+        publish(
+            spark.createDataFrame([], schema),
+            table_dir,
+            generation=1,
+            stats_columns=["id"],
+        )
+    else:
+        # t35b: the t30b partitioned regime — restore then carries the
+        # partition map by reference too, and the redelivered batches run
+        # partitioned merges (cross-partition key moves included) on top
+        publish_partitioned(
+            spark.createDataFrame([], schema),
+            table_dir,
+            generation=1,
+            partition_col=partition_col,
+            stats_columns=["id"],
+        )
     path = envelopes_jsonl_lsn_split(spark, sf_dir, n_stages)
 
     # local aliases: driver-side plan construction only, but the by-value-
@@ -1613,10 +1627,16 @@ def materialize_lakehouse_restore(
     tag: str = "t35",
     restore_after_batch: int = 1,
     n_stages: int = 4,
+    partition_col: str | None = None,
 ) -> DataFrame:
-    """T35: see _run_lakehouse_restore."""
+    """T35/t35b: see _run_lakehouse_restore."""
     state, _ = _run_lakehouse_restore(
-        spark, sf_dir, tag, restore_after_batch, n_stages
+        spark,
+        sf_dir,
+        tag,
+        restore_after_batch,
+        n_stages,
+        partition_col=partition_col,
     )
     return state
 

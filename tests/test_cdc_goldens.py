@@ -2964,3 +2964,50 @@ def test_t35_restore_refuses_when_gc_outran_the_restore_horizon(
             max_files=1,
             gc_older_than_s=0.0,
         )
+
+
+def test_t35b_partitioned_restore_carries_partition_map(spark, sf_dir):
+    """T35b pin: on a partitioned table the restore commit's partition map
+    is the TARGET's (by reference, no directory I/O), redelivery re-applies
+    exactly the un-applied batches as partitioned merges, and the final
+    state equals the uninterrupted partitioned replay's."""
+    from ez_cdc_spark.sources.manifest import (
+        read_committed,
+        read_manifest,
+        txn_watermark,
+    )
+    from ez_cdc_spark.streaming.cdc import _run_lakehouse_restore
+
+    tag = "t35bpin"
+    state, td = _run_lakehouse_restore(
+        spark, sf_dir, tag=tag, restore_after_batch=1,
+        partition_col="first_name",
+    )
+    man = read_manifest(td)
+    manifests = {
+        g: read_manifest(td, g) for g in range(1, man["generation"] + 1)
+    }
+    restore_gens = [g for g, m in manifests.items() if "restore" in m]
+    assert len(restore_gens) == 1
+    rg = restore_gens[0]
+    target = manifests[rg]["restore"]["restored_from"]
+
+    # partition layout carried by reference from the target, not the parent
+    assert manifests[rg]["partition_col"] == "first_name"
+    assert manifests[rg]["partitions"] == manifests[target]["partitions"]
+    assert manifests[rg]["files"] == manifests[target]["files"]
+    assert txn_watermark(manifests[rg], tag)["batch_id"] == 1
+
+    # redelivery = exactly the un-applied batches, as partitioned merges
+    pre_restore_wm = txn_watermark(manifests[rg - 1], tag)["batch_id"]
+    post = [g for g in sorted(manifests) if g > rg and "merge" in manifests[g]]
+    assert [
+        txn_watermark(manifests[g], tag)["batch_id"] for g in post
+    ] == list(range(2, pre_restore_wm + 1))
+    assert all(manifests[g].get("partition_col") == "first_name" for g in post)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(state) == rows(read_committed(spark, td, rg - 1))
+    assert rows(state) != rows(read_committed(spark, td, target))
