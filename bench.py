@@ -103,6 +103,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "t37_restore_feed_consumer",
     "t36_mor_restore_replay",
     "t35_lakehouse_restore_replay",
     "t35b_partitioned_restore_replay",
@@ -118,6 +119,7 @@ NEW_THIS_ROUND = [
 ]
 
 EXTRA_QUERIES = [
+    "t37_restore_feed_consumer",
     "t36_mor_restore_replay",
     "t35_lakehouse_restore_replay",
     "t35b_partitioned_restore_replay",

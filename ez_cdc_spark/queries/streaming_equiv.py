@@ -2374,6 +2374,55 @@ def t35_lakehouse_restore_replay(spark, sf_dir):
 
 
 @register(
+    "t37_restore_feed_consumer",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         max_by(first_name, lsn) AS first_name,
+         CAST(MAX(lsn) AS BIGINT) AS lsn
+  FROM env GROUP BY id
+)
+SELECT first_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lsn) AS BIGINT) AS sum_lsn
+FROM latest WHERE op <> 'd'
+GROUP BY first_name
+ORDER BY first_name
+""",
+    doc="T37: upstream ROLLBACK PROPAGATED DOWNSTREAM through the change "
+    "feed — the third corner of the restore story (t35 = producer "
+    "recovery, t32 = steady-state consumption): the t32 produce→consume "
+    "loop runs, the upstream table RESTOREs to a mid-stream generation, "
+    "and the redelivery fanout resumes. The consumer's cursor is NOT "
+    "rewound (downstream was not restored), so its next step consumes "
+    "the interval pre-restore-head → restore-commit; change_feed is "
+    "STRUCTURAL (file symmetric difference between any two generations), "
+    "so that interval's feed is exactly the rollback's churn, correctly "
+    "signed — the rewound rows emit as deletes, the consumer subtracts "
+    "them, and the aggregate follows the rollback down and the "
+    "re-applied batches back up with no special casing "
+    "(streaming/cdc.py:_run_restore_feed_consumer; contrast "
+    "change_feed_mor, which refuses restore-crossing intervals because "
+    "a churn-proportional chain cannot express a rewind). Hash-equality "
+    "against the same declarative recompute as t32 is load-bearing: a "
+    "consumer that ignored the rollback double-counts every re-applied "
+    "batch; one that mis-signs it goes negative. At 100 TB: the "
+    "rollback's feed costs the rolled-back churn, never the table.",
+)
+def t37_restore_feed_consumer(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_restore_feed_consumer
+
+    agg = materialize_restore_feed_consumer(spark, sf_dir)
+    return agg.select(
+        "first_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_lsn").cast("bigint").alias("sum_lsn"),
+    ).orderBy("first_name")
+
+
+@register(
     "t35b_partitioned_restore_replay",
     oracle=ENV_CTE
     + """

@@ -2005,6 +2005,148 @@ def materialize_feed_consumer(
     return read_committed(spark, agg_dir)
 
 
+def _run_restore_feed_consumer(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t37",
+    restore_after_batch: int = 1,
+    n_stages: int = 4,
+    post_restore=None,
+) -> tuple[DataFrame, str, str]:
+    """T37 end-to-end (tuple form (agg_state, table_dir, agg_dir) for
+    tests; registered queries use materialize_restore_feed_consumer):
+    an upstream ROLLBACK PROPAGATES DOWNSTREAM through the change feed —
+    the missing third corner of the restore story (t35 pins the
+    producer's recovery, t32 pins steady-state consumption; this pins
+    what a downstream consumer does when the table it follows rewinds).
+
+    The t32 produce→consume loop runs to completion, the upstream table
+    is then RESTOREd to the generation that committed
+    ``restore_after_batch``, and a fresh at-least-once redelivery runs
+    the same fanout. The consumer's cursor (consumed_gen in the
+    DOWNSTREAM manifest) is NOT rewound — downstream was not restored —
+    so its next step consumes the interval (pre-restore head → restore
+    commit). change_feed is STRUCTURAL (file symmetric difference
+    between any two generations), so that interval's feed is exactly the
+    rollback's churn, correctly signed: rows the rewind removed emit as
+    deletes and the consumer SUBTRACTS them — the downstream aggregate
+    follows the rollback with no special casing, then follows the
+    re-applied batches back up. (Contrast change_feed_mor, which REFUSES
+    restore-crossing intervals: its churn-proportional chain
+    decomposition cannot express a rewind; the COW feed's structural
+    diff can, and this query is the proof.)
+
+    Final downstream state must equal the declarative recompute over the
+    final upstream state — the same t32 oracle. A consumer that ignored
+    the rollback would double-count every re-applied batch; one that
+    mis-signed it would go negative. At 100 TB: the rollback's feed costs
+    the rolled-back churn, not the table — same contract as every other
+    interval."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        gc,
+        publish,
+        read_committed,
+        read_manifest,
+        restore,
+        txn_watermark,
+        vacuum,
+    )
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-rfeed-{tag}-{os.getpid()}")
+    agg_dir = _dir_for(sf_dir, f"rfeedagg-{tag}-{os.getpid()}")
+    for d in (table_dir, agg_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("lsn", LongType()),
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("email", StringType()),
+                ]
+            ),
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("first_name", StringType()),
+                    StructField("n", LongType()),
+                    StructField("sum_lsn", LongType()),
+                ]
+            ),
+        ),
+        agg_dir,
+        generation=1,
+        stats_columns=["first_name"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir, n_stages)
+
+    # local aliases — by-value-registration audit (see t35)
+    _fanout = lakehouse_feed_fanout_batch
+    _ckpt = checkpoint_dir
+
+    def replay() -> None:
+        q = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+            .writeStream.foreachBatch(
+                _fanout(table_dir, agg_dir, tag=tag, consumer_tag=f"{tag}c")
+            )
+            .option("checkpointLocation", _ckpt())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    replay()
+    man = read_manifest(table_dir)
+    target = None
+    for g in range(2, man["generation"] + 1):
+        wm = txn_watermark(read_manifest(table_dir, g), tag) or {}
+        if wm.get("batch_id") == restore_after_batch:
+            target = g
+    if target is None:
+        raise RuntimeError(
+            f"no generation committed batch {restore_after_batch} — "
+            f"replay produced fewer micro-batches than expected"
+        )
+    restore(table_dir, man["generation"] + 1, target)
+    if post_restore is not None:  # test probe: between rollback and replay
+        post_restore(table_dir, agg_dir)
+    replay()
+    # both sides drained and caught up: the retention window closes
+    gc(table_dir, older_than_s=0.0)
+    vacuum(table_dir, older_than_s=0.0)
+    return read_committed(spark, agg_dir), table_dir, agg_dir
+
+
+def materialize_restore_feed_consumer(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t37",
+    restore_after_batch: int = 1,
+    n_stages: int = 4,
+) -> DataFrame:
+    """T37: see _run_restore_feed_consumer."""
+    state, _, _ = _run_restore_feed_consumer(
+        spark, sf_dir, tag, restore_after_batch, n_stages
+    )
+    return state
+
+
 def lakehouse_mor_batch(
     table_dir: str,
     tag: str = "t33",

@@ -3011,3 +3011,62 @@ def test_t35b_partitioned_restore_carries_partition_map(spark, sf_dir):
 
     assert rows(state) == rows(read_committed(spark, td, rg - 1))
     assert rows(state) != rows(read_committed(spark, td, target))
+
+
+def test_t37_consumer_follows_the_rollback_then_the_recovery(spark, sf_dir):
+    """T37 pin, phase by phase: immediately after the upstream restore the
+    consumer's next feed interval is the rollback's churn, and applying it
+    rewinds the downstream aggregate to the recompute over the ROLLED-BACK
+    upstream state; after redelivery the aggregate equals the recompute
+    over the FINAL upstream state. Both equalities checked against the
+    upstream table itself, so a mis-signed or skipped rollback interval
+    cannot hide."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import read_committed
+    from ez_cdc_spark.streaming.cdc import (
+        _run_restore_feed_consumer,
+        consume_feed_step,
+    )
+
+    tag = "t37pin"
+    mid = {}
+
+    def recompute(td):
+        return sorted(
+            (r["first_name"], r["n"], r["s"])
+            for r in read_committed(spark, td)
+            .groupBy("first_name")
+            .agg(F.count("*").alias("n"), F.sum("lsn").alias("s"))
+            .collect()
+        )
+
+    def agg_state(ad):
+        return sorted(
+            (r["first_name"], r["n"], r["sum_lsn"])
+            for r in read_committed(spark, ad).collect()
+        )
+
+    def probe(td, ad):
+        # downstream still reflects the PRE-rollback head here
+        assert agg_state(ad) != recompute(td), (
+            "rollback must change the upstream state the consumer lags"
+        )
+        # one consumer step applies the restore-crossing interval:
+        # the downstream aggregate follows the rewind exactly
+        consume_feed_step(spark, td, ad, consumer_tag=f"{tag}c")
+        mid["rolled_back"] = agg_state(ad)
+        assert mid["rolled_back"] == recompute(td), (
+            "consumer did not follow the rollback"
+        )
+
+    state, td, ad = _run_restore_feed_consumer(
+        spark, sf_dir, tag=tag, restore_after_batch=1, post_restore=probe
+    )
+    final = sorted(
+        (r["first_name"], r["n"], r["sum_lsn"]) for r in state.collect()
+    )
+    assert final == recompute(td), "consumer did not follow the recovery"
+    assert final != mid["rolled_back"], (
+        "redelivery must move the aggregate off the rolled-back state"
+    )
