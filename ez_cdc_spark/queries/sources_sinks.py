@@ -2850,3 +2850,118 @@ def s36c_merge_on_read_partitioned(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "s38_branch_wap",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer
+),
+final AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 40 = 9
+                     THEN CAST(c_acctbal + 250.00 AS DECIMAL(12,2))
+                ELSE c_acctbal END AS c_acctbal
+    FROM base WHERE c_custkey % 40 <> 17
+    UNION ALL
+    SELECT c_custkey + 3000000, c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey % 100 = 7
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM final
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S38: table BRANCHES + write-audit-publish — Iceberg's branch/ref "
+    "model and its WAP staging pattern (also Delta shallow-clone-then-swap) "
+    "over the manifest family (sources/manifest.py:create_branch/"
+    "fast_forward): a branch is just another pointer file (_refs/<name>) "
+    "into the SAME shared generation-manifest space, created atomically "
+    "with O_EXCL, so branch commits reuse publish_append/merge_cow/publish "
+    "verbatim via ref=<name> — same CAS (ref-relative expected_parent), "
+    "same global generation-number uniqueness, same stats/txn folding. "
+    "Isolation is structural: main's pointer never names a branch "
+    "generation, so readers cannot see staged data even mid-crash; "
+    "publication is fast_forward — one atomic pointer swap that REFUSES "
+    "(CommitConflictError) if main moved past the branch's recorded base, "
+    "so a WAP publish can never silently discard concurrent main commits. "
+    "gc treats live refs as roots (head manifest + referenced data dirs), "
+    "vacuum already protects every on-disk manifest's files, and the "
+    "abandon path is drop_branch + routine gc. The lifecycle here: "
+    "customer publishes as gen-1; branch 'nightly' stages an append (new "
+    "keys +3000000 for %100==7) and a CDC merge (bal+250 for %40==9, "
+    "delete %40==17) as gen-2/gen-3 while MAIN still reads gen-1 "
+    "(pytest-pinned); an audit aggregate runs against the branch head "
+    "(read_committed ref='nightly') and gates the fast-forward; the "
+    "returned aggregate reads MAIN after publication. The oracle replays "
+    "the same append+merge declaratively over customer — hash-green "
+    "proves the branch path commits exactly the audited state. At "
+    "100 TB: a nightly multi-commit ingest becomes visible to every "
+    "consumer in one O(1) metadata swap, after expectations ran against "
+    "the real committed-format data — bad loads never surface "
+    "(tests/test_branches.py pins isolation, divergence refusal, gc "
+    "root protection, double-create refusal, and abandon reclaim).",
+)
+def s38_branch_wap(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        create_branch,
+        fast_forward,
+        merge_cow,
+        publish,
+        publish_append,
+        read_committed,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s38wap")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+    create_branch(table_dir, "nightly")
+
+    key = F.col("c_custkey")
+    appended = c.filter(key % 100 == 7).withColumn("c_custkey", key + 3000000)
+    publish_append(appended, table_dir, generation=2, ref="nightly")
+
+    ev = _s30_change_event
+    bump = F.col("c_acctbal") + F.lit(250).cast("decimal(12,2)")
+    changes = ev(c.filter(key % 40 == 9), "u", 1, bal=bump).unionByName(
+        ev(c.filter(key % 40 == 17), "d", 1)
+    )
+    merge_cow(spark, table_dir, changes, key_col="c_custkey", generation=3, ref="nightly")
+
+    # the AUDIT gate: expectations run against the branch head's real
+    # committed-format data; only a passing audit reaches fast_forward
+    audit = read_committed(spark, table_dir, ref="nightly").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("null_keys"),
+    ).first()
+    if audit["n"] == 0 or audit["null_keys"] != 0:
+        raise AssertionError(f"WAP audit failed: {audit}")
+    fast_forward(table_dir, "nightly")
+
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -93,6 +93,24 @@ _GEN_RE = re.compile(r"gen-(\d+)(?:\.json)?$")
 _COMMIT_LOCK = ".commit.lock"
 _AUTO = object()  # "capture expected_parent at call time" sentinel
 _LOCK_STALE_S = 30.0  # a crashed writer's lock is broken after this age
+_REF_DIR = "_refs"
+_REF_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _ref_pointer_path(table_dir: str, ref: str | None) -> str:
+    """Pointer file for a ref: the table's ``_MANIFEST`` when ``ref`` is
+    None (the main branch), else ``_refs/<name>`` (S38 branches — the
+    Iceberg ref model: every branch is just another pointer into the SAME
+    shared generation-manifest space, so branch commits and main commits
+    share number uniqueness, stats, gc and vacuum machinery)."""
+    if ref is None:
+        return os.path.join(table_dir, _POINTER)
+    if not _REF_RE.match(ref):
+        raise ValueError(
+            f"invalid branch name {ref!r}: must match {_REF_RE.pattern} "
+            f"(no path separators — refs are flat files under {_REF_DIR}/)"
+        )
+    return os.path.join(table_dir, _REF_DIR, ref)
 
 
 class CommitConflictError(RuntimeError):
@@ -126,10 +144,13 @@ def _gen_of(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def current_generation(table_dir: str) -> int | None:
-    """Committed generation number, or None if nothing was ever committed."""
+def current_generation(table_dir: str, ref: str | None = None) -> int | None:
+    """Committed generation number (of the main pointer, or of branch
+    ``ref``), or None if nothing was ever committed. A dropped/unknown
+    branch also reads as None — callers that require the branch to exist
+    use :func:`branch_head`."""
     try:
-        with open(os.path.join(table_dir, _POINTER)) as fh:
+        with open(_ref_pointer_path(table_dir, ref)) as fh:
             return _gen_of(json.load(fh)["current"])
     except FileNotFoundError:
         return None
@@ -298,7 +319,7 @@ def _reserve_path(table_dir: str, generation: int) -> str:
 
 
 def _validate_generation(
-    table_dir: str, generation: int, reserve: bool = True
+    table_dir: str, generation: int, reserve: bool = True, ref: str | None = None
 ) -> None:
     """Monotonicity + immutability guards, and — S33 — an atomic
     RESERVATION of the generation number taken BEFORE any data is staged:
@@ -309,7 +330,11 @@ def _validate_generation(
     nothing); it is deleted once the immutable manifest exists and takes
     over the blocking, and a crashed writer's stale reservation is
     age-reclaimed by ``gc(older_than_s=...)``."""
-    committed = current_generation(table_dir)
+    # monotonicity is REF-relative (a branch's commits advance the branch
+    # head, S38); the uniqueness/reservation guards below stay GLOBAL —
+    # generation numbers are one shared space across every ref, so a
+    # branch commit can never collide with a main commit's number
+    committed = current_generation(table_dir, ref)
     if committed is not None and generation <= committed:
         raise ValueError(
             f"generation {generation} must exceed the committed generation "
@@ -391,6 +416,7 @@ def publish(
     expected_parent=_AUTO,
     txns: dict | None = None,
     lineage: dict | None = None,
+    ref: str | None = None,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
@@ -401,10 +427,11 @@ def publish(
     metadata in the manifest (the Delta txn-version pattern — see
     merge_cow). ``expected_parent`` is the CAS guard (S33): by default
     the generation committed NOW must still be committed at the pointer
-    swap; derived writers (compact) pass the generation they read."""
+    swap; derived writers (compact) pass the generation they read.
+    ``ref`` commits to a branch head instead of main (S38)."""
     if expected_parent is _AUTO:
-        expected_parent = current_generation(table_dir)
-    _validate_generation(table_dir, generation)
+        expected_parent = current_generation(table_dir, ref)
+    _validate_generation(table_dir, generation, ref=ref)
     files = stage_only(df, table_dir, generation)
     manifest = {
         "generation": generation,
@@ -434,7 +461,7 @@ def publish(
     if folded:
         manifest["txns"] = folded
     return _commit_manifest(
-        table_dir, generation, manifest, expected_parent=expected_parent
+        table_dir, generation, manifest, expected_parent=expected_parent, ref=ref
     )
 
 
@@ -500,7 +527,11 @@ def _release_pointer_lock(table_dir: str, fd: int) -> None:
 
 
 def _commit_manifest(
-    table_dir: str, generation: int, manifest: dict, expected_parent: int | None
+    table_dir: str,
+    generation: int,
+    manifest: dict,
+    expected_parent: int | None,
+    ref: str | None = None,
 ) -> dict:
     """The shared two-phase commit tail, now a real compare-and-swap
     (S33, closing the module's documented single-writer assumption):
@@ -548,7 +579,7 @@ def _commit_manifest(
 
     fd = _acquire_pointer_lock(table_dir)
     try:
-        cur = current_generation(table_dir)
+        cur = current_generation(table_dir, ref)
         if cur != expected_parent:
             # ADVICE r14 (medium): the loser's gen-N manifest is already on
             # disk (the os.link reservation above), and leaving it would let
@@ -566,17 +597,33 @@ def _commit_manifest(
                 pass
             _fsync_dir(mdir)
             raise CommitConflictError(
-                f"table advanced to generation {cur} while this writer was "
-                f"building on {expected_parent}: commit of gen-{generation} "
-                f"rejected, retry from the new committed state"
+                f"{'branch ' + ref if ref else 'table'} advanced to "
+                f"generation {cur} while this writer was building on "
+                f"{expected_parent}: commit of gen-{generation} rejected, "
+                f"retry from the new committed state"
             )
-        ptmp = os.path.join(table_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
+        pointer = _ref_pointer_path(table_dir, ref)
+        content = {"current": f"gen-{generation}.json"}
+        if ref is not None:
+            # carry the ref's non-pointer fields (the branch's recorded
+            # base — fast_forward's divergence check) across the swap
+            try:
+                with open(pointer) as fh:
+                    old = json.load(fh)
+                content = {**old, **content}
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"branch {ref} was dropped while this writer was "
+                    f"committing gen-{generation}: commit rejected"
+                ) from None
+        pdir = os.path.dirname(pointer)
+        ptmp = os.path.join(pdir, f".{os.path.basename(pointer)}.{uuid.uuid4().hex}.tmp")
         with open(ptmp, "w") as fh:
-            json.dump({"current": f"gen-{generation}.json"}, fh)
+            json.dump(content, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(ptmp, os.path.join(table_dir, _POINTER))  # THE commit point
-        _fsync_dir(table_dir)
+        os.replace(ptmp, pointer)  # THE commit point
+        _fsync_dir(pdir)
     finally:
         _release_pointer_lock(table_dir, fd)
     return manifest
@@ -733,14 +780,19 @@ def read_committed_partitions(
     return _read_files(spark, manifest, table_dir, kept)
 
 
-def read_manifest(table_dir: str, as_of_generation: int | None = None) -> dict:
-    """Resolve a generation manifest: the pointer's by default, or — time
-    travel (S27) — any still-retained older generation by number. Committed
-    manifests are immutable JSON, so an as-of read needs no pointer and no
-    locking; it fails loudly (FileNotFoundError) if GC already collected
-    that generation."""
+def read_manifest(
+    table_dir: str,
+    as_of_generation: int | None = None,
+    ref: str | None = None,
+) -> dict:
+    """Resolve a generation manifest: the pointer's by default (main, or
+    branch ``ref``'s head — S38), or — time travel (S27) — any
+    still-retained older generation by number. Committed manifests are
+    immutable JSON, so an as-of read needs no pointer and no locking; it
+    fails loudly (FileNotFoundError) if GC already collected that
+    generation (or, for a ref read, if the branch was dropped)."""
     if as_of_generation is None:
-        with open(os.path.join(table_dir, _POINTER)) as fh:
+        with open(_ref_pointer_path(table_dir, ref)) as fh:
             name = json.load(fh)["current"]
     else:
         name = f"gen-{as_of_generation}.json"
@@ -806,13 +858,17 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
 
 
 def read_committed(
-    spark: SparkSession, table_dir: str, as_of_generation: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    as_of_generation: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read exactly the committed generation (or, time travel, an older
-    retained one) — staged/aborted/superseded files in data/ are never
-    touched. An empty generation reads as an empty DataFrame under the
-    manifest's stored schema instead of failing."""
-    manifest = read_manifest(table_dir, as_of_generation)
+    retained one; or branch ``ref``'s head — S38 audit reads) —
+    staged/aborted/superseded files in data/ are never touched. An empty
+    generation reads as an empty DataFrame under the manifest's stored
+    schema instead of failing."""
+    manifest = read_manifest(table_dir, as_of_generation, ref=ref)
     _require_cow(manifest, "read_committed")
     files = [os.path.join(table_dir, rel) for rel in manifest["files"]]
     return _read_files(spark, manifest, table_dir, files)
@@ -1083,6 +1139,7 @@ def publish_append(
     table_dir: str,
     generation: int,
     stats_columns: list[str] | None = None,
+    ref: str | None = None,
 ) -> dict:
     """S31: incremental append — the cheap write path real table formats
     serve with INSERT INTO / appendFiles, completing the manifest family's
@@ -1111,8 +1168,9 @@ def publish_append(
     files, and carried files keep their recorded values — so S29
     partition pruning, S28 stats pruning, and S30's touched-file split
     all keep working across appends. Transaction metadata carries forward
-    (appending never rewinds the applied-batch watermark)."""
-    manifest = read_manifest(table_dir)
+    (appending never rewinds the applied-batch watermark). ``ref`` appends
+    to a branch head instead of main (S38 write-audit-publish)."""
+    manifest = read_manifest(table_dir, ref=ref)
     _require_cow(manifest, "publish_append")
     schema = manifest.get("schema")
     if schema is None:
@@ -1131,7 +1189,7 @@ def publish_append(
     # reservation LAST, after every cheap validation: a reservation that
     # outlives its writer then only ever means a mid-write crash — the
     # gc-reclaimable torn-commit debris class, never a rejected argument
-    _validate_generation(table_dir, generation)
+    _validate_generation(table_dir, generation, ref=ref)
 
     pcol = manifest.get("partition_col")
     if pcol is not None:
@@ -1168,7 +1226,11 @@ def publish_append(
     if manifest.get("txns") is not None:
         new_manifest["txns"] = manifest["txns"]
     return _commit_manifest(
-        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+        table_dir,
+        generation,
+        new_manifest,
+        expected_parent=manifest["generation"],
+        ref=ref,
     )
 
 
@@ -1363,6 +1425,7 @@ def merge_cow(
     delete_op: str = "d",
     txn: dict | None = None,
     stable_partition_keys: bool = False,
+    ref: str | None = None,
 ) -> dict:
     """S30: copy-on-write MERGE of a keyed change batch into a
     manifest-committed table — the row-level half of what real table
@@ -1425,7 +1488,7 @@ def merge_cow(
 
     from pyspark.sql import functions as F  # noqa: N812
 
-    manifest = read_manifest(table_dir)
+    manifest = read_manifest(table_dir, ref=ref)
     _require_cow(manifest, "merge_cow")
     schema = manifest.get("schema")
     if schema is None:
@@ -1443,7 +1506,7 @@ def merge_cow(
             "split needs key ranges INSIDE files, and a partition value is "
             "constant per file — repartition the table or key on a data column"
         )
-    _validate_generation(table_dir, generation)  # reservation last (see append)
+    _validate_generation(table_dir, generation, ref=ref)  # reservation last
 
     # Resolve last-event-wins per key: one struct-ordered max_by keeps the
     # whole resolution in a single HashAggregate (deterministic: the order
@@ -1591,7 +1654,11 @@ def merge_cow(
     if folded:
         new_manifest["txns"] = folded
     return _commit_manifest(
-        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+        table_dir,
+        generation,
+        new_manifest,
+        expected_parent=manifest["generation"],
+        ref=ref,
     )
 
 
@@ -2294,6 +2361,143 @@ def compact_mor(
     )
 
 
+def create_branch(
+    table_dir: str, name: str, from_generation: int | None = None
+) -> dict:
+    """S38: create a named branch — Iceberg's ref model (a branch is just
+    another pointer into the SAME shared generation-manifest space) as a
+    flat file under ``_refs/``, created atomically with O_CREAT|O_EXCL so
+    two writers racing to the same branch name have exactly one winner.
+
+    The branch starts at ``from_generation`` (default: the committed main
+    generation) and records it as ``base`` — the divergence witness
+    :func:`fast_forward` checks. Branch commits (``publish_append`` /
+    ``merge_cow`` / ``publish`` with ``ref=name``) advance only the branch
+    pointer; main and its readers never see them until a fast-forward
+    publishes the branch head in one atomic pointer swap — the
+    write-audit-publish (WAP) staging pattern. Branch heads are gc roots:
+    :func:`gc` protects every live ref's head manifest and the data dirs
+    it references, and :func:`vacuum` already protects every on-disk
+    manifest's files, so an un-published branch can idle across main
+    maintenance without losing bytes. The branch target must still be
+    retained — like restore, creating a branch at a gc-collected
+    generation fails loudly (FileNotFoundError)."""
+    if from_generation is None:
+        from_generation = current_generation(table_dir)
+        if from_generation is None:
+            raise ValueError("cannot branch an empty table (nothing committed)")
+    # fail loudly on a collected/never-committed target, before the ref
+    # exists — a ref pointing at nothing would poison every branch reader
+    with open(_manifest_path(table_dir, from_generation)) as fh:
+        json.load(fh)
+    pointer = _ref_pointer_path(table_dir, name)
+    os.makedirs(os.path.dirname(pointer), exist_ok=True)
+    content = {"current": f"gen-{from_generation}.json", "base": from_generation}
+    try:
+        fd = os.open(pointer, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise FileExistsError(
+            f"branch {name!r} already exists; drop it first or pick a new name"
+        ) from None
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(content, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:
+        os.unlink(pointer)
+        raise
+    _fsync_dir(os.path.dirname(pointer))
+    return content
+
+
+def branch_head(table_dir: str, name: str) -> dict:
+    """The ref file's content ({'current': 'gen-N.json', 'base': B}) —
+    loud FileNotFoundError when the branch does not exist."""
+    with open(_ref_pointer_path(table_dir, name)) as fh:
+        return json.load(fh)
+
+
+def list_branches(table_dir: str) -> dict[str, dict]:
+    """Every live branch's ref content, by name."""
+    rdir = os.path.join(table_dir, _REF_DIR)
+    out: dict[str, dict] = {}
+    for name in sorted(os.listdir(rdir)) if os.path.isdir(rdir) else []:
+        if name.startswith("."):
+            continue  # a committing writer's pointer tmp
+        try:
+            with open(os.path.join(rdir, name)) as fh:
+                out[name] = json.load(fh)
+        except (OSError, ValueError):
+            continue  # dropped mid-listing
+    return out
+
+
+def drop_branch(table_dir: str, name: str) -> None:
+    """Delete a branch ref. The branch's un-published generations become
+    ordinary unreferenced debris — an aged ``gc`` + ``vacuum`` reclaims
+    them (the WAP abandon path). Dropping a missing branch is a no-op."""
+    try:
+        os.unlink(_ref_pointer_path(table_dir, name))
+        _fsync_dir(os.path.join(table_dir, _REF_DIR))
+    except FileNotFoundError:
+        pass
+
+
+def fast_forward(table_dir: str, name: str, drop: bool = True) -> dict:
+    """S38: publish a branch to main — the WAP commit step, and a true
+    FAST-FORWARD: it refuses (CommitConflictError) unless main still sits
+    exactly at the branch's recorded base, so the swap never silently
+    discards commits that landed on main after the branch was cut (that
+    would need a merge, which is what ``merge_cow`` against a re-cut
+    branch is for). The swap itself is the same atomic pointer replace as
+    every commit, under the same lock: readers see the complete pre-WAP
+    table or the complete audited branch state, never anything between.
+    Returns the published manifest; drops the ref afterwards by default
+    (the branch served its staging purpose).
+
+    At 100 TB this is the audit gate pattern: a nightly ingest writes N
+    commits to a branch, expectations run against the branch head
+    (read_committed(..., ref=name)), and publication to every downstream
+    consumer is one O(1) metadata swap — bad data never becomes visible,
+    and abandoning it is drop_branch + routine gc."""
+    fd = _acquire_pointer_lock(table_dir)
+    try:
+        head = branch_head(table_dir, name)  # loud if dropped
+        cur = current_generation(table_dir)
+        base = head.get("base")
+        if cur != base:
+            raise CommitConflictError(
+                f"main advanced to generation {cur} since branch {name!r} "
+                f"was cut at {base}: fast-forward rejected — re-cut the "
+                f"branch from the new state (or merge) and re-audit"
+            )
+        ptmp = os.path.join(table_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
+        with open(ptmp, "w") as fh:
+            json.dump({"current": head["current"]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptmp, os.path.join(table_dir, _POINTER))
+        _fsync_dir(table_dir)
+    finally:
+        _release_pointer_lock(table_dir, fd)
+    g = _gen_of(head["current"])
+    if drop:
+        drop_branch(table_dir, name)
+    else:
+        # surviving ref re-bases on what main now points at, so a later
+        # fast-forward of further branch commits stays a fast-forward
+        pointer = _ref_pointer_path(table_dir, name)
+        ptmp = f"{pointer}.{uuid.uuid4().hex}.tmp"
+        with open(ptmp, "w") as fh:
+            json.dump({**head, "base": g}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptmp, pointer)
+        _fsync_dir(os.path.dirname(pointer))
+    return read_manifest(table_dir, as_of_generation=g)
+
+
 def vacuum(table_dir: str, older_than_s: float) -> list[str]:
     """File-level data reclaim — Delta VACUUM's analog, and the completion
     partial compaction (S34) and copy-on-write merges (S30) make
@@ -2549,6 +2753,26 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
         for m in mcandidates
         if m.startswith(".reserve-gen-")
     }
+
+    # live branch refs are gc ROOTS (S38), resolved AFTER candidate listing
+    # like the reservations so a ref cut during the walk is seen: protect
+    # each head manifest and every data dir its file list references — a
+    # branch head numbered above main's floor would otherwise be
+    # reclaimable as "torn debris" under an aged gc, and one below the
+    # floor as superseded history. Intermediate branch generations get the
+    # same retention as main's (age-protected only): branch TIME TRAVEL
+    # retention is whatever gc keeps, exactly the main-pointer contract.
+    for _bref in list_branches(table_dir).values():
+        bgen = _gen_of(_bref.get("current", ""))
+        if bgen is None:
+            continue
+        keep_manifests.add(f"gen-{bgen}.json")
+        try:
+            keep_dirs |= _gen_dirs(
+                committed_files(table_dir, as_of_generation=bgen)
+            )
+        except (OSError, ValueError):
+            continue  # head manifest vanished mid-gc — nothing to protect
 
     deleted: list[str] = []
     for d in candidates:

@@ -1,0 +1,211 @@
+"""S38 branches + write-audit-publish (manifest refs).
+
+Pins the contracts the s38 docstring claims: branch isolation from main,
+ref-relative CAS, fast-forward divergence refusal, gc root protection of
+live refs, abandon reclaim after drop, and txn-watermark carry through a
+branch's commits into the fast-forwarded main state.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ez_cdc_spark.sources.manifest import (
+    CommitConflictError,
+    branch_head,
+    create_branch,
+    current_generation,
+    drop_branch,
+    fast_forward,
+    gc,
+    list_branches,
+    merge_cow,
+    publish,
+    publish_append,
+    read_committed,
+    read_manifest,
+    txn_watermark,
+    vacuum,
+)
+
+SCRATCH = "/tmp/ez_cdc_test_branches"
+
+
+def _table(spark, name, n=200):
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+    publish(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        d,
+        generation=1,
+        stats_columns=["k"],
+    )
+    return d
+
+
+def _batch(spark, lo, hi, op="u", seq=1):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "id * 100 AS v", f"'{op}' AS op", f"{seq} AS seq"
+    )
+
+
+def test_branch_commits_are_invisible_to_main(spark):
+    d = _table(spark, "iso")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 250).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    merge_cow(spark, d, _batch(spark, 0, 10), key_col="k", generation=3, ref="b")
+    assert current_generation(d) == 1
+    assert read_committed(spark, d).count() == 200
+    # untouched main rows keep their values — no branch write leaked
+    assert read_committed(spark, d).filter("k < 10 AND v <> k * 2").count() == 0
+    branch = read_committed(spark, d, ref="b")
+    assert branch.count() == 250
+    assert branch.filter("k < 10 AND v = k * 100").count() == 10
+
+
+def test_fast_forward_publishes_and_drops(spark):
+    d = _table(spark, "ff")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 260).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    man = fast_forward(d, "b")
+    assert man["generation"] == 2
+    assert current_generation(d) == 2
+    assert read_committed(spark, d).count() == 260
+    assert list_branches(d) == {}
+
+
+def test_fast_forward_refuses_divergence(spark):
+    d = _table(spark, "diverge")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 210).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    # main advances after the branch was cut
+    publish_append(spark.range(300, 310).selectExpr("id AS k", "id*2 AS v"), d, 3)
+    with pytest.raises(CommitConflictError, match="fast-forward rejected"):
+        fast_forward(d, "b")
+    # main unharmed, branch still live for re-cut/merge handling
+    assert current_generation(d) == 3
+    assert branch_head(d, "b")["current"] == "gen-2.json"
+
+
+def test_fast_forward_keep_rebases(spark):
+    d = _table(spark, "keep")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 210).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    fast_forward(d, "b", drop=False)
+    assert branch_head(d, "b") == {"current": "gen-2.json", "base": 2}
+    # further branch commits fast-forward again from the new base
+    publish_append(spark.range(210, 220).selectExpr("id AS k", "id*2 AS v"), d, 3, ref="b")
+    fast_forward(d, "b", drop=False)
+    assert current_generation(d) == 3
+
+
+def test_branch_cas_is_ref_relative(spark):
+    """Two writers on the SAME branch conflict on the branch pointer; a
+    branch writer and a main writer never conflict with each other."""
+    d = _table(spark, "cas")
+    create_branch(d, "b")
+    # main commit does not disturb the branch writer's expected parent
+    publish_append(spark.range(300, 305).selectExpr("id AS k", "id*2 AS v"), d, 2)
+    publish_append(spark.range(200, 205).selectExpr("id AS k", "id*2 AS v"), d, 3, ref="b")
+    assert current_generation(d, "b") == 3
+    assert current_generation(d) == 2
+    # a stale branch writer (derived before gen-3 landed) is rejected
+    from ez_cdc_spark.sources.manifest import _commit_manifest
+
+    stale = dict(read_manifest(d, ref="b"))
+    stale["generation"] = 4
+    with pytest.raises(CommitConflictError):
+        _commit_manifest(d, 4, stale, expected_parent=1, ref="b")
+
+
+def test_gc_protects_live_branch_head(spark):
+    d = _table(spark, "gcroot")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 240).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    merge_cow(spark, d, _batch(spark, 0, 5), key_col="k", generation=3, ref="b")
+    gc(d, older_than_s=0.0)
+    vacuum(d, older_than_s=0.0)
+    # head survives whole: 200 base + 40 appended, 5 rewritten
+    branch = read_committed(spark, d, ref="b")
+    assert branch.count() == 240
+    assert branch.filter("k < 5 AND v = k * 100").count() == 5
+    # main unharmed too
+    assert read_committed(spark, d).count() == 200
+
+
+def test_dropped_branch_is_reclaimed(spark):
+    d = _table(spark, "reclaim")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 240).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    drop_branch(d, "b")
+    deleted = gc(d, older_than_s=0.0)
+    vacuum(d, older_than_s=0.0)
+    assert any("gen-2" in p for p in deleted)
+    with pytest.raises(FileNotFoundError):
+        read_manifest(d, ref="b")
+    # the abandoned generation's data is gone from disk
+    assert not os.path.isdir(os.path.join(d, "data", "gen-2"))
+    assert read_committed(spark, d).count() == 200
+
+
+def test_create_branch_refusals(spark):
+    d = _table(spark, "refuse")
+    create_branch(d, "b")
+    with pytest.raises(FileExistsError):
+        create_branch(d, "b")
+    with pytest.raises(FileNotFoundError):
+        create_branch(d, "ghost", from_generation=99)
+    with pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(d, "../escape")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(d, ".hidden")
+
+
+def test_commit_to_dropped_branch_is_rejected(spark):
+    d = _table(spark, "droprace")
+    create_branch(d, "b")
+    # the writer derived from the branch head; the branch vanishes before
+    # its pointer swap — the commit must not resurrect the ref
+    drop_branch(d, "b")
+    with pytest.raises((CommitConflictError, FileNotFoundError)):
+        publish_append(
+            spark.range(200, 205).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b"
+        )
+    assert "b" not in list_branches(d)
+
+
+def test_txn_watermarks_carry_through_wap(spark):
+    """A tagged branch merge's watermark must survive the fast-forward —
+    the WAP path is still the multi-writer txns contract (ADVICE r15)."""
+    d = _table(spark, "txncarry")
+    publish_append(
+        spark.range(200, 205).selectExpr("id AS k", "id*2 AS v"), d, 2
+    )
+    create_branch(d, "b")
+    merge_cow(
+        spark,
+        d,
+        _batch(spark, 0, 5),
+        key_col="k",
+        generation=3,
+        ref="b",
+        txn={"tag": "nightly-sink", "batch_id": 7},
+    )
+    fast_forward(d, "b")
+    man = read_manifest(d)
+    assert txn_watermark(man, "nightly-sink") == {"batch_id": 7}
+
+
+def test_branch_generation_numbers_stay_globally_unique(spark):
+    d = _table(spark, "unique")
+    create_branch(d, "b")
+    publish_append(spark.range(200, 205).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="b")
+    # main cannot reuse the branch's number: the manifest space is shared
+    with pytest.raises(FileExistsError):
+        publish_append(spark.range(300, 305).selectExpr("id AS k", "id*2 AS v"), d, 2)
+    publish_append(spark.range(300, 305).selectExpr("id AS k", "id*2 AS v"), d, 3)
+    assert current_generation(d) == 3
+    assert current_generation(d, "b") == 2
