@@ -2965,3 +2965,136 @@ def s38_branch_wap(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s39_constraint_gate",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer
+),
+final AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 30 = 5
+                     THEN CAST(c_acctbal + 50.00 AS DECIMAL(12,2))
+                ELSE c_acctbal END AS c_acctbal
+    FROM base
+    UNION ALL
+    SELECT c_custkey + 4000000, c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey % 100 = 11
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM final
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S39: CHECK-constraint-gated commits — Delta CHECK constraints / "
+    "invariants over the manifest family "
+    "(sources/manifest.py:_enforce_constraints/alter_constraints): named "
+    "boolean SQL expressions are recorded IN the committed manifest at "
+    "publish (or added later by alter_constraints, which first validates "
+    "the ENTIRE committed state — Delta's ADD CONSTRAINT full-scan rule), "
+    "carried by reference through every producer (append, merge COW and "
+    "MOR, compact full/partial, evolve, restore), and enforced against "
+    "each write's rows BEFORE anything commits: publish validates the "
+    "published DataFrame, publish_append the batch, merge_cow/merge_mor "
+    "the resolved POST-IMAGE upserts (deletes carry no payload). "
+    "Enforcement is ONE aggregate pass over the batch — all constraints "
+    "in a single map-side-combinable Spark job, cost O(batch x "
+    "constraints), never a table scan — with standard SQL CHECK null "
+    "semantics (only FALSE violates; nulls need an explicit IS NOT NULL). "
+    "A violation raises ConstraintViolationError with per-constraint "
+    "violating-row counts and leaves NOTHING behind: no pointer move, no "
+    "burned generation number, no reservation (the gate runs before the "
+    "reservation — pytest-pinned), so a refused batch is invisible to "
+    "readers and to gc. Folds of already-validated data (compact, "
+    "compact_mor) skip the re-scan — maintenance cost never tracks "
+    "constraint count. The lifecycle here: customer publishes under "
+    "key/balance constraints; a good append and a good merge commit; a "
+    "negative-key append and a poisoned-balance merge are REFUSED "
+    "(asserted); the returned aggregate reads the final main state. The "
+    "oracle replays only the accepted writes — hash-green proves the "
+    "refusals left zero trace. At 100 TB: bad loads die at the writer in "
+    "one cheap batch-sized aggregate instead of poisoning downstream "
+    "consumers (tests/test_constraints.py pins the carry matrix, null "
+    "semantics, alter add/drop, and WAP composition).",
+)
+def s39_constraint_gate(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        ConstraintViolationError,
+        merge_cow,
+        publish,
+        publish_append,
+        read_committed,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s39gate")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+        constraints={
+            "key_positive": "c_custkey IS NOT NULL AND c_custkey >= 0",
+            "bal_floor": "c_acctbal >= -1000.00",
+        },
+    )
+
+    key = F.col("c_custkey")
+    appended = c.filter(key % 100 == 11).withColumn("c_custkey", key + 4000000)
+    publish_append(appended, table_dir, generation=2)
+
+    # a poisoned append: negative keys — must be refused, leaving no trace
+    poisoned = c.filter(key % 100 == 11).withColumn("c_custkey", -key)
+    try:
+        publish_append(poisoned, table_dir, generation=3)
+        raise AssertionError("poisoned append was not refused")
+    except ConstraintViolationError:
+        pass
+
+    ev = _s30_change_event
+    bump = F.col("c_acctbal") + F.lit(50).cast("decimal(12,2)")
+    merge_cow(
+        spark,
+        table_dir,
+        ev(c.filter(key % 30 == 5), "u", 1, bal=bump),
+        key_col="c_custkey",
+        generation=3,
+    )
+
+    # a poisoned merge: balances far below the declared floor — refused
+    sink = F.lit(-99999).cast("decimal(12,2)")
+    try:
+        merge_cow(
+            spark,
+            table_dir,
+            ev(c.filter(key % 30 == 5), "u", 2, bal=sink),
+            key_col="c_custkey",
+            generation=4,
+        )
+        raise AssertionError("poisoned merge was not refused")
+    except ConstraintViolationError:
+        pass
+
+    return (
+        read_committed(spark, table_dir)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

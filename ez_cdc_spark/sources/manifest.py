@@ -122,6 +122,46 @@ class CommitConflictError(RuntimeError):
     Delta/Iceberg conflict-retry loop."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """S39: a write's rows violate the table's declared CHECK constraints —
+    the commit is REFUSED before any pointer moves, so bad data never
+    becomes visible to a reader (Delta CHECK constraint / invariant
+    semantics). The message carries the per-constraint violating-row
+    counts; the staged files (if any) are ordinary gc-reclaimable
+    debris."""
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict | None, where: str) -> None:
+    """Evaluate every declared constraint over ``df`` in ONE aggregate
+    pass (a single map-side-combinable Spark job, no per-constraint
+    scans) and refuse with per-constraint violation counts if any row
+    fails. Semantics are standard SQL CHECK: a row violates only when the
+    expression is FALSE — NULL/unknown passes (declare ``x IS NOT NULL``
+    explicitly to reject nulls), which is also Delta's CHECK contract."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F  # noqa: N812
+
+    names = sorted(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(constraints[n]).cast("boolean"), F.lit(True)),
+                    0,
+                ).otherwise(1)
+            ).alias(n)
+            for n in names
+        ]
+    ).first()
+    bad = {n: int(row[n]) for n in names if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"{where} violates table constraints (violating rows per "
+            f"constraint): {bad} — commit refused, table state unchanged"
+        )
+
+
 def _stage_dir(table_dir: str, generation: int) -> str:
     return os.path.join(table_dir, "data", f"gen-{generation}")
 
@@ -417,6 +457,8 @@ def publish(
     txns: dict | None = None,
     lineage: dict | None = None,
     ref: str | None = None,
+    constraints: dict | None = None,
+    enforce_constraints: bool = True,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
@@ -428,9 +470,26 @@ def publish(
     merge_cow). ``expected_parent`` is the CAS guard (S33): by default
     the generation committed NOW must still be committed at the pointer
     swap; derived writers (compact) pass the generation they read.
-    ``ref`` commits to a branch head instead of main (S38)."""
+    ``ref`` commits to a branch head instead of main (S38).
+
+    ``constraints`` (S39) declares named CHECK expressions ({'name': 'SQL
+    boolean expr'}) recorded in the manifest and enforced — here and by
+    every row-level writer (append/merge) — BEFORE anything commits;
+    ``None`` inherits the replaced generation's constraints, ``{}``
+    explicitly clears them. ``enforce_constraints=False`` skips the
+    validation scan for commits whose content is by construction already
+    committed data (compact's rewrite) — never for new data."""
     if expected_parent is _AUTO:
         expected_parent = current_generation(table_dir, ref)
+    if constraints is None and expected_parent is not None:
+        try:
+            constraints = read_manifest(
+                table_dir, as_of_generation=expected_parent
+            ).get("constraints")
+        except FileNotFoundError:
+            constraints = None
+    if enforce_constraints:
+        _enforce_constraints(df, constraints, "publish batch")
     _validate_generation(table_dir, generation, ref=ref)
     files = stage_only(df, table_dir, generation)
     manifest = {
@@ -447,6 +506,8 @@ def publish(
         # caller-supplied commit lineage (e.g. compact_mor's fold marker) —
         # recorded so chain walkers (change_feed_mor) can trace parents
         manifest.update(lineage)
+    if constraints:
+        manifest["constraints"] = constraints
     if txn is not None:
         manifest["txn"] = txn
     # txns defaulting (ADVICE r15): when replacing an EXISTING generation,
@@ -693,6 +754,8 @@ def publish_partitioned(
     expected_parent=_AUTO,
     txns: dict | None = None,
     lineage: dict | None = None,
+    constraints: dict | None = None,
+    enforce_constraints: bool = True,
 ) -> dict:
     """S29: partition-aware atomic publish — S25's two-phase protocol
     composed with S7's partitionBy layout: the generation stages as
@@ -709,9 +772,19 @@ def publish_partitioned(
     partitioned merge's touched-file split needs both). The partition
     column itself never appears in footers (it lives in the directory
     names), so requesting it simply records nothing for it — pruning on
-    the partition column is served by the ``partitions`` map instead."""
+    the partition column is served by the ``partitions`` map instead.
+    ``constraints``/``enforce_constraints`` follow :func:`publish` (S39)."""
     if expected_parent is _AUTO:
         expected_parent = current_generation(table_dir)
+    if constraints is None and expected_parent is not None:
+        try:
+            constraints = read_manifest(
+                table_dir, as_of_generation=expected_parent
+            ).get("constraints")
+        except FileNotFoundError:
+            constraints = None
+    if enforce_constraints:
+        _enforce_constraints(df, constraints, "publish batch")
     _validate_generation(table_dir, generation)
     files, partitions = _stage_partitioned(df, table_dir, generation, partition_col)
     manifest = {
@@ -731,6 +804,8 @@ def publish_partitioned(
         )
     if lineage:
         manifest.update(lineage)
+    if constraints:
+        manifest["constraints"] = constraints
     if txn is not None:
         manifest["txn"] = txn
     # same parent-map defaulting as publish (ADVICE r15): replacing an
@@ -1023,6 +1098,10 @@ def compact(
             txn=txn,
             expected_parent=manifest["generation"],
             txns=_txns_of(manifest),
+            # content IS the committed generation — already validated at
+            # its own commit time; re-scanning it here would make
+            # maintenance cost track constraint count (S39)
+            enforce_constraints=False,
         )
     return publish(
         df,
@@ -1032,6 +1111,7 @@ def compact(
         txn=txn,
         expected_parent=manifest["generation"],
         txns=_txns_of(manifest),
+        enforce_constraints=False,  # fold of already-validated data (S39)
     )
 
 
@@ -1125,6 +1205,8 @@ def compact_partial(
             **{r: stats[r] for r in carried if r in stats},
             **_collect_stats(spark, table_dir, new_files, stats_cols),
         }
+    if manifest.get("constraints") is not None:
+        new_manifest["constraints"] = manifest["constraints"]
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
     if manifest.get("txns") is not None:
@@ -1186,6 +1268,9 @@ def publish_append(
         raise ValueError(
             f"append schema mismatch: table has {stored}, batch has {incoming}"
         )
+    # constraint gate (S39) BEFORE the reservation: a refused batch leaves
+    # nothing behind — no reservation, no staged files, no burned number
+    _enforce_constraints(df, manifest.get("constraints"), "append batch")
     # reservation LAST, after every cheap validation: a reservation that
     # outlives its writer then only ever means a mid-write crash — the
     # gc-reclaimable torn-commit debris class, never a rejected argument
@@ -1221,6 +1306,8 @@ def publish_append(
             **stats,
             **_collect_stats(df.sparkSession, table_dir, new_files, stats_columns),
         }
+    if manifest.get("constraints") is not None:
+        new_manifest["constraints"] = manifest["constraints"]
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
     if manifest.get("txns") is not None:
@@ -1393,6 +1480,58 @@ def evolve_schema_nested(
     )
 
 
+def alter_constraints(
+    spark: SparkSession,
+    table_dir: str,
+    generation: int,
+    add: dict | None = None,
+    drop: list | None = None,
+) -> dict:
+    """S39: ALTER TABLE ADD/DROP CONSTRAINT as a manifest commit. Dropping
+    is pure metadata; ADDING validates the constraint against the ENTIRE
+    committed table first (Delta's ADD CONSTRAINT full-scan contract — a
+    constraint that existing data already violates must be rejected, or
+    every future reader would trust a lie). Data files, stats, partition
+    map, and txn watermarks carry by reference; the commit is the same
+    atomic pointer swap. MOR generations validate through read_mor (the
+    resolved state is what the constraint must hold over)."""
+    manifest = read_manifest(table_dir)
+    constraints = dict(manifest.get("constraints") or {})
+    for name in drop or []:
+        if name not in constraints:
+            raise KeyError(f"no such constraint {name!r} (have {sorted(constraints)})")
+        del constraints[name]
+    add = add or {}
+    dupes = sorted(set(add) & set(constraints))
+    if dupes:
+        raise ValueError(f"constraints already exist: {dupes} (drop them first)")
+    if add:
+        current = (
+            read_mor(spark, table_dir)
+            if manifest.get("delete_files")
+            else read_committed(spark, table_dir)
+        )
+        _enforce_constraints(current, add, "existing table data (ADD CONSTRAINT)")
+    constraints.update(add)
+    _validate_generation(table_dir, generation)
+    carried = {
+        k: v
+        for k, v in manifest.items()
+        # same lineage-key exclusion rule as evolve_schema: those keys
+        # describe the PARENT's commit, not this one
+        if k not in ("generation", "constraints", "merge", "append", "evolve",
+                     "compact", "mor", "fold", "restore")
+    }
+    new_manifest = {**carried, "generation": generation}
+    if constraints:
+        new_manifest["constraints"] = constraints
+    else:
+        new_manifest.pop("constraints", None)
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
+
+
 def _merge_rewrite(
     spark: SparkSession,
     manifest: dict,
@@ -1506,8 +1645,6 @@ def merge_cow(
             "split needs key ranges INSIDE files, and a partition value is "
             "constant per file — repartition the table or key on a data column"
         )
-    _validate_generation(table_dir, generation, ref=ref)  # reservation last
-
     # Resolve last-event-wins per key: one struct-ordered max_by keeps the
     # whole resolution in a single HashAggregate (deterministic: the order
     # key is (seq, op), and equal (seq, op) pairs tie-break on the payload
@@ -1524,6 +1661,14 @@ def merge_cow(
         .select(key_col, "_last.*")
     )
     upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
+
+    # constraint gate (S39) on the POST-IMAGE rows this merge would write
+    # (deletes carry no payload to validate), BEFORE the reservation so a
+    # refused batch leaves nothing behind
+    _enforce_constraints(
+        upserts, manifest.get("constraints"), "merge_cow upsert batch"
+    )
+    _validate_generation(table_dir, generation, ref=ref)  # reservation last
 
     # Bounded-metadata collect: the batch's distinct keys (plus, in stable
     # partitioned mode, each key's partition value and delete flag), sorted
@@ -1638,6 +1783,8 @@ def merge_cow(
             **{rel: partitions.get(rel) for rel in untouched_rel},
             **new_parts,
         }
+    if manifest.get("constraints") is not None:
+        new_manifest["constraints"] = manifest["constraints"]
     if txn is not None:
         # caller-supplied transaction metadata (e.g. a streaming sink's
         # batch_id) recorded IN the committed manifest — the Delta
@@ -2149,8 +2296,6 @@ def merge_mor(
     missing = [c for c in (*table_cols, op_col, seq_col) if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
-    _validate_generation(table_dir, generation)
-
     # last-event-wins resolution — merge_cow's exact shape
     payload = [c for c in table_cols if c != key_col]
     final = (
@@ -2164,6 +2309,12 @@ def merge_mor(
         .select(key_col, "_last.*")
     )
     upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
+
+    # constraint gate (S39) on the post-image rows, before the reservation
+    _enforce_constraints(
+        upserts, manifest.get("constraints"), "merge_mor upsert batch"
+    )
+    _validate_generation(table_dir, generation)
 
     # partitioned generations (r16, lifting the v1 restriction): upserts
     # stage under the Hive layout so partition pruning survives; the
@@ -2227,6 +2378,8 @@ def merge_mor(
             **manifest.get("partitions", {}),
             **(new_parts or {}),
         }
+    if manifest.get("constraints") is not None:
+        new_manifest["constraints"] = manifest["constraints"]
     if txn is not None:
         new_manifest["txn"] = txn
     folded = _fold_txns(_txns_of(manifest), txn)
@@ -2348,6 +2501,7 @@ def compact_mor(
             expected_parent=manifest["generation"],
             txns=_txns_of(manifest),
             lineage={"fold": {"parent": manifest["generation"]}},
+            enforce_constraints=False,  # fold of already-validated rows (S39)
         )
     return publish(
         resolved,
@@ -2358,6 +2512,7 @@ def compact_mor(
         expected_parent=manifest["generation"],
         txns=_txns_of(manifest),
         lineage={"fold": {"parent": manifest["generation"]}},
+        enforce_constraints=False,  # fold of already-validated rows (S39)
     )
 
 
