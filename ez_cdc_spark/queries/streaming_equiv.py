@@ -2518,3 +2518,84 @@ def t36_mor_restore_replay(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id")
+
+
+@register(
+    "t38_lakehouse_wap_sink",
+    oracle="""
+WITH env AS (
+  SELECT CAST(event_id % 200 AS BIGINT) AS id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         CAST(event_id AS BIGINT) AS lsn,
+         event_type AS first_name,
+         CAST(user_id AS VARCHAR) AS last_name,
+         CASE WHEN event_id % 83 = 0
+              THEN 'corrupt-' || CAST(event_id AS VARCHAR)
+              ELSE CAST(user_id AS VARCHAR) || '@' || event_type END AS email
+  FROM events
+  UNION ALL
+  SELECT CAST(event_id % 200 AS BIGINT),
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END,
+         CAST(event_id AS BIGINT), event_type, CAST(user_id AS VARCHAR),
+         CASE WHEN event_id % 83 = 0
+              THEN 'corrupt-' || CAST(event_id AS VARCHAR)
+              ELSE CAST(user_id AS VARCHAR) || '@' || event_type END
+  FROM events WHERE event_id % 97 = 0
+), kept AS (
+  SELECT * FROM env WHERE op = 'd' OR email NOT LIKE 'corrupt-%'
+), latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM kept GROUP BY id
+)
+SELECT id, lsn, first_name, last_name, email
+FROM latest WHERE op <> 'd'
+ORDER BY id
+""",
+    doc="T38: write-audit-publish through the LIVE CDC sink — s38 branches "
+    "+ s39 constraints composed into t30's streaming merge loop as the "
+    "dead-letter-queue ingest pattern "
+    "(streaming/cdc.py:lakehouse_wap_batch): every micro-batch CUTS a "
+    "staging branch at the committed main head, merges ON the branch "
+    "(the s39 gate runs there — the branch is a real constrained table), "
+    "and on a constraint refusal splits the RAW events by the same "
+    "expressions: poisoned events (a deterministic upstream incident — "
+    "after.email = 'corrupt-...' at event_id %% 83 == 0) append to a "
+    "quarantine dir for post-fix replay, the clean remainder re-merges. "
+    "A STRUCTURAL audit row constraints cannot express (primary-key "
+    "uniqueness over the whole branch head) gates publication; then one "
+    "atomic fast_forward makes the audited state visible and t30's "
+    "maintenance policy runs on main. Raw-event filtering (not post-image "
+    "filtering) is the load-bearing choice: it keeps last-event-wins "
+    "consistent with the declarative oracle that drops poisoned events "
+    "BEFORE replaying — an in-batch corrupt event superseded by a clean "
+    "later one is absorbed either way, and a corrupt winner falls back to "
+    "the batch's clean prefix exactly as the filtered replay does. "
+    "Idempotence is t30's txn watermark, advanced only at PUBLICATION: a "
+    "crash after the branch merge but before fast_forward re-processes "
+    "from a fresh branch (the leftover branch's commits were never "
+    "visible; it is abandoned on entry — crash-windows pinned in "
+    "tests/test_cdc_goldens.py, quarantine==corrupt-envelope "
+    "reconciliation in the same test). Readers see pre-batch or "
+    "audited-batch states only — never unaudited data, the exact gap "
+    "t30 leaves open (its merge commits are immediately visible). At "
+    "100 TB: the gate costs one batch-sized aggregate, quarantining "
+    "costs the poison not the batch, and the audit cost is the WAP "
+    "trade — paid while the data is invisible, amortizable to periodic "
+    "publishes.",
+)
+def t38_lakehouse_wap_sink(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_lakehouse_wap
+
+    state = materialize_lakehouse_wap(spark, sf_dir)
+    return state.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id")

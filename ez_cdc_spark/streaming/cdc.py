@@ -52,7 +52,9 @@ OP_MAP = {"signup": "c", "view": "u", "click": "u", "purchase": "u", "error": "d
 
 
 def derive_envelopes(
-    events: DataFrame, drift_threshold: int | None = None
+    events: DataFrame,
+    drift_threshold: int | None = None,
+    corrupt_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic events→envelope mapping (module docstring), duplicates
     included. Pure column expressions so the same logic is one SQL view for
@@ -66,7 +68,14 @@ def derive_envelopes(
     default) the serialized pre-drift envelopes genuinely LACK the key —
     exactly what a consumer sees when the upstream table is altered
     mid-stream (the envelope is self-describing per message,
-    reference README.md:331)."""
+    reference README.md:331).
+
+    ``corrupt_mod`` (T38) models an upstream data-quality incident:
+    envelopes whose event_id is a multiple of it carry a poisoned
+    ``after.email`` (``'corrupt-' || event_id``, deterministic for the
+    oracle) — the rows a constraint-gated WAP sink must dead-letter
+    instead of publishing. Delete envelopes are unaffected (their after
+    image is NULL)."""
     # Unknown event_types fall back to 'u', matching the oracle CTE's
     # CASE ... ELSE 'u' so new vocabulary can't silently diverge the two.
     op = F.coalesce(
@@ -74,13 +83,19 @@ def derive_envelopes(
         F.lit("u"),
     )
     key = (F.col("event_id") % 200).cast("int")
+    email = F.concat_ws(
+        "@", F.col("user_id").cast("string"), F.col("event_type")
+    )
+    if corrupt_mod is not None:
+        email = F.when(
+            F.col("event_id") % corrupt_mod == 0,
+            F.concat(F.lit("corrupt-"), F.col("event_id").cast("string")),
+        ).otherwise(email)
     after_fields = [
         key.alias("id"),
         F.col("event_type").alias("first_name"),
         F.col("user_id").cast("string").alias("last_name"),
-        F.concat_ws("@", F.col("user_id").cast("string"), F.col("event_type")).alias(
-            "email"
-        ),
+        email.alias("email"),
     ]
     if drift_threshold is not None:
         after_fields.append(
@@ -216,6 +231,20 @@ def envelopes_jsonl_lsn_split(
     batch. Idempotent per (sf_dir, n_stages)."""
     path = _dir_for(sf_dir, f"envelopes-lsnsplit{n_stages}")
     env = derive_envelopes(load_table(spark, sf_dir, "events"))
+    return _write_lsn_staged(env, path, n_stages)
+
+
+def envelopes_jsonl_corrupt(
+    spark: SparkSession, sf_dir: str, n_stages: int = 4, corrupt_mod: int = 83
+) -> str:
+    """T38 replay dir: the lsn-staged envelope replay where envelopes at
+    event_id multiples of ``corrupt_mod`` carry a poisoned after.email —
+    the upstream-incident fixture the constraint-gated WAP sink must
+    dead-letter. Idempotent per (sf_dir, n_stages, corrupt_mod)."""
+    path = _dir_for(sf_dir, f"envelopes-corrupt{n_stages}-{corrupt_mod}")
+    env = derive_envelopes(
+        load_table(spark, sf_dir, "events"), corrupt_mod=corrupt_mod
+    )
     return _write_lsn_staged(env, path, n_stages)
 
 
@@ -1453,6 +1482,226 @@ def materialize_lakehouse(
         env.writeStream.foreachBatch(
             lakehouse_merge_batch(
                 table_dir,
+                tag,
+                max_files=8,
+                compact_target_files=2,
+                gc_older_than_s=0.0,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_committed(spark, table_dir)
+
+
+def lakehouse_wap_batch(
+    table_dir: str,
+    quarantine_dir: str,
+    tag: str = "t38",
+    max_files: int | None = None,
+    compact_target_files: int = 4,
+    gc_older_than_s: float | None = 0.0,
+    compact_small_file_bytes: int = 128 << 20,
+):
+    """T38 foreachBatch: the t30 lakehouse merge run through the S38
+    write-audit-publish gate with S39 constraints as the row filter —
+    the dead-letter-queue ingest pattern:
+
+    1. CUT a staging branch at the committed main head (a crashed prior
+       attempt's leftover branch is abandoned first — its commits were
+       never visible, so dropping it is free);
+    2. MERGE the batch on the branch. If the table's CHECK constraints
+       refuse the post-image, split the RAW events by the same
+       expressions: violating events append to the quarantine dir (the
+       DLQ — an operator replays them after the upstream fix), the clean
+       remainder merges. Filtering raw events (not the resolved
+       post-image) keeps last-event-wins consistent with an oracle that
+       drops poisoned events before replaying;
+    3. AUDIT the branch head — a STRUCTURAL expectation row constraints
+       cannot express (primary-key uniqueness across the whole table
+       state); a failed audit drops the branch and raises — nothing was
+       published. The audit scans the branch head, which is exactly the
+       WAP trade: pay validation cost while the data is invisible. (At
+       100 TB an every-batch full audit would be amortized to periodic
+       publishes; the per-batch row gate already ran in step 2.);
+    4. FAST-FORWARD main to the audited head — one atomic pointer swap;
+       readers see the pre-batch state or the audited state, never a
+       partially-applied or unaudited batch — then run t30's steady-state
+       maintenance policy on main.
+
+    Idempotence is unchanged from t30: the branch merge folds
+    (tag, batch_id) into the manifest's txn map, the fast-forward carries
+    it to main, and a replayed batch at or below the committed watermark
+    skips before any branch is cut. A crash between branch merge and
+    fast-forward re-processes the batch from a fresh branch (the
+    watermark only advances at publication)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import (
+            ConstraintViolationError,
+            create_branch,
+            drop_branch,
+            fast_forward,
+            merge_cow,
+            read_committed,
+            read_manifest,
+            txn_watermark,
+        )
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return  # already published — at-least-once replay skipped
+        changes = batch.select(
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.col("after.first_name").alias("first_name"),
+            F.col("after.last_name").alias("last_name"),
+            F.col("after.email").alias("email"),
+            F.col("op").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        ).persist()  # consumed up to three times: gate, DLQ write, merge
+        branch = f"wap-{tag}"
+        try:
+            drop_branch(table_dir, branch)  # crashed attempt's leftover
+            create_branch(table_dir, branch)
+            gen = man["generation"] + 1
+
+            def _merge(df):
+                nonlocal gen
+                for _ in range(100):
+                    try:
+                        return merge_cow(
+                            spark,
+                            table_dir,
+                            df,
+                            key_col="id",
+                            generation=gen,
+                            txn={"tag": tag, "batch_id": batch_id},
+                            ref=branch,
+                        )
+                    except FileExistsError:
+                        gen += 1  # orphan number from a crashed attempt
+                raise RuntimeError(f"no free generation number near {gen}")
+
+            try:
+                merged = _merge(changes)
+            except ConstraintViolationError:
+                constraints = man.get("constraints") or {}
+                viol = F.lit(False)
+                for name in sorted(constraints):
+                    ok = F.coalesce(
+                        F.expr(constraints[name]).cast("boolean"), F.lit(True)
+                    )
+                    viol = viol | ~ok
+                viol = viol & (F.col("op") != "d")  # deletes carry no payload
+                changes.filter(viol).write.mode("append").parquet(quarantine_dir)
+                merged = _merge(changes.filter(~viol))
+
+            head = read_committed(spark, table_dir, ref=branch)
+            audit = head.agg(
+                F.count("*").alias("n"), F.count_distinct("id").alias("nd")
+            ).first()
+            if audit["n"] != audit["nd"]:
+                drop_branch(table_dir, branch)
+                raise RuntimeError(
+                    f"WAP audit failed at batch {batch_id}: {audit['n']} rows, "
+                    f"{audit['nd']} distinct ids — branch abandoned, nothing "
+                    f"published"
+                )
+            fast_forward(table_dir, branch)
+        except BaseException:
+            drop_branch(table_dir, branch)
+            raise
+        finally:
+            changes.unpersist()
+
+        if max_files is not None and merged["n_files"] > max_files:
+            from ez_cdc_spark.sources.manifest import (
+                compact_partial,
+                gc,
+                vacuum,
+            )
+
+            cgen = merged["generation"] + 1
+            for _ in range(100):
+                try:
+                    after = compact_partial(
+                        spark,
+                        table_dir,
+                        cgen,
+                        max_file_bytes=compact_small_file_bytes,
+                        target_files=compact_target_files,
+                    )
+                    break
+                except FileExistsError:
+                    cgen += 1
+            else:
+                raise RuntimeError(f"no free generation number near {cgen}")
+            if after["generation"] != merged["generation"]:
+                gc(table_dir, older_than_s=gc_older_than_s)
+                vacuum(
+                    table_dir,
+                    older_than_s=(
+                        0.0 if gc_older_than_s is None else gc_older_than_s
+                    ),
+                )
+
+    return apply
+
+
+def materialize_lakehouse_wap(
+    spark: SparkSession, sf_dir: str, tag: str = "t38", corrupt_mod: int = 83
+) -> DataFrame:
+    """T38 end-to-end: corrupt-email envelope replay → per-batch
+    branch/merge/audit/fast-forward with constraint-gated dead-lettering →
+    final committed main state. The quarantine dir sits next to the table
+    (``<table>-quarantine``) for the pytest reconciliation (quarantined
+    events are exactly the corrupt non-delete envelopes)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources.manifest import publish, read_committed
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-wap-{tag}-{os.getpid()}")
+    quarantine_dir = table_dir + "-quarantine"
+    for d in (table_dir, quarantine_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+        constraints={"email_clean": "email IS NULL OR email NOT LIKE 'corrupt-%'"},
+    )
+    path = envelopes_jsonl_corrupt(spark, sf_dir, corrupt_mod=corrupt_mod)
+    q = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .writeStream.foreachBatch(
+            lakehouse_wap_batch(
+                table_dir,
+                quarantine_dir,
                 tag,
                 max_files=8,
                 compact_target_files=2,

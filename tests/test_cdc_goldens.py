@@ -3070,3 +3070,231 @@ def test_t37_consumer_follows_the_rollback_then_the_recovery(spark, sf_dir):
     assert final != mid["rolled_back"], (
         "redelivery must move the aggregate off the rolled-back state"
     )
+
+
+def _t38_fold(path):
+    """Independent pure-Python replay of the corrupt-envelope stages with
+    poisoned (non-delete) events dropped BEFORE folding — the t38 oracle's
+    semantics, recomputed without Spark or DuckDB."""
+    import json as _json
+    import os
+
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    state: dict = {}
+    for f in stage_files:
+        events = [
+            _json.loads(line)
+            for line in open(os.path.join(path, f))
+            if line.strip()
+        ]
+        for ev in sorted(events, key=lambda e: e["source"]["lsn"]):
+            key = (ev.get("after") or ev.get("before"))["id"]
+            if ev["op"] == "d":
+                state.pop(key, None)
+                continue
+            if str(ev["after"].get("email", "")).startswith("corrupt-"):
+                continue  # dead-lettered by the WAP gate
+            state[key] = (ev["source"]["lsn"], ev["after"]["email"])
+    return state
+
+
+def test_t38_wap_kill_restart_quarantine_and_no_corrupt_commit(
+    spark, tmp_path, sf_dir
+):
+    """t38 under a real kill+restart, plus the two WAP headline claims:
+    (a) NO committed generation on main's chain ever contains a poisoned
+    row — bad data never becomes visible, not even transiently; (b) the
+    quarantine holds only poisoned events, and replaying the final batch
+    is a watermark no-op."""
+    import os
+    import time
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        read_committed,
+        read_manifest,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_corrupt,
+        lakehouse_wap_batch,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = envelopes_jsonl_corrupt(spark, sf_dir)
+    td = str(tmp_path / "waptable")
+    qd = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        td,
+        generation=1,
+        stats_columns=["id"],
+        constraints={"email_clean": "email IS NULL OR email NOT LIKE 'corrupt-%'"},
+    )
+
+    def start():
+        env = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return (
+            env.writeStream.foreachBatch(lakehouse_wap_batch(td, qd, tag="t38kill"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never published"
+    stop_and_await(q)
+    q2 = start()
+    q2.awaitTermination()
+
+    got = {
+        r["id"]: (r["lsn"], r["email"])
+        for r in read_committed(spark, td).collect()
+    }
+    assert got == _t38_fold(path) and len(got) > 0
+
+    # (a) every committed generation on the MAIN chain is corrupt-free
+    mdir = os.path.join(td, "_manifests")
+    for f in sorted(os.listdir(mdir)):
+        if not f.startswith("gen-"):
+            continue
+        g = int(f.split("-")[1].split(".")[0])
+        n_bad = (
+            read_committed(spark, td, as_of_generation=g)
+            .filter("email LIKE 'corrupt-%'")
+            .count()
+        )
+        assert n_bad == 0, f"generation {g} leaked {n_bad} poisoned rows"
+
+    # (b) quarantine holds only poisoned non-delete events
+    dlq = spark.read.parquet(qd)
+    assert dlq.count() > 0
+    assert dlq.filter("email NOT LIKE 'corrupt-%' OR op = 'd'").count() == 0
+
+    # watermark no-op: replaying the last published batch cuts no branch,
+    # burns no generation
+    man = read_manifest(td)
+    last_bid = man["txn"]["batch_id"]
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    replay = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        os.path.join(path, stage_files[-1])
+    )
+    lakehouse_wap_batch(td, qd, tag="t38kill")(replay, last_bid)
+    assert read_manifest(td)["generation"] == man["generation"]
+
+
+def test_t38_crash_before_publish_republishes_from_fresh_branch(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """The crash window between the branch merge and the fast-forward: the
+    watermark only advances at PUBLICATION, so the redelivered batch
+    re-processes from a fresh branch and main converges to the same state
+    — and the aborted attempt left main untouched (a stale leftover
+    branch is abandoned on entry)."""
+    import os
+
+    import ez_cdc_spark.sources.manifest as M
+    from ez_cdc_spark.sources.manifest import (
+        list_branches,
+        publish,
+        read_committed,
+        read_manifest,
+    )
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        envelopes_jsonl_corrupt,
+        lakehouse_wap_batch,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = envelopes_jsonl_corrupt(spark, sf_dir)
+    td = str(tmp_path / "wapcrash")
+    qd = str(tmp_path / "quarantine")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], schema),
+        td,
+        generation=1,
+        stats_columns=["id"],
+        constraints={"email_clean": "email IS NULL OR email NOT LIKE 'corrupt-%'"},
+    )
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    batch0 = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        os.path.join(path, stage_files[0])
+    )
+
+    # crash INSIDE the publish step (after the branch merge committed)
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before publication")
+
+    apply = lakehouse_wap_batch(td, qd, tag="t38crash")
+    monkeypatch.setattr(M, "fast_forward", boom)
+    # lakehouse_wap_batch imports fast_forward inside apply(), so the
+    # monkeypatched module attribute IS what it resolves
+    try:
+        apply(batch0, 0)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.undo()
+    assert read_manifest(td)["generation"] == 1, "main moved without audit"
+    assert read_committed(spark, td).count() == 0
+
+    # redelivery publishes the batch whole from a fresh branch
+    lakehouse_wap_batch(td, qd, tag="t38crash")(batch0, 0)
+    man = read_manifest(td)
+    assert man["txns"]["t38crash"] == {"batch_id": 0}
+    assert list_branches(td) == {}
+    got = {
+        r["id"]: (r["lsn"], r["email"])
+        for r in read_committed(spark, td).collect()
+    }
+    # fold of stage 0 only (lsn-sorted, corrupt non-deletes dropped first —
+    # the same semantics as _t38_fold; within one batch a corrupt event
+    # superseded in-batch is absorbed by the merge either way)
+    import json as _json
+
+    events = [
+        _json.loads(line)
+        for line in open(os.path.join(path, stage_files[0]))
+        if line.strip()
+    ]
+    state: dict = {}
+    for ev in sorted(events, key=lambda e: e["source"]["lsn"]):
+        key = (ev.get("after") or ev.get("before"))["id"]
+        if ev["op"] == "d":
+            state.pop(key, None)
+        elif not str(ev["after"].get("email", "")).startswith("corrupt-"):
+            state[key] = (ev["source"]["lsn"], ev["after"]["email"])
+    assert got == state and len(got) > 0
