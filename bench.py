@@ -103,6 +103,9 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "s38_branch_wap",
+    "s39_constraint_gate",
+    "t38_lakehouse_wap_sink",
     "t37_restore_feed_consumer",
     "t36_mor_restore_replay",
     "t35_lakehouse_restore_replay",
@@ -119,6 +122,9 @@ NEW_THIS_ROUND = [
 ]
 
 EXTRA_QUERIES = [
+    "s38_branch_wap",
+    "s39_constraint_gate",
+    "t38_lakehouse_wap_sink",
     "t37_restore_feed_consumer",
     "t36_mor_restore_replay",
     "t35_lakehouse_restore_replay",
