@@ -3098,3 +3098,123 @@ def s39_constraint_gate(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s40_rename_drop_evolution",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS balance
+    FROM customer
+),
+final AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 25 = 7
+                     THEN CAST(balance + 75.00 AS DECIMAL(12,2))
+                ELSE balance END AS balance
+    FROM base
+    UNION ALL
+    SELECT c_custkey + 5000000, c_name, balance
+    FROM base WHERE c_custkey % 100 = 23
+)
+SELECT CAST(c_custkey % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(balance) AS DOUBLE) AS total_balance,
+       CAST(0 AS BIGINT) AS n_seg
+FROM final
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="S40: RENAME/DROP column evolution — the DESTRUCTIVE half of "
+    "schema evolution S32/S19 deliberately left out, solved the way "
+    "Iceberg's field IDs and Delta's column mapping solve it, as pure "
+    "name-mapped metadata (sources/manifest.py:rename_column/drop_column/"
+    "_read_files_epochs): a rename or drop is ONE O(files) metadata "
+    "commit that opens a new file ERA — the manifest records each file's "
+    "write epoch and, per epoch, the map from CURRENT logical column "
+    "name to that era's physical name. The epoch-mapped read groups "
+    "files by era (O(live eras), folded back to one by any compact) and "
+    "reads each group with an explicit physical schema renamed to "
+    "logical on the way out, so pushdown/pruning behave exactly as the "
+    "plain stored-schema read. Two silent-corruption bugs are the whole "
+    "point: (1) a plain name-based read after a rename NULL-fills the "
+    "renamed column for every pre-rename file (data loss); (2) re-adding "
+    "a previously DROPPED name resurrects the dropped bytes — the era "
+    "boundary forces NULL for every earlier era instead (pytest-pinned "
+    "both ways). Per-file stats rekey with a rename so S28 pruning keeps "
+    "working across eras; constraints referencing the column refuse the "
+    "rename/drop; txn watermarks/constraints carry; writers tag new "
+    "files with the current era (append asserts the logical schema, "
+    "merge rewrites into the current era); merge_mor refuses epoch "
+    "tables (fold first — declared v1 scope, like the partitioned "
+    "refusal). Lifecycle here: customer publishes; c_acctbal RENAMES to "
+    "balance (zero data I/O); an append lands under the new name; "
+    "c_mktsegment DROPS; a merge updates balances across BOTH eras; "
+    "c_mktsegment RE-ADDS and must read NULL everywhere. The oracle "
+    "replays declaratively with the rename applied from the start and "
+    "the re-added column constant NULL — hash-green proves era mapping "
+    "binds every column correctly across three schema shapes. At "
+    "100 TB: renaming a column on a petabyte table is one metadata "
+    "commit, not a rewrite, and reads pay one extra scan GROUP per live "
+    "era, not per file (tests/test_rename_drop.py pins the corruption "
+    "guards, stats rekey, time travel to pre-rename schemas, era "
+    "folding, and the writer matrix).",
+)
+def s40_rename_drop_evolution(spark, sf_dir):
+    import shutil
+
+    from pyspark.sql.types import StringType, StructField
+
+    from ez_cdc_spark.sources.manifest import (
+        drop_column,
+        evolve_schema,
+        merge_cow,
+        publish,
+        publish_append,
+        read_committed,
+        rename_column,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s40epochs")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+    rename_column(table_dir, 2, "c_acctbal", "balance")
+
+    key = F.col("c_custkey")
+    appended = (
+        c.filter(key % 100 == 23)
+        .withColumn("c_custkey", key + 5000000)
+        .withColumnRenamed("c_acctbal", "balance")
+    )
+    publish_append(appended, table_dir, generation=3)
+    drop_column(table_dir, 4, "c_mktsegment")
+
+    changes = c.filter(key % 25 == 7).select(
+        "c_custkey",
+        "c_name",
+        dec(F.col("c_acctbal") + F.lit(75).cast("decimal(12,2)")).alias("balance"),
+        F.lit("u").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    merge_cow(spark, table_dir, changes, key_col="c_custkey", generation=5)
+    evolve_schema(table_dir, 6, [StructField("c_mktsegment", StringType(), True)])
+
+    return (
+        read_committed(spark, table_dir)
+        .groupBy((key % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("balance").cast("double").alias("total_balance"),
+            F.count("c_mktsegment").cast("bigint").alias("n_seg"),
+        )
+        .orderBy("bucket")
+    )

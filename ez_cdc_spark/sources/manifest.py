@@ -922,6 +922,8 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
             part = reader.parquet(*groups[base])
             out = part if out is None else out.unionByName(part)
         return out
+    if manifest.get("epoch_maps"):
+        return _read_files_epochs(spark, manifest, table_dir, files)
     if schema is not None:
         # Stored-schema read: files written before an additive schema
         # evolution (S32) lack the appended columns — the explicit schema
@@ -930,6 +932,54 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
         # metadata instead of a footer scan).
         return spark.read.schema(StructType.fromJson(schema)).parquet(*files)
     return spark.read.parquet(*files)
+
+
+def _read_files_epochs(
+    spark: SparkSession, manifest: dict, table_dir: str, files: list[str]
+):
+    """S40 epoch-mapped read — the name-mapping half of Iceberg's field-ID
+    schema evolution: after a RENAME or DROP, a logical column's physical
+    name differs per file ERA, and a plain name-based read would NULL-fill
+    renamed columns (silent loss) or resurrect a re-added column's dropped
+    bytes. The manifest records each file's write epoch (``file_epochs``)
+    and, per epoch, the map from CURRENT logical name → that era's
+    physical name (``epoch_maps``; a logical column absent from an era's
+    map reads NULL there — it did not exist, or was dropped and re-added).
+    The read groups files by epoch — O(live epochs since the last full
+    rewrite; any compact folds everything back to a single identity epoch
+    — and each group is one ordinary parquet scan with an explicit
+    physical schema, renamed to logical on the way out, so column pruning
+    and predicate pushdown behave exactly as the plain stored-schema
+    read."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    schema = StructType.fromJson(manifest["schema"])
+    file_epochs = manifest.get("file_epochs", {})
+    emaps = manifest["epoch_maps"]
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        rel = os.path.relpath(f, table_dir)
+        groups.setdefault(int(file_epochs.get(rel, 0)), []).append(f)
+    out = None
+    for e in sorted(groups):
+        emap = emaps.get(str(e), {})
+        phys = StructType(
+            [
+                StructField(emap[fld.name], fld.dataType, True)
+                for fld in schema.fields
+                if fld.name in emap
+            ]
+        )
+        df = spark.read.schema(phys).parquet(*groups[e])
+        cols = [
+            F.col(emap[fld.name]).alias(fld.name)
+            if fld.name in emap
+            else F.lit(None).cast(fld.dataType).alias(fld.name)
+            for fld in schema.fields
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def read_committed(
@@ -1207,6 +1257,18 @@ def compact_partial(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("epoch_maps"):
+        # S40: the selected files were read epoch-mapped and rewritten
+        # under the current logical names — they join the current era
+        new_manifest["epoch"] = manifest.get("epoch", 0)
+        new_manifest["epoch_maps"] = manifest["epoch_maps"]
+        new_manifest["file_epochs"] = {
+            **{
+                rel: manifest.get("file_epochs", {}).get(rel, 0)
+                for rel in carried
+            },
+            **{rel: manifest.get("epoch", 0) for rel in new_rel},
+        }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
     if manifest.get("txns") is not None:
@@ -1308,6 +1370,16 @@ def publish_append(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("epoch_maps"):
+        # S40: appended files are written under the CURRENT logical names
+        # (the schema-match guard above enforces it) — tag them with the
+        # current era; carried files keep theirs
+        new_manifest["epoch"] = manifest.get("epoch", 0)
+        new_manifest["epoch_maps"] = manifest["epoch_maps"]
+        new_manifest["file_epochs"] = {
+            **manifest.get("file_epochs", {}),
+            **{rel: manifest.get("epoch", 0) for rel in new_rel},
+        }
     if manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
     if manifest.get("txns") is not None:
@@ -1382,7 +1454,7 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
         # until ADVICE r14: evolving right after a compaction misdescribed
         # the evolution commit as a compaction)
         if k not in ("generation", "schema", "merge", "append", "evolve",
-                     "compact", "mor", "fold", "restore")
+                     "compact", "mor", "fold", "restore", "rename", "drop")
     }
     new_manifest = {
         **carried,
@@ -1393,6 +1465,17 @@ def evolve_schema(table_dir: str, generation: int, added_fields) -> dict:
             "added": [f.name for f in fields],
         },
     }
+    if new_manifest.get("epoch_maps"):
+        # S40 interplay: the CURRENT era's files gain the column by plain
+        # name-based NULL-fill, so the era map lists it as identity; every
+        # EARLIER era deliberately has no entry — files there may carry a
+        # previously-DROPPED column's bytes under this name, and the
+        # missing entry is what forces NULL instead of resurrecting them
+        cur = str(new_manifest.get("epoch", 0))
+        new_manifest["epoch_maps"] = {
+            k: dict(v) for k, v in new_manifest["epoch_maps"].items()
+        }
+        new_manifest["epoch_maps"][cur].update({f.name: f.name for f in fields})
     return _commit_manifest(
         table_dir, generation, new_manifest, expected_parent=manifest["generation"]
     )
@@ -1464,7 +1547,7 @@ def evolve_schema_nested(
         k: v
         for k, v in manifest.items()
         if k not in ("generation", "schema", "merge", "append", "evolve",
-                     "compact", "mor", "fold", "restore")
+                     "compact", "mor", "fold", "restore", "rename", "drop")
     }
     new_manifest = {
         **carried,
@@ -1520,7 +1603,7 @@ def alter_constraints(
         # same lineage-key exclusion rule as evolve_schema: those keys
         # describe the PARENT's commit, not this one
         if k not in ("generation", "constraints", "merge", "append", "evolve",
-                     "compact", "mor", "fold", "restore")
+                     "compact", "mor", "fold", "restore", "rename", "drop")
     }
     new_manifest = {**carried, "generation": generation}
     if constraints:
@@ -1530,6 +1613,190 @@ def alter_constraints(
     return _commit_manifest(
         table_dir, generation, new_manifest, expected_parent=manifest["generation"]
     )
+
+
+def _init_epochs(manifest: dict) -> tuple[int, dict, dict]:
+    """Current (epoch, epoch_maps, file_epochs), bootstrapping era 0 as the
+    identity over the stored schema when no destructive evolution has
+    happened yet (the zero-overhead fast path: tables never touched by
+    rename/drop carry no epoch metadata at all)."""
+    if manifest.get("epoch_maps"):
+        return (
+            int(manifest.get("epoch", 0)),
+            {k: dict(v) for k, v in manifest["epoch_maps"].items()},
+            dict(manifest.get("file_epochs", {})),
+        )
+    names = [f["name"] for f in manifest["schema"]["fields"]]
+    return 0, {"0": {n: n for n in names}}, {rel: 0 for rel in manifest["files"]}
+
+
+def _destructive_evolution_guards(manifest: dict, op: str) -> None:
+    _require_cow(manifest, op)
+    if manifest.get("partition_col") is not None:
+        raise ValueError(
+            f"{op} on a partitioned generation is not supported: the "
+            f"partition column lives in directory names and carried files "
+            f"span layouts — compact to an unpartitioned generation first "
+            f"(declared v1 scope, like merge_mor's epoch refusal)"
+        )
+    if manifest.get("schema") is None:
+        raise ValueError(f"{op} needs a schema-bearing manifest")
+
+
+def rename_column(table_dir: str, generation: int, old: str, new: str) -> dict:
+    """S40: ALTER TABLE RENAME COLUMN as ONE metadata commit — the
+    name-mapped analog of Iceberg's field-ID rename (Delta's column
+    mapping): no data file is opened or rewritten. Existing files keep the
+    old physical name; the commit rekeys every era's logical→physical map
+    and opens a NEW identity era for files written from now on, so the
+    epoch-mapped read (:func:`_read_files_epochs`) resolves the column
+    correctly in both eras — where a plain name-based read would silently
+    NULL-fill the renamed column for every pre-rename file. Per-file
+    stats rekey with it (same physical bytes, so S28 pruning keeps
+    working); txn watermarks and constraints carry by reference.
+    Constraints that reference the old name refuse the rename (they would
+    silently stop binding)."""
+    manifest = read_manifest(table_dir)
+    _destructive_evolution_guards(manifest, "rename_column")
+    schema = manifest["schema"]
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no such column {old!r} (have {names})")
+    if any(n.lower() == new.lower() for n in names):
+        raise ValueError(f"column {new!r} already exists")
+    for cname, expr in (manifest.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"constraint {cname!r} references column {old!r}: drop or "
+                f"re-declare the constraint before renaming"
+            )
+    epoch, emaps, file_epochs = _init_epochs(manifest)
+    for m in emaps.values():
+        if old in m:
+            m[new] = m.pop(old)
+    new_epoch = epoch + 1
+    new_names = [new if n == old else n for n in names]
+    emaps[str(new_epoch)] = {n: n for n in new_names}
+    new_schema = {
+        **schema,
+        "fields": [
+            {**f, "name": new} if f["name"] == old else f
+            for f in schema["fields"]
+        ],
+    }
+    stats = {
+        rel: {(new if c == old else c): rng for c, rng in per.items()}
+        for rel, per in (manifest.get("stats") or {}).items()
+    }
+    _validate_generation(table_dir, generation)
+    carried = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("generation", "schema", "stats", "epoch", "epoch_maps",
+                     "file_epochs", "merge", "append", "evolve", "compact",
+                     "mor", "fold", "restore", "rename", "drop")
+    }
+    new_manifest = {
+        **carried,
+        "generation": generation,
+        "schema": new_schema,
+        "epoch": new_epoch,
+        "epoch_maps": emaps,
+        "file_epochs": file_epochs,
+        "rename": {"parent": manifest["generation"], "from": old, "to": new},
+    }
+    if stats:
+        new_manifest["stats"] = stats
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
+
+
+def drop_column(table_dir: str, generation: int, name: str) -> dict:
+    """S40: ALTER TABLE DROP COLUMN as ONE metadata commit: the column
+    leaves the logical schema and every era's map, and a NEW identity era
+    opens — load-bearing for re-adds: a later ``evolve_schema`` of the
+    SAME name must read NULL from files of every earlier era (their
+    physical bytes for that name are the DROPPED column's — resurrection
+    is the classic name-based-evolution bug, and the era boundary is what
+    prevents it; Iceberg solves this with field IDs, this manifest with
+    eras). Stats entries for the column are removed; constraints
+    referencing it refuse the drop; dropping the last column refuses."""
+    manifest = read_manifest(table_dir)
+    _destructive_evolution_guards(manifest, "drop_column")
+    schema = manifest["schema"]
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"no such column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    for cname, expr in (manifest.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"constraint {cname!r} references column {name!r}: drop the "
+                f"constraint first"
+            )
+    epoch, emaps, file_epochs = _init_epochs(manifest)
+    for m in emaps.values():
+        m.pop(name, None)
+    new_epoch = epoch + 1
+    remaining = [n for n in names if n != name]
+    emaps[str(new_epoch)] = {n: n for n in remaining}
+    new_schema = {
+        **schema,
+        "fields": [f for f in schema["fields"] if f["name"] != name],
+    }
+    stats = {
+        rel: {c: rng for c, rng in per.items() if c != name}
+        for rel, per in (manifest.get("stats") or {}).items()
+    }
+    stats = {rel: per for rel, per in stats.items() if per}
+    _validate_generation(table_dir, generation)
+    carried = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("generation", "schema", "stats", "epoch", "epoch_maps",
+                     "file_epochs", "merge", "append", "evolve", "compact",
+                     "mor", "fold", "restore", "rename", "drop")
+    }
+    new_manifest = {
+        **carried,
+        "generation": generation,
+        "schema": new_schema,
+        "epoch": new_epoch,
+        "epoch_maps": emaps,
+        "file_epochs": file_epochs,
+        "drop": {"parent": manifest["generation"], "column": name},
+    }
+    if stats:
+        new_manifest["stats"] = stats
+    return _commit_manifest(
+        table_dir, generation, new_manifest, expected_parent=manifest["generation"]
+    )
+
+
+def _require_matching_types(schema: dict, changes: DataFrame, where: str) -> None:
+    """Strict type guard for the merge writers (the append guard's
+    sibling): a change batch whose table columns carry a WIDER type than
+    the stored schema (e.g. decimal(13,2) from an un-cast decimal sum)
+    would stage files every stored-schema and epoch-mapped reader then
+    fails on — silent poisoning caught only at read time. Names and types
+    must match exactly; op/seq and any extra batch columns are ignored."""
+    stored = {f["name"]: f["type"] for f in schema["fields"]}
+    incoming = {
+        f["name"]: f["type"]
+        for f in json.loads(changes.schema.json())["fields"]
+    }
+    bad = {
+        c: {"table": t, "changes": incoming[c]}
+        for c, t in stored.items()
+        if c in incoming and incoming[c] != t
+    }
+    if bad:
+        raise ValueError(
+            f"{where} column types must match the stored schema exactly "
+            f"(a widened type would poison every reader): {bad}"
+        )
 
 
 def _merge_rewrite(
@@ -1638,6 +1905,7 @@ def merge_cow(
     missing = [c for c in (*table_cols, op_col, seq_col) if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    _require_matching_types(schema, changes, "merge_cow changes")
     pcol = manifest.get("partition_col")
     if pcol == key_col:
         raise ValueError(
@@ -1785,6 +2053,22 @@ def merge_cow(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("epoch_maps"):
+        # S40: the rewrite reads touched files epoch-mapped and stages
+        # under the CURRENT logical names — rewritten files join the
+        # current era, untouched files keep theirs
+        new_manifest["epoch"] = manifest.get("epoch", 0)
+        new_manifest["epoch_maps"] = manifest["epoch_maps"]
+        new_manifest["file_epochs"] = {
+            **{
+                rel: manifest.get("file_epochs", {}).get(rel, 0)
+                for rel in untouched_rel
+            },
+            **{
+                os.path.relpath(f, table_dir): manifest.get("epoch", 0)
+                for f in new_files
+            },
+        }
     if txn is not None:
         # caller-supplied transaction metadata (e.g. a streaming sink's
         # batch_id) recorded IN the committed manifest — the Delta
@@ -2192,7 +2476,7 @@ def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
         for k, v in target.items()
         # lineage keys describe the TARGET's own commit, not this one
         if k not in ("generation", "merge", "append", "evolve", "compact",
-                     "mor", "fold", "restore")
+                     "mor", "fold", "restore", "rename", "drop")
     }
     new_manifest = {
         **carried,
@@ -2290,12 +2574,21 @@ def merge_mor(
             f"this table's merge-on-read log is keyed by {mor_key!r}; "
             f"equality deletes on {key_col!r} would not resolve against it"
         )
+    if manifest.get("epoch_maps"):
+        raise ValueError(
+            "merge_mor on a rename/drop-evolved (epoch-mapped) generation "
+            "is not supported: the MOR resolve reads raw files per "
+            "sequence group and would mis-bind renamed columns — compact "
+            "first to fold every file into the current era (declared v1 "
+            "scope, mirroring the raw-consumer MOR refusals)"
+        )
     table_cols = [f["name"] for f in schema["fields"]]
     if key_col not in table_cols:
         raise ValueError(f"key column {key_col!r} is not a table column")
     missing = [c for c in (*table_cols, op_col, seq_col) if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    _require_matching_types(schema, changes, "merge_mor changes")
     # last-event-wins resolution — merge_cow's exact shape
     payload = [c for c in table_cols if c != key_col]
     final = (

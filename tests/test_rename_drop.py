@@ -1,0 +1,216 @@
+"""S40 rename/drop column evolution (epoch-mapped name mapping).
+
+Pins the s40 docstring's contracts: the two silent-corruption guards
+(pre-rename files must keep their values; a re-added dropped name must
+read NULL), metadata-only commits, stats rekey, time travel across schema
+shapes, era folding via compact, the writer matrix, and the refusal set.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField
+
+from ez_cdc_spark.sources.manifest import (
+    alter_constraints,
+    compact,
+    compact_partial,
+    drop_column,
+    evolve_schema,
+    merge_cow,
+    merge_mor,
+    pruned_files,
+    publish,
+    publish_append,
+    publish_partitioned,
+    read_committed,
+    read_manifest,
+    rename_column,
+    restore,
+)
+
+SCRATCH = "/tmp/ez_cdc_test_rename_drop"
+
+
+def _table(spark, name, n=100):
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.range(n).selectExpr("id AS k", "id * 2 AS v", "id * 3 AS w")
+    publish(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        d,
+        generation=1,
+        stats_columns=["k", "v"],
+    )
+    return d
+
+
+def _batch(spark, lo, hi, cols="id AS k, id * 100 AS val, id * 3 AS w"):
+    return spark.range(lo, hi).selectExpr(
+        *[c.strip() for c in cols.split(",")], "'u' AS op", "1 AS seq"
+    )
+
+
+def test_rename_is_metadata_only_and_preserves_values(spark):
+    d = _table(spark, "meta")
+    m1 = read_manifest(d)
+    rename_column(d, 2, "v", "val")
+    m2 = read_manifest(d)
+    # zero data I/O: identical file list, no new data dir
+    assert m2["files"] == m1["files"]
+    assert not os.path.isdir(os.path.join(d, "data", "gen-2"))
+    # corruption guard 1: pre-rename files keep their VALUES under the
+    # new logical name (a plain name-based read would NULL-fill here)
+    r = read_committed(spark, d)
+    assert r.columns == ["k", "val", "w"]
+    assert r.filter("val <> k * 2").count() == 0
+    assert r.filter("val IS NULL").count() == 0
+
+
+def test_drop_then_readd_reads_null_not_old_bytes(spark):
+    d = _table(spark, "resurrect")
+    drop_column(d, 2, "w")
+    assert read_committed(spark, d).columns == ["k", "v"]
+    evolve_schema(d, 3, [StructField("w", LongType(), True)])
+    r = read_committed(spark, d)
+    # corruption guard 2: the old files physically CONTAIN w = k*3 — the
+    # era boundary must force NULL instead of resurrecting those bytes
+    assert r.filter("w IS NOT NULL").count() == 0
+    # and rows written AFTER the re-add carry their real values
+    publish_append(
+        spark.range(100, 105).selectExpr("id AS k", "id*2 AS v", "id*9 AS w"), d, 4
+    )
+    r = read_committed(spark, d)
+    assert r.filter("w IS NOT NULL").count() == 5
+    assert r.filter("k >= 100 AND w <> k * 9").count() == 0
+
+
+def test_stats_rekey_keeps_pruning(spark):
+    d = _table(spark, "stats")
+    rename_column(d, 2, "k", "key")
+    man = read_manifest(d)
+    for per in man["stats"].values():
+        assert "key" in per and "k" not in per
+    kept = pruned_files(d, "key", 0, 10)
+    assert 0 < len(kept) < man["n_files"]
+    # the renamed key column still merges with stats pruning intact
+    ch = spark.range(3).selectExpr(
+        "id AS key", "id * 100 AS v", "id * 3 AS w", "'u' AS op", "1 AS seq"
+    )
+    merged = merge_cow(spark, d, ch, key_col="key", generation=3)
+    assert merged["merge"]["rewritten_files"] < merged["merge"]["carried_files"] + \
+        merged["merge"]["rewritten_files"]
+    r = read_committed(spark, d)
+    assert sorted(x["v"] for x in r.filter("key < 3").collect()) == [0, 100, 200]
+
+
+def test_time_travel_reads_each_schema_shape(spark):
+    d = _table(spark, "travel")
+    rename_column(d, 2, "v", "val")
+    drop_column(d, 3, "w")
+    assert read_committed(spark, d, as_of_generation=1).columns == ["k", "v", "w"]
+    assert read_committed(spark, d, as_of_generation=2).columns == ["k", "val", "w"]
+    assert read_committed(spark, d, as_of_generation=3).columns == ["k", "val"]
+    # restore to the pre-rename generation restores the OLD shape whole
+    restore(d, 4, as_of_generation=1)
+    r = read_committed(spark, d)
+    assert r.columns == ["k", "v", "w"] and r.filter("v <> k * 2").count() == 0
+
+
+def test_compact_folds_eras_away(spark):
+    d = _table(spark, "fold")
+    rename_column(d, 2, "v", "val")
+    publish_append(
+        spark.range(100, 110).selectExpr("id AS k", "id*2 AS val", "id*3 AS w"), d, 3
+    )
+    assert read_manifest(d).get("epoch_maps")
+    compact(spark, d, 4, target_files=2)
+    man = read_manifest(d)
+    assert "epoch_maps" not in man and "file_epochs" not in man
+    r = read_committed(spark, d)
+    assert r.count() == 110 and r.filter("val <> k * 2").count() == 0
+
+
+def test_partial_compaction_carries_eras(spark):
+    d = _table(spark, "partial")
+    rename_column(d, 2, "v", "val")
+    publish_append(
+        spark.range(100, 110).selectExpr("id AS k", "id*2 AS val", "id*3 AS w"), d, 3
+    )
+    compact_partial(spark, d, 4, max_file_bytes=1 << 30, target_files=2)
+    man = read_manifest(d)
+    # rewritten files joined the current era; the map machinery survives
+    assert man.get("epoch_maps") and set(man["file_epochs"]) == set(man["files"])
+    r = read_committed(spark, d)
+    assert r.count() == 110 and r.filter("val <> k * 2").count() == 0
+
+
+def test_refusals(spark):
+    d = _table(spark, "refuse")
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column(d, 2, "ghost", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(d, 2, "v", "W")  # case-insensitive collision
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column(d, 2, "ghost")
+    # constraint-referencing column refuses rename and drop
+    alter_constraints(spark, d, 2, add={"v_even": "v % 2 = 0"})
+    with pytest.raises(ValueError, match="constraint 'v_even' references"):
+        rename_column(d, 3, "v", "val")
+    with pytest.raises(ValueError, match="constraint 'v_even' references"):
+        drop_column(d, 3, "v")
+    alter_constraints(spark, d, 3, drop=["v_even"])
+    # last column refuses
+    drop_column(d, 4, "v")
+    drop_column(d, 5, "w")
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(d, 6, "k")
+    # partitioned generations refuse (declared v1 scope)
+    dp = os.path.join(SCRATCH, "refusepart")
+    shutil.rmtree(dp, ignore_errors=True)
+    publish_partitioned(
+        spark.range(20).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+        dp,
+        generation=1,
+        partition_col="p",
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        rename_column(dp, 2, "k", "key")
+
+
+def test_merge_mor_refuses_epoch_tables(spark):
+    d = _table(spark, "morrefuse")
+    rename_column(d, 2, "v", "val")
+    with pytest.raises(ValueError, match="epoch-mapped"):
+        merge_mor(spark, d, _batch(spark, 0, 3), key_col="k", generation=3)
+    # and rename refuses MOR generations via the COW guard
+    d2 = _table(spark, "morrefuse2")
+    merge_mor(
+        spark,
+        d2,
+        spark.range(3).selectExpr(
+            "id AS k", "id*7 AS v", "id*3 AS w", "'u' AS op", "1 AS seq"
+        ),
+        key_col="k",
+        generation=2,
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        rename_column(d2, 3, "v", "val")
+
+
+def test_widened_merge_type_is_refused(spark):
+    """The hazard s40 exposed, now guarded at the writer: a change batch
+    whose table column carries a WIDER type than the stored schema would
+    stage files every reader then chokes on."""
+    d = _table(spark, "widen")
+    wide = spark.range(3).selectExpr(
+        "id AS k",
+        "CAST(id AS DECIMAL(13,2)) AS v",  # table stores LONG
+        "id * 3 AS w",
+        "'u' AS op",
+        "1 AS seq",
+    )
+    with pytest.raises(ValueError, match="types must match"):
+        merge_cow(spark, d, wide, key_col="k", generation=2)
+    assert read_manifest(d)["generation"] == 1
