@@ -3218,3 +3218,109 @@ def s40_rename_drop_evolution(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "s41_catalog_transaction",
+    oracle="""
+WITH cust AS (
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer WHERE c_nationkey <> 3
+    GROUP BY c_nationkey
+),
+ords AS (
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey <> 3
+    GROUP BY c.c_nationkey
+)
+SELECT cust.c_nationkey AS nationkey, n_cust, total_bal, n_orders
+FROM cust JOIN ords ON cust.c_nationkey = ords.c_nationkey
+ORDER BY nationkey
+""",
+    doc="S41: multi-table ATOMIC transactions — the catalog layer real "
+    "lakehouses put above per-table atomicity (Iceberg's catalog pointer, "
+    "Delta's commit coordinator), as a versioned pointer mapping table "
+    "name -> committed generation (sources/catalog.py): each table's new "
+    "generation commits FIRST through its own manifest chain (durable but "
+    "uncoordinated), and the transaction commits by swapping the catalog "
+    "pointer to an immutable snapshot naming every table's generation — "
+    "catalog readers (read_table resolves through the snapshot's as-of "
+    "generation, never the table's own pointer) see ALL of a "
+    "transaction's tables or NONE, so a reader racing a two-table "
+    "transaction can never observe table A updated and table B not "
+    "(pytest pins the mid-transaction read). The swap is the same CAS "
+    "discipline one level up: version reservation by os.link, "
+    "expected-version re-validation under the lock, CommitConflictError "
+    "for the loser; naming a generation with no committed manifest "
+    "refuses BEFORE anything moves (the catalog only NAMES durable "
+    "state). Catalog versions are immutable and time-travelable — a "
+    "cross-TABLE consistent snapshot of the whole lake at any retained "
+    "version — and retention composes with table gc via "
+    "protected_generations (the union of generations named by retained "
+    "versions, passed as gc's keep_generations — pytest pins that a "
+    "catalog-referenced old generation survives gc(0.0) and dangles "
+    "without it). The lifecycle here: txn 1 publishes two derived tables "
+    "(per-nation customer stats; per-nation order counts via the "
+    "customer join) and commits them as one catalog version; txn 2 "
+    "applies a consistent change to BOTH (nation 3 leaves the corpus) "
+    "and commits again; the query joins the two tables AT the current "
+    "catalog version. The oracle recomputes both aggregates and the join "
+    "declaratively — hash-green proves the catalog resolved one "
+    "consistent pair. At 100 TB: a transaction costs its tables' own "
+    "commits plus ONE O(tables) pointer swap, and every catalog version "
+    "is a free consistent snapshot of the lake "
+    "(tests/test_catalog.py pins atomicity, CAS, ghost-generation "
+    "refusal, version travel, and gc interplay).",
+)
+def s41_catalog_transaction(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import publish
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cat = _scratch(sf_dir, "s41cat")
+    shutil.rmtree(cat, ignore_errors=True)
+    C.init(cat)
+
+    def derived(base):
+        by_cust = base.groupBy("c_nationkey").agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+        )
+        by_orders = (
+            orders.join(base, orders.o_custkey == base.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").cast("bigint").alias("n_orders"))
+        )
+        return by_cust, by_orders
+
+    # txn 1: both derived tables from the full snapshot, ONE catalog commit
+    by_cust, by_orders = derived(cust)
+    publish(by_cust, C.table_dir(cat, "cust_stats"), 1)
+    publish(by_orders, C.table_dir(cat, "order_stats"), 1)
+    C.commit(cat, {"cust_stats": 1, "order_stats": 1})
+
+    # txn 2: nation 3 leaves the corpus — BOTH tables must flip together
+    by_cust2, by_orders2 = derived(cust.filter(F.col("c_nationkey") != 3))
+    publish(by_cust2, C.table_dir(cat, "cust_stats"), 2)
+    publish(by_orders2, C.table_dir(cat, "order_stats"), 2)
+    C.commit(cat, {"cust_stats": 2, "order_stats": 2})
+
+    a = C.read_table(spark, cat, "cust_stats")
+    b = C.read_table(spark, cat, "order_stats")
+    return (
+        a.join(b, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "n_cust",
+            "total_bal",
+            "n_orders",
+        )
+        .orderBy("nationkey")
+    )

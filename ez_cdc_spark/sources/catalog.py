@@ -1,0 +1,223 @@
+"""S41: multi-table atomic transactions — a versioned CATALOG over
+manifest tables.
+
+The manifest family (manifest.py) makes each TABLE's commit atomic; this
+module adds the layer real lakehouses put above that — the catalog
+(Iceberg's REST/Hive catalog pointer, Delta's commit coordinator): a
+single versioned pointer mapping table name → committed generation, so a
+transaction touching SEVERAL tables becomes visible in ONE atomic swap.
+
+    catalog_dir/
+      tables/<name>/          ordinary manifest tables (manifest.py owns them)
+      _versions/v-<V>.json    immutable catalog snapshots: {"tables": {...}}
+      _CATALOG                pointer: {"current": "v-<V>.json"}
+
+The commit protocol mirrors real systems exactly: each table's new
+generation commits FIRST through its own manifest chain (data staged,
+per-table pointer moved — those commits are durable but UNCOORDINATED),
+and the transaction commits by swapping the catalog pointer to a snapshot
+naming every table's new generation. Catalog READERS resolve tables
+through the snapshot (``read_table`` → ``read_committed(as_of=...)``), so
+they see all of a transaction's tables or none of it — a reader racing a
+two-table transaction can never observe table A updated and table B not.
+The per-table pointers remain the tables' own latest state (useful for
+single-table tooling); the catalog is the cross-table consistency
+boundary, which is exactly the Iceberg contract (table metadata files
+exist on disk before the catalog swap makes them the table).
+
+Concurrency: the catalog swap re-validates ``expected_version`` under the
+same short lock discipline as the manifest pointer (CAS; a concurrent
+transaction raises CommitConflictError and the loser re-derives).
+Catalog versions are immutable and time-travelable — a cross-TABLE
+consistent snapshot of the whole lake at any retained version.
+
+Retention composes with per-table gc through ``protected_generations``:
+every generation named by any retained catalog version must survive
+table-level gc, so catalog maintenance resolves the union per table and
+passes it through (``manifest.gc(keep_generations=...)``).
+
+At 100 TB the catalog holds one small JSON per version — O(tables), not
+O(files) — and a transaction costs its tables' own commits plus one
+pointer swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ez_cdc_spark.sources.manifest import (
+    CommitConflictError,
+    _acquire_pointer_lock,
+    _fsync_dir,
+    _release_pointer_lock,
+    read_committed,
+)
+
+_POINTER = "_CATALOG"
+_VER_RE = re.compile(r"v-(\d+)(?:\.json)?$")
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def table_dir(catalog_dir: str, name: str) -> str:
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid table name {name!r}")
+    return os.path.join(catalog_dir, "tables", name)
+
+
+def _version_path(catalog_dir: str, version: int) -> str:
+    return os.path.join(catalog_dir, "_versions", f"v-{version}.json")
+
+
+def current_version(catalog_dir: str) -> int | None:
+    try:
+        with open(os.path.join(catalog_dir, _POINTER)) as fh:
+            m = _VER_RE.search(json.load(fh)["current"])
+            return int(m.group(1)) if m else None
+    except FileNotFoundError:
+        return None
+
+
+def snapshot(catalog_dir: str, version: int | None = None) -> dict:
+    """The catalog snapshot — {'version': V, 'tables': {name: generation}}.
+    ``version`` time-travels to any retained catalog version (immutable,
+    like generation manifests); default resolves the pointer."""
+    if version is None:
+        with open(os.path.join(catalog_dir, _POINTER)) as fh:
+            name = json.load(fh)["current"]
+    else:
+        name = f"v-{version}.json"
+    with open(os.path.join(catalog_dir, "_versions", name)) as fh:
+        return json.load(fh)
+
+
+def commit(
+    catalog_dir: str,
+    updates: dict[str, int],
+    expected_version: int | None = None,
+    _auto: bool = True,
+) -> dict:
+    """Commit a catalog version: the current snapshot's table map with
+    ``updates`` (table name → new committed generation) folded in, made
+    visible in ONE atomic pointer swap. Each named generation's manifest
+    must already exist in the table's own chain (the per-table commits
+    happened first — the two-layer protocol in the module docstring);
+    a missing manifest refuses BEFORE anything moves. CAS: the committed
+    version must still be ``expected_version`` (captured at call time by
+    default) at the swap, else CommitConflictError — the standard
+    optimistic loop, one level up."""
+    if expected_version is None and _auto:
+        expected_version = current_version(catalog_dir)
+    prev = snapshot(catalog_dir) if expected_version is not None else {"tables": {}}
+    tables = {**prev.get("tables", {})}
+    for name, gen in sorted(updates.items()):
+        td = table_dir(catalog_dir, name)
+        mpath = os.path.join(td, "_manifests", f"gen-{gen}.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"table {name!r} has no committed manifest gen-{gen}: commit "
+                f"the table first — the catalog only NAMES durable state"
+            )
+        tables[name] = gen
+    version = (expected_version or 0) + 1
+    snap = {"version": version, "tables": tables}
+
+    vdir = os.path.join(catalog_dir, "_versions")
+    os.makedirs(vdir, exist_ok=True)
+    vpath = _version_path(catalog_dir, version)
+    vtmp = os.path.join(vdir, f".v-{version}.json.{uuid.uuid4().hex}.tmp")
+    with open(vtmp, "w") as fh:
+        json.dump(snap, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(vtmp, vpath)  # one writer owns v-N (manifest.py's reservation)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"catalog version {version} already committed by a concurrent "
+            f"transaction: re-derive from the new snapshot and retry"
+        ) from None
+    finally:
+        os.unlink(vtmp)
+    _fsync_dir(vdir)
+
+    fd = _acquire_pointer_lock(catalog_dir)
+    try:
+        cur = current_version(catalog_dir)
+        if cur != expected_version:
+            try:
+                os.unlink(vpath)
+            except FileNotFoundError:
+                pass
+            _fsync_dir(vdir)
+            raise CommitConflictError(
+                f"catalog advanced to version {cur} while this transaction "
+                f"was building on {expected_version}: commit rejected, "
+                f"re-derive and retry"
+            )
+        ptmp = os.path.join(catalog_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
+        with open(ptmp, "w") as fh:
+            json.dump({"current": f"v-{version}.json"}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptmp, os.path.join(catalog_dir, _POINTER))  # THE commit
+        _fsync_dir(catalog_dir)
+    finally:
+        _release_pointer_lock(catalog_dir, fd)
+    return snap
+
+
+def init(catalog_dir: str) -> dict:
+    """Create an empty catalog (version 1, no tables). Refuses an existing
+    one — a catalog pointer is never re-initialized over live state."""
+    if current_version(catalog_dir) is not None:
+        raise FileExistsError(f"catalog already initialized at {catalog_dir}")
+    os.makedirs(catalog_dir, exist_ok=True)
+    return commit(catalog_dir, {}, expected_version=None, _auto=False)
+
+
+def read_table(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a table AS OF a catalog version (default: current) — the
+    cross-table consistent read: two read_table calls at the same version
+    can never straddle a transaction."""
+    snap = snapshot(catalog_dir, version)
+    if name not in snap["tables"]:
+        raise KeyError(f"table {name!r} not in catalog version {snap['version']}")
+    return read_committed(
+        spark, table_dir(catalog_dir, name), as_of_generation=snap["tables"][name]
+    )
+
+
+def protected_generations(
+    catalog_dir: str, retain_versions: int | None = None
+) -> dict[str, set[int]]:
+    """Per table, the generations named by retained catalog versions (the
+    newest ``retain_versions``, or all) — the set per-table gc must keep:
+    pass as ``manifest.gc(..., keep_generations=protected[name])`` during
+    catalog maintenance so a catalog-referenced snapshot never dangles."""
+    vdir = os.path.join(catalog_dir, "_versions")
+    versions = sorted(
+        int(m.group(1))
+        for f in (os.listdir(vdir) if os.path.isdir(vdir) else [])
+        if (m := _VER_RE.search(f)) and not f.startswith(".")
+    )
+    if retain_versions is not None:
+        versions = versions[-retain_versions:]
+    out: dict[str, set[int]] = {}
+    for v in versions:
+        try:
+            snap = snapshot(catalog_dir, v)
+        except (OSError, ValueError):
+            continue
+        for name, gen in snap.get("tables", {}).items():
+            out.setdefault(name, set()).add(gen)
+    return out

@@ -3079,7 +3079,11 @@ def _newest_mtime(path: str) -> float:
     return newest
 
 
-def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
+def gc(
+    table_dir: str,
+    older_than_s: float | None = None,
+    keep_generations=None,
+) -> list[str]:
     """Garbage-collect unreferenced generations: delete every data/gen-*
     directory and _manifests/gen-*.json NOT named by the current pointer.
 
@@ -3221,6 +3225,17 @@ def gc(table_dir: str, older_than_s: float | None = None) -> list[str]:
             )
         except (OSError, ValueError):
             continue  # head manifest vanished mid-gc — nothing to protect
+
+    # caller-pinned generations (S41: a catalog version naming an OLD
+    # generation of this table must keep resolving until the catalog
+    # itself expires that version — catalog.protected_generations feeds
+    # this): protected exactly like branch heads
+    for g in keep_generations or ():
+        keep_manifests.add(f"gen-{g}.json")
+        try:
+            keep_dirs |= _gen_dirs(committed_files(table_dir, as_of_generation=g))
+        except (OSError, ValueError):
+            continue  # already gone — nothing to protect
 
     deleted: list[str] = []
     for d in candidates:
