@@ -2599,3 +2599,70 @@ def t38_lakehouse_wap_sink(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id")
+
+
+@register(
+    "t39_catalog_fanout_sink",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+),
+log_counts AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(lsn) AS BIGINT) AS max_log_lsn
+  FROM (SELECT DISTINCT id, lsn FROM env)
+  GROUP BY id
+)
+SELECT l.id, l.lsn, l.email, c.n_events, c.max_log_lsn
+FROM latest l JOIN log_counts c ON l.id = c.id
+WHERE l.op <> 'd'
+ORDER BY l.id
+""",
+    doc="T39: multi-sink exactly-once fan-out — ONE CDC stream maintaining "
+    "TWO downstream tables (current state by id; keyed event log by lsn), "
+    "published atomically per micro-batch through an S41 catalog "
+    "transaction (streaming/cdc.py:catalog_fanout_batch): both tables "
+    "commit through their own manifest chains first (ordinary merge_cow "
+    "commits — the log is keyed by lsn so redelivery is idempotent BY "
+    "VALUE for both), then ONE catalog pointer swap names both new "
+    "generations with the sink's (tag, batch_id) watermark folded into "
+    "the SNAPSHOT itself. The watermark advancing exactly at publication "
+    "is the load-bearing design: a crash after either table commit but "
+    "before the swap leaves it untouched, the redelivered batch re-runs "
+    "both merges (new generations, same content) and re-publishes — so "
+    "the cross-table invariant holds at EVERY catalog version: the state "
+    "table IS the last-event-wins fold of the log table, which t30's "
+    "single-table commits cannot promise about a sibling (pinned "
+    "version-by-version plus crash-window and kill/restart in "
+    "tests/test_cdc_goldens.py). The log absorbs the stream's duplicate "
+    "envelopes by keying on lsn (the oracle counts DISTINCT (id, lsn)). "
+    "The result joins the final state with per-id event counts from the "
+    "log AT the same catalog version. At 100 TB: N mutually-consistent "
+    "downstream tables cost O(tables) metadata per batch with no "
+    "distributed transaction — the catalog swap is the only coordination "
+    "point.",
+)
+def t39_catalog_fanout_sink(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_catalog_fanout
+
+    state, log = materialize_catalog_fanout(spark, sf_dir)
+    counts = log.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("lsn").cast("bigint").alias("max_log_lsn"),
+    )
+    return (
+        state.join(counts, "id")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("lsn").cast("bigint").alias("lsn"),
+            "email",
+            "n_events",
+            "max_log_lsn",
+        )
+        .orderBy("id")
+    )

@@ -95,10 +95,20 @@ def snapshot(catalog_dir: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def txn_watermark(snap: dict, tag) -> dict | None:
+    """A sink's replay watermark from a catalog snapshot (the manifest
+    txns map one level up): recorded by ``commit(txn=...)``, advanced
+    EXACTLY at publication — a crash between the per-table commits and
+    the catalog swap leaves the watermark untouched, so the redelivered
+    batch re-runs its (idempotent, keyed) table writes and re-publishes."""
+    return (snap.get("txns") or {}).get(str(tag))
+
+
 def commit(
     catalog_dir: str,
     updates: dict[str, int],
     expected_version: int | None = None,
+    txn: dict | None = None,
     _auto: bool = True,
 ) -> dict:
     """Commit a catalog version: the current snapshot's table map with
@@ -125,6 +135,15 @@ def commit(
         tables[name] = gen
     version = (expected_version or 0) + 1
     snap = {"version": version, "tables": tables}
+    # per-writer watermarks carry across every commit and fold this
+    # commit's tagged txn in — the manifest _fold_txns contract, one
+    # level up (a transaction's watermark must advance atomically WITH
+    # the tables it published)
+    txns = dict(prev.get("txns") or {})
+    if txn and "tag" in txn:
+        txns[str(txn["tag"])] = {k: v for k, v in txn.items() if k != "tag"}
+    if txns:
+        snap["txns"] = txns
 
     vdir = os.path.join(catalog_dir, "_versions")
     os.makedirs(vdir, exist_ok=True)

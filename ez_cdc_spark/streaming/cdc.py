@@ -1716,6 +1716,157 @@ def materialize_lakehouse_wap(
     return read_committed(spark, table_dir)
 
 
+def catalog_fanout_batch(
+    catalog_dir: str,
+    tag: str = "t39",
+    state_table: str = "state",
+    log_table: str = "events_log",
+):
+    """T39 foreachBatch: ONE CDC stream maintaining TWO tables — the
+    current state (t30's keyed merge) and a keyed event log — published
+    atomically per micro-batch through an S41 catalog transaction:
+
+    * both tables commit through their OWN manifest chains first (each an
+      ordinary merge_cow — the log is keyed by lsn, so re-applying a
+      redelivered batch is idempotent BY VALUE for both tables);
+    * the batch becomes visible in ONE catalog pointer swap naming both
+      new generations, with the sink's (tag, batch_id) watermark folded
+      into the SNAPSHOT — the watermark advances exactly at publication,
+      so a crash after either table commit but before the swap leaves it
+      untouched and the redelivered batch re-runs both merges (new
+      generations, same content) and re-publishes;
+    * a catalog reader therefore always sees a CONSISTENT pair: the state
+      table IS the last-event-wins fold of the log table at every
+      catalog version (the cross-table invariant t30 alone cannot offer —
+      its single-table commits say nothing about a sibling table's
+      progress), pinned version-by-version in tests/test_cdc_goldens.py.
+
+    At 100 TB this is the multi-sink exactly-once story: N downstream
+    tables of one stream stay mutually consistent at O(tables) metadata
+    cost per batch, without distributed transactions — the catalog swap
+    is the only coordination point."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources import catalog as C
+        from ez_cdc_spark.sources.manifest import current_generation, merge_cow
+
+        spark = batch.sparkSession
+        snap = C.snapshot(catalog_dir)
+        wm = C.txn_watermark(snap, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return  # already published atomically — skip whole
+        state_changes = batch.select(
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.col("after.first_name").alias("first_name"),
+            F.col("after.last_name").alias("last_name"),
+            F.col("after.email").alias("email"),
+            F.col("op").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        )
+        log_changes = batch.select(
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("op").alias("op_code"),
+            F.col("after.email").alias("email"),
+            F.lit("c").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        )
+
+        def _merge(table, changes, key):
+            td = C.table_dir(catalog_dir, table)
+            gen = (current_generation(td) or 0) + 1
+            for _ in range(100):
+                try:
+                    merge_cow(spark, td, changes, key_col=key, generation=gen)
+                    return gen
+                except FileExistsError:
+                    gen += 1  # crashed attempt's orphan — skip over
+            raise RuntimeError(f"no free generation number near {gen}")
+
+        gen_state = _merge(state_table, state_changes, "id")
+        gen_log = _merge(log_table, log_changes, "lsn")
+        C.commit(
+            catalog_dir,
+            {state_table: gen_state, log_table: gen_log},
+            txn={"tag": tag, "batch_id": batch_id},
+        )
+
+    return apply
+
+
+def materialize_catalog_fanout(
+    spark: SparkSession, sf_dir: str, tag: str = "t39"
+) -> tuple[DataFrame, DataFrame]:
+    """T39 end-to-end: lsn-split envelope replay → per-batch two-table
+    merges + one catalog transaction each → (state, log) DataFrames read
+    AT the final catalog version (the consistent pair)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import publish
+
+    catalog_dir = _dir_for(sf_dir, f"catalog-fanout-{tag}-{os.getpid()}")
+    if os.path.exists(catalog_dir):
+        shutil.rmtree(catalog_dir)
+    C.init(catalog_dir)
+    state_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    log_schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("id", LongType()),
+            StructField("op_code", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(
+        spark.createDataFrame([], state_schema),
+        C.table_dir(catalog_dir, "state"),
+        generation=1,
+        stats_columns=["id"],
+    )
+    publish(
+        spark.createDataFrame([], log_schema),
+        C.table_dir(catalog_dir, "events_log"),
+        generation=1,
+        stats_columns=["lsn"],
+    )
+    C.commit(catalog_dir, {"state": 1, "events_log": 1})
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    q = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .writeStream.foreachBatch(catalog_fanout_batch(catalog_dir, tag))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        C.read_table(spark, catalog_dir, "state"),
+        C.read_table(spark, catalog_dir, "events_log"),
+    )
+
+
 def _run_lakehouse_restore(
     spark: SparkSession,
     sf_dir: str,

@@ -3298,3 +3298,183 @@ def test_t38_crash_before_publish_republishes_from_fresh_branch(
         elif not str(ev["after"].get("email", "")).startswith("corrupt-"):
             state[key] = (ev["source"]["lsn"], ev["after"]["email"])
     assert got == state and len(got) > 0
+
+
+def test_t39_every_catalog_version_is_a_consistent_pair(spark, tmp_path, sf_dir):
+    """The t39 headline: at EVERY catalog version, the state table equals
+    the last-event-wins fold of the log table AT THAT VERSION — the
+    cross-table consistency single-table commits cannot promise — plus
+    kill+restart convergence and replay idempotence."""
+    import time
+
+    from pyspark.sql import functions as F  # noqa: N812
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import publish
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        catalog_fanout_batch,
+        envelopes_jsonl_lsn_split,
+    )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    cd = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    C.init(cd)
+    state_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    log_schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("id", LongType()),
+            StructField("op_code", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], state_schema), C.table_dir(cd, "state"), 1, stats_columns=["id"])
+    publish(spark.createDataFrame([], log_schema), C.table_dir(cd, "events_log"), 1, stats_columns=["lsn"])
+    C.commit(cd, {"state": 1, "events_log": 1})
+    base_version = C.current_version(cd)
+
+    def start():
+        return (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+            .writeStream.foreachBatch(catalog_fanout_batch(cd, tag="t39kill"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress, "first micro-batch never published"
+    stop_and_await(q)
+    q2 = start()
+    q2.awaitTermination()
+
+    # the invariant, at EVERY published version: state == fold(log)
+    final_version = C.current_version(cd)
+    assert final_version > base_version
+    for v in range(base_version, final_version + 1):
+        state = {
+            r["id"]: (r["lsn"], r["email"])
+            for r in C.read_table(spark, cd, "state", version=v).collect()
+        }
+        log = C.read_table(spark, cd, "events_log", version=v)
+        folded = {
+            r["id"]: (r["lsn"], r["email"])
+            for r in log.groupBy("id")
+            .agg(
+                F.max_by(F.struct("op_code", "email"), "lsn").alias("last"),
+                F.max("lsn").alias("lsn"),
+            )
+            .filter("last.op_code <> 'd'")
+            .select("id", "lsn", F.col("last.email").alias("email"))
+            .collect()
+        }
+        assert state == folded, f"catalog version {v} pair inconsistent"
+    assert len(state) > 0
+
+    # replay idempotence: re-running the last published batch is a no-op
+    import os
+
+    snap = C.snapshot(cd)
+    last_bid = C.txn_watermark(snap, "t39kill")["batch_id"]
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    replay = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        os.path.join(path, stage_files[-1])
+    )
+    catalog_fanout_batch(cd, tag="t39kill")(replay, last_bid)
+    assert C.current_version(cd) == snap["version"]
+
+
+def test_t39_crash_between_table_commits_and_catalog_swap(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """The crash window: both tables' chains advanced but the catalog
+    never swapped — readers still see the old consistent pair, the
+    watermark is untouched, and the redelivered batch re-merges (new
+    generations, same content) and publishes."""
+    import os
+
+    import ez_cdc_spark.sources.catalog as C
+    from ez_cdc_spark.sources.manifest import current_generation, publish
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        catalog_fanout_batch,
+        envelopes_jsonl_lsn_split,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    cd = str(tmp_path / "catcrash")
+    C.init(cd)
+    state_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("first_name", StringType()),
+            StructField("last_name", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    log_schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("id", LongType()),
+            StructField("op_code", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], state_schema), C.table_dir(cd, "state"), 1, stats_columns=["id"])
+    publish(spark.createDataFrame([], log_schema), C.table_dir(cd, "events_log"), 1, stats_columns=["lsn"])
+    C.commit(cd, {"state": 1, "events_log": 1})
+    v0 = C.current_version(cd)
+
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    batch0 = spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+        os.path.join(path, stage_files[0])
+    )
+
+    real_commit = C.commit
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the catalog swap")
+
+    monkeypatch.setattr(C, "commit", boom)
+    try:
+        catalog_fanout_batch(cd, tag="t39crash")(batch0, 0)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(C, "commit", real_commit)
+
+    # tables advanced, catalog did not: readers still get the OLD pair
+    assert current_generation(C.table_dir(cd, "state")) == 2
+    assert C.current_version(cd) == v0
+    assert C.read_table(spark, cd, "state").count() == 0
+    assert C.txn_watermark(C.snapshot(cd), "t39crash") is None
+
+    # redelivery re-merges (fresh generations) and publishes atomically
+    catalog_fanout_batch(cd, tag="t39crash")(batch0, 0)
+    snap = C.snapshot(cd)
+    assert C.txn_watermark(snap, "t39crash") == {"batch_id": 0}
+    n_state = C.read_table(spark, cd, "state").count()
+    n_log = C.read_table(spark, cd, "events_log").count()
+    assert n_state > 0 and n_log >= n_state
