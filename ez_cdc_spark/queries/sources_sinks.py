@@ -3324,3 +3324,83 @@ def s41_catalog_transaction(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "s42_hidden_partitioning",
+    oracle="""
+WITH bounds AS (
+    SELECT MIN(ts) + INTERVAL 2 DAY AS lo, MIN(ts) + INTERVAL 5 DAY AS hi
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_eid,
+       CAST(MAX(event_id) AS BIGINT) AS max_eid
+FROM events, bounds
+WHERE ts >= lo AND ts <= hi
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="S42: HIDDEN partitioning — Iceberg's partition transforms over "
+    "the manifest family (sources/manifest.py:publish_hidden_partitioned/"
+    "read_transform_pruned): the table partitions by a DERIVED value "
+    "(days(ts) here; bucket(n, col) and truncate(w, col) are the other "
+    "registered kinds, pytest-pinned) computed from a data column, the "
+    "transform spec lives in the manifest, and the derived column never "
+    "joins the logical schema — readers filter the SOURCE column and the "
+    "read path maps the predicate through the transform to the "
+    "admissible partition-value set, pruning from manifest metadata "
+    "alone (no listing, no footer reads), then applies the exact "
+    "predicate and hides the physical column. This closes Hive-style "
+    "partitioning's two operational traps: a query filtering ts instead "
+    "of the derived ts_day silently full-scans, and the derived column "
+    "leaks into every SELECT *. Bucket point-lookups hash through the "
+    "SAME Spark expression the writer used AT THE STORED TYPE "
+    "(xxhash64 is input-type-sensitive — an int literal and a bigint "
+    "column hash differently; the reader casts through the manifest "
+    "schema so writer/reader bucketing can never skew). Unbounded cases "
+    "(a range over a bucket transform) keep every file — conservative, "
+    "never wrong. The lifecycle: events publishes days(ts)-partitioned; "
+    "the query aggregates a 3-day window derived from min(ts) — pytest "
+    "asserts the scan touches exactly the window's day-partitions. At "
+    "100 TB: time-windowed scans of an event lake touch O(window) "
+    "partitions decided from one JSON read, and the partitioning can "
+    "never be defeated by a user forgetting the derived column "
+    "(tests/test_hidden_partitioning.py pins pruning exactness per "
+    "transform kind, the type-sensitive bucket probe, and the "
+    "conservative fallback).",
+)
+def s42_hidden_partitioning(spark, sf_dir):
+    import datetime as dt
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        publish_hidden_partitioned,
+        read_transform_pruned,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", dec("value").alias("value")
+    )
+    table_dir = _scratch(sf_dir, "s42hidden")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish_hidden_partitioned(
+        ev, table_dir, generation=1, transform=("days", "ts", None)
+    )
+
+    min_ts = ev.agg(F.min("ts")).first()[0]
+    lo = min_ts + dt.timedelta(days=2)
+    hi = min_ts + dt.timedelta(days=5)
+    return (
+        read_transform_pruned(spark, table_dir, lo, hi)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").cast("double").alias("total_value"),
+            F.min("event_id").cast("bigint").alias("min_eid"),
+            F.max("event_id").cast("bigint").alias("max_eid"),
+        )
+        .orderBy("event_type")
+    )

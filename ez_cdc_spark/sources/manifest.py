@@ -820,6 +820,171 @@ def publish_partitioned(
     )
 
 
+_TRANSFORMS = ("days", "bucket", "truncate")
+
+
+def _transform_col(kind: str, source: str, param: int | None):
+    """The derived partition expression for a hidden-partition transform
+    (S42) — rendered as STRING because Hive directory names are strings
+    and the manifest's partition map records exactly those."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    col = F.col(source)
+    if kind == "days":
+        return F.date_format(col, "yyyy-MM-dd")
+    if kind == "bucket":
+        return F.pmod(F.xxhash64(col), F.lit(param)).cast("string")
+    if kind == "truncate":
+        return (col - F.pmod(col, F.lit(param))).cast("string")
+    raise ValueError(f"unknown transform {kind!r} (have {_TRANSFORMS})")
+
+
+def publish_hidden_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    generation: int,
+    transform: tuple,
+    stats_columns: list[str] | None = None,
+    txn: dict | None = None,
+) -> dict:
+    """S42: HIDDEN partitioning — Iceberg's partition transforms
+    (days(ts), bucket(n, col), truncate(w, col)) over the manifest
+    family: the table partitions by a DERIVED value computed from a data
+    column, the transform spec is recorded in the manifest
+    (``partition_transform``), and the derived column never becomes part
+    of the logical schema — readers query the SOURCE column and
+    :func:`read_transform_pruned` maps the predicate through the
+    transform to a partition-value set, pruning from manifest metadata
+    alone. This closes Hive-style partitioning's two operational traps:
+    queries silently full-scanning because the user filtered ``ts``
+    instead of the derived ``ts_day`` column, and the derived column
+    leaking into every SELECT *. ``transform`` is (kind, source_col,
+    param): ``("days", "ts", None)``, ``("bucket", "k", 16)``,
+    ``("truncate", "k", 100)``."""
+    kind, source, param = transform
+    if kind not in _TRANSFORMS:
+        raise ValueError(f"unknown transform {kind!r} (have {_TRANSFORMS})")
+    if source not in df.columns:
+        raise ValueError(f"transform source column {source!r} not in DataFrame")
+    pname = f"_p_{kind}_{source}"
+    staged = df.withColumn(pname, _transform_col(kind, source, param))
+    return publish_partitioned(
+        staged,
+        table_dir,
+        generation,
+        partition_col=pname,
+        stats_columns=stats_columns,
+        txn=txn,
+        lineage={
+            "partition_transform": {
+                "kind": kind,
+                "source": source,
+                "param": param,
+                "column": pname,
+            }
+        },
+    )
+
+
+def _admissible_partitions(tr: dict, lo, hi) -> list[str] | None:
+    """The partition values a [lo, hi] predicate on the SOURCE column can
+    possibly touch, computed driver-side from the transform spec alone —
+    None means 'cannot bound' (caller falls back to a full file list;
+    pruning stays conservative, never wrong)."""
+    import datetime as _dt
+
+    kind, param = tr["kind"], tr.get("param")
+    if kind == "days":
+        # datetime is a date SUBCLASS — check it first, or .isoformat()
+        # would render timestamps and match no directory value
+        d_lo = lo.date() if isinstance(lo, _dt.datetime) else lo
+        d_hi = hi.date() if isinstance(hi, _dt.datetime) else hi
+        out, d = [], d_lo
+        while d <= d_hi:
+            out.append(d.isoformat())
+            d += _dt.timedelta(days=1)
+        return out
+    if kind == "truncate":
+        start = int(lo) - int(lo) % param
+        return [str(v) for v in range(start, int(hi) + 1, param)]
+    if kind == "bucket":
+        # a range says nothing about hash buckets; only a POINT prunes
+        return None if lo != hi else None  # resolved by the caller via Spark
+    return None
+
+
+def read_transform_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    lo,
+    hi,
+    as_of_generation: int | None = None,
+) -> DataFrame:
+    """S42 read path: resolve the transform spec, map the [lo, hi]
+    predicate on the SOURCE column to the admissible partition-value set,
+    keep only those files (manifest metadata alone — no listing, no
+    footer reads), apply the EXACT predicate on the source column, and
+    hide the derived partition column from the result. A point lookup on
+    a bucket transform (lo == hi) hashes the value through the SAME Spark
+    expression the writer used, so writer/reader bucketing can never
+    skew. Unknown/unbounded cases keep every file — conservative, never
+    wrong."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    manifest = read_manifest(table_dir, as_of_generation)
+    _require_cow(manifest, "read_transform_pruned")
+    tr = manifest.get("partition_transform")
+    if tr is None:
+        raise ValueError(
+            f"{table_dir} has no partition_transform: use read_pruned / "
+            f"read_committed_partitions for explicit partitioning"
+        )
+    if tr["kind"] == "bucket" and lo == hi:
+        # hash the point through the SAME expression the writer used, at
+        # the STORED column type (xxhash64 is input-type-sensitive: an
+        # int literal and a bigint column hash differently)
+        src_type = next(
+            f["type"]
+            for f in manifest["schema"]["fields"]
+            if f["name"] == tr["source"]
+        )
+        probe = spark.sql(
+            f"SELECT CAST(pmod(xxhash64(CAST(? AS {src_type})), "
+            f"{int(tr['param'])}) AS STRING) AS v",
+            args=[lo],
+        )
+        admissible = [probe.first()["v"]]
+    else:
+        admissible = _admissible_partitions(tr, lo, hi)
+    partitions = manifest.get("partitions", {})
+    if admissible is None:
+        kept = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    else:
+        wanted = set(admissible)
+        kept = [
+            os.path.join(table_dir, rel)
+            for rel in manifest["files"]
+            if partitions.get(rel) in wanted
+        ]
+    src = tr["source"]
+    out = _read_files(spark, manifest, table_dir, kept)
+    return out.filter(
+        (F.col(src) >= F.lit(lo)) & (F.col(src) <= F.lit(hi))
+    ).drop(tr["column"])
+
+
+def read_hidden(
+    spark: SparkSession, table_dir: str, as_of_generation: int | None = None
+) -> DataFrame:
+    """Full read of a hidden-partitioned table with the derived partition
+    column dropped — SELECT * shows the LOGICAL schema only (the Iceberg
+    contract; the physical layout is the table's business)."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    tr = manifest.get("partition_transform")
+    df = read_committed(spark, table_dir, as_of_generation)
+    return df.drop(tr["column"]) if tr else df
+
+
 def read_committed_partitions(
     spark: SparkSession,
     table_dir: str,
