@@ -1237,3 +1237,70 @@ def test_s36c_partitioned_mor_plan_no_cartesian(spark, sf_smoke):
     df = load_all()["s36c_merge_on_read_partitioned"].fn(spark, sf_smoke)
     assert_no_cartesian(df)
     assert "c_mktsegment" in plan_str(df)
+
+
+def test_s40_epoch_read_pushes_filters_into_every_era_scan(spark):
+    """The epoch-mapped read (s40) must not cost pushdown: a filter on a
+    surviving column reaches the parquet scan of EVERY era group (each
+    group is an ordinary explicit-schema scan; the union is above them),
+    and the per-era physical column binds under its own name."""
+    import shutil
+
+    from ez_cdc_spark.plans.assertions import assert_no_cartesian, plan_str
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        publish_append,
+        read_committed,
+        rename_column,
+    )
+
+    d = "/tmp/ez_cdc_test_plans_epochs"
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(100).selectExpr("id AS k", "id*2 AS v"),
+        d,
+        generation=1,
+        stats_columns=["k"],
+    )
+    rename_column(d, 2, "v", "val")
+    publish_append(
+        spark.range(100, 150).selectExpr("id AS k", "id*2 AS val"), d, 3
+    )
+    df = read_committed(spark, d).filter("k >= 120")
+    p = plan_str(df)
+    assert_no_cartesian(df)
+    # both era scans present, each with the k-filter pushed to parquet
+    assert p.count("PushedFilters: [") >= 2
+    assert p.count("GreaterThanOrEqual(k,120)") >= 2
+    # era 0 reads the OLD physical name; era 1 the new one
+    assert "ReadSchema" in p and "v:" in p and "val:" in p
+
+
+def test_s42_transform_pruned_scan_reads_only_admissible_partitions(spark):
+    """s42's pruning happens BEFORE Spark sees the file list: the plan's
+    scan holds only the admissible partitions' files, and the exact
+    source-column predicate is pushed into that scan."""
+    import shutil
+
+    from ez_cdc_spark.plans.assertions import plan_str
+    from ez_cdc_spark.sources.manifest import (
+        publish_hidden_partitioned,
+        read_transform_pruned,
+    )
+
+    d = "/tmp/ez_cdc_test_plans_hidden"
+    shutil.rmtree(d, ignore_errors=True)
+    publish_hidden_partitioned(
+        spark.range(1000).selectExpr("id AS k", "id*2 AS v"),
+        d,
+        1,
+        transform=("truncate", "k", 100),
+    )
+    df = read_transform_pruned(spark, d, 250, 449)
+    files = df.inputFiles()
+    assert files and all(
+        any(f"_p_truncate_k={v}/" in f for v in ("200", "300", "400"))
+        for f in files
+    )
+    p = plan_str(df)
+    assert "GreaterThanOrEqual(k,250)" in p and "LessThanOrEqual(k,449)" in p
