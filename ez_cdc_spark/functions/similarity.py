@@ -470,3 +470,71 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def gram_moments(
+    emb: DataFrame, vec: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """X66: distributed second moments of an embedding corpus — the
+    Gram/covariance building block of PCA and whitening — as ONE map-side
+    numpy accumulation plus a d²-bounded exchange.
+
+    Each partition folds its Arrow batches into a single d×d int64
+    partial (``Mᵀ M`` per batch, summed), emitting only the upper
+    triangle — so the shuffle carries O(partitions · d²) tiny rows,
+    never O(n·d²) exploded pairs (the naive posexplode self-join shape),
+    and the data is touched exactly once. Values are quantized to
+    integers first (``round(v · scale)``): the moments are then EXACT
+    integers, bit-identical across engines and partition layouts — no
+    float-sum ordering hazard at the hash gate. A scale of 1000 on
+    unit-normalized embeddings keeps Σ qᵢqⱼ < 2⁶³ up to ~10¹² rows (and
+    the derived covariance's int→double conversions exact below 2⁵³ —
+    past that, keep the integer moments and divide downstream).
+    Quantization ties (an exact .5) are impossible by construction:
+    k.5/scale has no finite binary representation for scale=1000, so both
+    engines' ROUND agree on every representable input.
+
+    Returns (i, j, n, sum_i, sum_j, dot) for i ≤ j — everything needed
+    for covariance ((n·dot − sum_i·sum_j) / n²), correlation, or a
+    driver-side eigendecomposition of the d×d matrix."""
+    import numpy as np
+
+    wide = widen_partitions(emb.select(F.col(vec).alias("v")))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = None
+        S = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.rint(
+                np.vstack(pdf["v"].to_numpy()).astype("float64") * scale
+            ).astype("int64")
+            G = M.T @ M if G is None else G + M.T @ M
+            S = M.sum(axis=0) if S is None else S + M.sum(axis=0)
+            n += M.shape[0]
+        if G is None:
+            return
+        iu, ju = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "dot": G[iu, ju],
+                "n": np.int64(n),
+                "sum_i": S[iu],
+                "sum_j": S[ju],
+            }
+        )
+
+    parts = wide.mapInPandas(
+        partials,
+        schema="i int, j int, dot long, n long, sum_i long, sum_j long",
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_i").cast("bigint").alias("sum_i"),
+        F.sum("sum_j").cast("bigint").alias("sum_j"),
+        F.sum("dot").cast("bigint").alias("dot"),
+    )

@@ -2588,3 +2588,65 @@ def x2eb_lsh_recall_anchor(spark, sf_dir):
             "recall_ge_090"
         ),
     )
+
+
+@register(
+    "x66_embedding_covariance",
+    oracle="""
+WITH idx AS (SELECT UNNEST(range(1, 65)) AS p),
+q AS (
+    SELECT vec_id, CAST(idx.p - 1 AS INT) AS i,
+           CAST(ROUND(CAST(embedding[idx.p] AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings CROSS JOIN idx
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.q) AS BIGINT) AS sum_i,
+       CAST(SUM(b.q) AS BIGINT) AS sum_j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS dot,
+       CAST(COUNT(*) * SUM(a.q * b.q) - SUM(a.q) * SUM(b.q) AS DOUBLE)
+           / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS cov
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+""",
+    doc="X66: embedding covariance / Gram matrix — the distributed "
+    "second-moment pass PCA, whitening, and ZCA all start from, computed "
+    "the way it must be at 100 TB (functions/similarity.py:gram_moments): "
+    "each partition folds its Arrow batches into ONE d x d int64 numpy "
+    "partial (M^T M per batch, summed) and emits only the upper triangle, "
+    "so the exchange carries O(partitions x d^2) tiny rows and the "
+    "corpus is touched exactly once — never the O(n x d^2) exploded-pair "
+    "shuffle of the posexplode self-join shape (which IS the oracle's "
+    "formulation, deliberately: DuckDB computes the same moments by "
+    "unnest + self-join, so hash-green proves the blocked accumulation "
+    "against an independent algorithm). Exactness is structural, not "
+    "rounded away: values quantize to integers (round(v*1000); ties are "
+    "impossible — k.5/1000 has no finite binary representation — so "
+    "every rounding mode agrees), the moments are exact int64 (safe to "
+    "~10^12 rows at unit norm), and the derived covariance is one IEEE "
+    "division of exactly-converted integers (< 2^53), bit-identical "
+    "across engines and partition layouts. Returns (i, j, n, sum_i, "
+    "sum_j, dot, cov) for i <= j — 2080 rows at d=64, the full input to "
+    "a driver-side eigendecomposition. At 100 TB: one data pass, "
+    "d^2-bounded exchange, zero float-ordering hazard.",
+)
+def x66_embedding_covariance(spark, sf_dir):
+    from ez_cdc_spark.functions.similarity import gram_moments
+
+    emb = t(spark, sf_dir, "embeddings")
+    m = gram_moments(emb, vec="embedding", scale=1000)
+    return m.select(
+        "i",
+        "j",
+        "n",
+        "sum_i",
+        "sum_j",
+        "dot",
+        (
+            (F.col("n") * F.col("dot") - F.col("sum_i") * F.col("sum_j")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("cov"),
+    ).orderBy("i", "j")

@@ -2643,3 +2643,45 @@ def test_s35_change_feed_matches_python_diff(spark, batch):
         for r in change_feed(spark, td, 1, 2, key_col="k").collect()
     }
     assert got == want, (sorted(got - want), sorted(want - got))
+
+
+def test_x66_gram_moments_layout_invariant_and_psd(spark):
+    """gram_moments (x66): the integer moments are EXACTLY invariant to
+    partition layout (the quantize-first design's whole point — no
+    float-sum ordering), agree with a naive driver-side numpy recompute,
+    and the derived covariance matrix is positive semi-definite."""
+    import numpy as np
+
+    from ez_cdc_spark.functions.similarity import gram_moments
+    from ez_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows1 = {
+        (r["i"], r["j"]): (r["n"], r["sum_i"], r["sum_j"], r["dot"])
+        for r in gram_moments(emb).collect()
+    }
+    rows2 = {
+        (r["i"], r["j"]): (r["n"], r["sum_i"], r["sum_j"], r["dot"])
+        for r in gram_moments(emb.repartition(13)).collect()
+    }
+    assert rows1 == rows2  # bit-exact across layouts
+
+    # naive recompute
+    pdf = emb.toPandas()
+    M = np.rint(np.vstack(pdf["embedding"].to_numpy()).astype("float64") * 1000).astype(
+        "int64"
+    )
+    G = M.T @ M
+    S = M.sum(axis=0)
+    n = M.shape[0]
+    d = M.shape[1]
+    for i in range(d):
+        for j in range(i, d):
+            assert rows1[(i, j)] == (n, S[i], S[j], G[i, j]), (i, j)
+
+    # covariance matrix is PSD (a real second-moment matrix)
+    cov = (G * n - np.outer(S, S)) / (n * n)
+    eig = np.linalg.eigvalsh(cov)
+    assert eig.min() > -1e-6
