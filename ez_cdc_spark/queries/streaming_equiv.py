@@ -2666,3 +2666,69 @@ def t39_catalog_fanout_sink(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@register(
+    "t40_catalog_rollback_replay",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(email, lsn) AS email
+  FROM env GROUP BY id
+),
+log_counts AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(lsn) AS BIGINT) AS max_log_lsn
+  FROM (SELECT DISTINCT id, lsn FROM env)
+  GROUP BY id
+)
+SELECT l.id, l.lsn, l.email, c.n_events, c.max_log_lsn
+FROM latest l JOIN log_counts c ON l.id = c.id
+WHERE l.op <> 'd'
+ORDER BY l.id
+""",
+    doc="T40: catalog ROLLBACK through the live fan-out — s37's "
+    "restore-replay contract at LAKE scope (sources/catalog.py:rollback + "
+    "streaming/cdc.py:_run_catalog_fanout_rollback): the t39 two-table "
+    "loop runs to completion, the lake rolls back to the version batch 1 "
+    "published — per-table restore commits rewind BOTH table chains (a "
+    "catalog-pointer-only rollback would leave redelivered merges "
+    "stacking onto un-rolled-back table heads — the composition bug this "
+    "op exists to close), then ONE catalog version names the restored "
+    "generations carrying the TARGET's txn watermarks (commit() would "
+    "carry the current watermarks forward — the silent skip-everything "
+    "loss, s37's data-loss-by-bookkeeping multiplied by the fan-out) — "
+    "and a fresh-checkpoint at-least-once redelivery replays the stream: "
+    "batches at or below the rewound watermark skip without touching "
+    "either table, the un-applied batches re-apply through the same "
+    "transactional loop, and both tables converge together (the "
+    "state == fold(log) invariant holds at every version down the "
+    "rewind and back up; pinned in tests/test_cdc_goldens.py along with "
+    "the carried-watermark counterfactual and the expired-target "
+    "refusal). Hash-green against t39's uninterrupted-replay oracle "
+    "proves convergence. At 100 TB: a bad deploy spanning N downstream "
+    "tables rolls back in O(tables) metadata commits + one swap; "
+    "recovery costs exactly the un-applied churn on each table.",
+)
+def t40_catalog_rollback_replay(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import _run_catalog_fanout_rollback
+
+    state, log = _run_catalog_fanout_rollback(spark, sf_dir)
+    counts = log.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("lsn").cast("bigint").alias("max_log_lsn"),
+    )
+    return (
+        state.join(counts, "id")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("lsn").cast("bigint").alias("lsn"),
+            "email",
+            "n_events",
+            "max_log_lsn",
+        )
+        .orderBy("id")
+    )

@@ -190,6 +190,116 @@ def commit(
     return snap
 
 
+def rollback(catalog_dir: str, to_version: int) -> dict:
+    """S41/T40: catalog ROLLBACK — the s37 restore contract one level up:
+    every table CHAIN rewinds first (per-table restore commits whose
+    content is the target generation's, by reference), then one catalog
+    version names the restored generations with the TARGET's txn
+    watermarks — so every table rewinds together (a lone per-table
+    restore could leave the lake cross-table inconsistent — state rolled
+    back, log not), and the watermark rewind makes a
+    restarted sink re-apply exactly the batches the rollback un-applied
+    across ALL its tables at once (carrying the newer watermarks would
+    skip them silently — s37's data-loss-by-bookkeeping, multiplied by
+    the fan-out). History stays monotonic: the rolled-back versions stay
+    time-travelable until expired, and a rollback is itself a version a
+    later rollback can undo. Refuses an unknown target (the version file
+    must still exist) and a no-op rollback to the current version.
+    Every table generation the target names must still be retained —
+    checked up front so a reader of the new version can never dangle."""
+    from ez_cdc_spark.sources.manifest import (
+        current_generation,
+        restore as table_restore,
+    )
+
+    cur = current_version(catalog_dir)
+    if to_version == cur:
+        raise ValueError(f"catalog already at version {to_version}")
+    target = snapshot(catalog_dir, to_version)  # loud if expired
+    for name, gen in sorted(target.get("tables", {}).items()):
+        mpath = os.path.join(
+            table_dir(catalog_dir, name), "_manifests", f"gen-{gen}.json"
+        )
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"rollback target v{to_version} names {name!r} gen-{gen}, "
+                f"which retention already reclaimed"
+            )
+    # rewind every TABLE CHAIN first (per-table s37 restore commits, each
+    # a by-reference metadata commit that also rewinds the table's own
+    # txn watermarks): sinks merge from the table heads, so a rollback
+    # that moved only the catalog pointer would leave redelivered batches
+    # stacking onto un-rolled-back table state. A crash mid-loop leaves
+    # some tables restored and the catalog pointer untouched — catalog
+    # readers are unaffected and the retried rollback stacks further
+    # (idempotent-by-content) restore commits.
+    restored: dict[str, int] = {}
+    for name, gen in sorted(target.get("tables", {}).items()):
+        td = table_dir(catalog_dir, name)
+        if current_generation(td) == gen:
+            restored[name] = gen  # chain already at the target state
+            continue
+        g_new = (current_generation(td) or 0) + 1
+        for _ in range(100):
+            try:
+                table_restore(td, g_new, as_of_generation=gen)
+                break
+            except FileExistsError:
+                g_new += 1
+        else:
+            raise RuntimeError(f"no free generation number near {g_new}")
+        restored[name] = g_new
+    # one ordinary CAS commit naming the RESTORE generations, with the
+    # TARGET's txn watermarks (the REWIND; commit() would carry the
+    # current version's watermarks forward, which is exactly wrong here)
+    prev = snapshot(catalog_dir)
+    version = (cur or 0) + 1
+    snap = {"version": version, "tables": restored}
+    if target.get("txns"):
+        snap["txns"] = dict(target["txns"])
+    snap["rollback"] = {"parent": prev.get("version"), "target": to_version}
+
+    vdir = os.path.join(catalog_dir, "_versions")
+    vpath = _version_path(catalog_dir, version)
+    vtmp = os.path.join(vdir, f".v-{version}.json.{uuid.uuid4().hex}.tmp")
+    with open(vtmp, "w") as fh:
+        json.dump(snap, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(vtmp, vpath)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"catalog version {version} already committed by a concurrent "
+            f"transaction: re-derive and retry the rollback"
+        ) from None
+    finally:
+        os.unlink(vtmp)
+    _fsync_dir(vdir)
+    fd = _acquire_pointer_lock(catalog_dir)
+    try:
+        if current_version(catalog_dir) != cur:
+            try:
+                os.unlink(vpath)
+            except FileNotFoundError:
+                pass
+            _fsync_dir(vdir)
+            raise CommitConflictError(
+                f"catalog advanced past version {cur} during the rollback: "
+                f"rejected, re-derive and retry"
+            )
+        ptmp = os.path.join(catalog_dir, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
+        with open(ptmp, "w") as fh:
+            json.dump({"current": f"v-{version}.json"}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptmp, os.path.join(catalog_dir, _POINTER))
+        _fsync_dir(catalog_dir)
+    finally:
+        _release_pointer_lock(catalog_dir, fd)
+    return snap
+
+
 def init(catalog_dir: str) -> dict:
     """Create an empty catalog (version 1, no tables). Refuses an existing
     one — a catalog pointer is never re-initialized over live state."""

@@ -1805,6 +1805,88 @@ def materialize_catalog_fanout(
     """T39 end-to-end: lsn-split envelope replay → per-batch two-table
     merges + one catalog transaction each → (state, log) DataFrames read
     AT the final catalog version (the consistent pair)."""
+    from ez_cdc_spark.sources import catalog as C
+
+    catalog_dir = _dir_for(sf_dir, f"catalog-fanout-{tag}-{os.getpid()}")
+    if os.path.exists(catalog_dir):
+        shutil.rmtree(catalog_dir)
+    _bootstrap_fanout_catalog(spark, catalog_dir)
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    q = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .writeStream.foreachBatch(catalog_fanout_batch(catalog_dir, tag))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        C.read_table(spark, catalog_dir, "state"),
+        C.read_table(spark, catalog_dir, "events_log"),
+    )
+
+
+def _run_catalog_fanout_rollback(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "t40",
+    rollback_after_batch: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """T40: the t35 restore-replay loop at CATALOG scope — the t39
+    fan-out runs to completion, the lake ROLLS BACK to the version batch
+    ``rollback_after_batch`` published (catalog.rollback: per-table
+    restore commits + one catalog version carrying the TARGET's txn
+    watermarks), and a fresh-checkpoint at-least-once redelivery replays
+    the stream: batches at or below the rewound watermark skip without
+    touching either table, the un-applied batches re-apply through the
+    same two-table transactional loop, and BOTH tables converge to the
+    uninterrupted state together — the cross-table version-by-version
+    invariant (state == fold(log)) holding across the rewind and back
+    up."""
+    from ez_cdc_spark.sources import catalog as C
+
+    catalog_dir = _dir_for(sf_dir, f"catalog-rollback-{tag}-{os.getpid()}")
+    if os.path.exists(catalog_dir):
+        shutil.rmtree(catalog_dir)
+    _bootstrap_fanout_catalog(spark, catalog_dir)
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+
+    def run():
+        q = (
+            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+            .writeStream.foreachBatch(catalog_fanout_batch(catalog_dir, tag))
+            .option("checkpointLocation", checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # the version batch N published: the first whose watermark == N
+    target = None
+    for v in range(2, C.current_version(catalog_dir) + 1):
+        wm = C.txn_watermark(C.snapshot(catalog_dir, v), tag) or {}
+        if wm.get("batch_id") == rollback_after_batch:
+            target = v
+            break
+    if target is None:
+        raise RuntimeError(f"no catalog version published batch {rollback_after_batch}")
+    C.rollback(catalog_dir, target)
+    run()  # fresh checkpoint: at-least-once redelivery of the whole stream
+    return (
+        C.read_table(spark, catalog_dir, "state"),
+        C.read_table(spark, catalog_dir, "events_log"),
+    )
+
+
+def _bootstrap_fanout_catalog(spark: SparkSession, catalog_dir: str) -> None:
+    """The t39/t40 shared two-table catalog bootstrap (empty state + log
+    schemas, one catalog commit)."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -1815,9 +1897,6 @@ def materialize_catalog_fanout(
     from ez_cdc_spark.sources import catalog as C
     from ez_cdc_spark.sources.manifest import publish
 
-    catalog_dir = _dir_for(sf_dir, f"catalog-fanout-{tag}-{os.getpid()}")
-    if os.path.exists(catalog_dir):
-        shutil.rmtree(catalog_dir)
     C.init(catalog_dir)
     state_schema = StructType(
         [
@@ -1849,22 +1928,6 @@ def materialize_catalog_fanout(
         stats_columns=["lsn"],
     )
     C.commit(catalog_dir, {"state": 1, "events_log": 1})
-
-    path = envelopes_jsonl_lsn_split(spark, sf_dir)
-    q = (
-        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(path)
-        .writeStream.foreachBatch(catalog_fanout_batch(catalog_dir, tag))
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        C.read_table(spark, catalog_dir, "state"),
-        C.read_table(spark, catalog_dir, "events_log"),
-    )
 
 
 def _run_lakehouse_restore(

@@ -3478,3 +3478,103 @@ def test_t39_crash_between_table_commits_and_catalog_swap(
     n_state = C.read_table(spark, cd, "state").count()
     n_log = C.read_table(spark, cd, "events_log").count()
     assert n_state > 0 and n_log >= n_state
+
+
+def test_t40_catalog_rollback_rewinds_both_chains_and_watermarks(
+    spark, tmp_path, sf_dir
+):
+    """t40's composition contracts: the rollback rewinds BOTH table
+    chains (per-table restore commits — not just the catalog pointer),
+    carries the TARGET's watermarks (so redelivery re-applies exactly the
+    un-applied batches; the carried-watermark counterfactual skips), the
+    pair invariant holds at the rollback version, and refusals are loud."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import current_generation, read_manifest
+    from ez_cdc_spark.streaming.cdc import (
+        ENVELOPE_JSON_SCHEMA,
+        _bootstrap_fanout_catalog,
+        catalog_fanout_batch,
+        envelopes_jsonl_lsn_split,
+    )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    cd = str(tmp_path / "cat")
+    _bootstrap_fanout_catalog(spark, cd)
+    stage_files = sorted(
+        f for f in os.listdir(path) if f.startswith("stage-") and f.endswith(".json")
+    )
+    apply = catalog_fanout_batch(cd, tag="t40g")
+    for i, f in enumerate(stage_files):
+        apply(spark.read.schema(ENVELOPE_JSON_SCHEMA).json(os.path.join(path, f)), i)
+
+    # target = the version that published batch 1
+    target = None
+    for v in range(2, C.current_version(cd) + 1):
+        wm = C.txn_watermark(C.snapshot(cd, v), "t40g") or {}
+        if wm.get("batch_id") == 1:
+            target = v
+    assert target is not None
+    target_tables = C.snapshot(cd, target)["tables"]
+    pre_state_gen = current_generation(C.table_dir(cd, "state"))
+
+    snap = C.rollback(cd, target)
+    # watermark rewound to the target's
+    assert C.txn_watermark(snap, "t40g") == {"batch_id": 1}
+    # BOTH table chains rewound via restore commits whose content is the
+    # target generation's file list, by reference
+    for name in ("state", "events_log"):
+        td = C.table_dir(cd, name)
+        g_now = current_generation(td)
+        assert g_now > pre_state_gen or name != "state"
+        man = read_manifest(td)
+        man_target = read_manifest(td, as_of_generation=target_tables[name])
+        assert man["files"] == man_target["files"]
+        assert man.get("restore", {}).get("restored_from") == target_tables[name]
+    # pair invariant AT the rollback version
+    state = {
+        r["id"]: (r["lsn"], r["email"])
+        for r in C.read_table(spark, cd, "state").collect()
+    }
+    folded = {
+        r["id"]: (r["lsn"], r["email"])
+        for r in C.read_table(spark, cd, "events_log")
+        .groupBy("id")
+        .agg(
+            F.max_by(F.struct("op_code", "email"), "lsn").alias("last"),
+            F.max("lsn").alias("lsn"),
+        )
+        .filter("last.op_code <> 'd'")
+        .select("id", "lsn", F.col("last.email").alias("email"))
+        .collect()
+    }
+    assert state == folded and len(state) > 0
+
+    # redelivery: batch 0/1 skip (no new version), batch 2 re-applies
+    v_before = C.current_version(cd)
+    for i in (0, 1):
+        apply(
+            spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+                os.path.join(path, stage_files[i])
+            ),
+            i,
+        )
+    assert C.current_version(cd) == v_before, "rewound watermark must skip"
+    apply(
+        spark.read.schema(ENVELOPE_JSON_SCHEMA).json(
+            os.path.join(path, stage_files[2])
+        ),
+        2,
+    )
+    assert C.current_version(cd) == v_before + 1
+
+    # refusals: current version, expired target
+    with _pytest.raises(ValueError, match="already at version"):
+        C.rollback(cd, C.current_version(cd))
+    os.unlink(os.path.join(cd, "_versions", f"v-{target}.json"))
+    with _pytest.raises(FileNotFoundError):
+        C.rollback(cd, target)
