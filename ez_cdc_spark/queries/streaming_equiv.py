@@ -2732,3 +2732,68 @@ def t40_catalog_rollback_replay(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@register(
+    "t41_event_lake_ingest",
+    oracle="""
+WITH bounds AS (
+    SELECT MIN(ts) + INTERVAL 2 DAY AS lo, MIN(ts) + INTERVAL 5 DAY AS hi
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_eid,
+       CAST(MAX(event_id) AS BIGINT) AS max_eid
+FROM events, bounds
+WHERE ts >= lo AND ts <= hi
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="T41: streaming event-lake ingest — s42's hidden partitioning "
+    "made a live append-only sink (streaming/cdc.py:"
+    "event_lake_append_batch): each micro-batch of LOGICAL event rows "
+    "lands as one append_hidden_partitioned commit where the derived "
+    "days(ts) value is recomputed from the manifest's transform spec "
+    "INSIDE the writer — the sink can never drift from the table's "
+    "partitioning, and a batch arriving with the physical column is "
+    "refused (the drift the spec exists to prevent) — with the "
+    "(tag, batch_id) watermark folded in (t30's Delta txn replay-skip; "
+    "publish_append gained first-class txn support for this). "
+    "Maintenance is t30's policy; partial compaction stages back under "
+    "the Hive layout and every producer now CARRIES the transform spec "
+    "(append/merge/compact-partial/full-compact — dropping it would "
+    "make the transform-pruned read refuse the next generation; "
+    "pytest-pinned). The query side then aggregates a 3-day window "
+    "through read_transform_pruned — time pruning decided from manifest "
+    "metadata over a table the stream built file by file. Hash-green "
+    "against the same declarative window oracle as s42 proves the "
+    "streamed, compacted, era-spanning lake equals the one-shot batch "
+    "publish. At 100 TB: the firehose half of an event lake — O(batch) "
+    "appends, O(window) query pruning, maintenance tracking small-file "
+    "churn (kill+restart and spec-carry pinned in "
+    "tests/test_cdc_goldens.py).",
+)
+def t41_event_lake_ingest(spark, sf_dir):
+    import datetime as dt
+
+    from ez_cdc_spark.sources.manifest import read_transform_pruned
+    from ez_cdc_spark.streaming.cdc import materialize_event_lake
+
+    ev = t(spark, sf_dir, "events")  # pins UTC before any day renders
+    table_dir = materialize_event_lake(spark, sf_dir)
+    min_ts = ev.agg(F.min("ts")).first()[0]
+    lo = min_ts + dt.timedelta(days=2)
+    hi = min_ts + dt.timedelta(days=5)
+    return (
+        read_transform_pruned(spark, table_dir, lo, hi)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").cast("double").alias("total_value"),
+            F.min("event_id").cast("bigint").alias("min_eid"),
+            F.max("event_id").cast("bigint").alias("max_eid"),
+        )
+        .orderBy("event_type")
+    )

@@ -985,6 +985,33 @@ def read_hidden(
     return df.drop(tr["column"]) if tr else df
 
 
+def append_hidden_partitioned(
+    df: DataFrame, table_dir: str, generation: int, txn: dict | None = None
+) -> DataFrame:
+    """S42/T41 write path for batches: the caller appends LOGICAL rows —
+    the derived partition value is recomputed here from the manifest's
+    transform spec (the writer can never drift from the table's
+    partitioning, the exact failure hidden partitioning exists to
+    prevent) — then the ordinary partitioned publish_append commits it
+    (carried files keep their partition values, stats/txns carry, same
+    atomic swap)."""
+    manifest = read_manifest(table_dir)
+    tr = manifest.get("partition_transform")
+    if tr is None:
+        raise ValueError(
+            f"{table_dir} has no partition_transform: use publish_append"
+        )
+    if tr["column"] in df.columns:
+        raise ValueError(
+            f"batch must not carry the derived column {tr['column']!r}: it "
+            f"is recomputed from the transform spec (pass logical rows only)"
+        )
+    staged = df.withColumn(
+        tr["column"], _transform_col(tr["kind"], tr["source"], tr.get("param"))
+    )
+    return publish_append(staged, table_dir, generation, txn=txn)
+
+
 def read_committed_partitions(
     spark: SparkSession,
     table_dir: str,
@@ -1301,6 +1328,13 @@ def compact(
         stats_columns = inherited or None
     txn = manifest.get("txn")
     df = read_committed(spark, table_dir).coalesce(target_files)
+    # the hidden-partitioning spec (S42) is table identity — survive the
+    # full rewrite too (the explicit-dict producers carry it directly)
+    tr_lineage = (
+        {"partition_transform": manifest["partition_transform"]}
+        if manifest.get("partition_transform") is not None
+        else None
+    )
     if pcol is not None:
         # a partitioned generation compacts INTO a partitioned generation —
         # the layout (and the column that lives in it) must survive
@@ -1313,6 +1347,7 @@ def compact(
             txn=txn,
             expected_parent=manifest["generation"],
             txns=_txns_of(manifest),
+            lineage=tr_lineage,
             # content IS the committed generation — already validated at
             # its own commit time; re-scanning it here would make
             # maintenance cost track constraint count (S39)
@@ -1422,6 +1457,11 @@ def compact_partial(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("partition_transform") is not None:
+        # S42: the hidden-partitioning spec is table identity — every
+        # producer that rebuilds the manifest must carry it or the
+        # transform-pruned read path would refuse the next generation
+        new_manifest["partition_transform"] = manifest["partition_transform"]
     if manifest.get("epoch_maps"):
         # S40: the selected files were read epoch-mapped and rewritten
         # under the current logical names — they join the current era
@@ -1449,6 +1489,7 @@ def publish_append(
     generation: int,
     stats_columns: list[str] | None = None,
     ref: str | None = None,
+    txn: dict | None = None,
 ) -> dict:
     """S31: incremental append — the cheap write path real table formats
     serve with INSERT INTO / appendFiles, completing the manifest family's
@@ -1535,6 +1576,11 @@ def publish_append(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("partition_transform") is not None:
+        # S42: the hidden-partitioning spec is table identity — every
+        # producer that rebuilds the manifest must carry it or the
+        # transform-pruned read path would refuse the next generation
+        new_manifest["partition_transform"] = manifest["partition_transform"]
     if manifest.get("epoch_maps"):
         # S40: appended files are written under the CURRENT logical names
         # (the schema-match guard above enforces it) — tag them with the
@@ -1545,10 +1591,16 @@ def publish_append(
             **manifest.get("file_epochs", {}),
             **{rel: manifest.get("epoch", 0) for rel in new_rel},
         }
-    if manifest.get("txn") is not None:
+    if txn is not None:
+        # an appending streaming sink's watermark (T41) — the same Delta
+        # txn pattern as merge_cow's; without a new txn the parent's slot
+        # carries verbatim (appending never rewinds the applied state)
+        new_manifest["txn"] = txn
+    elif manifest.get("txn") is not None:
         new_manifest["txn"] = manifest["txn"]
-    if manifest.get("txns") is not None:
-        new_manifest["txns"] = manifest["txns"]
+    folded = _fold_txns(_txns_of(manifest), txn)
+    if folded:
+        new_manifest["txns"] = folded
     return _commit_manifest(
         table_dir,
         generation,
@@ -2218,6 +2270,11 @@ def merge_cow(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("partition_transform") is not None:
+        # S42: the hidden-partitioning spec is table identity — every
+        # producer that rebuilds the manifest must carry it or the
+        # transform-pruned read path would refuse the next generation
+        new_manifest["partition_transform"] = manifest["partition_transform"]
     if manifest.get("epoch_maps"):
         # S40: the rewrite reads touched files epoch-mapped and stages
         # under the CURRENT logical names — rewritten files join the
@@ -2838,6 +2895,11 @@ def merge_mor(
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
+    if manifest.get("partition_transform") is not None:
+        # S42: the hidden-partitioning spec is table identity — every
+        # producer that rebuilds the manifest must carry it or the
+        # transform-pruned read path would refuse the next generation
+        new_manifest["partition_transform"] = manifest["partition_transform"]
     if txn is not None:
         new_manifest["txn"] = txn
     folded = _fold_txns(_txns_of(manifest), txn)

@@ -1930,6 +1930,141 @@ def _bootstrap_fanout_catalog(spark: SparkSession, catalog_dir: str) -> None:
     C.commit(catalog_dir, {"state": 1, "events_log": 1})
 
 
+def event_lake_append_batch(
+    table_dir: str,
+    tag: str = "t41",
+    max_files: int | None = None,
+    compact_target_files: int = 4,
+    gc_older_than_s: float | None = 0.0,
+    compact_small_file_bytes: int = 128 << 20,
+):
+    """T41 foreachBatch: append-only event-lake ingest onto a HIDDEN
+    days(ts)-partitioned table (s42 made streaming): each micro-batch of
+    LOGICAL event rows lands as one append_hidden_partitioned commit —
+    the derived day value is recomputed from the manifest's transform
+    spec inside the writer, so the sink can never drift from the table's
+    partitioning — with the (tag, batch_id) watermark folded in (the
+    Delta txn pattern, same replay-skip as t30). The steady-state
+    maintenance policy is t30's: threshold-triggered partial compaction
+    (which stages back under the Hive layout and CARRIES the transform
+    spec), dir-granular gc, file-level vacuum. At 100 TB this is the
+    firehose half of the event lake: O(batch) appends, partitions the
+    query side prunes by time through the transform, maintenance cost
+    tracking the small-file churn."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import (
+            append_hidden_partitioned,
+            read_manifest,
+            txn_watermark,
+        )
+
+        spark = batch.sparkSession
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return  # already committed — at-least-once replay skipped
+        rows = batch.select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("ts").alias("ts"),
+            F.col("value").cast("decimal(12,2)").alias("value"),
+        )
+        gen = man["generation"] + 1
+        for _ in range(100):
+            try:
+                committed = append_hidden_partitioned(
+                    rows, table_dir, gen, txn={"tag": tag, "batch_id": batch_id}
+                )
+                break
+            except FileExistsError:
+                gen += 1
+        else:
+            raise RuntimeError(f"no free generation number near {gen}")
+
+        if max_files is not None and committed["n_files"] > max_files:
+            from ez_cdc_spark.sources.manifest import (
+                compact_partial,
+                gc,
+                vacuum,
+            )
+
+            cgen = committed["generation"] + 1
+            for _ in range(100):
+                try:
+                    after = compact_partial(
+                        spark,
+                        table_dir,
+                        cgen,
+                        max_file_bytes=compact_small_file_bytes,
+                        target_files=compact_target_files,
+                    )
+                    break
+                except FileExistsError:
+                    cgen += 1
+            else:
+                raise RuntimeError(f"no free generation number near {cgen}")
+            if after["generation"] != committed["generation"]:
+                gc(table_dir, older_than_s=gc_older_than_s)
+                vacuum(
+                    table_dir,
+                    older_than_s=(
+                        0.0 if gc_older_than_s is None else gc_older_than_s
+                    ),
+                )
+
+    return apply
+
+
+def materialize_event_lake(
+    spark: SparkSession, sf_dir: str, tag: str = "t41"
+) -> str:
+    """T41 end-to-end: 8-file parquet event replay → per-batch hidden-
+    partitioned appends with maintenance → the table dir (callers read it
+    transform-pruned)."""
+    from ez_cdc_spark.session import apply_runtime_conf
+    from ez_cdc_spark.sources.manifest import publish_hidden_partitioned
+    from ez_cdc_spark.streaming.replay import EVENTS_JSON_SCHEMA, events_parquet
+
+    # the days(ts) transform renders dates under the SESSION timezone —
+    # pin the engine's UTC runtime BEFORE any partition value is written,
+    # or a non-UTC external session would shift day boundaries against
+    # the UTC-naive pruning enumeration (caught by the hostile-TZ probe)
+    apply_runtime_conf(spark)
+    table_dir = _dir_for(sf_dir, f"event-lake-{tag}-{os.getpid()}")
+    if os.path.exists(table_dir):
+        shutil.rmtree(table_dir)
+    empty = spark.createDataFrame([], EVENTS_JSON_SCHEMA).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "ts",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    publish_hidden_partitioned(
+        empty, table_dir, generation=1, transform=("days", "ts", None)
+    )
+    path = events_parquet(spark, sf_dir)
+    q = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(
+            event_lake_append_batch(
+                table_dir,
+                tag,
+                max_files=24,
+                compact_target_files=4,
+                gc_older_than_s=0.0,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table_dir
+
+
 def _run_lakehouse_restore(
     spark: SparkSession,
     sf_dir: str,

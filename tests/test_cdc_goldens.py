@@ -3578,3 +3578,101 @@ def test_t40_catalog_rollback_rewinds_both_chains_and_watermarks(
     os.unlink(os.path.join(cd, "_versions", f"v-{target}.json"))
     with _pytest.raises(FileNotFoundError):
         C.rollback(cd, target)
+
+
+def test_t41_event_lake_kill_restart_and_spec_carry(spark, tmp_path, sf_dir):
+    """t41 under kill+restart: appended batches replay-skip through the
+    watermark, compaction CARRIES the transform spec (dropping it would
+    make the transform-pruned read refuse the next generation), a batch
+    arriving WITH the physical column is refused, and the final pruned
+    window equals the declarative filter."""
+    import datetime as dt
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        append_hidden_partitioned,
+        publish_hidden_partitioned,
+        read_manifest,
+        read_transform_pruned,
+    )
+    from ez_cdc_spark.sources.tables import load_table
+    from ez_cdc_spark.streaming.cdc import event_lake_append_batch
+    from ez_cdc_spark.streaming.replay import EVENTS_JSON_SCHEMA, events_parquet
+
+    path = events_parquet(spark, sf_dir)
+    td = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    empty = spark.createDataFrame([], EVENTS_JSON_SCHEMA).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "ts",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    publish_hidden_partitioned(empty, td, 1, transform=("days", "ts", None))
+
+    def start():
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(
+                event_lake_append_batch(td, tag="t41kill", max_files=24)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.recentProgress
+    stop_and_await(q)
+    q2 = start()
+    q2.awaitTermination()
+
+    man = read_manifest(td)
+    # compaction fired at least once and the spec survived every commit
+    assert man["partition_transform"]["kind"] == "days"
+    mdir = os.path.join(td, "_manifests")
+    compacted = [
+        f
+        for f in os.listdir(mdir)
+        if f.startswith("gen-")
+        and "compact" in open(os.path.join(mdir, f)).read()
+    ]
+    assert compacted, "maintenance never compacted"
+
+    ev = load_table(spark, sf_dir, "events")
+    min_ts = ev.agg(F.min("ts")).first()[0]
+    lo, hi = min_ts + dt.timedelta(days=1), min_ts + dt.timedelta(days=3)
+    got = read_transform_pruned(spark, td, lo, hi).count()
+    want = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))).count()
+    assert got == want > 0
+
+    # replaying the last committed batch is a watermark no-op
+    last_bid = man["txn"]["batch_id"]
+    batch = spark.read.schema(EVENTS_JSON_SCHEMA).parquet(path).limit(5)
+    event_lake_append_batch(td, tag="t41kill")(batch, last_bid)
+    assert read_manifest(td)["generation"] == man["generation"]
+
+    # a batch carrying the physical column is refused (writer drift)
+    bad = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .parquet(path)
+        .limit(1)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            "ts",
+            F.col("value").cast("decimal(12,2)").alias("value"),
+            F.lit("2024-01-01").alias("_p_days_ts"),
+        )
+    )
+    with _pytest.raises(ValueError, match="must not carry the derived column"):
+        append_hidden_partitioned(bad, td, read_manifest(td)["generation"] + 1)
