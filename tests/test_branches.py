@@ -209,3 +209,123 @@ def test_branch_generation_numbers_stay_globally_unique(spark):
     publish_append(spark.range(300, 305).selectExpr("id AS k", "id*2 AS v"), d, 3)
     assert current_generation(d) == 3
     assert current_generation(d, "b") == 2
+
+
+def _branch_writer(args):
+    """Module-level worker (spawn targets must be picklable): commit
+    ``n_commits`` trivial manifests against ONE shared branch ref,
+    re-deriving from the branch head on every conflict. Pure filesystem —
+    the ref-relative CAS must serialize across PROCESS boundaries."""
+    table_dir, writer_id, n_commits = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources.manifest import (
+        CommitConflictError,
+        _commit_manifest,
+        current_generation,
+        read_manifest,
+    )
+
+    committed, conflicts, done, gen = [], 0, 0, 0
+    while done < n_commits:
+        cur = current_generation(table_dir, "shared")
+        gen = max((cur or 0) + 1, gen + 1)
+        man = {
+            "generation": gen,
+            "files": [],
+            "n_files": 0,
+            "schema": read_manifest(table_dir, ref="shared")["schema"],
+            "test_writer": writer_id,
+            "test_parent": cur,
+        }
+        try:
+            _commit_manifest(table_dir, gen, man, expected_parent=cur, ref="shared")
+            committed.append(gen)
+            done += 1
+        except (CommitConflictError, FileExistsError):
+            conflicts += 1
+            if conflicts > 5000:
+                raise RuntimeError("livelock")
+    return writer_id, committed, conflicts
+
+
+def _wap_racer(args):
+    """Race ONLY the publish step: the branch was cut and staged by the
+    parent, all four from the SAME base — whatever the interleaving,
+    the ref-base divergence check must admit exactly ONE publisher."""
+    table_dir, writer_id = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources.manifest import (
+        CommitConflictError,
+        branch_head,
+        fast_forward,
+        _gen_of,
+    )
+
+    name = f"racer-{writer_id}"
+    gen = _gen_of(branch_head(table_dir, name)["current"])
+    try:
+        fast_forward(table_dir, name)
+        return writer_id, "published", gen
+    except CommitConflictError:
+        return writer_id, "refused", gen
+
+
+def test_branch_cas_serializes_across_processes(spark):
+    """The s33 cross-process witness on a REF: 4 OS processes land 6
+    commits each on one shared branch — all 24 generations distinct, the
+    branch's recorded parent chain is one strict line, and MAIN's pointer
+    never moved."""
+    import multiprocessing as mp
+
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    d = _table(spark, "xproc")
+    create_branch(d, "shared")
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.map(_branch_writer, [(d, w, 6) for w in range(4)])
+    all_gens = [g for _, gens, _ in results for g in gens]
+    assert len(all_gens) == 24 and len(set(all_gens)) == 24
+    assert current_generation(d) == 1  # main untouched by branch traffic
+    assert current_generation(d, "shared") == max(all_gens)
+    chain = {
+        g: read_manifest(d, as_of_generation=g)["test_parent"]
+        for g in sorted(all_gens)
+    }
+    gens_sorted = [1] + sorted(all_gens)
+    for prev, cur in zip(gens_sorted, gens_sorted[1:]):
+        assert chain[cur] == prev, (cur, chain[cur], prev)
+
+
+def test_fast_forward_admits_exactly_one_publisher_across_processes(spark):
+    """4 branches staged from the SAME base, 4 processes race
+    fast_forward: exactly ONE publishes; the refused branches survive
+    intact for re-cut."""
+    import multiprocessing as mp
+
+    d = _table(spark, "wapracers")
+    for w in range(4):
+        name = f"racer-{w}"
+        create_branch(d, name)  # all cut from base generation 1
+        publish_append(
+            spark.range(200 + w * 10, 205 + w * 10).selectExpr(
+                "id AS k", "id*2 AS v"
+            ),
+            d,
+            2 + w,
+            ref=name,
+        )
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.map(_wap_racer, [(d, w) for w in range(4)])
+    published = [r for r in results if r[1] == "published"]
+    refused = [r for r in results if r[1] == "refused"]
+    assert len(published) == 1 and len(refused) == 3, results
+    assert current_generation(d) == published[0][2]
+    # refused branches still live, heads intact
+    for w, _, gen in refused:
+        assert branch_head(d, f"racer-{w}")["current"] == f"gen-{gen}.json"

@@ -123,3 +123,62 @@ def test_gc_retention_interplay(spark):
     # the old generations
     prot1 = C.protected_generations(cd, retain_versions=1)
     assert prot1 == {"a": {2}, "b": {2}}
+
+
+def _catalog_writer(args):
+    """Module-level worker: land ``n_commits`` catalog transactions
+    against one catalog, re-deriving from the committed version on every
+    conflict — the s33 cross-process CAS witness one level up."""
+    catalog_dir, writer_id, n_commits = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import CommitConflictError
+
+    committed, conflicts, done = [], 0, 0
+    while done < n_commits:
+        v = C.current_version(catalog_dir)
+        try:
+            snap = C.commit(
+                catalog_dir,
+                {},
+                expected_version=v,
+                txn={"tag": f"w{writer_id}", "n": done},
+            )
+            committed.append(snap["version"])
+            done += 1
+        except CommitConflictError:
+            conflicts += 1
+            if conflicts > 5000:
+                raise RuntimeError("livelock")
+    return writer_id, committed, conflicts
+
+
+def test_catalog_cas_serializes_across_processes(spark):
+    """4 OS processes land 6 catalog transactions each: all 24 versions
+    distinct and gap-free above the bootstrap, every writer's final
+    watermark survives in the tip snapshot (the txns fold is
+    last-writer-wins PER TAG, never across tags), and every version file
+    is readable — no torn snapshots."""
+    import multiprocessing as mp
+    import os
+    import shutil
+
+    cd = os.path.join(SCRATCH, "xproc")
+    shutil.rmtree(cd, ignore_errors=True)
+    C.init(cd)
+    v0 = C.current_version(cd)
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.map(_catalog_writer, [(cd, w, 6) for w in range(4)])
+    all_versions = [v for _, vs, _ in results for v in vs]
+    assert len(all_versions) == 24 and len(set(all_versions)) == 24
+    assert sorted(all_versions) == list(range(v0 + 1, v0 + 25))
+    assert C.current_version(cd) == v0 + 24
+    tip = C.snapshot(cd)
+    for w in range(4):
+        assert C.txn_watermark(tip, f"w{w}") == {"n": 5}, tip.get("txns")
+    for v in range(v0, v0 + 25):
+        assert C.snapshot(cd, v)["version"] == v
