@@ -1086,6 +1086,8 @@ def _read_files(spark: SparkSession, manifest: dict, table_dir: str, files: list
             )
         return spark.createDataFrame([], StructType.fromJson(schema))
     schema = manifest.get("schema")
+    if manifest.get("epoch_maps"):
+        return _read_files_epochs(spark, manifest, table_dir, files)
     if manifest.get("partition_col") is not None:
         # Partitioned generation (S29): the partition column lives in the
         # directory names, not the data files — reading leaf paths without
@@ -1142,18 +1144,31 @@ def _read_files_epochs(
     — and each group is one ordinary parquet scan with an explicit
     physical schema, renamed to logical on the way out, so column pruning
     and predicate pushdown behave exactly as the plain stored-schema
-    read."""
+    read. Partitioned generations compose (scope lift, later r16): groups
+    key by (epoch, generation dir) and each scan anchors at its dir's
+    basePath with the PHYSICAL schema — the partition column keeps its
+    published name and type (renaming/dropping it stays refused: its name
+    IS the directory layout), data columns map per era as in the flat
+    case."""
     from pyspark.sql import functions as F  # noqa: N812
 
     schema = StructType.fromJson(manifest["schema"])
     file_epochs = manifest.get("file_epochs", {})
     emaps = manifest["epoch_maps"]
-    groups: dict[int, list[str]] = {}
+    pcol = manifest.get("partition_col")
+    data_root = os.path.join(table_dir, "data")
+    groups: dict[tuple, list[str]] = {}
     for f in files:
         rel = os.path.relpath(f, table_dir)
-        groups.setdefault(int(file_epochs.get(rel, 0)), []).append(f)
+        e = int(file_epochs.get(rel, 0))
+        if pcol is None:
+            groups.setdefault((e, None), []).append(f)
+        else:
+            top = os.path.relpath(f, data_root).split(os.sep)[0]
+            groups.setdefault((e, os.path.join(data_root, top)), []).append(f)
     out = None
-    for e in sorted(groups):
+    for key in sorted(groups, key=lambda k: (k[0], k[1] or "")):
+        e, base = key
         emap = emaps.get(str(e), {})
         phys = StructType(
             [
@@ -1162,7 +1177,10 @@ def _read_files_epochs(
                 if fld.name in emap
             ]
         )
-        df = spark.read.schema(phys).parquet(*groups[e])
+        reader = spark.read
+        if base is not None:
+            reader = reader.option("basePath", base)
+        df = reader.schema(phys).parquet(*groups[key])
         cols = [
             F.col(emap[fld.name]).alias(fld.name)
             if fld.name in emap
@@ -1847,17 +1865,17 @@ def _init_epochs(manifest: dict) -> tuple[int, dict, dict]:
     return 0, {"0": {n: n for n in names}}, {rel: 0 for rel in manifest["files"]}
 
 
-def _destructive_evolution_guards(manifest: dict, op: str) -> None:
+def _destructive_evolution_guards(manifest: dict, op: str, column: str) -> None:
     _require_cow(manifest, op)
-    if manifest.get("partition_col") is not None:
-        raise ValueError(
-            f"{op} on a partitioned generation is not supported: the "
-            f"partition column lives in directory names and carried files "
-            f"span layouts — compact to an unpartitioned generation first "
-            f"(declared v1 scope, like merge_mor's epoch refusal)"
-        )
     if manifest.get("schema") is None:
         raise ValueError(f"{op} needs a schema-bearing manifest")
+    if column == manifest.get("partition_col"):
+        raise ValueError(
+            f"{op} cannot target the partition column {column!r}: its name "
+            f"IS the directory layout every committed file lives under — "
+            f"rewrite the table under a new layout instead (data columns "
+            f"on partitioned generations evolve fine)"
+        )
 
 
 def rename_column(table_dir: str, generation: int, old: str, new: str) -> dict:
@@ -1874,7 +1892,7 @@ def rename_column(table_dir: str, generation: int, old: str, new: str) -> dict:
     Constraints that reference the old name refuse the rename (they would
     silently stop binding)."""
     manifest = read_manifest(table_dir)
-    _destructive_evolution_guards(manifest, "rename_column")
+    _destructive_evolution_guards(manifest, "rename_column", old)
     schema = manifest["schema"]
     names = [f["name"] for f in schema["fields"]]
     if old not in names:
@@ -1940,7 +1958,7 @@ def drop_column(table_dir: str, generation: int, name: str) -> dict:
     eras). Stats entries for the column are removed; constraints
     referencing it refuse the drop; dropping the last column refuses."""
     manifest = read_manifest(table_dir)
-    _destructive_evolution_guards(manifest, "drop_column")
+    _destructive_evolution_guards(manifest, "drop_column", name)
     schema = manifest["schema"]
     names = [f["name"] for f in schema["fields"]]
     if name not in names:

@@ -166,7 +166,8 @@ def test_refusals(spark):
     drop_column(d, 5, "w")
     with pytest.raises(ValueError, match="last column"):
         drop_column(d, 6, "k")
-    # partitioned generations refuse (declared v1 scope)
+    # the PARTITION COLUMN itself refuses (its name IS the directory
+    # layout); data columns on partitioned generations evolve fine
     dp = os.path.join(SCRATCH, "refusepart")
     shutil.rmtree(dp, ignore_errors=True)
     publish_partitioned(
@@ -175,8 +176,57 @@ def test_refusals(spark):
         generation=1,
         partition_col="p",
     )
-    with pytest.raises(ValueError, match="partitioned"):
-        rename_column(dp, 2, "k", "key")
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(dp, 2, "p", "bucket")
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(dp, 2, "p")
+
+
+def test_partitioned_data_columns_evolve(spark):
+    """Scope lift: rename/drop of DATA columns on a partitioned
+    generation — the epoch read groups by (era, generation dir) with
+    basePath anchoring, so partition reconstruction, pruning, appends
+    under new names, and cross-era merges all keep working."""
+    from ez_cdc_spark.sources.manifest import read_committed_partitions
+
+    d = os.path.join(SCRATCH, "partevolve")
+    shutil.rmtree(d, ignore_errors=True)
+    publish_partitioned(
+        spark.range(200).selectExpr(
+            "id AS k", "id*2 AS v", "CAST(id % 4 AS STRING) AS p"
+        ),
+        d,
+        generation=1,
+        partition_col="p",
+        stats_columns=["k"],
+    )
+    rename_column(d, 2, "v", "val")
+    r = read_committed(spark, d)
+    assert r.columns == ["k", "val", "p"]
+    assert r.filter("val <> k * 2").count() == 0
+    publish_append(
+        spark.range(200, 220).selectExpr(
+            "id AS k", "id*2 AS val", "CAST(id % 4 AS STRING) AS p"
+        ),
+        d,
+        3,
+    )
+    ch = spark.range(5).selectExpr(
+        "id AS k", "id*999 AS val", "CAST(id % 4 AS STRING) AS p",
+        "'u' AS op", "1 AS seq",
+    )
+    merge_cow(spark, d, ch, key_col="k", generation=4)
+    r = read_committed(spark, d)
+    assert r.count() == 220
+    assert sorted(x["val"] for x in r.filter("k < 5").collect()) == [
+        0, 999, 1998, 2997, 3996,
+    ]
+    # manifest-level partition pruning still resolves across eras
+    rp = read_committed_partitions(spark, d, ["2"])
+    assert rp.count() == 55 and rp.columns == ["k", "val", "p"]
+    # drop a data column, partition survives
+    drop_column(d, 5, "val")
+    assert read_committed(spark, d).columns == ["k", "p"]
 
 
 def test_merge_mor_refuses_epoch_tables(spark):
