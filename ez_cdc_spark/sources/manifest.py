@@ -3172,22 +3172,28 @@ def fast_forward(table_dir: str, name: str, drop: bool = True) -> dict:
             os.fsync(fh.fileno())
         os.replace(ptmp, os.path.join(table_dir, _POINTER))
         _fsync_dir(table_dir)
+        g = _gen_of(head["current"])
+        # the ref's retirement/re-base happens INSIDE the same lock that
+        # serializes every ref pointer swap: done after release, a branch
+        # commit landing in the window would be silently dropped (drop
+        # path) or clobbered back to the pre-publish head (re-base path)
+        # — a lost update on the ref
+        if drop:
+            drop_branch(table_dir, name)
+        else:
+            # surviving ref re-bases on what main now points at, so a
+            # later fast-forward of further branch commits stays a
+            # fast-forward
+            pointer = _ref_pointer_path(table_dir, name)
+            ptmp = f"{pointer}.{uuid.uuid4().hex}.tmp"
+            with open(ptmp, "w") as fh:
+                json.dump({**head, "base": g}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(ptmp, pointer)
+            _fsync_dir(os.path.dirname(pointer))
     finally:
         _release_pointer_lock(table_dir, fd)
-    g = _gen_of(head["current"])
-    if drop:
-        drop_branch(table_dir, name)
-    else:
-        # surviving ref re-bases on what main now points at, so a later
-        # fast-forward of further branch commits stays a fast-forward
-        pointer = _ref_pointer_path(table_dir, name)
-        ptmp = f"{pointer}.{uuid.uuid4().hex}.tmp"
-        with open(ptmp, "w") as fh:
-            json.dump({**head, "base": g}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(ptmp, pointer)
-        _fsync_dir(os.path.dirname(pointer))
     return read_manifest(table_dir, as_of_generation=g)
 
 
