@@ -1876,6 +1876,13 @@ def _destructive_evolution_guards(manifest: dict, op: str, column: str) -> None:
             f"rewrite the table under a new layout instead (data columns "
             f"on partitioned generations evolve fine)"
         )
+    tr = manifest.get("partition_transform")
+    if tr is not None and column == tr.get("source"):
+        raise ValueError(
+            f"{op} cannot target {column!r}: it is the hidden-partitioning "
+            f"transform's source column ({tr['kind']}) — the predicate "
+            f"mapping every pruned read depends on would silently orphan"
+        )
 
 
 def rename_column(table_dir: str, generation: int, old: str, new: str) -> dict:

@@ -116,3 +116,19 @@ def test_time_travel_and_refusals(spark):
     publish(spark.range(5).selectExpr("id AS k"), plain, 1)
     with pytest.raises(ValueError, match="no partition_transform"):
         read_transform_pruned(spark, plain, 0, 1)
+
+
+def test_transform_source_column_refuses_evolution(spark):
+    """Renaming or dropping the transform's SOURCE column would orphan
+    the predicate mapping every pruned read depends on — refused; other
+    data columns evolve fine on a transform table."""
+    from ez_cdc_spark.sources.manifest import drop_column, rename_column
+
+    d, _ = _ts_table(spark, "srcguard")
+    with pytest.raises(ValueError, match="transform's source column"):
+        rename_column(d, 2, "ts", "event_ts")
+    with pytest.raises(ValueError, match="transform's source column"):
+        drop_column(d, 2, "ts")
+    rename_column(d, 2, "v", "val")
+    r = read_transform_pruned(spark, d, dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4))
+    assert r.columns == ["k", "ts", "val"] and r.filter("val <> k * 2").count() == 0
