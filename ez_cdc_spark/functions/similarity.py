@@ -490,9 +490,12 @@ def gram_moments(
     unit-normalized embeddings keeps Σ qᵢqⱼ < 2⁶³ up to ~10¹² rows (and
     the derived covariance's int→double conversions exact below 2⁵³ —
     past that, keep the integer moments and divide downstream).
-    Quantization ties (an exact .5) are impossible by construction:
-    k.5/scale has no finite binary representation for scale=1000, so both
-    engines' ROUND agree on every representable input.
+    Quantization uses floor(x + 0.5) — not round() — so the halfway
+    behavior is one IEEE add + one floor, bit-identical in EVERY engine:
+    a true tie can't occur (k.5/scale has no finite binary form for
+    scale=1000), but the float64 multiply can ROUND onto a .5 boundary,
+    where numpy's half-to-even and SQL ROUND's half-away would diverge;
+    floor(x+0.5) removes that divergence class entirely.
 
     Returns (i, j, n, sum_i, sum_j, dot) for i ≤ j — everything needed
     for covariance ((n·dot − sum_i·sum_j) / n²), correlation, or a
@@ -508,8 +511,8 @@ def gram_moments(
         for pdf in batches:
             if pdf.empty:
                 continue
-            M = np.rint(
-                np.vstack(pdf["v"].to_numpy()).astype("float64") * scale
+            M = np.floor(
+                np.vstack(pdf["v"].to_numpy()).astype("float64") * scale + 0.5
             ).astype("int64")
             G = M.T @ M if G is None else G + M.T @ M
             S = M.sum(axis=0) if S is None else S + M.sum(axis=0)

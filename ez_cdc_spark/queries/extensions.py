@@ -2596,7 +2596,7 @@ def x2eb_lsh_recall_anchor(spark, sf_dir):
 WITH idx AS (SELECT UNNEST(range(1, 65)) AS p),
 q AS (
     SELECT vec_id, CAST(idx.p - 1 AS INT) AS i,
-           CAST(ROUND(CAST(embedding[idx.p] AS DOUBLE) * 1000) AS BIGINT) AS q
+           CAST(FLOOR(CAST(embedding[idx.p] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
     FROM embeddings CROSS JOIN idx
 )
 SELECT a.i AS i, b.i AS j,
@@ -2621,9 +2621,10 @@ ORDER BY i, j
     "formulation, deliberately: DuckDB computes the same moments by "
     "unnest + self-join, so hash-green proves the blocked accumulation "
     "against an independent algorithm). Exactness is structural, not "
-    "rounded away: values quantize to integers (round(v*1000); ties are "
-    "impossible — k.5/1000 has no finite binary representation — so "
-    "every rounding mode agrees), the moments are exact int64 (safe to "
+    "rounded away: values quantize to integers (floor(v*1000 + 0.5) — one "
+    "IEEE add + one floor, bit-identical in every engine; plain round() "
+    "would diverge where the multiply lands ON a .5 boundary — numpy "
+    "half-to-even vs SQL half-away), the moments are exact int64 (safe to "
     "~10^12 rows at unit norm), and the derived covariance is one IEEE "
     "division of exactly-converted integers (< 2^53), bit-identical "
     "across engines and partition layouts. Returns (i, j, n, sum_i, "

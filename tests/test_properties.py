@@ -2670,9 +2670,9 @@ def test_x66_gram_moments_layout_invariant_and_psd(spark):
 
     # naive recompute
     pdf = emb.toPandas()
-    M = np.rint(np.vstack(pdf["embedding"].to_numpy()).astype("float64") * 1000).astype(
-        "int64"
-    )
+    M = np.floor(
+        np.vstack(pdf["embedding"].to_numpy()).astype("float64") * 1000 + 0.5
+    ).astype("int64")
     G = M.T @ M
     S = M.sum(axis=0)
     n = M.shape[0]
