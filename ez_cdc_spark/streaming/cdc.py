@@ -1854,19 +1854,7 @@ def _run_catalog_fanout_rollback(
     _bootstrap_fanout_catalog(spark, catalog_dir)
     path = envelopes_jsonl_lsn_split(spark, sf_dir)
 
-    def run():
-        q = (
-            spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .json(path)
-            .writeStream.foreachBatch(catalog_fanout_batch(catalog_dir, tag))
-            .option("checkpointLocation", checkpoint_dir())
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    run()
+    _run_fanout_replay(spark, path, catalog_dir, tag)
     # the version batch N published: the first whose watermark == N
     target = None
     for v in range(2, C.current_version(catalog_dir) + 1):
@@ -1877,11 +1865,30 @@ def _run_catalog_fanout_rollback(
     if target is None:
         raise RuntimeError(f"no catalog version published batch {rollback_after_batch}")
     C.rollback(catalog_dir, target)
-    run()  # fresh checkpoint: at-least-once redelivery of the whole stream
+    # fresh checkpoint: at-least-once redelivery of the whole stream
+    _run_fanout_replay(spark, path, catalog_dir, tag)
     return (
         C.read_table(spark, catalog_dir, "state"),
         C.read_table(spark, catalog_dir, "events_log"),
     )
+
+
+def _run_fanout_replay(
+    spark: SparkSession, path: str, catalog_dir: str, tag: str
+) -> None:
+    """One availableNow fan-out replay pass with a fresh checkpoint
+    (module-level so the by-value-registration audit sees a plain
+    driver-side function, not a worker-suspect closure)."""
+    q = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .writeStream.foreachBatch(catalog_fanout_batch(catalog_dir, tag))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def _bootstrap_fanout_catalog(spark: SparkSession, catalog_dir: str) -> None:
