@@ -362,11 +362,105 @@ def t30_churn_spread_probe(
     }
 
 
+def s40_era_overhead_probe(spark, n_eras: int, rows_per_era: int = 200_000) -> dict:
+    """S40 claim check: the epoch-mapped read pays one scan GROUP per
+    live era, not per file — so with TOTAL rows held constant-ish
+    (rows_per_era x n_eras grows linearly, the honest comparison is
+    wall/row), per-row cost should stay flat as era count grows. Builds a
+    table that alternates appends with renames (each rename opens an
+    era), then times a full-scan aggregate."""
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        publish_append,
+        read_committed,
+        rename_column,
+    )
+
+    td = os.path.join(SCRATCH, f"s40-eras-{n_eras}")
+    shutil.rmtree(td, ignore_errors=True)
+    df = spark.range(rows_per_era).selectExpr("id AS k", "id * 2 AS v0")
+    publish(df, td, generation=1, stats_columns=["k"])
+    gen = 1
+    col = "v0"
+    for e in range(1, n_eras):
+        gen += 1
+        new = f"v{e}"
+        rename_column(td, gen, col, new)
+        col = new
+        gen += 1
+        publish_append(
+            spark.range(e * rows_per_era, (e + 1) * rows_per_era).selectExpr(
+                "id AS k", f"id * 2 AS {col}"
+            ),
+            td,
+            gen,
+        )
+    t0 = time.time()
+    row = (
+        read_committed(spark, td)
+        .agg(F.count("*").alias("n"), F.sum(col).alias("s"))
+        .first()
+    )
+    wall = time.time() - t0
+    n = int(row["n"])
+    assert n == n_eras * rows_per_era
+    return {
+        "probe": "s40_era_overhead",
+        "n_eras": n_eras,
+        "rows": n,
+        "wall_s": round(wall, 3),
+        "us_per_row": round(wall / n * 1e6, 3),
+    }
+
+
+def s42_window_prune_probe(spark, n_days: int, rows_per_day: int = 20_000) -> dict:
+    """S42 claim check: a fixed 3-day window query costs O(window), not
+    O(table) — wall time must stay flat as the table grows from 16 to
+    256 days. Also returns the scanned-file count as the structural
+    witness (must equal the window's partitions' files whatever the
+    table size)."""
+    import datetime as dt
+
+    from ez_cdc_spark.sources.manifest import (
+        publish_hidden_partitioned,
+        read_transform_pruned,
+    )
+
+    td = os.path.join(SCRATCH, f"s42-days-{n_days}")
+    shutil.rmtree(td, ignore_errors=True)
+    df = spark.range(n_days * rows_per_day).selectExpr(
+        "id AS k",
+        f"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, CAST(id / {rows_per_day} AS INT) * 86400 + id % 3600) AS ts",
+        "id * 2 AS v",
+    )
+    publish_hidden_partitioned(df, td, 1, transform=("days", "ts", None))
+    lo = dt.datetime(2024, 1, 5)
+    hi = dt.datetime(2024, 1, 7, 23, 59, 59)
+    t0 = time.time()
+    r = read_transform_pruned(spark, td, lo, hi)
+    n = r.count()
+    wall = time.time() - t0
+    return {
+        "probe": "s42_window_prune",
+        "n_days": n_days,
+        "window_rows": n,
+        "scanned_files": len(r.inputFiles()),
+        "wall_s": round(wall, 3),
+    }
+
+
 def main() -> None:
     from ez_cdc_spark.queries import load_all
     from ez_cdc_spark.session import get_spark
 
     spark = get_spark("ez_cdc_spark-scaling")
+
+    if os.environ.get("SCALE_S40_S42"):
+        out = [s40_era_overhead_probe(spark, n) for n in (1, 4, 16)]
+        out += [s42_window_prune_probe(spark, n) for n in (16, 64, 256)]
+        for row in out:
+            print(json.dumps(row))
+        return
 
     if os.environ.get("SCALE_T30_SPREAD"):
         out = []
