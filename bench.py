@@ -103,6 +103,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "s43_manifest_datasource",
     "t41_event_lake_ingest",
     "t40_catalog_rollback_replay",
     "x66_embedding_covariance",
@@ -129,6 +130,7 @@ NEW_THIS_ROUND = [
 ]
 
 EXTRA_QUERIES = [
+    "s43_manifest_datasource",
     "t41_event_lake_ingest",
     "t40_catalog_rollback_replay",
     "x66_embedding_covariance",

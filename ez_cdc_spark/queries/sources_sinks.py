@@ -3404,3 +3404,69 @@ def s42_hidden_partitioning(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s43_manifest_datasource",
+    oracle="""
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S43: the manifest lakehouse as a first-class Spark DATA SOURCE — "
+    "the API-completeness piece (sources/pyds.py:make_ezmanifest_source, "
+    "Spark 4 pyspark.sql.datasource): spark.read.format('ezmanifest')"
+    ".option('path', td) reads a committed table WITHOUT importing the "
+    "engine, plain SQL reaches it via CREATE ... USING ezmanifest, and "
+    "time travel / branch heads are reader options ('generation' / "
+    "'ref'). Planning resolves pointer->manifest->file-list driver-side "
+    "(one JSON read); each committed file is one input split; read() "
+    "yields pyarrow RecordBatches straight off the parquet file — "
+    "vectorized end to end, zero per-row Python (the s10 by-value class "
+    "shipping rule applies: workers never import ez_cdc_spark). "
+    "Partitioned generations reconstruct the partition column from the "
+    "manifest's per-file value map as a constant arrow column cast to "
+    "the stored type; additive-evolution files NULL-fill appended "
+    "columns at the stored type; MOR and rename/drop-evolved tables "
+    "refuse loudly (read_mor / read_committed own those semantics — the "
+    "engine's raw-consumer refusal class). The lifecycle here: half of "
+    "customer publishes as gen-1, the rest appends as gen-2, and the "
+    "aggregate reads through the FORMAT — hash-green against the plain "
+    "declarative oracle proves the datasource serves exactly the "
+    "committed state (tests/test_pyds_manifest.py pins time travel, "
+    "branch reads, SQL USING, partition reconstruction, evolution "
+    "NULL-fill, and both refusals). At 100 TB: planning is O(files) "
+    "metadata on the driver, scan parallelism is one task per committed "
+    "file, and the arrow batches keep the Python boundary vectorized.",
+)
+def s43_manifest_datasource(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import publish, publish_append
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s43pyds")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    key = F.col("c_custkey")
+    publish(c.filter(key % 2 == 0), table_dir, generation=1)
+    publish_append(c.filter(key % 2 == 1), table_dir, generation=2)
+
+    register_ezmanifest(spark)
+    lake = spark.read.format("ezmanifest").option("path", table_dir).load()
+    return (
+        lake.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

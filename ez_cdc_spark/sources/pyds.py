@@ -159,3 +159,140 @@ def register_envelopegen(spark) -> None:
     except Exception:
         enabled = False
     spark.dataSource.register(make_envelopegen_source(with_pushdown=enabled))
+
+
+def make_ezmanifest_source():
+    """S43: the manifest lakehouse as a first-class ``spark.read.format``
+    source — the API-completeness piece: a user (or plain SQL via
+    CREATE TABLE ... USING) reads a committed manifest table without
+    importing the engine, with time travel (``option('generation', g)``)
+    and branch heads (``option('ref', name)``) as reader options.
+
+    Resolution happens DRIVER-side at planning (one JSON read — the same
+    pointer→manifest→file-list walk as read_committed); each committed
+    file becomes one input split, and ``read`` yields pyarrow
+    RecordBatches straight from the parquet file — vectorized end to end,
+    no per-row Python. Partitioned generations reconstruct the partition
+    column from the manifest's per-file value map (a constant arrow
+    column per split, cast to the stored type). Honest scoping: MOR
+    generations refuse loudly (resolve via read_mor — a raw scan would
+    resurrect killed rows) and rename/drop-evolved tables refuse (the
+    epoch-mapped read owns the per-era name mapping); both match the
+    engine's raw-consumer refusal class.
+
+    Classes are locally defined so cloudpickle ships them BY VALUE to the
+    Python workers (the s10 rule: an external driver's workers can't
+    import ez_cdc_spark by path)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.types import StructType
+
+    class _FileSplit(InputPartition):
+        def __init__(self, path, pcol, pval, schema_json):
+            self.path = path
+            self.pcol = pcol
+            self.pval = pval
+            self.schema_json = schema_json
+
+    def _resolve(options) -> dict:
+        table_dir = options.get("path")
+        if not table_dir:
+            raise ValueError("ezmanifest needs option('path', <table_dir>)")
+        gen = options.get("generation")
+        ref = options.get("ref")
+        if gen is not None:
+            name = f"gen-{int(gen)}.json"
+        else:
+            pointer = (
+                _os.path.join(table_dir, "_refs", ref)
+                if ref
+                else _os.path.join(table_dir, "_MANIFEST")
+            )
+            with open(pointer) as fh:
+                name = _json.load(fh)["current"]
+        with open(_os.path.join(table_dir, "_manifests", name)) as fh:
+            man = _json.load(fh)
+        if man.get("delete_files"):
+            raise ValueError(
+                "ezmanifest reads raw data files, but this generation is "
+                "merge-on-read: resolve with read_mor or fold with "
+                "compact_mor first"
+            )
+        if man.get("epoch_maps"):
+            raise ValueError(
+                "this table has rename/drop history (epoch maps): read it "
+                "through read_committed, which owns the per-era name mapping"
+            )
+        return man
+
+    class ManifestReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+            self.man = _resolve(options)
+            self.table_dir = options["path"]
+
+        def partitions(self):
+            man = self.man
+            pcol = man.get("partition_col")
+            parts = man.get("partitions", {})
+            schema_json = _json.dumps(man["schema"])
+            return [
+                _FileSplit(
+                    _os.path.join(self.table_dir, rel),
+                    pcol,
+                    parts.get(rel) if pcol else None,
+                    schema_json,
+                )
+                for rel in man["files"]
+            ]
+
+        def read(self, split):
+            import json as _j
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
+
+            logical = to_arrow_schema(_ST.fromJson(_j.loads(split.schema_json)))
+            pf = pq.ParquetFile(split.path)
+            for batch in pf.iter_batches():
+                cols = []
+                for field in logical:
+                    if split.pcol is not None and field.name == split.pcol:
+                        # partition value lives in the manifest map, not
+                        # the file — a constant column at the stored type
+                        cols.append(
+                            pa.array([split.pval] * batch.num_rows).cast(
+                                field.type
+                            )
+                        )
+                    elif field.name in batch.schema.names:
+                        cols.append(
+                            batch.column(field.name).cast(field.type)
+                        )
+                    else:
+                        # additive evolution: pre-evolution files lack the
+                        # appended column — NULL-fill at the stored type
+                        cols.append(pa.nulls(batch.num_rows, field.type))
+                yield pa.RecordBatch.from_arrays(cols, schema=logical)
+
+    class ManifestSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "ezmanifest"
+
+        def schema(self):
+            return StructType.fromJson(_resolve(self.options)["schema"])
+
+        def reader(self, schema) -> ManifestReader:
+            return ManifestReader(self.options)
+
+    return ManifestSource
+
+
+def register_ezmanifest(spark) -> None:
+    """Idempotent registration of the ezmanifest format."""
+    spark.dataSource.register(make_ezmanifest_source())
