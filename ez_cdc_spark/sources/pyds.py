@@ -161,12 +161,25 @@ def register_envelopegen(spark) -> None:
     spark.dataSource.register(make_envelopegen_source(with_pushdown=enabled))
 
 
-def make_ezmanifest_source():
+def make_ezmanifest_source(with_pushdown: bool = True):
     """S43: the manifest lakehouse as a first-class ``spark.read.format``
     source — the API-completeness piece: a user (or plain SQL via
     CREATE TABLE ... USING) reads a committed manifest table without
     importing the engine, with time travel (``option('generation', g)``)
     and branch heads (``option('ref', name)``) as reader options.
+
+    ``with_pushdown`` adds S28 file skipping THROUGH the public
+    DataSource API: pushFilters (driver-side, at planning) clamps the
+    split list by the manifest's per-file min/max stats — a predicate on
+    a stats column drops whole files before Spark schedules a single
+    task, the Iceberg scan-planning story surfaced through
+    ``spark.read.format``. Safety is structural: every filter is handed
+    BACK to Spark for full evaluation (pruning is advisory — a file kept
+    conservatively still gets the predicate applied), and files without
+    stats are always kept, so correctness never depends on stats
+    coverage. Registration picks the variant per session conf (the s10
+    rule: a pushFilters reader hard-fails when
+    spark.sql.python.filterPushdown.enabled is off).
 
     Resolution happens DRIVER-side at planning (one JSON read — the same
     pointer→manifest→file-list walk as read_committed); each committed
@@ -232,6 +245,61 @@ def make_ezmanifest_source():
             self.options = options
             self.man = _resolve(options)
             self.table_dir = options["path"]
+            self.keep = list(self.man["files"])
+
+        def _push_filters(self, filters):
+            """Driver-side at planning: clamp the file list by the
+            manifest's per-file stats. Every filter is yielded BACK so
+            Spark evaluates all of them in full — this method only
+            removes files that provably contain no matching row."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            # per-column [lo, hi] bounds implied by the pushed filters
+            bounds: dict[str, list] = {}
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                col = attr[0] if attr and len(attr) == 1 else None
+                val = getattr(f, "value", None)
+                if col is not None and isinstance(val, (int, float, str)):
+                    lo, hi = bounds.setdefault(col, [None, None])
+                    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        bounds[col][0] = val if lo is None else max(lo, val)
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        bounds[col][1] = val if hi is None else min(hi, val)
+                    elif isinstance(f, EqualTo):
+                        bounds[col] = [val, val]
+                yield f  # ALWAYS returned: pruning is advisory
+
+            stats = self.man.get("stats") or {}
+            kept = []
+            for rel in self.man["files"]:
+                per = stats.get(rel)
+                drop = False
+                if per:
+                    for col, (lo, hi) in bounds.items():
+                        rng = per.get(col)
+                        if rng is None or rng[0] is None or rng[1] is None:
+                            continue  # no stats for this column: keep
+                        try:
+                            if (hi is not None and rng[0] > hi) or (
+                                lo is not None and rng[1] < lo
+                            ):
+                                drop = True
+                                break
+                        except TypeError:
+                            continue  # incomparable types: keep (safe)
+                if not drop:
+                    kept.append(rel)
+            self.keep = kept
+
+        if with_pushdown:
+            pushFilters = _push_filters
 
         def partitions(self):
             man = self.man
@@ -245,7 +313,7 @@ def make_ezmanifest_source():
                     parts.get(rel) if pcol else None,
                     schema_json,
                 )
-                for rel in man["files"]
+                for rel in self.keep
             ]
 
         def read(self, split):
@@ -294,5 +362,13 @@ def make_ezmanifest_source():
 
 
 def register_ezmanifest(spark) -> None:
-    """Idempotent registration of the ezmanifest format."""
-    spark.dataSource.register(make_ezmanifest_source())
+    """Idempotent registration of the ezmanifest format. Enables
+    stats-based split pruning when the session allows Python source
+    pushdown; otherwise registers the variant without pushFilters (which
+    would hard-fail with the conf off — the s10 rule)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        enabled = spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    except Exception:
+        enabled = False
+    spark.dataSource.register(make_ezmanifest_source(with_pushdown=enabled))

@@ -115,3 +115,35 @@ def test_refusals(spark):
     with pytest.raises(Exception, match="path"):
         register_ezmanifest(spark)
         spark.read.format("ezmanifest").load().count()
+
+
+def test_stats_pushdown_prunes_splits(spark):
+    """S28 file skipping THROUGH the DataSource API: a predicate on a
+    stats column drops whole splits at planning (rdd.getNumPartitions is
+    the witness — one split per kept file), results stay exact (every
+    filter is handed back to Spark), and columns without stats keep
+    everything — conservative, never wrong."""
+    d = os.path.join(SCRATCH, "pushdown")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(1000)
+        .selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(10, "k")
+        .sortWithinPartitions("k"),
+        d,
+        1,
+        stats_columns=["k"],
+    )
+    register_ezmanifest(spark)
+    r = spark.read.format("ezmanifest").option("path", d).load()
+    assert r.rdd.getNumPartitions() == 10
+    ranged = r.filter("k >= 850 AND k < 900")
+    assert ranged.rdd.getNumPartitions() < 10
+    assert ranged.count() == 50
+    point = r.filter("k = 123")
+    assert point.rdd.getNumPartitions() == 1
+    assert [(x["k"], x["v"]) for x in point.collect()] == [(123, 246)]
+    # no stats on v: every split kept, result still exact
+    nostats = r.filter("v >= 1900")
+    assert nostats.rdd.getNumPartitions() == 10
+    assert nostats.count() == 50
