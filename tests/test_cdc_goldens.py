@@ -1694,17 +1694,32 @@ def test_t30_lakehouse_merge_kill_restart_and_snapshot_history(spark, tmp_path, 
             else:
                 state[key] = (ev["source"]["lsn"], ev["after"]["first_name"])
         folds.append(dict(state))
+    # Every committed generation must be the fold of SOME file-boundary
+    # lsn-prefix, and the matched prefixes strictly increase across
+    # generations. (Not "generation for batch k == fold of stages 0..k":
+    # a kill landing inside the RESTART's offset planning can make Spark
+    # legitimately lump the remaining files into one availableNow batch —
+    # witnessed once under a 3-JVM load test — and a lumped batch is
+    # still a correct, order-preserving commit. What the snapshot-history
+    # contract actually promises is that every commit is a CONSISTENT
+    # PREFIX snapshot, which this asserts exactly.)
+    last_j = -1
+    audited = 0
     for g in gens:
         man_g = read_manifest(td, as_of_generation=g)
-        txn = man_g.get("txn")
-        if txn is None:
+        if man_g.get("txn") is None:
             continue  # the empty bootstrap generation
-        k = txn["batch_id"]
         snap = {
             r["id"]: (r["lsn"], r["first_name"])
             for r in read_committed(spark, td, as_of_generation=g).collect()
         }
-        assert snap == folds[k], f"generation {g} != fold of stages 0..{k}"
+        matches = [j for j, fold in enumerate(folds) if snap == fold]
+        assert matches, f"generation {g} is not any file-boundary prefix fold"
+        j = matches[0]
+        assert j > last_j, f"generation {g} rewound the prefix ({j} <= {last_j})"
+        last_j = j
+        audited += 1
+    assert audited >= 2 and last_j == len(folds) - 1
 
 
 def test_t30_maintenance_policy_bounds_state_and_readers(spark, tmp_path, sf_dir):
