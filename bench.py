@@ -103,6 +103,8 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "s44_manifest_datasource_write",
+    "t42_manifest_stream_tail",
     "s43_manifest_datasource",
     "t41_event_lake_ingest",
     "t40_catalog_rollback_replay",
@@ -130,6 +132,8 @@ NEW_THIS_ROUND = [
 ]
 
 EXTRA_QUERIES = [
+    "s44_manifest_datasource_write",
+    "t42_manifest_stream_tail",
     "s43_manifest_datasource",
     "t41_event_lake_ingest",
     "t40_catalog_rollback_replay",

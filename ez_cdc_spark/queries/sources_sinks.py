@@ -3470,3 +3470,73 @@ def s43_manifest_datasource(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s44_manifest_datasource_write",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="S44: the manifest lakehouse WRITE path through Spark's own IO "
+    "surface — df.write.format('ezmanifest') (sources/pyds.py "
+    "ManifestWriter, a DataSourceArrowWriter): executor tasks stream "
+    "arrow batches into one parquet file each under the RESERVED "
+    "generation's staging dir (vectorized, zero per-row Python, footer "
+    "min/max stats computed task-side so S28 skipping keeps working), "
+    "and the driver-side commit runs the engine's exact protocol — "
+    "O_EXCL number reservation before any data stages, immutable "
+    "manifest linked via the one-winner os.link CAS, pointer swapped "
+    "under the stale-breakable lock with parent re-validation. The "
+    "query creates the table with one write, appends two more batches "
+    "(one under a txnTag/txnVersion), then REPLAYS the tagged write "
+    "verbatim — the Delta idempotent-writes contract turns the replay "
+    "into a committed no-op, proven by the hash: a double-append would "
+    "double every count. Read back through the ezmanifest reader, so "
+    "the round trip never touches the engine's read API either. At "
+    "100 TB: writes scale with executor count (one file per task), "
+    "commit is O(files) metadata + one pointer swap, and a crashed "
+    "write leaves only gc-reclaimable debris behind its reservation.",
+)
+def s44_manifest_datasource_write(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s44pydsw")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    register_ezmanifest(spark)
+    key = F.col("c_custkey")
+
+    def write(df, **opts):
+        w = df.write.format("ezmanifest").option("path", table_dir)
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode("append").save()
+
+    write(c.filter(key % 3 == 0), statsColumns="c_custkey,c_nationkey")
+    write(c.filter(key % 3 == 1))
+    tagged = c.filter(key % 3 == 2)
+    write(tagged, txnTag="s44-loader", txnVersion="7")
+    # exact replay: at-or-below the recorded watermark -> committed no-op
+    write(tagged, txnTag="s44-loader", txnVersion="7")
+
+    lake = spark.read.format("ezmanifest").option("path", table_dir).load()
+    return (
+        lake.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

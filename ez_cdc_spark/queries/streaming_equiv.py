@@ -2797,3 +2797,93 @@ def t41_event_lake_ingest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "t42_manifest_stream_tail",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="T42: STREAMING reads of a manifest table through Spark's own "
+    "source surface — spark.readStream.format('ezmanifest') "
+    "(sources/pyds.py ManifestStreamReader): the offset is the committed "
+    "GENERATION NUMBER, each micro-batch plans one input split per file "
+    "appended between offsets, and splits read with the same vectorized "
+    "arrow path as the batch reader. The append-only guard is "
+    "STRUCTURAL, not lineage-label trust: files(start) must be a subset "
+    "of files(end) — every old file still present proves every new row "
+    "lives in a new file (a pure-insert merge is served correctly; an "
+    "update/compact/restore breaks the subset and refuses with Delta's "
+    "non-append streaming-source contract). The query publishes gen 1 "
+    "with the ENGINE's publish, tails it live, appends gen 2 with "
+    "publish_append and gen 3 through df.write.format('ezmanifest') — "
+    "the S44 writer feeding the T42 stream, a produce/consume loop that "
+    "never leaves Spark's IO surface — and the memory-sink aggregate "
+    "must equal the full-table recompute. At 100 TB: a micro-batch "
+    "costs O(new files) driver planning (one manifest JSON read) and "
+    "executor-parallel reads of exactly the new bytes — no listing, no "
+    "re-scan of old data.",
+)
+def t42_manifest_stream_tail(spark, sf_dir):
+    import re
+    import shutil
+    import time
+
+    from ez_cdc_spark.sources.manifest import publish, publish_append
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+    from ez_cdc_spark.streaming.replay import checkpoint_dir
+
+    register_ezmanifest(spark)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    table_dir = tempfile.mkdtemp(prefix="t42tail-")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    key = F.col("c_custkey")
+    publish(c.filter(key % 3 == 0), table_dir, generation=1)
+
+    stream = spark.readStream.format("ezmanifest").option("path", table_dir).load()
+    agg = stream.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t42_tail")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def drained(gen, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                eo = p["sources"][0].get("endOffset")
+                m = re.search(r"['\"]gen['\"]\s*:\s*(\d+)", str(eo or ""))
+                if m and int(m.group(1)) >= gen and p["numInputRows"] == 0:
+                    return True
+            time.sleep(0.2)
+        raise TimeoutError(f"stream never drained generation {gen}")
+
+    try:
+        drained(1)
+        publish_append(c.filter(key % 3 == 1), table_dir, generation=2)
+        drained(2)
+        # gen 3 arrives through the S44 writer: Spark IO end to end
+        (
+            c.filter(key % 3 == 2)
+            .write.format("ezmanifest")
+            .option("path", table_dir)
+            .mode("append")
+            .save()
+        )
+        drained(3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("t42_tail").orderBy("c_nationkey")

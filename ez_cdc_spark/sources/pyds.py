@@ -193,13 +193,59 @@ def make_ezmanifest_source(with_pushdown: bool = True):
     epoch-mapped read owns the per-era name mapping); both match the
     engine's raw-consumer refusal class.
 
-    Classes are locally defined so cloudpickle ships them BY VALUE to the
-    Python workers (the s10 rule: an external driver's workers can't
-    import ez_cdc_spark by path)."""
+    S44 adds the WRITE path — ``df.write.format('ezmanifest')`` — and T42
+    the STREAMING read path — ``spark.readStream.format('ezmanifest')`` —
+    so the full produce/consume loop of a manifest table runs through
+    Spark's own IO surface without importing the engine:
+
+    * The writer is a ``DataSourceArrowWriter``: each task streams its
+      arrow batches into ONE parquet file under the reserved generation's
+      staging dir (vectorized, zero per-row Python) and returns the file's
+      footer min/max stats in its commit message; the driver-side
+      ``commit`` then runs the engine's exact commit protocol — O_EXCL
+      generation reservation before any data stages, immutable manifest
+      linked with the one-winner ``os.link`` CAS, pointer swapped under
+      the short stale-breakable lock with parent re-validation — restated
+      here IN BY-VALUE FORM because the registered DataSource ships via
+      cloudpickle to processes that cannot import ez_cdc_spark
+      (equivalence with manifest.py's `_commit_manifest`/
+      `_validate_generation`/`_acquire_pointer_lock` is pinned by
+      tests/test_pyds_manifest.py: engine readers serve writer commits,
+      a writer racing an engine writer has exactly one winner, and
+      vacuum(0.0) never reclaims a mid-write staging file thanks to the
+      same reservation). Honest scoping mirrors the reader's refusal
+      class: constrained (S39), partitioned (S29), hidden-partitioned
+      (S42), epoch-mapped (S40) and MOR (S36) tables refuse loudly — the
+      engine APIs own those invariants. ``txnTag``/``txnVersion`` options
+      give Delta's idempotent-writes contract: a version at-or-below the
+      table's recorded watermark for that tag turns the whole write into
+      a committed no-op, and a newer one folds into the multi-writer
+      ``txns`` map (never last-writer-wins).
+
+    * The stream reader's offset is the committed GENERATION NUMBER; a
+      micro-batch plans one split per file appended between offsets and
+      reads it with the same vectorized split reader as the batch path.
+      The append-only guard is STRUCTURAL, not lineage-label trust:
+      ``files(start) ⊆ files(end)`` — if every start-offset file is still
+      present, every new row provably lives in a new file (a pure-insert
+      MERGE passes and is served correctly; an update/compact/restore
+      breaks the subset and refuses with a fresh-checkpoint message,
+      Delta's non-append streaming-source contract). At 100 TB a batch
+      costs O(new files) driver planning and executor-parallel reads of
+      exactly the new bytes.
+    """
     import json as _json
     import os as _os
+    import uuid as _uuid
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+        WriterCommitMessage,
+    )
     from pyspark.sql.types import StructType
 
     class _FileSplit(InputPartition):
@@ -208,6 +254,41 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             self.pcol = pcol
             self.pval = pval
             self.schema_json = schema_json
+
+    def _read_split(split):
+        """Vectorized split read shared by the batch and streaming
+        readers: pyarrow RecordBatches straight off the parquet file,
+        logical-schema projection with partition-value reconstruction and
+        additive-evolution NULL-fill."""
+        import json as _j
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+
+        logical = to_arrow_schema(_ST.fromJson(_j.loads(split.schema_json)))
+        pf = pq.ParquetFile(split.path)
+        for batch in pf.iter_batches():
+            cols = []
+            for field in logical:
+                if split.pcol is not None and field.name == split.pcol:
+                    # partition value lives in the manifest map, not
+                    # the file — a constant column at the stored type
+                    cols.append(
+                        pa.array([split.pval] * batch.num_rows).cast(
+                            field.type
+                        )
+                    )
+                elif field.name in batch.schema.names:
+                    cols.append(
+                        batch.column(field.name).cast(field.type)
+                    )
+                else:
+                    # additive evolution: pre-evolution files lack the
+                    # appended column — NULL-fill at the stored type
+                    cols.append(pa.nulls(batch.num_rows, field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=logical)
 
     def _resolve(options) -> dict:
         table_dir = options.get("path")
@@ -317,35 +398,462 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             ]
 
         def read(self, split):
-            import json as _j
+            yield from _read_split(split)
 
+    # ----- S44 write path: the engine's commit protocol in by-value form -----
+    # (mirrors manifest.py `_acquire_pointer_lock` / `_release_pointer_lock` /
+    # `_validate_generation` / `_commit_manifest`; equivalence pinned by
+    # tests/test_pyds_manifest.py — see the module docstring for why this
+    # cannot simply import the engine)
+
+    _LOCK_STALE_S = 30.0
+
+    def _mpath(table_dir, gen):
+        return _os.path.join(table_dir, "_manifests", f"gen-{gen}.json")
+
+    def _rpath(table_dir, gen):
+        return _os.path.join(table_dir, "_manifests", f".reserve-gen-{gen}")
+
+    def _fsync_dir(path):
+        fd = _os.open(path, _os.O_RDONLY)
+        try:
+            _os.fsync(fd)
+        finally:
+            _os.close(fd)
+
+    def _pointer_gen(table_dir):
+        import re as _re
+
+        try:
+            with open(_os.path.join(table_dir, "_MANIFEST")) as fh:
+                m = _re.search(r"gen-(\d+)(?:\.json)?$", _json.load(fh)["current"])
+            return int(m.group(1)) if m else None
+        except FileNotFoundError:
+            return None
+
+    def _acquire_lock(table_dir):
+        import time as _time
+
+        lock = _os.path.join(table_dir, ".commit.lock")
+        deadline = _time.time() + _LOCK_STALE_S * 2
+        while True:
+            try:
+                return _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if _time.time() - _os.path.getmtime(lock) > _LOCK_STALE_S:
+                        broken = f"{lock}.broken.{_uuid.uuid4().hex}"
+                        _os.rename(lock, broken)
+                        _os.unlink(broken)
+                        continue
+                except OSError:
+                    continue
+                if _time.time() > deadline:
+                    raise TimeoutError(f"commit lock stuck at {lock}") from None
+                _time.sleep(0.005)
+
+    def _release_lock(table_dir, fd):
+        lock = _os.path.join(table_dir, ".commit.lock")
+        try:
+            owned = _os.fstat(fd).st_ino == _os.stat(lock).st_ino
+        except OSError:
+            owned = False
+        finally:
+            _os.close(fd)
+        if owned:
+            try:
+                _os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _commit_swap(table_dir, generation, manifest, expected_parent):
+        """Link the immutable gen manifest (one-winner CAS on the number),
+        release the staging reservation, then swap the pointer under the
+        lock with parent re-validation — a losing writer's manifest is
+        unlinked and the conflict raised for the caller's retry loop."""
+        mdir = _os.path.join(table_dir, "_manifests")
+        _os.makedirs(mdir, exist_ok=True)
+        mpath = _mpath(table_dir, generation)
+        mtmp = _os.path.join(
+            mdir, f".gen-{generation}.json.{_uuid.uuid4().hex}.tmp"
+        )
+        with open(mtmp, "w") as fh:
+            _json.dump(manifest, fh)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        try:
+            _os.link(mtmp, mpath)
+        except FileExistsError:
+            raise RuntimeError(
+                f"manifest gen-{generation}.json already exists and is "
+                f"immutable; the writer lost its number reservation"
+            ) from None
+        finally:
+            _os.unlink(mtmp)
+        try:
+            _os.unlink(_rpath(table_dir, generation))
+        except FileNotFoundError:
+            pass
+        _fsync_dir(mdir)
+        fd = _acquire_lock(table_dir)
+        try:
+            cur = _pointer_gen(table_dir)
+            if cur != expected_parent:
+                try:
+                    _os.unlink(mpath)
+                except FileNotFoundError:
+                    pass
+                _fsync_dir(mdir)
+                raise RuntimeError(
+                    f"commit conflict: table advanced to generation {cur} "
+                    f"while this ezmanifest writer was building on "
+                    f"{expected_parent}: commit of gen-{generation} "
+                    f"rejected, retry from the new committed state"
+                )
+            pointer = _os.path.join(table_dir, "_MANIFEST")
+            ptmp = _os.path.join(
+                table_dir, f"._MANIFEST.{_uuid.uuid4().hex}.tmp"
+            )
+            with open(ptmp, "w") as fh:
+                _json.dump({"current": f"gen-{generation}.json"}, fh)
+                fh.flush()
+                _os.fsync(fh.fileno())
+            _os.replace(ptmp, pointer)
+            _fsync_dir(table_dir)
+        finally:
+            _release_lock(table_dir, fd)
+
+    def _encode_stat(v):
+        """Mirror of manifest.py `_encode_stat`: JSON-safe, tz-unambiguous
+        integer encodings for temporal bounds so S28 pruning keeps working
+        on writer-produced stats."""
+        import datetime as _dt
+
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return {"us": (v - epoch) // _dt.timedelta(microseconds=1)}
+        if isinstance(v, _dt.date):
+            return {"d": (v - _dt.date(1970, 1, 1)).days}
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
+    def _footer_stats(path, columns):
+        """Mirror of manifest.py `_file_stats`: per-column min/max merged
+        from the just-written file's row-group footers (no data re-read)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out = {}
+        for col in columns:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            lo_e, hi_e = _encode_stat(lo), _encode_stat(hi)
+            if lo_e is not None and hi_e is not None:
+                out[col] = [lo_e, hi_e]
+        return out
+
+    class _WMsg(WriterCommitMessage):
+        def __init__(self, rel, rows, stats):
+            self.rel = rel
+            self.rows = rows
+            self.stats = stats
+
+    class ManifestWriter(DataSourceArrowWriter):
+        """S44: executor tasks stage one parquet file each into the
+        RESERVED generation dir (so a concurrent vacuum(0.0) structurally
+        cannot reclaim mid-write files — the engine's S33 contract);
+        the driver commits with the same CAS the engine uses."""
+
+        def __init__(self, options, schema, overwrite):
+            self.table_dir = options.get("path")
+            if not self.table_dir:
+                raise ValueError("ezmanifest needs option('path', <table_dir>)")
+            if options.get("ref") or options.get("generation"):
+                raise ValueError(
+                    "the ezmanifest writer targets the main head only: "
+                    "branch writes go through publish_append(ref=...) and "
+                    "generations are assigned by the commit protocol"
+                )
+            self.overwrite = bool(overwrite)
+            self.schema_json = schema.json()
+
+            parent = None
+            pgen = _pointer_gen(self.table_dir)
+            if pgen is not None:
+                with open(_mpath(self.table_dir, pgen)) as fh:
+                    parent = _json.load(fh)
+            self.parent = parent
+            self.parent_gen = pgen
+
+            if parent is not None:
+                for key, owner in (
+                    ("delete_files", "merge_mor/compact_mor (S36)"),
+                    ("epoch_maps", "the epoch-mapped producers (S40)"),
+                    ("partition_col", "publish_partitioned/publish_append (S29)"),
+                    ("partition_transform", "the hidden-partitioning producers (S42)"),
+                    ("constraints", "the constraint-gated engine writers (S39)"),
+                ):
+                    if parent.get(key):
+                        raise ValueError(
+                            f"this table carries {key!r}: the ezmanifest "
+                            f"writer cannot preserve that invariant — "
+                            f"write through {owner}"
+                        )
+                stored = [
+                    (f["name"], f["type"]) for f in parent["schema"]["fields"]
+                ]
+                incoming = [
+                    (f["name"], f["type"])
+                    for f in _json.loads(self.schema_json)["fields"]
+                ]
+                if incoming != stored:
+                    raise ValueError(
+                        f"write schema mismatch: table has {stored}, "
+                        f"dataframe has {incoming}"
+                    )
+
+            # idempotent writes (Delta txnAppId/txnVersion): at-or-below
+            # the recorded watermark → the whole write is a committed no-op
+            tag = options.get("txntag")
+            ver = options.get("txnversion")
+            if (tag is None) != (ver is None):
+                raise ValueError("txnTag and txnVersion must be set together")
+            self.txn = (
+                {"tag": tag, "version": int(ver)} if tag is not None else None
+            )
+            self.skip = False
+            if self.txn is not None and parent is not None:
+                txns = parent.get("txns") or {}
+                wm = txns.get(str(tag))
+                if wm is None:
+                    single = parent.get("txn")
+                    if single and str(single.get("tag")) == str(tag):
+                        wm = single
+                if wm is not None and wm.get("version") is not None:
+                    self.skip = int(ver) <= int(wm["version"])
+
+            if parent is not None and not self.overwrite:
+                stats = parent.get("stats") or {}
+                self.stats_cols = sorted({c for s in stats.values() for c in s})
+            else:
+                raw = options.get("statscolumns") or ""
+                self.stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
+
+            self.gen = None
+            if not self.skip:
+                # reservation BEFORE any data stages (S33) — losers of the
+                # number race re-pick higher having written nothing
+                _os.makedirs(
+                    _os.path.join(self.table_dir, "_manifests"), exist_ok=True
+                )
+                g = (pgen or 0) + 1
+                while True:
+                    if _os.path.exists(_mpath(self.table_dir, g)):
+                        g += 1
+                        continue
+                    try:
+                        _os.close(
+                            _os.open(
+                                _rpath(self.table_dir, g),
+                                _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+                            )
+                        )
+                        break
+                    except FileExistsError:
+                        g += 1
+                self.gen = g
+
+        def write(self, iterator):
+            if self.skip:
+                for _ in iterator:
+                    pass  # drain without writing: the version was applied
+                return _WMsg(None, 0, None)
             import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType as _ST
 
-            logical = to_arrow_schema(_ST.fromJson(_j.loads(split.schema_json)))
-            pf = pq.ParquetFile(split.path)
-            for batch in pf.iter_batches():
-                cols = []
-                for field in logical:
-                    if split.pcol is not None and field.name == split.pcol:
-                        # partition value lives in the manifest map, not
-                        # the file — a constant column at the stored type
-                        cols.append(
-                            pa.array([split.pval] * batch.num_rows).cast(
-                                field.type
-                            )
-                        )
-                    elif field.name in batch.schema.names:
-                        cols.append(
-                            batch.column(field.name).cast(field.type)
-                        )
-                    else:
-                        # additive evolution: pre-evolution files lack the
-                        # appended column — NULL-fill at the stored type
-                        cols.append(pa.nulls(batch.num_rows, field.type))
-                yield pa.RecordBatch.from_arrays(cols, schema=logical)
+            logical = to_arrow_schema(
+                _ST.fromJson(_json.loads(self.schema_json))
+            )
+            stage = _os.path.join(self.table_dir, "data", f"gen-{self.gen}")
+            _os.makedirs(stage, exist_ok=True)
+            path = _os.path.join(stage, f"part-{_uuid.uuid4().hex}.parquet")
+            writer = None
+            rows = 0
+            for batch in iterator:
+                cols = [
+                    batch.column(f.name).cast(f.type) for f in logical
+                ]
+                rb = pa.RecordBatch.from_arrays(cols, schema=logical)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, logical)
+                writer.write_batch(rb)
+                rows += rb.num_rows
+            if writer is None:
+                return _WMsg(None, 0, None)  # empty task: no file
+            writer.close()
+            stats = (
+                _footer_stats(path, self.stats_cols)
+                if self.stats_cols
+                else {}
+            )
+            return _WMsg(
+                _os.path.relpath(path, self.table_dir), rows, stats or None
+            )
+
+        def commit(self, messages):
+            if self.skip:
+                return
+            rels, stats = [], {}
+            for m in messages:
+                if m is not None and m.rel is not None:
+                    rels.append(m.rel)
+                    if m.stats:
+                        stats[m.rel] = m.stats
+            rels.sort()
+            parent, pgen = self.parent, self.parent_gen
+            carry = parent is not None and not self.overwrite
+            manifest = {
+                "generation": self.gen,
+                "files": (parent["files"] if carry else []) + rels,
+                "n_files": (len(parent["files"]) if carry else 0) + len(rels),
+                "schema": (
+                    parent["schema"]
+                    if parent is not None
+                    else _json.loads(self.schema_json)
+                ),
+            }
+            if carry:
+                manifest["append"] = {
+                    "parent": pgen,
+                    "appended_files": len(rels),
+                    "carried_files": len(parent["files"]),
+                }
+            merged_stats = dict((parent.get("stats") or {}) if carry else {})
+            merged_stats.update(stats)
+            if merged_stats:
+                manifest["stats"] = merged_stats
+            # multi-writer watermark fold (never last-writer-wins)
+            txns = dict((parent.get("txns") or {}) if parent else {})
+            if parent and not txns and parent.get("txn"):
+                single = parent["txn"]
+                if "tag" in single:
+                    txns[str(single["tag"])] = {
+                        k: v for k, v in single.items() if k != "tag"
+                    }
+            if self.txn is not None:
+                manifest["txn"] = self.txn
+                txns[str(self.txn["tag"])] = {"version": self.txn["version"]}
+            elif parent and parent.get("txn") is not None:
+                manifest["txn"] = parent["txn"]
+            if txns:
+                manifest["txns"] = txns
+            _commit_swap(self.table_dir, self.gen, manifest, pgen)
+
+        def abort(self, messages):
+            # staged files become ordinary unreferenced debris for
+            # gc/vacuum (the engine's torn-commit class); release the
+            # number reservation so maintenance can reclaim them
+            if self.gen is not None:
+                try:
+                    _os.unlink(_rpath(self.table_dir, self.gen))
+                except FileNotFoundError:
+                    pass
+
+    # ----- T42 streaming read path: generation-offset append tailing -----
+
+    class ManifestStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.table_dir = options.get("path")
+            if not self.table_dir:
+                raise ValueError("ezmanifest needs option('path', <table_dir>)")
+            self.start_gen = int(options.get("startinggeneration", 0))
+
+        def initialOffset(self):
+            return {"gen": self.start_gen}
+
+        def latestOffset(self):
+            cur = _pointer_gen(self.table_dir)
+            return {"gen": cur if cur is not None else self.start_gen}
+
+        def _man(self, gen):
+            try:
+                with open(_mpath(self.table_dir, gen)) as fh:
+                    return _json.load(fh)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"generation {gen} of {self.table_dir} is no longer "
+                    f"retained (gc reclaimed it): restart the stream from "
+                    f"a fresh checkpoint"
+                ) from None
+
+        def partitions(self, start, end):
+            s, e = int(start["gen"]), int(end["gen"])
+            if e <= s:
+                return []
+            man = self._man(e)
+            if man.get("delete_files"):
+                raise ValueError(
+                    "this generation is merge-on-read: an append-tail "
+                    "stream cannot serve it — resolve with read_mor or "
+                    "consume change_feed_mor"
+                )
+            if man.get("epoch_maps"):
+                raise ValueError(
+                    "this table has rename/drop history (epoch maps): "
+                    "read it through read_committed, which owns the "
+                    "per-era name mapping"
+                )
+            old = set(self._man(s)["files"]) if s > 0 else set()
+            if not old <= set(man["files"]):
+                raise ValueError(
+                    f"non-append change between generation {s} and {e} "
+                    f"(files were rewritten or removed by a merge/compact/"
+                    f"restore): an append-tail stream cannot serve it — "
+                    f"restart from a fresh checkpoint, or consume the "
+                    f"change feed"
+                )
+            pcol = man.get("partition_col")
+            parts = man.get("partitions", {})
+            schema_json = _json.dumps(man["schema"])
+            return [
+                _FileSplit(
+                    _os.path.join(self.table_dir, rel),
+                    pcol,
+                    parts.get(rel) if pcol else None,
+                    schema_json,
+                )
+                for rel in man["files"]
+                if rel not in old
+            ]
+
+        def read(self, split):
+            yield from _read_split(split)
+
+        def commit(self, end):
+            pass
+
+        def stop(self):
+            pass
 
     class ManifestSource(DataSource):
         @classmethod
@@ -357,6 +865,12 @@ def make_ezmanifest_source(with_pushdown: bool = True):
 
         def reader(self, schema) -> ManifestReader:
             return ManifestReader(self.options)
+
+        def writer(self, schema, overwrite) -> ManifestWriter:
+            return ManifestWriter(self.options, schema, overwrite)
+
+        def streamReader(self, schema) -> ManifestStreamReader:
+            return ManifestStreamReader(self.options)
 
     return ManifestSource
 

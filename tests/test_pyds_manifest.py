@@ -147,3 +147,208 @@ def test_stats_pushdown_prunes_splits(spark):
     nostats = r.filter("v >= 1900")
     assert nostats.rdd.getNumPartitions() == 10
     assert nostats.count() == 50
+
+
+# ----- S44: the write path -----
+
+
+def _write(spark, df, d, mode="append", **opts):
+    register_ezmanifest(spark)
+    w = df.write.format("ezmanifest").option("path", d)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def test_writer_creates_appends_and_engine_reads(spark):
+    d = os.path.join(SCRATCH, "w_basic")
+    shutil.rmtree(d, ignore_errors=True)
+    _write(spark, spark.range(100).selectExpr("id AS k", "id*2 AS v"), d,
+           statsColumns="k")
+    _write(spark, spark.range(100, 150).selectExpr("id AS k", "id*2 AS v"), d)
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    man = read_manifest(d)
+    assert man["generation"] == 2 and man["append"]["parent"] == 1
+    # engine reader serves writer commits; format round-trips its own
+    got = sorted(r["k"] for r in read_committed(spark, d).collect())
+    assert got == list(range(150))
+    assert _fmt(spark, d).count() == 150
+    # appended files inherited the stats columns -> every file has k stats
+    assert all("k" in s for s in man["stats"].values())
+    assert len(man["stats"]) == man["n_files"]
+
+
+def test_writer_overwrite_replaces_state(spark):
+    d = os.path.join(SCRATCH, "w_over")
+    shutil.rmtree(d, ignore_errors=True)
+    _write(spark, spark.range(100).selectExpr("id AS k", "id*2 AS v"), d)
+    _write(spark, spark.range(10).selectExpr("id AS k", "id*2 AS v"), d,
+           mode="overwrite")
+    assert read_committed(spark, d).count() == 10
+    # history is still a chain: gen 1 remains time-travelable
+    assert _fmt(spark, d, generation=1).count() == 100
+
+
+def test_writer_txn_idempotent_replay_and_fold(spark):
+    d = os.path.join(SCRATCH, "w_txn")
+    shutil.rmtree(d, ignore_errors=True)
+    base = spark.range(50).selectExpr("id AS k", "id*2 AS v")
+    _write(spark, base, d)
+    batch = spark.range(50, 80).selectExpr("id AS k", "id*2 AS v")
+    _write(spark, batch, d, txnTag="loader", txnVersion="3")
+    n = read_committed(spark, d).count()
+    # exact replay: committed no-op, no new generation
+    from ez_cdc_spark.sources.manifest import current_generation, read_manifest
+
+    g = current_generation(d)
+    _write(spark, batch, d, txnTag="loader", txnVersion="3")
+    assert read_committed(spark, d).count() == n
+    assert current_generation(d) == g
+    # a second writer's tag folds alongside, never last-writer-wins
+    _write(spark, spark.range(80, 90).selectExpr("id AS k", "id*2 AS v"), d,
+           txnTag="other", txnVersion="1")
+    txns = read_manifest(d)["txns"]
+    assert txns["loader"]["version"] == 3 and txns["other"]["version"] == 1
+
+
+def test_writer_refusals(spark):
+    d = _table(spark, "w_refuse")
+    df = spark.range(5).selectExpr("id AS k", "id*2 AS v")
+    with pytest.raises(Exception, match="schema mismatch"):
+        _write(spark, spark.range(5).selectExpr("id AS k"), d)
+    with pytest.raises(Exception, match="main head only"):
+        _write(spark, df, d, ref="b")
+    from ez_cdc_spark.sources.manifest import alter_constraints
+
+    alter_constraints(spark, d, 2, add={"k_nonneg": "k >= 0"})
+    with pytest.raises(Exception, match="constraints"):
+        _write(spark, df, d)
+    # partitioned tables refuse (the engine's partition map owns layout)
+    dp = os.path.join(SCRATCH, "w_refuse_part")
+    shutil.rmtree(dp, ignore_errors=True)
+    publish_partitioned(
+        spark.range(20).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"),
+        dp, 1, partition_col="p",
+    )
+    with pytest.raises(Exception, match="partition_col"):
+        _write(spark, spark.range(5).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"), dp)
+    # MOR generations refuse
+    dm = _table(spark, "w_refuse_mor")
+    merge_mor(spark, dm, spark.range(3).selectExpr(
+        "id AS k", "id*2 AS v", "'u' AS op", "id AS seq"), "k", 2)
+    with pytest.raises(Exception, match="delete_files"):
+        _write(spark, df, dm)
+
+
+def test_writer_cas_loser_retriable(spark):
+    """A writer racing an engine commit: exactly one wins; the loser's
+    manifest never becomes committed history and its debris is
+    reclaimable."""
+    d = _table(spark, "w_race")
+    from ez_cdc_spark.sources import manifest as M
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    src = make_ezmanifest_source(with_pushdown=False)
+    # plan the write (reserves gen 2) but commit an engine append first
+    from pyspark.sql.types import StructType
+    schema = spark.range(1).selectExpr("id AS k", "id*2 AS v").schema
+    w = src(options={"path": d}).writer(schema, overwrite=False)
+    assert w.gen == 2
+    publish_append(spark.range(100, 110).selectExpr("id AS k", "id*2 AS v"), d, 3)
+    import pyarrow as pa
+    msg = w.write(iter([pa.record_batch({"k": [999], "v": [0]})]))
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        w.commit([msg])
+    w.abort([msg])
+    # the loser's generation is not committed and not readable as history
+    assert M.current_generation(d) == 3
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(d, as_of_generation=2)
+    assert sorted(r["k"] for r in read_committed(spark, d).collect()) == list(range(110))
+    # loser debris is vacuum-reclaimable once aged (reservation released)
+    assert not os.path.exists(os.path.join(d, "_manifests", ".reserve-gen-2"))
+
+
+def test_writer_staging_protected_from_vacuum(spark):
+    """vacuum(0.0) during the staged-but-uncommitted window must keep the
+    writer's files: the reservation is held until the manifest is linked."""
+    d = _table(spark, "w_vac")
+    from ez_cdc_spark.sources import manifest as M
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    src = make_ezmanifest_source(with_pushdown=False)
+    schema = spark.range(1).selectExpr("id AS k", "id*2 AS v").schema
+    w = src(options={"path": d}).writer(schema, overwrite=False)
+    import pyarrow as pa
+    msg = w.write(iter([pa.record_batch({"k": [500], "v": [1000]})]))
+    staged = os.path.join(d, msg.rel)
+    assert os.path.exists(staged)
+    M.vacuum(d, older_than_s=0.0)
+    assert os.path.exists(staged), "reservation must protect mid-write staging"
+    w.commit([msg])
+    assert read_committed(spark, d).count() == 101
+
+
+# ----- T42: the streaming tail -----
+
+
+def test_stream_reader_plans_only_new_files(spark):
+    d = _table(spark, "s_plan")
+    publish_append(spark.range(100, 130).selectExpr("id AS k", "id*2 AS v"), d, 2)
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    src = make_ezmanifest_source(with_pushdown=False)
+    r = src(options={"path": d}).streamReader(None)
+    assert r.initialOffset() == {"gen": 0}
+    assert r.latestOffset() == {"gen": 2}
+    # full-history batch = all files; incremental batch = gen-2's files only
+    full = r.partitions({"gen": 0}, {"gen": 2})
+    inc = r.partitions({"gen": 1}, {"gen": 2})
+    assert len(inc) < len(full)
+    rows = [row for s in inc for b in r.read(s) for row in b.to_pylist()]
+    assert sorted(x["k"] for x in rows) == list(range(100, 130))
+    assert r.partitions({"gen": 2}, {"gen": 2}) == []
+
+
+def test_stream_reader_refuses_nonappend(spark):
+    from ez_cdc_spark.sources.manifest import compact
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    d = _table(spark, "s_refuse")
+    publish_append(spark.range(100, 120).selectExpr("id AS k", "id*2 AS v"), d, 2)
+    compact(spark, d, 3)
+    src = make_ezmanifest_source(with_pushdown=False)
+    r = src(options={"path": d}).streamReader(None)
+    with pytest.raises(ValueError, match="non-append change"):
+        r.partitions({"gen": 1}, {"gen": 3})
+    # a fresh checkpoint (offset 0) serves the compacted state fine
+    full = r.partitions({"gen": 0}, {"gen": 3})
+    rows = [row for s in full for b in r.read(s) for row in b.to_pylist()]
+    assert sorted(x["k"] for x in rows) == list(range(120))
+
+
+def test_stream_reader_serves_pure_insert_merge(spark):
+    """The structural subset guard admits a merge that only INSERTS (all
+    old files carried): its new rows live in new files and tail correctly."""
+    from ez_cdc_spark.sources.manifest import merge_cow
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    d = os.path.join(SCRATCH, "s_insmerge")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(100).selectExpr("id AS k", "id*2 AS v"), d, 1,
+        stats_columns=["k"],
+    )
+    merge_cow(
+        spark, d,
+        spark.range(1000, 1010).selectExpr(
+            "id AS k", "id*2 AS v", "'u' AS op", "id AS seq"
+        ),
+        "k", 2,
+    )
+    src = make_ezmanifest_source(with_pushdown=False)
+    r = src(options={"path": d}).streamReader(None)
+    splits = r.partitions({"gen": 1}, {"gen": 2})
+    rows = [row for s in splits for b in r.read(s) for row in b.to_pylist()]
+    assert sorted(x["k"] for x in rows) == list(range(1000, 1010))
