@@ -3540,3 +3540,124 @@ def s44_manifest_datasource_write(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s45_catalog_fk_integrity",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey <> 3
+GROUP BY c.c_nationkey ORDER BY nationkey
+""",
+    doc="S45: FOREIGN KEYS at the catalog boundary — the referential-"
+    "integrity class no per-table constraint (S39 CHECK) can express, "
+    "because it relates TWO tables and only the catalog holds two tables "
+    "consistent at once (sources/catalog.py alter_foreign_keys + the "
+    "commit-time gate). Declarations live IN the versioned snapshot — "
+    "transactional, time-travelable, restored with the data by rollback. "
+    "Adding a declaration validates the whole current state Delta-style; "
+    "afterwards every transaction touching a declared FK's child OR "
+    "parent re-validates on the POST state before the version file "
+    "links: the query proves BOTH refusal directions deterministically — "
+    "a child batch with negated (provably absent) custkeys refuses, and "
+    "a PARENT SHRINK that drops exactly the customers with orders "
+    "refuses — with the catalog version pinned unchanged after each, "
+    "then lands the valid second half and returns the joined aggregate. "
+    "At 100 TB: validation is one left-anti join per AFFECTED FK, parent "
+    "projected to its PK column (broadcast when small), and FK-free "
+    "transactions pay nothing.",
+)
+def s45_catalog_fk_integrity(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import (
+        ConstraintViolationError,
+        create_branch,
+        drop_branch,
+        publish,
+        publish_append,
+    )
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") != 3).select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec("o_totalprice").alias("o_totalprice")
+    )
+    valid = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey")
+    ).drop("c_custkey")
+    even = valid.filter(F.col("o_orderkey") % 2 == 0)
+    odd = valid.filter(F.col("o_orderkey") % 2 == 1)
+
+    cat = _scratch(sf_dir, "s45fk")
+    shutil.rmtree(cat, ignore_errors=True)
+    C.init(cat)
+    publish(cust, C.table_dir(cat, "cust"), 1)
+    publish(even, C.table_dir(cat, "ords"), 1)
+    C.commit(cat, {"cust": 1, "ords": 1})
+    C.alter_foreign_keys(
+        spark, cat,
+        add=[{"child": "ords", "fk": "o_custkey", "parent": "cust", "pk": "c_custkey"}],
+    )
+    v_before = C.current_version(cat)
+
+    # refusal 1: a child batch whose keys provably dangle (negated) — the
+    # WAP composition: stage on a branch so the MAIN chain never carries
+    # the refused batch (table commits are durable but uncoordinated; a
+    # refused transaction's generation must not become the next append's
+    # parent), let the catalog's FK gate refuse it, abandon the branch
+    ords_dir = C.table_dir(cat, "ords")
+    create_branch(ords_dir, "staging")
+    publish_append(
+        odd.withColumn("o_custkey", -F.col("o_custkey")),
+        ords_dir, 2, ref="staging",
+    )
+    try:
+        C.commit(cat, {"ords": 2}, spark=spark)
+    except ConstraintViolationError:
+        drop_branch(ords_dir, "staging")
+    else:
+        raise AssertionError("dangling child transaction must refuse")
+
+    # refusal 2: a parent shrink dropping exactly the referenced customers
+    cust_dir = C.table_dir(cat, "cust")
+    create_branch(cust_dir, "staging")
+    referenced = even.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    publish(
+        cust.join(referenced, "c_custkey", "left_anti"),
+        cust_dir, 3, ref="staging", expected_parent=1,
+    )
+    try:
+        C.commit(cat, {"cust": 3}, spark=spark)
+    except ConstraintViolationError:
+        drop_branch(cust_dir, "staging")
+    else:
+        raise AssertionError("referenced-parent shrink must refuse")
+    if C.current_version(cat) != v_before:
+        raise AssertionError("refused transactions must leave the catalog unchanged")
+
+    # the valid second half lands (main-chain append: even + odd = all valid)
+    publish_append(odd, ords_dir, 4)
+    C.commit(cat, {"ords": 4}, spark=spark)
+
+    o = C.read_table(spark, cat, "ords")
+    c = C.read_table(spark, cat, "cust")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("nationkey")
+    )

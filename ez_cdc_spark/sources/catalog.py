@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ez_cdc_spark.sources.manifest import (
     CommitConflictError,
+    ConstraintViolationError,
     _acquire_pointer_lock,
     _fsync_dir,
     _release_pointer_lock,
@@ -61,6 +62,62 @@ from ez_cdc_spark.sources.manifest import (
 _POINTER = "_CATALOG"
 _VER_RE = re.compile(r"v-(\d+)(?:\.json)?$")
 _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+_CARRY = object()  # "carry the previous snapshot's FK declarations" sentinel
+
+
+def _validate_foreign_keys(
+    spark: SparkSession, catalog_dir: str, tables: dict, fks: list, touched: set
+) -> None:
+    """S45: referential integrity at the CATALOG boundary — the check no
+    single-table constraint can express. Each declared FK whose child OR
+    parent a transaction touches is re-validated against the POST state
+    (the generations the new version would name): every non-NULL child FK
+    value must exist among the parent's PK values, checked as one
+    left-anti join per affected FK. Touching either side matters — a
+    child insert can dangle, and so can a PARENT SHRINK that deletes rows
+    children still reference. At 100 TB the parent side projects to the
+    single PK column before the join (broadcast when small, shuffle
+    otherwise) — one O(child) pass per affected FK, and only transactions
+    that touch an FK's tables pay it."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    bad: dict[str, int] = {}
+    for fk in fks:
+        if fk["child"] not in touched and fk["parent"] not in touched:
+            continue
+        for side in ("child", "parent"):
+            if fk[side] not in tables:
+                raise ValueError(
+                    f"foreign key references table {fk[side]!r}, which this "
+                    f"catalog version does not contain"
+                )
+        child = read_committed(
+            spark,
+            table_dir(catalog_dir, fk["child"]),
+            as_of_generation=tables[fk["child"]],
+        )
+        parent = read_committed(
+            spark,
+            table_dir(catalog_dir, fk["parent"]),
+            as_of_generation=tables[fk["parent"]],
+        )
+        n = (
+            child.where(F.col(fk["fk"]).isNotNull())
+            .join(
+                parent.select(F.col(fk["pk"]).alias("__pk")),
+                F.col(fk["fk"]) == F.col("__pk"),
+                "left_anti",
+            )
+            .count()
+        )
+        if n:
+            bad[f"{fk['child']}.{fk['fk']} -> {fk['parent']}.{fk['pk']}"] = n
+    if bad:
+        raise ConstraintViolationError(
+            f"transaction violates catalog foreign keys (dangling child "
+            f"rows per declaration): {bad} — commit refused, catalog "
+            f"unchanged"
+        )
 
 
 def table_dir(catalog_dir: str, name: str) -> str:
@@ -110,6 +167,8 @@ def commit(
     expected_version: int | None = None,
     txn: dict | None = None,
     _auto: bool = True,
+    spark: SparkSession | None = None,
+    foreign_keys=_CARRY,
 ) -> dict:
     """Commit a catalog version: the current snapshot's table map with
     ``updates`` (table name → new committed generation) folded in, made
@@ -119,7 +178,14 @@ def commit(
     a missing manifest refuses BEFORE anything moves. CAS: the committed
     version must still be ``expected_version`` (captured at call time by
     default) at the swap, else CommitConflictError — the standard
-    optimistic loop, one level up."""
+    optimistic loop, one level up.
+
+    S45: when the snapshot carries foreign-key declarations (see
+    :func:`alter_foreign_keys`), any transaction touching a declared FK's
+    child or parent re-validates that FK against the POST state before
+    the version file links — refusal leaves the catalog untouched. Such
+    a commit requires ``spark`` (the validation is an anti-join); a
+    catalog without FKs never needs it."""
     if expected_version is None and _auto:
         expected_version = current_version(catalog_dir)
     prev = snapshot(catalog_dir) if expected_version is not None else {"tables": {}}
@@ -133,8 +199,26 @@ def commit(
                 f"the table first — the catalog only NAMES durable state"
             )
         tables[name] = gen
+    fks = (
+        list(prev.get("foreign_keys") or [])
+        if foreign_keys is _CARRY
+        else list(foreign_keys or [])
+    )
+    affected = [
+        fk for fk in fks if fk["child"] in updates or fk["parent"] in updates
+    ]
+    if affected:
+        if spark is None:
+            raise ValueError(
+                f"this catalog declares foreign keys over "
+                f"{sorted({fk['child'] for fk in affected} | {fk['parent'] for fk in affected})}: "
+                f"pass spark= so the transaction can be integrity-checked"
+            )
+        _validate_foreign_keys(spark, catalog_dir, tables, affected, set(updates))
     version = (expected_version or 0) + 1
     snap = {"version": version, "tables": tables}
+    if fks:
+        snap["foreign_keys"] = fks
     # per-writer watermarks carry across every commit and fold this
     # commit's tagged txn in — the manifest _fold_txns contract, one
     # level up (a transaction's watermark must advance atomically WITH
@@ -257,6 +341,10 @@ def rollback(catalog_dir: str, to_version: int) -> dict:
     snap = {"version": version, "tables": restored}
     if target.get("txns"):
         snap["txns"] = dict(target["txns"])
+    if target.get("foreign_keys"):
+        # restoring a state means ALL of that state (the s37 rule): the
+        # target's FK declarations come back with the data they governed
+        snap["foreign_keys"] = list(target["foreign_keys"])
     snap["rollback"] = {"parent": prev.get("version"), "target": to_version}
 
     vdir = os.path.join(catalog_dir, "_versions")
@@ -298,6 +386,48 @@ def rollback(catalog_dir: str, to_version: int) -> dict:
     finally:
         _release_pointer_lock(catalog_dir, fd)
     return snap
+
+
+def alter_foreign_keys(
+    spark: SparkSession,
+    catalog_dir: str,
+    add: list[dict] | None = None,
+    drop: list[dict] | None = None,
+) -> dict:
+    """S45: declare/retire catalog-scope FOREIGN KEYS — the referential
+    integrity layer no per-table constraint (S39 CHECK) can express,
+    because it relates TWO tables, and the catalog is the only place two
+    tables are consistent at once. Each declaration is
+    ``{"child": t, "fk": col, "parent": t, "pk": col}``. ADDING validates
+    the declaration against the whole current state Delta-style (existing
+    dangling rows refuse the declaration, so a declared FK is never
+    retroactively false); DROPPING is pure metadata. The new declaration
+    set commits as an ordinary catalog version, so it is itself
+    transactional, time-travelable, and rolled back with the data
+    (rollback restores the TARGET's declarations). From then on every
+    :func:`commit` touching a declared FK's child or parent re-validates
+    on the post state and refuses dangling transactions."""
+    prev = snapshot(catalog_dir)
+    fks = [dict(fk) for fk in (prev.get("foreign_keys") or [])]
+    sig = lambda fk: (fk["child"], fk["fk"], fk["parent"], fk["pk"])  # noqa: E731
+    for fk in drop or []:
+        fks = [f for f in fks if sig(f) != sig(fk)]
+    for fk in add or []:
+        if any(sig(f) == sig(fk) for f in fks):
+            continue
+        probe = {k: fk[k] for k in ("child", "fk", "parent", "pk")}
+        _validate_foreign_keys(
+            spark, catalog_dir, prev.get("tables", {}), [probe],
+            {probe["child"], probe["parent"]},
+        )
+        fks.append(probe)
+    return commit(
+        catalog_dir,
+        {},
+        expected_version=prev["version"],
+        spark=spark,
+        foreign_keys=fks,
+    )
 
 
 def init(catalog_dir: str) -> dict:

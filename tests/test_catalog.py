@@ -182,3 +182,106 @@ def test_catalog_cas_serializes_across_processes(spark):
         assert C.txn_watermark(tip, f"w{w}") == {"n": 5}, tip.get("txns")
     for v in range(v0, v0 + 25):
         assert C.snapshot(cd, v)["version"] == v
+
+
+# ----- S45: catalog-scope foreign keys -----
+
+
+def _fk_cat(spark, name):
+    """parent 'dim' (keys 0..49), child 'fact' referencing only 0..49."""
+    cd = os.path.join(SCRATCH, name)
+    shutil.rmtree(cd, ignore_errors=True)
+    C.init(cd)
+    publish(
+        spark.range(50).selectExpr("id AS pk", "id*10 AS attr"),
+        C.table_dir(cd, "dim"), 1,
+    )
+    publish(
+        spark.range(200).selectExpr("id AS row_id", "id % 50 AS ref"),
+        C.table_dir(cd, "fact"), 1,
+    )
+    C.commit(cd, {"dim": 1, "fact": 1})
+    return cd
+
+
+FK = {"child": "fact", "fk": "ref", "parent": "dim", "pk": "pk"}
+
+
+def test_fk_declaration_validates_existing_state(spark):
+    from ez_cdc_spark.sources.manifest import ConstraintViolationError
+
+    cd = _fk_cat(spark, "fk_decl")
+    snap = C.alter_foreign_keys(spark, cd, add=[FK])
+    assert snap["foreign_keys"] == [FK]
+    # a catalog whose child already dangles refuses the declaration
+    cd2 = _fk_cat(spark, "fk_decl_bad")
+    publish(
+        spark.range(200).selectExpr("id AS row_id", "id AS ref"),  # 50..199 dangle
+        C.table_dir(cd2, "fact"), 2,
+    )
+    C.commit(cd2, {"fact": 2})
+    with pytest.raises(ConstraintViolationError, match="dangling"):
+        C.alter_foreign_keys(spark, cd2, add=[FK])
+
+
+def test_fk_gates_child_and_parent_sides(spark):
+    from ez_cdc_spark.sources.manifest import ConstraintViolationError
+
+    cd = _fk_cat(spark, "fk_gate")
+    C.alter_foreign_keys(spark, cd, add=[FK])
+    v = C.current_version(cd)
+    # child insert with dangling refs refuses
+    publish_append(
+        spark.range(200, 210).selectExpr("id AS row_id", "id AS ref"),
+        C.table_dir(cd, "fact"), 2,
+    )
+    with pytest.raises(ConstraintViolationError):
+        C.commit(cd, {"fact": 2}, spark=spark)
+    # parent shrink that drops referenced keys refuses
+    publish(
+        spark.range(10).selectExpr("id AS pk", "id*10 AS attr"),
+        C.table_dir(cd, "dim"), 2,
+    )
+    with pytest.raises(ConstraintViolationError):
+        C.commit(cd, {"dim": 2}, spark=spark)
+    assert C.current_version(cd) == v
+    # an FK commit without a session refuses loudly instead of skipping
+    with pytest.raises(ValueError, match="pass spark="):
+        C.commit(cd, {"dim": 2})
+    # a valid parent EXTENSION commits (keys 0..59 cover refs 0..49)
+    publish(
+        spark.range(60).selectExpr("id AS pk", "id*10 AS attr"),
+        C.table_dir(cd, "dim"), 3,
+    )
+    C.commit(cd, {"dim": 3}, spark=spark)
+    assert C.read_table(spark, cd, "dim").count() == 60
+
+
+def test_fk_untouched_tables_pay_nothing(spark):
+    cd = _fk_cat(spark, "fk_free")
+    C.alter_foreign_keys(spark, cd, add=[FK])
+    publish(
+        spark.range(5).selectExpr("id AS x"), C.table_dir(cd, "other"), 1
+    )
+    # no spark needed: the transaction touches neither FK side
+    C.commit(cd, {"other": 1})
+    assert C.read_table(spark, cd, "other").count() == 5
+
+
+def test_fk_carry_drop_and_rollback(spark):
+    cd = _fk_cat(spark, "fk_roll")
+    C.alter_foreign_keys(spark, cd, add=[FK])
+    v_fk = C.current_version(cd)
+    C.alter_foreign_keys(spark, cd, drop=[FK])
+    assert "foreign_keys" not in C.snapshot(cd)
+    # NULL child refs pass (SQL FK semantics) once redeclared
+    C.alter_foreign_keys(spark, cd, add=[FK])
+    publish_append(
+        spark.range(1).selectExpr("id + 1000 AS row_id", "CAST(NULL AS LONG) AS ref"),
+        C.table_dir(cd, "fact"), 2,
+    )
+    C.commit(cd, {"fact": 2}, spark=spark)
+    # rollback to the no-FK era restores that era's declarations
+    C.rollback(cd, v_fk - 1)
+    assert "foreign_keys" not in C.snapshot(cd)
+    assert C.snapshot(cd, v_fk)["foreign_keys"] == [FK]  # history intact
