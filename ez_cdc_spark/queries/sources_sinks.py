@@ -3661,3 +3661,80 @@ def s45_catalog_fk_integrity(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "s36d_mor_under_epochs",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 10 = 5
+              THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS DECIMAL(12,2))
+              ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+  FROM customer WHERE c_custkey % 10 <> 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM cur GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="S36d: MERGE-ON-READ commits on a rename/drop-EVOLVED table — the "
+    "S40×S36 composition, lifting the declared v1 refusal (r16): the "
+    "table publishes, RENAMES a column and DROPS another (two metadata "
+    "eras, zero data I/O), then merge_mor lands updates and deletes "
+    "keyed on the CURRENT logical names. Safe because the MOR resolve's "
+    "per-sequence-group scans go through the epoch-mapped read, which "
+    "lifts every era to the logical plane BEFORE the anti-join (a key "
+    "renamed in an older era still kills that era's rows), new upsert "
+    "files tag with the current era, and delete files never need "
+    "mapping by construction: rename/drop REFUSE while a delete log is "
+    "pending, so a pending delete file's key name cannot drift from the "
+    "schema's (refusal pinned). compact_mor folds BOTH the delete log "
+    "and the era history into one identity-epoch COW generation. At "
+    "100 TB this is the steady state of a long-lived CDC table: "
+    "metadata-only schema changes between O(batch) MOR commits, read "
+    "cost bounded by compaction policy, never a table rewrite for "
+    "either.",
+)
+def s36d_mor_under_epochs(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        drop_column,
+        merge_mor,
+        publish,
+        read_mor,
+        rename_column,
+    )
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        dec("c_acctbal").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    table_dir = _scratch(sf_dir, "s36dmorep")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(base, table_dir, generation=1, stats_columns=["c_custkey"])
+    rename_column(table_dir, 2, "c_acctbal", "bal")
+    drop_column(table_dir, 3, "c_mktsegment")
+
+    cur = base.select("c_custkey", "c_nationkey", F.col("c_acctbal").alias("bal"))
+    key = F.col("c_custkey")
+    updates = (
+        cur.filter(key % 10 == 5)
+        .withColumn("bal", (F.col("bal") + 1000).cast("decimal(12,2)"))
+        .withColumn("op", F.lit("u"))
+    )
+    deletes = cur.filter(key % 10 == 0).withColumn("op", F.lit("d"))
+    changes = updates.unionByName(deletes).withColumn("seq", F.lit(1).cast("long"))
+    merge_mor(spark, table_dir, changes, "c_custkey", 4)
+
+    return (
+        read_mor(spark, table_dir)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

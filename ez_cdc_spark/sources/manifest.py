@@ -2821,14 +2821,6 @@ def merge_mor(
             f"this table's merge-on-read log is keyed by {mor_key!r}; "
             f"equality deletes on {key_col!r} would not resolve against it"
         )
-    if manifest.get("epoch_maps"):
-        raise ValueError(
-            "merge_mor on a rename/drop-evolved (epoch-mapped) generation "
-            "is not supported: the MOR resolve reads raw files per "
-            "sequence group and would mis-bind renamed columns — compact "
-            "first to fold every file into the current era (declared v1 "
-            "scope, mirroring the raw-consumer MOR refusals)"
-        )
     table_cols = [f["name"] for f in schema["fields"]]
     if key_col not in table_cols:
         raise ValueError(f"key column {key_col!r} is not a table column")
@@ -2925,6 +2917,26 @@ def merge_mor(
         # producer that rebuilds the manifest must carry it or the
         # transform-pruned read path would refuse the next generation
         new_manifest["partition_transform"] = manifest["partition_transform"]
+    if manifest.get("epoch_maps"):
+        # S40×S36 (r16 scope lift): a MERGE-ON-READ commit on a rename/
+        # drop-evolved table. New upsert files are written under the
+        # CURRENT logical names (the column checks above enforce it), so
+        # they tag with the current era and carried files keep theirs —
+        # the MOR resolve's per-sequence-group scans already go through
+        # _read_files, which maps every era to the logical plane BEFORE
+        # the anti-join, so a key renamed in an older era still kills
+        # that era's rows. Delete files are exempt from mapping by
+        # construction: they are read directly with the current logical
+        # key schema, which is safe because rename/drop REFUSE while a
+        # delete log is pending (_require_cow in the evolution guards) —
+        # a pending delete file's key name can never drift from the
+        # schema's.
+        new_manifest["epoch"] = manifest.get("epoch", 0)
+        new_manifest["epoch_maps"] = manifest["epoch_maps"]
+        new_manifest["file_epochs"] = {
+            **manifest.get("file_epochs", {}),
+            **{rel: manifest.get("epoch", 0) for rel in new_rels},
+        }
     if txn is not None:
         new_manifest["txn"] = txn
     folded = _fold_txns(_txns_of(manifest), txn)

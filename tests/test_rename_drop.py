@@ -229,12 +229,69 @@ def test_partitioned_data_columns_evolve(spark):
     assert read_committed(spark, d).columns == ["k", "p"]
 
 
-def test_merge_mor_refuses_epoch_tables(spark):
-    d = _table(spark, "morrefuse")
+def test_merge_mor_on_epoch_tables(spark):
+    """S40×S36 (r16 scope lift): MOR commits compose with rename/drop —
+    the resolve lifts every era to the logical plane before the
+    anti-join, new upsert files tag with the current era, and compact_mor
+    folds both the log and the era history away."""
+    from ez_cdc_spark.sources.manifest import compact_mor, read_mor
+
+    d = _table(spark, "morepoch")
     rename_column(d, 2, "v", "val")
-    with pytest.raises(ValueError, match="epoch-mapped"):
-        merge_mor(spark, d, _batch(spark, 0, 3), key_col="k", generation=3)
-    # and rename refuses MOR generations via the COW guard
+    drop_column(d, 3, "w")
+    # update k=5, delete k=7, insert k=1000 — all on CURRENT names
+    ch = spark.createDataFrame(
+        [(5, 999, "u", 1), (7, 0, "d", 1), (1000, 123, "c", 1)],
+        "k long, val long, op string, seq long",
+    )
+    merge_mor(spark, d, ch, key_col="k", generation=4)
+    got = sorted((r["k"], r["val"]) for r in read_mor(spark, d).collect())
+    exp = sorted(
+        [(i, i * 2) for i in range(100) if i not in (5, 7)]
+        + [(5, 999), (1000, 123)]
+    )
+    assert got == exp
+    man = read_manifest(d)
+    assert man["epoch_maps"] and man["delete_files"]
+    # new upsert files carry the CURRENT era tag
+    new_rels = [r for r in man["files"] if man["file_epochs"][r] == man["epoch"]]
+    assert new_rels and man["epoch"] == 2
+    # fold: one identity-epoch COW generation, log and eras gone
+    compact_mor(spark, d, 5)
+    man = read_manifest(d)
+    assert not man.get("epoch_maps") and not man.get("delete_files")
+    got = sorted((r["k"], r["val"]) for r in read_committed(spark, d).collect())
+    assert got == exp
+
+
+def test_merge_mor_kills_key_renamed_in_old_era(spark):
+    """A key column renamed in an OLDER era: delete entries on the new
+    logical name must still kill the old era's physically-differently-
+    named rows (the logical-plane join contract)."""
+    from ez_cdc_spark.sources.manifest import read_mor
+
+    d = _table(spark, "morepochkey")
+    rename_column(d, 2, "k", "kk")
+    ch = spark.createDataFrame(
+        [(3, 777, "u", 1), (4, 0, "d", 1)], "kk long, val long, op string, seq long"
+    )
+    rename_column(d, 3, "v", "val")
+    merge_mor(
+        spark,
+        d,
+        ch.selectExpr("kk", "val", "CAST(NULL AS LONG) AS w", "op", "seq"),
+        key_col="kk",
+        generation=4,
+    )
+    got = sorted((r["kk"], r["val"]) for r in read_mor(spark, d).collect())
+    exp = sorted([(i, i * 2) for i in range(100) if i not in (3, 4)] + [(3, 777)])
+    assert got == exp
+
+
+def test_rename_still_refuses_pending_mor_log(spark):
+    """The safety the epoch lift RELIES on: rename/drop refuse while a
+    delete log is pending, so a pending delete file's key name can never
+    drift from the schema's (delete files are read unmapped)."""
     d2 = _table(spark, "morrefuse2")
     merge_mor(
         spark,
@@ -247,6 +304,8 @@ def test_merge_mor_refuses_epoch_tables(spark):
     )
     with pytest.raises(ValueError, match="merge-on-read"):
         rename_column(d2, 3, "v", "val")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        drop_column(d2, 3, "w")
 
 
 def test_widened_merge_type_is_refused(spark):
