@@ -2676,7 +2676,9 @@ def _feed_segment(
     return _classify_feed(gone, came, key_col, out_cols)
 
 
-def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
+def restore(
+    table_dir: str, generation: int, as_of_generation: int, ref: str | None = None
+) -> dict:
     """S37: RESTORE — Delta RESTORE / Iceberg rollback_to_snapshot: commit
     a NEW generation whose content is a retained older generation's,
     entirely BY REFERENCE — zero data I/O, one O(files) metadata commit,
@@ -2698,8 +2700,16 @@ def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
     Raises FileNotFoundError if any of the target's files were already
     gc'd/vacuumed (a restore must never commit dangling references), and
     the usual CommitConflictError under the CAS if a concurrent writer
-    advanced the table."""
-    manifest = read_manifest(table_dir)
+    advanced the table.
+
+    ``ref`` (r16) restores a BRANCH head instead of main — the mid-WAP
+    rewind: a staging branch that accumulated N commits and failed its
+    audit on the last can rewind to the last good one and continue,
+    instead of abandoning the whole branch. Branches share the
+    generation-manifest space, so the restore commit is the same
+    by-reference shape; only the pointer it swaps differs, and main's
+    readers never see any of it."""
+    manifest = read_manifest(table_dir, ref=ref)
     target = read_manifest(table_dir, as_of_generation)
     if as_of_generation == manifest["generation"]:
         raise ValueError(
@@ -2717,7 +2727,7 @@ def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
             f"(first: {missing[0]!r}) — restore requires the target "
             f"generation to be retained (un-gc'd)"
         )
-    _validate_generation(table_dir, generation)
+    _validate_generation(table_dir, generation, ref=ref)
     carried = {
         k: v
         for k, v in target.items()
@@ -2736,6 +2746,7 @@ def restore(table_dir: str, generation: int, as_of_generation: int) -> dict:
     return _commit_manifest(
         table_dir, generation, new_manifest,
         expected_parent=manifest["generation"],
+        ref=ref,
     )
 
 

@@ -329,3 +329,38 @@ def test_fast_forward_admits_exactly_one_publisher_across_processes(spark):
     # refused branches still live, heads intact
     for w, _, gen in refused:
         assert branch_head(d, f"racer-{w}")["current"] == f"gen-{gen}.json"
+
+
+def test_branch_restore_rewinds_head_only(spark):
+    """r16: restore(ref=...) — the mid-WAP rewind: a staging branch that
+    failed its audit on the LAST commit rewinds to the last good one and
+    continues; main never sees any of it, and the rewound branch still
+    fast-forwards."""
+    from ez_cdc_spark.sources.manifest import restore
+
+    d = _table(spark, "brrestore")
+    create_branch(d, "wap")
+    publish_append(
+        spark.range(200, 260).selectExpr("id AS k", "id*2 AS v"), d, 2, ref="wap"
+    )
+    publish_append(
+        spark.range(900, 910).selectExpr("id AS k", "id*2 AS v"), d, 3, ref="wap"
+    )  # the bad batch the audit catches
+    restore(d, 4, as_of_generation=2, ref="wap")
+    assert branch_head(d, "wap")["current"] == "gen-4.json"
+    got = sorted(
+        r["k"] for r in read_committed(spark, d, ref="wap").collect()
+    )
+    assert got == list(range(260))  # bad batch rewound away
+    # main untouched throughout, then the audited state publishes
+    assert read_committed(spark, d).count() == 200
+    fast_forward(d, "wap")
+    assert sorted(r["k"] for r in read_committed(spark, d).collect()) == list(
+        range(260)
+    )
+    # a no-op branch restore refuses like main's
+    import pytest as _pytest
+
+    create_branch(d, "wap2")
+    with _pytest.raises(ValueError, match="already the committed state"):
+        restore(d, 5, as_of_generation=4, ref="wap2")
