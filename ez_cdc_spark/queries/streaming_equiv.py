@@ -2887,3 +2887,124 @@ def t42_manifest_stream_tail(spark, sf_dir):
         q.stop()
         q.awaitTermination()
     return spark.table("t42_tail").orderBy("c_nationkey")
+
+
+@register(
+    "t43_manifest_stream_pipeline",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="T43: an EXACTLY-ONCE table-to-table streaming pipeline that never "
+    "leaves Spark's IO surface — the T42 stream tail feeding the S44 "
+    "writer: spark.readStream.format('ezmanifest') tails the upstream "
+    "table's appends (generation offsets, one split per new file) and "
+    "foreachBatch lands each micro-batch on the downstream table with "
+    "df.write.format('ezmanifest') under txnTag/txnVersion=epoch_id — "
+    "the Delta idempotent-writes contract turns any at-least-once "
+    "redelivery into a committed no-op. The query proves the replay "
+    "path explicitly: after the stream drains, it re-applies the last "
+    "batch VERBATIM under its recorded version and pins the downstream "
+    "generation unchanged; the final aggregate reads the downstream "
+    "through the format reader and must equal the full upstream "
+    "recompute. At 100 TB this is the engine's CDC relay shape with "
+    "zero engine imports on either side: O(new files) planning per "
+    "batch upstream, O(batch) parquet + one pointer CAS downstream, "
+    "watermark folded into the downstream manifest's multi-writer txns "
+    "map.",
+)
+def t43_manifest_stream_pipeline(spark, sf_dir):
+    import re
+    import shutil
+    import time
+
+    from ez_cdc_spark.sources.manifest import (
+        publish,
+        publish_append,
+        read_manifest,
+    )
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+    from ez_cdc_spark.streaming.replay import checkpoint_dir
+
+    register_ezmanifest(spark)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    up = tempfile.mkdtemp(prefix="t43up-")
+    down = tempfile.mkdtemp(prefix="t43down-")
+    shutil.rmtree(up, ignore_errors=True)
+    shutil.rmtree(down, ignore_errors=True)
+    key = F.col("c_custkey")
+    publish(c.filter(key % 3 == 0), up, generation=1)
+
+    replays = []  # (batch_df_recipe, version) of the LAST batch, for the proof
+
+    def relay(batch_df, epoch_id):
+        rows = batch_df.persist()
+        if rows.count():
+            (
+                rows.write.format("ezmanifest")
+                .option("path", down)
+                .option("txnTag", "t43-relay")
+                .option("txnVersion", str(epoch_id))
+                .mode("append")
+                .save()
+            )
+            replays.append(epoch_id)
+        rows.unpersist()
+
+    stream = spark.readStream.format("ezmanifest").option("path", up).load()
+    q = (
+        stream.writeStream.foreachBatch(relay)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def drained(gen, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                eo = p["sources"][0].get("endOffset")
+                m = re.search(r"['\"]gen['\"]\s*:\s*(\d+)", str(eo or ""))
+                if m and int(m.group(1)) >= gen and p["numInputRows"] == 0:
+                    return True
+            time.sleep(0.2)
+        raise TimeoutError(f"pipeline never drained generation {gen}")
+
+    try:
+        drained(1)
+        publish_append(c.filter(key % 3 == 1), up, generation=2)
+        drained(2)
+        publish_append(c.filter(key % 3 == 2), up, generation=3)
+        drained(3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # the exactly-once proof: redeliver the last batch VERBATIM under its
+    # recorded version — a committed no-op, downstream generation pinned
+    g_before = read_manifest(down)["generation"]
+    (
+        c.filter(key % 3 == 2)
+        .write.format("ezmanifest")
+        .option("path", down)
+        .option("txnTag", "t43-relay")
+        .option("txnVersion", str(replays[-1]))
+        .mode("append")
+        .save()
+    )
+    if read_manifest(down)["generation"] != g_before:
+        raise AssertionError("replayed batch must be a committed no-op")
+
+    lake = spark.read.format("ezmanifest").option("path", down).load()
+    return (
+        lake.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -352,3 +352,59 @@ def test_stream_reader_serves_pure_insert_merge(spark):
     splits = r.partitions({"gen": 1}, {"gen": 2})
     rows = [row for s in splits for b in r.read(s) for row in b.to_pylist()]
     assert sorted(x["k"] for x in rows) == list(range(1000, 1010))
+
+
+def test_stream_pipeline_restart_continues_from_checkpoint(spark):
+    """T43: a relay stream restarted on the SAME checkpoint resumes from
+    the persisted generation offset — no re-read, no duplicates — and the
+    downstream txns map records the relay watermark."""
+    import re
+    import time
+
+    from ez_cdc_spark.sources.manifest import publish_append, read_manifest
+
+    up = os.path.join(SCRATCH, "pipe_up")
+    down = os.path.join(SCRATCH, "pipe_down")
+    ck = os.path.join(SCRATCH, "pipe_ck")
+    for d in (up, down, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    publish(spark.range(100).selectExpr("id AS k", "id*2 AS v"), up, 1)
+    register_ezmanifest(spark)
+
+    def relay(batch_df, epoch_id):
+        if batch_df.count():
+            (
+                batch_df.write.format("ezmanifest").option("path", down)
+                .option("txnTag", "pipe").option("txnVersion", str(epoch_id))
+                .mode("append").save()
+            )
+
+    def run_until(gen):
+        q = (
+            spark.readStream.format("ezmanifest").option("path", up).load()
+            .writeStream.foreachBatch(relay)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds").start()
+        )
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p["sources"]:
+                    eo = p["sources"][0].get("endOffset")
+                    m = re.search(r"['\"]gen['\"]\s*:\s*(\d+)", str(eo or ""))
+                    if m and int(m.group(1)) >= gen and p["numInputRows"] == 0:
+                        return
+                time.sleep(0.2)
+            raise TimeoutError(f"never drained generation {gen}")
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_until(1)
+    assert read_committed(spark, down).count() == 100
+    publish_append(spark.range(100, 150).selectExpr("id AS k", "id*2 AS v"), up, 2)
+    run_until(2)  # restart on the same checkpoint: serves ONLY gen 2
+    got = sorted(r["k"] for r in read_committed(spark, down).collect())
+    assert got == list(range(150))  # no duplicates from the restart
+    assert "pipe" in read_manifest(down)["txns"]
