@@ -413,6 +413,47 @@ def s40_era_overhead_probe(spark, n_eras: int, rows_per_era: int = 200_000) -> d
     }
 
 
+def s44_writer_overhead_probe(spark, rows: int) -> dict:
+    """S44 claim check: the arrow DataSource writer's per-row cost vs the
+    engine's JVM publish path on identical data. The writer crosses the
+    Python boundary once per arrow batch (never per row) and commits with
+    the same O(files) metadata + one pointer swap, so its per-row cost
+    should sit within a small constant factor of publish and stay FLAT
+    with row count — if it grew, the boundary would be per-row after all.
+    Both paths compute footer stats on k; parity is asserted by count."""
+    from ez_cdc_spark.sources.manifest import publish, read_committed
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    register_ezmanifest(spark)
+    df = spark.range(rows).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s"
+    ).repartition(8)
+    d_jvm = os.path.join(SCRATCH, f"s44-jvm-{rows}")
+    d_pyw = os.path.join(SCRATCH, f"s44-pyw-{rows}")
+    for d in (d_jvm, d_pyw):
+        shutil.rmtree(d, ignore_errors=True)
+    t0 = time.time()
+    publish(df, d_jvm, generation=1, stats_columns=["k"])
+    jvm_wall = time.time() - t0
+    t0 = time.time()
+    (
+        df.write.format("ezmanifest").option("path", d_pyw)
+        .option("statsColumns", "k").mode("append").save()
+    )
+    pyw_wall = time.time() - t0
+    n = read_committed(spark, d_pyw).count()
+    assert n == rows == read_committed(spark, d_jvm).count()
+    return {
+        "probe": "s44_writer_overhead",
+        "rows": rows,
+        "publish_wall_s": round(jvm_wall, 3),
+        "writer_wall_s": round(pyw_wall, 3),
+        "publish_us_per_row": round(jvm_wall / rows * 1e6, 3),
+        "writer_us_per_row": round(pyw_wall / rows * 1e6, 3),
+        "writer_over_publish": round(pyw_wall / jvm_wall, 2),
+    }
+
+
 def s42_window_prune_probe(spark, n_days: int, rows_per_day: int = 20_000) -> dict:
     """S42 claim check: a fixed 3-day window query costs O(window), not
     O(table) — wall time must stay flat as the table grows from 16 to
@@ -457,6 +498,7 @@ def main() -> None:
 
     if os.environ.get("SCALE_S40_S42"):
         out = [s40_era_overhead_probe(spark, n) for n in (1, 4, 16)]
+        out += [s44_writer_overhead_probe(spark, n) for n in (200_000, 1_000_000, 4_000_000)]
         out += [s42_window_prune_probe(spark, n) for n in (16, 64, 256)]
         for row in out:
             print(json.dumps(row))
