@@ -3738,3 +3738,79 @@ def s36d_mor_under_epochs(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s46_catalog_views",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey <> 3
+GROUP BY c.c_nationkey ORDER BY nationkey
+""",
+    doc="S46: VERSIONED VIEWS — the Iceberg-view analog "
+    "(sources/catalog.py alter_views/read_view): a view is a named SQL "
+    "template stored IN the immutable catalog snapshot, referencing "
+    "catalog tables as {name} placeholders, resolved by read_view "
+    "against ONE version's table map via spark.sql template args — so a "
+    "view read is cross-table consistent and time-travelable, and "
+    "resolution substitutes version-pinned DataFrames instead of "
+    "mutating session temp views (two concurrent readers at different "
+    "versions can never observe each other — the consistency trap of "
+    "the naive createOrReplaceTempView implementation). Declarations "
+    "validate EAGERLY (the template must analyze against the current "
+    "snapshot — a typo refuses the declaration, never a reader), drop "
+    "is pure metadata, and rollback restores the target's view set with "
+    "its data (the s37 rule). The query declares a two-table revenue "
+    "view, updates the customer table through a catalog transaction, "
+    "and pins that the PINNED-version read still serves the pre-update "
+    "state while the current read follows — then returns the current "
+    "view. At 100 TB: a view adds zero storage beyond its text and zero "
+    "read cost beyond its query; version resolution is the same one "
+    "JSON read as any catalog read.",
+)
+def s46_catalog_views(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources import catalog as C
+    from ez_cdc_spark.sources.manifest import publish
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec("o_totalprice").alias("o_totalprice")
+    )
+    cat = _scratch(sf_dir, "s46views")
+    shutil.rmtree(cat, ignore_errors=True)
+    C.init(cat)
+    publish(cust, C.table_dir(cat, "cust"), 1)
+    publish(orders, C.table_dir(cat, "ords"), 1)
+    C.commit(cat, {"cust": 1, "ords": 1})
+    C.alter_views(
+        spark, cat,
+        add={
+            "rev_by_nation": (
+                "SELECT c.c_nationkey AS nationkey, "
+                "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+                "CAST(SUM(o.o_totalprice) AS DOUBLE) AS total_price "
+                "FROM {ords} o JOIN {cust} c ON o.o_custkey = c.c_custkey "
+                "GROUP BY c.c_nationkey"
+            )
+        },
+    )
+    v_pinned = C.current_version(cat)
+
+    # a catalog transaction updates the view's input: nation 3 leaves
+    publish(cust.filter(F.col("c_nationkey") != 3), C.table_dir(cat, "cust"), 2)
+    C.commit(cat, {"cust": 2})
+
+    # the pinned-version read still serves the pre-update state
+    if C.read_view(spark, cat, "rev_by_nation", version=v_pinned).count() != (
+        C.read_view(spark, cat, "rev_by_nation").count() + 1
+    ):
+        raise AssertionError("pinned view must serve the pre-update state")
+
+    return C.read_view(spark, cat, "rev_by_nation").orderBy("nationkey")

@@ -169,6 +169,7 @@ def commit(
     _auto: bool = True,
     spark: SparkSession | None = None,
     foreign_keys=_CARRY,
+    _views=_CARRY,
 ) -> dict:
     """Commit a catalog version: the current snapshot's table map with
     ``updates`` (table name → new committed generation) folded in, made
@@ -204,6 +205,11 @@ def commit(
         if foreign_keys is _CARRY
         else list(foreign_keys or [])
     )
+    views = (
+        dict(prev.get("views") or {})
+        if _views is _CARRY
+        else dict(_views or {})
+    )
     affected = [
         fk for fk in fks if fk["child"] in updates or fk["parent"] in updates
     ]
@@ -219,6 +225,8 @@ def commit(
     snap = {"version": version, "tables": tables}
     if fks:
         snap["foreign_keys"] = fks
+    if views:
+        snap["views"] = views
     # per-writer watermarks carry across every commit and fold this
     # commit's tagged txn in — the manifest _fold_txns contract, one
     # level up (a transaction's watermark must advance atomically WITH
@@ -345,6 +353,8 @@ def rollback(catalog_dir: str, to_version: int) -> dict:
         # restoring a state means ALL of that state (the s37 rule): the
         # target's FK declarations come back with the data they governed
         snap["foreign_keys"] = list(target["foreign_keys"])
+    if target.get("views"):
+        snap["views"] = dict(target["views"])  # same rule for views
     snap["rollback"] = {"parent": prev.get("version"), "target": to_version}
 
     vdir = os.path.join(catalog_dir, "_versions")
@@ -428,6 +438,87 @@ def alter_foreign_keys(
         spark=spark,
         foreign_keys=fks,
     )
+
+
+def alter_views(
+    spark: SparkSession,
+    catalog_dir: str,
+    add: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """S46: VERSIONED VIEWS — the Iceberg-view analog: a view is a named
+    SQL template stored IN the catalog snapshot, referencing catalog
+    tables as ``{name}`` placeholders (``spark.sql`` template args), e.g.
+    ``SELECT ... FROM {ords} o JOIN {cust} c ON ...``. Because the text
+    lives in the immutable snapshot and resolves through
+    :func:`read_view` against ONE version's table map, a view read is
+    cross-table consistent, time-travelable, and rolled back WITH the
+    data (rollback restores the target's view set) — and two concurrent
+    read_view calls can never observe each other's versions (resolution
+    substitutes version-pinned DataFrames; no session temp-view state is
+    mutated). Adding validates eagerly: the template must name only
+    catalog tables and must ANALYZE against the current snapshot (a typo
+    or a dropped column refuses the declaration, never a reader).
+    Dropping is pure metadata. The new view set commits as an ordinary
+    catalog version."""
+    prev = snapshot(catalog_dir)
+    views = dict(prev.get("views") or {})
+    for name in drop or []:
+        views.pop(name, None)
+    for name, sql in (add or {}).items():
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid view name {name!r}")
+        _resolve_view(spark, catalog_dir, prev, sql).schema  # analyze now
+        views[name] = sql
+    return commit(
+        catalog_dir, {}, expected_version=prev["version"], spark=spark,
+        _views=views,
+    )
+
+
+def _resolve_view(
+    spark: SparkSession, catalog_dir: str, snap: dict, sql: str
+) -> DataFrame:
+    import string
+
+    refs = sorted(
+        {f[1] for f in string.Formatter().parse(sql) if f[1] is not None}
+    )
+    missing = [r for r in refs if r not in snap.get("tables", {})]
+    if missing:
+        raise KeyError(
+            f"view references {missing} — not tables of catalog version "
+            f"{snap.get('version')}"
+        )
+    if not refs:
+        raise ValueError(
+            "a view must reference at least one catalog table as a "
+            "{name} placeholder"
+        )
+    dfs = {
+        r: read_committed(
+            spark, table_dir(catalog_dir, r), as_of_generation=snap["tables"][r]
+        )
+        for r in refs
+    }
+    return spark.sql(sql, **dfs)
+
+
+def read_view(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Resolve view ``name`` against catalog ``version`` (default:
+    current): every referenced table reads AS OF that one version's
+    generation, so the view is exactly as consistent as a multi-table
+    transaction made it."""
+    snap = snapshot(catalog_dir, version)
+    views = snap.get("views") or {}
+    if name not in views:
+        raise KeyError(f"view {name!r} not in catalog version {snap['version']}")
+    return _resolve_view(spark, catalog_dir, snap, views[name])
 
 
 def init(catalog_dir: str) -> dict:

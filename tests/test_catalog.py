@@ -285,3 +285,64 @@ def test_fk_carry_drop_and_rollback(spark):
     C.rollback(cd, v_fk - 1)
     assert "foreign_keys" not in C.snapshot(cd)
     assert C.snapshot(cd, v_fk)["foreign_keys"] == [FK]  # history intact
+
+
+# ----- S46: versioned views -----
+
+
+def test_views_declare_read_and_travel(spark):
+    cd = _fk_cat(spark, "views_basic")
+    C.alter_views(
+        spark, cd,
+        add={"fact_per_dim": (
+            "SELECT d.pk AS pk, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM {fact} f JOIN {dim} d ON f.ref = d.pk GROUP BY d.pk"
+        )},
+    )
+    v1 = C.current_version(cd)
+    assert C.read_view(spark, cd, "fact_per_dim").count() == 50
+    # shrink fact through a transaction; the pinned read must not follow
+    publish(
+        spark.range(100).selectExpr("id AS row_id", "id % 10 AS ref"),
+        C.table_dir(cd, "fact"), 2,
+    )
+    C.commit(cd, {"fact": 2})
+    assert C.read_view(spark, cd, "fact_per_dim").count() == 10
+    assert C.read_view(spark, cd, "fact_per_dim", version=v1).count() == 50
+    # laziness hazard pinned: a PINNED df collected AFTER a later commit
+    # still serves its version (no temp-view mutation)
+    pinned = C.read_view(spark, cd, "fact_per_dim", version=v1)
+    publish(
+        spark.range(20).selectExpr("id AS row_id", "id % 5 AS ref"),
+        C.table_dir(cd, "fact"), 3,
+    )
+    C.commit(cd, {"fact": 3})
+    assert pinned.count() == 50
+
+
+def test_views_validate_eagerly_and_drop(spark):
+    cd = _fk_cat(spark, "views_valid")
+    with pytest.raises(KeyError, match="not tables"):
+        C.alter_views(spark, cd, add={"bad": "SELECT * FROM {ghost}"})
+    with pytest.raises(Exception):  # analysis error: no such column
+        C.alter_views(spark, cd, add={"bad": "SELECT nope FROM {dim}"})
+    with pytest.raises(ValueError, match="at least one catalog table"):
+        C.alter_views(spark, cd, add={"bad": "SELECT 1 AS one"})
+    assert "views" not in C.snapshot(cd)  # refusals left nothing behind
+    C.alter_views(spark, cd, add={"v": "SELECT COUNT(*) AS n FROM {dim}"})
+    C.alter_views(spark, cd, drop=["v"])
+    assert "views" not in C.snapshot(cd)
+    with pytest.raises(KeyError, match="not in catalog"):
+        C.read_view(spark, cd, "v")
+
+
+def test_views_rollback_restores_declarations(spark):
+    cd = _fk_cat(spark, "views_roll")
+    v_before = C.current_version(cd)
+    C.alter_views(spark, cd, add={"v": "SELECT COUNT(*) AS n FROM {dim}"})
+    C.rollback(cd, v_before)
+    assert "views" not in C.snapshot(cd)
+    # and rolling FORWARD to the view era brings it back
+    C.rollback(cd, v_before + 1)
+    assert "v" in C.snapshot(cd)["views"]
+    assert C.read_view(spark, cd, "v").first()["n"] == 50
