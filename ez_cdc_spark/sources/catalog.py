@@ -547,6 +547,51 @@ def read_table(
     )
 
 
+def expire_versions(catalog_dir: str, retain_versions: int) -> list[int]:
+    """Catalog retention — the lifecycle completion of the version chain
+    (Iceberg's expire_snapshots at the catalog layer): delete every
+    version FILE older than the newest ``retain_versions``, never the
+    current one (``retain_versions >= 1`` enforced; numbering stays
+    monotonic because the pointer and the next version derive from the
+    CURRENT snapshot, not the file listing). Expired versions stop being
+    time-travel and rollback targets — both already refuse a missing
+    version file loudly — and the table generations ONLY they named
+    become reclaimable by the next ``gc(keep_generations=
+    protected_generations(...))`` maintenance pass: expiry first, table
+    gc second, the same order t40's maintenance loop documents. Runs
+    under the pointer lock so an expiry racing a commit can never delete
+    the version a concurrent writer is about to re-read. Returns the
+    expired version numbers."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1 (the current version)")
+    fd = _acquire_pointer_lock(catalog_dir)
+    try:
+        cur = current_version(catalog_dir)
+        vdir = os.path.join(catalog_dir, "_versions")
+        versions = sorted(
+            int(m.group(1))
+            for f in (os.listdir(vdir) if os.path.isdir(vdir) else [])
+            if (m := _VER_RE.search(f)) and not f.startswith(".")
+        )
+        keep = set(versions[-retain_versions:])
+        if cur is not None:
+            keep.add(cur)
+        expired = []
+        for v in versions:
+            if v in keep:
+                continue
+            try:
+                os.unlink(_version_path(catalog_dir, v))
+                expired.append(v)
+            except FileNotFoundError:
+                pass
+        if expired:
+            _fsync_dir(vdir)
+    finally:
+        _release_pointer_lock(catalog_dir, fd)
+    return expired
+
+
 def protected_generations(
     catalog_dir: str, retain_versions: int | None = None
 ) -> dict[str, set[int]]:

@@ -346,3 +346,32 @@ def test_views_rollback_restores_declarations(spark):
     C.rollback(cd, v_before + 1)
     assert "v" in C.snapshot(cd)["views"]
     assert C.read_view(spark, cd, "v").first()["n"] == 50
+
+
+def test_expire_versions_lifecycle(spark):
+    cd = _fk_cat(spark, "expire")  # v1 init, v2 tables
+    for g in (2, 3, 4):
+        publish(
+            spark.range(g).selectExpr("id AS pk", "id AS attr"),
+            C.table_dir(cd, "dim"), g,
+        )
+        C.commit(cd, {"dim": g})  # v3, v4, v5
+    assert C.current_version(cd) == 5
+    expired = C.expire_versions(cd, retain_versions=2)
+    assert expired == [1, 2, 3]
+    # current + retained still read; expired targets refuse loudly
+    assert C.read_table(spark, cd, "dim").count() == 4
+    assert C.read_table(spark, cd, "dim", version=4).count() == 3
+    with pytest.raises(FileNotFoundError):
+        C.snapshot(cd, 2)
+    with pytest.raises(FileNotFoundError):
+        C.rollback(cd, 2)
+    # generations only expired versions named become gc-reclaimable
+    from ez_cdc_spark.sources.manifest import gc as table_gc
+
+    prot = C.protected_generations(cd)["dim"]
+    assert prot == {3, 4}
+    table_gc(C.table_dir(cd, "dim"), 0.0, keep_generations=prot)
+    assert C.read_table(spark, cd, "dim", version=4).count() == 3  # retained survives
+    with pytest.raises(Exception):
+        C.expire_versions(cd, retain_versions=0)
