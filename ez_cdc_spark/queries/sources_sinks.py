@@ -3814,3 +3814,77 @@ def s46_catalog_views(spark, sf_dir):
         raise AssertionError("pinned view must serve the pre-update state")
 
     return C.read_view(spark, cat, "rev_by_nation").orderBy("nationkey")
+
+
+@register(
+    "s47_bloom_point_lookup",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+FROM customer
+WHERE c_custkey IN (7, 42, 99, 123, 148)
+ORDER BY c_custkey
+""",
+    doc="S47: per-file BLOOM FILTERS for point lookups — the equality "
+    "complement to S28's min/max (manifest.py:_make_bloom_kernels, "
+    "bloom_pruned_files, read_point_lookup): on a table clustered by "
+    "ANOTHER column, a scattered key's per-file [min,max] spans "
+    "everything and stats pruning keeps every file, but a small "
+    "per-file bloom over that column drops the files that PROVABLY "
+    "lack the value (md5 → 4 positions; absence is provable, presence "
+    "is 'maybe' — the conservative shape file skipping needs; floats "
+    "deliberately unencodable). Bitsets build ON EXECUTORS (one "
+    "columnar read of each task's own staged file — the _collect_stats "
+    "rule), appends inherit the declared bloom columns, and the "
+    "ezmanifest pushFilters surface consults them for EqualTo probes, "
+    "so spark.read.format(...).filter('k = x') drops whole splits at "
+    "planning (the query pins kept-splits == 1 per probe vs the full "
+    "file count, and a provably-absent key keeps ZERO files). At "
+    "100 TB: size bits to ~10/key and move bitsets to a per-generation "
+    "sidecar keyed like stats — the pruning contract is unchanged; a "
+    "point lookup costs one manifest read + one file instead of a "
+    "table scan.",
+)
+def s47_bloom_point_lookup(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import bloom_pruned_files, publish, read_manifest
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        dec("c_acctbal").cast("double").alias("bal"),
+    )
+    table_dir = _scratch(sf_dir, "s47bloom")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    # cluster by NATIONKEY: custkey is scattered, min/max on it is useless
+    publish(
+        c.repartitionByRange(8, "nationkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["nationkey", "c_custkey"],
+        bloom_columns=["c_custkey"],
+    )
+    register_ezmanifest(spark)
+    n_files = read_manifest(table_dir)["n_files"]
+
+    keys = [7, 42, 99, 123, 148]
+    out = None
+    for k in keys:
+        # one load() PER probe: branches of a union over a single shared
+        # relation get deduped into one scan, and the last branch's
+        # pushdown would clobber the others' kept-file lists
+        lake = spark.read.format("ezmanifest").option("path", table_dir).load()
+        point = lake.filter(F.col("c_custkey") == k)
+        if point.rdd.getNumPartitions() >= n_files:
+            raise AssertionError(
+                f"bloom must prune the point lookup below {n_files} files"
+            )
+        out = point if out is None else out.unionByName(point)
+    # a provably-absent key keeps zero files (engine-side witness)
+    kept, _ = bloom_pruned_files(table_dir, "c_custkey", 10**12)
+    if kept:
+        raise AssertionError("absent key must skip every file")
+    return out.orderBy("c_custkey")

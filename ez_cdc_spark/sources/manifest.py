@@ -288,6 +288,162 @@ def _make_stat_kernels():
 _encode_stat, _file_stats = _make_stat_kernels()
 
 
+def _make_bloom_kernels():
+    """S47 per-file BLOOM FILTERS — the point-lookup complement to S28's
+    min/max: a range-clustered or arbitrary layout leaves a SCATTERED
+    key's per-file [min, max] spanning everything, so an equality lookup
+    keeps every file; a small per-file bloom over that column drops the
+    files that provably lack the value. Closures (the _make_stat_kernels
+    rule) so cloudpickle ships the build kernel by value to executors.
+
+    Encoding is deterministic and portable: int (non-bool) → str, str →
+    itself; everything else is UNRECORDED (floats excluded on purpose —
+    equality on floats is a bug upstream of any index). k=4 positions
+    from the md5 digest's first four big-endian u32 words, modulo the
+    bit count; the bitset serializes base64 into the manifest. Absence of
+    a value is PROVABLE (all-zero positions impossible for a recorded
+    value); presence is only 'maybe' — exactly the conservative shape
+    file skipping needs."""
+    import base64 as _b64
+    import hashlib as _hl
+    import struct as _struct
+
+    def _bloom_canon(v):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return str(v).encode()
+        if isinstance(v, str):
+            return v.encode()
+        return None
+
+    def _bloom_positions(v, bits: int):
+        canon = _bloom_canon(v)
+        if canon is None:
+            return None
+        words = _struct.unpack(">4I", _hl.md5(canon).digest()[:16])
+        return [w % bits for w in words]
+
+    def _file_bloom(path: str, col: str, bits: int):
+        """One pass over the staged file's single column (columnar read,
+        executor-side) → base64 bitset, or None when the column is absent
+        or holds an unencodable type (pruning then keeps the file)."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        if col not in pf.schema_arrow.names:
+            return None
+        buf = bytearray(bits // 8)
+        for batch in pf.iter_batches(columns=[col]):
+            for v in batch.column(0).to_pylist():
+                if v is None:
+                    continue
+                pos = _bloom_positions(v, bits)
+                if pos is None:
+                    return None  # unencodable type: no bloom for this file
+                for p in pos:
+                    buf[p >> 3] |= 1 << (p & 7)
+        return _b64.b64encode(bytes(buf)).decode()
+
+    def _bloom_might_contain(b64: str, bits: int, v) -> bool:
+        pos = _bloom_positions(v, bits)
+        if pos is None:
+            return True  # unencodable probe value: conservative keep
+        raw = _b64.b64decode(b64)
+        return all(raw[p >> 3] & (1 << (p & 7)) for p in pos)
+
+    return _bloom_positions, _file_bloom, _bloom_might_contain
+
+
+_bloom_positions, _file_bloom, _bloom_might_contain = _make_bloom_kernels()
+
+
+def _collect_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    columns: list[str],
+    bits: int,
+    _kernel=_file_bloom,
+) -> dict:
+    """Per-file blooms for ``columns``, built ON EXECUTORS (the
+    _collect_stats rule — a driver loop over a million files is the
+    bottleneck): one parallelize job, each task one columnar read of its
+    own file. Returns ``{rel: {col: b64}}`` (files/columns that could not
+    record a bloom are simply absent — conservative keep)."""
+    if not files or not columns:
+        return {}
+    cols = list(columns)
+    kernel = _kernel
+    nbits = bits
+    pairs = [(os.path.relpath(f, table_dir), f) for f in files]
+    n = max(1, min(len(pairs), int(spark.sparkContext.defaultParallelism)))
+    out = {}
+    for rel, per in (
+        spark.sparkContext.parallelize(pairs, n)
+        .map(
+            lambda rf: (
+                rf[0],
+                {c: b for c in cols if (b := kernel(rf[1], c, nbits))},
+            )
+        )
+        .collect()
+    ):
+        if per:
+            out[rel] = per
+    return out
+
+
+def bloom_pruned_files(
+    table_dir: str,
+    column: str,
+    value,
+    manifest: dict | None = None,
+    as_of_generation: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """S47: split the committed file list into (kept, skipped) for the
+    point predicate ``column = value`` using the manifest's per-file
+    blooms AND min/max stats (both prune independently; either proof
+    skips). Files without a bloom or stats for the column are kept —
+    the same conservative-superset contract as S28."""
+    if manifest is None:
+        manifest = read_manifest(table_dir, as_of_generation)
+    bits = int((manifest.get("bloom_meta") or {}).get("bits", 0))
+    blooms = manifest.get("blooms", {})
+    stats = manifest.get("stats", {})
+    kept: list[str] = []
+    skipped: list[str] = []
+    for rel in manifest["files"]:
+        full = os.path.join(table_dir, rel)
+        rng = stats.get(rel, {}).get(column)
+        if rng is not None and _range_excludes(rng, value, value):
+            skipped.append(full)
+            continue
+        b64 = blooms.get(rel, {}).get(column)
+        if b64 and bits and not _bloom_might_contain(b64, bits, value):
+            skipped.append(full)
+            continue
+        kept.append(full)
+    return kept, skipped
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    value,
+    as_of_generation: int | None = None,
+) -> DataFrame:
+    """Read only the files that can contain ``column = value`` (S47
+    bloom + S28 stats pruning composed). Like read_pruned, the equality
+    predicate is NOT applied — callers filter the conservative superset
+    as usual."""
+    manifest = read_manifest(table_dir, as_of_generation)
+    _require_cow(manifest, "read_point_lookup")
+    kept, _ = bloom_pruned_files(table_dir, column, value, manifest=manifest)
+    return _read_files(spark, manifest, table_dir, kept)
+
+
 def _collect_stats(
     spark: SparkSession,
     table_dir: str,
@@ -459,6 +615,8 @@ def publish(
     ref: str | None = None,
     constraints: dict | None = None,
     enforce_constraints: bool = True,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 65536,
 ) -> dict:
     """Two-phase atomic publish: stage files, write the generation manifest,
     swap the pointer. Readers flip from the previous generation to this one
@@ -502,6 +660,20 @@ def publish(
         manifest["stats"] = _collect_stats(
             df.sparkSession, table_dir, files, stats_columns
         )
+    if bloom_columns:
+        # S47: per-file point-lookup blooms. Inline-in-manifest is the
+        # sandbox shape (bloom_bits/8 bytes per file per column); at
+        # 100 TB with ~1M-row files size bits to ~10/key and move the
+        # bitsets to a per-generation sidecar keyed like stats — the
+        # pruning contract is unchanged either way.
+        blooms = _collect_blooms(
+            df.sparkSession, table_dir, files, bloom_columns, bloom_bits
+        )
+        if blooms:
+            manifest["blooms"] = blooms
+            manifest["bloom_meta"] = {
+                "bits": bloom_bits, "columns": sorted(bloom_columns)
+            }
     if lineage:
         # caller-supplied commit lineage (e.g. compact_mor's fold marker) —
         # recorded so chain walkers (change_feed_mor) can trace parents
@@ -1573,6 +1745,7 @@ def publish_append(
     stats = manifest.get("stats", {})
     if stats_columns is None:
         stats_columns = sorted({c for s in stats.values() for c in s}) or None
+    bloom_meta = manifest.get("bloom_meta")
     new_manifest = {
         "generation": generation,
         "files": manifest["files"] + new_rel,
@@ -1591,6 +1764,18 @@ def publish_append(
         new_manifest["stats"] = {
             **stats,
             **_collect_stats(df.sparkSession, table_dir, new_files, stats_columns),
+        }
+    if bloom_meta:
+        # S47 inheritance (the stats rule): appended files get fresh
+        # blooms over the table's declared bloom columns, carried files
+        # keep their bitsets verbatim
+        new_manifest["bloom_meta"] = bloom_meta
+        new_manifest["blooms"] = {
+            **manifest.get("blooms", {}),
+            **_collect_blooms(
+                df.sparkSession, table_dir, new_files,
+                bloom_meta.get("columns", []), int(bloom_meta["bits"]),
+            ),
         }
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]

@@ -330,9 +330,23 @@ def make_ezmanifest_source(with_pushdown: bool = True):
 
         def _push_filters(self, filters):
             """Driver-side at planning: clamp the file list by the
-            manifest's per-file stats. Every filter is yielded BACK so
-            Spark evaluates all of them in full — this method only
-            removes files that provably contain no matching row."""
+            manifest's per-file stats (S28) and blooms (S47). Every
+            filter is yielded BACK so Spark evaluates all of them in
+            full — this method only removes files that provably contain
+            no matching row.
+
+            UPSTREAM LIMITATION (characterized empirically, Spark 4.1):
+            one ``load()`` relation owns ONE JVM scan builder, and the
+            LAST pushFilters call's pruning state serves EVERY branch
+            that references that relation in the same plan — so a
+            union/join of two DIFFERENTLY-filtered branches of a single
+            load() can silently lose the earlier branch's rows (the
+            planning-side partitions() per branch are correct; the
+            execution reuse is JVM-side and invisible from here). This
+            applies to any stateful Python DataSource pushdown, not just
+            this one. Safe pattern, pinned in tests and used by the s47
+            query: create a FRESH load() per differently-filtered
+            branch — relations are cheap (one JSON read)."""
             from pyspark.sql.datasource import (
                 EqualTo,
                 GreaterThan,
@@ -341,8 +355,10 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 LessThanOrEqual,
             )
 
-            # per-column [lo, hi] bounds implied by the pushed filters
+            # per-column [lo, hi] bounds implied by the pushed filters,
+            # plus the exact values of equality probes (S47 blooms)
             bounds: dict[str, list] = {}
+            eqs: dict[str, object] = {}
             for f in filters:
                 attr = getattr(f, "attribute", None)
                 col = attr[0] if attr and len(attr) == 1 else None
@@ -355,9 +371,30 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                         bounds[col][1] = val if hi is None else min(hi, val)
                     elif isinstance(f, EqualTo):
                         bounds[col] = [val, val]
+                        eqs[col] = val
                 yield f  # ALWAYS returned: pruning is advisory
 
+            def _bloom_excludes(b64, bits, v):
+                """Mirror of manifest.py's bloom probe (md5 → 4 u32
+                positions): True only when the recorded bitset PROVABLY
+                lacks the value."""
+                import base64
+                import hashlib
+                import struct
+
+                if isinstance(v, bool) or not isinstance(v, (int, str)):
+                    return False  # unencodable probe: keep
+                canon = str(v).encode() if isinstance(v, int) else v.encode()
+                words = struct.unpack(">4I", hashlib.md5(canon).digest()[:16])
+                raw = base64.b64decode(b64)
+                return not all(
+                    raw[(w % bits) >> 3] & (1 << ((w % bits) & 7))
+                    for w in words
+                )
+
             stats = self.man.get("stats") or {}
+            blooms = self.man.get("blooms") or {}
+            bbits = int((self.man.get("bloom_meta") or {}).get("bits", 0))
             kept = []
             for rel in self.man["files"]:
                 per = stats.get(rel)
@@ -375,6 +412,13 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                                 break
                         except TypeError:
                             continue  # incomparable types: keep (safe)
+                if not drop and bbits and eqs:
+                    pb = blooms.get(rel) or {}
+                    for col, v in eqs.items():
+                        b64 = pb.get(col)
+                        if b64 and _bloom_excludes(b64, bbits, v):
+                            drop = True
+                            break
                 if not drop:
                     kept.append(rel)
             self.keep = kept

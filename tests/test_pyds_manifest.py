@@ -408,3 +408,127 @@ def test_stream_pipeline_restart_continues_from_checkpoint(spark):
     got = sorted(r["k"] for r in read_committed(spark, down).collect())
     assert got == list(range(150))  # no duplicates from the restart
     assert "pipe" in read_manifest(down)["txns"]
+
+
+# ----- S47: bloom point-lookup pruning -----
+
+
+def test_bloom_pruning_never_false_drops_and_proves_absence(spark):
+    from ez_cdc_spark.sources.manifest import (
+        bloom_pruned_files,
+        publish_append,
+        read_manifest,
+        read_point_lookup,
+    )
+
+    d = os.path.join(SCRATCH, "bloom")
+    shutil.rmtree(d, ignore_errors=True)
+    # clustered by v -> k scattered: stats on k keep everything
+    df = spark.range(2000).selectExpr(
+        "id AS k", "id % 8 AS v", "CAST(id AS STRING) AS s"
+    )
+    publish(
+        df.repartitionByRange(8, "v"), d, 1,
+        stats_columns=["k", "v"], bloom_columns=["k", "s"],
+    )
+    man = read_manifest(d)
+    assert len(man["blooms"]) == man["n_files"]
+    # every present key keeps its own file (no false drop), and the
+    # lookup read returns exactly the row
+    for key in range(0, 2000, 97):
+        kept, _ = bloom_pruned_files(d, "k", key, manifest=man)
+        assert 1 <= len(kept) < man["n_files"]
+        assert read_point_lookup(spark, d, "k", key).filter(
+            f"k = {key}"
+        ).count() == 1
+    # string column blooms work the same way
+    kept, _ = bloom_pruned_files(d, "s", "1337", manifest=man)
+    assert len(kept) == 1
+    # absence is provable
+    kept, _ = bloom_pruned_files(d, "k", 10**9, manifest=man)
+    assert kept == []
+    # appends inherit the bloom columns; new keys resolve
+    publish_append(
+        spark.range(2000, 2100).selectExpr(
+            "id AS k", "id % 8 AS v", "CAST(id AS STRING) AS s"
+        ),
+        d, 2,
+    )
+    man2 = read_manifest(d)
+    assert len(man2["blooms"]) == man2["n_files"]
+    kept, _ = bloom_pruned_files(d, "k", 2050, manifest=man2)
+    assert len(kept) == 1
+
+
+def test_bloom_pushdown_through_format_reader(spark):
+    d = os.path.join(SCRATCH, "bloom_fmt")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(2000).selectExpr(
+            "id AS k", "id % 8 AS v", "id % 100 AS w"
+        ).repartitionByRange(8, "v"),
+        d, 1, stats_columns=["v"], bloom_columns=["k"],
+    )
+    register_ezmanifest(spark)
+    r = spark.read.format("ezmanifest").option("path", d).load()
+    full = r.rdd.getNumPartitions()
+    point = r.filter("k = 999")
+    assert point.rdd.getNumPartitions() < full
+    assert [(x["k"], x["v"]) for x in point.collect()] == [(999, 7)]
+    # equality on a stats-less, bloom-less scattered column: conservative,
+    # every split kept, result exact (v = 3 by contrast IS stats-pruned —
+    # the table is range-clustered by v)
+    assert r.filter("w = 3").rdd.getNumPartitions() == full
+    assert r.filter("w = 3").count() == 20
+    assert r.filter("v = 3").rdd.getNumPartitions() == 1
+
+
+def test_bloom_floats_and_bools_unencodable(spark):
+    from ez_cdc_spark.sources.manifest import bloom_pruned_files, read_manifest
+
+    d = os.path.join(SCRATCH, "bloom_types")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(100).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS f", "id % 2 = 0 AS b"
+        ),
+        d, 1, bloom_columns=["k", "f", "b"],
+    )
+    man = read_manifest(d)
+    # float/bool columns record no bloom; probes on them keep everything
+    assert all(set(per) == {"k"} for per in man["blooms"].values())
+    kept, _ = bloom_pruned_files(d, "f", 3.0, manifest=man)
+    assert len(kept) == man["n_files"]
+
+
+def test_pushdown_multi_branch_safe_pattern(spark):
+    """Upstream Spark limitation (see ManifestReader._push_filters
+    docstring): one load() owns one JVM scan builder, so the LAST
+    branch's pushed pruning serves every branch of that relation in one
+    plan — a union/join of two differently-filtered branches of a
+    SINGLE load() can lose the earlier branch's rows. The safe pattern
+    is a fresh load() per branch; this pins that it yields exactly the
+    right rows with pruning active on each branch."""
+    d = os.path.join(SCRATCH, "bloom_union")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(2000).selectExpr("id AS k", "id % 8 AS v")
+        .repartitionByRange(8, "v"),
+        d, 1, stats_columns=["v"], bloom_columns=["k"],
+    )
+    register_ezmanifest(spark)
+
+    def rel():
+        return spark.read.format("ezmanifest").option("path", d).load()
+
+    a = rel().filter("k = 7")      # lives in v=7's file
+    b = rel().filter("k = 1000")   # lives in v=0's file
+    assert a.rdd.getNumPartitions() == 1
+    assert b.rdd.getNumPartitions() == 1
+    got = sorted((x["k"], x["v"]) for x in a.unionByName(b).collect())
+    assert got == [(7, 7), (1000, 0)]
+    # joins of two fresh relations prune per side and stay correct too
+    from pyspark.sql import functions as F  # noqa: N812
+
+    j = a.join(b.selectExpr("k AS k2", "v AS v2"), F.expr("v = v2"), "left")
+    assert [(r["k"], r["k2"]) for r in j.collect()] == [(7, None)]
