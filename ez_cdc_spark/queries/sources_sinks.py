@@ -3888,3 +3888,75 @@ def s47_bloom_point_lookup(spark, sf_dir):
     if kept:
         raise AssertionError("absent key must skip every file")
     return out.orderBy("c_custkey")
+
+
+@register(
+    "s44b_manifest_datasource_write_partitioned",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="S44b: PARTITIONED writes through the ezmanifest writer — "
+    "option('partitionBy', col) on a new table declares the layout, and "
+    "an existing partitioned table INHERITS it (an option that would "
+    "change the layout refuses: that is a rewrite, not a write). Each "
+    "task splits its arrow batches by partition value into one file per "
+    "value (Hive dirs; the partition column lives in the dir name and "
+    "the manifest's value map, never in the file bytes — the engine's "
+    "_stage_partitioned contract, so engine and format readers both "
+    "reconstruct it), and the commit extends the partition map. The "
+    "pushFilters surface prunes on the map (the S29 analog): the query "
+    "pins that a single-nation filter plans fewer splits than the full "
+    "table. At 100 TB: per-task writer count is bounded by the distinct "
+    "values the task sees — repartition by the column upstream, the "
+    "standard dynamic-partitioning discipline.",
+)
+def s44b_manifest_datasource_write_partitioned(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import read_manifest
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s44bpart")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    register_ezmanifest(spark)
+    key = F.col("c_custkey")
+    (
+        c.filter(key % 2 == 0)
+        .repartition(4, "c_nationkey")
+        .write.format("ezmanifest")
+        .option("path", table_dir)
+        .option("partitionBy", "c_nationkey")
+        .mode("append")
+        .save()
+    )
+    (
+        c.filter(key % 2 == 1)
+        .repartition(4, "c_nationkey")
+        .write.format("ezmanifest")
+        .option("path", table_dir)
+        .mode("append")
+        .save()
+    )
+    n_files = read_manifest(table_dir)["n_files"]
+    one_nation = (
+        spark.read.format("ezmanifest").option("path", table_dir).load()
+        .filter(F.col("c_nationkey") == 3)
+    )
+    if one_nation.rdd.getNumPartitions() >= n_files:
+        raise AssertionError("partition-map pruning must drop splits")
+    lake = spark.read.format("ezmanifest").option("path", table_dir).load()
+    return (
+        lake.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -214,9 +214,13 @@ def make_ezmanifest_source(with_pushdown: bool = True):
       a writer racing an engine writer has exactly one winner, and
       vacuum(0.0) never reclaims a mid-write staging file thanks to the
       same reservation). Honest scoping mirrors the reader's refusal
-      class: constrained (S39), partitioned (S29), hidden-partitioned
-      (S42), epoch-mapped (S40) and MOR (S36) tables refuse loudly — the
-      engine APIs own those invariants. ``txnTag``/``txnVersion`` options
+      class: constrained (S39), hidden-partitioned (S42), epoch-mapped
+      (S40) and MOR (S36) tables refuse loudly — the engine APIs own
+      those invariants. Plain-partitioned tables WRITE (S44b): a new
+      table declares its layout with ``option('partitionBy', col)``, an
+      existing one inherits it (changing the layout refuses), each task
+      splits its batches by value into Hive-layout files with the
+      partition column in the dir name and the manifest map only. ``txnTag``/``txnVersion`` options
       give Delta's idempotent-writes contract: a version at-or-below the
       table's recorded watermark for that tag turns the whole write into
       a committed no-op, and a newer one folds into the multi-writer
@@ -395,11 +399,26 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             stats = self.man.get("stats") or {}
             blooms = self.man.get("blooms") or {}
             bbits = int((self.man.get("bloom_meta") or {}).get("bits", 0))
+            pcol = self.man.get("partition_col")
+            pmap = self.man.get("partitions") or {}
             kept = []
             for rel in self.man["files"]:
                 per = stats.get(rel)
                 drop = False
-                if per:
+                # S29 partition pruning through the format: the file's
+                # single partition value either satisfies the pushed
+                # bounds on the partition column or the whole file drops
+                if pcol in bounds and rel in pmap:
+                    lo, hi = bounds[pcol]
+                    v = pmap[rel]
+                    try:
+                        if (lo is not None and v < lo) or (
+                            hi is not None and v > hi
+                        ):
+                            drop = True
+                    except TypeError:
+                        pass  # incomparable types: keep (safe)
+                if not drop and per:
                     for col, (lo, hi) in bounds.items():
                         rng = per.get(col)
                         if rng is None or rng[0] is None or rng[1] is None:
@@ -615,10 +634,17 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         return out
 
     class _WMsg(WriterCommitMessage):
-        def __init__(self, rel, rows, stats):
-            self.rel = rel
+        """One task's staged output: file rel-paths, per-file footer
+        stats ({rel: {col: [lo, hi]}}) and partition values ({rel: v})."""
+
+        def __init__(self, rels, rows, stats, pvals=None):
+            self.rels = list(rels or [])
             self.rows = rows
-            self.stats = stats
+            self.stats = stats or {}
+            self.pvals = pvals or {}
+            self.rel = self.rels[0] if self.rels else None
+
+    _WMsgMulti = _WMsg
 
     class ManifestWriter(DataSourceArrowWriter):
         """S44: executor tasks stage one parquet file each into the
@@ -651,7 +677,6 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 for key, owner in (
                     ("delete_files", "merge_mor/compact_mor (S36)"),
                     ("epoch_maps", "the epoch-mapped producers (S40)"),
-                    ("partition_col", "publish_partitioned/publish_append (S29)"),
                     ("partition_transform", "the hidden-partitioning producers (S42)"),
                     ("constraints", "the constraint-gated engine writers (S39)"),
                 ):
@@ -661,6 +686,30 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                             f"writer cannot preserve that invariant — "
                             f"write through {owner}"
                         )
+
+            # S44b: partitioned writes. A NEW table declares its layout
+            # with option('partitionBy', col); an existing partitioned
+            # table's column is table identity and is inherited (an
+            # explicit option must agree)
+            declared = options.get("partitionby")
+            inherited = parent.get("partition_col") if parent else None
+            if declared and inherited and declared != inherited:
+                raise ValueError(
+                    f"this table is partitioned by {inherited!r}; "
+                    f"partitionBy={declared!r} would change the layout — "
+                    f"that is a rewrite, not a write"
+                )
+            self.pcol = declared or inherited
+            if self.pcol is not None:
+                names = [
+                    f["name"] for f in _json.loads(self.schema_json)["fields"]
+                ]
+                if self.pcol not in names:
+                    raise ValueError(
+                        f"partition column {self.pcol!r} is not a "
+                        f"dataframe column (have {names})"
+                    )
+            if parent is not None:
                 stored = [
                     (f["name"], f["type"]) for f in parent["schema"]["fields"]
                 ]
@@ -731,6 +780,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                     pass  # drain without writing: the version was applied
                 return _WMsg(None, 0, None)
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType as _ST
@@ -739,40 +789,88 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 _ST.fromJson(_json.loads(self.schema_json))
             )
             stage = _os.path.join(self.table_dir, "data", f"gen-{self.gen}")
-            _os.makedirs(stage, exist_ok=True)
-            path = _os.path.join(stage, f"part-{_uuid.uuid4().hex}.parquet")
-            writer = None
+            pcol = self.pcol
+            if pcol is None:
+                file_schema = logical
+            else:
+                # Hive layout: the partition column lives in the dir name
+                # and the manifest map, never in the file bytes (the
+                # engine's _stage_partitioned contract; readers
+                # reconstruct it from the map)
+                file_schema = pa.schema(
+                    [f for f in logical if f.name != pcol]
+                )
+            # one open writer per distinct partition value seen by THIS
+            # task — the standard dynamic-partitioning discipline: for
+            # high-cardinality layouts, repartition by the column first
+            # so each task sees few values
+            writers = {}  # pval -> (ParquetWriter, path)
             rows = 0
             for batch in iterator:
                 cols = [
                     batch.column(f.name).cast(f.type) for f in logical
                 ]
                 rb = pa.RecordBatch.from_arrays(cols, schema=logical)
-                if writer is None:
-                    writer = pq.ParquetWriter(path, logical)
-                writer.write_batch(rb)
                 rows += rb.num_rows
-            if writer is None:
+                if pcol is None:
+                    parts = [(None, rb)]
+                else:
+                    tbl = pa.Table.from_batches([rb])
+                    parts = []
+                    for v in pc.unique(rb.column(pcol)).to_pylist():
+                        mask = (
+                            pc.is_null(tbl.column(pcol))
+                            if v is None
+                            else pc.equal(tbl.column(pcol), pa.scalar(v))
+                        )
+                        sub = tbl.filter(mask).drop_columns([pcol])
+                        parts.append((v, sub))
+                for v, data in parts:
+                    w = writers.get(v)
+                    if w is None:
+                        d = (
+                            stage
+                            if pcol is None
+                            else _os.path.join(stage, f"{pcol}={v}")
+                        )
+                        _os.makedirs(d, exist_ok=True)
+                        path = _os.path.join(
+                            d, f"part-{_uuid.uuid4().hex}.parquet"
+                        )
+                        w = (pq.ParquetWriter(path, file_schema), path)
+                        writers[v] = w
+                    if isinstance(data, pa.Table):
+                        w[0].write_table(data)
+                    else:
+                        w[0].write_batch(data)
+            if not writers:
                 return _WMsg(None, 0, None)  # empty task: no file
-            writer.close()
-            stats = (
-                _footer_stats(path, self.stats_cols)
-                if self.stats_cols
-                else {}
+            stats = {}
+            pvals = {}
+            for v, (w, path) in writers.items():
+                w.close()
+                rel = _os.path.relpath(path, self.table_dir)
+                if self.stats_cols:
+                    per = _footer_stats(path, self.stats_cols)
+                    if per:
+                        stats[rel] = per
+                if pcol is not None:
+                    pvals[rel] = v
+            rels = sorted(
+                _os.path.relpath(p, self.table_dir)
+                for _w, p in writers.values()
             )
-            return _WMsg(
-                _os.path.relpath(path, self.table_dir), rows, stats or None
-            )
+            return _WMsgMulti(rels, rows, stats or None, pvals or None)
 
         def commit(self, messages):
             if self.skip:
                 return
-            rels, stats = [], {}
+            rels, stats, pvals = [], {}, {}
             for m in messages:
-                if m is not None and m.rel is not None:
-                    rels.append(m.rel)
-                    if m.stats:
-                        stats[m.rel] = m.stats
+                if m is not None:
+                    rels.extend(m.rels)
+                    stats.update(m.stats)
+                    pvals.update(m.pvals)
             rels.sort()
             parent, pgen = self.parent, self.parent_gen
             carry = parent is not None and not self.overwrite
@@ -791,6 +889,12 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                     "parent": pgen,
                     "appended_files": len(rels),
                     "carried_files": len(parent["files"]),
+                }
+            if self.pcol is not None:
+                manifest["partition_col"] = self.pcol
+                manifest["partitions"] = {
+                    **(parent.get("partitions", {}) if carry else {}),
+                    **pvals,
                 }
             merged_stats = dict((parent.get("stats") or {}) if carry else {})
             merged_stats.update(stats)

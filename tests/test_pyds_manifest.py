@@ -224,15 +224,23 @@ def test_writer_refusals(spark):
     alter_constraints(spark, d, 2, add={"k_nonneg": "k >= 0"})
     with pytest.raises(Exception, match="constraints"):
         _write(spark, df, d)
-    # partitioned tables refuse (the engine's partition map owns layout)
+    # S44b: partitioned tables WRITE (layout inherited); changing the
+    # layout refuses — that is a rewrite, not a write
     dp = os.path.join(SCRATCH, "w_refuse_part")
     shutil.rmtree(dp, ignore_errors=True)
     publish_partitioned(
         spark.range(20).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"),
         dp, 1, partition_col="p",
     )
-    with pytest.raises(Exception, match="partition_col"):
-        _write(spark, spark.range(5).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"), dp)
+    _write(spark, spark.range(20, 26).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"), dp)
+    assert read_committed(spark, dp).count() == 26
+    with pytest.raises(Exception, match="rewrite, not a write"):
+        _write(
+            spark,
+            spark.range(5).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"),
+            dp,
+            partitionBy="k",
+        )
     # MOR generations refuse
     dm = _table(spark, "w_refuse_mor")
     merge_mor(spark, dm, spark.range(3).selectExpr(
@@ -532,3 +540,33 @@ def test_pushdown_multi_branch_safe_pattern(spark):
 
     j = a.join(b.selectExpr("k AS k2", "v AS v2"), F.expr("v = v2"), "left")
     assert [(r["k"], r["k2"]) for r in j.collect()] == [(7, None)]
+
+
+def test_writer_partitioned_create_and_cross_read(spark):
+    """S44b: the writer creates a partitioned table (Hive dirs + manifest
+    value map, partition column excluded from file bytes), appends
+    inherit the layout, and BOTH read paths reconstruct the column."""
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    d = os.path.join(SCRATCH, "w_part")
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.range(300).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p")
+    _write(spark, df, d, partitionBy="p", statsColumns="k")
+    man = read_manifest(d)
+    assert man["partition_col"] == "p"
+    assert set(man["partitions"].values()) == {0, 1, 2}
+    assert all(f"p={v}" in rel for rel, v in man["partitions"].items())
+    eng = sorted(tuple(r) for r in read_committed(spark, d).groupBy("p").count().collect())
+    fmt = sorted(tuple(r) for r in _fmt(spark, d).groupBy("p").count().collect())
+    assert eng == fmt == [(0, 100), (1, 100), (2, 100)]
+    # append without re-declaring: layout is table identity
+    _write(spark, spark.range(300, 330).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"), d)
+    man2 = read_manifest(d)
+    assert len(man2["partitions"]) == man2["n_files"]
+    assert read_committed(spark, d).count() == 330
+    # the engine's partitioned appenders compose on the writer's table
+    publish_append(
+        spark.range(330, 333).selectExpr("id AS k", "CAST(id % 3 AS LONG) AS p"),
+        d, 3,
+    )
+    assert _fmt(spark, d).count() == 333
