@@ -3456,6 +3456,12 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
                 g = _gen_of(m)
                 if g is not None:
                     out.add(_stage_dir(table_dir, g))
+            elif m.startswith(".reserve-stream-"):
+                # T44: a native streaming sink's staging LEASE protects
+                # its stable data/stream-<tag> dir exactly like an S33
+                # generation reservation — vacuum(0.0) mid-epoch is safe;
+                # gc ages dead leases out with the same liveness probe
+                out.add(os.path.join(table_dir, "data", m[len(".reserve-"):]))
         return out
 
     def _retained_files() -> set[str]:
@@ -3671,6 +3677,14 @@ def gc(
         for m in mcandidates
         if m.startswith(".reserve-gen-")
     }
+    # T44 streaming-sink leases protect their stable staging dirs the
+    # same way (stale leases are reclaimed by age below; the NEXT gc can
+    # then collect what the manifests do not reference)
+    reserved_stream_dirs = {
+        m[len(".reserve-"):]
+        for m in mcandidates
+        if m.startswith(".reserve-stream-")
+    }
 
     # live branch refs are gc ROOTS (S38), resolved AFTER candidate listing
     # like the reservations so a ref cut during the walk is seen: protect
@@ -3711,6 +3725,8 @@ def gc(
         g = _gen_of(d)
         if g is not None and g in reserved_gens:
             continue  # live writer mid-staging (S33 reservation held)
+        if d in reserved_stream_dirs:
+            continue  # leased streaming-sink staging dir (T44)
         if full in keep_dirs or _floor_protected(g, full):
             continue
         if _young(full):
@@ -3740,6 +3756,20 @@ def gc(
                     deleted.append(full)
                 except FileNotFoundError:
                     pass  # the writer finished its commit mid-gc
+            continue
+        if m.startswith(".reserve-stream-"):
+            # T44 lease: mtime refreshes at every epoch commit, and the
+            # staging dir's recursive mtime covers a sink paused between
+            # commits mid-write — the same liveness shape as above
+            full = os.path.join(mdir, m)
+            stage = os.path.join(table_dir, "data", m[len(".reserve-"):])
+            staging_live = os.path.isdir(stage) and _young(stage)
+            if older_than_s is not None and not _young(full) and not staging_live:
+                try:
+                    os.unlink(full)
+                    deleted.append(full)
+                except FileNotFoundError:
+                    pass
             continue
         if m.startswith("."):
             continue  # .gen-N.json.<uuid>.tmp mid-commit — deleting it

@@ -246,6 +246,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         DataSource,
         DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         DataSourceStreamReader,
         InputPartition,
         WriterCommitMessage,
@@ -652,7 +653,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         cannot reclaim mid-write files — the engine's S33 contract);
         the driver commits with the same CAS the engine uses."""
 
-        def __init__(self, options, schema, overwrite):
+        def __init__(self, options, schema, overwrite, _reserve=True):
             self.table_dir = options.get("path")
             if not self.table_dir:
                 raise ValueError("ezmanifest needs option('path', <table_dir>)")
@@ -751,7 +752,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 self.stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
 
             self.gen = None
-            if not self.skip:
+            if not self.skip and _reserve:
                 # reservation BEFORE any data stages (S33) — losers of the
                 # number race re-pick higher having written nothing
                 _os.makedirs(
@@ -774,6 +775,9 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                         g += 1
                 self.gen = g
 
+        def _stage_root(self):
+            return _os.path.join(self.table_dir, "data", f"gen-{self.gen}")
+
         def write(self, iterator):
             if self.skip:
                 for _ in iterator:
@@ -788,7 +792,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             logical = to_arrow_schema(
                 _ST.fromJson(_json.loads(self.schema_json))
             )
-            stage = _os.path.join(self.table_dir, "data", f"gen-{self.gen}")
+            stage = self._stage_root()
             pcol = self.pcol
             if pcol is None:
                 file_schema = logical
@@ -927,6 +931,167 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 except FileNotFoundError:
                     pass
 
+    class ManifestStreamWriter(ManifestWriter, DataSourceStreamArrowWriter):
+        """T44: the NATIVE streaming sink — ``df.writeStream.format(
+        'ezmanifest')`` (a DataSourceStreamArrowWriter), completing the
+        IO matrix (batch read/write S43/S44, stream read T42): one
+        append-shaped generation commit per micro-batch, exactly-once.
+
+        Exactly-once: each epoch commits with ``txn = {tag, version:
+        batchId}`` folded into the multi-writer map; a redelivered epoch
+        (at-or-below the recorded watermark for this sink's ``txnTag``,
+        default 'ezmanifest-stream') SKIPS the commit entirely and its
+        staged files become ordinary gc-reclaimable debris — Delta's
+        streaming-sink txn contract. The parent state re-resolves PER
+        EPOCH (the batch writer pins it at plan time), so the sink
+        interleaves correctly with other writers under the same CAS.
+
+        Vacuum safety is STRUCTURAL, same class as engine writers:
+        every epoch stages into the sink's STABLE dir
+        ``data/stream-<tag>`` under a lease file
+        ``_manifests/.reserve-stream-<tag>`` whose mtime refreshes at
+        every commit — ``vacuum`` treats a leased dir exactly like an
+        S33-reserved staging dir (protected at any age, even
+        vacuum(0.0) mid-epoch), and ``gc`` ages the lease out with the
+        same liveness probe as crashed-writer reservations once the
+        stream is dead; files an epoch DID commit stay protected by
+        their manifest references either way. Spark constructs stream
+        writers repeatedly (plan + per-epoch runners — measured), which
+        is why the identity is the sink TAG, not the instance: no
+        per-epoch artifacts accumulate. Two concurrent sinks sharing a
+        tag on one table are already broken semantically (their replay
+        watermarks collide) — give each its own txnTag."""
+
+        def __init__(self, options, schema, overwrite):
+            import re as _re
+
+            base = dict(options)
+            tag = base.pop("txntag", None) or "ezmanifest-stream"
+            base.pop("txnversion", None)
+            # the batch init does the shared validation work; the stream
+            # stages under a lease, not a generation reservation
+            super().__init__(base, schema, overwrite, _reserve=False)
+            self.tag = str(tag)
+            self.stage_name = "stream-" + _re.sub(
+                r"[^A-Za-z0-9._-]", "_", self.tag
+            )
+            self._touch_lease()
+
+        def _lease_path(self):
+            return _os.path.join(
+                self.table_dir, "_manifests", f".reserve-{self.stage_name}"
+            )
+
+        def _touch_lease(self):
+            _os.makedirs(
+                _os.path.join(self.table_dir, "_manifests"), exist_ok=True
+            )
+            lease = self._lease_path()
+            try:
+                _os.close(_os.open(lease, _os.O_CREAT | _os.O_WRONLY))
+                _os.utime(lease)
+            except OSError:
+                pass  # a concurrent toucher won — the lease exists
+
+        def _stage_root(self):
+            return _os.path.join(self.table_dir, "data", self.stage_name)
+
+        def _parent(self):
+            pgen = _pointer_gen(self.table_dir)
+            if pgen is None:
+                return None, None
+            with open(_mpath(self.table_dir, pgen)) as fh:
+                return _json.load(fh), pgen
+
+        def commit(self, messages, batchId):
+            self._touch_lease()  # liveness: the sink is still running
+            rels, stats, pvals = [], {}, {}
+            for m in messages:
+                if m is not None:
+                    rels.extend(m.rels)
+                    stats.update(m.stats)
+                    pvals.update(m.pvals)
+            rels.sort()
+            parent, pgen = self._parent()
+            if parent is not None:
+                wm = (parent.get("txns") or {}).get(self.tag)
+                if wm is not None and int(wm.get("version", -1)) >= batchId:
+                    return  # redelivered epoch: committed no-op
+            if not rels and parent is None:
+                return  # nothing staged and no table yet: wait for data
+            if parent is not None:
+                stored = [
+                    (f["name"], f["type"]) for f in parent["schema"]["fields"]
+                ]
+                incoming = [
+                    (f["name"], f["type"])
+                    for f in _json.loads(self.schema_json)["fields"]
+                ]
+                if incoming != stored:
+                    raise ValueError(
+                        f"mid-stream schema drift: table has {stored}, "
+                        f"stream has {incoming}"
+                    )
+            # fresh epoch generation
+            g = (pgen or 0) + 1
+            while True:
+                if _os.path.exists(_mpath(self.table_dir, g)):
+                    g += 1
+                    continue
+                try:
+                    _os.close(
+                        _os.open(
+                            _rpath(self.table_dir, g),
+                            _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+                        )
+                    )
+                    break
+                except FileExistsError:
+                    g += 1
+            manifest = {
+                "generation": g,
+                "files": (parent["files"] if parent else []) + rels,
+                "n_files": (len(parent["files"]) if parent else 0) + len(rels),
+                "schema": (
+                    parent["schema"]
+                    if parent is not None
+                    else _json.loads(self.schema_json)
+                ),
+            }
+            if parent is not None:
+                manifest["append"] = {
+                    "parent": pgen,
+                    "appended_files": len(rels),
+                    "carried_files": len(parent["files"]),
+                }
+            if self.pcol is not None:
+                manifest["partition_col"] = self.pcol
+                manifest["partitions"] = {
+                    **(parent.get("partitions", {}) if parent else {}),
+                    **pvals,
+                }
+            merged = dict((parent.get("stats") or {}) if parent else {})
+            merged.update(stats)
+            if merged:
+                manifest["stats"] = merged
+            txns = dict((parent.get("txns") or {}) if parent else {})
+            if parent and not txns and parent.get("txn"):
+                single = parent["txn"]
+                if "tag" in single:
+                    txns[str(single["tag"])] = {
+                        k: v for k, v in single.items() if k != "tag"
+                    }
+            manifest["txn"] = {"tag": self.tag, "version": int(batchId)}
+            txns[self.tag] = {"version": int(batchId)}
+            manifest["txns"] = txns
+            _commit_swap(self.table_dir, g, manifest, pgen)
+
+        def abort(self, messages, batchId):
+            # staged files are debris under the leased dir; the lease
+            # STAYS (a retried epoch keeps its protection) and ages out
+            # via gc once the stream is truly dead
+            pass
+
     # ----- T42 streaming read path: generation-offset append tailing -----
 
     class ManifestStreamReader(DataSourceStreamReader):
@@ -1019,6 +1184,9 @@ def make_ezmanifest_source(with_pushdown: bool = True):
 
         def streamReader(self, schema) -> ManifestStreamReader:
             return ManifestStreamReader(self.options)
+
+        def streamWriter(self, schema, overwrite) -> ManifestStreamWriter:
+            return ManifestStreamWriter(self.options, schema, overwrite)
 
     return ManifestSource
 

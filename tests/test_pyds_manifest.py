@@ -570,3 +570,119 @@ def test_writer_partitioned_create_and_cross_read(spark):
         d, 3,
     )
     assert _fmt(spark, d).count() == 333
+
+
+# ----- T44: the native streaming sink -----
+
+
+def _run_sink(spark, d, ck, n, tag="sinktest", extra=None):
+    import re
+    import time
+
+    from ez_cdc_spark.sources.pyds import register_envelopegen
+
+    register_envelopegen(spark)
+    register_ezmanifest(spark)
+    w = (
+        spark.readStream.format("envelopegen")
+        .option("n", n).option("batch_size", 1000).load()
+        .writeStream.format("ezmanifest")
+        .option("path", d).option("txnTag", tag)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+    )
+    for k, v in (extra or {}).items():
+        w = w.option(k, v)
+    q = w.start()
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                m = re.search(
+                    r"['\"]i['\"]\s*:\s*(\d+)",
+                    str(p["sources"][0].get("endOffset") or ""),
+                )
+                if m and int(m.group(1)) >= n and p["numInputRows"] == 0:
+                    return
+            time.sleep(0.2)
+        raise TimeoutError("sink never drained")
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_native_sink_exactly_once_lease_and_maintenance(spark):
+    import time
+
+    from ez_cdc_spark.sources.manifest import gc, read_manifest, vacuum
+
+    d = os.path.join(SCRATCH, "sink_basic")
+    ck = os.path.join(SCRATCH, "sink_basic_ck")
+    for x in (d, ck):
+        shutil.rmtree(x, ignore_errors=True)
+    _run_sink(spark, d, ck, 3000)
+    man = read_manifest(d)
+    assert man["txns"]["sinktest"]["version"] == 2  # 3 epochs: 0,1,2
+    assert man["generation"] == 3  # dense: one generation per epoch
+    assert read_committed(spark, d).count() == 3000
+    # restart on the same checkpoint: offsets persisted, no duplicates
+    _run_sink(spark, d, ck, 3000)
+    assert read_committed(spark, d).count() == 3000
+    # an aggressive vacuum never touches committed or leased state
+    vacuum(d, 0.0)
+    assert read_committed(spark, d).count() == 3000
+    # the dead stream's lease ages out; the table survives maintenance
+    lease = os.path.join(d, "_manifests", ".reserve-stream-sinktest")
+    assert os.path.exists(lease)
+    time.sleep(1.1)
+    gc(d, older_than_s=1.0)
+    assert not os.path.exists(lease)
+    vacuum(d, 0.0)
+    assert read_committed(spark, d).count() == 3000
+
+
+def test_native_sink_epoch_replay_is_noop(spark):
+    """The exactly-once core, exercised directly: committing the same
+    batchId twice produces ONE generation (the replay sees its version
+    at-or-below the recorded watermark and skips)."""
+    from ez_cdc_spark.sources.manifest import current_generation
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    d = os.path.join(SCRATCH, "sink_replay")
+    shutil.rmtree(d, ignore_errors=True)
+    src = make_ezmanifest_source(with_pushdown=False)
+    schema = spark.range(1).selectExpr("id AS k", "id*2 AS v").schema
+    w = src(options={"path": d, "txntag": "rp"}).streamWriter(schema, False)
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.record_batch({"k": [1, 2], "v": [2, 4]})]))
+    w.commit([msg], batchId=0)
+    assert current_generation(d) == 1
+    msg2 = w.write(iter([pa.record_batch({"k": [1, 2], "v": [2, 4]})]))
+    w.commit([msg2], batchId=0)  # redelivery: committed no-op
+    assert current_generation(d) == 1
+    assert read_committed(spark, d).count() == 2
+    msg3 = w.write(iter([pa.record_batch({"k": [9], "v": [18]})]))
+    w.commit([msg3], batchId=1)
+    assert current_generation(d) == 2
+    assert read_committed(spark, d).count() == 3
+
+
+def test_native_sink_partitioned(spark):
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    d = os.path.join(SCRATCH, "sink_part")
+    ck = os.path.join(SCRATCH, "sink_part_ck")
+    for x in (d, ck):
+        shutil.rmtree(x, ignore_errors=True)
+    _run_sink(spark, d, ck, 2000, extra={"partitionBy": "op"})
+    man = read_manifest(d)
+    assert man["partition_col"] == "op"
+    assert set(man["partitions"].values()) == {"c", "u", "d"}
+    got = sorted(
+        (r["op"], r["count"])
+        for r in read_committed(spark, d).groupBy("op").count().collect()
+    )
+    assert got == [("c", 667), ("d", 666), ("u", 667)]
+    assert _fmt(spark, d).count() == 2000
