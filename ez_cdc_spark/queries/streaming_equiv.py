@@ -3096,3 +3096,120 @@ def t44_manifest_native_stream_sink(spark, sf_dir):
         )
         .orderBy("op")
     )
+
+
+@register(
+    "t45_manifest_stream_cascade",
+    oracle="""
+WITH gen AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 3000))
+SELECT CASE CAST(i % 3 AS INT) WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(i) AS BIGINT) AS lsn_sum,
+       CAST(SUM((i * 7) % 1000) AS BIGINT) AS value_sum
+FROM gen GROUP BY 1 ORDER BY op
+""",
+    doc="T45: the full Spark-IO CDC cascade, LIVE — two concurrent "
+    "streaming queries chained purely through format() calls with zero "
+    "foreachBatch and zero engine imports: envelopegen → "
+    "writeStream.format('ezmanifest') lands table A one exactly-once "
+    "epoch commit at a time (T44), while a SECOND live query "
+    "readStream.format('ezmanifest') TAILS A's generations as they "
+    "appear (T42 offsets) and relays them into table B through another "
+    "native sink — the downstream stream discovers each upstream commit "
+    "from the pointer alone, while both sinks' watermarks ride their "
+    "own tables' txns maps. The final aggregate over B must equal the "
+    "row formula regenerated by the oracle: hash-green proves every row "
+    "crossed TWO exactly-once hops live. This is the reference's whole "
+    "pipeline shape (capture → topic → consumer → sink, "
+    "docker-compose.yml:1-72) rebuilt as two Spark streaming queries "
+    "over one table format. At 100 TB: each hop is O(new files) "
+    "planning + O(batch) data per trigger, and hops compose without "
+    "coordination because the table IS the queue.",
+)
+def t45_manifest_stream_cascade(spark, sf_dir):
+    import os
+    import re
+    import shutil
+    import time
+
+    from ez_cdc_spark.sources.pyds import register_envelopegen, register_ezmanifest
+    from ez_cdc_spark.streaming.replay import checkpoint_dir
+
+    register_envelopegen(spark)
+    register_ezmanifest(spark)
+    a_dir = tempfile.mkdtemp(prefix="t45a-")
+    b_dir = tempfile.mkdtemp(prefix="t45b-")
+    shutil.rmtree(a_dir, ignore_errors=True)
+    shutil.rmtree(b_dir, ignore_errors=True)
+
+    q1 = (
+        spark.readStream.format("envelopegen")
+        .option("n", 3000)
+        .option("batch_size", 1000)
+        .load()
+        .writeStream.format("ezmanifest")
+        .option("path", a_dir)
+        .option("txnTag", "t45-hop1")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the relay can only resolve A's schema once A exists: wait for the
+    # first upstream commit, then attach the tail mid-flight
+    deadline = time.time() + 120
+    while not os.path.exists(os.path.join(a_dir, "_MANIFEST")):
+        if time.time() > deadline:
+            q1.stop()
+            raise TimeoutError("hop 1 never committed its first epoch")
+        time.sleep(0.2)
+    q2 = (
+        spark.readStream.format("ezmanifest")
+        .option("path", a_dir)
+        .load()
+        .writeStream.format("ezmanifest")
+        .option("path", b_dir)
+        .option("txnTag", "t45-hop2")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def _drained(q, pattern, target):
+        p = q.lastProgress
+        if not p or not p["sources"]:
+            return False
+        m = re.search(pattern, str(p["sources"][0].get("endOffset") or ""))
+        return bool(m) and int(m.group(1)) >= target and p["numInputRows"] == 0
+
+    try:
+        while time.time() < deadline:
+            if _drained(q1, r"['\"]i['\"]\s*:\s*(\d+)", 3000):
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("hop 1 never drained")
+        from ez_cdc_spark.sources.manifest import current_generation
+
+        a_head = current_generation(a_dir)
+        while time.time() < deadline:
+            if _drained(q2, r"['\"]gen['\"]\s*:\s*(\d+)", a_head):
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("hop 2 never caught up with the upstream head")
+    finally:
+        q1.stop()
+        q2.stop()
+        q1.awaitTermination()
+        q2.awaitTermination()
+
+    lake = spark.read.format("ezmanifest").option("path", b_dir).load()
+    return (
+        lake.groupBy("op")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("lsn").cast("bigint").alias("lsn_sum"),
+            F.sum("value").cast("bigint").alias("value_sum"),
+        )
+        .orderBy("op")
+    )
