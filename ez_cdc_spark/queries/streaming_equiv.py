@@ -2858,7 +2858,7 @@ def t42_manifest_stream_tail(spark, sf_dir):
         .start()
     )
 
-    def drained(gen, timeout=120):
+    def drained(gen, timeout=240):
         deadline = time.time() + timeout
         while time.time() < deadline:
             p = q.lastProgress
@@ -2962,7 +2962,7 @@ def t43_manifest_stream_pipeline(spark, sf_dir):
         .start()
     )
 
-    def drained(gen, timeout=120):
+    def drained(gen, timeout=240):
         deadline = time.time() + timeout
         while time.time() < deadline:
             p = q.lastProgress
@@ -3070,7 +3070,7 @@ def t44_manifest_native_stream_sink(spark, sf_dir):
         .trigger(processingTime="0 seconds")
         .start()
     )
-    deadline = time.time() + 120
+    deadline = time.time() + 240
     try:
         while time.time() < deadline:
             p = q.lastProgress
@@ -3156,7 +3156,7 @@ def t45_manifest_stream_cascade(spark, sf_dir):
     )
     # the relay can only resolve A's schema once A exists: wait for the
     # first upstream commit, then attach the tail mid-flight
-    deadline = time.time() + 120
+    deadline = time.time() + 300
     while not os.path.exists(os.path.join(a_dir, "_MANIFEST")):
         if time.time() > deadline:
             q1.stop()
