@@ -103,6 +103,7 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "s44c_manifest_writer_merge_schema",
     "t45_manifest_stream_cascade",
     "t44_manifest_native_stream_sink",
     "s44b_manifest_datasource_write_partitioned",
@@ -140,6 +141,7 @@ NEW_THIS_ROUND = [
 ]
 
 EXTRA_QUERIES = [
+    "s44c_manifest_writer_merge_schema",
     "t45_manifest_stream_cascade",
     "t44_manifest_native_stream_sink",
     "s44b_manifest_datasource_write_partitioned",

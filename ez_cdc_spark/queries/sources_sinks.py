@@ -3960,3 +3960,73 @@ def s44b_manifest_datasource_write_partitioned(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s44c_manifest_writer_merge_schema",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 1
+                     THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS evolved_bal,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="S44c: additive schema evolution THROUGH the writer — Delta's "
+    "mergeSchema: an append whose dataframe extends the stored schema "
+    "with new tail columns evolves the table and lands the batch in ONE "
+    "commit (sources/pyds.py, the S44 writer). The appended columns "
+    "store NULLABLE whatever the batch claims (pre-evolution files hold "
+    "no values — Delta relaxes nullability identically), old files "
+    "NULL-fill on read (the S32 contract, both read paths), the evolve "
+    "lineage records the added names, non-additive shapes refuse even "
+    "with the option (and without it the error hints at it), and the "
+    "STREAMING sink refuses the option up front — mid-stream drift is "
+    "T31's job, not a silent sink evolution. The query creates the "
+    "table from even-key customers WITHOUT the balance column, then "
+    "mergeSchema-appends odd-key customers WITH it: the NULL-tolerant "
+    "aggregate proves exactly the evolved half carries values. At "
+    "100 TB: evolution stays a metadata-plus-batch commit — no rewrite "
+    "of existing files, ever.",
+)
+def s44c_manifest_writer_merge_schema(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s44cmerge")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    register_ezmanifest(spark)
+    key = F.col("c_custkey")
+    (
+        c.filter(key % 2 == 0)
+        .drop("c_acctbal")
+        .write.format("ezmanifest")
+        .option("path", table_dir)
+        .mode("append")
+        .save()
+    )
+    (
+        c.filter(key % 2 == 1)
+        .write.format("ezmanifest")
+        .option("path", table_dir)
+        .option("mergeSchema", "true")
+        .mode("append")
+        .save()
+    )
+    lake = spark.read.format("ezmanifest").option("path", table_dir).load()
+    return (
+        lake.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("evolved_bal"),
+            F.count("c_acctbal").cast("bigint").alias("n_evolved"),
+        )
+        .orderBy("c_nationkey")
+    )

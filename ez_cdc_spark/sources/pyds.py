@@ -710,19 +710,44 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                         f"partition column {self.pcol!r} is not a "
                         f"dataframe column (have {names})"
                     )
+            self.evolved = None  # additive-evolution tail (S44c)
             if parent is not None:
                 stored = [
                     (f["name"], f["type"]) for f in parent["schema"]["fields"]
                 ]
-                incoming = [
-                    (f["name"], f["type"])
-                    for f in _json.loads(self.schema_json)["fields"]
-                ]
+                fields = _json.loads(self.schema_json)["fields"]
+                incoming = [(f["name"], f["type"]) for f in fields]
+                merge = str(options.get("mergeschema", "")).lower() == "true"
                 if incoming != stored:
-                    raise ValueError(
-                        f"write schema mismatch: table has {stored}, "
-                        f"dataframe has {incoming}"
-                    )
+                    if (
+                        merge
+                        and len(incoming) > len(stored)
+                        and incoming[: len(stored)] == stored
+                    ):
+                        # S44c: additive evolution through the writer —
+                        # Delta's mergeSchema: the stored columns match
+                        # exactly and the dataframe APPENDS new nullable
+                        # fields; the commit evolves the schema and lands
+                        # the batch in one generation (existing files
+                        # NULL-fill on read, the S32 contract)
+                        # stored as NULLABLE whatever this batch claims:
+                        # pre-evolution files hold no values for the new
+                        # columns, so the TABLE-level column must admit
+                        # nulls even when the evolving batch's doesn't
+                        # (Delta relaxes nullability the same way)
+                        self.evolved = [
+                            {**f, "nullable": True}
+                            for f in fields[len(stored):]
+                        ]
+                    else:
+                        hint = (
+                            "" if merge else " (append-only additions can "
+                            "evolve with option('mergeSchema', 'true'))"
+                        )
+                        raise ValueError(
+                            f"write schema mismatch: table has {stored}, "
+                            f"dataframe has {incoming}{hint}"
+                        )
 
             # idempotent writes (Delta txnAppId/txnVersion): at-or-below
             # the recorded watermark → the whole write is a committed no-op
@@ -878,16 +903,26 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             rels.sort()
             parent, pgen = self.parent, self.parent_gen
             carry = parent is not None and not self.overwrite
+            if parent is None:
+                schema = _json.loads(self.schema_json)
+            elif self.evolved:
+                schema = {
+                    **parent["schema"],
+                    "fields": parent["schema"]["fields"] + self.evolved,
+                }
+            else:
+                schema = parent["schema"]
             manifest = {
                 "generation": self.gen,
                 "files": (parent["files"] if carry else []) + rels,
                 "n_files": (len(parent["files"]) if carry else 0) + len(rels),
-                "schema": (
-                    parent["schema"]
-                    if parent is not None
-                    else _json.loads(self.schema_json)
-                ),
+                "schema": schema,
             }
+            if self.evolved:
+                manifest["evolve"] = {
+                    "parent": pgen,
+                    "added": [f["name"] for f in self.evolved],
+                }
             if carry:
                 manifest["append"] = {
                     "parent": pgen,
@@ -968,6 +1003,12 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             base = dict(options)
             tag = base.pop("txntag", None) or "ezmanifest-stream"
             base.pop("txnversion", None)
+            if str(base.pop("mergeschema", "")).lower() == "true":
+                raise ValueError(
+                    "the streaming sink does not evolve schemas mid-stream: "
+                    "evolve the table first (evolve_schema / a batch "
+                    "mergeSchema write), then start the stream"
+                )
             # the batch init does the shared validation work; the stream
             # stages under a lease, not a generation reservation
             super().__init__(base, schema, overwrite, _reserve=False)

@@ -686,3 +686,45 @@ def test_native_sink_partitioned(spark):
     )
     assert got == [("c", 667), ("d", 666), ("u", 667)]
     assert _fmt(spark, d).count() == 2000
+
+
+def test_writer_merge_schema_evolves_additively(spark):
+    """S44c: option('mergeSchema','true') — an append whose dataframe
+    extends the stored schema with new NULLABLE tail columns evolves and
+    lands in one commit; old files NULL-fill on read (the S32 contract),
+    and non-additive shapes still refuse."""
+    from ez_cdc_spark.sources.manifest import read_manifest
+
+    d = os.path.join(SCRATCH, "w_merge")
+    shutil.rmtree(d, ignore_errors=True)
+    _write(spark, spark.range(50).selectExpr("id AS k", "id*2 AS v"), d)
+    # without the option: refuse, with the hint
+    with pytest.raises(Exception, match="mergeSchema"):
+        _write(spark, spark.range(50, 60).selectExpr(
+            "id AS k", "id*2 AS v", "id*9 AS w"), d)
+    _write(spark, spark.range(50, 60).selectExpr(
+        "id AS k", "id*2 AS v", "id*9 AS w"), d, mergeSchema="true")
+    man = read_manifest(d)
+    assert man["evolve"]["added"] == ["w"]
+    assert [f["name"] for f in man["schema"]["fields"]] == ["k", "v", "w"]
+    r = read_committed(spark, d)
+    assert r.count() == 60
+    assert r.filter("w IS NULL").count() == 50
+    assert r.filter("w IS NOT NULL AND w <> k * 9").count() == 0
+    assert _fmt(spark, d).filter("w IS NULL").count() == 50
+    # the evolved table keeps appending with the full schema, no option
+    _write(spark, spark.range(60, 70).selectExpr(
+        "id AS k", "id*2 AS v", "id*9 AS w"), d)
+    assert read_committed(spark, d).count() == 70
+    # non-additive shapes refuse even with the option
+    with pytest.raises(Exception, match="schema mismatch"):
+        _write(spark, spark.range(5).selectExpr(
+            "id AS k", "id*9 AS w"), d, mergeSchema="true")
+    # the streaming sink refuses the option up front
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    src = make_ezmanifest_source(with_pushdown=False)
+    with pytest.raises(ValueError, match="mid-stream"):
+        src(options={"path": d, "mergeschema": "true"}).streamWriter(
+            spark.range(1).selectExpr("id AS k").schema, False
+        )
