@@ -3894,7 +3894,14 @@ def test_footer_stats_pass_is_metadata_only(spark):
     _collect_stats(spark, td_small, small, ["id"])  # warm the job path
     t_small = best_of(lambda: _collect_stats(spark, td_small, small, ["id"]))
     t_big = best_of(lambda: _collect_stats(spark, td_big, big, ["id"]))
-    assert t_big < t_small * 10, (t_small, t_big)
+    # floor the baseline at 50 ms: both sides are single-digit-ms footer
+    # reads plus one Spark job's fixed overhead, and under heavy ambient
+    # load the ratio of two near-zero samples is pure scheduler jitter
+    # (flaked once in a full-suite run concurrent with the 301-query
+    # oracle sweep; passes solo) — the data-size-independence claim is
+    # "100x the bytes stays within 10x of a floored baseline", which a
+    # real data read (seconds, see t_scan below) still fails by orders
+    assert t_big < max(t_small, 0.05) * 10, (t_small, t_big)
 
     t_scan = best_of(
         lambda: spark.read.parquet(*big).agg(F.min("id"), F.max("id")).collect(),
