@@ -3873,10 +3873,17 @@ def s47_bloom_point_lookup(spark, sf_dir):
     keys = [7, 42, 99, 123, 148]
     out = None
     for k in keys:
-        # one load() PER probe: branches of a union over a single shared
-        # relation get deduped into one scan, and the last branch's
-        # pushdown would clobber the others' kept-file lists
-        lake = spark.read.format("ezmanifest").option("path", table_dir).load()
+        # pruneFiles opts into planning-time file pruning, and one load()
+        # PER probe honors its single-reference contract: branches of a
+        # union over a single shared relation get deduped into one scan,
+        # and the last branch's pushdown would serve the others' splits
+        # (sources/pyds.py ManifestReader._push_filters)
+        lake = (
+            spark.read.format("ezmanifest")
+            .option("path", table_dir)
+            .option("pruneFiles", "true")
+            .load()
+        )
         point = lake.filter(F.col("c_custkey") == k)
         if point.rdd.getNumPartitions() >= n_files:
             raise AssertionError(
@@ -3946,7 +3953,9 @@ def s44b_manifest_datasource_write_partitioned(spark, sf_dir):
     )
     n_files = read_manifest(table_dir)["n_files"]
     one_nation = (
-        spark.read.format("ezmanifest").option("path", table_dir).load()
+        spark.read.format("ezmanifest").option("path", table_dir)
+        .option("pruneFiles", "true")  # opt-in, single-reference load
+        .load()
         .filter(F.col("c_nationkey") == 3)
     )
     if one_nation.rdd.getNumPartitions() >= n_files:

@@ -394,6 +394,88 @@ def _collect_blooms(
     return out
 
 
+_BLOOMS_DIR = "_blooms"
+
+
+def _bloom_sidecar_write(table_dir: str, generation: int, blooms: dict) -> str:
+    """Persist a ``{rel: {col: b64}}`` bloom map as a SIDECAR file under
+    ``_blooms/`` and return its name (r16 verdict #3: inline bitsets made
+    the manifest O(files·bits) — at a million files that breaks the
+    O(files) manifest contract; the manifest now carries only sidecar
+    NAMES). The name embeds a uuid: two CAS-racing writers of the same
+    generation number must not overwrite each other's sidecar before the
+    os.link decides the winner — each manifest references exactly the
+    bytes its own writer produced; the loser's sidecar becomes
+    unreferenced debris for :func:`gc`."""
+    bdir = os.path.join(table_dir, _BLOOMS_DIR)
+    os.makedirs(bdir, exist_ok=True)
+    name = f"gen-{generation}-{uuid.uuid4().hex[:12]}.json"
+    tmp = os.path.join(bdir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(blooms, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(bdir, name))
+    _fsync_dir(bdir)
+    return name
+
+
+def table_blooms(table_dir: str, manifest: dict) -> dict:
+    """Resolve a generation's per-file blooms: the legacy INLINE map (pre-
+    sidecar manifests keep working) overlaid by each sidecar named in
+    ``bloom_meta.sidecars``, in chain order (later writers win a rel).
+    A missing/unreadable sidecar contributes nothing — absent blooms mean
+    conservative keep, so pruning degrades, correctness never does."""
+    out = {k: dict(v) for k, v in (manifest.get("blooms") or {}).items()}
+    for name in (manifest.get("bloom_meta") or {}).get("sidecars", []):
+        try:
+            with open(os.path.join(table_dir, _BLOOMS_DIR, name)) as fh:
+                side = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for rel, per in side.items():
+            out[rel] = {**out.get(rel, {}), **per}
+    return out
+
+
+def _carry_bloom_meta(
+    spark: SparkSession,
+    table_dir: str,
+    parent: dict,
+    generation: int,
+    new_files: list[str],
+    reset: bool = False,
+) -> dict | None:
+    """Shared S47 carry for every derived writer (append / merge_cow /
+    compact_partial; full compact passes ``reset=True``): build blooms for
+    just the NEW files over the parent's declared columns, persist them as
+    this generation's sidecar, and return the new ``bloom_meta`` with the
+    parent's sidecar chain extended (``reset`` starts a fresh chain — the
+    rewrite re-indexed every live file, so the old sidecars are dead
+    weight). A legacy inline parent migrates here: its inline map folds
+    into the new sidecar once, and the child manifest carries names only.
+    Returns None when the parent declares no bloom index (ADVICE r16 —
+    before this, one append/compact permanently stripped the index)."""
+    meta = parent.get("bloom_meta")
+    if not meta:
+        return None
+    fresh = _collect_blooms(
+        spark, table_dir, new_files, meta.get("columns", []), int(meta["bits"])
+    )
+    payload = dict(fresh)
+    if not reset and parent.get("blooms"):
+        # one-time legacy migration: inline parent bitsets join the sidecar
+        payload = {**parent["blooms"], **payload}
+    sidecars = [] if reset else list(meta.get("sidecars", []))
+    if payload:
+        sidecars.append(_bloom_sidecar_write(table_dir, generation, payload))
+    return {
+        "bits": int(meta["bits"]),
+        "columns": meta.get("columns", []),
+        "sidecars": sidecars,
+    }
+
+
 def bloom_pruned_files(
     table_dir: str,
     column: str,
@@ -409,7 +491,7 @@ def bloom_pruned_files(
     if manifest is None:
         manifest = read_manifest(table_dir, as_of_generation)
     bits = int((manifest.get("bloom_meta") or {}).get("bits", 0))
-    blooms = manifest.get("blooms", {})
+    blooms = table_blooms(table_dir, manifest)
     stats = manifest.get("stats", {})
     kept: list[str] = []
     skipped: list[str] = []
@@ -661,19 +743,25 @@ def publish(
             df.sparkSession, table_dir, files, stats_columns
         )
     if bloom_columns:
-        # S47: per-file point-lookup blooms. Inline-in-manifest is the
-        # sandbox shape (bloom_bits/8 bytes per file per column); at
-        # 100 TB with ~1M-row files size bits to ~10/key and move the
-        # bitsets to a per-generation sidecar keyed like stats — the
-        # pruning contract is unchanged either way.
+        # S47: per-file point-lookup blooms, persisted as a SIDECAR file
+        # (r16 verdict #3): the manifest records only {bits, columns,
+        # sidecar names}, so manifest size stays O(files) however many
+        # bloom-indexed files accumulate — at 100 TB size bits to ~10/key;
+        # the pruning contract is unchanged either way. bloom_meta is
+        # recorded even for an empty publish so appends inherit the
+        # declared index.
         blooms = _collect_blooms(
             df.sparkSession, table_dir, files, bloom_columns, bloom_bits
         )
-        if blooms:
-            manifest["blooms"] = blooms
-            manifest["bloom_meta"] = {
-                "bits": bloom_bits, "columns": sorted(bloom_columns)
-            }
+        manifest["bloom_meta"] = {
+            "bits": bloom_bits,
+            "columns": sorted(bloom_columns),
+            "sidecars": (
+                [_bloom_sidecar_write(table_dir, generation, blooms)]
+                if blooms
+                else []
+            ),
+        }
     if lineage:
         # caller-supplied commit lineage (e.g. compact_mor's fold marker) —
         # recorded so chain walkers (change_feed_mor) can trace parents
@@ -928,6 +1016,8 @@ def publish_partitioned(
     lineage: dict | None = None,
     constraints: dict | None = None,
     enforce_constraints: bool = True,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 65536,
 ) -> dict:
     """S29: partition-aware atomic publish — S25's two-phase protocol
     composed with S7's partitionBy layout: the generation stages as
@@ -974,6 +1064,24 @@ def publish_partitioned(
             [os.path.join(table_dir, rel) for rel in files],
             stats_columns,
         )
+    if bloom_columns:
+        # S47 on a partitioned layout — same sidecar shape as publish()
+        blooms = _collect_blooms(
+            df.sparkSession,
+            table_dir,
+            [os.path.join(table_dir, rel) for rel in files],
+            bloom_columns,
+            bloom_bits,
+        )
+        manifest["bloom_meta"] = {
+            "bits": bloom_bits,
+            "columns": sorted(bloom_columns),
+            "sidecars": (
+                [_bloom_sidecar_write(table_dir, generation, blooms)]
+                if blooms
+                else []
+            ),
+        }
     if lineage:
         manifest.update(lineage)
     if constraints:
@@ -1080,8 +1188,12 @@ def _admissible_partitions(tr: dict, lo, hi) -> list[str] | None:
         start = int(lo) - int(lo) % param
         return [str(v) for v in range(start, int(hi) + 1, param)]
     if kind == "bucket":
-        # a range says nothing about hash buckets; only a POINT prunes
-        return None if lo != hi else None  # resolved by the caller via Spark
+        # a range says nothing about hash buckets, and even a POINT is not
+        # resolved HERE: read_transform_pruned special-cases lo == hi and
+        # hashes the value through the same Spark expression the writer
+        # used before ever calling this function (ADVICE r16 — the old
+        # `None if lo != hi else None` had two identical arms)
+        return None
     return None
 
 
@@ -1207,7 +1319,11 @@ def read_committed_partitions(
             f"partitioned: read_committed_partitions needs a "
             f"publish_partitioned generation (use read_committed)"
         )
-    wanted = set(values)
+    # probe values normalize through str (ADVICE r16, the change_feed
+    # rule): the manifest's partition map records canonical STRINGS (the
+    # Hive-dir convention every writer shares), so values=[3] and
+    # values=["3"] select the same files
+    wanted = {None if v is None else str(v) for v in values}
     partitions = manifest.get("partitions", {})
     kept = [
         os.path.join(table_dir, rel)
@@ -1245,7 +1361,11 @@ def committed_files(table_dir: str, as_of_generation: int | None = None) -> list
     manifest references must stay gc-protected, and callers that read data
     go through read_committed/read_mor, not this listing."""
     manifest = read_manifest(table_dir, as_of_generation)
-    rels = list(manifest["files"]) + list(manifest.get("delete_files") or [])
+    rels = (
+        list(manifest["files"])
+        + list(manifest.get("delete_files") or [])
+        + list(manifest.get("change_files") or [])
+    )
     return [os.path.join(table_dir, rel) for rel in rels]
 
 
@@ -1525,6 +1645,11 @@ def compact(
         if manifest.get("partition_transform") is not None
         else None
     )
+    # S47 inheritance (ADVICE r16 — compact used to strip the bloom index):
+    # a full rewrite re-indexes every live file into a FRESH sidecar chain
+    bmeta = manifest.get("bloom_meta")
+    bloom_cols = bmeta.get("columns") if bmeta else None
+    bloom_bits = int(bmeta["bits"]) if bmeta else 65536
     if pcol is not None:
         # a partitioned generation compacts INTO a partitioned generation —
         # the layout (and the column that lives in it) must survive
@@ -1542,6 +1667,8 @@ def compact(
             # its own commit time; re-scanning it here would make
             # maintenance cost track constraint count (S39)
             enforce_constraints=False,
+            bloom_columns=bloom_cols,
+            bloom_bits=bloom_bits,
         )
     return publish(
         df,
@@ -1552,6 +1679,8 @@ def compact(
         expected_parent=manifest["generation"],
         txns=_txns_of(manifest),
         enforce_constraints=False,  # fold of already-validated data (S39)
+        bloom_columns=bloom_cols,
+        bloom_bits=bloom_bits,
     )
 
 
@@ -1645,6 +1774,12 @@ def compact_partial(
             **{r: stats[r] for r in carried if r in stats},
             **_collect_stats(spark, table_dir, new_files, stats_cols),
         }
+    if manifest.get("bloom_meta"):
+        # S47 carry (ADVICE r16): the rewritten tail gets fresh bitsets,
+        # carried files keep theirs via the carried sidecar chain
+        new_manifest["bloom_meta"] = _carry_bloom_meta(
+            spark, table_dir, manifest, generation, new_files
+        )
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
     if manifest.get("partition_transform") is not None:
@@ -1767,16 +1902,11 @@ def publish_append(
         }
     if bloom_meta:
         # S47 inheritance (the stats rule): appended files get fresh
-        # blooms over the table's declared bloom columns, carried files
-        # keep their bitsets verbatim
-        new_manifest["bloom_meta"] = bloom_meta
-        new_manifest["blooms"] = {
-            **manifest.get("blooms", {}),
-            **_collect_blooms(
-                df.sparkSession, table_dir, new_files,
-                bloom_meta.get("columns", []), int(bloom_meta["bits"]),
-            ),
-        }
+        # blooms over the table's declared bloom columns in a NEW sidecar;
+        # carried files keep their bitsets via the carried sidecar chain
+        new_manifest["bloom_meta"] = _carry_bloom_meta(
+            df.sparkSession, table_dir, manifest, generation, new_files
+        )
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
     if manifest.get("partition_transform") is not None:
@@ -2259,6 +2389,7 @@ def merge_cow(
     txn: dict | None = None,
     stable_partition_keys: bool = False,
     ref: str | None = None,
+    record_change_feed: bool = False,
 ) -> dict:
     """S30: copy-on-write MERGE of a keyed change batch into a
     manifest-committed table — the row-level half of what real table
@@ -2455,6 +2586,51 @@ def merge_cow(
         new_files = stage_only(rewrite, table_dir, generation)
         new_parts = None
 
+    change_files: list[str] | None = None
+    if record_change_feed:
+        # T46: MATERIALIZE the row-level change feed at merge time — the
+        # Delta CDF design (MERGE writes _change_data files): the merge
+        # already holds everything the feed needs, so recording it here is
+        # churn-sized (one extra read of the TOUCHED files, never the
+        # table), and the native changeFeed STREAM
+        # (readStream.format('ezmanifest').option('changeFeed', 'true'))
+        # can later serve the interval as a fully distributed scan of
+        # these files with zero cross-file work at read time. Staged under
+        # this generation's own data dir, so the S33 reservation protects
+        # the write and gc/vacuum lifecycle follows the generation.
+        from pyspark.sql import functions as F  # noqa: N812
+
+        pre = _read_files(spark, manifest, table_dir, touched_abs).join(
+            F.broadcast(final.select(key_col)), on=key_col, how="left_semi"
+        )
+        del_keys = final.filter(F.col("_op") == delete_op).select(key_col)
+        pre_keys = pre.select(key_col).distinct()
+        feed = (
+            pre.join(F.broadcast(del_keys), on=key_col, how="left_anti")
+            .select(F.lit("update_preimage").alias("_change_type"), *table_cols)
+            .unionByName(
+                pre.join(F.broadcast(del_keys), on=key_col, how="left_semi")
+                .select(F.lit("delete").alias("_change_type"), *table_cols)
+            )
+            .unionByName(
+                upserts.join(F.broadcast(pre_keys), on=key_col, how="left_semi")
+                .select(
+                    F.lit("update_postimage").alias("_change_type"), *table_cols
+                )
+            )
+            .unionByName(
+                upserts.join(F.broadcast(pre_keys), on=key_col, how="left_anti")
+                .select(F.lit("insert").alias("_change_type"), *table_cols)
+            )
+        )
+        cf_dir = os.path.join(_stage_dir(table_dir, generation), "_changefeed")
+        feed.write.mode("overwrite").parquet(cf_dir)
+        change_files = sorted(
+            os.path.relpath(os.path.join(cf_dir, f), table_dir)
+            for f in os.listdir(cf_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
     stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
     new_manifest = {
         "generation": generation,
@@ -2472,12 +2648,24 @@ def merge_cow(
             "changed_keys": n_keys,
         },
     }
+    if change_files is not None:
+        # T46: the commit's materialized row-level feed — gc/vacuum protect
+        # these exactly like data files (committed_files lists them), and
+        # the changeFeed stream plans them as this interval's splits
+        new_manifest["change_files"] = change_files
+        new_manifest["change_feed_key"] = key_col
     if pcol is not None:
         new_manifest["partition_col"] = pcol
         new_manifest["partitions"] = {
             **{rel: partitions.get(rel) for rel in untouched_rel},
             **new_parts,
         }
+    if manifest.get("bloom_meta"):
+        # S47 carry (ADVICE r16): rewritten files get fresh bitsets in a
+        # new sidecar, untouched files keep theirs via the carried chain
+        new_manifest["bloom_meta"] = _carry_bloom_meta(
+            spark, table_dir, manifest, generation, new_files
+        )
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
     if manifest.get("partition_transform") is not None:
@@ -3474,6 +3662,7 @@ def vacuum(table_dir: str, older_than_s: float) -> list[str]:
                     man = json.load(fh)
                     refs.update(man["files"])
                     refs.update(man.get("delete_files") or [])
+                    refs.update(man.get("change_files") or [])
             except (OSError, ValueError):
                 continue  # unreadable/vanishing manifest protects nothing
         return refs
@@ -3783,4 +3972,38 @@ def gc(
             continue
         os.remove(full)
         deleted.append(full)
+
+    # S47 sidecar lifecycle (r17): a bloom sidecar lives exactly as long
+    # as some still-on-disk manifest references it (re-listed AFTER the
+    # manifest deletions above, so history that just aged out releases its
+    # sidecars), or its generation's staging reservation is still held (a
+    # committing writer writes the sidecar BEFORE linking its manifest).
+    # Everything else is the unreferenced-debris class, age-gated like
+    # manifests.
+    bdir = os.path.join(table_dir, _BLOOMS_DIR)
+    if os.path.isdir(bdir):
+        keep_sidecars: set[str] = set()
+        for m in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+            if m.startswith(".") or _gen_of(m) is None:
+                continue
+            try:
+                with open(os.path.join(mdir, m)) as fh:
+                    meta = json.load(fh).get("bloom_meta") or {}
+            except (OSError, ValueError):
+                continue
+            keep_sidecars.update(meta.get("sidecars", []))
+        for s in sorted(os.listdir(bdir)):
+            if s.startswith("."):
+                continue  # a racing writer's mid-write tmp
+            sg = re.match(r"gen-(\d+)-", s)
+            if sg is not None and int(sg.group(1)) in reserved_gens:
+                continue  # live writer between sidecar write and commit
+            full = os.path.join(bdir, s)
+            if s in keep_sidecars or _young(full):
+                continue
+            try:
+                os.unlink(full)
+                deleted.append(full)
+            except FileNotFoundError:
+                pass  # another gc got it
     return deleted

@@ -332,6 +332,9 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             self.man = _resolve(options)
             self.table_dir = options["path"]
             self.keep = list(self.man["files"])
+            self.prune = (
+                str(options.get("prunefiles", "")).lower() == "true"
+            )
 
         def _push_filters(self, filters):
             """Driver-side at planning: clamp the file list by the
@@ -340,18 +343,35 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             full — this method only removes files that provably contain
             no matching row.
 
-            UPSTREAM LIMITATION (characterized empirically, Spark 4.1):
-            one ``load()`` relation owns ONE JVM scan builder, and the
-            LAST pushFilters call's pruning state serves EVERY branch
-            that references that relation in the same plan — so a
-            union/join of two DIFFERENTLY-filtered branches of a single
-            load() can silently lose the earlier branch's rows (the
-            planning-side partitions() per branch are correct; the
-            execution reuse is JVM-side and invisible from here). This
+            UPSTREAM LIMITATION (re-characterized r17, Spark 4.1 —
+            ADVICE r16 escalated): one ``load()`` relation owns ONE JVM
+            scan builder, whose single (read_func, partitions) state is
+            produced by the LAST pushdown worker roundtrip and then
+            serves EVERY branch that references the relation in the
+            plan. Measured consequences with stateful pruning always-on:
+            (a) two differently-filtered branches both execute the last
+            branch's splits — the earlier branch silently loses rows;
+            (b) an UNFILTERED branch (which never triggers a pushFilters
+            roundtrip at all) executes a filtered sibling's pruned
+            splits and loses rows too — so no accumulation scheme inside
+            pushFilters can cover it (each roundtrip constructs a FRESH
+            reader, and the unfiltered branch never calls in). This
             applies to any stateful Python DataSource pushdown, not just
-            this one. Safe pattern, pinned in tests and used by the s47
-            query: create a FRESH load() per differently-filtered
-            branch — relations are cheap (one JSON read)."""
+            this one.
+
+            STRUCTURAL FIX (r17): file pruning is OPT-IN via
+            ``option('pruneFiles', 'true')``. By default this method
+            only hands the filters back (stateless — correct for every
+            plan shape, including self-unions and self-joins of one
+            load()); with the option set, the caller declares the
+            single-reference contract — one load() per plan reference,
+            the fresh-load()-per-branch pattern — and gets the tightest
+            per-branch pruning. The engine's own point-lookup and
+            stats-prune paths opt in; plan-shape safety is pinned in
+            tests/test_pyds_manifest.py."""
+            if not self.prune:
+                yield from filters
+                return
             from pyspark.sql.datasource import (
                 EqualTo,
                 GreaterThan,
@@ -398,10 +418,43 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 )
 
             stats = self.man.get("stats") or {}
-            blooms = self.man.get("blooms") or {}
+            # blooms resolve through the sidecar chain (r17 — mirror of
+            # manifest.py table_blooms): legacy inline map overlaid by
+            # each _blooms/<name> sidecar; unreadable sidecars contribute
+            # nothing (absent bloom = conservative keep)
+            blooms = {
+                k: dict(v)
+                for k, v in (self.man.get("blooms") or {}).items()
+            }
+            for _sname in (self.man.get("bloom_meta") or {}).get(
+                "sidecars", []
+            ):
+                try:
+                    with open(
+                        _os.path.join(self.table_dir, "_blooms", _sname)
+                    ) as fh:
+                        side = _json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                for rel, per in side.items():
+                    blooms[rel] = {**blooms.get(rel, {}), **per}
             bbits = int((self.man.get("bloom_meta") or {}).get("bits", 0))
             pcol = self.man.get("partition_col")
             pmap = self.man.get("partitions") or {}
+
+            def _as_bound_type(v, like):
+                """Manifest partition values are canonical STRINGS (the
+                engine's Hive-dir convention, shared by this format's
+                writer — ADVICE r16); coerce through the pushed bound's
+                type so int/float predicates still prune. None means
+                'cannot compare' → the caller keeps the file."""
+                if v is None or isinstance(v, type(like)):
+                    return v
+                try:
+                    return type(like)(v)
+                except (TypeError, ValueError):
+                    return None
+
             kept = []
             for rel in self.man["files"]:
                 per = stats.get(rel)
@@ -411,10 +464,12 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 # bounds on the partition column or the whole file drops
                 if pcol in bounds and rel in pmap:
                     lo, hi = bounds[pcol]
-                    v = pmap[rel]
+                    like = lo if lo is not None else hi
+                    v = _as_bound_type(pmap[rel], like)
                     try:
-                        if (lo is not None and v < lo) or (
-                            hi is not None and v > hi
+                        if v is not None and (
+                            (lo is not None and v < lo)
+                            or (hi is not None and v > hi)
                         ):
                             drop = True
                     except TypeError:
@@ -606,6 +661,78 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             return v
         return None
 
+    def _hive_part(v):
+        """Canonical partition rendering shared with the engine's
+        ``_stage_partitioned`` convention (ADVICE r16): the manifest map
+        stores ``str(v)`` (None stays JSON null) and the directory name
+        uses the Hive null sentinel with %-escaped special characters —
+        so engine writers and this format writer COMPOSE on one table:
+        ``read_committed_partitions(values=["3"])`` matches files either
+        wrote, and a null partition reads back as NULL, not the literal
+        string 'None'. Returns (manifest_value, dir_segment)."""
+        import urllib.parse as _up
+
+        if v is None:
+            return None, "__HIVE_DEFAULT_PARTITION__"
+        s = str(v)
+        return s, _up.quote(s, safe="")
+
+    def _file_blooms(path, columns, bits):
+        """Mirror of manifest.py `_file_bloom` (ADVICE r16: the format
+        writer must carry a table's declared bloom index, not strip it):
+        one columnar pass per declared column over the just-written file
+        → {col: b64 bitset}; unencodable column types record nothing
+        (conservative keep, the engine's rule)."""
+        import base64 as _b64
+        import hashlib as _hl
+        import struct as _struct
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        out = {}
+        for col in columns:
+            if col not in pf.schema_arrow.names:
+                continue
+            buf = bytearray(bits // 8)
+            ok = True
+            for batch in pf.iter_batches(columns=[col]):
+                for v in batch.column(0).to_pylist():
+                    if v is None:
+                        continue
+                    if isinstance(v, bool) or not isinstance(v, (int, str)):
+                        ok = False
+                        break
+                    canon = (
+                        str(v).encode() if isinstance(v, int) else v.encode()
+                    )
+                    for w in _struct.unpack(
+                        ">4I", _hl.md5(canon).digest()[:16]
+                    ):
+                        p = w % bits
+                        buf[p >> 3] |= 1 << (p & 7)
+                if not ok:
+                    break
+            if ok:
+                out[col] = _b64.b64encode(bytes(buf)).decode()
+        return out
+
+    def _bloom_sidecar_write(table_dir, generation, blooms):
+        """Mirror of manifest.py `_bloom_sidecar_write`: persist the
+        bitsets under _blooms/ and return the (uuid-unique) name — the
+        manifest stays O(files) whatever the bloom payload."""
+        bdir = _os.path.join(table_dir, "_blooms")
+        _os.makedirs(bdir, exist_ok=True)
+        name = f"gen-{generation}-{_uuid.uuid4().hex[:12]}.json"
+        tmp = _os.path.join(bdir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(blooms, fh)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(tmp, _os.path.join(bdir, name))
+        _fsync_dir(bdir)
+        return name
+
     def _footer_stats(path, columns):
         """Mirror of manifest.py `_file_stats`: per-column min/max merged
         from the just-written file's row-group footers (no data re-read)."""
@@ -636,13 +763,16 @@ def make_ezmanifest_source(with_pushdown: bool = True):
 
     class _WMsg(WriterCommitMessage):
         """One task's staged output: file rel-paths, per-file footer
-        stats ({rel: {col: [lo, hi]}}) and partition values ({rel: v})."""
+        stats ({rel: {col: [lo, hi]}}), partition values ({rel: v}) and
+        per-file blooms ({rel: {col: b64}}, only on bloom-indexed
+        tables)."""
 
-        def __init__(self, rels, rows, stats, pvals=None):
+        def __init__(self, rels, rows, stats, pvals=None, blooms=None):
             self.rels = list(rels or [])
             self.rows = rows
             self.stats = stats or {}
             self.pvals = pvals or {}
+            self.blooms = blooms or {}
             self.rel = self.rels[0] if self.rels else None
 
     _WMsgMulti = _WMsg
@@ -775,6 +905,10 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             else:
                 raw = options.get("statscolumns") or ""
                 self.stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
+            # S47 carry (ADVICE r16): a bloom-indexed table keeps its index
+            # through format writes — appended files get fresh bitsets in a
+            # new sidecar; an overwrite re-indexes from scratch (fresh chain)
+            self.bloom_meta = (parent or {}).get("bloom_meta")
 
             self.gen = None
             if not self.skip and _reserve:
@@ -860,7 +994,9 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                         d = (
                             stage
                             if pcol is None
-                            else _os.path.join(stage, f"{pcol}={v}")
+                            else _os.path.join(
+                                stage, f"{pcol}={_hive_part(v)[1]}"
+                            )
                         )
                         _os.makedirs(d, exist_ok=True)
                         path = _os.path.join(
@@ -876,6 +1012,8 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 return _WMsg(None, 0, None)  # empty task: no file
             stats = {}
             pvals = {}
+            blooms = {}
+            bmeta = self.bloom_meta
             for v, (w, path) in writers.items():
                 w.close()
                 rel = _os.path.relpath(path, self.table_dir)
@@ -883,23 +1021,32 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                     per = _footer_stats(path, self.stats_cols)
                     if per:
                         stats[rel] = per
+                if bmeta:
+                    per_b = _file_blooms(
+                        path, bmeta.get("columns", []), int(bmeta["bits"])
+                    )
+                    if per_b:
+                        blooms[rel] = per_b
                 if pcol is not None:
-                    pvals[rel] = v
+                    pvals[rel] = _hive_part(v)[0]
             rels = sorted(
                 _os.path.relpath(p, self.table_dir)
                 for _w, p in writers.values()
             )
-            return _WMsgMulti(rels, rows, stats or None, pvals or None)
+            return _WMsgMulti(
+                rels, rows, stats or None, pvals or None, blooms or None
+            )
 
         def commit(self, messages):
             if self.skip:
                 return
-            rels, stats, pvals = [], {}, {}
+            rels, stats, pvals, blooms = [], {}, {}, {}
             for m in messages:
                 if m is not None:
                     rels.extend(m.rels)
                     stats.update(m.stats)
                     pvals.update(m.pvals)
+                    blooms.update(getattr(m, "blooms", None) or {})
             rels.sort()
             parent, pgen = self.parent, self.parent_gen
             carry = parent is not None and not self.overwrite
@@ -939,6 +1086,27 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             merged_stats.update(stats)
             if merged_stats:
                 manifest["stats"] = merged_stats
+            if self.bloom_meta:
+                # S47 carry (ADVICE r16): new files' bitsets land in this
+                # generation's sidecar; carried files keep theirs through
+                # the carried sidecar chain (legacy inline parents migrate
+                # into the new sidecar once). An overwrite starts a fresh
+                # chain — every live file was just re-indexed.
+                payload = dict(blooms)
+                if carry and parent.get("blooms"):
+                    payload = {**parent["blooms"], **payload}
+                chain = (
+                    list(self.bloom_meta.get("sidecars", [])) if carry else []
+                )
+                if payload:
+                    chain.append(
+                        _bloom_sidecar_write(self.table_dir, self.gen, payload)
+                    )
+                manifest["bloom_meta"] = {
+                    "bits": int(self.bloom_meta["bits"]),
+                    "columns": self.bloom_meta.get("columns", []),
+                    "sidecars": chain,
+                }
             # multi-writer watermark fold (never last-writer-wins)
             txns = dict((parent.get("txns") or {}) if parent else {})
             if parent and not txns and parent.get("txn"):
@@ -1046,12 +1214,13 @@ def make_ezmanifest_source(with_pushdown: bool = True):
 
         def commit(self, messages, batchId):
             self._touch_lease()  # liveness: the sink is still running
-            rels, stats, pvals = [], {}, {}
+            rels, stats, pvals, blooms = [], {}, {}, {}
             for m in messages:
                 if m is not None:
                     rels.extend(m.rels)
                     stats.update(m.stats)
                     pvals.update(m.pvals)
+                    blooms.update(getattr(m, "blooms", None) or {})
             rels.sort()
             parent, pgen = self._parent()
             if parent is not None:
@@ -1115,6 +1284,23 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             merged.update(stats)
             if merged:
                 manifest["stats"] = merged
+            bmeta = (parent or {}).get("bloom_meta")
+            if bmeta:
+                # S47 carry per epoch (ADVICE r16) — the parent re-resolves
+                # each commit, so the chain always extends the LIVE head's
+                payload = dict(blooms)
+                if parent.get("blooms"):
+                    payload = {**parent["blooms"], **payload}
+                chain = list(bmeta.get("sidecars", []))
+                if payload:
+                    chain.append(
+                        _bloom_sidecar_write(self.table_dir, g, payload)
+                    )
+                manifest["bloom_meta"] = {
+                    "bits": int(bmeta["bits"]),
+                    "columns": bmeta.get("columns", []),
+                    "sidecars": chain,
+                }
             txns = dict((parent.get("txns") or {}) if parent else {})
             if parent and not txns and parent.get("txn"):
                 single = parent["txn"]
@@ -1209,21 +1395,254 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         def stop(self):
             pass
 
+    # ----- T46 streaming CHANGE FEED: the Delta readChangeFeed analog -----
+
+    class _FeedSplit(InputPartition):
+        """One feed split: either a merge commit's materialized change
+        file (``ctype is None`` — the file already carries _change_type
+        per row) or a data file served as constant-type rows (appends →
+        'insert'). ``gen`` stamps _commit_generation."""
+
+        def __init__(self, path, pcol, pval, schema_json, ctype, gen):
+            self.path = path
+            self.pcol = pcol
+            self.pval = pval
+            self.schema_json = schema_json
+            self.ctype = ctype
+            self.gen = gen
+
+    def _parent_gen(man):
+        """By-value mirror of manifest.py `_parent_gen_of`: the commit's
+        lineage parent, or None for a plain publish / the genesis."""
+        for k in ("mor", "fold", "merge", "append", "evolve", "compact", "restore"):
+            lin = man.get(k)
+            if isinstance(lin, dict) and "parent" in lin:
+                return lin["parent"]
+        return None
+
+    class ManifestChangeFeedStreamReader(DataSourceStreamReader):
+        """T46: ``spark.readStream.format('ezmanifest')
+        .option('changeFeed', 'true')`` — row-level ``_change_type``
+        events per commit interval, Delta's ``readChangeFeed`` re-expressed
+        over the manifest family (cites the reference's entire downstream
+        purpose: python/cdc_test/main.py:39-47 consumes row-level change
+        events from the topic; here the TABLE is the topic).
+
+        Offsets are committed generation numbers. A micro-batch traces the
+        commit chain (end → start via each manifest's lineage parent) and
+        plans, per commit:
+
+        * merge with ``change_files`` (merge_cow(record_change_feed=True)
+          materialized the churn-sized feed at merge time — the Delta CDF
+          _change_data design): one split per change file, read verbatim.
+          Fully distributed; zero cross-file work at read time.
+        * append / genesis publish: the commit's NEW files as constant
+          'insert' splits (partition values reconstructed from the map).
+        * compact / fold / evolve: content-preserving by construction —
+          contribute nothing (the CDF maintenance-invisibility contract).
+        * merge WITHOUT recorded change files, restore, MOR commits, a
+          mid-chain plain publish: REFUSE loudly with the owning surface
+          named (batch change_feed / change_feed_mor / fresh checkpoint) —
+          the T42 honest-refusal class, never a silent wrong feed.
+
+        At 100 TB each trigger costs O(chain manifests) driver JSON reads
+        and executor-parallel scans of exactly the interval's churn."""
+
+        def __init__(self, options):
+            self.table_dir = options.get("path")
+            if not self.table_dir:
+                raise ValueError("ezmanifest needs option('path', <table_dir>)")
+            self.start_gen = int(options.get("startinggeneration", 0))
+
+        def initialOffset(self):
+            return {"gen": self.start_gen}
+
+        def latestOffset(self):
+            cur = _pointer_gen(self.table_dir)
+            return {"gen": cur if cur is not None else self.start_gen}
+
+        def _man(self, gen):
+            try:
+                with open(_mpath(self.table_dir, gen)) as fh:
+                    return _json.load(fh)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"generation {gen} of {self.table_dir} is no longer "
+                    f"retained (gc reclaimed it): restart the change-feed "
+                    f"stream from a fresh checkpoint"
+                ) from None
+
+        def partitions(self, start, end):
+            s, e = int(start["gen"]), int(end["gen"])
+            if e <= s:
+                return []
+            # trace e -> s through lineage parents
+            chain = []
+            cur = self._man(e)
+            genesis = False
+            while cur["generation"] > s:
+                chain.append(cur)
+                par = _parent_gen(cur)
+                if par is None:
+                    if s == 0:
+                        genesis = True  # snapshot commit: full-insert base
+                        break
+                    raise ValueError(
+                        f"cannot trace the commit lineage from generation "
+                        f"{e} back to {s}: the interval crosses a plain "
+                        f"publish/replace — restart the change-feed stream "
+                        f"from a fresh checkpoint"
+                    )
+                if par < s:
+                    raise ValueError(
+                        f"generation {s} is not an ancestor of {e} on the "
+                        f"commit chain: restart from a fresh checkpoint"
+                    )
+                cur = self._man(par)
+            chain.reverse()  # oldest -> newest
+            prev = self._man(s) if (s > 0 and not genesis) else None
+            splits = []
+            for man in chain:
+                g = man["generation"]
+                if man.get("delete_files"):
+                    raise ValueError(
+                        "merge-on-read commits have no COW change files: "
+                        "consume change_feed_mor for this interval"
+                    )
+                if "restore" in man:
+                    raise ValueError(
+                        "interval crosses a restore: a change feed across "
+                        "a rollback is undefined for a streaming consumer "
+                        "— restart from a fresh checkpoint"
+                    )
+                pcol = man.get("partition_col")
+                parts = man.get("partitions", {})
+                schema_json = _json.dumps(man["schema"])
+                if man.get("change_files"):
+                    splits.extend(
+                        _FeedSplit(
+                            _os.path.join(self.table_dir, rel),
+                            None,
+                            None,
+                            schema_json,
+                            None,  # the file carries _change_type rows
+                            g,
+                        )
+                        for rel in man["change_files"]
+                    )
+                elif "merge" in man:
+                    raise ValueError(
+                        f"generation {g} merged without a recorded change "
+                        f"feed: run merge_cow(record_change_feed=True) on "
+                        f"the producer, or consume the batch change_feed"
+                    )
+                elif any(k in man for k in ("compact", "fold", "evolve")):
+                    pass  # content-preserving maintenance: empty feed
+                else:
+                    # append lineage or the genesis snapshot: new files
+                    # serve as 'insert' rows
+                    old = set(prev["files"]) if prev is not None else set()
+                    splits.extend(
+                        _FeedSplit(
+                            _os.path.join(self.table_dir, rel),
+                            pcol,
+                            parts.get(rel) if pcol else None,
+                            schema_json,
+                            "insert",
+                            g,
+                        )
+                        for rel in man["files"]
+                        if rel not in old
+                    )
+                prev = man
+            return splits
+
+        def read(self, split):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
+
+            table_schema = _ST.fromJson(_json.loads(split.schema_json))
+            logical = to_arrow_schema(table_schema)
+            pf = pq.ParquetFile(split.path)
+            for batch in pf.iter_batches():
+                n = batch.num_rows
+                cols = []
+                names = []
+                if split.ctype is None:
+                    cols.append(
+                        batch.column("_change_type").cast(pa.string())
+                    )
+                else:
+                    cols.append(pa.array([split.ctype] * n, type=pa.string()))
+                names.append("_change_type")
+                for field in logical:
+                    if (
+                        split.pcol is not None
+                        and field.name == split.pcol
+                        and field.name not in batch.schema.names
+                    ):
+                        cols.append(
+                            pa.array([split.pval] * n).cast(field.type)
+                        )
+                    elif field.name in batch.schema.names:
+                        cols.append(batch.column(field.name).cast(field.type))
+                    else:
+                        cols.append(pa.nulls(n, field.type))
+                    names.append(field.name)
+                cols.append(pa.array([split.gen] * n, type=pa.int64()))
+                names.append("_commit_generation")
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+        def commit(self, end):
+            pass
+
+        def stop(self):
+            pass
+
     class ManifestSource(DataSource):
         @classmethod
         def name(cls) -> str:
             return "ezmanifest"
 
+        def _change_feed(self) -> bool:
+            return str(self.options.get("changefeed", "")).lower() == "true"
+
         def schema(self):
+            if self._change_feed():
+                # the feed schema: _change_type + the table's columns +
+                # the commit stamp (resolve the CURRENT manifest's schema;
+                # a feed stream follows the live head's shape)
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                )
+
+                base = StructType.fromJson(_resolve(self.options)["schema"])
+                return StructType(
+                    [StructField("_change_type", StringType(), False)]
+                    + list(base.fields)
+                    + [StructField("_commit_generation", LongType(), False)]
+                )
             return StructType.fromJson(_resolve(self.options)["schema"])
 
         def reader(self, schema) -> ManifestReader:
+            if self._change_feed():
+                raise ValueError(
+                    "changeFeed is a STREAMING read option "
+                    "(spark.readStream): batch intervals are served by "
+                    "the engine's change_feed(from, to)"
+                )
             return ManifestReader(self.options)
 
         def writer(self, schema, overwrite) -> ManifestWriter:
             return ManifestWriter(self.options, schema, overwrite)
 
-        def streamReader(self, schema) -> ManifestStreamReader:
+        def streamReader(self, schema):
+            if self._change_feed():
+                return ManifestChangeFeedStreamReader(self.options)
             return ManifestStreamReader(self.options)
 
         def streamWriter(self, schema, overwrite) -> ManifestStreamWriter:

@@ -1600,7 +1600,17 @@ def lakehouse_wap_batch(
                     )
                     viol = viol | ~ok
                 viol = viol & (F.col("op") != "d")  # deletes carry no payload
-                changes.filter(viol).write.mode("append").parquet(quarantine_dir)
+                # idempotent per (tag, batch_id) — ADVICE r16: the DLQ write
+                # lands BEFORE publication but the watermark only advances at
+                # fast_forward, so a crash in between redelivers the batch; a
+                # plain append would then duplicate the quarantined rows while
+                # the table stays exactly-once. Each batch OVERWRITES its own
+                # Hive-keyed subdir instead (replay rewrites the identical
+                # rows), and the dlq_batch partition column doubles as the
+                # operator-visible replay marker.
+                changes.filter(viol).write.mode("overwrite").parquet(
+                    os.path.join(quarantine_dir, f"dlq_batch={batch_id}")
+                )
                 merged = _merge(changes.filter(~viol))
 
             head = read_committed(spark, table_dir, ref=branch)

@@ -3285,9 +3285,19 @@ def test_t38_crash_before_publish_republishes_from_fresh_branch(
     monkeypatch.undo()
     assert read_manifest(td)["generation"] == 1, "main moved without audit"
     assert read_committed(spark, td).count() == 0
+    # the aborted attempt may already have quarantined this batch's poison
+    # (the DLQ write precedes publication by design)
+    dlq_after_crash = (
+        spark.read.parquet(qd).count() if os.path.isdir(qd) else 0
+    )
 
     # redelivery publishes the batch whole from a fresh branch
     lakehouse_wap_batch(td, qd, tag="t38crash")(batch0, 0)
+    # DLQ idempotence across the redelivery (ADVICE r16): the replayed
+    # batch OVERWRITES its own dlq_batch=<id> subdir instead of appending,
+    # so the crash window cannot duplicate quarantined rows
+    if dlq_after_crash:
+        assert spark.read.parquet(qd).count() == dlq_after_crash
     man = read_manifest(td)
     assert man["txns"]["t38crash"] == {"batch_id": 0}
     assert list_branches(td) == {}

@@ -135,18 +135,34 @@ def test_stats_pushdown_prunes_splits(spark):
         stats_columns=["k"],
     )
     register_ezmanifest(spark)
-    r = spark.read.format("ezmanifest").option("path", d).load()
-    assert r.rdd.getNumPartitions() == 10
-    ranged = r.filter("k >= 850 AND k < 900")
+
+    def r():
+        # pruneFiles opts in (r17: pruning is off by default — a shared
+        # JVM scan builder serves the LAST pushdown's splits to every
+        # branch of one load(), so stateful pruning carries a
+        # single-reference contract); fresh load() per filtered read
+        return (
+            spark.read.format("ezmanifest")
+            .option("path", d)
+            .option("pruneFiles", "true")
+            .load()
+        )
+
+    assert r().rdd.getNumPartitions() == 10
+    ranged = r().filter("k >= 850 AND k < 900")
     assert ranged.rdd.getNumPartitions() < 10
     assert ranged.count() == 50
-    point = r.filter("k = 123")
+    point = r().filter("k = 123")
     assert point.rdd.getNumPartitions() == 1
     assert [(x["k"], x["v"]) for x in point.collect()] == [(123, 246)]
     # no stats on v: every split kept, result still exact
-    nostats = r.filter("v >= 1900")
+    nostats = r().filter("v >= 1900")
     assert nostats.rdd.getNumPartitions() == 10
     assert nostats.count() == 50
+    # default (no option): no planning-time pruning, results identical
+    dflt = spark.read.format("ezmanifest").option("path", d).load()
+    assert dflt.filter("k = 123").rdd.getNumPartitions() == 10
+    assert dflt.filter("k = 123").count() == 1
 
 
 # ----- S44: the write path -----
@@ -440,7 +456,13 @@ def test_bloom_pruning_never_false_drops_and_proves_absence(spark):
         stats_columns=["k", "v"], bloom_columns=["k", "s"],
     )
     man = read_manifest(d)
-    assert len(man["blooms"]) == man["n_files"]
+    # r17: bitsets live in _blooms/ SIDECARS, never inline — the manifest
+    # stays O(files) however many bloom-indexed files accumulate
+    from ez_cdc_spark.sources.manifest import table_blooms
+
+    assert "blooms" not in man
+    assert len(man["bloom_meta"]["sidecars"]) == 1
+    assert len(table_blooms(d, man)) == man["n_files"]
     # every present key keeps its own file (no false drop), and the
     # lookup read returns exactly the row
     for key in range(0, 2000, 97):
@@ -463,7 +485,9 @@ def test_bloom_pruning_never_false_drops_and_proves_absence(spark):
         d, 2,
     )
     man2 = read_manifest(d)
-    assert len(man2["blooms"]) == man2["n_files"]
+    assert "blooms" not in man2
+    assert len(man2["bloom_meta"]["sidecars"]) == 2  # parent chain + new
+    assert len(table_blooms(d, man2)) == man2["n_files"]
     kept, _ = bloom_pruned_files(d, "k", 2050, manifest=man2)
     assert len(kept) == 1
 
@@ -478,17 +502,25 @@ def test_bloom_pushdown_through_format_reader(spark):
         d, 1, stats_columns=["v"], bloom_columns=["k"],
     )
     register_ezmanifest(spark)
-    r = spark.read.format("ezmanifest").option("path", d).load()
-    full = r.rdd.getNumPartitions()
-    point = r.filter("k = 999")
+
+    def r():
+        return (
+            spark.read.format("ezmanifest")
+            .option("path", d)
+            .option("pruneFiles", "true")
+            .load()
+        )
+
+    full = r().rdd.getNumPartitions()
+    point = r().filter("k = 999")
     assert point.rdd.getNumPartitions() < full
     assert [(x["k"], x["v"]) for x in point.collect()] == [(999, 7)]
     # equality on a stats-less, bloom-less scattered column: conservative,
     # every split kept, result exact (v = 3 by contrast IS stats-pruned —
     # the table is range-clustered by v)
-    assert r.filter("w = 3").rdd.getNumPartitions() == full
-    assert r.filter("w = 3").count() == 20
-    assert r.filter("v = 3").rdd.getNumPartitions() == 1
+    assert r().filter("w = 3").rdd.getNumPartitions() == full
+    assert r().filter("w = 3").count() == 20
+    assert r().filter("v = 3").rdd.getNumPartitions() == 1
 
 
 def test_bloom_floats_and_bools_unencodable(spark):
@@ -503,20 +535,140 @@ def test_bloom_floats_and_bools_unencodable(spark):
         d, 1, bloom_columns=["k", "f", "b"],
     )
     man = read_manifest(d)
+    from ez_cdc_spark.sources.manifest import table_blooms
+
     # float/bool columns record no bloom; probes on them keep everything
-    assert all(set(per) == {"k"} for per in man["blooms"].values())
+    assert all(set(per) == {"k"} for per in table_blooms(d, man).values())
     kept, _ = bloom_pruned_files(d, "f", 3.0, manifest=man)
     assert len(kept) == man["n_files"]
+
+
+def test_bloom_sidecars_keep_manifest_flat_and_survive_maintenance(spark):
+    """r16 verdict #3: inline bitsets made the manifest O(files·bits).
+    Pins (a) manifest byte growth per bloom-indexed append is sidecar-
+    NAME-sized, not bitset-sized; (b) the index survives merge_cow,
+    compact_partial and full compact (ADVICE r16 — they used to strip
+    it), with a full compact RESETTING the sidecar chain; (c) gc reclaims
+    sidecars exactly when no surviving manifest references them."""
+    import json as _json
+
+    from ez_cdc_spark.sources.manifest import (
+        bloom_pruned_files,
+        compact,
+        compact_partial,
+        gc,
+        merge_cow,
+        publish_append,
+        read_manifest,
+        table_blooms,
+    )
+
+    d = os.path.join(SCRATCH, "bloom_flat")
+    shutil.rmtree(d, ignore_errors=True)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "id % 4 AS v"
+    )
+    publish(
+        mk(0, 1000).repartitionByRange(4, "v"), d, 1,
+        stats_columns=["k", "v"], bloom_columns=["k"], bloom_bits=65536,
+    )
+
+    def msize():
+        g = read_manifest(d)["generation"]
+        return os.path.getsize(os.path.join(d, "_manifests", f"gen-{g}.json"))
+
+    base = msize()
+    for i in range(5):
+        publish_append(
+            mk(1000 + i * 100, 1100 + i * 100).coalesce(1), d, i + 2
+        )
+    # 5 appends added 5 bloom-indexed files; with inline bitsets the
+    # manifest would grow >= 5 * b64(bits/8) ≈ 54 KiB — sidecars keep the
+    # per-append growth to a name + file/stats entries (~1 KiB total)
+    assert msize() - base < 5 * (65536 // 8) // 4
+    man = read_manifest(d)
+    assert len(man["bloom_meta"]["sidecars"]) == 6
+    assert len(table_blooms(d, man)) == man["n_files"]
+    kept, _ = bloom_pruned_files(d, "k", 1450)
+    assert len(kept) == 1
+
+    # merge keeps the index (rewritten files re-indexed)
+    ch = spark.createDataFrame(
+        [(5, 999999, "u", 1)], "k long, v long, op string, seq long"
+    )
+    merge_cow(spark, d, ch, key_col="k", generation=10)
+    kept, _ = bloom_pruned_files(d, "k", 5)
+    assert 1 <= len(kept) < read_manifest(d)["n_files"]
+    # partial compaction keeps it
+    compact_partial(spark, d, 11, max_file_bytes=10**9, target_files=2)
+    man = read_manifest(d)
+    assert man["bloom_meta"]["sidecars"]
+    kept, _ = bloom_pruned_files(d, "k", 1450, manifest=man)
+    assert 1 <= len(kept) <= 2
+    # full compact resets the chain to ONE fresh sidecar
+    compact(spark, d, 12, target_files=3)
+    man = read_manifest(d)
+    assert len(man["bloom_meta"]["sidecars"]) == 1
+    assert len(table_blooms(d, man)) == man["n_files"]
+    assert bloom_pruned_files(d, "k", 10**9, manifest=man)[0] == []
+
+    # gc: old generations' sidecars are reclaimed once their manifests
+    # age out; the live chain survives
+    bdir = os.path.join(d, "_blooms")
+    n_before = len(os.listdir(bdir))
+    assert n_before > 1
+    gc(d, older_than_s=None)
+    live = set(man["bloom_meta"]["sidecars"])
+    assert set(os.listdir(bdir)) == live
+    kept, _ = bloom_pruned_files(d, "k", 1450)
+    assert len(kept) >= 1
+
+
+def test_format_writer_and_sink_carry_bloom_index(spark):
+    """ADVICE r16 (low): one format-writer append to an S47 table used to
+    permanently strip the bloom index (and bloom_meta with it, so later
+    engine appends never rebuilt). Pins: the format writer extends the
+    sidecar chain with fresh bitsets for ITS files, lookups keep pruning,
+    and a later ENGINE append still inherits."""
+    from ez_cdc_spark.sources.manifest import (
+        bloom_pruned_files,
+        publish_append,
+        read_manifest,
+        table_blooms,
+    )
+
+    d = os.path.join(SCRATCH, "bloom_writer_carry")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(2000).selectExpr("id AS k", "id % 8 AS v")
+        .repartitionByRange(8, "v"),
+        d, 1, stats_columns=["v"], bloom_columns=["k"],
+    )
+    _write(spark, spark.range(2000, 2100).selectExpr("id AS k", "id % 8 AS v"), d)
+    man = read_manifest(d)
+    assert man["bloom_meta"]["columns"] == ["k"]
+    assert len(man["bloom_meta"]["sidecars"]) == 2
+    assert len(table_blooms(d, man)) == man["n_files"]
+    # the format-written file's keys prune to exactly their file
+    kept, _ = bloom_pruned_files(d, "k", 2050)
+    assert len(kept) == 1
+    kept, _ = bloom_pruned_files(d, "k", 10**9)
+    assert kept == []
+    # engine appends after a format write still inherit the index
+    publish_append(
+        spark.range(3000, 3050).selectExpr("id AS k", "id % 8 AS v"), d, 3
+    )
+    kept, _ = bloom_pruned_files(d, "k", 3025)
+    assert len(kept) == 1
 
 
 def test_pushdown_multi_branch_safe_pattern(spark):
     """Upstream Spark limitation (see ManifestReader._push_filters
     docstring): one load() owns one JVM scan builder, so the LAST
     branch's pushed pruning serves every branch of that relation in one
-    plan — a union/join of two differently-filtered branches of a
-    SINGLE load() can lose the earlier branch's rows. The safe pattern
-    is a fresh load() per branch; this pins that it yields exactly the
-    right rows with pruning active on each branch."""
+    plan. With pruneFiles opted in, the single-reference contract — a
+    fresh load() per branch — yields exactly the right rows with the
+    tightest pruning active on each branch."""
     d = os.path.join(SCRATCH, "bloom_union")
     shutil.rmtree(d, ignore_errors=True)
     publish(
@@ -527,7 +679,12 @@ def test_pushdown_multi_branch_safe_pattern(spark):
     register_ezmanifest(spark)
 
     def rel():
-        return spark.read.format("ezmanifest").option("path", d).load()
+        return (
+            spark.read.format("ezmanifest")
+            .option("path", d)
+            .option("pruneFiles", "true")
+            .load()
+        )
 
     a = rel().filter("k = 7")      # lives in v=7's file
     b = rel().filter("k = 1000")   # lives in v=0's file
@@ -554,7 +711,9 @@ def test_writer_partitioned_create_and_cross_read(spark):
     _write(spark, df, d, partitionBy="p", statsColumns="k")
     man = read_manifest(d)
     assert man["partition_col"] == "p"
-    assert set(man["partitions"].values()) == {0, 1, 2}
+    # canonical STRING values, the engine's _stage_partitioned convention
+    # (ADVICE r16) — mixed engine/format writers share one value space
+    assert set(man["partitions"].values()) == {"0", "1", "2"}
     assert all(f"p={v}" in rel for rel, v in man["partitions"].items())
     eng = sorted(tuple(r) for r in read_committed(spark, d).groupBy("p").count().collect())
     fmt = sorted(tuple(r) for r in _fmt(spark, d).groupBy("p").count().collect())
@@ -570,6 +729,90 @@ def test_writer_partitioned_create_and_cross_read(spark):
         d, 3,
     )
     assert _fmt(spark, d).count() == 333
+
+
+def test_writer_partition_values_compose_with_engine_pruning(spark):
+    """ADVICE r16 (medium): the format writer canonicalizes partition
+    values to the engine's string convention, so
+    read_committed_partitions(values=["3"]) selects format-written files
+    too (the old natively-typed map silently dropped them), and a
+    format-written NULL partition reads back as NULL through the
+    engine's basePath read — never the literal string 'None'."""
+    from ez_cdc_spark.sources.manifest import (
+        read_committed_partitions,
+        read_manifest,
+    )
+
+    d = os.path.join(SCRATCH, "w_part_canon")
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.range(90).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 2 THEN NULL ELSE CAST(id % 3 AS LONG) END AS p"
+    )
+    _write(spark, df, d, partitionBy="p")
+    man = read_manifest(d)
+    assert set(man["partitions"].values()) == {"0", "1", None}
+    assert not any("p=None" in rel for rel in man["files"])
+    assert any("__HIVE_DEFAULT_PARTITION__" in rel for rel in man["files"])
+    # engine partition pruning selects format-written files by STRING value
+    sel = read_committed_partitions(spark, d, values=["1"])
+    assert sorted(r["k"] for r in sel.collect()) == [
+        i for i in range(90) if i % 3 == 1
+    ]
+    # NULL partition: honest null through both read paths
+    eng_null = read_committed(spark, d).filter("p IS NULL").count()
+    fmt_null = _fmt(spark, d).filter("p IS NULL").count()
+    assert eng_null == fmt_null == 30
+    assert _fmt(spark, d).filter("CAST(p AS STRING) = 'None'").count() == 0
+    # engine appends then compose on the same value space
+    from ez_cdc_spark.sources.manifest import publish_append
+
+    publish_append(
+        spark.range(90, 96).selectExpr("id AS k", "CAST(1 AS LONG) AS p"), d, 2
+    )
+    sel2 = read_committed_partitions(spark, d, values=["1"])
+    assert sel2.count() == 30 + 6
+
+
+def test_default_read_safe_for_any_plan_shape(spark):
+    """ADVICE r16 (medium), escalated by the r17 re-characterization:
+    with stateful pruning always-on, one load()'s shared JVM scan
+    builder served the LAST pushdown's splits to EVERY branch — two
+    differently-filtered branches lost the earlier branch's rows, and an
+    UNFILTERED branch (which never triggers a pushdown roundtrip) lost
+    rows too, so no in-pushFilters accumulation can cover it. The
+    structural fix: pruning is opt-in (pruneFiles), and the DEFAULT read
+    is stateless — correct for every plan shape. This pins the three
+    shapes that used to lose rows."""
+    d = os.path.join(SCRATCH, "one_load_union")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(2000).selectExpr("id AS k", "id % 8 AS v")
+        .repartitionByRange(8, "v"),
+        d, 1, stats_columns=["v", "k"],
+    )
+    register_ezmanifest(spark)
+    df = spark.read.format("ezmanifest").option("path", d).load()
+    # (1) two differently-filtered branches of one load()
+    a = df.filter("k = 7")
+    b = df.filter("k = 1000")
+    got = sorted((x["k"], x["v"]) for x in a.unionByName(b).collect())
+    assert got == [(7, 7), (1000, 0)]
+    # (2) disjoint range branches of one load()
+    df2 = spark.read.format("ezmanifest").option("path", d).load()
+    u = df2.filter("v <= 1").unionByName(df2.filter("v >= 6"))
+    assert u.count() == 1000
+    # (3) unfiltered branch beside a filtered one — the shape no pruning
+    # scheme inside pushFilters can serve (it never calls in)
+    df3 = spark.read.format("ezmanifest").option("path", d).load()
+    assert df3.unionByName(df3.filter("v >= 6")).count() == 2500
+    df4 = spark.read.format("ezmanifest").option("path", d).load()
+    assert df4.filter("v >= 6").unionByName(df4).count() == 2500
+    # self-join of one load()
+    df5 = spark.read.format("ezmanifest").option("path", d).load()
+    j = df5.filter("v = 0").selectExpr("k AS k0").join(
+        df5.filter("v = 7").selectExpr("k AS k7"), on=None, how="cross"
+    )
+    assert j.count() == 250 * 250
 
 
 # ----- T44: the native streaming sink -----
