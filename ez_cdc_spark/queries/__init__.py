@@ -71,14 +71,28 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # r14 verdict #4: executor-side _collect_stats on every stats-recording
 # write path) — every manifest consumer re-attests, plus the t30/t30b
 # sinks whose per-batch merges now take the new stats path.
-_REATTEST: set[str] = set()
-# r16: the r15 batch (16 manifest-family consumers) attested green in
-# CORRECTNESS_r15 and is cleared. The r16 manifest/txns rework (multi-writer
-# watermark carry) changes only commit METADATA, never query results — the
-# whole family was re-verified hash-green by driver simulation after the
-# change — so no forced re-attestation: the remaining ~49 slots drain the
-# 50-query r10-stale cohort (r15 verdict #1), which the derived
-# oldest-attestation-first order selects automatically.
+# r17: the ADVICE r16 batch — bloom SIDECARS (s47 and every maintenance
+# path that now carries them: s26/s34 compact, s30/s30b merge), the
+# ezmanifest reader's opt-in pruneFiles rework + writer partition-value
+# canonicalization (s43/s44/s44b/s44c), read_committed_partitions value
+# normalization (s29), and the WAP DLQ idempotence rework (t38). All were
+# re-verified hash-green by driver simulation after the change; the
+# driver re-attests them here. Remaining slots drain the r10-stale cohort
+# (r16 verdict #1, 35 left), which the derived oldest-attestation-first
+# order selects automatically.
+_REATTEST: set[str] = {
+    "s47_bloom_point_lookup",
+    "s43_manifest_datasource",
+    "s44_manifest_datasource_write",
+    "s44b_manifest_datasource_write_partitioned",
+    "s44c_manifest_writer_merge_schema",
+    "s30_manifest_merge_cow",
+    "s30b_manifest_merge_cow_partitioned",
+    "s29_manifest_partition_publish",
+    "s26_manifest_compaction",
+    "s34_partial_compaction",
+    "t38_lakehouse_wap_sink",
+}
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group
@@ -89,7 +103,15 @@ _REATTEST: set[str] = set()
 # the last r3-vintage tail x10/x14/x15/x16, after which the derived order
 # takes over: next in line are the r4 families, exactly the r8 verdict's
 # suggested rotation).
-_RANK: dict[str, int] = {}
+_RANK: dict[str, int] = {
+    # r17 (r16 verdict #5): keep the approximate trio's exactness ANCHORS
+    # driver-visible every round — negative rank floats them ahead of the
+    # attested backlog (they sort after unattested/_REATTEST entries, so
+    # fresh surface still attests first)
+    "x3c_ivf_exact": -3,
+    "a4b_approx_distinct_anchor": -2,
+    "x2eb_lsh_recall_anchor": -1,
+}
 
 
 @dataclass

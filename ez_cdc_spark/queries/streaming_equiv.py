@@ -3213,3 +3213,97 @@ def t45_manifest_stream_cascade(spark, sf_dir):
         )
         .orderBy("op")
     )
+
+
+@register(
+    "t46_manifest_change_feed_stream",
+    oracle=ENV_CTE
+    + """
+, per AS (
+  SELECT CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS per FROM env
+), staged AS (
+  SELECT e.*,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY e.lsn) - 1) / p.per)
+              AS BIGINT) AS stage
+  FROM env e, per p
+), batchres AS (
+  SELECT stage, id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM staged GROUP BY stage, id
+), pre AS (
+  SELECT b.stage AS stage, s.id,
+         max_by(s.op, s.lsn) AS op,
+         CAST(MAX(s.lsn) AS BIGINT) AS lsn,
+         max_by(s.first_name, s.lsn) AS first_name,
+         max_by(s.last_name, s.lsn) AS last_name,
+         max_by(s.email, s.lsn) AS email
+  FROM staged s JOIN (SELECT DISTINCT stage FROM staged) b ON s.stage < b.stage
+  GROUP BY b.stage, s.id
+), prelive AS (
+  SELECT * FROM pre WHERE op <> 'd'
+), feed AS (
+  SELECT 'update_preimage' AS _change_type,
+         p.id, p.lsn, p.first_name, p.last_name, p.email
+  FROM batchres b JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op <> 'd'
+  UNION ALL
+  SELECT 'update_postimage', b.id, b.lsn, b.first_name, b.last_name, b.email
+  FROM batchres b JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op <> 'd'
+  UNION ALL
+  SELECT 'insert', b.id, b.lsn, b.first_name, b.last_name, b.email
+  FROM batchres b LEFT JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op <> 'd' AND p.id IS NULL
+  UNION ALL
+  SELECT 'delete', p.id, p.lsn, p.first_name, p.last_name, p.email
+  FROM batchres b JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op = 'd'
+)
+SELECT _change_type, id, lsn, first_name, last_name, email
+FROM feed
+ORDER BY id, lsn, _change_type
+""",
+    doc="T46: the NATIVE row-level change-feed STREAM (r16 verdict #2; "
+    "Delta readChangeFeed analog) — readStream.format('ezmanifest')"
+    ".option('changeFeed','true') emits _change_type rows per commit "
+    "interval. Producer: t30's sink loop with record_change_feed=True — "
+    "each micro-batch merge MATERIALIZES its churn-sized feed as "
+    "committed change files (the Delta CDF _change_data design; "
+    "sources/manifest.py:merge_cow computes pre/post images from the "
+    "touched files it already reads, so recording costs the churn, never "
+    "the table). Consumer: the stream's offsets are generation numbers; "
+    "each trigger traces the commit chain through lineage parents and "
+    "plans the interval's change files (appends/genesis as constant "
+    "'insert' splits; compact/fold/evolve contribute NOTHING — the CDF "
+    "maintenance-invisibility contract; merges without recorded feeds, "
+    "restores, and MOR commits REFUSE loudly with the owning surface "
+    "named — sources/pyds.py:ManifestChangeFeedStreamReader). The oracle "
+    "replays the same lsn-staged batches declaratively: per stage, the "
+    "last-event-wins batch resolution against the fold of all earlier "
+    "stages classifies each key into insert / update pre+post pair / "
+    "delete — hash-green proves the materialized per-commit feeds "
+    "concatenate to the exact declarative replay, pre-images included. "
+    "Restart-mid-feed continuation, maintenance invisibility, and the "
+    "refusal classes are pinned in tests/test_pyds_manifest.py. This "
+    "closes the reference's consume loop (main.py:39-47) natively: a "
+    "downstream job tails row-level change events off the TABLE with "
+    "exactly-once offsets in its own checkpoint, no broker required. At "
+    "100 TB: per trigger, O(chain) manifest reads plan the batch and "
+    "executors scan only the interval's churn.",
+)
+def t46_manifest_change_feed_stream(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_change_feed_stream
+
+    feed = materialize_change_feed_stream(spark, sf_dir)
+    return feed.select(
+        "_change_type",
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id", "lsn", "_change_type")

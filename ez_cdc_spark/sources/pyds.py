@@ -1515,6 +1515,13 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                         "a rollback is undefined for a streaming consumer "
                         "— restart from a fresh checkpoint"
                     )
+                if man.get("epoch_maps"):
+                    raise ValueError(
+                        "this table has rename/drop history (epoch maps): "
+                        "the change-feed stream cannot map per-era file "
+                        "names — consume the batch change_feed through "
+                        "read_committed"
+                    )
                 pcol = man.get("partition_col")
                 parts = man.get("partitions", {})
                 schema_json = _json.dumps(man["schema"])
@@ -1612,15 +1619,27 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         def schema(self):
             if self._change_feed():
                 # the feed schema: _change_type + the table's columns +
-                # the commit stamp (resolve the CURRENT manifest's schema;
-                # a feed stream follows the live head's shape)
+                # the commit stamp. Resolve the head manifest LENIENTLY —
+                # only its column list is needed here; per-commit refusals
+                # (MOR → change_feed_mor, restore, unrecorded merges) are
+                # raised at PLANNING with the owning surface named.
                 from pyspark.sql.types import (
                     LongType,
                     StringType,
                     StructField,
                 )
 
-                base = StructType.fromJson(_resolve(self.options)["schema"])
+                table_dir = self.options.get("path")
+                if not table_dir:
+                    raise ValueError(
+                        "ezmanifest needs option('path', <table_dir>)"
+                    )
+                with open(_os.path.join(table_dir, "_MANIFEST")) as fh:
+                    head = _json.load(fh)["current"]
+                with open(
+                    _os.path.join(table_dir, "_manifests", head)
+                ) as fh:
+                    base = StructType.fromJson(_json.load(fh)["schema"])
                 return StructType(
                     [StructField("_change_type", StringType(), False)]
                     + list(base.fields)

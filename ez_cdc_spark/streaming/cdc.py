@@ -1005,6 +1005,7 @@ def lakehouse_merge_batch(
     compact_target_files: int = 4,
     gc_older_than_s: float | None = 0.0,
     compact_small_file_bytes: int = 128 << 20,
+    record_change_feed: bool = False,
 ):
     """T30 foreachBatch: the T9 upsert landed as an ATOMIC LAKEHOUSE COMMIT
     — each micro-batch of CDC envelopes becomes one manifest generation via
@@ -1078,6 +1079,7 @@ def lakehouse_merge_batch(
             compact_target_files,
             gc_older_than_s,
             compact_small_file_bytes,
+            record_change_feed=record_change_feed,
         )
 
     return apply
@@ -1095,6 +1097,7 @@ def _merge_and_maintain(
     gc_older_than_s: float | None,
     compact_small_file_bytes: int,
     retain_superseded: bool = False,
+    record_change_feed: bool = False,
 ) -> dict:
     """The lakehouse sinks' shared per-batch tail (t30/t30b/t31): one
     merge_cow commit with orphan-number skipping, then the steady-state
@@ -1124,6 +1127,7 @@ def _merge_and_maintain(
                 key_col="id",
                 generation=gen,
                 txn={"tag": tag, "batch_id": batch_id},
+                record_change_feed=record_change_feed,
             )
             break
         except FileExistsError:
@@ -3055,3 +3059,92 @@ def materialize_mor_feed_consumer(
     gc(table_dir, older_than_s=0.0)
     vacuum(table_dir, older_than_s=0.0)
     return read_committed(spark, agg_dir)
+
+
+def materialize_change_feed_stream(
+    spark: SparkSession, sf_dir: str, tag: str = "t46"
+) -> DataFrame:
+    """T46 end-to-end: the NATIVE row-level change-feed STREAM — Delta's
+    ``readChangeFeed`` analog over the engine's own table format, and the
+    reference's whole downstream purpose (python/cdc_test/main.py:39-47
+    consumes row-level change events from the topic) with the TABLE as
+    the topic.
+
+    Producer half: the lsn-staged envelope replay drives t30's exact sink
+    loop with ``record_change_feed=True`` — each micro-batch is one
+    merge_cow generation that ALSO materializes its churn-sized feed
+    (pre/post images, classified) as committed change files, the Delta
+    CDF _change_data design (sources/manifest.py:merge_cow).
+
+    Consumer half: ``spark.readStream.format('ezmanifest')
+    .option('changeFeed', 'true')`` tails the commit chain — offsets are
+    generation numbers, each trigger plans the interval's change files
+    (plus appends as constant 'insert' splits) and reads them fully
+    distributed, with zero cross-file work at read time
+    (sources/pyds.py:ManifestChangeFeedStreamReader). Returns the full
+    _change_type row stream the consumer drained (through a parquet sink,
+    so the result is itself a committed artifact).
+
+    At 100 TB: per trigger, O(chain manifests) driver JSON reads plan the
+    batch and executors scan exactly the interval's churn — the untouched
+    table is never opened; feed retention is gc retention (consume before
+    reclaiming, the Delta CDF contract)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import publish
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-cdf-{tag}-{os.getpid()}")
+    out_dir = _dir_for(sf_dir, f"cdf-out-{tag}-{os.getpid()}")
+    for d in (table_dir, out_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("lsn", LongType()),
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("email", StringType()),
+                ]
+            ),
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(
+            lakehouse_merge_batch(table_dir, tag=tag, record_change_feed=True)
+        )
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    register_ezmanifest(spark)
+    feed = (
+        spark.readStream.format("ezmanifest")
+        .option("path", table_dir)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q2 = (
+        feed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -971,3 +971,159 @@ def test_writer_merge_schema_evolves_additively(spark):
         src(options={"path": d, "mergeschema": "true"}).streamWriter(
             spark.range(1).selectExpr("id AS k").schema, False
         )
+
+
+# ----- T46: the native change-feed stream -----
+
+
+def _feed_table(spark, name):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lsn", LongType()),
+            StructField("email", StringType()),
+        ]
+    )
+    publish(spark.createDataFrame([], schema), d, 1, stats_columns=["id"])
+    return d, schema
+
+
+def _feed_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, lsn long, email string, op string, seq long"
+    )
+
+
+def _drain_feed(spark, d, ck, out):
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("_change_type", "id", "lsn", "email", "_commit_generation")
+        .collect()
+    )
+
+
+def test_change_feed_stream_restart_continues_and_maintenance_invisible(
+    spark, tmp_path
+):
+    """T46 pins (r16 verdict #2 'Done' criteria): (a) restart-mid-feed
+    continuation — a second availableNow run on the same checkpoint
+    consumes exactly the commits that landed since, never re-emitting;
+    (b) content-preserving maintenance (compact_partial) between merges
+    contributes NOTHING to the feed — the CDF maintenance-invisibility
+    contract; (c) feed rows carry exact pre-images."""
+    from ez_cdc_spark.sources.manifest import compact_partial, merge_cow
+
+    d, _schema = _feed_table(spark, "cdf_restart")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    merge_cow(
+        spark, d,
+        _feed_batch(spark, [(1, 10, "a@x", "c", 10), (2, 11, "b@x", "c", 11)]),
+        "id", 2, record_change_feed=True,
+    )
+    got1 = _drain_feed(spark, d, ck, out)
+    assert got1 == [
+        ("insert", 1, 10, "a@x", 2),
+        ("insert", 2, 11, "b@x", 2),
+    ]
+    # more commits: merge + maintenance + merge
+    merge_cow(
+        spark, d,
+        _feed_batch(spark, [(1, 20, "a2@x", "u", 20), (3, 21, "c@x", "c", 21)]),
+        "id", 3, record_change_feed=True,
+    )
+    compact_partial(spark, d, 4, max_file_bytes=10**9, target_files=1)
+    merge_cow(
+        spark, d,
+        _feed_batch(spark, [(2, 30, None, "d", 30)]),
+        "id", 5, record_change_feed=True,
+    )
+    got2 = _drain_feed(spark, d, ck, out)
+    new = sorted(set(got2) - set(got1))
+    assert new == [
+        ("delete", 2, 11, "b@x", 5),
+        ("insert", 3, 21, "c@x", 3),
+        ("update_postimage", 1, 20, "a2@x", 3),
+        ("update_preimage", 1, 10, "a@x", 3),
+    ]
+    assert len(got2) == len(got1) + 4  # nothing re-emitted, compact added 0
+
+
+def test_change_feed_stream_refusals(spark, tmp_path):
+    """T46 honest-refusal classes: a merge WITHOUT a recorded feed names
+    the fix; a restore-crossing interval refuses; MOR commits point at
+    change_feed_mor. All raise through the stream, never a silent wrong
+    feed."""
+    import pytest as _pytest
+
+    from ez_cdc_spark.sources.manifest import merge_cow, restore
+
+    register_ezmanifest(spark)
+
+    def drain(d, ck, out):
+        q = (
+            spark.readStream.format("ezmanifest")
+            .option("path", d)
+            .option("changeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # (1) merge without record_change_feed
+    d, _ = _feed_table(spark, "cdf_refuse_plain")
+    merge_cow(
+        spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]), "id", 2
+    )
+    with _pytest.raises(Exception, match="without a recorded change feed"):
+        drain(d, str(tmp_path / "ck1"), str(tmp_path / "o1"))
+
+    # (2) restore-crossing interval
+    d2, _ = _feed_table(spark, "cdf_refuse_restore")
+    merge_cow(
+        spark, d2, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True,
+    )
+    merge_cow(
+        spark, d2, _feed_batch(spark, [(1, 20, "a2@x", "u", 20)]),
+        "id", 3, record_change_feed=True,
+    )
+    restore(d2, 4, as_of_generation=2)
+    with _pytest.raises(Exception, match="restore"):
+        drain(d2, str(tmp_path / "ck2"), str(tmp_path / "o2"))
+
+    # (3) merge-on-read commit
+    from ez_cdc_spark.sources.manifest import merge_mor
+
+    d3, _ = _feed_table(spark, "cdf_refuse_mor")
+    merge_cow(
+        spark, d3, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True,
+    )
+    merge_mor(
+        spark, d3, _feed_batch(spark, [(1, 20, "a2@x", "u", 20)]), "id", 3
+    )
+    with _pytest.raises(Exception, match="change_feed_mor"):
+        drain(d3, str(tmp_path / "ck3"), str(tmp_path / "o3"))
