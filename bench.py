@@ -103,44 +103,14 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
-    "s44c_manifest_writer_merge_schema",
-    "t45_manifest_stream_cascade",
-    "t44_manifest_native_stream_sink",
-    "s44b_manifest_datasource_write_partitioned",
-    "s47_bloom_point_lookup",
-    "s46_catalog_views",
-    "t43_manifest_stream_pipeline",
-    "s36d_mor_under_epochs",
-    "s45_catalog_fk_integrity",
-    "s44_manifest_datasource_write",
-    "t42_manifest_stream_tail",
-    "s43_manifest_datasource",
-    "t41_event_lake_ingest",
-    "t40_catalog_rollback_replay",
-    "x66_embedding_covariance",
-    "s42_hidden_partitioning",
-    "t39_catalog_fanout_sink",
-    "s41_catalog_transaction",
-    "s40_rename_drop_evolution",
-    "s38_branch_wap",
-    "s39_constraint_gate",
-    "t38_lakehouse_wap_sink",
-    "t37_restore_feed_consumer",
-    "t36_mor_restore_replay",
-    "t35_lakehouse_restore_replay",
-    "t35b_partitioned_restore_replay",
-    "t32_change_feed_consumer",
-    "s36_merge_on_read",
-    "t33_lakehouse_mor_sink",
-    "s37_restore",
-    "s36b_mor_change_feed",
-    "s36c_merge_on_read_partitioned",
-    "t34_mor_feed_consumer",
-    "a4b_approx_distinct_anchor",
-    "x2eb_lsh_recall_anchor",
+    "t46_manifest_change_feed_stream",
 ]
 
 EXTRA_QUERIES = [
+    # r17: the native change-feed stream (produce loop with per-merge
+    # feed materialization + the changeFeed readStream drain — the wall
+    # is trigger-count-dominated like every live two-phase replay)
+    "t46_manifest_change_feed_stream",
     "s44c_manifest_writer_merge_schema",
     "t45_manifest_stream_cascade",
     "t44_manifest_native_stream_sink",

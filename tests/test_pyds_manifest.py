@@ -1127,3 +1127,41 @@ def test_change_feed_stream_refusals(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="change_feed_mor"):
         drain(d3, str(tmp_path / "ck3"), str(tmp_path / "o3"))
+
+
+def test_change_files_gc_vacuum_lifecycle(spark):
+    """T46 retention: committed change files are protected like data files
+    (committed_files lists them; vacuum's reference set includes them)
+    while their manifest lives, and become reclaimable debris once gc
+    retires the generation — feed retention IS gc retention, the Delta
+    CDF contract."""
+    import glob
+
+    from ez_cdc_spark.sources.manifest import (
+        compact,
+        gc,
+        merge_cow,
+        read_manifest,
+        vacuum,
+    )
+
+    d, _ = _feed_table(spark, "cdf_lifecycle")
+    merge_cow(
+        spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True,
+    )
+    cf = read_manifest(d)["change_files"]
+    assert cf
+    # live manifest references them: aggressive maintenance keeps them
+    gc(d, older_than_s=None)
+    vacuum(d, older_than_s=0.0)
+    for rel in cf:
+        assert os.path.exists(os.path.join(d, rel)), rel
+    # supersede the generation (full compact) and retire history
+    compact(spark, d, 3, target_files=1)
+    gc(d, older_than_s=None)
+    vacuum(d, older_than_s=0.0)
+    assert not any(
+        os.path.exists(os.path.join(d, rel)) for rel in cf
+    ), "retired history's change files must be reclaimable"
+    assert glob.glob(os.path.join(d, "data", "*", "_changefeed", "*.parquet")) == []
