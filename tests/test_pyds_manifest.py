@@ -1165,3 +1165,116 @@ def test_change_files_gc_vacuum_lifecycle(spark):
         os.path.exists(os.path.join(d, rel)) for rel in cf
     ), "retired history's change files must be reclaimable"
     assert glob.glob(os.path.join(d, "data", "*", "_changefeed", "*.parquet")) == []
+
+
+def test_change_feed_stream_starting_generation_and_batch_refusal(
+    spark, tmp_path
+):
+    """T46 surface edges: option('startingGeneration', g) skips history at
+    or below g (the Delta startingVersion analog), and changeFeed on a
+    BATCH read refuses loudly (the engine's change_feed(from, to) owns
+    batch intervals)."""
+    import pytest as _pytest
+
+    from ez_cdc_spark.sources.manifest import merge_cow
+
+    d, _ = _feed_table(spark, "cdf_startgen")
+    merge_cow(
+        spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True,
+    )
+    merge_cow(
+        spark, d, _feed_batch(spark, [(2, 20, "b@x", "c", 20)]),
+        "id", 3, record_change_feed=True,
+    )
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .option("startingGeneration", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("_change_type", "id", "_commit_generation")
+        .collect()
+    )
+    assert rows == [("insert", 2, 3)]  # gen 2's feed skipped
+    with _pytest.raises(Exception, match="STREAMING read option"):
+        spark.read.format("ezmanifest").option("path", d).option(
+            "changeFeed", "true"
+        ).load().collect()
+
+
+def test_change_feed_stream_partitioned_merges(spark, tmp_path):
+    """T46 × S30b: partitioned copy-on-write merges materialize their feed
+    with the partition column riding IN the feed rows (the change files
+    are unpartitioned churn-sized artifacts), and the stream serves
+    partitioned APPEND commits with the partition value reconstructed
+    from the manifest map."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        merge_cow,
+        publish_append,
+        publish_partitioned,
+    )
+
+    d = os.path.join(SCRATCH, "cdf_part")
+    shutil.rmtree(d, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("p", StringType()),
+            StructField("lsn", LongType()),
+        ]
+    )
+    publish_partitioned(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 11)], schema),
+        d, 1, partition_col="p", stats_columns=["id"],
+    )
+    merge_cow(
+        spark, d,
+        spark.createDataFrame(
+            [(1, "a", 20, "u", 20), (3, "b", 21, "c", 21)],
+            "id long, p string, lsn long, op string, seq long",
+        ),
+        "id", 2, record_change_feed=True,
+    )
+    publish_append(
+        spark.createDataFrame([(4, "c", 30)], schema), d, 3
+    )
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .option("startingGeneration", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("_change_type", "id", "p", "lsn", "_commit_generation")
+        .collect()
+    )
+    assert rows == [
+        ("insert", 3, "b", 21, 2),
+        ("insert", 4, "c", 30, 3),  # partitioned append: p from the map
+        ("update_postimage", 1, "a", 20, 2),
+        ("update_preimage", 1, "a", 10, 2),
+    ]
