@@ -3983,7 +3983,16 @@ def gc(
     bdir = os.path.join(table_dir, _BLOOMS_DIR)
     if os.path.isdir(bdir):
         keep_sidecars: set[str] = set()
+        live_reserved: set[int] = set()
         for m in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+            if m.startswith(".reserve-gen-"):
+                # re-listed HERE (not the stale pre-deletion snapshot): a
+                # writer that reserved mid-gc writes its sidecar before
+                # its manifest links, and must keep it
+                g2 = _gen_of(m)
+                if g2 is not None:
+                    live_reserved.add(g2)
+                continue
             if m.startswith(".") or _gen_of(m) is None:
                 continue
             try:
@@ -3996,7 +4005,9 @@ def gc(
             if s.startswith("."):
                 continue  # a racing writer's mid-write tmp
             sg = re.match(r"gen-(\d+)-", s)
-            if sg is not None and int(sg.group(1)) in reserved_gens:
+            if sg is not None and int(sg.group(1)) in (
+                reserved_gens | live_reserved
+            ):
                 continue  # live writer between sidecar write and commit
             full = os.path.join(bdir, s)
             if s in keep_sidecars or _young(full):
