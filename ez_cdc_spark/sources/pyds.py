@@ -540,11 +540,20 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         finally:
             _os.close(fd)
 
-    def _pointer_gen(table_dir):
+    def _pointer_gen(table_dir, ref=None):
+        """Committed generation of the main pointer, or of branch ``ref``
+        (S38: every ref is just another pointer into the SAME shared
+        generation space, so everything downstream — manifests, offsets,
+        splits — is ref-agnostic once the head resolves)."""
         import re as _re
 
+        pointer = (
+            _os.path.join(table_dir, "_refs", ref)
+            if ref
+            else _os.path.join(table_dir, "_MANIFEST")
+        )
         try:
-            with open(_os.path.join(table_dir, "_MANIFEST")) as fh:
+            with open(pointer) as fh:
                 m = _re.search(r"gen-(\d+)(?:\.json)?$", _json.load(fh)["current"])
             return int(m.group(1)) if m else None
         except FileNotFoundError:
@@ -1327,12 +1336,17 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             if not self.table_dir:
                 raise ValueError("ezmanifest needs option('path', <table_dir>)")
             self.start_gen = int(options.get("startinggeneration", 0))
+            # r17: tail a BRANCH head instead of main (S38 — refs share
+            # the generation space, so only the head resolution changes;
+            # a dropped branch reads as "no new generations", never an
+            # offset rewind)
+            self.ref = options.get("ref")
 
         def initialOffset(self):
             return {"gen": self.start_gen}
 
         def latestOffset(self):
-            cur = _pointer_gen(self.table_dir)
+            cur = _pointer_gen(self.table_dir, self.ref)
             return {"gen": cur if cur is not None else self.start_gen}
 
         def _man(self, gen):
@@ -1453,12 +1467,13 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             if not self.table_dir:
                 raise ValueError("ezmanifest needs option('path', <table_dir>)")
             self.start_gen = int(options.get("startinggeneration", 0))
+            self.ref = options.get("ref")  # r17: feed off a branch head
 
         def initialOffset(self):
             return {"gen": self.start_gen}
 
         def latestOffset(self):
-            cur = _pointer_gen(self.table_dir)
+            cur = _pointer_gen(self.table_dir, self.ref)
             return {"gen": cur if cur is not None else self.start_gen}
 
         def _man(self, gen):
@@ -1634,7 +1649,13 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                     raise ValueError(
                         "ezmanifest needs option('path', <table_dir>)"
                     )
-                with open(_os.path.join(table_dir, "_MANIFEST")) as fh:
+                ref = self.options.get("ref")
+                pointer = (
+                    _os.path.join(table_dir, "_refs", ref)
+                    if ref
+                    else _os.path.join(table_dir, "_MANIFEST")
+                )
+                with open(pointer) as fh:
                     head = _json.load(fh)["current"]
                 with open(
                     _os.path.join(table_dir, "_manifests", head)

@@ -1278,3 +1278,69 @@ def test_change_feed_stream_partitioned_merges(spark, tmp_path):
         ("update_postimage", 1, "a", 20, 2),
         ("update_preimage", 1, "a", 10, 2),
     ]
+
+
+def test_stream_readers_tail_branch_heads(spark, tmp_path):
+    """r17 (round-18 candidate landed early): both stream readers honor
+    option('ref', name) — S38 refs share the generation space, so only
+    the head resolution changes. A WAP-style staging branch can be
+    tailed (T42) and feed-consumed (T46) without publishing to main."""
+    from ez_cdc_spark.sources.manifest import create_branch, merge_cow, publish_append
+
+    d, schema = _feed_table(spark, "branch_tail")
+    create_branch(d, "stage")
+    merge_cow(
+        spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True, ref="stage",
+    )
+    publish_append(
+        spark.createDataFrame([(2, 20, "b@x")], schema), d, 3, ref="stage"
+    )
+    register_ezmanifest(spark)
+    # T46 feed off the branch
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .option("ref", "stage")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "feed"))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "feed"))
+        .select("_change_type", "id", "lsn")
+        .collect()
+    )
+    assert feed == [("insert", 1, 10), ("insert", 2, 20)]
+    # T42 append-tail off the branch (the merge created the table's first
+    # data, so from gen 2 the chain is append-only on the branch)
+    q2 = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("ref", "stage")
+        .option("startingGeneration", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "tail"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    tail = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "tail"))
+        .select("id", "lsn")
+        .collect()
+    )
+    assert tail == [(2, 20)]
+    # main never saw any of it
+    from ez_cdc_spark.sources.manifest import read_committed
+
+    assert read_committed(spark, d).count() == 0
