@@ -80,6 +80,13 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # driver re-attests them here. Remaining slots drain the r10-stale cohort
 # (r16 verdict #1, 35 left), which the derived oldest-attestation-first
 # order selects automatically.
+# Late-r17 MOR×bloom carry (merge_mor keeps bloom_meta, compact_mor
+# re-indexes at the fold) is NOT force-re-attested: no registered s36-
+# family rig carries bloom_meta, so the changed branches are provably
+# unexecuted there (the r16 metadata-only precedent), and all seven
+# s36/t33/t34/t36 queries were re-verified hash-green by hostile-TZ
+# driver simulation after the change; burning 7 more slots would push
+# part of the r10 drain past this round.
 _REATTEST: set[str] = {
     "s47_bloom_point_lookup",
     "s43_manifest_datasource",

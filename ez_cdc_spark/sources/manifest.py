@@ -3294,6 +3294,14 @@ def merge_mor(
             **manifest.get("partitions", {}),
             **(new_parts or {}),
         }
+    if manifest.get("bloom_meta") is not None:
+        # S47 × S36 (r17): the declared bloom index is table identity and
+        # SURVIVES merge-on-read epochs — carried verbatim, no fresh
+        # bitsets for the epoch's files (point-lookup pruning is
+        # suspended while reads resolve through read_mor anyway, and
+        # compact_mor's fold re-indexes every live file). Dropping it
+        # here made one MOR epoch permanently strip the index.
+        new_manifest["bloom_meta"] = manifest["bloom_meta"]
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
     if manifest.get("partition_transform") is not None:
@@ -3429,6 +3437,13 @@ def compact_mor(
         stats_columns = inherited or None
     resolved = read_mor(spark, table_dir).coalesce(target_files)
     pcol = manifest.get("partition_col")
+    # S47 × S36 (r17): the fold re-indexes every live file — the carried
+    # bloom_meta (merge_mor preserves it through the epoch) declares the
+    # columns/bits, and the fresh COW generation starts a fresh sidecar
+    # chain, exactly like compact()
+    bmeta = manifest.get("bloom_meta")
+    bloom_cols = bmeta.get("columns") if bmeta else None
+    bloom_bits = int(bmeta["bits"]) if bmeta else 65536
     if pcol is not None:
         # a partitioned MOR log folds INTO a partitioned COW generation —
         # the layout (and the column that lives in it) must survive
@@ -3443,6 +3458,8 @@ def compact_mor(
             txns=_txns_of(manifest),
             lineage={"fold": {"parent": manifest["generation"]}},
             enforce_constraints=False,  # fold of already-validated rows (S39)
+            bloom_columns=bloom_cols,
+            bloom_bits=bloom_bits,
         )
     return publish(
         resolved,
@@ -3454,6 +3471,8 @@ def compact_mor(
         txns=_txns_of(manifest),
         lineage={"fold": {"parent": manifest["generation"]}},
         enforce_constraints=False,  # fold of already-validated rows (S39)
+        bloom_columns=bloom_cols,
+        bloom_bits=bloom_bits,
     )
 
 

@@ -1344,3 +1344,43 @@ def test_stream_readers_tail_branch_heads(spark, tmp_path):
     from ez_cdc_spark.sources.manifest import read_committed
 
     assert read_committed(spark, d).count() == 0
+
+
+def test_bloom_index_survives_mor_epochs(spark):
+    """S47 × S36 (r17): merge_mor carries the declared bloom index
+    verbatim through the epoch (point-lookup pruning is suspended while
+    reads resolve through read_mor), and compact_mor's fold RE-INDEXES
+    every live file into a fresh sidecar chain — one MOR epoch used to
+    permanently strip the index."""
+    from ez_cdc_spark.sources.manifest import (
+        bloom_pruned_files,
+        compact_mor,
+        merge_mor,
+        read_manifest,
+        table_blooms,
+    )
+
+    d = os.path.join(SCRATCH, "bloom_mor")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(2000).selectExpr("id AS k", "id % 8 AS v")
+        .repartitionByRange(8, "v"),
+        d, 1, stats_columns=["v"], bloom_columns=["k"],
+    )
+    merge_mor(
+        spark, d,
+        spark.createDataFrame(
+            [(5, 999, "u", 1), (7, -1, "d", 2)],
+            "k long, v long, op string, seq long",
+        ),
+        "k", 2,
+    )
+    man = read_manifest(d)
+    assert man["bloom_meta"]["columns"] == ["k"]  # carried through the epoch
+    compact_mor(spark, d, 3, target_files=4)
+    man = read_manifest(d)
+    assert len(man["bloom_meta"]["sidecars"]) == 1  # fold re-indexed fresh
+    assert len(table_blooms(d, man)) == man["n_files"]
+    kept, _ = bloom_pruned_files(d, "k", 5)
+    assert 1 <= len(kept) < man["n_files"]
+    assert bloom_pruned_files(d, "k", 10**9)[0] == []
