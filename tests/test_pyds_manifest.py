@@ -1384,3 +1384,91 @@ def test_bloom_index_survives_mor_epochs(spark):
     kept, _ = bloom_pruned_files(d, "k", 5)
     assert 1 <= len(kept) < man["n_files"]
     assert bloom_pruned_files(d, "k", 10**9)[0] == []
+
+
+def test_change_feed_stream_live_tail_races_producer(spark, tmp_path):
+    """T46 live: a PROCESSING-TIME changeFeed consumer attached BEFORE any
+    merge discovers each commit from the pointer alone and emits exactly
+    its materialized feed — the produce→consume loop with no restarts,
+    racing the producer commit-by-commit (the t45 pattern for the feed)."""
+    import re
+    import time
+
+    from ez_cdc_spark.sources.manifest import merge_cow
+
+    d, _ = _feed_table(spark, "cdf_live")
+    out = str(tmp_path / "out")
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def consumed(gen, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                m = re.search(
+                    r"['\"]gen['\"]\s*:\s*(\d+)",
+                    str(p["sources"][0].get("endOffset") or ""),
+                )
+                if m and int(m.group(1)) >= gen:
+                    return True
+            time.sleep(0.2)
+        return False
+
+    try:
+        merge_cow(
+            spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+            "id", 2, record_change_feed=True,
+        )
+        assert consumed(2), "consumer never saw generation 2"
+        merge_cow(
+            spark, d,
+            _feed_batch(spark, [(1, 20, "a2@x", "u", 20), (2, 21, "b@x", "c", 21)]),
+            "id", 3, record_change_feed=True,
+        )
+        assert consumed(3), "consumer never saw generation 3"
+        merge_cow(
+            spark, d, _feed_batch(spark, [(2, 30, None, "d", 30)]),
+            "id", 4, record_change_feed=True,
+        )
+        assert consumed(4), "consumer never saw generation 4"
+        # drain: wait until the sink has flushed the last batch
+        deadline = time.time() + 60
+        want = [
+            ("delete", 2, 21, "b@x", 4),
+            ("insert", 1, 10, "a@x", 2),
+            ("insert", 2, 21, "b@x", 3),
+            ("update_postimage", 1, 20, "a2@x", 3),
+            ("update_preimage", 1, 10, "a@x", 3),
+        ]
+        got = None
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    tuple(r)
+                    for r in spark.read.parquet(out)
+                    .select(
+                        "_change_type", "id", "lsn", "email",
+                        "_commit_generation",
+                    )
+                    .collect()
+                )
+            except Exception:
+                got = None
+            if got == want:
+                break
+            time.sleep(0.3)
+        assert got == want
+    finally:
+        q.stop()
+        q.awaitTermination()
