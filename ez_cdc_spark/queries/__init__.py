@@ -87,19 +87,12 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # s36/t33/t34/t36 queries were re-verified hash-green by hostile-TZ
 # driver simulation after the change; burning 7 more slots would push
 # part of the r10 drain past this round.
-_REATTEST: set[str] = {
-    "s47_bloom_point_lookup",
-    "s43_manifest_datasource",
-    "s44_manifest_datasource_write",
-    "s44b_manifest_datasource_write_partitioned",
-    "s44c_manifest_writer_merge_schema",
-    "s30_manifest_merge_cow",
-    "s30b_manifest_merge_cow_partitioned",
-    "s29_manifest_partition_publish",
-    "s26_manifest_compaction",
-    "s34_partial_compaction",
-    "t38_lakehouse_wap_sink",
-}
+# (r17's 11-entry batch — the bloom-sidecar/pruneFiles/canonicalization/
+# WAP-DLQ ADVICE surface — all came back hash-green in
+# CORRECTNESS_r17.json, so the set was cleared at the start of round 18.
+# Round-18 entries are added below in the same commit as the change they
+# cover.)
+_REATTEST: set[str] = set()
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

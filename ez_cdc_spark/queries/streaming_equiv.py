@@ -3307,3 +3307,102 @@ def t46_manifest_change_feed_stream(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id", "lsn", "_change_type")
+
+
+@register(
+    "t47_mor_change_feed_stream",
+    oracle=ENV_CTE
+    + """
+, per AS (
+  SELECT CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS per FROM env
+), staged AS (
+  SELECT e.*,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY e.lsn) - 1) / p.per)
+              AS BIGINT) AS stage
+  FROM env e, per p
+), batchres AS (
+  SELECT stage, id,
+         max_by(op, lsn) AS op,
+         CAST(MAX(lsn) AS BIGINT) AS lsn,
+         max_by(first_name, lsn) AS first_name,
+         max_by(last_name, lsn) AS last_name,
+         max_by(email, lsn) AS email
+  FROM staged GROUP BY stage, id
+), pre AS (
+  SELECT b.stage AS stage, s.id,
+         max_by(s.op, s.lsn) AS op,
+         CAST(MAX(s.lsn) AS BIGINT) AS lsn,
+         max_by(s.first_name, s.lsn) AS first_name,
+         max_by(s.last_name, s.lsn) AS last_name,
+         max_by(s.email, s.lsn) AS email
+  FROM staged s JOIN (SELECT DISTINCT stage FROM staged) b ON s.stage < b.stage
+  GROUP BY b.stage, s.id
+), prelive AS (
+  SELECT * FROM pre WHERE op <> 'd'
+), feed AS (
+  SELECT 'update_preimage' AS _change_type,
+         p.id, p.lsn, p.first_name, p.last_name, p.email
+  FROM batchres b JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op <> 'd'
+  UNION ALL
+  SELECT 'update_postimage', b.id, b.lsn, b.first_name, b.last_name, b.email
+  FROM batchres b JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op <> 'd'
+  UNION ALL
+  SELECT 'insert', b.id, b.lsn, b.first_name, b.last_name, b.email
+  FROM batchres b LEFT JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op <> 'd' AND p.id IS NULL
+  UNION ALL
+  SELECT 'delete', p.id, p.lsn, p.first_name, p.last_name, p.email
+  FROM batchres b JOIN prelive p ON p.stage = b.stage AND p.id = b.id
+  WHERE b.op = 'd'
+)
+SELECT _change_type, id, lsn, first_name, last_name, email
+FROM feed
+ORDER BY id, lsn, _change_type
+""",
+    doc="T47: the row-level change-feed STREAM over a MERGE-ON-READ "
+    "producer (r17 verdict #1) — t46's reader refused MOR commits, yet "
+    "merge_mor is the engine's own recommended commit shape for "
+    "uniform-key churn at 100 TB (bench_scaling.py churn-spread probe: "
+    "200 uniform keys rewrite 64/64 COW files), so the scale-correct CDC "
+    "sink had no native streaming consumer exactly where scale demands "
+    "one. Producer: a t33-shaped MOR sink loop over the lsn-staged "
+    "envelope replay — one merge_mor generation per micro-batch (new "
+    "upsert files + one equality-delete file, ZERO rewrites), with "
+    "compact_mor folding the log mid-chain past max_delete_files and NO "
+    "gc (feed retention is gc retention — consume before reclaiming). "
+    "Consumer: the same readStream.format('ezmanifest')"
+    ".option('changeFeed','true') stream as t46; a merge_mor commit now "
+    "plans as key-hash-bucket splits that derive its churn feed ON READ "
+    "(sources/pyds.py:_read_mor_feed_split): the commit's equality-"
+    "delete file IS the churn key set; pre-images resolve via read_mor's "
+    "sequence-number kill rule over the stats-pruned parent files; "
+    "post-images are the commit's own upsert files (its delete entry "
+    "kills every older version of a changed key, so a changed key's "
+    "live post-image can only be the commit's upsert); identical rows "
+    "multiset-cancel (the batch change_feed_mor's exceptAll) and the "
+    "rest classify into the four Delta change types — shuffle-free, one "
+    "executor per (commit, bucket). Fold commits contribute nothing "
+    "(maintenance invisibility, crossed mid-interval here). The oracle "
+    "replays the same lsn-staged batches declaratively (t46's exact "
+    "shape) — hash-green proves the on-read churn derivation "
+    "concatenates to the per-stage declarative classification, "
+    "pre-images included. Restart-mid-feed, fold invisibility, and "
+    "refusal classes are pinned in tests/test_pyds_manifest.py. At "
+    "100 TB: the producer commits O(batch) per trigger however keys "
+    "spread, and each consumer trigger reads O(churn + stat-overlapping "
+    "parent files) — never the table, on either side.",
+)
+def t47_mor_change_feed_stream(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_mor_change_feed_stream
+
+    feed = materialize_mor_change_feed_stream(spark, sf_dir)
+    return feed.select(
+        "_change_type",
+        F.col("id").cast("bigint").alias("id"),
+        F.col("lsn").cast("bigint").alias("lsn"),
+        "first_name",
+        "last_name",
+        "email",
+    ).orderBy("id", "lsn", "_change_type")

@@ -1434,6 +1434,261 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 return lin["parent"]
         return None
 
+    # ----- T47: merge-on-read commits served by the change-feed stream -----
+
+    def _stable_bucket(v, n):
+        """Deterministic cross-process hash bucket for a churn key. The
+        split partitioner cannot use ``hash()``: Python seeds str hashing
+        per interpreter, and every executor worker is its own process."""
+        import zlib as _zlib
+
+        if v is None:
+            return 0
+        if isinstance(v, bool):
+            r = f"b{int(v)}"
+        elif isinstance(v, int):
+            r = f"i{v}"
+        elif isinstance(v, float):
+            r = f"f{v!r}"
+        elif isinstance(v, str):
+            r = "s" + v
+        else:
+            r = "o" + str(v)
+        return _zlib.crc32(r.encode("utf-8")) % n
+
+    _STRUCT_TAG = "\x00struct"
+
+    def _freeze(v):
+        """Hashable form of a row value (arrays → tuples, structs →
+        tagged sorted-item tuples) so full rows can live in a Counter
+        for the multiset pre/post cancel."""
+        if isinstance(v, list):
+            return tuple(_freeze(x) for x in v)
+        if isinstance(v, dict):
+            return (_STRUCT_TAG,) + tuple(
+                sorted((k, _freeze(x)) for k, x in v.items())
+            )
+        return v
+
+    def _thaw(v):
+        if isinstance(v, tuple):
+            if v and v[0] == _STRUCT_TAG:
+                return {k: _thaw(x) for k, x in v[1:]}
+            return [_thaw(x) for x in v]
+        return v
+
+    class _MorFeedSplit(InputPartition):
+        """One key-hash bucket of one merge_mor commit's churn feed
+        (T47). Carries everything one executor needs to emit the
+        bucket's classified change rows WITHOUT a shuffle: the commit's
+        new equality-delete files (the churn key set), the commit's own
+        new data files (the post-image side — the commit's delete entry
+        carries the commit's sequence and therefore kills every OLDER
+        version of a changed key, so a changed key's live post-image
+        can only be one of the commit's own upserts), and the parent
+        state spec (files with sequence numbers, key-column stat ranges
+        and partition values, plus the parent's delete log) for the
+        kill-rule pre-image resolve restricted to the bucket's keys."""
+
+        def __init__(self, table_dir, gen, bucket, n_buckets, key_col,
+                     pcol, schema_json, new_delete_rels, new_data,
+                     parent_spec):
+            self.kind = "mor"
+            self.table_dir = table_dir
+            self.gen = gen
+            self.bucket = bucket
+            self.n_buckets = n_buckets
+            self.key_col = key_col
+            self.pcol = pcol  # the commit's partition column (new files)
+            self.schema_json = schema_json
+            self.new_delete_rels = new_delete_rels
+            self.new_data = new_data  # [(rel, partition_value)]
+            self.parent_spec = parent_spec
+
+    def _plan_mor_commit(table_dir, man, parent, n_buckets):
+        """Driver-side planning of one merge_mor commit's feed: one
+        split per key-hash bucket. O(files) tuples per split (rel, seq,
+        partition value, key stat range — same order as any manifest-
+        planned scan); the churn keys themselves are never read on the
+        driver."""
+        g = man["generation"]
+        key_col = man["mor_key"]
+        pd_old = set(parent.get("delete_files") or [])
+        new_drels = [
+            r for r in (man.get("delete_files") or []) if r not in pd_old
+        ]
+        if not new_drels:
+            return []
+        old_files = set(parent["files"])
+        pcol = man.get("partition_col")
+        parts = man.get("partitions", {})
+        new_data = [
+            (rel, parts.get(rel) if pcol else None)
+            for rel in man["files"]
+            if rel not in old_files
+        ]
+        p_pcol = parent.get("partition_col")
+        p_parts = parent.get("partitions", {})
+        p_fseq = parent.get("file_seq", {})
+        p_stats = parent.get("stats", {})
+        p_dseq = parent.get("delete_seq") or {}
+        parent_spec = {
+            "files": [
+                (
+                    rel,
+                    int(p_fseq.get(rel, 0)),
+                    p_parts.get(rel) if p_pcol else None,
+                    (p_stats.get(rel) or {}).get(key_col),
+                )
+                for rel in parent["files"]
+            ],
+            "delete_files": [
+                (rel, int(p_dseq.get(rel, 0)))
+                for rel in (parent.get("delete_files") or [])
+            ],
+            "pcol": p_pcol,
+        }
+        schema_json = _json.dumps(man["schema"])
+        return [
+            _MorFeedSplit(
+                table_dir, g, b, n_buckets, key_col, pcol, schema_json,
+                new_drels, new_data, parent_spec,
+            )
+            for b in range(n_buckets)
+        ]
+
+    def _read_mor_feed_split(split):
+        """Executor-side churn-feed resolve for one (commit, key-bucket)
+        split — pure Arrow, shuffle-free: read the commit's churn keys
+        and keep this bucket's; resolve pre-images via read_mor's
+        sequence-number kill rule over the stats-pruned parent files;
+        take post-images from the commit's own upsert files; cancel
+        rows identical on both sides (multiset, the batch feed's
+        exceptAll); classify the rest into the four Delta change types.
+        Per split the work is O(churn + overlapping parent files), never
+        the table."""
+        import bisect as _bisect
+        from collections import Counter as _Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+
+        logical = to_arrow_schema(_ST.fromJson(_json.loads(split.schema_json)))
+        cols = [f.name for f in logical]
+        key_col = split.key_col
+        key_idx = cols.index(key_col)
+
+        keys = set()
+        for rel in split.new_delete_rels:
+            col = pq.read_table(
+                _os.path.join(split.table_dir, rel), columns=[key_col]
+            ).column(key_col)
+            for v in col.to_pylist():
+                if _stable_bucket(v, split.n_buckets) == split.bucket:
+                    keys.add(_freeze(v))
+        if not keys:
+            return
+
+        try:
+            skeys = sorted(keys)
+            unprunable = any(k is None for k in skeys)
+        except TypeError:
+            skeys, unprunable = [], True
+
+        def _may_contain(rng):
+            # merge_cow's binary-search discipline: keep a parent file
+            # only if some churn key can fall inside its recorded key
+            # range; stats-less files and uncomparable encodings fall
+            # back to a conservative read
+            if unprunable or not rng:
+                return True
+            try:
+                lo, hi = rng[0], rng[1]
+                if lo is None or hi is None:
+                    return True
+                i = _bisect.bisect_left(skeys, lo)
+                return i < len(skeys) and skeys[i] <= hi
+            except TypeError:
+                return True
+
+        def _rows(rel, pcol, pval):
+            """One file at the commit's logical schema (partition value
+            injected, additive-evolution columns NULL-filled), keeping
+            only this bucket's churn keys; frozen row tuples."""
+            pf = pq.ParquetFile(_os.path.join(split.table_dir, rel))
+            for batch in pf.iter_batches():
+                vals = []
+                for field in logical:
+                    if pcol is not None and field.name == pcol:
+                        vals.append([pval] * batch.num_rows)
+                    elif field.name in batch.schema.names:
+                        vals.append(
+                            batch.column(field.name)
+                            .cast(field.type)
+                            .to_pylist()
+                        )
+                    else:
+                        vals.append([None] * batch.num_rows)
+                for row in zip(*vals):
+                    frow = tuple(_freeze(v) for v in row)
+                    if frow[key_idx] in keys:
+                        yield frow
+
+        # pre-image: the parent state's live rows for the bucket's keys
+        pre_rows = []  # (frozen row, file sequence)
+        for rel, seq, pval, rng in split.parent_spec["files"]:
+            if not _may_contain(rng):
+                continue
+            for row in _rows(rel, split.parent_spec["pcol"], pval):
+                pre_rows.append((row, seq))
+        dmax = {}
+        if split.parent_spec["delete_files"] and pre_rows:
+            for rel, dseq in split.parent_spec["delete_files"]:
+                col = pq.read_table(
+                    _os.path.join(split.table_dir, rel), columns=[key_col]
+                ).column(key_col)
+                for v in col.to_pylist():
+                    fv = _freeze(v)
+                    if fv in keys and dmax.get(fv, -1) < dseq:
+                        dmax[fv] = dseq
+        pre = _Counter(
+            row
+            for row, seq in pre_rows
+            if dmax.get(row[key_idx]) is None or dmax[row[key_idx]] <= seq
+        )
+
+        # post-image: the commit's own upserts for these keys
+        post = _Counter()
+        for rel, pval in split.new_data:
+            for row in _rows(rel, split.pcol, pval):
+                post[row] += 1
+
+        gone = pre - post
+        came = post - pre
+        upd = {t[key_idx] for t in gone} & {t[key_idx] for t in came}
+        out = []
+        for ctr, upd_type, plain_type in (
+            (gone, "update_preimage", "delete"),
+            (came, "update_postimage", "insert"),
+        ):
+            for t, n in ctr.items():
+                ctype = upd_type if t[key_idx] in upd else plain_type
+                out.extend((ctype, t) for _ in range(n))
+        if not out:
+            return
+        arrays = [pa.array([r[0] for r in out], type=pa.string())]
+        names = ["_change_type"]
+        for i, field in enumerate(logical):
+            arrays.append(
+                pa.array([_thaw(r[1][i]) for r in out], type=field.type)
+            )
+            names.append(field.name)
+        arrays.append(pa.array([split.gen] * len(out), type=pa.int64()))
+        names.append("_commit_generation")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
     class ManifestChangeFeedStreamReader(DataSourceStreamReader):
         """T46: ``spark.readStream.format('ezmanifest')
         .option('changeFeed', 'true')`` — row-level ``_change_type``
@@ -1452,12 +1707,20 @@ def make_ezmanifest_source(with_pushdown: bool = True):
           Fully distributed; zero cross-file work at read time.
         * append / genesis publish: the commit's NEW files as constant
           'insert' splits (partition values reconstructed from the map).
+        * merge_mor (T47): the commit's churn feed derived ON READ —
+          one split per key-hash bucket (``option('feedBuckets', N)``,
+          default 8); each split resolves its keys' pre-images via the
+          sequence-number kill rule over the stats-pruned parent files
+          and takes post-images from the commit's own upsert files, so
+          the scale-correct uniform-churn commit shape (merge_mor
+          rewrites nothing) now has a native streaming consumer — the
+          batch change_feed_mor's semantics, planned as offsets.
         * compact / fold / evolve: content-preserving by construction —
           contribute nothing (the CDF maintenance-invisibility contract).
-        * merge WITHOUT recorded change files, restore, MOR commits, a
-          mid-chain plain publish: REFUSE loudly with the owning surface
-          named (batch change_feed / change_feed_mor / fresh checkpoint) —
-          the T42 honest-refusal class, never a silent wrong feed.
+        * merge WITHOUT recorded change files, restore, a mid-chain
+          plain publish: REFUSE loudly with the owning surface named
+          (batch change_feed / fresh checkpoint) — the T42
+          honest-refusal class, never a silent wrong feed.
 
         At 100 TB each trigger costs O(chain manifests) driver JSON reads
         and executor-parallel scans of exactly the interval's churn."""
@@ -1468,6 +1731,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 raise ValueError("ezmanifest needs option('path', <table_dir>)")
             self.start_gen = int(options.get("startinggeneration", 0))
             self.ref = options.get("ref")  # r17: feed off a branch head
+            self.n_buckets = max(1, int(options.get("feedbuckets", 8)))
 
         def initialOffset(self):
             return {"gen": self.start_gen}
@@ -1519,11 +1783,6 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             splits = []
             for man in chain:
                 g = man["generation"]
-                if man.get("delete_files"):
-                    raise ValueError(
-                        "merge-on-read commits have no COW change files: "
-                        "consume change_feed_mor for this interval"
-                    )
                 if "restore" in man:
                     raise ValueError(
                         "interval crosses a restore: a change feed across "
@@ -1540,7 +1799,21 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 pcol = man.get("partition_col")
                 parts = man.get("partitions", {})
                 schema_json = _json.dumps(man["schema"])
-                if man.get("change_files"):
+                if "mor" in man:
+                    # T47: a merge-on-read commit — serve its churn feed
+                    # directly (prev is the lineage parent by chain
+                    # construction; a mor commit always has one)
+                    parent = (
+                        prev
+                        if prev is not None
+                        else self._man(_parent_gen(man))
+                    )
+                    splits.extend(
+                        _plan_mor_commit(
+                            self.table_dir, man, parent, self.n_buckets
+                        )
+                    )
+                elif man.get("change_files"):
                     splits.extend(
                         _FeedSplit(
                             _os.path.join(self.table_dir, rel),
@@ -1561,6 +1834,17 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 elif any(k in man for k in ("compact", "fold", "evolve")):
                     pass  # content-preserving maintenance: empty feed
                 else:
+                    if man.get("delete_files"):
+                        # no producer commits this shape today (appends
+                        # and raw merges refuse on MOR generations);
+                        # refuse rather than serve a delete-log-bearing
+                        # commit's new files as plain inserts
+                        raise ValueError(
+                            f"generation {g} carries a delete log but no "
+                            f"recognized lineage: the change-feed stream "
+                            f"cannot classify it — consume the batch "
+                            f"change_feed_mor"
+                        )
                     # append lineage or the genesis snapshot: new files
                     # serve as 'insert' rows
                     old = set(prev["files"]) if prev is not None else set()
@@ -1580,6 +1864,9 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             return splits
 
         def read(self, split):
+            if getattr(split, "kind", None) == "mor":
+                yield from _read_mor_feed_split(split)
+                return
             import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_schema

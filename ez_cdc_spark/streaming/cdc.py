@@ -3148,3 +3148,140 @@ def materialize_change_feed_stream(
     )
     q2.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def materialize_mor_change_feed_stream(
+    spark: SparkSession, sf_dir: str, tag: str = "t47"
+) -> DataFrame:
+    """T47 end-to-end: the row-level change-feed STREAM over a
+    MERGE-ON-READ producer — closing the gap t46 left (its reader refused
+    MOR commits): merge_mor is the engine's own recommended commit shape
+    for uniform-key churn at 100 TB (bench_scaling.py churn-spread probe:
+    200 uniform keys rewrite 64/64 COW files), so the scale-correct CDC
+    sink needs a native streaming consumer too — the reference's whole
+    downstream purpose (python/cdc_test/main.py:39-47) at the commit
+    shape scale demands.
+
+    Producer half: the lsn-staged envelope replay drives a t33-shaped
+    MOR sink loop — each micro-batch is one merge_mor generation (new
+    upsert files + one equality-delete file, zero rewrites), and past
+    ``max_delete_files`` the loop folds the log with compact_mor
+    MID-CHAIN, so the consumer's interval crosses a fold commit. Unlike
+    t33's sink the loop does NOT gc/vacuum: feed retention is gc
+    retention (consume before reclaiming — the Delta CDF contract t46
+    declares), and the reader's refusal on a reclaimed generation is
+    pinned in tests.
+
+    Consumer half: the SAME ``readStream.format('ezmanifest')
+    .option('changeFeed','true')`` stream as t46 — merge_mor commits now
+    plan as key-hash-bucket splits that derive the churn feed ON READ
+    (sources/pyds.py:_read_mor_feed_split): pre-images via the
+    sequence-number kill rule over stats-pruned parent files, post-images
+    from the commit's own upsert files, fold commits contributing nothing
+    (maintenance invisibility). Returns the drained _change_type row
+    stream through a parquet sink.
+
+    At 100 TB: per trigger, O(chain) manifest reads plan the batch;
+    executors read O(churn + stat-overlapping parent files) per bucket —
+    never the table, and the producer never rewrote it either."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_mor,
+        merge_mor,
+        publish,
+        read_manifest,
+        txn_watermark,
+    )
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-morcdf-{tag}-{os.getpid()}")
+    out_dir = _dir_for(sf_dir, f"morcdf-out-{tag}-{os.getpid()}")
+    for d in (table_dir, out_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("lsn", LongType()),
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("email", StringType()),
+                ]
+            ),
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        # driver-side foreachBatch callback (runs in THIS interpreter;
+        # the by-value audit whitelists it by name like t30/t33's sinks)
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return  # already committed — at-least-once replay skipped
+        changes = batch.select(
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.col("after.first_name").alias("first_name"),
+            F.col("after.last_name").alias("last_name"),
+            F.col("after.email").alias("email"),
+            F.col("op").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        )
+        merged = merge_mor(
+            batch.sparkSession,
+            table_dir,
+            changes,
+            key_col="id",
+            generation=man["generation"] + 1,
+            txn={"tag": tag, "batch_id": batch_id},
+        )
+        if len(merged.get("delete_files") or []) > 2:
+            # fold mid-chain so the consumer's interval crosses it — but
+            # NO gc/vacuum: the un-consumed feed's generations must stay
+            # retained (consume before reclaiming)
+            compact_mor(
+                batch.sparkSession,
+                table_dir,
+                merged["generation"] + 1,
+                target_files=2,
+            )
+
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    register_ezmanifest(spark)
+    feed = (
+        spark.readStream.format("ezmanifest")
+        .option("path", table_dir)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q2 = (
+        feed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return spark.read.parquet(out_dir)

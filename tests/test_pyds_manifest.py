@@ -1472,3 +1472,191 @@ def test_change_feed_stream_live_tail_races_producer(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+# ----- T47: merge-on-read commits through the change-feed stream -----
+
+
+def test_mor_change_feed_stream_restart_fold_invisible_and_preimages(
+    spark, tmp_path
+):
+    """T47 pins (r17 verdict #1 'Done' criteria): (a) restart-mid-feed
+    continuation over MOR commits — a second availableNow run on the
+    same checkpoint consumes exactly the merge_mor commits that landed
+    since, never re-emitting; (b) a compact_mor FOLD between merges
+    contributes NOTHING (maintenance invisibility), and the merge after
+    the fold resolves its pre-images against the folded COW parent;
+    (c) feed rows carry exact pre-images derived on read from the
+    equality-delete churn keys."""
+    from ez_cdc_spark.sources.manifest import compact_mor, merge_mor
+
+    d, _schema = _feed_table(spark, "mor_cdf_restart")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    merge_mor(
+        spark, d,
+        _feed_batch(spark, [(1, 10, "a@x", "c", 10), (2, 11, "b@x", "c", 11)]),
+        "id", 2,
+    )
+    got1 = _drain_feed(spark, d, ck, out)
+    assert got1 == [
+        ("insert", 1, 10, "a@x", 2),
+        ("insert", 2, 11, "b@x", 2),
+    ]
+    merge_mor(
+        spark, d,
+        _feed_batch(spark, [(1, 20, "a2@x", "u", 20), (3, 21, "c@x", "c", 21)]),
+        "id", 3,
+    )
+    compact_mor(spark, d, 4, target_files=1)  # fold mid-feed
+    merge_mor(
+        spark, d,
+        _feed_batch(spark, [(2, 30, None, "d", 30)]),
+        "id", 5,
+    )
+    got2 = _drain_feed(spark, d, ck, out)
+    new = sorted(set(got2) - set(got1))
+    assert new == [
+        ("delete", 2, 11, "b@x", 5),
+        ("insert", 3, 21, "c@x", 3),
+        ("update_postimage", 1, 20, "a2@x", 3),
+        ("update_preimage", 1, 10, "a@x", 3),
+    ]
+    assert len(got2) == len(got1) + 4  # nothing re-emitted; the fold added 0
+
+
+def test_change_feed_stream_mixed_cow_and_mor_commits(spark, tmp_path):
+    """One commit chain holding BOTH commit shapes drains through ONE
+    consumer: a recorded COW merge, then a MOR commit on top of it, a
+    fold, then another recorded COW merge after the fold — the sink can
+    switch commit shapes per batch (COW for clustered churn, MOR for
+    uniform churn) without the consumer noticing."""
+    from ez_cdc_spark.sources.manifest import compact_mor, merge_cow, merge_mor
+
+    d, _schema = _feed_table(spark, "mixed_cdf")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    merge_cow(
+        spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True,
+    )
+    merge_mor(
+        spark, d,
+        _feed_batch(spark, [(1, 20, "a2@x", "u", 20), (2, 21, "b@x", "c", 21)]),
+        "id", 3,
+    )
+    compact_mor(spark, d, 4, target_files=1)
+    merge_cow(
+        spark, d, _feed_batch(spark, [(2, 30, None, "d", 30)]),
+        "id", 5, record_change_feed=True,
+    )
+    got = _drain_feed(spark, d, ck, out)
+    assert got == sorted(
+        [
+            ("insert", 1, 10, "a@x", 2),
+            ("update_preimage", 1, 10, "a@x", 3),
+            ("update_postimage", 1, 20, "a2@x", 3),
+            ("insert", 2, 21, "b@x", 3),
+            ("delete", 2, 21, "b@x", 5),
+        ]
+    )
+
+
+def test_mor_change_feed_stream_restore_refusal_and_bucket_invariance(
+    spark, tmp_path
+):
+    """T47 refusal + determinism pins: (a) the feed content is invariant
+    under the key-hash bucket count (feedBuckets=1/3/8 — the split
+    partitioner is a pure partitioning of the churn keys); (b) an
+    interval crossing a RESTORE refuses loudly through the stream."""
+    from ez_cdc_spark.sources.manifest import merge_mor, restore
+
+    d, _schema = _feed_table(spark, "mor_cdf_refuse")
+    merge_mor(spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]), "id", 2)
+    merge_mor(spark, d, _feed_batch(spark, [(1, 20, "a2@x", "u", 20)]), "id", 3)
+    want = [
+        ("insert", 1, 10, "a@x", 2),
+        ("update_postimage", 1, 20, "a2@x", 3),
+        ("update_preimage", 1, 10, "a@x", 3),
+    ]
+    register_ezmanifest(spark)
+    for i, nb in enumerate((1, 3, 8)):
+        ck, out = str(tmp_path / f"ck{i}"), str(tmp_path / f"out{i}")
+        q = (
+            spark.readStream.format("ezmanifest")
+            .option("path", d)
+            .option("changeFeed", "true")
+            .option("feedBuckets", str(nb))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("_change_type", "id", "lsn", "email", "_commit_generation")
+            .collect()
+        )
+        assert got == want, f"feedBuckets={nb}"
+    restore(d, 4, as_of_generation=2)
+    ck, out = str(tmp_path / "ckR"), str(tmp_path / "outR")
+    with pytest.raises(Exception, match="restore"):
+        _drain_feed(spark, d, ck, out)
+
+
+def test_mor_change_feed_stream_partitioned_key_moves_partition(
+    spark, tmp_path
+):
+    """T47 × partitioned MOR: the genesis snapshot reconstructs partition
+    values from the manifest map, and a merge_mor whose key MOVES
+    partitions feeds the move exactly (pre-image in the old partition,
+    post-image in the new — the reason merge_mor's equality-delete file
+    is global, never partition-scoped)."""
+    from ez_cdc_spark.sources.manifest import merge_mor, publish_partitioned
+
+    d = os.path.join(SCRATCH, "mor_cdf_part")
+    shutil.rmtree(d, ignore_errors=True)
+    seed = spark.createDataFrame(
+        [(1, 10, "us"), (2, 11, "eu")], "id long, lsn long, region string"
+    )
+    publish_partitioned(seed, d, 1, partition_col="region", stats_columns=["id"])
+    merge_mor(
+        spark, d,
+        spark.createDataFrame(
+            [(1, 20, "eu", "u", 20), (3, 21, "us", "c", 21)],
+            "id long, lsn long, region string, op string, seq long",
+        ),
+        "id", 2,
+    )
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("_change_type", "id", "lsn", "region", "_commit_generation")
+        .collect()
+    )
+    assert got == sorted(
+        [
+            ("insert", 1, 10, "us", 1),
+            ("insert", 2, 11, "eu", 1),
+            ("update_preimage", 1, 10, "us", 2),
+            ("update_postimage", 1, 20, "eu", 2),
+            ("insert", 3, 21, "us", 2),
+        ]
+    )
