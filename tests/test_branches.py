@@ -364,3 +364,46 @@ def test_branch_restore_rewinds_head_only(spark):
     create_branch(d, "wap2")
     with _pytest.raises(ValueError, match="already the committed state"):
         restore(d, 5, as_of_generation=4, ref="wap2")
+
+
+def _branch_creator(args):
+    """Module-level worker: race create_branch on one shared name —
+    O_CREAT|O_EXCL must admit exactly one creator per name, across
+    interpreters, not just threads."""
+    table_dir, writer_id = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ez_cdc_spark.sources.manifest import create_branch
+
+    try:
+        create_branch(table_dir, "contested")
+        return writer_id, "created"
+    except FileExistsError:
+        return writer_id, "refused"
+
+
+def test_create_branch_admits_one_creator_across_processes(spark):
+    """r17 verdict #5's third leg: 4 OS processes race create_branch on
+    ONE name — exactly one wins (O_CREAT|O_EXCL is the witness), the
+    losers get the named refusal, and the surviving ref is intact and
+    immediately usable for a branch commit."""
+    import multiprocessing as mp
+
+    from ez_cdc_spark.sources.manifest import branch_head
+
+    d = _table(spark, "createrace")
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        results = pool.map(_branch_creator, [(d, w) for w in range(4)])
+    created = [r for r in results if r[1] == "created"]
+    refused = [r for r in results if r[1] == "refused"]
+    assert len(created) == 1 and len(refused) == 3, results
+    head = branch_head(d, "contested")
+    assert head["current"] == "gen-1.json" and head["base"] == 1
+    publish_append(
+        spark.range(500, 510).selectExpr("id AS k", "id*2 AS v"),
+        d, 2, ref="contested",
+    )
+    assert current_generation(d, "contested") == 2
+    assert current_generation(d) == 1  # main untouched
