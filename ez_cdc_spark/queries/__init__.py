@@ -92,6 +92,15 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # CORRECTNESS_r17.json, so the set was cleared at the start of round 18.
 # Round-18 entries are added below in the same commit as the change they
 # cover.)
+# r18 bloom-sidecar FOLD (r17 verdict #6: _carry_bloom_meta folds the
+# chain at _BLOOM_FOLD_EVERY=8) is NOT force-re-attested: the fold
+# branch only executes at chain length >= 8, which no registered rig
+# reaches (the r16/r17 provably-unexecuted precedent — the under-
+# threshold path is byte-identical, live_rels is read only inside the
+# fold), and all six bloom/maintenance queries (s47, s26, s34, s30,
+# s30b, t30) were re-verified hash-green by hostile-TZ driver simulation
+# after the change; burning 6 slots would push part of the r11 drain
+# (r17 verdict #2, exactly 45+3+1 = 49 slots) past this round.
 _REATTEST: set[str] = set()
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative

@@ -438,6 +438,17 @@ def table_blooms(table_dir: str, manifest: dict) -> dict:
     return out
 
 
+# Fold the bloom sidecar chain back to ONE file once it reaches this
+# length (r17 verdict #6): each bloom-carrying append adds a sidecar, so
+# an append-heavy steady state would make every driver-side table_blooms
+# read walk O(appends) files. Folding every K appends bounds reads per
+# lookup at K while keeping the per-commit write cost amortized O(1)
+# sidecars (the fold rewrites the union once per K commits — the classic
+# logarithmic-merge bargain, taken at a flat cap because the union is
+# already O(live files) bytes).
+_BLOOM_FOLD_EVERY = 8
+
+
 def _carry_bloom_meta(
     spark: SparkSession,
     table_dir: str,
@@ -445,6 +456,7 @@ def _carry_bloom_meta(
     generation: int,
     new_files: list[str],
     reset: bool = False,
+    live_rels: list[str] | None = None,
 ) -> dict | None:
     """Shared S47 carry for every derived writer (append / merge_cow /
     compact_partial; full compact passes ``reset=True``): build blooms for
@@ -454,8 +466,13 @@ def _carry_bloom_meta(
     rewrite re-indexed every live file, so the old sidecars are dead
     weight). A legacy inline parent migrates here: its inline map folds
     into the new sidecar once, and the child manifest carries names only.
-    Returns None when the parent declares no bloom index (ADVICE r16 —
-    before this, one append/compact permanently stripped the index)."""
+    Once the chain reaches ``_BLOOM_FOLD_EVERY`` entries it FOLDS: the
+    chain's union (pruned to ``live_rels`` — entries for files a merge or
+    compaction rewrote are debris) rewrites as one sidecar, so lookups
+    read a bounded number of sidecar files however many appends the table
+    has absorbed; the superseded sidecars become gc debris. Returns None
+    when the parent declares no bloom index (ADVICE r16 — before this,
+    one append/compact permanently stripped the index)."""
     meta = parent.get("bloom_meta")
     if not meta:
         return None
@@ -468,7 +485,17 @@ def _carry_bloom_meta(
         payload = {**parent["blooms"], **payload}
     sidecars = [] if reset else list(meta.get("sidecars", []))
     if payload:
-        sidecars.append(_bloom_sidecar_write(table_dir, generation, payload))
+        if len(sidecars) >= _BLOOM_FOLD_EVERY - 1:
+            # fold: the whole chain + this commit's payload as ONE sidecar
+            merged = table_blooms(table_dir, parent)
+            for rel, per in payload.items():
+                merged[rel] = {**merged.get(rel, {}), **per}
+            if live_rels is not None:
+                live = set(live_rels)
+                merged = {rel: v for rel, v in merged.items() if rel in live}
+            sidecars = [_bloom_sidecar_write(table_dir, generation, merged)]
+        else:
+            sidecars.append(_bloom_sidecar_write(table_dir, generation, payload))
     return {
         "bits": int(meta["bits"]),
         "columns": meta.get("columns", []),
@@ -1778,7 +1805,8 @@ def compact_partial(
         # S47 carry (ADVICE r16): the rewritten tail gets fresh bitsets,
         # carried files keep theirs via the carried sidecar chain
         new_manifest["bloom_meta"] = _carry_bloom_meta(
-            spark, table_dir, manifest, generation, new_files
+            spark, table_dir, manifest, generation, new_files,
+            live_rels=new_manifest["files"],
         )
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
@@ -1905,7 +1933,8 @@ def publish_append(
         # blooms over the table's declared bloom columns in a NEW sidecar;
         # carried files keep their bitsets via the carried sidecar chain
         new_manifest["bloom_meta"] = _carry_bloom_meta(
-            df.sparkSession, table_dir, manifest, generation, new_files
+            df.sparkSession, table_dir, manifest, generation, new_files,
+            live_rels=new_manifest["files"],
         )
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]
@@ -2664,7 +2693,8 @@ def merge_cow(
         # S47 carry (ADVICE r16): rewritten files get fresh bitsets in a
         # new sidecar, untouched files keep theirs via the carried chain
         new_manifest["bloom_meta"] = _carry_bloom_meta(
-            spark, table_dir, manifest, generation, new_files
+            spark, table_dir, manifest, generation, new_files,
+            live_rels=new_manifest["files"],
         )
     if manifest.get("constraints") is not None:
         new_manifest["constraints"] = manifest["constraints"]

@@ -1660,3 +1660,68 @@ def test_mor_change_feed_stream_partitioned_key_moves_partition(
             ("insert", 3, 21, "us", 2),
         ]
     )
+
+
+def test_bloom_sidecar_chain_stays_bounded_under_append_heavy_load(spark):
+    """r17 verdict #6: each bloom-carrying append adds one sidecar, so an
+    append-heavy steady state once made table_blooms walk O(appends)
+    files per driver-side lookup. The carry now FOLDS the chain into one
+    sidecar every _BLOOM_FOLD_EVERY commits (pruning entries for files a
+    rewrite made dead), so across 50 appends with interleaved partial
+    compactions: (a) the chain — the sidecar reads per lookup — never
+    exceeds the fold cap at ANY commit; (b) every live file keeps a bloom
+    entry; (c) point-lookup pruning stays correct and keeps proving
+    absence at the end of the run."""
+    from ez_cdc_spark.sources.manifest import (
+        _BLOOM_FOLD_EVERY,
+        bloom_pruned_files,
+        compact_partial,
+        publish,
+        publish_append,
+        read_manifest,
+        table_blooms,
+    )
+
+    d = os.path.join(SCRATCH, "bloomchain")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(10).selectExpr("id AS k", "id*2 AS v"),
+        d, 1, stats_columns=["k"], bloom_columns=["k"], bloom_bits=4096,
+    )
+    gen, max_chain = 1, 0
+    for i in range(50):
+        gen += 1
+        publish_append(
+            spark.range(10 + i * 10, 20 + i * 10)
+            .coalesce(1)
+            .selectExpr("id AS k", "id*2 AS v"),
+            d, gen,
+        )
+        max_chain = max(
+            max_chain,
+            len(read_manifest(d)["bloom_meta"]["sidecars"]),
+        )
+        if i % 10 == 9:  # interleaved maintenance, t30's sink pattern
+            gen += 1
+            compact_partial(spark, d, gen, max_file_bytes=10**9, target_files=2)
+            max_chain = max(
+                max_chain,
+                len(read_manifest(d)["bloom_meta"]["sidecars"]),
+            )
+    man = read_manifest(d)
+    assert max_chain <= _BLOOM_FOLD_EVERY, max_chain
+    blooms = table_blooms(d, man)
+    missing = [rel for rel in man["files"] if "k" not in blooms.get(rel, {})]
+    assert not missing, missing  # every live file still indexed
+    # present key: kept files must contain it; absent key: bloom+stats
+    # prove absence across every file
+    kept, skipped = bloom_pruned_files(d, "k", 463, manifest=man)
+    got = sorted(
+        r["k"]
+        for r in spark.read.parquet(*kept).where("k = 463").collect()
+    )
+    assert got == [463] and set(kept) | set(skipped) == {
+        os.path.join(d, rel) for rel in man["files"]
+    }
+    kept_absent, _ = bloom_pruned_files(d, "k", 10**9, manifest=man)
+    assert kept_absent == []
