@@ -553,11 +553,108 @@ def t46_feed_overhead_probe(
     }
 
 
+def t47_mor_feed_derivation_probe(
+    spark, settled_rows: int, batch_keys: int = 500
+) -> dict:
+    """T47 scale witness: the cost of DERIVING a merge_mor commit's feed
+    ON READ must track the churn, never the table. One range-clustered
+    settled table per size with ~100k-row files (file SIZE held constant
+    as the table grows — the lakehouse discipline; file COUNT grows
+    instead); the SAME narrow-band batch lands via merge_mor; the
+    changeFeed stream with startingGeneration=1 drains exactly that
+    commit's interval. As settled_rows grows 16x the drain wall must stay
+    ~flat: each key-hash-bucket split reads the churn-sized delete/upsert
+    files plus only the stats-overlapping parent files (a narrow band
+    overlaps a bounded count however many files the table has), and the
+    emitted rows stay exactly classification-sized (pre+post per key)."""
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import merge_mor, publish
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    d = f"/tmp/ez_scale_t47_{settled_rows}"
+    out = f"{d}_out"
+    ck = f"{d}_ck"
+    for p in (d, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    n_files = max(4, settled_rows // 100_000)
+    base = (
+        spark.range(settled_rows)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+        .repartitionByRange(n_files, "k")
+    )
+    publish(base, d, 1, stats_columns=["k"])
+    batch = spark.range(batch_keys).select(
+        (F.col("id") + settled_rows // 2).alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("u").alias("op"),
+        (F.col("id") + 10_000_000).alias("seq"),
+    )
+    merge_mor(spark, d, batch, key_col="k", generation=2)
+
+    register_ezmanifest(spark)
+    t0 = _time.perf_counter()
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .option("startingGeneration", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drain_sec = round(_time.perf_counter() - t0, 3)
+    feed = spark.read.parquet(out)
+    n_rows = feed.count()
+    for p in (d, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    return {
+        "probe": "t47_mor_feed_derivation",
+        "settled_rows": settled_rows,
+        "n_files": n_files,
+        "batch_keys": batch_keys,
+        "drain_sec": drain_sec,
+        "feed_rows": n_rows,  # pre+post per churn key
+    }
+
+
 def main() -> None:
     from ez_cdc_spark.queries import load_all
     from ez_cdc_spark.session import get_spark
 
     spark = get_spark("ez_cdc_spark-scaling")
+
+    if os.environ.get("SCALE_T47_FEED"):
+        out = [
+            t47_mor_feed_derivation_probe(spark, n)
+            for n in (100_000, 400_000, 1_600_000)
+        ]
+        for row in out:
+            print(json.dumps(row))
+        print(
+            json.dumps(
+                {
+                    "t47_feed_summary": {
+                        "drain_sec_by_size": {
+                            str(r["settled_rows"]): r["drain_sec"] for r in out
+                        },
+                        "rows_churn_sized": all(
+                            r["feed_rows"] == 2 * r["batch_keys"] for r in out
+                        ),
+                    }
+                }
+            )
+        )
+        return
 
     if os.environ.get("SCALE_S40_S42"):
         out = [s40_era_overhead_probe(spark, n) for n in (1, 4, 16)]

@@ -1725,3 +1725,89 @@ def test_bloom_sidecar_chain_stays_bounded_under_append_heavy_load(spark):
     }
     kept_absent, _ = bloom_pruned_files(d, "k", 10**9, manifest=man)
     assert kept_absent == []
+
+
+def test_mor_change_feed_stream_live_tail_races_producer(spark, tmp_path):
+    """T47 live: a PROCESSING-TIME changeFeed consumer attached BEFORE any
+    commit races a merge_mor producer commit-by-commit — each trigger
+    derives that commit's churn feed on read with no restarts, and a
+    mid-stream fold stays invisible to the running consumer."""
+    import re
+    import time
+
+    from ez_cdc_spark.sources.manifest import compact_mor, merge_mor
+
+    d, _ = _feed_table(spark, "mor_cdf_live")
+    out = str(tmp_path / "out")
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def consumed(gen, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                m = re.search(
+                    r"['\"]gen['\"]\s*:\s*(\d+)",
+                    str(p["sources"][0].get("endOffset") or ""),
+                )
+                if m and int(m.group(1)) >= gen:
+                    return True
+            time.sleep(0.2)
+        return False
+
+    try:
+        merge_mor(
+            spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]), "id", 2
+        )
+        assert consumed(2), "consumer never saw generation 2"
+        merge_mor(
+            spark, d,
+            _feed_batch(spark, [(1, 20, "a2@x", "u", 20), (2, 21, "b@x", "c", 21)]),
+            "id", 3,
+        )
+        assert consumed(3), "consumer never saw generation 3"
+        compact_mor(spark, d, 4, target_files=1)  # fold while live
+        merge_mor(
+            spark, d, _feed_batch(spark, [(2, 30, None, "d", 30)]), "id", 5
+        )
+        assert consumed(5), "consumer never saw generation 5"
+        deadline = time.time() + 60
+        want = [
+            ("delete", 2, 21, "b@x", 5),
+            ("insert", 1, 10, "a@x", 2),
+            ("insert", 2, 21, "b@x", 3),
+            ("update_postimage", 1, 20, "a2@x", 3),
+            ("update_preimage", 1, 10, "a@x", 3),
+        ]
+        got = None
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    tuple(r)
+                    for r in spark.read.parquet(out)
+                    .select(
+                        "_change_type", "id", "lsn", "email",
+                        "_commit_generation",
+                    )
+                    .collect()
+                )
+            except Exception:
+                got = None
+            if got == want:
+                break
+            time.sleep(0.3)
+        assert got == want
+    finally:
+        q.stop()
+        q.awaitTermination()
