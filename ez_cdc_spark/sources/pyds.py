@@ -1613,12 +1613,86 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             except TypeError:
                 return True
 
+        try:
+            import pyarrow.compute as pc
+
+            key_value_set = (
+                pa.array(list(keys)) if not unprunable else None
+            )
+        except Exception:
+            key_value_set = None
+
+        def _kept_row_groups(pf):
+            """Parquet footer row-group pruning on the key column — the
+            file-level manifest-stat prune again, one level down, so a
+            kept 100k-row file costs only its churn-overlapping groups."""
+            md = pf.metadata
+            if unprunable or md.num_row_groups <= 1:
+                return None  # read everything
+            col_idx = None
+            try:
+                rg0 = md.row_group(0)
+                for j in range(rg0.num_columns):
+                    if rg0.column(j).path_in_schema == key_col:
+                        col_idx = j
+                        break
+            except Exception:
+                return None
+            if col_idx is None:
+                return None
+            kept = []
+            for gi in range(md.num_row_groups):
+                try:
+                    st = md.row_group(gi).column(col_idx).statistics
+                    if st is None or not st.has_min_max:
+                        kept.append(gi)
+                        continue
+                    lo, hi = st.min, st.max
+                    i = _bisect.bisect_left(skeys, lo)
+                    if i < len(skeys) and skeys[i] <= hi:
+                        kept.append(gi)
+                except TypeError:
+                    kept.append(gi)  # uncomparable stat encoding: keep
+                except Exception:
+                    return None  # unexpected footer shape: no pruning
+            return kept
+
         def _rows(rel, pcol, pval):
             """One file at the commit's logical schema (partition value
             injected, additive-evolution columns NULL-filled), keeping
-            only this bucket's churn keys; frozen row tuples."""
+            only this bucket's churn keys; frozen row tuples. The scan is
+            churn-bounded twice before any Python row loop runs: footer
+            row-group pruning on the key column, then a vectorized Arrow
+            is_in mask — the per-row Python cost is paid only by rows
+            that (modulo bloom-less set membership) ARE churn."""
             pf = pq.ParquetFile(_os.path.join(split.table_dir, rel))
-            for batch in pf.iter_batches():
+            kept_groups = _kept_row_groups(pf)
+            if kept_groups == []:
+                return
+            batches = (
+                pf.iter_batches(row_groups=kept_groups)
+                if kept_groups is not None
+                else pf.iter_batches()
+            )
+            for batch in batches:
+                if (
+                    key_value_set is not None
+                    and key_col in batch.schema.names
+                    and (pcol is None or pcol != key_col)
+                ):
+                    try:
+                        batch = batch.filter(
+                            pc.is_in(
+                                batch.column(key_col),
+                                value_set=key_value_set.cast(
+                                    batch.schema.field(key_col).type
+                                ),
+                            )
+                        )
+                    except Exception:
+                        pass  # type-cast edge: fall through to the set check
+                    if batch.num_rows == 0:
+                        continue
                 vals = []
                 for field in logical:
                     if pcol is not None and field.name == pcol:
