@@ -1069,9 +1069,10 @@ def test_change_feed_stream_restart_continues_and_maintenance_invisible(
 
 def test_change_feed_stream_refusals(spark, tmp_path):
     """T46 honest-refusal classes: a merge WITHOUT a recorded feed names
-    the fix; a restore-crossing interval refuses; MOR commits point at
-    change_feed_mor. All raise through the stream, never a silent wrong
-    feed."""
+    the fix; a restore-crossing interval refuses. All raise through the
+    stream, never a silent wrong feed. (MOR commits were the third
+    refusal class through r17; as of r18 the stream SERVES them — t47 —
+    so case (3) now asserts the feed instead.)"""
     import pytest as _pytest
 
     from ez_cdc_spark.sources.manifest import merge_cow, restore
@@ -1114,7 +1115,9 @@ def test_change_feed_stream_refusals(spark, tmp_path):
     with _pytest.raises(Exception, match="restore"):
         drain(d2, str(tmp_path / "ck2"), str(tmp_path / "o2"))
 
-    # (3) merge-on-read commit
+    # (3) merge-on-read commit — REFUSED through r17, SERVED as of r18
+    # (t47): the same drain that used to point at change_feed_mor now
+    # emits the MOR commit's derived churn feed alongside the COW one
     from ez_cdc_spark.sources.manifest import merge_mor
 
     d3, _ = _feed_table(spark, "cdf_refuse_mor")
@@ -1125,8 +1128,18 @@ def test_change_feed_stream_refusals(spark, tmp_path):
     merge_mor(
         spark, d3, _feed_batch(spark, [(1, 20, "a2@x", "u", 20)]), "id", 3
     )
-    with _pytest.raises(Exception, match="change_feed_mor"):
-        drain(d3, str(tmp_path / "ck3"), str(tmp_path / "o3"))
+    drain(d3, str(tmp_path / "ck3"), str(tmp_path / "o3"))
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "o3"))
+        .select("_change_type", "id", "lsn", "email", "_commit_generation")
+        .collect()
+    )
+    assert got == [
+        ("insert", 1, 10, "a@x", 2),
+        ("update_postimage", 1, 20, "a2@x", 3),
+        ("update_preimage", 1, 10, "a@x", 3),
+    ]
 
 
 def test_change_files_gc_vacuum_lifecycle(spark):
