@@ -4039,3 +4039,112 @@ def s44c_manifest_writer_merge_schema(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s36e_clustered_mor_fold",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer
+),
+final AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 100 = 3
+                     THEN CAST(c_acctbal + 300.00 AS DECIMAL(12,2))
+                WHEN c_custkey % 50 = 3
+                     THEN CAST(c_acctbal + 100.00 AS DECIMAL(12,2))
+                ELSE c_acctbal END AS c_acctbal
+    FROM base WHERE c_custkey % 50 <> 21
+    UNION ALL
+    SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey % 100 = 53
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c_acctbal) AS DOUBLE) AS band_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM final
+WHERE c_custkey BETWEEN 400 AND 1200
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="S36e: CLUSTERED merge-on-read fold (r18) — Iceberg's "
+    "rewrite_data_files WITH A SORT ORDER, fused into compact_mor "
+    "(sources/manifest.py:compact_mor cluster_by=...): a MOR epoch "
+    "destroys whatever range clustering the table had (each commit's "
+    "upserts land as their own key-spanning files), so stats/bloom file "
+    "skipping degrades commit by commit — after s36's two uniform-churn "
+    "batches the epoch's files all span the whole key range. Folding "
+    "with cluster_by=['c_custkey'] range-partitions the resolved rows "
+    "into target_files files with DISJOINT key ranges, internally "
+    "sorted — one shuffle the fold's full rewrite was already paying "
+    "for — restoring one-file point lookups and O(window) range scans "
+    "for the next epoch; the carried bloom index re-builds per fresh "
+    "file (S47), and partitioned tables refuse (the Hive layout is their "
+    "declared clustering). The query replays s36's exact lifecycle "
+    "(uniform churn, cross-commit kills, deletes, out-of-range inserts), "
+    "folds clustered, then answers a RANGE-BAND aggregate through "
+    "read_pruned — the engine opens only the stat-overlapping files "
+    "(disjointness + <=2-files-per-narrow-band pinned in "
+    "tests/test_scale_ops.py) and the oracle recomputes the band "
+    "declaratively: hash-green proves the clustered fold preserved the "
+    "resolve EXACTLY while making the band physically prunable. At "
+    "100 TB: the maintenance op that keeps the MOR bargain's read side "
+    "honest — fold cadence bounds the delete log AND restores the "
+    "clustering that makes every later scan cheap.",
+)
+def s36e_clustered_mor_fold(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_mor,
+        merge_mor,
+        publish,
+        read_pruned,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", dec("c_acctbal").alias("c_acctbal")
+    )
+    table_dir = _scratch(sf_dir, "s36emorfold")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish(
+        c.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["c_custkey"],
+    )
+    key = F.col("c_custkey")
+    ev = _s30_change_event
+    bump = lambda n: F.col("c_acctbal") + F.lit(n).cast("decimal(12,2)")  # noqa: E731
+    merge_mor(
+        spark, table_dir, ev(c.filter(key % 50 == 3), "u", 1, bal=bump(100)),
+        key_col="c_custkey", generation=2,
+    )
+    b2 = (
+        ev(c.filter(key % 100 == 3), "u", 2, bal=bump(300))
+        .unionByName(ev(c.filter(key % 50 == 21), "d", 2))
+        .unionByName(
+            ev(c.filter(key % 100 == 53), "c", 2).withColumn(
+                "c_custkey", key + 2000000
+            )
+        )
+    )
+    merge_mor(spark, table_dir, b2, key_col="c_custkey", generation=3)
+    compact_mor(
+        spark, table_dir, 4, target_files=6, cluster_by=["c_custkey"]
+    )
+    return (
+        read_pruned(spark, table_dir, "c_custkey", 400, 1200)
+        .where(key.between(400, 1200))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_acctbal").cast("double").alias("band_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -3447,6 +3447,7 @@ def compact_mor(
     generation: int,
     target_files: int = 4,
     stats_columns: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """S36 maintenance: fold the merge-on-read log back into a plain
     copy-on-write generation — resolve the live rows once (read_mor),
@@ -3456,7 +3457,21 @@ def compact_mor(
     bounded log. The txn watermarks carry (maintenance never rewinds
     applied-batch state). This is Iceberg's rewrite_data_files with
     delete-file expiry — the half of the MOR bargain that keeps read
-    amplification bounded."""
+    amplification bounded.
+
+    ``cluster_by`` (r18) makes the fold a CLUSTERED rewrite — Iceberg's
+    rewrite_data_files with a sort order: a MOR epoch destroys whatever
+    range clustering the table had (each commit's upserts land as their
+    own key-spanning files), so stats/bloom file skipping degrades
+    commit by commit; folding with ``cluster_by=[k]`` range-partitions
+    the resolved rows into ``target_files`` disjoint-range, internally
+    sorted files (the s22 rewrite, fused into the fold's single pass —
+    one shuffle the fold's full rewrite was already paying for at
+    ``coalesce``-shaped cost), restoring one-file point lookups and
+    O(window) range scans for the next epoch. Refused on a partitioned
+    table: the Hive layout is that table's declared clustering, and the
+    per-partition staging would multiply the range split into
+    ranges × partitions fragments."""
     manifest = read_manifest(table_dir)
     if stats_columns is None:
         old_stats = manifest.get("stats") or {}
@@ -3465,7 +3480,31 @@ def compact_mor(
         if mk:
             inherited = sorted(set(inherited) | {mk})
         stats_columns = inherited or None
-    resolved = read_mor(spark, table_dir).coalesce(target_files)
+    pcol_early = manifest.get("partition_col")
+    if cluster_by:
+        if pcol_early is not None:
+            raise ValueError(
+                "cluster_by on a partitioned table: the partition layout "
+                "is the declared clustering — fold without cluster_by, or "
+                "evolve the layout first"
+            )
+        cols = {f["name"] for f in (manifest.get("schema") or {}).get(
+            "fields", []
+        )}
+        missing = [c for c in cluster_by if c not in cols]
+        if missing:
+            raise ValueError(f"cluster_by columns not in schema: {missing}")
+        if stats_columns is not None:
+            stats_columns = sorted(set(stats_columns) | set(cluster_by))
+        else:
+            stats_columns = sorted(cluster_by)
+        resolved = (
+            read_mor(spark, table_dir)
+            .repartitionByRange(target_files, *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+        )
+    else:
+        resolved = read_mor(spark, table_dir).coalesce(target_files)
     pcol = manifest.get("partition_col")
     # S47 × S36 (r17): the fold re-indexes every live file — the carried
     # bloom_meta (merge_mor preserves it through the epoch) declares the

@@ -4238,3 +4238,86 @@ def test_s36c_partitioned_mor_moves_folds_and_differential(spark):
     )
     p9 = {r["id"] for r in read_committed_partitions(spark, td, ["9"]).collect()}
     assert 90 in p9 and 0 not in p9
+
+
+def test_s36e_clustered_fold_restores_disjoint_ranges_and_pruning(spark):
+    """S36e pins: a MOR epoch's files span the whole key range (skipping
+    degraded), and compact_mor(cluster_by=[k]) folds into files with
+    DISJOINT key ranges so a narrow band prunes to <=2 of them; the fold
+    preserves the resolve exactly; partitioned tables and unknown
+    cluster columns refuse."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_mor,
+        merge_mor,
+        publish,
+        publish_partitioned,
+        read_committed,
+        read_manifest,
+        read_mor,
+        read_pruned,
+    )
+
+    td = tempfile.mkdtemp(prefix="mor_clusterfold_")
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    publish(base.repartitionByRange(8, "k"), td, 1, stats_columns=["k"])
+    # uniform churn: keys %40==7 span every file's range; round-robin
+    # repartition so the staged upsert files are NOT range-local (the
+    # arrival order a real CDC batch has)
+    batch = (
+        base.filter(F.col("k") % 40 == 7)
+        .select(
+            "k", (F.col("v") + 1).alias("v"),
+            F.lit("u").alias("op"), F.lit(1).cast("long").alias("seq"),
+        )
+        .repartition(2)
+    )
+    merge_mor(spark, td, batch, key_col="k", generation=2)
+    m2 = read_manifest(td)
+    new_rels = [r for r in m2["files"] if r not in set(read_manifest(td, 1)["files"])]
+    spans = [m2["stats"][r]["k"] for r in new_rels]
+    assert any(hi - lo > 1500 for lo, hi in spans)  # epoch file spans the table
+
+    expected = sorted(
+        (r["k"], r["v"]) for r in read_mor(spark, td).collect()
+    )
+    compact_mor(spark, td, 3, target_files=5, cluster_by=["k"])
+    m3 = read_manifest(td)
+    assert not m3.get("delete_files") and "fold" in m3
+    got = sorted((r["k"], r["v"]) for r in read_committed(spark, td).collect())
+    assert got == expected  # the clustered fold preserved the resolve
+    # disjoint per-file ranges
+    ranges = sorted(m3["stats"][r]["k"] for r in m3["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, (ranges,)
+    # a narrow band opens at most 2 of the 5 files
+    pruned = read_pruned(spark, td, "k", 900, 1000)
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files <= 2, n_files
+    assert pruned.where("k BETWEEN 900 AND 1000").count() == 101
+
+    # refusals: unknown column; partitioned layout
+    with _pytest.raises(ValueError, match="not in schema"):
+        compact_mor(spark, td, 4, cluster_by=["nope"])
+    tdp = tempfile.mkdtemp(prefix="mor_clusterfold_part_")
+    pbase = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    publish_partitioned(pbase, tdp, 1, partition_col="p", stats_columns=["k"])
+    merge_mor(
+        spark, tdp,
+        pbase.filter("k < 10").select(
+            "k", "p", F.lit("u").alias("op"), F.lit(1).cast("long").alias("seq")
+        ),
+        key_col="k", generation=2,
+    )
+    with _pytest.raises(ValueError, match="partition layout"):
+        compact_mor(spark, tdp, 3, cluster_by=["k"])
+    compact_mor(spark, tdp, 3)  # the plain fold still composes
+    assert read_committed(spark, tdp).count() == 100
