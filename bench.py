@@ -104,6 +104,8 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
     "t47_mor_change_feed_stream",
+    "t48_stream_fed_aggregate",
+    "s36e_clustered_mor_fold",
 ]
 
 EXTRA_QUERIES = [
@@ -112,8 +114,11 @@ EXTRA_QUERIES = [
     # is trigger-count-dominated like every live two-phase replay)
     "t46_manifest_change_feed_stream",
     # r18: the MOR change-feed stream (merge_mor produce loop + fold,
-    # churn feed derived on read by key-hash-bucket splits)
+    # churn feed derived on read by key-hash-bucket splits), the
+    # decoupled stream-fed downstream aggregate, and the clustered fold
     "t47_mor_change_feed_stream",
+    "t48_stream_fed_aggregate",
+    "s36e_clustered_mor_fold",
     "s44c_manifest_writer_merge_schema",
     "t45_manifest_stream_cascade",
     "t44_manifest_native_stream_sink",

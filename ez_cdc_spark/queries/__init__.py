@@ -112,14 +112,22 @@ _REATTEST: set[str] = set()
 # the last r3-vintage tail x10/x14/x15/x16, after which the derived order
 # takes over: next in line are the r4 families, exactly the r8 verdict's
 # suggested rotation).
-_RANK: dict[str, int] = {
+_RANK: dict[str, float] = {
     # r17 (r16 verdict #5): keep the approximate trio's exactness ANCHORS
     # driver-visible every round — negative rank floats them ahead of the
     # attested backlog (they sort after unattested/_REATTEST entries, so
-    # fresh surface still attests first)
-    "x3c_ivf_exact": -3,
-    "a4b_approx_distinct_anchor": -2,
-    "x2eb_lsh_recall_anchor": -1,
+    # fresh surface still attests first).
+    # r18 ONE-ROUND exception: ranks sit between the r11 backlog (11) and
+    # r12, not ahead of everything — this round registers THREE new
+    # queries (t47/t48/s36e), and 3 new + 3 floated anchors + the
+    # 45-query r11 cohort = 51 > the ~50-slot cap; the r17 verdict #2
+    # drain criterion ("CORRECTNESS_r18's oldest remaining attestation is
+    # r12") takes the marginal slots. All three anchors were hash-green
+    # in r17, so the one that overflows (x2eb, slot 51) stays one round
+    # fresh, never stale. Restore -3/-2/-1 at the start of round 19.
+    "x3c_ivf_exact": 11.1,
+    "a4b_approx_distinct_anchor": 11.2,
+    "x2eb_lsh_recall_anchor": 11.3,
 }
 
 

@@ -3406,3 +3406,60 @@ def t47_mor_change_feed_stream(spark, sf_dir):
         "last_name",
         "email",
     ).orderBy("id", "lsn", "_change_type")
+
+
+@register(
+    "t48_stream_fed_aggregate",
+    oracle=ENV_CTE
+    + """
+, latest AS (
+  SELECT id,
+         max_by(op, lsn) AS op,
+         max_by(first_name, lsn) AS first_name,
+         CAST(MAX(lsn) AS BIGINT) AS lsn
+  FROM env GROUP BY id
+)
+SELECT first_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lsn) AS BIGINT) AS sum_lsn
+FROM latest WHERE op <> 'd'
+GROUP BY first_name
+ORDER BY first_name
+""",
+    doc="T48: CDC table → NATIVE change-feed STREAM → downstream "
+    "incremental aggregate, all three hops exactly-once and fully "
+    "DECOUPLED (r18; composes t47 with t32's signed fold) — the "
+    "reference's whole topology (Postgres → topic → consumer, "
+    "python/cdc_test/main.py:39-53) with the table as the topic and no "
+    "broker anywhere. Producer: the lsn-staged envelope replay drives "
+    "the t47 MOR sink (merge_mor per micro-batch, mid-chain compact_mor "
+    "folds, feed retained — streaming/cdc.py:mor_cdf_sink_batch). "
+    "Consumer: readStream.format('ezmanifest').option('changeFeed',"
+    "'true') → foreachBatch applying the signed fold "
+    "(insert/update_post add, delete/update_pre subtract, zero-count "
+    "groups tombstone out) to a downstream manifest table "
+    "(stream_feed_agg_batch). The decoupling is the point vs t32/t34: "
+    "their consumers run INSIDE the producer's trigger and call the "
+    "batch change_feed with explicit generation cursors; t48's consumer "
+    "is an independent job — Spark's checkpoint offsets pick the "
+    "intervals, the downstream (tag, batch_id) watermark makes replays "
+    "no-ops, and neither side knows the other's cadence, which is what "
+    "lets N downstream jobs tail one table independently. The oracle "
+    "recomputes the final aggregate declaratively from the envelope "
+    "stream — hash-green proves the stream-chosen intervals' signed "
+    "deltas telescope to the exact full recompute, across MOR commits "
+    "AND folds. Restart-mid-consume is pinned in "
+    "tests/test_cdc_goldens.py. At 100 TB: producer commits O(batch) "
+    "however keys spread; each consumer trigger reads O(interval churn) "
+    "feed rows; the downstream read-modify-write touches only the group "
+    "keys the interval changed.",
+)
+def t48_stream_fed_aggregate(spark, sf_dir):
+    from ez_cdc_spark.streaming.cdc import materialize_stream_fed_aggregate
+
+    agg = materialize_stream_fed_aggregate(spark, sf_dir)
+    return agg.select(
+        "first_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_lsn").cast("bigint").alias("sum_lsn"),
+    ).orderBy("first_name")

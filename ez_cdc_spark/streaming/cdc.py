@@ -3150,6 +3150,231 @@ def materialize_change_feed_stream(
     return spark.read.parquet(out_dir)
 
 
+def mor_cdf_sink_batch(table_dir: str, tag: str, max_delete_files: int = 2):
+    """T47/T48 producer foreachBatch: the MOR sink for tables a NATIVE
+    change-feed STREAM will tail — t33's exact contract (merge_mor per
+    batch, (tag, batch_id) idempotence, in-loop compact_mor past the
+    delete-log threshold so consumer intervals cross folds) but WITHOUT
+    gc/vacuum: feed retention is gc retention, and the un-consumed
+    chain's generations must stay on disk (the Delta CDF contract —
+    consume before reclaiming; the caller reclaims after its consumers
+    drain)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import (
+            compact_mor,
+            merge_mor,
+            read_manifest,
+            txn_watermark,
+        )
+
+        man = read_manifest(table_dir)
+        wm = txn_watermark(man, tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return  # already committed — at-least-once replay skipped
+        changes = batch.select(
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("bigint")
+            .alias("id"),
+            F.col("source.lsn").cast("bigint").alias("lsn"),
+            F.col("after.first_name").alias("first_name"),
+            F.col("after.last_name").alias("last_name"),
+            F.col("after.email").alias("email"),
+            F.col("op").alias("op"),
+            F.col("source.lsn").cast("bigint").alias("seq"),
+        )
+        merged = merge_mor(
+            batch.sparkSession,
+            table_dir,
+            changes,
+            key_col="id",
+            generation=man["generation"] + 1,
+            txn={"tag": tag, "batch_id": batch_id},
+        )
+        if len(merged.get("delete_files") or []) > max_delete_files:
+            compact_mor(
+                batch.sparkSession,
+                table_dir,
+                merged["generation"] + 1,
+                target_files=2,
+            )
+
+    return apply
+
+
+def stream_feed_agg_batch(agg_dir: str, consumer_tag: str = "t48c"):
+    """T48 consumer foreachBatch: apply one micro-batch of NATIVE
+    change-feed STREAM rows to a downstream aggregate table, exactly
+    once. This is consume_feed_step's signed fold (insert/update_post
+    add, delete/update_pre subtract; a group whose count returns to zero
+    tombstones out) with the interval chosen by the STREAM's checkpoint
+    offsets instead of a batch change_feed call — the consumer no longer
+    names generations at all: its cursor is Spark's offset log, its
+    idempotence is the downstream txn watermark on (tag, batch_id), and
+    a replayed micro-batch after a crash between sink-commit and
+    offset-commit is skipped by the watermark (exactly-once from
+    at-least-once, t30's contract one hop downstream)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from ez_cdc_spark.sources.manifest import (
+            merge_cow,
+            read_committed,
+            read_manifest,
+            txn_watermark,
+        )
+
+        spark = batch.sparkSession
+        b_man = read_manifest(agg_dir)
+        wm = txn_watermark(b_man, consumer_tag) or {}
+        if batch_id <= wm.get("batch_id", -1):
+            return
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = batch.groupBy("first_name").agg(
+            F.sum(sign).cast("long").alias("_dn"),
+            F.sum(sign * F.col("lsn")).cast("long").alias("_dsum"),
+        )
+        old = read_committed(spark, agg_dir)
+        changes = (
+            delta.join(old, on="first_name", how="left")
+            .select(
+                "first_name",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("_dn")).alias("n"),
+                (
+                    F.coalesce(F.col("sum_lsn"), F.lit(0)) + F.col("_dsum")
+                ).alias("sum_lsn"),
+            )
+            .select(
+                "first_name",
+                "n",
+                "sum_lsn",
+                # a group whose count returns to zero leaves the aggregate
+                F.when(F.col("n") == 0, F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                F.lit(batch_id).cast("long").alias("seq"),
+            )
+        )
+        if changes.isEmpty():
+            return  # churn-free micro-batch: nothing to commit
+        gen = b_man["generation"] + 1
+        for _ in range(100):
+            try:
+                merge_cow(
+                    spark,
+                    agg_dir,
+                    changes,
+                    key_col="first_name",
+                    generation=gen,
+                    txn={"tag": consumer_tag, "batch_id": batch_id},
+                )
+                return
+            except FileExistsError:
+                gen += 1  # orphan from a crashed attempt — skip over
+        raise RuntimeError(f"no free generation number near {gen}")
+
+    return apply
+
+
+def materialize_stream_fed_aggregate(
+    spark: SparkSession, sf_dir: str, tag: str = "t48"
+) -> DataFrame:
+    """T48 end-to-end: CDC table → NATIVE change-feed stream → downstream
+    incremental aggregate, all three hops exactly-once and fully
+    decoupled — the architecture the reference's topology implies
+    (Postgres → topic → consumer, python/cdc_test/main.py:39-53) with the
+    TABLE as the topic and no broker anywhere.
+
+    Producer: the lsn-staged envelope replay drives the t47 MOR sink
+    (merge_mor per micro-batch, mid-chain folds, feed retained).
+    Consumer: ``readStream.format('ezmanifest')
+    .option('changeFeed','true')`` → ``foreachBatch`` applying the
+    signed fold to a downstream manifest table (stream_feed_agg_batch).
+    Unlike t32/t34 — whose consumers run INSIDE the producer's trigger
+    and call the batch change_feed with explicit generation cursors —
+    the t48 consumer is an independent job with its own checkpoint:
+    offsets pick the intervals, the downstream watermark makes replays
+    no-ops, and neither side knows the other's cadence (the operability
+    property that lets N downstream jobs tail one table independently).
+
+    At 100 TB: producer commits O(batch) however keys spread (MOR);
+    each consumer trigger reads O(interval churn) feed rows; the
+    downstream read-modify-write touches only the group keys the
+    interval changed, committed via the stats-pruned merge."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import publish, read_committed
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    table_dir = _dir_for(sf_dir, f"lakehouse-sfa-{tag}-{os.getpid()}")
+    agg_dir = _dir_for(sf_dir, f"sfa-agg-{tag}-{os.getpid()}")
+    for d in (table_dir, agg_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("lsn", LongType()),
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("email", StringType()),
+                ]
+            ),
+        ),
+        table_dir,
+        generation=1,
+        stats_columns=["id"],
+    )
+    publish(
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("first_name", StringType()),
+                    StructField("n", LongType()),
+                    StructField("sum_lsn", LongType()),
+                ]
+            ),
+        ),
+        agg_dir,
+        generation=1,
+        stats_columns=["first_name"],
+    )
+    path = envelopes_jsonl_lsn_split(spark, sf_dir)
+    env = (
+        spark.readStream.schema(ENVELOPE_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    q = (
+        env.writeStream.foreachBatch(mor_cdf_sink_batch(table_dir, tag))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    register_ezmanifest(spark)
+    feed = (
+        spark.readStream.format("ezmanifest")
+        .option("path", table_dir)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q2 = (
+        feed.writeStream.foreachBatch(stream_feed_agg_batch(agg_dir))
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return read_committed(spark, agg_dir)
+
+
 def materialize_mor_change_feed_stream(
     spark: SparkSession, sf_dir: str, tag: str = "t47"
 ) -> DataFrame:
@@ -3186,13 +3411,7 @@ def materialize_mor_change_feed_stream(
     never the table, and the producer never rewrote it either."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from ez_cdc_spark.sources.manifest import (
-        compact_mor,
-        merge_mor,
-        publish,
-        read_manifest,
-        txn_watermark,
-    )
+    from ez_cdc_spark.sources.manifest import publish
     from ez_cdc_spark.sources.pyds import register_ezmanifest
 
     table_dir = _dir_for(sf_dir, f"lakehouse-morcdf-{tag}-{os.getpid()}")
@@ -3218,42 +3437,7 @@ def materialize_mor_change_feed_stream(
         stats_columns=["id"],
     )
 
-    def apply(batch: DataFrame, batch_id: int) -> None:
-        # driver-side foreachBatch callback (runs in THIS interpreter;
-        # the by-value audit whitelists it by name like t30/t33's sinks)
-        man = read_manifest(table_dir)
-        wm = txn_watermark(man, tag) or {}
-        if batch_id <= wm.get("batch_id", -1):
-            return  # already committed — at-least-once replay skipped
-        changes = batch.select(
-            F.coalesce(F.col("after.id"), F.col("before.id"))
-            .cast("bigint")
-            .alias("id"),
-            F.col("source.lsn").cast("bigint").alias("lsn"),
-            F.col("after.first_name").alias("first_name"),
-            F.col("after.last_name").alias("last_name"),
-            F.col("after.email").alias("email"),
-            F.col("op").alias("op"),
-            F.col("source.lsn").cast("bigint").alias("seq"),
-        )
-        merged = merge_mor(
-            batch.sparkSession,
-            table_dir,
-            changes,
-            key_col="id",
-            generation=man["generation"] + 1,
-            txn={"tag": tag, "batch_id": batch_id},
-        )
-        if len(merged.get("delete_files") or []) > 2:
-            # fold mid-chain so the consumer's interval crosses it — but
-            # NO gc/vacuum: the un-consumed feed's generations must stay
-            # retained (consume before reclaiming)
-            compact_mor(
-                batch.sparkSession,
-                table_dir,
-                merged["generation"] + 1,
-                target_files=2,
-            )
+    apply = mor_cdf_sink_batch(table_dir, tag)
 
     path = envelopes_jsonl_lsn_split(spark, sf_dir)
     env = (

@@ -3701,3 +3701,88 @@ def test_t41_event_lake_kill_restart_and_spec_carry(spark, tmp_path, sf_dir):
     )
     with _pytest.raises(ValueError, match="must not carry the derived column"):
         append_hidden_partitioned(bad, td, read_manifest(td)["generation"] + 1)
+
+
+def test_t48_stream_fed_aggregate_restart_and_replay_idempotence(spark, tmp_path):
+    """T48 pins: (a) restart-mid-consume — the decoupled feed consumer
+    drains some commits, the producer lands MORE (including a fold), and
+    a second availableNow run on the same checkpoint applies exactly the
+    new interval's signed deltas (the final aggregate equals the full
+    declarative recompute); (b) replay idempotence — re-invoking the
+    consumer's foreachBatch with an already-watermarked batch_id is a
+    byte-for-byte no-op on the downstream table."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ez_cdc_spark.sources.manifest import (
+        compact_mor,
+        merge_mor,
+        publish,
+        read_committed,
+        read_manifest,
+    )
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+    from ez_cdc_spark.streaming.cdc import stream_feed_agg_batch
+
+    td = tempfile.mkdtemp(prefix="t48_up_")
+    ad = tempfile.mkdtemp(prefix="t48_agg_")
+    for d, fields in (
+        (td, [("id", LongType()), ("lsn", LongType()),
+              ("first_name", StringType())]),
+        (ad, [("first_name", StringType()), ("n", LongType()),
+              ("sum_lsn", LongType())]),
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        publish(
+            spark.createDataFrame(
+                [], StructType([StructField(n, t) for n, t in fields])
+            ),
+            d, 1, stats_columns=[fields[0][0]],
+        )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "id long, lsn long, first_name string, op string, seq long"
+        )
+
+    def drain():
+        register_ezmanifest(spark)
+        q = (
+            spark.readStream.format("ezmanifest")
+            .option("path", td)
+            .option("changeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(stream_feed_agg_batch(ad))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in read_committed(spark, ad).collect()
+        )
+
+    merge_mor(spark, td, batch(
+        [(1, 10, "ann", "c", 10), (2, 11, "bob", "c", 11)]), "id", 2)
+    assert drain() == [("ann", 1, 10), ("bob", 1, 11)]
+
+    # more producer commits, including a fold mid-interval
+    merge_mor(spark, td, batch(
+        [(1, 20, "ann", "u", 20), (3, 21, "ann", "c", 21)]), "id", 3)
+    compact_mor(spark, td, 4, target_files=1)
+    merge_mor(spark, td, batch([(2, 30, None, "d", 30)]), "id", 5)
+    got = drain()  # restart on the same checkpoint
+    assert got == [("ann", 2, 41)]  # ann: lsn 20+21; bob deleted
+
+    # replay idempotence: re-apply an already-watermarked batch_id
+    before = read_manifest(ad)["generation"]
+    fake = spark.createDataFrame(
+        [("insert", 9, 99, "zed", 5)],
+        "_change_type string, id long, lsn long, first_name string, "
+        "_commit_generation long",
+    )
+    last_wm = (read_manifest(ad).get("txns") or {}).get("t48c", {})
+    stream_feed_agg_batch(ad)(fake, last_wm["batch_id"])
+    assert read_manifest(ad)["generation"] == before  # no-op commit-wise
+    assert sorted(tuple(r) for r in read_committed(spark, ad).collect()) == [
+        ("ann", 2, 41)
+    ]
