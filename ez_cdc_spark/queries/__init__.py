@@ -117,17 +117,15 @@ _RANK: dict[str, float] = {
     # driver-visible every round — negative rank floats them ahead of the
     # attested backlog (they sort after unattested/_REATTEST entries, so
     # fresh surface still attests first).
-    # r18 ONE-ROUND exception: ranks sit between the r11 backlog (11) and
-    # r12, not ahead of everything — this round registers THREE new
-    # queries (t47/t48/s36e), and 3 new + 3 floated anchors + the
-    # 45-query r11 cohort = 51 > the ~50-slot cap; the r17 verdict #2
-    # drain criterion ("CORRECTNESS_r18's oldest remaining attestation is
-    # r12") takes the marginal slots. All three anchors were hash-green
-    # in r17, so the one that overflows (x2eb, slot 51) stays one round
-    # fresh, never stale. Restore -3/-2/-1 at the start of round 19.
-    "x3c_ivf_exact": 11.1,
-    "a4b_approx_distinct_anchor": 11.2,
-    "x2eb_lsh_recall_anchor": 11.3,
+    # r19: restored to -3/-2/-1 per the r18 one-round exception's own
+    # instruction (r18 verdict "What's wrong" #1): that round's 3 new
+    # queries + 45-query r11 drain squeezed the anchors to ranks
+    # 11.1-11.3 and overflowed x2eb to slot 51 (one round stale at r17).
+    # This round's slot plan fits the ~50 cap exactly: 3 anchors +
+    # 1 new (s47b) + 2 _REATTEST (t47/t48) + the 44-query r12 cohort.
+    "x3c_ivf_exact": -3,
+    "a4b_approx_distinct_anchor": -2,
+    "x2eb_lsh_recall_anchor": -1,
 }
 
 
