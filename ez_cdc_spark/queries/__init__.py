@@ -101,7 +101,11 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # s30b, t30) were re-verified hash-green by hostile-TZ driver simulation
 # after the change; burning 6 slots would push part of the r11 drain
 # (r17 verdict #2, exactly 45+3+1 = 49 slots) past this round.
-_REATTEST: set[str] = set()
+# r19: t47's MOR feed split changed — the ADVICE r18 medium fix
+# (partition values coerced to the column's logical type instead of the
+# raw Hive directory string) — so the stream's one registered query
+# re-attests.
+_REATTEST: set[str] = {"t47_mor_change_feed_stream"}
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

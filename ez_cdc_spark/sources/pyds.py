@@ -1665,6 +1665,19 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             row-group pruning on the key column, then a vectorized Arrow
             is_in mask — the per-row Python cost is paid only by rows
             that (modulo bloom-less set membership) ARE churn."""
+            if pcol is not None and pval is not None:
+                # the manifest partitions map stores the Hive directory
+                # STRING (ADVICE r18, medium): coerce it once per file to
+                # the column's logical type — _FeedSplit.read's
+                # infer-then-cast, applied here — so the pre/post
+                # multisets carry typed values and the final
+                # pa.array(..., type=field.type) doesn't raise
+                # ArrowInvalid on a LongType/DateType partition column
+                pval = (
+                    pa.array([pval])
+                    .cast(logical.field(pcol).type)[0]
+                    .as_py()
+                )
             pf = pq.ParquetFile(_os.path.join(split.table_dir, rel))
             kept_groups = _kept_row_groups(pf)
             if kept_groups == []:

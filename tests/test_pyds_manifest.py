@@ -1675,6 +1675,63 @@ def test_mor_change_feed_stream_partitioned_key_moves_partition(
     )
 
 
+def test_mor_change_feed_stream_long_partition_column(spark, tmp_path):
+    """ADVICE r18 (medium): the manifest partitions map stores the Hive
+    directory STRING, and the MOR feed split used to inject it verbatim
+    into the typed output arrays — ArrowInvalid on any non-string
+    partition column, a shape merge_mor supports. The split now coerces
+    the value once per file to the column's logical type (the T46
+    split's infer-then-cast), so a LongType-partitioned MOR commit
+    feeds exactly — including a key that moves partitions and a
+    delete."""
+    from ez_cdc_spark.sources.manifest import merge_mor, publish_partitioned
+
+    d = os.path.join(SCRATCH, "mor_cdf_part_long")
+    shutil.rmtree(d, ignore_errors=True)
+    seed = spark.createDataFrame(
+        [(1, 10, 7), (2, 11, 8)], "id long, lsn long, shard long"
+    )
+    publish_partitioned(seed, d, 1, partition_col="shard", stats_columns=["id"])
+    merge_mor(
+        spark, d,
+        spark.createDataFrame(
+            [(1, 20, 8, "u", 20), (3, 21, 7, "c", 21), (2, 22, 8, "d", 22)],
+            "id long, lsn long, shard long, op string, seq long",
+        ),
+        "id", 2,
+    )
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("_change_type", "id", "lsn", "shard", "_commit_generation")
+        .collect()
+    )
+    assert got == sorted(
+        [
+            ("insert", 1, 10, 7, 1),
+            ("insert", 2, 11, 8, 1),
+            ("update_preimage", 1, 10, 7, 2),
+            ("update_postimage", 1, 20, 8, 2),
+            ("insert", 3, 21, 7, 2),
+            ("delete", 2, 11, 8, 2),
+        ]
+    )
+
+
 def test_bloom_sidecar_chain_stays_bounded_under_append_heavy_load(spark):
     """r17 verdict #6: each bloom-carrying append adds one sidecar, so an
     append-heavy steady state once made table_blooms walk O(appends)
