@@ -104,8 +104,11 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # r19: t47's MOR feed split changed — the ADVICE r18 medium fix
 # (partition values coerced to the column's logical type instead of the
 # raw Hive directory string) — so the stream's one registered query
-# re-attests.
-_REATTEST: set[str] = {"t47_mor_change_feed_stream"}
+# re-attests. t48's consumer hot path changed too (the churn-free
+# short-circuit moved from an isEmpty() on the built delta pipeline —
+# which executed the whole delta/groupBy/join once before merge_cow
+# recomputed it — to the micro-batch itself, ADVICE r18).
+_REATTEST: set[str] = {"t47_mor_change_feed_stream", "t48_stream_fed_aggregate"}
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative
 # ranks float a query ahead of everything; by default the ATTESTED group

@@ -3228,6 +3228,16 @@ def stream_feed_agg_batch(agg_dir: str, consumer_tag: str = "t48c"):
         wm = txn_watermark(b_man, consumer_tag) or {}
         if batch_id <= wm.get("batch_id", -1):
             return
+        if batch.isEmpty():
+            # churn-free micro-batch: nothing to commit. Checked on the
+            # BATCH, not downstream of the delta/join pipeline — a
+            # nonempty feed batch always yields a nonempty delta (every
+            # row signs ±1 into some group), and an isEmpty() on the
+            # built `changes` executed the whole delta/groupBy/join once
+            # just to test emptiness before merge_cow recomputed it —
+            # two full jobs per micro-batch on the consumer hot path
+            # (ADVICE r18).
+            return
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
@@ -3256,8 +3266,6 @@ def stream_feed_agg_batch(agg_dir: str, consumer_tag: str = "t48c"):
                 F.lit(batch_id).cast("long").alias("seq"),
             )
         )
-        if changes.isEmpty():
-            return  # churn-free micro-batch: nothing to commit
         gen = b_man["generation"] + 1
         for _ in range(100):
             try:
