@@ -583,6 +583,63 @@ def _collect_stats(
     )
 
 
+_FEED_BASE_BUCKETS = 64
+
+
+def _stable_bucket64(v) -> int:
+    """Python twin of the change-feed reader's ``_stable_bucket(v, 64)``
+    (sources/pyds.py — nested there so the data source stays cloudpickle
+    self-contained): crc32 over a type-tagged utf-8 rendering. The two
+    MUST agree for every value of a b64-eligible key type (integral
+    non-boolean, string): merge_mor records write-side base-bucket key
+    counts that the feed planner uses to SKIP churn-free bucket splits
+    and delete files, so a disagreement would silently drop feed rows.
+    Parity (Python twin ↔ Spark expression ↔ end-to-end feed) is pinned
+    in tests/test_pyds_manifest.py."""
+    import zlib
+
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        r = f"b{int(v)}"
+    elif isinstance(v, int):
+        r = f"i{v}"
+    elif isinstance(v, str):
+        r = "s" + v
+    else:
+        raise TypeError(f"not a b64-eligible key value: {type(v).__name__}")
+    return zlib.crc32(r.encode("utf-8")) % _FEED_BASE_BUCKETS
+
+
+def _bucket64_counts(final: DataFrame, key_col: str) -> dict | None:
+    """Distributed per-base-bucket churn-key counts for one merge_mor
+    batch — ``{str(bucket): count}`` over :data:`_FEED_BASE_BUCKETS`
+    buckets — or None when the key type cannot be hashed bit-identically
+    to the reader's Python ``_stable_bucket`` (floats: Python repr vs
+    JVM cast rendering; booleans: 'true' vs 'b1'; temporals). The agg is
+    one map-side-combined job over the already-resolved batch with a
+    ≤64-row collect — no churn key ever reaches the driver (the feed
+    planner's own stated discipline)."""
+    from pyspark.sql import functions as F  # noqa: N812
+    from pyspark.sql import types as T  # noqa: N812
+
+    dt = final.schema[key_col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        prefix = "i"
+    elif isinstance(dt, T.StringType):
+        prefix = "s"
+    else:
+        return None
+    enc = F.encode(
+        F.concat(F.lit(prefix), F.col(key_col).cast("string")), "UTF-8"
+    )
+    bucket = F.when(F.col(key_col).isNull(), F.lit(0)).otherwise(
+        F.pmod(F.crc32(enc), F.lit(_FEED_BASE_BUCKETS))
+    )
+    rows = final.groupBy(bucket.alias("_b64")).count().collect()
+    return {str(int(r["_b64"])): int(r["count"]) for r in rows}
+
+
 def _norm(v):
     """Normalize a stats/bound/key value to a comparable (kind, value)
     pair, or None when no provable comparison exists. All pruning
@@ -2823,13 +2880,52 @@ def change_feed(
     added = [os.path.join(table_dir, r) for r in added_rel]
     old = _read_files(spark, m_from, table_dir, removed)
     new = _read_files(spark, m_to, table_dir, added)
-    # align to the FROM schema's columns plus any TO-side additions
-    # (additive evolution widens; exceptAll needs identical shapes)
     cols = [f["name"] for f in (m_to.get("schema") or m_from["schema"])["fields"]]
-    for c in cols:
-        if c not in old.columns:
-            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
-    old, new = old.select(*cols), new.select(*cols)
+    e_from = int(m_from.get("epoch", 0) or 0)
+    e_to = int(m_to.get("epoch", 0) or 0)
+    if e_from != e_to:
+        # rename/drop era crossing (r19 — found by the epoch-refusal pin
+        # test): each side reads at ITS OWN logical plane, so the old
+        # name-based alignment treated a renamed column as an additive
+        # evolution and silently NULL-filled the whole FROM side — a
+        # wrong feed, the one class this module must never emit. Align
+        # the FROM side to the TO plane via the TO manifest's era map
+        # for the FROM era: its values are that era's physical names,
+        # which ARE the FROM generation's logical names (era maps open
+        # as identity, renames rekey only the logical key side, mid-era
+        # additions extend the then-current map — evolve_schema). A TO
+        # column absent there did not exist at FROM, or was dropped and
+        # re-added across the interval — honest NULL, never the
+        # resurrection bug the era boundary exists to prevent.
+        era = (m_to.get("epoch_maps") or {}).get(str(e_from))
+        if era is None:
+            raise ValueError(
+                f"change_feed cannot align generation {from_generation} "
+                f"(era {e_from}) to generation {to_generation}'s schema: "
+                f"no era map recorded — consume before the rename/drop, "
+                f"or diff read_committed snapshots"
+            )
+        to_types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(m_to["schema"]).fields
+        }
+        from_names = set(old.columns)
+        old = old.select(
+            *[
+                F.col(era[c]).alias(c)
+                if era.get(c) in from_names
+                else F.lit(None).cast(to_types[c]).alias(c)
+                for c in cols
+            ]
+        )
+    else:
+        # same era: additive evolution only — NULL-fill TO-side additions
+        # (exceptAll needs identical shapes)
+        for c in cols:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        old = old.select(*cols)
+    new = new.select(*cols)
     gone = old.exceptAll(new)  # pre-images of updates + deleted rows
     came = new.exceptAll(old)  # post-images of updates + inserted rows
     return _classify_feed(gone, came, key_col, cols)
@@ -3295,6 +3391,33 @@ def merge_mor(
     }
     stats = manifest.get("stats", {})
     stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
+    # T47 feed-planning metadata (r18 verdict #4 / ADVICE r18): per
+    # delete file, the key column's footer [min, max] (the same
+    # _collect_stats encoding every pruning comparison already speaks)
+    # plus — when the key type hash-portably matches the feed reader's
+    # _stable_bucket encoding — the batch's key counts over 64 base hash
+    # buckets. The feed plans one split per key-hash bucket; with
+    # 64 % feedBuckets == 0 a feed bucket's keys live exactly in the
+    # base buckets congruent to it, so planning can SKIP churn-free
+    # bucket splits and delete files with no keys in a split's bucket
+    # without reading a single churn key on the driver, and each split
+    # prunes the parent's delete log against its own key range before
+    # reading — cutting the old N_buckets× re-read of the hottest files.
+    # Pure metadata: a reader that doesn't find it reads everything,
+    # exactly as before this was recorded.
+    delete_meta = dict(manifest.get("delete_meta") or {})
+    d_stats = _collect_stats(
+        spark,
+        table_dir,
+        [os.path.join(table_dir, rel) for rel in delete_rels],
+        [key_col],
+    )
+    b64 = _bucket64_counts(final, key_col) if len(delete_rels) == 1 else None
+    for rel in delete_rels:
+        entry: dict = {"range": (d_stats.get(rel) or {}).get(key_col)}
+        if b64 is not None:
+            entry["b64"] = b64
+        delete_meta[rel] = entry
     new_manifest = {
         "generation": generation,
         "files": manifest["files"] + new_rels,
@@ -3306,6 +3429,7 @@ def merge_mor(
             **(manifest.get("delete_seq") or {}),
             **{rel: generation for rel in delete_rels},
         },
+        "delete_meta": delete_meta,
         "mor_key": key_col,
         "stats": {
             **stats,

@@ -1881,3 +1881,244 @@ def test_mor_change_feed_stream_live_tail_races_producer(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_stable_bucket64_parity_spark_python(spark):
+    """r19 delete-read cut, the load-bearing invariant: the write-side
+    Spark bucket expression (_bucket64_counts), its Python twin
+    (_stable_bucket64), and the feed reader's nested _stable_bucket must
+    agree per key value — planning SKIPS splits and delete files from
+    the write-side counts, so a disagreement silently drops feed rows.
+    The reader side is pinned end-to-end by the planning-skip tests
+    below (a wrong skip breaks their exact-feed assertions); here the
+    write-side pair is pinned directly on adversarial values, and the
+    non-portable key types are pinned to OPT OUT (record nothing)."""
+    from collections import Counter
+
+    from ez_cdc_spark.sources.manifest import (
+        _bucket64_counts,
+        _stable_bucket64,
+    )
+
+    ints = [0, 1, -1, 5, 63, 64, 2**40, -(2**40), 999999937, 7, 7]
+    got = _bucket64_counts(
+        spark.createDataFrame([(v,) for v in ints], "k long"), "k"
+    )
+    want = Counter(str(_stable_bucket64(v)) for v in ints)
+    assert got == dict(want)
+
+    strs = ["", "a", "alex", "ünïcode-ключ", "foley", None]
+    got_s = _bucket64_counts(
+        spark.createDataFrame([(v,) for v in strs], "k string"), "k"
+    )
+    want_s = Counter(str(_stable_bucket64(v)) for v in strs)
+    assert got_s == dict(want_s)
+    assert _stable_bucket64(None) == 0
+
+    # non-portable key types: no counts recorded (conservative read path)
+    assert _bucket64_counts(
+        spark.createDataFrame([(1.5,)], "k double"), "k"
+    ) is None
+    assert _bucket64_counts(
+        spark.createDataFrame([(True,)], "k boolean"), "k"
+    ) is None
+
+
+def _feed_reader(d, n_buckets=8):
+    from ez_cdc_spark.sources.pyds import make_ezmanifest_source
+
+    ds = make_ezmanifest_source()(
+        options={"path": d, "changefeed": "true", "feedbuckets": str(n_buckets)}
+    )
+    return ds.streamReader(None)
+
+
+def _drain_splits(reader, start, end, monkeypatch):
+    """Plan the interval and read every split driver-side, counting
+    pq.read_table paths (the MOR feed reads delete files ONLY through
+    read_table; data files go through ParquetFile)."""
+    import pyarrow.parquet as pq
+
+    reads = []
+    orig = pq.read_table
+
+    def counting(path, *a, **kw):
+        reads.append(os.path.normpath(str(path)))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr("pyarrow.parquet.read_table", counting)
+    splits = reader.partitions({"gen": start}, {"gen": end})
+    rows = []
+    for sp in splits:
+        for batch in reader.read(sp) or []:
+            cols = batch.to_pydict()
+            names = list(cols)
+            rows.extend(
+                tuple(cols[n][i] for n in names)
+                for i in range(batch.num_rows)
+            )
+    monkeypatch.setattr("pyarrow.parquet.read_table", orig)
+    return splits, rows, reads
+
+
+def test_mor_feed_planning_skips_churnfree_buckets_and_files(
+    spark, monkeypatch
+):
+    """r18 verdict #4 / ADVICE r18: every one of the N feedBuckets splits
+    used to read the commit's full churn key column and keep ~1/N. With
+    merge_mor's recorded base-bucket counts, planning creates splits ONLY
+    for buckets that hold churn, and the commit's delete file is read
+    exactly once per live bucket — pinned here at the split level, with
+    the feed content still exact."""
+    from ez_cdc_spark.sources.manifest import (
+        _stable_bucket64,
+        merge_mor,
+        publish,
+        read_manifest,
+    )
+
+    d = os.path.join(SCRATCH, "feed_bucket_skip")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(200).selectExpr("id AS k", "id*2 AS v"),
+        d, 1, stats_columns=["k"],
+    )
+    churn = [(5, 500, "u", 1), (17, 1700, "u", 2), (777, 7, "c", 3), (9, 0, "d", 4)]
+    merge_mor(
+        spark, d,
+        spark.createDataFrame(churn, "k long, v long, op string, seq long"),
+        "k", 2,
+    )
+    man = read_manifest(d)
+    drel = [r for r in man["delete_files"]][0]
+    meta = man["delete_meta"][drel]
+    want_buckets = {_stable_bucket64(k) % 8 for k, *_ in churn}
+    assert {int(b) % 8 for b, n in meta["b64"].items() if n} == want_buckets
+    assert meta["range"] == [5, 777]
+
+    reader = _feed_reader(d, n_buckets=8)
+    splits, rows, reads = _drain_splits(reader, 1, 2, monkeypatch)
+    assert {sp.bucket for sp in splits} == want_buckets
+    assert all(sp.new_delete_rels == [drel] for sp in splits)
+    # the commit's delete file: exactly one read per LIVE bucket (the old
+    # plan read it 8 times); no other read_table call happens here (the
+    # parent has no delete log, data files go through ParquetFile)
+    dpath = os.path.normpath(os.path.join(d, drel))
+    assert reads.count(dpath) == len(want_buckets)
+    assert len(reads) == len(want_buckets)
+
+    assert sorted(rows) == sorted(
+        [
+            ("update_preimage", 5, 10, 2),
+            ("update_postimage", 5, 500, 2),
+            ("update_preimage", 17, 34, 2),
+            ("update_postimage", 17, 1700, 2),
+            ("insert", 777, 7, 2),
+            ("delete", 9, 18, 2),
+        ]
+    )
+
+
+def test_mor_feed_parent_delete_log_range_pruned(spark, monkeypatch):
+    """r18 verdict #4, second half: a bucket with pre-image work used to
+    re-read the parent's ENTIRE delete log. With per-delete-file key
+    ranges recorded at merge time, a split prunes parent delete files
+    whose range provably excludes its churn keys — here the older
+    commit's delete log (keys 0..9) is never opened while feeding the
+    newer commit (keys 500..509), and the feed is still exact."""
+    from ez_cdc_spark.sources.manifest import merge_mor, publish, read_manifest
+
+    d = os.path.join(SCRATCH, "feed_parent_prune")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(1000).selectExpr("id AS k", "id*2 AS v"),
+        d, 1, stats_columns=["k"],
+    )
+    merge_mor(
+        spark, d,
+        spark.range(10).selectExpr(
+            "id AS k", "id*10 AS v", "'u' AS op", "id AS seq"
+        ),
+        "k", 2,
+    )
+    merge_mor(
+        spark, d,
+        spark.range(500, 510).selectExpr(
+            "id AS k", "id*3 AS v", "'u' AS op", "id AS seq"
+        ),
+        "k", 3,
+    )
+    man = read_manifest(d)
+    d2rel, d3rel = man["delete_files"][0], man["delete_files"][1]
+    assert man["delete_meta"][d2rel]["range"] == [0, 9]
+    assert man["delete_meta"][d3rel]["range"] == [500, 509]
+
+    reader = _feed_reader(d, n_buckets=8)
+    splits, rows, reads = _drain_splits(reader, 2, 3, monkeypatch)
+    d2path = os.path.normpath(os.path.join(d, d2rel))
+    assert d2path not in reads  # parent delete log provably irrelevant
+    assert all(r.endswith(".parquet") for r in reads)
+    assert sorted(rows) == sorted(
+        [("update_preimage", k, k * 2, 3) for k in range(500, 510)]
+        + [("update_postimage", k, k * 3, 3) for k in range(500, 510)]
+    )
+
+
+def test_change_feed_stream_epoch_refusal_names_batch_owner(spark, tmp_path):
+    """r18 verdict #5 / SURVEY r19 #3: the changeFeed STREAM refuses
+    rename/drop-mapped (epoch_maps) history for both commit shapes — the
+    stream's splits read files by physical name and cannot map per-era
+    columns — and the refusal must name the batch owner, which DOES
+    resolve eras via _read_files. Pinned: the exact refusal class on an
+    era-crossing interval, and the named batch path serving the same
+    changes with the renamed logical column."""
+    import pytest as _pytest
+
+    from ez_cdc_spark.sources.manifest import (
+        change_feed,
+        merge_cow,
+        rename_column,
+    )
+
+    d, _ = _feed_table(spark, "cdf_refuse_epoch")
+    merge_cow(
+        spark, d, _feed_batch(spark, [(1, 10, "a@x", "c", 10)]),
+        "id", 2, record_change_feed=True,
+    )
+    rename_column(d, 3, "email", "mail")
+    merge_cow(
+        spark, d,
+        spark.createDataFrame(
+            [(1, 20, "a2@x", "u", 20)],
+            "id long, lsn long, mail string, op string, seq long",
+        ),
+        "id", 4, record_change_feed=True,
+    )
+    register_ezmanifest(spark)
+    q = (
+        spark.readStream.format("ezmanifest")
+        .option("path", d)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="rename/drop history"):
+        q.awaitTermination()
+
+    # the refusal's named owner: the batch change_feed resolves the
+    # era-crossing interval (pre-rename files answer under the renamed
+    # logical column via the epoch maps)
+    got = sorted(
+        tuple(r)
+        for r in change_feed(spark, d, 2, 4, key_col="id")
+        .select("_change_type", "id", "lsn", "mail")
+        .collect()
+    )
+    assert got == [
+        ("update_postimage", 1, 20, "a2@x"),
+        ("update_preimage", 1, 10, "a@x"),
+    ]
