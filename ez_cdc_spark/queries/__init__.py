@@ -101,9 +101,13 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # s30b, t30) were re-verified hash-green by hostile-TZ driver simulation
 # after the change; burning 6 slots would push part of the r11 drain
 # (r17 verdict #2, exactly 45+3+1 = 49 slots) past this round.
-# r19: t47's MOR feed split changed — the ADVICE r18 medium fix
+# r19: t47's MOR feed split changed twice — the ADVICE r18 medium fix
 # (partition values coerced to the column's logical type instead of the
-# raw Hive directory string) — so the stream's one registered query
+# raw Hive directory string) and the delete-read redundancy cut (r18
+# verdict #4: merge_mor records per-delete-file base-bucket key counts
+# and key ranges; planning skips churn-free bucket splits and hands each
+# split only its bucket's delete files; splits prune the parent delete
+# log by recorded range) — so the stream's one registered query
 # re-attests. t48's consumer hot path changed too (the churn-free
 # short-circuit moved from an isEmpty() on the built delta pipeline —
 # which executed the whole delta/groupBy/join once before merge_cow

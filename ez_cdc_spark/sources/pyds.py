@@ -1481,7 +1481,9 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         """One key-hash bucket of one merge_mor commit's churn feed
         (T47). Carries everything one executor needs to emit the
         bucket's classified change rows WITHOUT a shuffle: the commit's
-        new equality-delete files (the churn key set), the commit's own
+        new equality-delete files (the churn key set, pre-filtered at
+        planning to the files whose recorded base-bucket counts admit
+        THIS bucket), the commit's own
         new data files (the post-image side — the commit's delete entry
         carries the commit's sequence and therefore kills every OLDER
         version of a changed key, so a changed key's live post-image
@@ -1505,12 +1507,25 @@ def make_ezmanifest_source(with_pushdown: bool = True):
             self.new_data = new_data  # [(rel, partition_value)]
             self.parent_spec = parent_spec
 
+    _FEED_BASE_BUCKETS = 64  # must equal manifest._FEED_BASE_BUCKETS
+
     def _plan_mor_commit(table_dir, man, parent, n_buckets):
         """Driver-side planning of one merge_mor commit's feed: one
         split per key-hash bucket. O(files) tuples per split (rel, seq,
         partition value, key stat range — same order as any manifest-
         planned scan); the churn keys themselves are never read on the
-        driver."""
+        driver.
+
+        r19 (r18 verdict #4 / ADVICE r18): merge_mor now records, per
+        delete file, the batch's key counts over 64 base hash buckets
+        plus the key column's footer range (``delete_meta``). With
+        ``64 % n_buckets == 0`` a feed bucket's keys live exactly in the
+        base buckets congruent to it mod n_buckets, so planning skips
+        creating splits for churn-free buckets and hands each split only
+        the delete files that may hold its bucket's keys — the old plan
+        made every one of N splits read every churn key. Delete files
+        without recorded counts (pre-r19 manifests, non-portable key
+        types) keep every bucket live, exactly the old behavior."""
         g = man["generation"]
         key_col = man["mor_key"]
         pd_old = set(parent.get("delete_files") or [])
@@ -1519,6 +1534,24 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         ]
         if not new_drels:
             return []
+
+        dmeta = man.get("delete_meta") or {}
+
+        def _file_buckets(rel):
+            # feed buckets this delete file can hold keys for; None =
+            # unknown (no recorded counts / incompatible bucket count)
+            b64 = (dmeta.get(rel) or {}).get("b64")
+            if b64 is None or _FEED_BASE_BUCKETS % n_buckets != 0:
+                return None
+            return {int(b) % n_buckets for b, n in b64.items() if n}
+
+        per_file = {rel: _file_buckets(rel) for rel in new_drels}
+        live = set()
+        for fb in per_file.values():
+            live |= set(range(n_buckets)) if fb is None else fb
+        if not live:
+            return []  # provably churn-free commit (empty delete files)
+
         old_files = set(parent["files"])
         pcol = man.get("partition_col")
         parts = man.get("partitions", {})
@@ -1532,6 +1565,7 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         p_fseq = parent.get("file_seq", {})
         p_stats = parent.get("stats", {})
         p_dseq = parent.get("delete_seq") or {}
+        p_dmeta = parent.get("delete_meta") or {}
         parent_spec = {
             "files": [
                 (
@@ -1542,8 +1576,15 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 )
                 for rel in parent["files"]
             ],
+            # (rel, kill sequence, recorded key range) — the range lets a
+            # split prune the parent's delete log against its own churn
+            # keys before reading (None = no recorded range, always read)
             "delete_files": [
-                (rel, int(p_dseq.get(rel, 0)))
+                (
+                    rel,
+                    int(p_dseq.get(rel, 0)),
+                    (p_dmeta.get(rel) or {}).get("range"),
+                )
                 for rel in (parent.get("delete_files") or [])
             ],
             "pcol": p_pcol,
@@ -1552,9 +1593,14 @@ def make_ezmanifest_source(with_pushdown: bool = True):
         return [
             _MorFeedSplit(
                 table_dir, g, b, n_buckets, key_col, pcol, schema_json,
-                new_drels, new_data, parent_spec,
+                [
+                    rel
+                    for rel in new_drels
+                    if per_file[rel] is None or b in per_file[rel]
+                ],
+                new_data, parent_spec,
             )
-            for b in range(n_buckets)
+            for b in sorted(live)
         ]
 
     def _read_mor_feed_split(split):
@@ -1732,7 +1778,12 @@ def make_ezmanifest_source(with_pushdown: bool = True):
                 pre_rows.append((row, seq))
         dmax = {}
         if split.parent_spec["delete_files"] and pre_rows:
-            for rel, dseq in split.parent_spec["delete_files"]:
+            for rel, dseq, rng in split.parent_spec["delete_files"]:
+                if not _may_contain(rng):
+                    # recorded key range excludes every churn key in this
+                    # bucket — the file holds no relevant delete entries
+                    # (r19: cuts the per-bucket full-delete-log re-read)
+                    continue
                 col = pq.read_table(
                     _os.path.join(split.table_dir, rel), columns=[key_col]
                 ).column(key_col)
