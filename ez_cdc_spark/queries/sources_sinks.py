@@ -3898,6 +3898,111 @@ def s47_bloom_point_lookup(spark, sf_dir):
 
 
 @register(
+    "s47b_bloom_fold_lookup",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+FROM customer
+WHERE c_custkey IN (7, 42, 99, 123, 148)
+ORDER BY c_custkey
+""",
+    doc="S47b (r18 verdict #2): point lookups answered through a FOLDED "
+    "bloom sidecar chain. The r18 fold (_carry_bloom_meta, "
+    "_BLOOM_FOLD_EVERY=8) bounds driver-side sidecar reads per lookup "
+    "by rewriting the chain's union — pruned to live files — as ONE "
+    "sidecar every 8 bloom-carrying commits, but no registered rig ever "
+    "crossed 8 such commits, so the folded-chain read path was pinned "
+    "only in pytest, never under driver attestation. This rig publishes "
+    "a bloom-indexed table and appends NINE more bloom-carrying slices "
+    "(10 commits total: the fold provably executes at commit 8 — the "
+    "rig asserts the chain length matches the fold schedule exactly and "
+    "that every live file keeps its bloom entry through the fold), then "
+    "answers the s47 point-lookup shape strictly through the folded "
+    "chain: pruneFiles planning must keep fewer splits than files for "
+    "each present key, and an absent key must keep zero files. At "
+    "100 TB the fold is the difference between O(appends) and O(1) "
+    "sidecar reads per lookup on an append-heavy table.",
+)
+def s47b_bloom_fold_lookup(spark, sf_dir):
+    import shutil
+
+    from ez_cdc_spark.sources.manifest import (
+        _BLOOM_FOLD_EVERY,
+        bloom_pruned_files,
+        publish,
+        publish_append,
+        read_manifest,
+        table_blooms,
+    )
+    from ez_cdc_spark.sources.pyds import register_ezmanifest
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        dec("c_acctbal").cast("double").alias("bal"),
+    )
+    table_dir = _scratch(sf_dir, "s47bloomfold")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    # ten disjoint key slices (c_custkey mod 10) -> each append's key
+    # min/max spans nearly the whole key range, so stats pruning is
+    # useless and only the bloom chain can prune the point lookups
+    publish(
+        c.filter(F.col("c_custkey") % 10 == 0).repartitionByRange(2, "nationkey"),
+        table_dir,
+        generation=1,
+        stats_columns=["nationkey", "c_custkey"],
+        bloom_columns=["c_custkey"],
+    )
+    for i in range(1, 10):
+        publish_append(
+            c.filter(F.col("c_custkey") % 10 == i).coalesce(1),
+            table_dir,
+            generation=1 + i,
+        )
+    man = read_manifest(table_dir)
+    side = man["bloom_meta"]["sidecars"]
+    # the fold MUST have executed: replay its schedule (one sidecar per
+    # bloom-carrying commit, chain folds to 1 when it would reach the
+    # cap) and require the manifest to match it exactly — and to be
+    # strictly shorter than the 10 unfolded commits would have left
+    expect = 0
+    for _ in range(10):
+        expect = 1 if expect >= _BLOOM_FOLD_EVERY - 1 else expect + 1
+    if len(side) != expect or len(side) >= 10:
+        raise AssertionError(
+            f"fold schedule violated: chain={len(side)} expected={expect}"
+        )
+    blooms = table_blooms(table_dir, man)
+    missing = [
+        rel for rel in man["files"] if "c_custkey" not in blooms.get(rel, {})
+    ]
+    if missing:
+        raise AssertionError(f"fold lost bloom entries: {missing}")
+    register_ezmanifest(spark)
+    n_files = man["n_files"]
+
+    out = None
+    for k in [7, 42, 99, 123, 148]:
+        lake = (
+            spark.read.format("ezmanifest")
+            .option("path", table_dir)
+            .option("pruneFiles", "true")
+            .load()
+        )
+        point = lake.filter(F.col("c_custkey") == k)
+        if point.rdd.getNumPartitions() >= n_files:
+            raise AssertionError(
+                f"folded bloom chain must prune the lookup below {n_files}"
+            )
+        out = point if out is None else out.unionByName(point)
+    kept, _ = bloom_pruned_files(table_dir, "c_custkey", 10**12)
+    if kept:
+        raise AssertionError("absent key must skip every file")
+    return out.orderBy("c_custkey")
+
+
+@register(
     "s44b_manifest_datasource_write_partitioned",
     oracle="""
 SELECT c_nationkey,
