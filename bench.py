@@ -516,12 +516,26 @@ def main() -> None:
     calib_end = _calibrate()
     calib_samples.append([len(timings), calib_end])
     load_end = _loadavg()
+    # r18 verdict #5: the gate verdict must cover the END of the run too —
+    # the r18 run passed the gate at loadavg 1.x and ENDED at 6.5, so a
+    # start-only verdict can bless a run whose tail was contended. Record
+    # both, plus a single spread flag over the interleaved probes: if the
+    # slowest fixed-work sample exceeds the fastest by >15%, ambient load
+    # moved during the window and cross-round ev/s rows from this run
+    # should not be compared without reading the probe profile.
+    loadavg_gate["passed_end"] = (
+        bool((load_end or [0.0])[0] <= gate) if gate > 0 else None
+    )
+    probe_vals = [s[1] for s in calib_samples] + list(throughput_bracket.values())
+    probe_spread = (max(probe_vals) / min(probe_vals) - 1.0) if probe_vals else 0.0
     calibration = {
         "calibration_sec": [calib_start, calib_end],
         "calibration_interleaved": calib_samples,
         "calibration_throughput_bracket": {
             k: round(v, 3) for k, v in throughput_bracket.items()
         },
+        "calibration_spread": round(probe_spread, 4),
+        "calibration_spread_flagged": bool(probe_spread > 0.15),
         "loadavg_1_5_15": {"start": load_start, "end": load_end},
         "loadavg_gate": loadavg_gate,
     }
