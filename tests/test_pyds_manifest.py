@@ -2064,6 +2064,66 @@ def test_mor_feed_parent_delete_log_range_pruned(spark, monkeypatch):
     )
 
 
+def test_mor_feed_pre_r19_manifest_reads_everything(spark, monkeypatch):
+    """The delete-read cut is pure metadata (manifest.py delete_meta):
+    a manifest recorded before it existed must plan a split for EVERY
+    feed bucket, hand the commit's delete file to each, and never
+    range-prune the parent's delete log — exactly the old behavior,
+    with the feed content still exact."""
+    import json as _json
+
+    from ez_cdc_spark.sources.manifest import (
+        _manifest_path,
+        read_manifest,
+    )
+
+    d = os.path.join(SCRATCH, "feed_pre_r19")
+    shutil.rmtree(d, ignore_errors=True)
+    publish(
+        spark.range(100).selectExpr("id AS k", "id*2 AS v"),
+        d, 1, stats_columns=["k"],
+    )
+    merge_mor(
+        spark, d,
+        spark.range(5).selectExpr(
+            "id AS k", "id*10 AS v", "'u' AS op", "id AS seq"
+        ),
+        "k", 2,
+    )
+    merge_mor(
+        spark, d,
+        spark.createDataFrame([(50, 999, "u", 50)], "k long, v long, op string, seq long"),
+        "k", 3,
+    )
+    # simulate a pre-r19 writer: strip the feed-planning metadata from
+    # the committed (immutable-but-local-JSON) manifests
+    for g in (2, 3):
+        p = _manifest_path(d, g)
+        with open(p) as fh:
+            man = _json.load(fh)
+        man.pop("delete_meta", None)
+        with open(p, "w") as fh:
+            _json.dump(man, fh)
+    man = read_manifest(d)
+    assert "delete_meta" not in man
+    d2rel, d3rel = man["delete_files"][0], man["delete_files"][1]
+
+    reader = _feed_reader(d, n_buckets=8)
+    splits, rows, reads = _drain_splits(reader, 2, 3, monkeypatch)
+    # without counts every bucket is live and every split gets the file
+    assert {sp.bucket for sp in splits} == set(range(8))
+    assert all(sp.new_delete_rels == [d3rel] for sp in splits)
+    d3path = os.path.normpath(os.path.join(d, d3rel))
+    assert reads.count(d3path) == 8
+    # without a recorded range the pre-image bucket cannot prune the
+    # parent's (provably irrelevant: keys 0..4 vs churn key 50) delete log
+    d2path = os.path.normpath(os.path.join(d, d2rel))
+    assert d2path in reads
+    assert sorted(rows) == sorted(
+        [("update_preimage", 50, 100, 3), ("update_postimage", 50, 999, 3)]
+    )
+
+
 def test_change_feed_stream_epoch_refusal_names_batch_owner(spark, tmp_path):
     """r18 verdict #5 / SURVEY r19 #3: the changeFeed STREAM refuses
     rename/drop-mapped (epoch_maps) history for both commit shapes — the
