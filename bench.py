@@ -103,9 +103,9 @@ STREAM_QUERIES = ["t2_tumbling_window", "t9_cdc_upsert"]
 # at the end of the run so the driver's tail capture can't truncate them away
 # (r10 verdict, "What's wrong" #1). Update each round.
 NEW_THIS_ROUND = [
+    "s47b_bloom_fold_lookup",
     "t47_mor_change_feed_stream",
     "t48_stream_fed_aggregate",
-    "s36e_clustered_mor_fold",
 ]
 
 EXTRA_QUERIES = [
@@ -119,6 +119,9 @@ EXTRA_QUERIES = [
     "t47_mor_change_feed_stream",
     "t48_stream_fed_aggregate",
     "s36e_clustered_mor_fold",
+    # r19: point lookup answered strictly through the FOLDED bloom
+    # sidecar chain (nine bloom-carrying appends, fold fires at 8)
+    "s47b_bloom_fold_lookup",
     "s44c_manifest_writer_merge_schema",
     "t45_manifest_stream_cascade",
     "t44_manifest_native_stream_sink",
