@@ -2571,9 +2571,16 @@ def x2eb_lsh_recall_anchor(spark, sf_dir):
     from ez_cdc_spark.functions.similarity import lsh_neardup_pairs, neardup_pairs
 
     e = t(spark, sf_dir, "embeddings")
-    exact = neardup_pairs(e, threshold=0.4).select("id_a", "id_b")
-    lsh = lsh_neardup_pairs(e, threshold=0.4, n_bits=64, bands=16).select(
-        "id_a", "id_b"
+    # Optimization r19 (guide §5 caching): both pair sets feed TWO
+    # consumers each — their own count and the semi-join — so without a
+    # persist the brute-force GEMM (exact) and the LSH banding pipeline
+    # each execute twice per run. The pair lists are threshold-bounded;
+    # cache them for the three tiny aggregates.
+    exact = neardup_pairs(e, threshold=0.4).select("id_a", "id_b").persist()
+    lsh = (
+        lsh_neardup_pairs(e, threshold=0.4, n_bits=64, bands=16)
+        .select("id_a", "id_b")
+        .persist()
     )
     matched = lsh.join(exact, on=["id_a", "id_b"], how="left_semi")
     stats = exact.agg(F.count("*").alias("n_exact")).crossJoin(

@@ -35,6 +35,14 @@ _BASE_CONF = {
     # arithmetic is ANSI-safe by construction (e.g. the minhash permutations
     # bound a*h+b under 2^63 via the 31-bit modulus, operators/dedup.py).
     "spark.sql.ansi.enabled": "true",
+    # Live-tail queries (t42-t45) poll q.lastProgress for the drain point:
+    # the data batch, then one EMPTY batch proving the source is caught up.
+    # Spark throttles idle-trigger progress events to one per 10 s by
+    # default, so each drain sat ~10 s waiting for the REPORT of an
+    # already-finished empty batch (measured: 3 drains ≈ 30 s of t42's
+    # 47 s wall; batches themselves take ~1 s). Report idle progress
+    # promptly instead — reporting cadence only, no execution change.
+    "spark.sql.streaming.noDataProgressEventInterval": "250ms",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
@@ -69,6 +77,7 @@ def apply_runtime_conf(spark: SparkSession) -> None:
         "spark.sql.adaptive.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.streaming.noDataProgressEventInterval",
     ):
         try:
             spark.conf.set(k, _BASE_CONF[k])

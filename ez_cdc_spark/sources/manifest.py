@@ -553,6 +553,11 @@ def read_point_lookup(
     return _read_files(spark, manifest, table_dir, kept)
 
 
+# Commits staging at most this many files read their footers in-process
+# (one bounded driver loop); bigger writes ship the kernel to executors.
+_STATS_DRIVER_MAX = 16
+
+
 def _collect_stats(
     spark: SparkSession,
     table_dir: str,
@@ -569,12 +574,26 @@ def _collect_stats(
     the honest tool here: per-file imperative metadata work, no rows.)
     ``_kernel`` is bound at module load so a test can replace the module's
     ``_file_stats`` with a driver-side tripwire without starving the
-    executors. Returns ``{rel_path: {col: [min, max]}}``."""
+    executors. Returns ``{rel_path: {col: [min, max]}}``.
+
+    Bounded driver fast path (optimization r19, guide §1/§5): a CDC
+    micro-batch commit stages a HANDFUL of files, and for those the fixed
+    cost of one parallelize job + Python-worker round trip (~0.25 s
+    measured on local[32]) dwarfs the ≤16 footer reads themselves
+    (~5-15 ms each, O(footer bytes), data-size-independent — the
+    test_footer_stats_pass_is_metadata_only pin). Below
+    ``_STATS_DRIVER_MAX`` files the footers are read in-process; above
+    it the executor job keeps driver work O(1) however many files a
+    publish stages — the r14 verdict's million-file property is intact
+    because the driver loop is bounded by a constant, never by the
+    write's size."""
     if not files or not columns:
         return {}
     cols = list(columns)
     kernel = _kernel
     pairs = [(os.path.relpath(f, table_dir), f) for f in files]
+    if len(pairs) <= _STATS_DRIVER_MAX:
+        return {rel: kernel(f, cols) for rel, f in pairs}
     n = max(1, min(len(pairs), int(spark.sparkContext.defaultParallelism)))
     return dict(
         spark.sparkContext.parallelize(pairs, n)
@@ -2574,230 +2593,249 @@ def merge_cow(
     )
     upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
 
-    # constraint gate (S39) on the POST-IMAGE rows this merge would write
-    # (deletes carry no payload to validate), BEFORE the reservation so a
-    # refused batch leaves nothing behind
-    _enforce_constraints(
-        upserts, manifest.get("constraints"), "merge_cow upsert batch"
-    )
-    _validate_generation(table_dir, generation, ref=ref)  # reservation last
+    # Optimization r19 (guide §5 caching): every action below — the
+    # constraint aggregate, the bounded keys collect, the staging write,
+    # and (with record_change_feed) the feed materialization — would
+    # otherwise re-execute the caller's WHOLE change pipeline (for the
+    # feed consumers that pipeline embeds change_feed joins over parent
+    # files). The resolved batch is micro-batch-sized by the CDC
+    # contract, so persist it once and let every downstream action read
+    # the cache; unpersisted on every exit path.
+    final = final.persist()
+    try:
+        # constraint gate (S39) on the POST-IMAGE rows this merge would
+        # write (deletes carry no payload to validate), BEFORE the
+        # reservation so a refused batch leaves nothing behind
+        _enforce_constraints(
+            upserts, manifest.get("constraints"), "merge_cow upsert batch"
+        )
+        _validate_generation(table_dir, generation, ref=ref)  # reservation last
 
-    # Bounded-metadata collect: the batch's distinct keys (plus, in stable
-    # partitioned mode, each key's partition value and delete flag), sorted
-    # for the per-file binary search against the manifest's stats ranges.
-    partitions = manifest.get("partitions", {})
-    ptype = next(
-        (f["type"] for f in schema["fields"] if f["name"] == pcol), None
-    )
-    part_prune = (
-        stable_partition_keys
-        and pcol is not None
-        and ptype in ("string", "long", "integer", "short", "byte")
-    )
-    # Keys normalize through _norm (so temporal keys compare against the
-    # r14 integer-encoded footer stats); an unencodable key (decimal,
-    # null) makes the whole batch unprunable — conservative full touch.
-    keys_by_part: dict[str | None, list] = {}
-    global_keys: list = []
-    unprunable = False
-    if part_prune:
-        rows = final.select(
-            key_col, F.col(pcol), (F.col("_op") == delete_op).alias("_d")
-        ).collect()
-        for k, pv, is_del in rows:
-            kn = _norm(k)
-            if kn is None:
-                unprunable = True
-                break
-            if is_del and pv is None:
-                global_keys.append(kn)  # payload-less delete: every partition
-            else:
-                keys_by_part.setdefault(
-                    None if pv is None else str(pv), []
-                ).append(kn)
-        for ks in keys_by_part.values():
-            ks.sort()
-        global_keys.sort()
-        n_keys = len(rows)
-    else:
-        raw = [r[0] for r in final.select(key_col).collect()]
-        normed = [_norm(k) for k in raw]
-        unprunable = any(kn is None for kn in normed)
-        global_keys = sorted(normed) if not unprunable else []
-        n_keys = len(raw)
-
-    stats = manifest.get("stats", {})
-
-    def _overlaps(ks: list, rng: list) -> bool:
-        r0, r1 = _norm(rng[0]), _norm(rng[1])
-        if r0 is None or r1 is None or (ks and ks[0][0] != r0[0]):
-            raise TypeError("cross-kind stats range")  # -> conservative
-        i = bisect.bisect_left(ks, r0)
-        return i < len(ks) and ks[i] <= r1
-
-    def _touched(rel: str) -> bool:
-        if unprunable:
-            return True  # a key the encoding can't order -> rewrite all
+        # Bounded-metadata collect: the batch's distinct keys (plus, in stable
+        # partitioned mode, each key's partition value and delete flag), sorted
+        # for the per-file binary search against the manifest's stats ranges.
+        partitions = manifest.get("partitions", {})
+        ptype = next(
+            (f["type"] for f in schema["fields"] if f["name"] == pcol), None
+        )
+        part_prune = (
+            stable_partition_keys
+            and pcol is not None
+            and ptype in ("string", "long", "integer", "short", "byte")
+        )
+        # Keys normalize through _norm (so temporal keys compare against the
+        # r14 integer-encoded footer stats); an unencodable key (decimal,
+        # null) makes the whole batch unprunable — conservative full touch.
+        keys_by_part: dict[str | None, list] = {}
+        global_keys: list = []
+        unprunable = False
         if part_prune:
-            ks = keys_by_part.get(partitions.get(rel), [])
-            if not ks and not global_keys:
-                return False  # no batch key targets this partition
+            rows = final.select(
+                key_col, F.col(pcol), (F.col("_op") == delete_op).alias("_d")
+            ).collect()
+            for k, pv, is_del in rows:
+                kn = _norm(k)
+                if kn is None:
+                    unprunable = True
+                    break
+                if is_del and pv is None:
+                    global_keys.append(kn)  # payload-less delete: every partition
+                else:
+                    keys_by_part.setdefault(
+                        None if pv is None else str(pv), []
+                    ).append(kn)
+            for ks in keys_by_part.values():
+                ks.sort()
+            global_keys.sort()
+            n_keys = len(rows)
+        else:
+            raw = [r[0] for r in final.select(key_col).collect()]
+            normed = [_norm(k) for k in raw]
+            unprunable = any(kn is None for kn in normed)
+            global_keys = sorted(normed) if not unprunable else []
+            n_keys = len(raw)
+
+        stats = manifest.get("stats", {})
+
+        def _overlaps(ks: list, rng: list) -> bool:
+            r0, r1 = _norm(rng[0]), _norm(rng[1])
+            if r0 is None or r1 is None or (ks and ks[0][0] != r0[0]):
+                raise TypeError("cross-kind stats range")  # -> conservative
+            i = bisect.bisect_left(ks, r0)
+            return i < len(ks) and ks[i] <= r1
+
+        def _touched(rel: str) -> bool:
+            if unprunable:
+                return True  # a key the encoding can't order -> rewrite all
+            if part_prune:
+                ks = keys_by_part.get(partitions.get(rel), [])
+                if not ks and not global_keys:
+                    return False  # no batch key targets this partition
+                rng = stats.get(rel, {}).get(key_col)
+                if rng is None:
+                    return True  # no stats -> assume the file holds changed keys
+                try:
+                    return _overlaps(ks, rng) or _overlaps(global_keys, rng)
+                except TypeError:
+                    return True  # cross-kind comparison -> conservative touch
             rng = stats.get(rel, {}).get(key_col)
             if rng is None:
-                return True  # no stats -> assume the file holds changed keys
+                return True  # no stats -> must assume the file holds changed keys
             try:
-                return _overlaps(ks, rng) or _overlaps(global_keys, rng)
+                return _overlaps(global_keys, rng)
             except TypeError:
                 return True  # cross-kind comparison -> conservative touch
-        rng = stats.get(rel, {}).get(key_col)
-        if rng is None:
-            return True  # no stats -> must assume the file holds changed keys
-        try:
-            return _overlaps(global_keys, rng)
-        except TypeError:
-            return True  # cross-kind comparison -> conservative touch
 
-    touched_rel = [rel for rel in manifest["files"] if _touched(rel)]
-    untouched_rel = [rel for rel in manifest["files"] if rel not in set(touched_rel)]
+        touched_rel = [rel for rel in manifest["files"] if _touched(rel)]
+        untouched_rel = [rel for rel in manifest["files"] if rel not in set(touched_rel)]
 
-    # Rewrite = touched rows minus changed keys, plus surviving upserts.
-    touched_abs = [os.path.join(table_dir, rel) for rel in touched_rel]
-    rewrite = _merge_rewrite(
-        spark, manifest, table_dir, touched_abs, final, upserts, key_col
-    )
-    if pcol is not None:
-        new_rel, new_parts = _stage_partitioned(rewrite, table_dir, generation, pcol)
-        new_files = [os.path.join(table_dir, rel) for rel in new_rel]
-    else:
-        new_files = stage_only(rewrite, table_dir, generation)
-        new_parts = None
-
-    change_files: list[str] | None = None
-    if record_change_feed:
-        # T46: MATERIALIZE the row-level change feed at merge time — the
-        # Delta CDF design (MERGE writes _change_data files): the merge
-        # already holds everything the feed needs, so recording it here is
-        # churn-sized (one extra read of the TOUCHED files, never the
-        # table), and the native changeFeed STREAM
-        # (readStream.format('ezmanifest').option('changeFeed', 'true'))
-        # can later serve the interval as a fully distributed scan of
-        # these files with zero cross-file work at read time. Staged under
-        # this generation's own data dir, so the S33 reservation protects
-        # the write and gc/vacuum lifecycle follows the generation.
-        from pyspark.sql import functions as F  # noqa: N812
-
-        pre = _read_files(spark, manifest, table_dir, touched_abs).join(
-            F.broadcast(final.select(key_col)), on=key_col, how="left_semi"
+        # Rewrite = touched rows minus changed keys, plus surviving upserts.
+        touched_abs = [os.path.join(table_dir, rel) for rel in touched_rel]
+        rewrite = _merge_rewrite(
+            spark, manifest, table_dir, touched_abs, final, upserts, key_col
         )
-        del_keys = final.filter(F.col("_op") == delete_op).select(key_col)
-        pre_keys = pre.select(key_col).distinct()
-        feed = (
-            pre.join(F.broadcast(del_keys), on=key_col, how="left_anti")
-            .select(F.lit("update_preimage").alias("_change_type"), *table_cols)
-            .unionByName(
-                pre.join(F.broadcast(del_keys), on=key_col, how="left_semi")
-                .select(F.lit("delete").alias("_change_type"), *table_cols)
+        if pcol is not None:
+            new_rel, new_parts = _stage_partitioned(rewrite, table_dir, generation, pcol)
+            new_files = [os.path.join(table_dir, rel) for rel in new_rel]
+        else:
+            new_files = stage_only(rewrite, table_dir, generation)
+            new_parts = None
+
+        change_files: list[str] | None = None
+        if record_change_feed:
+            # T46: MATERIALIZE the row-level change feed at merge time — the
+            # Delta CDF design (MERGE writes _change_data files): the merge
+            # already holds everything the feed needs, so recording it here is
+            # churn-sized (one extra read of the TOUCHED files, never the
+            # table), and the native changeFeed STREAM
+            # (readStream.format('ezmanifest').option('changeFeed', 'true'))
+            # can later serve the interval as a fully distributed scan of
+            # these files with zero cross-file work at read time. Staged under
+            # this generation's own data dir, so the S33 reservation protects
+            # the write and gc/vacuum lifecycle follows the generation.
+            from pyspark.sql import functions as F  # noqa: N812
+
+            # churn-sized, consumed by four branches below — persist so
+            # the touched-file scan + semi-join runs once, not four times
+            pre = (
+                _read_files(spark, manifest, table_dir, touched_abs)
+                .join(
+                    F.broadcast(final.select(key_col)), on=key_col, how="left_semi"
+                )
+                .persist()
             )
-            .unionByName(
-                upserts.join(F.broadcast(pre_keys), on=key_col, how="left_semi")
-                .select(
-                    F.lit("update_postimage").alias("_change_type"), *table_cols
+            del_keys = final.filter(F.col("_op") == delete_op).select(key_col)
+            pre_keys = pre.select(key_col).distinct()
+            feed = (
+                pre.join(F.broadcast(del_keys), on=key_col, how="left_anti")
+                .select(F.lit("update_preimage").alias("_change_type"), *table_cols)
+                .unionByName(
+                    pre.join(F.broadcast(del_keys), on=key_col, how="left_semi")
+                    .select(F.lit("delete").alias("_change_type"), *table_cols)
+                )
+                .unionByName(
+                    upserts.join(F.broadcast(pre_keys), on=key_col, how="left_semi")
+                    .select(
+                        F.lit("update_postimage").alias("_change_type"), *table_cols
+                    )
+                )
+                .unionByName(
+                    upserts.join(F.broadcast(pre_keys), on=key_col, how="left_anti")
+                    .select(F.lit("insert").alias("_change_type"), *table_cols)
                 )
             )
-            .unionByName(
-                upserts.join(F.broadcast(pre_keys), on=key_col, how="left_anti")
-                .select(F.lit("insert").alias("_change_type"), *table_cols)
+            cf_dir = os.path.join(_stage_dir(table_dir, generation), "_changefeed")
+            feed.write.mode("overwrite").parquet(cf_dir)
+            pre.unpersist()
+            change_files = sorted(
+                os.path.relpath(os.path.join(cf_dir, f), table_dir)
+                for f in os.listdir(cf_dir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
             )
-        )
-        cf_dir = os.path.join(_stage_dir(table_dir, generation), "_changefeed")
-        feed.write.mode("overwrite").parquet(cf_dir)
-        change_files = sorted(
-            os.path.relpath(os.path.join(cf_dir, f), table_dir)
-            for f in os.listdir(cf_dir)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
 
-    stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
-    new_manifest = {
-        "generation": generation,
-        "files": untouched_rel + [os.path.relpath(f, table_dir) for f in new_files],
-        "n_files": len(untouched_rel) + len(new_files),
-        "schema": schema,
-        "stats": {
-            **{rel: stats[rel] for rel in untouched_rel if rel in stats},
-            **_collect_stats(spark, table_dir, new_files, stats_cols),
-        },
-        "merge": {
-            "parent": manifest["generation"],
-            "rewritten_files": len(touched_rel),
-            "carried_files": len(untouched_rel),
-            "changed_keys": n_keys,
-        },
-    }
-    if change_files is not None:
-        # T46: the commit's materialized row-level feed — gc/vacuum protect
-        # these exactly like data files (committed_files lists them), and
-        # the changeFeed stream plans them as this interval's splits
-        new_manifest["change_files"] = change_files
-        new_manifest["change_feed_key"] = key_col
-    if pcol is not None:
-        new_manifest["partition_col"] = pcol
-        new_manifest["partitions"] = {
-            **{rel: partitions.get(rel) for rel in untouched_rel},
-            **new_parts,
+        stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
+        new_manifest = {
+            "generation": generation,
+            "files": untouched_rel + [os.path.relpath(f, table_dir) for f in new_files],
+            "n_files": len(untouched_rel) + len(new_files),
+            "schema": schema,
+            "stats": {
+                **{rel: stats[rel] for rel in untouched_rel if rel in stats},
+                **_collect_stats(spark, table_dir, new_files, stats_cols),
+            },
+            "merge": {
+                "parent": manifest["generation"],
+                "rewritten_files": len(touched_rel),
+                "carried_files": len(untouched_rel),
+                "changed_keys": n_keys,
+            },
         }
-    if manifest.get("bloom_meta"):
-        # S47 carry (ADVICE r16): rewritten files get fresh bitsets in a
-        # new sidecar, untouched files keep theirs via the carried chain
-        new_manifest["bloom_meta"] = _carry_bloom_meta(
-            spark, table_dir, manifest, generation, new_files,
-            live_rels=new_manifest["files"],
+        if change_files is not None:
+            # T46: the commit's materialized row-level feed — gc/vacuum protect
+            # these exactly like data files (committed_files lists them), and
+            # the changeFeed stream plans them as this interval's splits
+            new_manifest["change_files"] = change_files
+            new_manifest["change_feed_key"] = key_col
+        if pcol is not None:
+            new_manifest["partition_col"] = pcol
+            new_manifest["partitions"] = {
+                **{rel: partitions.get(rel) for rel in untouched_rel},
+                **new_parts,
+            }
+        if manifest.get("bloom_meta"):
+            # S47 carry (ADVICE r16): rewritten files get fresh bitsets in a
+            # new sidecar, untouched files keep theirs via the carried chain
+            new_manifest["bloom_meta"] = _carry_bloom_meta(
+                spark, table_dir, manifest, generation, new_files,
+                live_rels=new_manifest["files"],
+            )
+        if manifest.get("constraints") is not None:
+            new_manifest["constraints"] = manifest["constraints"]
+        if manifest.get("partition_transform") is not None:
+            # S42: the hidden-partitioning spec is table identity — every
+            # producer that rebuilds the manifest must carry it or the
+            # transform-pruned read path would refuse the next generation
+            new_manifest["partition_transform"] = manifest["partition_transform"]
+        if manifest.get("epoch_maps"):
+            # S40: the rewrite reads touched files epoch-mapped and stages
+            # under the CURRENT logical names — rewritten files join the
+            # current era, untouched files keep theirs
+            new_manifest["epoch"] = manifest.get("epoch", 0)
+            new_manifest["epoch_maps"] = manifest["epoch_maps"]
+            new_manifest["file_epochs"] = {
+                **{
+                    rel: manifest.get("file_epochs", {}).get(rel, 0)
+                    for rel in untouched_rel
+                },
+                **{
+                    os.path.relpath(f, table_dir): manifest.get("epoch", 0)
+                    for f in new_files
+                },
+            }
+        if txn is not None:
+            # caller-supplied transaction metadata (e.g. a streaming sink's
+            # batch_id) recorded IN the committed manifest — the Delta
+            # txn-version pattern: a restarted writer reads the committed
+            # watermark and skips already-applied batches, so replays are
+            # idempotent without exactly-once delivery
+            new_manifest["txn"] = txn
+        # carry EVERY writer's watermark: parent's per-tag map folded with this
+        # commit's tagged txn (ADVICE r15 — merge is the primary CDC sink
+        # commit path; dropping the map here would erase other writers'
+        # replay watermarks on the first merge, the exact last-writer-wins
+        # loss the txns map exists to prevent)
+        folded = _fold_txns(_txns_of(manifest), txn)
+        if folded:
+            new_manifest["txns"] = folded
+        return _commit_manifest(
+            table_dir,
+            generation,
+            new_manifest,
+            expected_parent=manifest["generation"],
+            ref=ref,
         )
-    if manifest.get("constraints") is not None:
-        new_manifest["constraints"] = manifest["constraints"]
-    if manifest.get("partition_transform") is not None:
-        # S42: the hidden-partitioning spec is table identity — every
-        # producer that rebuilds the manifest must carry it or the
-        # transform-pruned read path would refuse the next generation
-        new_manifest["partition_transform"] = manifest["partition_transform"]
-    if manifest.get("epoch_maps"):
-        # S40: the rewrite reads touched files epoch-mapped and stages
-        # under the CURRENT logical names — rewritten files join the
-        # current era, untouched files keep theirs
-        new_manifest["epoch"] = manifest.get("epoch", 0)
-        new_manifest["epoch_maps"] = manifest["epoch_maps"]
-        new_manifest["file_epochs"] = {
-            **{
-                rel: manifest.get("file_epochs", {}).get(rel, 0)
-                for rel in untouched_rel
-            },
-            **{
-                os.path.relpath(f, table_dir): manifest.get("epoch", 0)
-                for f in new_files
-            },
-        }
-    if txn is not None:
-        # caller-supplied transaction metadata (e.g. a streaming sink's
-        # batch_id) recorded IN the committed manifest — the Delta
-        # txn-version pattern: a restarted writer reads the committed
-        # watermark and skips already-applied batches, so replays are
-        # idempotent without exactly-once delivery
-        new_manifest["txn"] = txn
-    # carry EVERY writer's watermark: parent's per-tag map folded with this
-    # commit's tagged txn (ADVICE r15 — merge is the primary CDC sink
-    # commit path; dropping the map here would erase other writers'
-    # replay watermarks on the first merge, the exact last-writer-wins
-    # loss the txns map exists to prevent)
-    folded = _fold_txns(_txns_of(manifest), txn)
-    if folded:
-        new_manifest["txns"] = folded
-    return _commit_manifest(
-        table_dir,
-        generation,
-        new_manifest,
-        expected_parent=manifest["generation"],
-        ref=ref,
-    )
+    finally:
+        final.unpersist()
 
 
 def change_feed(
@@ -3352,145 +3390,154 @@ def merge_mor(
     )
     upserts = final.filter(F.col("_op") != delete_op).select(*table_cols)
 
-    # constraint gate (S39) on the post-image rows, before the reservation
-    _enforce_constraints(
-        upserts, manifest.get("constraints"), "merge_mor upsert batch"
-    )
-    _validate_generation(table_dir, generation)
-
-    # partitioned generations (r16, lifting the v1 restriction): upserts
-    # stage under the Hive layout so partition pruning survives; the
-    # equality-delete file stays GLOBAL (keys may move partitions — a
-    # partition-scoped delete would strand a moved key's old row)
-    if pcol is not None:
-        new_rels_p, new_parts = _stage_partitioned(
-            upserts, table_dir, generation, pcol
+    # Optimization r19 (guide §5 caching): the constraint aggregate, the
+    # upsert staging write, the equality-delete write and the b64 bucket
+    # counts below would each re-execute the caller's change pipeline;
+    # the resolved batch is micro-batch-sized, so persist once.
+    final = final.persist()
+    try:
+        # constraint gate (S39) on the post-image rows, before the
+        # reservation
+        _enforce_constraints(
+            upserts, manifest.get("constraints"), "merge_mor upsert batch"
         )
-        new_files = [os.path.join(table_dir, rel) for rel in new_rels_p]
-    else:
-        new_files = stage_only(upserts, table_dir, generation)
-        new_parts = None
-    # the equality-delete file: every changed key (upserted keys must kill
-    # their older versions too), one small parquet under the same gen dir
-    ddir = os.path.join(_stage_dir(table_dir, generation), "deletes")
-    final.select(key_col).coalesce(1).write.mode("overwrite").parquet(ddir)
-    delete_rels = [
-        os.path.relpath(os.path.join(ddir, f), table_dir)
-        for f in sorted(os.listdir(ddir))
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
+        _validate_generation(table_dir, generation)
 
-    parent_gen = manifest["generation"]
-    new_rels = [os.path.relpath(f, table_dir) for f in new_files]
-    # sequence numbers: parent files default to the PARENT's generation
-    # (they were current as of it); this commit's files carry its own
-    file_seq = {
-        **{rel: manifest.get("file_seq", {}).get(rel, parent_gen)
-           for rel in manifest["files"]},
-        **{rel: generation for rel in new_rels},
-    }
-    stats = manifest.get("stats", {})
-    stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
-    # T47 feed-planning metadata (r18 verdict #4 / ADVICE r18): per
-    # delete file, the key column's footer [min, max] (the same
-    # _collect_stats encoding every pruning comparison already speaks)
-    # plus — when the key type hash-portably matches the feed reader's
-    # _stable_bucket encoding — the batch's key counts over 64 base hash
-    # buckets. The feed plans one split per key-hash bucket; with
-    # 64 % feedBuckets == 0 a feed bucket's keys live exactly in the
-    # base buckets congruent to it, so planning can SKIP churn-free
-    # bucket splits and delete files with no keys in a split's bucket
-    # without reading a single churn key on the driver, and each split
-    # prunes the parent's delete log against its own key range before
-    # reading — cutting the old N_buckets× re-read of the hottest files.
-    # Pure metadata: a reader that doesn't find it reads everything,
-    # exactly as before this was recorded.
-    delete_meta = dict(manifest.get("delete_meta") or {})
-    d_stats = _collect_stats(
-        spark,
-        table_dir,
-        [os.path.join(table_dir, rel) for rel in delete_rels],
-        [key_col],
-    )
-    b64 = _bucket64_counts(final, key_col) if len(delete_rels) == 1 else None
-    for rel in delete_rels:
-        entry: dict = {"range": (d_stats.get(rel) or {}).get(key_col)}
-        if b64 is not None:
-            entry["b64"] = b64
-        delete_meta[rel] = entry
-    new_manifest = {
-        "generation": generation,
-        "files": manifest["files"] + new_rels,
-        "n_files": len(manifest["files"]) + len(new_rels),
-        "schema": schema,
-        "file_seq": file_seq,
-        "delete_files": list(manifest.get("delete_files") or []) + delete_rels,
-        "delete_seq": {
-            **(manifest.get("delete_seq") or {}),
-            **{rel: generation for rel in delete_rels},
-        },
-        "delete_meta": delete_meta,
-        "mor_key": key_col,
-        "stats": {
-            **stats,
-            **_collect_stats(spark, table_dir, new_files, stats_cols),
-        },
-        "mor": {
-            "parent": parent_gen,
-            "appended_files": len(new_rels),
-            "delete_files_total": len(manifest.get("delete_files") or [])
-            + len(delete_rels),
-        },
-    }
-    if pcol is not None:
-        new_manifest["partition_col"] = pcol
-        new_manifest["partitions"] = {
-            **manifest.get("partitions", {}),
-            **(new_parts or {}),
+        # partitioned generations (r16, lifting the v1 restriction): upserts
+        # stage under the Hive layout so partition pruning survives; the
+        # equality-delete file stays GLOBAL (keys may move partitions — a
+        # partition-scoped delete would strand a moved key's old row)
+        if pcol is not None:
+            new_rels_p, new_parts = _stage_partitioned(
+                upserts, table_dir, generation, pcol
+            )
+            new_files = [os.path.join(table_dir, rel) for rel in new_rels_p]
+        else:
+            new_files = stage_only(upserts, table_dir, generation)
+            new_parts = None
+        # the equality-delete file: every changed key (upserted keys must kill
+        # their older versions too), one small parquet under the same gen dir
+        ddir = os.path.join(_stage_dir(table_dir, generation), "deletes")
+        final.select(key_col).coalesce(1).write.mode("overwrite").parquet(ddir)
+        delete_rels = [
+            os.path.relpath(os.path.join(ddir, f), table_dir)
+            for f in sorted(os.listdir(ddir))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+        parent_gen = manifest["generation"]
+        new_rels = [os.path.relpath(f, table_dir) for f in new_files]
+        # sequence numbers: parent files default to the PARENT's generation
+        # (they were current as of it); this commit's files carry its own
+        file_seq = {
+            **{rel: manifest.get("file_seq", {}).get(rel, parent_gen)
+               for rel in manifest["files"]},
+            **{rel: generation for rel in new_rels},
         }
-    if manifest.get("bloom_meta") is not None:
-        # S47 × S36 (r17): the declared bloom index is table identity and
-        # SURVIVES merge-on-read epochs — carried verbatim, no fresh
-        # bitsets for the epoch's files (point-lookup pruning is
-        # suspended while reads resolve through read_mor anyway, and
-        # compact_mor's fold re-indexes every live file). Dropping it
-        # here made one MOR epoch permanently strip the index.
-        new_manifest["bloom_meta"] = manifest["bloom_meta"]
-    if manifest.get("constraints") is not None:
-        new_manifest["constraints"] = manifest["constraints"]
-    if manifest.get("partition_transform") is not None:
-        # S42: the hidden-partitioning spec is table identity — every
-        # producer that rebuilds the manifest must carry it or the
-        # transform-pruned read path would refuse the next generation
-        new_manifest["partition_transform"] = manifest["partition_transform"]
-    if manifest.get("epoch_maps"):
-        # S40×S36 (r16 scope lift): a MERGE-ON-READ commit on a rename/
-        # drop-evolved table. New upsert files are written under the
-        # CURRENT logical names (the column checks above enforce it), so
-        # they tag with the current era and carried files keep theirs —
-        # the MOR resolve's per-sequence-group scans already go through
-        # _read_files, which maps every era to the logical plane BEFORE
-        # the anti-join, so a key renamed in an older era still kills
-        # that era's rows. Delete files are exempt from mapping by
-        # construction: they are read directly with the current logical
-        # key schema, which is safe because rename/drop REFUSE while a
-        # delete log is pending (_require_cow in the evolution guards) —
-        # a pending delete file's key name can never drift from the
-        # schema's.
-        new_manifest["epoch"] = manifest.get("epoch", 0)
-        new_manifest["epoch_maps"] = manifest["epoch_maps"]
-        new_manifest["file_epochs"] = {
-            **manifest.get("file_epochs", {}),
-            **{rel: manifest.get("epoch", 0) for rel in new_rels},
+        stats = manifest.get("stats", {})
+        stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
+        # T47 feed-planning metadata (r18 verdict #4 / ADVICE r18): per
+        # delete file, the key column's footer [min, max] (the same
+        # _collect_stats encoding every pruning comparison already speaks)
+        # plus — when the key type hash-portably matches the feed reader's
+        # _stable_bucket encoding — the batch's key counts over 64 base hash
+        # buckets. The feed plans one split per key-hash bucket; with
+        # 64 % feedBuckets == 0 a feed bucket's keys live exactly in the
+        # base buckets congruent to it, so planning can SKIP churn-free
+        # bucket splits and delete files with no keys in a split's bucket
+        # without reading a single churn key on the driver, and each split
+        # prunes the parent's delete log against its own key range before
+        # reading — cutting the old N_buckets× re-read of the hottest files.
+        # Pure metadata: a reader that doesn't find it reads everything,
+        # exactly as before this was recorded.
+        delete_meta = dict(manifest.get("delete_meta") or {})
+        d_stats = _collect_stats(
+            spark,
+            table_dir,
+            [os.path.join(table_dir, rel) for rel in delete_rels],
+            [key_col],
+        )
+        b64 = _bucket64_counts(final, key_col) if len(delete_rels) == 1 else None
+        for rel in delete_rels:
+            entry: dict = {"range": (d_stats.get(rel) or {}).get(key_col)}
+            if b64 is not None:
+                entry["b64"] = b64
+            delete_meta[rel] = entry
+        new_manifest = {
+            "generation": generation,
+            "files": manifest["files"] + new_rels,
+            "n_files": len(manifest["files"]) + len(new_rels),
+            "schema": schema,
+            "file_seq": file_seq,
+            "delete_files": list(manifest.get("delete_files") or []) + delete_rels,
+            "delete_seq": {
+                **(manifest.get("delete_seq") or {}),
+                **{rel: generation for rel in delete_rels},
+            },
+            "delete_meta": delete_meta,
+            "mor_key": key_col,
+            "stats": {
+                **stats,
+                **_collect_stats(spark, table_dir, new_files, stats_cols),
+            },
+            "mor": {
+                "parent": parent_gen,
+                "appended_files": len(new_rels),
+                "delete_files_total": len(manifest.get("delete_files") or [])
+                + len(delete_rels),
+            },
         }
-    if txn is not None:
-        new_manifest["txn"] = txn
-    folded = _fold_txns(_txns_of(manifest), txn)
-    if folded:
-        new_manifest["txns"] = folded
-    return _commit_manifest(
-        table_dir, generation, new_manifest, expected_parent=parent_gen
-    )
+        if pcol is not None:
+            new_manifest["partition_col"] = pcol
+            new_manifest["partitions"] = {
+                **manifest.get("partitions", {}),
+                **(new_parts or {}),
+            }
+        if manifest.get("bloom_meta") is not None:
+            # S47 × S36 (r17): the declared bloom index is table identity and
+            # SURVIVES merge-on-read epochs — carried verbatim, no fresh
+            # bitsets for the epoch's files (point-lookup pruning is
+            # suspended while reads resolve through read_mor anyway, and
+            # compact_mor's fold re-indexes every live file). Dropping it
+            # here made one MOR epoch permanently strip the index.
+            new_manifest["bloom_meta"] = manifest["bloom_meta"]
+        if manifest.get("constraints") is not None:
+            new_manifest["constraints"] = manifest["constraints"]
+        if manifest.get("partition_transform") is not None:
+            # S42: the hidden-partitioning spec is table identity — every
+            # producer that rebuilds the manifest must carry it or the
+            # transform-pruned read path would refuse the next generation
+            new_manifest["partition_transform"] = manifest["partition_transform"]
+        if manifest.get("epoch_maps"):
+            # S40×S36 (r16 scope lift): a MERGE-ON-READ commit on a rename/
+            # drop-evolved table. New upsert files are written under the
+            # CURRENT logical names (the column checks above enforce it), so
+            # they tag with the current era and carried files keep theirs —
+            # the MOR resolve's per-sequence-group scans already go through
+            # _read_files, which maps every era to the logical plane BEFORE
+            # the anti-join, so a key renamed in an older era still kills
+            # that era's rows. Delete files are exempt from mapping by
+            # construction: they are read directly with the current logical
+            # key schema, which is safe because rename/drop REFUSE while a
+            # delete log is pending (_require_cow in the evolution guards) —
+            # a pending delete file's key name can never drift from the
+            # schema's.
+            new_manifest["epoch"] = manifest.get("epoch", 0)
+            new_manifest["epoch_maps"] = manifest["epoch_maps"]
+            new_manifest["file_epochs"] = {
+                **manifest.get("file_epochs", {}),
+                **{rel: manifest.get("epoch", 0) for rel in new_rels},
+            }
+        if txn is not None:
+            new_manifest["txn"] = txn
+        folded = _fold_txns(_txns_of(manifest), txn)
+        if folded:
+            new_manifest["txns"] = folded
+        return _commit_manifest(
+            table_dir, generation, new_manifest, expected_parent=parent_gen
+        )
+    finally:
+        final.unpersist()
 
 
 def read_mor(

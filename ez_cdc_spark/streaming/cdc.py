@@ -474,31 +474,44 @@ def upsert_batch(state_dir: str, n_buckets: int = 16):
                 bucket_of.alias("bucket"),
             )
         )
-        # buckets this batch touches — bounded by n_buckets, tiny collect
-        touched = sorted(
-            r["bucket"] for r in latest.select("bucket").distinct().collect()
-        )
-        cur_path = os.path.join(state_dir, "current")
-        if os.path.exists(os.path.join(cur_path, "_SUCCESS")):
-            cur = spark.read.parquet(cur_path).filter(
-                F.col("bucket").isin(touched)  # partition-pruned read
+        # Optimization r19 (guide §5 caching): the touched-bucket collect
+        # and the merge write below both execute the batch's
+        # dedupe+resolve pipeline; it is micro-batch-sized, so persist it
+        # for the two actions instead of running the JSON decode + two
+        # aggregations twice per trigger.
+        latest = latest.persist()
+        try:
+            # buckets this batch touches — bounded by n_buckets, tiny collect
+            touched = sorted(
+                r["bucket"] for r in latest.select("bucket").distinct().collect()
             )
-        else:
-            cur = latest.limit(0)
-        merged = (
-            cur.unionByName(latest)
-            .groupBy("id")
-            .agg(F.expr("max_by(struct(lsn, op, after, bucket), lsn)").alias("ch"))
-            .select(
-                "id",
-                F.col("ch.lsn").alias("lsn"),
-                F.col("ch.op").alias("op"),
-                F.col("ch.after").alias("after"),
-                F.col("ch.bucket").alias("bucket"),
+            cur_path = os.path.join(state_dir, "current")
+            if os.path.exists(os.path.join(cur_path, "_SUCCESS")):
+                cur = spark.read.parquet(cur_path).filter(
+                    F.col("bucket").isin(touched)  # partition-pruned read
+                )
+            else:
+                cur = latest.limit(0)
+            merged = (
+                cur.unionByName(latest)
+                .groupBy("id")
+                .agg(
+                    F.expr("max_by(struct(lsn, op, after, bucket), lsn)").alias(
+                        "ch"
+                    )
+                )
+                .select(
+                    "id",
+                    F.col("ch.lsn").alias("lsn"),
+                    F.col("ch.op").alias("op"),
+                    F.col("ch.after").alias("after"),
+                    F.col("ch.bucket").alias("bucket"),
+                )
+                .filter(F.col("op") != "d")
             )
-            .filter(F.col("op") != "d")
-        )
-        _swap_bucket_dirs(spark, merged, cur_path, touched, str(batch_id))
+            _swap_bucket_dirs(spark, merged, cur_path, touched, str(batch_id))
+        finally:
+            latest.unpersist()
         open(marker, "w").close()
 
     return apply
@@ -2464,22 +2477,32 @@ def consume_feed_step(
             F.lit(cur).cast("long").alias("seq"),
         )
     )
-    if changes.isEmpty():
-        return None  # churn-free interval: keep the cursor, nothing to commit
-    gen = b_man["generation"] + 1
-    for _ in range(100):
-        try:
-            return merge_cow(
-                spark,
-                agg_dir,
-                changes,
-                key_col="first_name",
-                generation=gen,
-                txn={"tag": consumer_tag, "consumed_gen": cur},
-            )
-        except FileExistsError:
-            gen += 1  # orphan manifest from a crashed attempt — skip over
-    raise RuntimeError(f"no free generation number near {gen}")
+    # Optimization r19 (guide §5 caching): the feed pipeline above —
+    # change_feed(_mor) joins over parent/upsert/delete files plus the
+    # read-modify-write join — is the expensive side of this step, and it
+    # feeds BOTH the emptiness check and the merge below (whose own
+    # actions re-derive from it). The delta is churn-sized; persist it for
+    # the step's lifetime so the feed derivation executes once.
+    changes = changes.persist()
+    try:
+        if changes.isEmpty():
+            return None  # churn-free interval: keep cursor, nothing to commit
+        gen = b_man["generation"] + 1
+        for _ in range(100):
+            try:
+                return merge_cow(
+                    spark,
+                    agg_dir,
+                    changes,
+                    key_col="first_name",
+                    generation=gen,
+                    txn={"tag": consumer_tag, "consumed_gen": cur},
+                )
+            except FileExistsError:
+                gen += 1  # orphan manifest from a crashed attempt — skip over
+        raise RuntimeError(f"no free generation number near {gen}")
+    finally:
+        changes.unpersist()
 
 
 def lakehouse_feed_fanout_batch(

@@ -3074,7 +3074,16 @@ def test_publish_stats_collected_without_driver_footer_reads(
     write path (publish, partitioned publish, append, merge, partial
     compaction) must still produce correct, pruning-usable stats, proving
     the footer reads ran on executor workers (the kernel is bound into
-    ``_collect_stats`` at module load and ships by value)."""
+    ``_collect_stats`` at module load and ships by value).
+
+    Optimization r19 refinement: commits staging at most
+    ``_STATS_DRIVER_MAX`` files read their footers in a BOUNDED in-process
+    loop (the job's fixed cost dwarfs a handful of footer reads); the
+    scale property this test pins is therefore about writes ABOVE the
+    threshold — driver work stays O(1) however many files a publish
+    stages — so the publishes here stage more than the threshold. The
+    fast path's equivalence is pinned separately in
+    test_collect_stats_driver_fast_path_matches_executor_path."""
     import os
     import shutil
 
@@ -3095,9 +3104,11 @@ def test_publish_stats_collected_without_driver_footer_reads(
     rows = [(k, k % 3, f"n{k}") for k in range(1, 201)]
     df = spark.createDataFrame(rows, "k bigint, p int, name string")
 
-    # plain publish
+    # plain publish — above _STATS_DRIVER_MAX files so the executor
+    # path (the property under test) is what runs
+    assert m._STATS_DRIVER_MAX < 20
     m.publish(
-        df.filter("p = 0").repartitionByRange(4, "k"),
+        df.filter("p = 0").repartitionByRange(20, "k"),
         td,
         generation=1,
         stats_columns=["k"],
@@ -3110,7 +3121,10 @@ def test_publish_stats_collected_without_driver_footer_reads(
     assert skipped, "stats must actually prune"
 
     # append: fresh stats for the new files, carried entries kept
-    m.publish_append(df.filter("p = 1"), td, generation=2)
+    # (again staged wider than the driver fast-path threshold)
+    m.publish_append(
+        df.filter("p = 1").repartitionByRange(20, "k"), td, generation=2
+    )
     man = m.read_manifest(td)
     assert all("k" in s for s in man["stats"].values())
 
@@ -3135,6 +3149,76 @@ def test_publish_stats_collected_without_driver_footer_reads(
     )
     man2 = m.read_manifest(td2)
     assert man2["stats"] and all("k" in s for s in man2["stats"].values())
+
+
+def test_collect_stats_driver_fast_path_matches_executor_path(spark, sf_dir):
+    """Optimization r19: ``_collect_stats`` reads footers in-process for
+    commits staging at most ``_STATS_DRIVER_MAX`` files (the parallelize
+    job's fixed cost dwarfs a handful of footer reads) and on executors
+    above it. Both paths run the SAME bound kernel, so the stats map must
+    be byte-identical — pin it by forcing each path over the same files."""
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    td = _scratch(sf_dir, "statsfastpath")
+    shutil.rmtree(td, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 101)], "k bigint, name string"
+    )
+    files = m.stage_only(df.repartitionByRange(4, "k"), td, 1)
+    assert len(files) <= m._STATS_DRIVER_MAX  # fast path applies
+    fast = m._collect_stats(spark, td, files, ["k"])
+    # force the executor path over the identical files
+    prev = m._STATS_DRIVER_MAX
+    m._STATS_DRIVER_MAX = 0
+    try:
+        slow = m._collect_stats(spark, td, files, ["k"])
+    finally:
+        m._STATS_DRIVER_MAX = prev
+    assert fast == slow and fast, (fast, slow)
+
+
+def test_merge_persist_is_scoped_to_the_commit(spark, sf_dir):
+    """Optimization r19: merge_cow/merge_mor persist the resolved batch so
+    the constraint gate, keys collect, staging write and feed recording
+    read a cache instead of re-executing the caller's change pipeline
+    per action (guide §5). The cache must be COMMIT-SCOPED: nothing may
+    stay pinned in executor storage after the call returns (a leak here
+    would accumulate one block per micro-batch for the life of a
+    streaming sink), including on the refusal paths."""
+    import shutil
+
+    import pytest as _pytest
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    def cached_rdd_count() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    td = _scratch(sf_dir, "mergepersistscope")
+    shutil.rmtree(td, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 51)], "k bigint, name string"
+    )
+    m.publish(base, td, generation=1, stats_columns=["k"])
+    changes = spark.createDataFrame(
+        [(5, "u5", "u", 1), (6, None, "d", 2)],
+        "k bigint, name string, op string, seq int",
+    )
+    before = cached_rdd_count()
+    m.merge_cow(spark, td, changes, key_col="k", generation=2)
+    assert cached_rdd_count() == before, "merge_cow leaked a cached batch"
+    m.merge_mor(spark, td, changes, key_col="k", generation=3)
+    assert cached_rdd_count() == before, "merge_mor leaked a cached batch"
+    # refusal path: the generation is already committed -> the validation
+    # refuses AFTER the batch was persisted; the finally must still
+    # unpersist
+    with _pytest.raises(ValueError):
+        m.merge_mor(spark, td, changes, key_col="k", generation=3)
+    assert cached_rdd_count() == before, "refused merge leaked a cached batch"
 
 
 def test_vacuum_never_reclaims_a_racing_writers_staging(spark, sf_dir):
