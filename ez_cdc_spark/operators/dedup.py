@@ -168,6 +168,19 @@ def minhash_lsh_candidates(
                 shingle_hashes(F.col("ws"), shingle_n, portable=portable).alias("shingles"),
             )
         )
+    # Optimization r19 (guide §8.4 step 1 "fingerprints only" / §5): the
+    # shingle-hash table is consumed THREE times below — the banding
+    # subtree plus both verify-join sides — and without pinning, each
+    # consumer re-runs the split→shingle→hash projection over the raw
+    # text, the dominant per-row CPU of the whole operator. Materialize
+    # the proxy table once per invocation (lazy local checkpoint: the
+    # single downstream action computes it once and the two re-joins read
+    # the stored blocks). Per-invocation only — nothing survives the
+    # call, every run recomputes from the parquet input. At 100 TB the
+    # pinned table is (doc_id, array<long>) — the decision proxy of §8,
+    # far smaller than the text it replaces, and the alternative is two
+    # extra full-corpus text scans per run.
+    shingled = shingled.localCheckpoint(eager=False)
     # Slim banding rows: (doc_id, band_id, band_sig) only — band_rows is
     # THE banding expression (r12 verdict #4 unified the two formerly
     # literal-identical copies; the probe family x57/x64/x65 shares it).

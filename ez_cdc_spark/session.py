@@ -24,6 +24,14 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
+    # r19: the merge/upsert hot paths persist() their micro-batch-resolved
+    # frames (one execution instead of one per commit action). By default
+    # Spark pins a cached plan's PRE-AQE output partitioning, so a tiny
+    # cached batch materializes at the full shuffle width and a downstream
+    # partitionBy write fans out into (width x partition-values) small
+    # files per generation — measured +60% on t30b/t35b as file counts
+    # compounded across commits. Let AQE coalesce cached plans too.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # dims (region/nation/supplier/part/customer at small SF) broadcast freely
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.parquet.filterPushdown": "true",
@@ -78,6 +86,7 @@ def apply_runtime_conf(spark: SparkSession) -> None:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.streaming.noDataProgressEventInterval",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
     ):
         try:
             spark.conf.set(k, _BASE_CONF[k])
