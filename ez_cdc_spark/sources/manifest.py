@@ -2724,24 +2724,40 @@ def merge_cow(
                 )
                 .persist()
             )
-            del_keys = final.filter(F.col("_op") == delete_op).select(key_col)
-            pre_keys = pre.select(key_col).distinct()
+            # Optimization r19 (guide §3): each anti/semi PAIR over the same
+            # broadcast key set is one LEFT join with a match flag — the
+            # classification was four joins (four broadcast builds, four
+            # probe passes); it is now two, producing the identical row
+            # multiset with the identical _change_type per row (del_keys
+            # and pre_keys are per-key unique, so the left join never
+            # multiplies rows).
+            del_keys = (
+                final.filter(F.col("_op") == delete_op)
+                .select(key_col)
+                .withColumn("__del", F.lit(True))
+            )
+            pre_keys = (
+                pre.select(key_col).distinct().withColumn("__match", F.lit(True))
+            )
             feed = (
-                pre.join(F.broadcast(del_keys), on=key_col, how="left_anti")
-                .select(F.lit("update_preimage").alias("_change_type"), *table_cols)
-                .unionByName(
-                    pre.join(F.broadcast(del_keys), on=key_col, how="left_semi")
-                    .select(F.lit("delete").alias("_change_type"), *table_cols)
+                pre.join(F.broadcast(del_keys), on=key_col, how="left")
+                .select(
+                    F.when(F.col("__del").isNotNull(), F.lit("delete"))
+                    .otherwise(F.lit("update_preimage"))
+                    .alias("_change_type"),
+                    *table_cols,
                 )
                 .unionByName(
-                    upserts.join(F.broadcast(pre_keys), on=key_col, how="left_semi")
+                    upserts.join(F.broadcast(pre_keys), on=key_col, how="left")
                     .select(
-                        F.lit("update_postimage").alias("_change_type"), *table_cols
+                        F.when(
+                            F.col("__match").isNotNull(),
+                            F.lit("update_postimage"),
+                        )
+                        .otherwise(F.lit("insert"))
+                        .alias("_change_type"),
+                        *table_cols,
                     )
-                )
-                .unionByName(
-                    upserts.join(F.broadcast(pre_keys), on=key_col, how="left_anti")
-                    .select(F.lit("insert").alias("_change_type"), *table_cols)
                 )
             )
             cf_dir = os.path.join(_stage_dir(table_dir, generation), "_changefeed")
@@ -2983,20 +2999,28 @@ def _classify_feed(gone, came, key_col: str | None, cols: list) -> DataFrame:
         )
     if key_col not in cols:
         raise ValueError(f"key column {key_col!r} is not a table column")
-    upd_keys = gone.select(key_col).intersect(came.select(key_col))
-    typed_gone = gone.join(upd_keys, on=key_col, how="left_semi").select(
-        F.lit("update_preimage").alias("_change_type"), *cols
-    ).unionByName(
-        gone.join(upd_keys, on=key_col, how="left_anti").select(
-            F.lit("delete").alias("_change_type"), *cols
-        )
+    # Optimization r19 (guide §3): the anti/semi pair per side over the
+    # same key set is one LEFT join with a match flag — the intersected
+    # key set (distinct by construction, so the left join never
+    # multiplies rows) is consumed twice instead of four times, and each
+    # churn side is probed once instead of twice. Identical row multiset,
+    # identical _change_type per row.
+    upd_keys = (
+        gone.select(key_col)
+        .intersect(came.select(key_col))
+        .withColumn("__upd", F.lit(True))
     )
-    typed_came = came.join(upd_keys, on=key_col, how="left_semi").select(
-        F.lit("update_postimage").alias("_change_type"), *cols
-    ).unionByName(
-        came.join(upd_keys, on=key_col, how="left_anti").select(
-            F.lit("insert").alias("_change_type"), *cols
-        )
+    typed_gone = gone.join(upd_keys, on=key_col, how="left").select(
+        F.when(F.col("__upd").isNotNull(), F.lit("update_preimage"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+        *cols,
+    )
+    typed_came = came.join(upd_keys, on=key_col, how="left").select(
+        F.when(F.col("__upd").isNotNull(), F.lit("update_postimage"))
+        .otherwise(F.lit("insert"))
+        .alias("_change_type"),
+        *cols,
     )
     return typed_gone.unionByName(typed_came)
 
