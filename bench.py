@@ -601,6 +601,16 @@ def main() -> None:
     # mid-JSON in round 9 and lost the headline number entirely (r9
     # verdict, "What's wrong" #1). Totals + throughputs + calibration only
     # — small enough that no tail window can cut it.
+    # r20 (VERDICT r19 #1b): the driver's cross-round comparison came up
+    # empty (n_common: 0) because the full timings dict lives only in the
+    # first, tail-truncated line. Add the all-query sum and the 20 slowest
+    # rows here — additive, compact enough for any tail window — so the
+    # optimization rounds' movement is driver-visible per query.
+    sum_all = round(sum(timings.values()), 3)
+    top20 = {
+        name: timings[name]
+        for name in sorted(timings, key=timings.get, reverse=True)[:20]
+    }
     print(
         json.dumps(
             {
@@ -609,6 +619,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries_timed": len(timings),
+                "sum_all_queries": sum_all,
+                "top20_slowest": top20,
                 "streaming_events_per_s": events_per_s,
                 "cdc_upsert_events_per_s": t9_events_per_s,
                 **calibration,

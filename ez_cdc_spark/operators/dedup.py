@@ -173,14 +173,22 @@ def minhash_lsh_candidates(
     # subtree plus both verify-join sides — and without pinning, each
     # consumer re-runs the split→shingle→hash projection over the raw
     # text, the dominant per-row CPU of the whole operator. Materialize
-    # the proxy table once per invocation (lazy local checkpoint: the
-    # single downstream action computes it once and the two re-joins read
-    # the stored blocks). Per-invocation only — nothing survives the
-    # call, every run recomputes from the parquet input. At 100 TB the
-    # pinned table is (doc_id, array<long>) — the decision proxy of §8,
-    # far smaller than the text it replaces, and the alternative is two
-    # extra full-corpus text scans per run.
-    shingled = shingled.localCheckpoint(eager=False)
+    # the proxy table once per invocation (eager local checkpoint, the
+    # repo-wide pin idiom — r20 swaps the r19 lazy variant for eager:
+    # same single execution, none of the lazy form's AQE rough edges).
+    # Per-invocation only — nothing survives the call, every run
+    # recomputes from the parquet input; persist() is deliberately NOT
+    # used (a plan-keyed CacheManager entry with no release path would
+    # hand later invocations the previous run's cache). Trade-off,
+    # documented (ADVICE r19): localCheckpoint truncates lineage without
+    # replication, so on a multi-executor cluster an executor loss after
+    # materialization fails the job instead of recomputing — acceptable
+    # for a per-invocation scratch table that any retry rebuilds from
+    # the source in one pass. At 100 TB the pinned table is
+    # (doc_id, array<long>) — the decision proxy of §8, far smaller than
+    # the text it replaces, and the alternative is two extra full-corpus
+    # text scans per run.
+    shingled = shingled.localCheckpoint(eager=True)
     # Slim banding rows: (doc_id, band_id, band_sig) only — band_rows is
     # THE banding expression (r12 verdict #4 unified the two formerly
     # literal-identical copies; the probe family x57/x64/x65 shares it).

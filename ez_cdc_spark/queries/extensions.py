@@ -2573,14 +2573,25 @@ def x2eb_lsh_recall_anchor(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     # Optimization r19 (guide §5 caching): both pair sets feed TWO
     # consumers each — their own count and the semi-join — so without a
-    # persist the brute-force GEMM (exact) and the LSH banding pipeline
-    # each execute twice per run. The pair lists are threshold-bounded;
-    # cache them for the three tiny aggregates.
-    exact = neardup_pairs(e, threshold=0.4).select("id_a", "id_b").persist()
+    # pin the brute-force GEMM (exact) and the LSH banding pipeline each
+    # execute twice per run. The pair lists are threshold-bounded; pin
+    # them for the three tiny aggregates. r20 (ADVICE r19): the pin is a
+    # per-invocation eager localCheckpoint, NOT persist() — persist
+    # registers the PLAN in the CacheManager with no release path here
+    # (the caller consumes the returned frame), so a repeated invocation
+    # would silently read the previous run's cache instead of executing
+    # the pipelines, and the entries would pin executor memory for the
+    # session. The checkpoint is keyed to this invocation's RDD alone:
+    # every run recomputes from the parquet input.
+    exact = (
+        neardup_pairs(e, threshold=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     lsh = (
         lsh_neardup_pairs(e, threshold=0.4, n_bits=64, bands=16)
         .select("id_a", "id_b")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     matched = lsh.join(exact, on=["id_a", "id_b"], how="left_semi")
     stats = exact.agg(F.count("*").alias("n_exact")).crossJoin(

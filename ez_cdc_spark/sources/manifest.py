@@ -83,6 +83,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -196,10 +197,73 @@ def current_generation(table_dir: str, ref: str | None = None) -> int | None:
         return None
 
 
+def _provably_empty(df: DataFrame) -> bool:
+    """True iff the frame's LOGICAL plan is already an empty LocalRelation
+    (the ``createDataFrame([], schema)`` shape every rig's genesis publish
+    uses). Plan-class check only — no action, no analysis of non-trivial
+    plans (anything else returns False and the caller does real work), so
+    the probe is free on every hot path."""
+    try:
+        p = df._jdf.queryExecution().logical()
+        hops = 0
+        # peel row-PRESERVING wrappers (select/withColumn/alias layers a
+        # rig's genesis builds over its empty literal): a Project cannot
+        # change the row count, so an empty child proves an empty output
+        while (
+            p.getClass().getSimpleName() in ("Project", "SubqueryAlias")
+            and hops < 8
+        ):
+            p = p.child()
+            hops += 1
+        return (
+            p.getClass().getSimpleName() == "LocalRelation"
+            and p.data().isEmpty()
+        )
+    except Exception:
+        return False
+
+
+def empty_frame(spark: SparkSession, schema: StructType) -> DataFrame:
+    """Schema-exact EMPTY DataFrame as a true LocalRelation (optimization
+    r20): pyspark's ``createDataFrame([], schema)`` routes through an RDD
+    of pickled rows, producing a LogicalRDD whose emptiness no probe can
+    prove without running a job — so every rig's genesis publish paid a
+    full Spark write job (~1-2 s measured) to stage one zero-row part
+    file. Building the frame through the JVM session's List[Row] overload
+    yields a LocalRelation that :func:`_provably_empty` recognizes, and
+    stage_only/_stage_partitioned then stage zero files with zero jobs.
+    Behavior-identical for every reader: the committed read path serves
+    ``files: []`` through the stored schema."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+        schema.json()
+    )
+    jdf = spark._jsparkSession.createDataFrame(
+        spark._jvm.java.util.ArrayList(), jschema
+    )
+    return DataFrame(jdf, spark)
+
+
 def stage_only(df: DataFrame, table_dir: str, generation: int) -> list[str]:
     """Write a generation's data files WITHOUT committing them (the abort /
-    crash case). Returns the staged file paths."""
+    crash case). Returns the staged file paths.
+
+    Optimization r20 (guide §1.2/§5 — no Spark job for provably-no-op
+    work): a PROVABLY EMPTY frame (empty LocalRelation — every rig's
+    genesis ``publish(createDataFrame([], schema))``) stages zero files
+    without launching a write job: Spark's empty write produced one
+    zero-row part file whose only effect downstream was to be
+    conservatively rewritten by the first merge (no row groups -> no
+    stats); the committed read path already serves ``files: []`` through
+    the stored schema (_read_files). ~1-2 s saved per rig genesis, twice
+    per produce/consume rig."""
     stage = _stage_dir(table_dir, generation)
+    if _provably_empty(df):
+        if os.path.exists(stage):
+            shutil.rmtree(stage)  # mirror mode("overwrite")
+        os.makedirs(stage, exist_ok=True)
+        return []
     df.write.mode("overwrite").parquet(stage)
     return sorted(
         os.path.join(stage, f)
@@ -358,6 +422,15 @@ def _make_bloom_kernels():
 _bloom_positions, _file_bloom, _bloom_might_contain = _make_bloom_kernels()
 
 
+# A bloom-carrying commit whose staged files are FEW and SMALL builds its
+# bitsets in-process: unlike footer stats the bloom kernel reads the key
+# COLUMN (data bytes, not metadata), so the driver fast path is bounded by
+# BYTES, not just file count (VERDICT r19 #5) — above either bound the
+# executor job keeps driver data work at zero however big the write is.
+_BLOOMS_DRIVER_MAX_FILES = 16
+_BLOOMS_DRIVER_MAX_BYTES = 32 << 20
+
+
 def _collect_blooms(
     spark: SparkSession,
     table_dir: str,
@@ -370,15 +443,35 @@ def _collect_blooms(
     _collect_stats rule — a driver loop over a million files is the
     bottleneck): one parallelize job, each task one columnar read of its
     own file. Returns ``{rel: {col: b64}}`` (files/columns that could not
-    record a bloom are simply absent — conservative keep)."""
+    record a bloom are simply absent — conservative keep).
+
+    Bounded driver fast path (optimization r20, guide §1.2 — the
+    _collect_stats r19 pattern, byte-bounded because this kernel reads
+    the key column's data pages): a CDC micro-batch commit stages a
+    handful of small files, and the fixed ~0.25-0.3 s parallelize
+    round trip dwarfs reading a few hundred KB of one column in-process.
+    Both the file count AND the total staged bytes must sit under the
+    bounds; a stat failure on any file falls through to the executor
+    path (conservative)."""
     if not files or not columns:
         return {}
     cols = list(columns)
     kernel = _kernel
     nbits = bits
     pairs = [(os.path.relpath(f, table_dir), f) for f in files]
-    n = max(1, min(len(pairs), int(spark.sparkContext.defaultParallelism)))
     out = {}
+    if len(pairs) <= _BLOOMS_DRIVER_MAX_FILES:
+        try:
+            total = sum(os.path.getsize(f) for _, f in pairs)
+        except OSError:
+            total = None
+        if total is not None and total <= _BLOOMS_DRIVER_MAX_BYTES:
+            for rel, f in pairs:
+                per = {c: b for c in cols if (b := kernel(f, c, nbits))}
+                if per:
+                    out[rel] = per
+            return out
+    n = max(1, min(len(pairs), int(spark.sparkContext.defaultParallelism)))
     for rel, per in (
         spark.sparkContext.parallelize(pairs, n)
         .map(
@@ -392,6 +485,42 @@ def _collect_blooms(
         if per:
             out[rel] = per
     return out
+
+
+def _read_key_column_driver(paths: list[str], col: str) -> list | None:
+    """Distinct values of one column across a CHURN-SIZED file set, read
+    in-process (optimization r20 — the byte-bounded driver fast path of
+    _collect_blooms applied to the MOR feed's changed-key read): returns
+    None when the files exceed the driver bounds, the column is missing,
+    a value's type would not round-trip exactly through a Spark literal
+    (only non-bool int / str / None qualify), or any read fails — callers
+    then fall back to the executor scan. NULL stays in the list (both the
+    literal-In and the semi-join forms drop NULL-keyed rows, so the two
+    paths agree)."""
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return None
+    if len(paths) > _BLOOMS_DRIVER_MAX_FILES or total > _BLOOMS_DRIVER_MAX_BYTES:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        vals: set = set()
+        for p in paths:
+            pf = pq.ParquetFile(p)
+            if col not in pf.schema_arrow.names:
+                return None
+            for batch in pf.iter_batches(columns=[col]):
+                vals.update(batch.column(0).to_pylist())
+    except Exception:
+        return None
+    for v in vals:
+        if v is not None and (
+            not isinstance(v, (int, str)) or isinstance(v, bool)
+        ):
+            return None
+    return list(vals)
 
 
 _BLOOMS_DIR = "_blooms"
@@ -657,6 +786,42 @@ def _bucket64_counts(final: DataFrame, key_col: str) -> dict | None:
     )
     rows = final.groupBy(bucket.alias("_b64")).count().collect()
     return {str(int(r["_b64"])): int(r["count"]) for r in rows}
+
+
+def _bucket64_counts_driver(final: DataFrame, key_col: str, path: str) -> dict | None:
+    """Driver twin of :func:`_bucket64_counts` over the just-staged
+    equality-delete file (optimization r20, guide §1.2): the delete file
+    IS the resolved batch's key multiset (``final.select(key)``), it is
+    churn-sized by the MOR contract, and the Python ``_stable_bucket64``
+    is already pinned bit-identical to the Spark expression — so below
+    the driver byte bound the counts come from one in-process columnar
+    read instead of a groupBy job + collect. Returns None (callers fall
+    back to the executor agg) above the bound, for key types the portable
+    hash excludes, or on any read error."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    dt = final.schema[key_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+    ):
+        return None
+    try:
+        if os.path.getsize(path) > _BLOOMS_DRIVER_MAX_BYTES:
+            return None
+        import collections
+
+        import pyarrow.parquet as pq
+
+        counts: dict = collections.Counter()
+        pf = pq.ParquetFile(path)
+        if key_col not in pf.schema_arrow.names:
+            return None
+        for batch in pf.iter_batches(columns=[key_col]):
+            for v in batch.column(0).to_pylist():
+                counts[_stable_bucket64(v)] += 1
+        return {str(int(b)): int(n) for b, n in counts.items()}
+    except Exception:
+        return None
 
 
 def _norm(v):
@@ -1090,6 +1255,13 @@ def _stage_partitioned(
     import urllib.parse
 
     stage = _stage_dir(table_dir, generation)
+    if _provably_empty(df):
+        # r20: same no-job genesis fast path as stage_only — an empty
+        # partitioned write stages no partition dirs at all
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        os.makedirs(stage, exist_ok=True)
+        return [], {}
     df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
     files: list[str] = []
     partitions: dict[str, str | None] = {}
@@ -2717,6 +2889,9 @@ def merge_cow(
 
             # churn-sized, consumed by four branches below — persist so
             # the touched-file scan + semi-join runs once, not four times
+            # (ADVICE r19: released in the finally below, so an exception
+            # during the feed write or the change-file listing cannot
+            # leave the touched-files scan cached for the session)
             pre = (
                 _read_files(spark, manifest, table_dir, touched_abs)
                 .join(
@@ -2724,50 +2899,58 @@ def merge_cow(
                 )
                 .persist()
             )
-            # Optimization r19 (guide §3): each anti/semi PAIR over the same
-            # broadcast key set is one LEFT join with a match flag — the
-            # classification was four joins (four broadcast builds, four
-            # probe passes); it is now two, producing the identical row
-            # multiset with the identical _change_type per row (del_keys
-            # and pre_keys are per-key unique, so the left join never
-            # multiplies rows).
-            del_keys = (
-                final.filter(F.col("_op") == delete_op)
-                .select(key_col)
-                .withColumn("__del", F.lit(True))
-            )
-            pre_keys = (
-                pre.select(key_col).distinct().withColumn("__match", F.lit(True))
-            )
-            feed = (
-                pre.join(F.broadcast(del_keys), on=key_col, how="left")
-                .select(
-                    F.when(F.col("__del").isNotNull(), F.lit("delete"))
-                    .otherwise(F.lit("update_preimage"))
-                    .alias("_change_type"),
-                    *table_cols,
+            try:
+                # Optimization r19 (guide §3): each anti/semi PAIR over the
+                # same broadcast key set is one LEFT join with a match flag —
+                # the classification was four joins (four broadcast builds,
+                # four probe passes); it is now two, producing the identical
+                # row multiset with the identical _change_type per row
+                # (del_keys and pre_keys are per-key unique, so the left
+                # join never multiplies rows). Flag names derive through
+                # _flag_col so a table column named __del/__match can never
+                # make the flag reference ambiguous.
+                dflag = _flag_col("__del", table_cols)
+                mflag = _flag_col("__match", table_cols)
+                del_keys = (
+                    final.filter(F.col("_op") == delete_op)
+                    .select(key_col)
+                    .withColumn(dflag, F.lit(True))
                 )
-                .unionByName(
-                    upserts.join(F.broadcast(pre_keys), on=key_col, how="left")
+                pre_keys = (
+                    pre.select(key_col).distinct().withColumn(mflag, F.lit(True))
+                )
+                feed = (
+                    pre.join(F.broadcast(del_keys), on=key_col, how="left")
                     .select(
-                        F.when(
-                            F.col("__match").isNotNull(),
-                            F.lit("update_postimage"),
-                        )
-                        .otherwise(F.lit("insert"))
+                        F.when(F.col(dflag).isNotNull(), F.lit("delete"))
+                        .otherwise(F.lit("update_preimage"))
                         .alias("_change_type"),
                         *table_cols,
                     )
+                    .unionByName(
+                        upserts.join(F.broadcast(pre_keys), on=key_col, how="left")
+                        .select(
+                            F.when(
+                                F.col(mflag).isNotNull(),
+                                F.lit("update_postimage"),
+                            )
+                            .otherwise(F.lit("insert"))
+                            .alias("_change_type"),
+                            *table_cols,
+                        )
+                    )
                 )
-            )
-            cf_dir = os.path.join(_stage_dir(table_dir, generation), "_changefeed")
-            feed.write.mode("overwrite").parquet(cf_dir)
-            pre.unpersist()
-            change_files = sorted(
-                os.path.relpath(os.path.join(cf_dir, f), table_dir)
-                for f in os.listdir(cf_dir)
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            )
+                cf_dir = os.path.join(
+                    _stage_dir(table_dir, generation), "_changefeed"
+                )
+                feed.write.mode("overwrite").parquet(cf_dir)
+                change_files = sorted(
+                    os.path.relpath(os.path.join(cf_dir, f), table_dir)
+                    for f in os.listdir(cf_dir)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+            finally:
+                pre.unpersist()
 
         stats_cols = sorted({c for s in stats.values() for c in s} | {key_col})
         new_manifest = {
@@ -2980,44 +3163,111 @@ def change_feed(
                 old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
         old = old.select(*cols)
     new = new.select(*cols)
-    gone = old.exceptAll(new)  # pre-images of updates + deleted rows
-    came = new.exceptAll(old)  # post-images of updates + inserted rows
-    return _classify_feed(gone, came, key_col, cols)
+    # pre-images of updates + deleted rows / post-images + inserts, both
+    # sides in one pass (r20: _classify_delta replaces the exceptAll pair)
+    return _classify_delta(old, new, key_col, cols)
 
 
-def _classify_feed(gone, came, key_col: str | None, cols: list) -> DataFrame:
-    """Shared CDF classification tail (change_feed / change_feed_mor):
-    untyped feeds emit delete/insert; keyed feeds split each side on the
-    intersected key set into the Delta update pre/post pair vs plain
-    delete/insert — keyed joins over the two already-churn-sized delta
-    sides."""
+def _flag_col(base: str, cols) -> str:
+    """A join-flag column name guaranteed absent from ``cols`` (ADVICE
+    r19: a table legitimately declaring a column named ``__del``/``__upd``
+    /``__match`` would make the flag reference ambiguous and fail the
+    merge/feed with an AnalysisException — the pre-r19 semi/anti joins
+    added no columns and were immune)."""
+    name = base
+    while name in cols:
+        name += "_"
+    return name
+
+
+def _classify_delta(old, new, key_col: str | None, cols: list) -> DataFrame:
+    """Shared CDF delta + classification tail (change_feed /
+    change_feed_mor): the multiset difference of the two resolved sides
+    (``gone`` = old ∖ new, ``came`` = new ∖ old) classified into the four
+    Delta change types.
+
+    Optimization r20 (guide §2.3/§2.4/§8.4 — replacing the r19 shape):
+    the two ``exceptAll`` calls plus the classification's intersect/joins
+    consumed the OLD and NEW resolved-state subtrees up to four times
+    each, and exchange reuse never fired across them (r19 s35 plan: 26
+    Exchanges, 0 reused). One union with a side tag + one groupBy over
+    all columns computes both sides' multiplicities in a SINGLE pass over
+    each resolved state; rows whose counts cancel (the carried-unchanged
+    rows — the bulk) are dropped before the churn-sized count table pins
+    (eager per-invocation localCheckpoint, the repo's pin idiom — nothing
+    survives the call), and gone/came/update-key classification all
+    derive from the pinned rows with zero further passes over the
+    resolved states.
+
+    Multiset semantics are exceptAll's exactly: a distinct row emits
+    max(0, n_old − n_new) pre-image copies and max(0, n_new − n_old)
+    post-image copies; grouping's NULL/NaN equality matches the set-op
+    rules. A key classifies as update iff it has both a gone row and a
+    came row (the old intersected-key contract; NULL keys never match an
+    equi-join and stay delete/insert, as before)."""
     from pyspark.sql import functions as F  # noqa: N812
 
+    side = _flag_col("__side", cols)
+    n_old = _flag_col("__n_old", cols)
+    n_new = _flag_col("__n_new", cols)
+    rep = _flag_col("__rep", cols)
+    tagged = (
+        old.select(*cols)
+        .withColumn(side, F.lit(0))
+        .unionByName(new.select(*cols).withColumn(side, F.lit(1)))
+    )
+    counts = (
+        tagged.groupBy(*cols)
+        .agg(
+            F.count(F.when(F.col(side) == 0, F.lit(1))).alias(n_old),
+            F.count(F.when(F.col(side) == 1, F.lit(1))).alias(n_new),
+        )
+        .filter(F.col(n_old) != F.col(n_new))
+        .localCheckpoint(eager=True)
+    )
+
+    def _replicate(df, excess):
+        # exceptAll's bag semantics: one copy per unit of excess count
+        return df.withColumn(rep, F.explode(F.sequence(F.lit(1), excess))).drop(
+            rep, n_old, n_new
+        )
+
+    gone = _replicate(
+        counts.filter(F.col(n_old) > F.col(n_new)),
+        F.col(n_old) - F.col(n_new),
+    )
+    came = _replicate(
+        counts.filter(F.col(n_new) > F.col(n_old)),
+        F.col(n_new) - F.col(n_old),
+    )
     if key_col is None:
         return gone.select(F.lit("delete").alias("_change_type"), *cols).unionByName(
             came.select(F.lit("insert").alias("_change_type"), *cols)
         )
     if key_col not in cols:
         raise ValueError(f"key column {key_col!r} is not a table column")
-    # Optimization r19 (guide §3): the anti/semi pair per side over the
-    # same key set is one LEFT join with a match flag — the intersected
-    # key set (distinct by construction, so the left join never
-    # multiplies rows) is consumed twice instead of four times, and each
-    # churn side is probed once instead of twice. Identical row multiset,
-    # identical _change_type per row.
+    # update keys = keys with a row on BOTH delta sides, derived from the
+    # pinned counts (the r19 intersect re-read both exceptAll pipelines);
+    # distinct by construction, so the left joins never multiply rows
+    upd = _flag_col("__upd", cols)
     upd_keys = (
-        gone.select(key_col)
-        .intersect(came.select(key_col))
-        .withColumn("__upd", F.lit(True))
+        counts.groupBy(key_col)
+        .agg(
+            F.max(F.col(n_old) > F.col(n_new)).alias(n_old),
+            F.max(F.col(n_new) > F.col(n_old)).alias(n_new),
+        )
+        .filter(F.col(n_old) & F.col(n_new))
+        .select(key_col)
+        .withColumn(upd, F.lit(True))
     )
-    typed_gone = gone.join(upd_keys, on=key_col, how="left").select(
-        F.when(F.col("__upd").isNotNull(), F.lit("update_preimage"))
+    typed_gone = gone.join(F.broadcast(upd_keys), on=key_col, how="left").select(
+        F.when(F.col(upd).isNotNull(), F.lit("update_preimage"))
         .otherwise(F.lit("delete"))
         .alias("_change_type"),
         *cols,
     )
-    typed_came = came.join(upd_keys, on=key_col, how="left").select(
-        F.when(F.col("__upd").isNotNull(), F.lit("update_postimage"))
+    typed_came = came.join(F.broadcast(upd_keys), on=key_col, how="left").select(
+        F.when(F.col(upd).isNotNull(), F.lit("update_postimage"))
         .otherwise(F.lit("insert"))
         .alias("_change_type"),
         *cols,
@@ -3174,17 +3424,46 @@ def _feed_segment(
         )
     key_col = m_to["mor_key"]
     key_field = StructType.fromJson(m_to["schema"])[key_col]
-    keys_df = (
-        spark.read.schema(StructType([key_field])).parquet(*new_dfiles).distinct()
-    )
 
-    # stats pruning: collect the (churn-sized) key set once and keep only
+    # The changed-key set is needed on the DRIVER anyway (the stats
+    # pruning below binary-searches it), and the delete files are
+    # churn-sized by the MOR contract. Optimization r20 (guide §1.2, the
+    # _collect_blooms byte-bounded pattern): read the key column
+    # in-process when the files sit under the driver fast-path bounds —
+    # zero Spark jobs instead of a scan+distinct+collect job — and
+    # restrict the resolved states with a LITERAL key predicate (reaches
+    # the parquet scan as a pushed filter) instead of two broadcast
+    # semi-join builds. Above the bounds, or for key types a literal
+    # cannot round-trip faithfully, the r19 executor read + broadcast
+    # semi-join path runs unchanged.
+    raw_keys = _read_key_column_driver(new_dfiles, key_col)
+    keys_df = None
+    if raw_keys is None:
+        keys_df = (
+            spark.read.schema(StructType([key_field]))
+            .parquet(*new_dfiles)
+            .distinct()
+        )
+        raw_keys = [r[0] for r in keys_df.collect()]
+    if not raw_keys:  # delete files held no rows: churn-free segment
+        return spark.createDataFrame([], empty_schema).select(
+            "_change_type", *out_cols
+        )
+
+    # stats pruning: the (churn-sized) key set, collected once, keeps only
     # data files whose recorded key range can contain one — merge_cow's
     # binary-search discipline; stats-less files and unencodable keys fall
     # back to a conservative read
-    normed = [_norm(r[0]) for r in keys_df.collect()]
+    normed = [_norm(k) for k in raw_keys]
     unprunable = any(k is None for k in normed)
     sorted_keys = sorted(normed) if not unprunable else []
+    # literal predicate only for types whose Python value round-trips
+    # exactly into a Spark literal, and only at micro-batch scale (a
+    # giant In list bloats the plan — guide §3.3)
+    use_isin = keys_df is None and len(raw_keys) <= 10_000 and all(
+        v is None or (isinstance(v, (int, str)) and not isinstance(v, bool))
+        for v in raw_keys
+    )
 
     def _overlaps(rng) -> bool:
         if unprunable or rng is None:
@@ -3221,6 +3500,16 @@ def _feed_segment(
                 spark, pruned, table_dir,
                 [os.path.join(table_dir, r) for r in kept],
             )
+        if use_isin:
+            # literal In over the churn keys: pushes to the parquet scan
+            # and skips the broadcast build; NULL state keys drop under
+            # both forms (neither In nor a semi-join matches NULL)
+            return state.filter(F.col(key_col).isin(raw_keys))
+        nonlocal keys_df
+        if keys_df is None:
+            keys_df = spark.createDataFrame(
+                [(k,) for k in raw_keys], StructType([key_field])
+            )
         return state.join(F.broadcast(keys_df), on=key_col, how="left_semi")
 
     pre = _state_for_keys(m_from)
@@ -3232,9 +3521,9 @@ def _feed_segment(
         if c not in post.columns:
             post = post.withColumn(c, F.lit(None).cast(pre.schema[c].dataType))
     pre, post = pre.select(*out_cols), post.select(*out_cols)
-    gone = pre.exceptAll(post)
-    came = post.exceptAll(pre)
-    return _classify_feed(gone, came, key_col, out_cols)
+    # both delta sides in one pass over pre/post (r20: _classify_delta
+    # replaces the exceptAll pair — see change_feed)
+    return _classify_delta(pre, post, key_col, out_cols)
 
 
 def restore(
@@ -3481,7 +3770,15 @@ def merge_mor(
             [os.path.join(table_dir, rel) for rel in delete_rels],
             [key_col],
         )
-        b64 = _bucket64_counts(final, key_col) if len(delete_rels) == 1 else None
+        b64 = None
+        if len(delete_rels) == 1:
+            # r20: churn-sized delete file -> in-process counts (zero
+            # jobs); falls back to the r18 executor agg above the bound
+            b64 = _bucket64_counts_driver(
+                final, key_col, os.path.join(table_dir, delete_rels[0])
+            )
+            if b64 is None:
+                b64 = _bucket64_counts(final, key_col)
         for rel in delete_rels:
             entry: dict = {"range": (d_stats.get(rel) or {}).get(key_col)}
             if b64 is not None:

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ez_cdc_spark.schemas import envelope_schema
+from ez_cdc_spark.sources.manifest import empty_frame
 from ez_cdc_spark.sources.tables import load_table
 from ez_cdc_spark.streaming.replay import _SCRATCH, _dir_for, checkpoint_dir
 
@@ -1400,7 +1401,7 @@ def materialize_lakehouse_drift(
         ]
     )
     publish(
-        spark.createDataFrame([], schema),
+        empty_frame(spark, schema),
         table_dir,
         generation=1,
         stats_columns=["id"],
@@ -1476,14 +1477,14 @@ def materialize_lakehouse(
     )
     if partition_col is None:
         publish(
-            spark.createDataFrame([], schema),
+            empty_frame(spark, schema),
             table_dir,
             generation=1,
             stats_columns=["id"],
         )
     else:
         publish_partitioned(
-            spark.createDataFrame([], schema),
+            empty_frame(spark, schema),
             table_dir,
             generation=1,
             partition_col=partition_col,
@@ -1714,7 +1715,7 @@ def materialize_lakehouse_wap(
         ]
     )
     publish(
-        spark.createDataFrame([], schema),
+        empty_frame(spark, schema),
         table_dir,
         generation=1,
         stats_columns=["id"],
@@ -1950,13 +1951,13 @@ def _bootstrap_fanout_catalog(spark: SparkSession, catalog_dir: str) -> None:
         ]
     )
     publish(
-        spark.createDataFrame([], state_schema),
+        empty_frame(spark, state_schema),
         C.table_dir(catalog_dir, "state"),
         generation=1,
         stats_columns=["id"],
     )
     publish(
-        spark.createDataFrame([], log_schema),
+        empty_frame(spark, log_schema),
         C.table_dir(catalog_dir, "events_log"),
         generation=1,
         stats_columns=["lsn"],
@@ -2068,7 +2069,7 @@ def materialize_event_lake(
     table_dir = _dir_for(sf_dir, f"event-lake-{tag}-{os.getpid()}")
     if os.path.exists(table_dir):
         shutil.rmtree(table_dir)
-    empty = spark.createDataFrame([], EVENTS_JSON_SCHEMA).select(
+    empty = empty_frame(spark, EVENTS_JSON_SCHEMA).select(
         F.col("event_id").cast("bigint").alias("event_id"),
         "event_type",
         "ts",
@@ -2177,7 +2178,7 @@ def _run_lakehouse_restore(
     )
     if partition_col is None:
         publish(
-            spark.createDataFrame([], schema),
+            empty_frame(spark, schema),
             table_dir,
             generation=1,
             stats_columns=["id"],
@@ -2187,7 +2188,7 @@ def _run_lakehouse_restore(
         # partition map by reference too, and the redelivered batches run
         # partitioned merges (cross-partition key moves included) on top
         publish_partitioned(
-            spark.createDataFrame([], schema),
+            empty_frame(spark, schema),
             table_dir,
             generation=1,
             partition_col=partition_col,
@@ -2331,7 +2332,7 @@ def _run_lakehouse_mor_restore(
         ]
     )
     publish(
-        spark.createDataFrame([], schema),
+        empty_frame(spark, schema),
         table_dir,
         generation=1,
         stats_columns=["id"],
@@ -2595,8 +2596,8 @@ def materialize_feed_consumer(
         if os.path.exists(d):
             shutil.rmtree(d)
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("id", LongType()),
@@ -2612,8 +2613,8 @@ def materialize_feed_consumer(
         stats_columns=["id"],
     )
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("first_name", StringType()),
@@ -2702,8 +2703,8 @@ def _run_restore_feed_consumer(
         if os.path.exists(d):
             shutil.rmtree(d)
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("id", LongType()),
@@ -2719,8 +2720,8 @@ def _run_restore_feed_consumer(
         stats_columns=["id"],
     )
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("first_name", StringType()),
@@ -2904,7 +2905,7 @@ def materialize_lakehouse_mor(
         ]
     )
     publish(
-        spark.createDataFrame([], schema),
+        empty_frame(spark, schema),
         table_dir,
         generation=1,
         stats_columns=["id"],
@@ -3033,8 +3034,8 @@ def materialize_mor_feed_consumer(
         if os.path.exists(d):
             shutil.rmtree(d)
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("id", LongType()),
@@ -3050,8 +3051,8 @@ def materialize_mor_feed_consumer(
         stats_columns=["id"],
     )
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("first_name", StringType()),
@@ -3123,8 +3124,8 @@ def materialize_change_feed_stream(
         if os.path.exists(d):
             shutil.rmtree(d)
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("id", LongType()),
@@ -3344,8 +3345,8 @@ def materialize_stream_fed_aggregate(
         if os.path.exists(d):
             shutil.rmtree(d)
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("id", LongType()),
@@ -3361,8 +3362,8 @@ def materialize_stream_fed_aggregate(
         stats_columns=["id"],
     )
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("first_name", StringType()),
@@ -3451,8 +3452,8 @@ def materialize_mor_change_feed_stream(
         if os.path.exists(d):
             shutil.rmtree(d)
     publish(
-        spark.createDataFrame(
-            [],
+        empty_frame(
+            spark,
             StructType(
                 [
                     StructField("id", LongType()),

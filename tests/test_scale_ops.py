@@ -3180,6 +3180,97 @@ def test_collect_stats_driver_fast_path_matches_executor_path(spark, sf_dir):
     assert fast == slow and fast, (fast, slow)
 
 
+def test_collect_blooms_driver_fast_path_matches_executor_path(spark, sf_dir):
+    """Optimization r20 (VERDICT r19 #5): ``_collect_blooms`` builds
+    bitsets in-process for commits staging few, SMALL files — bounded by
+    bytes as well as file count, because the bloom kernel reads the key
+    column's data pages, not just footers — and on executors above either
+    bound. Both paths run the same bound kernel, so the bloom map must be
+    byte-identical."""
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    td = _scratch(sf_dir, "bloomfastpath")
+    shutil.rmtree(td, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 101)], "k bigint, name string"
+    )
+    files = m.stage_only(df.repartitionByRange(4, "k"), td, 1)
+    assert len(files) <= m._BLOOMS_DRIVER_MAX_FILES  # fast path applies
+    fast = m._collect_blooms(spark, td, files, ["k", "name"], 1024)
+    prev = m._BLOOMS_DRIVER_MAX_FILES
+    m._BLOOMS_DRIVER_MAX_FILES = 0  # force the executor path
+    try:
+        slow = m._collect_blooms(spark, td, files, ["k", "name"], 1024)
+    finally:
+        m._BLOOMS_DRIVER_MAX_FILES = prev
+    assert fast == slow and fast, (fast, slow)
+
+
+def test_feed_flags_tolerate_colliding_table_columns(spark, sf_dir):
+    """ADVICE r19: the r19 left-join classification adds flag columns
+    (``__del``/``__match`` in merge_cow's feed recording, ``__upd`` in
+    _classify_feed). A table that legitimately declares a column with one
+    of those names must still merge and serve its change feed — the flag
+    names derive through _flag_col, guaranteed absent from the schema."""
+    import shutil
+
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources import manifest as m
+
+    td = _scratch(sf_dir, "flagcollide")
+    shutil.rmtree(td, ignore_errors=True)
+    base = spark.createDataFrame(
+        [(k, f"d{k}", f"m{k}", f"u{k}") for k in range(1, 21)],
+        "k bigint, __del string, __match string, __upd string",
+    )
+    m.publish(base, td, generation=1, stats_columns=["k"])
+    changes = spark.createDataFrame(
+        [(5, "D", "M", "U", "u", 1), (6, None, None, None, "d", 2),
+         (99, "D9", "M9", "U9", "u", 3)],
+        "k bigint, __del string, __match string, __upd string, "
+        "op string, seq int",
+    )
+    m.merge_cow(
+        spark, td, changes, key_col="k", generation=2, record_change_feed=True
+    )
+    feed = m.change_feed(spark, td, 1, 2, key_col="k")
+    got = {
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    }
+    assert (5, "update_preimage") in got and (5, "update_postimage") in got
+    assert (6, "delete") in got
+    assert (99, "insert") in got
+    # the recorded merge-time feed must classify identically
+    import os as _os
+
+    man2 = m.read_manifest(td, 2)
+    rec = spark.read.parquet(
+        *[_os.path.join(td, rel) for rel in man2["change_files"]]
+    )
+    got_rec = {(r["k"], r["_change_type"]) for r in rec.collect()}
+    assert got_rec == got, (got_rec, got)
+
+
+def test_x2eb_pins_leave_no_cached_plans(spark, sf_dir):
+    """ADVICE r19 (medium): x2eb's pair-set pins must not register
+    CacheManager entries — a plan-keyed cache with no release path would
+    hand every later invocation the previous run's results (bench
+    min-of-N would then measure the cache, not the pipelines) and pin
+    executor memory for the session. The pins are per-invocation local
+    checkpoints; the cached-DataFrame registry must stay empty."""
+    from ez_cdc_spark.queries import load_all
+
+    spark.catalog.clearCache()  # clean slate whatever ran before
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    df = load_all()["x2eb_lsh_recall_anchor"].fn(spark, sf_dir)
+    row = df.collect()[0]
+    assert row["false_positives"] == 0 and row["recall_ge_090"]
+    assert cm.isEmpty(), "x2eb left a cached plan behind"
+
+
 def test_merge_persist_is_scoped_to_the_commit(spark, sf_dir):
     """Optimization r19: merge_cow/merge_mor persist the resolved batch so
     the constraint gate, keys collect, staging write and feed recording
