@@ -112,25 +112,21 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 # short-circuit moved from an isEmpty() on the built delta pipeline —
 # which executed the whole delta/groupBy/join once before merge_cow
 # recomputed it — to the micro-batch itself, ADVICE r18).
-# r19 optimization round: the merge/feed/upsert hot paths changed
-# internals (commit-scoped persist of the resolved batch, bounded
-# driver-side footer stats, one-left-join feed classification, cached-plan
-# AQE coalescing, per-run pinned shingle table, a4b's de-fused distinct
-# aggregates) — every touched query was re-verified hash-green by
-# hostile-TZ driver simulation, and the most structurally-changed
-# representatives re-attest first (one per changed code path; the x2eb/
-# a4b anchors already float via _RANK).
+# r20 optimization round (the r19 _REATTEST set came back green in
+# CORRECTNESS_r19.json and rotates out): the feed delta/classification
+# was restructured (_classify_delta one-pass multiset diff), the MOR
+# feed's key read and state restriction changed (driver fast path +
+# literal predicate), merge_mor's bucket counts moved to the staged
+# delete file, and every rig's genesis publish stages zero files — every
+# touched query re-verified hash-green by hostile-TZ driver simulation;
+# the most structurally-changed representatives re-attest first (one per
+# changed code path; the x2eb anchor already floats via _RANK).
 _REATTEST: set[str] = {
-    "t47_mor_change_feed_stream",
-    "t48_stream_fed_aggregate",
-    "t9_cdc_upsert",
-    "x2_minhash_lsh",
-    "s30_manifest_merge_cow",
-    "s36_merge_on_read",
     "s35_manifest_change_feed",
     "s36b_mor_change_feed",
+    "t32_change_feed_consumer",
     "t34_mor_feed_consumer",
-    "t46_manifest_change_feed_stream",
+    "x2_minhash_lsh",
 }
 
 # Tie-break override (driver attests ~50 entries/round): explicit negative

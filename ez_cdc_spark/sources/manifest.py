@@ -3226,6 +3226,14 @@ def _classify_delta(old, new, key_col: str | None, cols: list) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    def _with_scan_hook(out):
+        # diagnostic/test hook: the pinned result's plan is a checkpoint
+        # scan, so the churn-proportional I/O contract (feed reads ONLY
+        # the interval's touched files) is attested through the PRE-pin
+        # plan that actually performed the reads
+        out._ez_feed_scans = [tagged]
+        return out
+
     def _replicate(df, excess):
         # exceptAll's bag semantics: one copy per unit of excess count
         return df.withColumn(rep, F.explode(F.sequence(F.lit(1), excess))).drop(
@@ -3241,8 +3249,10 @@ def _classify_delta(old, new, key_col: str | None, cols: list) -> DataFrame:
         F.col(n_new) - F.col(n_old),
     )
     if key_col is None:
-        return gone.select(F.lit("delete").alias("_change_type"), *cols).unionByName(
-            came.select(F.lit("insert").alias("_change_type"), *cols)
+        return _with_scan_hook(
+            gone.select(F.lit("delete").alias("_change_type"), *cols).unionByName(
+                came.select(F.lit("insert").alias("_change_type"), *cols)
+            )
         )
     if key_col not in cols:
         raise ValueError(f"key column {key_col!r} is not a table column")
@@ -3272,7 +3282,7 @@ def _classify_delta(old, new, key_col: str | None, cols: list) -> DataFrame:
         .alias("_change_type"),
         *cols,
     )
-    return typed_gone.unionByName(typed_came)
+    return _with_scan_hook(typed_gone.unionByName(typed_came))
 
 
 def _parent_gen_of(manifest: dict) -> int | None:
@@ -3372,9 +3382,13 @@ def change_feed_mor(
 
     cols_to = [f["name"] for f in chain[-1]["schema"]["fields"]]
     out = None
+    scans: list = []
     for a, b in segments:
         part = _feed_segment(spark, table_dir, a, b, cols_to)
+        scans.extend(getattr(part, "_ez_feed_scans", []))
         out = part if out is None else out.unionByName(part)
+    if out is not None:
+        out._ez_feed_scans = scans  # see _classify_delta's scan hook
     if out is None:  # pure-fold interval: layout only, no content change
         return spark.createDataFrame(
             [],

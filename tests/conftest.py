@@ -6,6 +6,126 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("EZ_CDC_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
+# ---------------------------------------------------------------------------
+# r20: in-repo suite sharding (VERDICT r19 #1a — the serialized suite outgrew
+# the external verifier's window; pytest-xdist is unavailable offline).
+# A FULL-SUITE invocation (e.g. `pytest tests/ -x -q`) fans the collected
+# tests out round-robin to N worker subprocesses, each a normal pytest run
+# of the same invocation plus EZ_CDC_PYTEST_SHARD=<i>/<n>; workers deselect
+# everything outside their shard in pytest_collection_modifyitems. Every
+# test still runs exactly once across the fleet; failures propagate to the
+# parent's exit status, and -x kills the remaining workers on the first
+# failing shard. Focused runs (fewer than _SHARD_MIN_ITEMS collected, or
+# EZ_CDC_PYTEST_WORKERS=1) run serially exactly as before. Cross-process
+# safety of the shared replay fixtures is provided by
+# streaming/replay.py:materialize_once (atomic build+rename); all other
+# scratch state is test- or pid-keyed.
+# ---------------------------------------------------------------------------
+
+_SHARD_MIN_ITEMS = int(os.environ.get("EZ_CDC_PYTEST_MIN_ITEMS", "200"))
+
+
+def _shard_workers() -> int:
+    try:
+        return int(os.environ.get("EZ_CDC_PYTEST_WORKERS", "4"))
+    except ValueError:
+        return 1
+
+
+def pytest_collection_modifyitems(config, items):
+    shard = os.environ.get("EZ_CDC_PYTEST_SHARD")
+    if not shard:
+        return
+    idx, n = (int(x) for x in shard.split("/", 1))
+    keep = [it for i, it in enumerate(items) if i % n == idx]
+    drop = [it for i, it in enumerate(items) if i % n != idx]
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
+
+
+def pytest_runtestloop(session):
+    if os.environ.get("EZ_CDC_PYTEST_SHARD"):
+        return None  # worker: run its shard with the default loop
+    workers = _shard_workers()
+    if (
+        workers <= 1
+        or len(session.items) < _SHARD_MIN_ITEMS
+        or session.config.option.collectonly
+        or session.testsfailed
+    ):
+        return None  # focused/serial run: default loop
+    import re
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    args = list(session.config.invocation_params.args)
+    cpus_each = str(max(4, (os.cpu_count() or 32) // workers))
+    procs = []
+    for i in range(workers):
+        env = dict(os.environ)
+        env["EZ_CDC_PYTEST_SHARD"] = f"{i}/{workers}"
+        env.setdefault("SPARK_GRAFT_CPUS", cpus_each)
+        env["SPARK_GRAFT_CPUS"] = cpus_each
+        out = tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"pytest-shard{i}-", suffix=".log", delete=False
+        )
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", *args],
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=str(session.config.rootpath),
+        )
+        procs.append((i, p, out))
+        print(f"[shard {i}/{workers}] pid={p.pid} log={out.name}", flush=True)
+
+    # -x/--exitfirst stores maxfail=1; any maxfail means stop the fleet
+    # once a shard reports failure
+    exitfirst = bool(session.config.getoption("maxfail", 0))
+    done: dict[int, int] = {}
+    while len(done) < len(procs):
+        for i, p, _ in procs:
+            if i in done:
+                continue
+            rc = p.poll()
+            if rc is None:
+                continue
+            done[i] = rc
+            print(f"[shard {i}/{workers}] exited rc={rc}", flush=True)
+            if rc != 0 and exitfirst:
+                for j, q, _ in procs:
+                    if j not in done and q.poll() is None:
+                        q.terminate()
+        time.sleep(0.5)
+
+    passed = failed = 0
+    for i, p, out in procs:
+        out.flush()
+        out.seek(0)
+        text = out.read()
+        out.close()
+        tail = text[-2500:]
+        print(f"----- shard {i}/{workers} tail -----\n{tail}", flush=True)
+        m_p = re.search(r"(\d+) passed", text)
+        m_f = re.search(r"(\d+) failed", text)
+        m_e = re.search(r"(\d+) error", text)
+        passed += int(m_p.group(1)) if m_p else 0
+        failed += int(m_f.group(1)) if m_f else 0
+        failed += int(m_e.group(1)) if m_e else 0
+        if done[i] != 0 and not (m_f or m_e):
+            failed += 1  # crashed/killed shard counts as a failure
+    verdict = f"{passed} passed" + (f", {failed} failed" if failed else "")
+    print(
+        f"===== sharded total: {verdict} across {workers} workers =====",
+        flush=True,
+    )
+    session.testsfailed = failed
+    return True
+
+
 @pytest.fixture(scope="session")
 def spark():
     from ez_cdc_spark.session import get_spark

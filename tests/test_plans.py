@@ -1,5 +1,6 @@
 """Plan-shape assertions: scale rules hold structurally (SURVEY §4.2/§5.2)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ez_cdc_spark.plans.assertions import (
@@ -104,7 +105,10 @@ def test_j13_bucketed_join_colocated(spark, sf_smoke):
     assert "Bucketed: true" in p, "join inputs must scan as bucketed tables"
 
 
-def test_registry_output_shapes_are_driver_canonicalizable(spark, sf_smoke):
+@pytest.mark.parametrize("name", sorted(load_all()))
+def test_registry_output_shapes_are_driver_canonicalizable(
+    spark, sf_smoke, name
+):
     """Gate for the f_array2/w6 failure classes (r2 post-mortem): the
     correctness driver canonicalizes every query result with a pandas
     sort_values over all columns followed by a stringified hash, so
@@ -118,6 +122,10 @@ def test_registry_output_shapes_are_driver_canonicalizable(spark, sf_smoke):
     rendered types: string / boolean / integral / float / double / date /
     timestamp. Queries needing vector or decimal results render them as
     joined strings or DOUBLE (w3/f_array2 convention).
+
+    r20: parametrized per query (one 10-minute monolith ran every rig
+    serially and pinned a whole shard of the sharded suite — same total
+    coverage, now spreadable; per-query failures also report by name).
     """
     from pyspark.sql import types as T
 
@@ -134,12 +142,13 @@ def test_registry_output_shapes_are_driver_canonicalizable(spark, sf_smoke):
         T.TimestampType,
         T.TimestampNTZType,
     )
-    offenders = []
-    for name, spec in load_all().items():
-        df = spec.fn(spark, sf_smoke)
-        for field in df.schema.fields:
-            if not isinstance(field.dataType, allowed):
-                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    spec = load_all()[name]
+    df = spec.fn(spark, sf_smoke)
+    offenders = [
+        f"{name}.{field.name}: {field.dataType.simpleString()}"
+        for field in df.schema.fields
+        if not isinstance(field.dataType, allowed)
+    ]
     assert not offenders, f"non-canonicalizable output columns: {offenders}"
 
 
@@ -1220,14 +1229,35 @@ def test_s36_mor_resolve_plan_no_cartesian_and_seq_kill_join(spark, sf_smoke):
 
 
 def test_s36b_mor_feed_plan_broadcast_keys_and_no_cartesian(spark, sf_smoke):
-    """s36b's feed plan: the changed-key restriction is an explicit
-    BROADCAST left-semi join on both the pre and post resolves (the key
-    set is interval-churn-sized by construction), and nothing in the
-    derivation introduces a cartesian."""
+    """s36b's feed plan: the changed-key restriction on the pre/post
+    resolves is churn-bounded — at micro-batch scale a LITERAL In
+    predicate that reaches the parquet scan (r20; the keys are read
+    in-process from the churn-sized delete files), above the driver
+    bounds an explicit BROADCAST left-semi join (the r19 shape) — and
+    nothing in the derivation introduces a cartesian. The resolves live
+    behind the per-invocation pin, so the restriction is asserted on the
+    _ez_feed_scans hook (the plan that performs the I/O); the returned
+    frame must stay cartesian-free too."""
     df = load_all()["s36b_mor_change_feed"].fn(spark, sf_smoke)
     assert_no_cartesian(df)
-    p = plan_str(df)
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # the registered fn wraps the feed (select/orderBy), so probe the raw
+    # feed over the rig's table for the scan-plan hook
+    from ez_cdc_spark.queries.sources_sinks import _scratch
+    from ez_cdc_spark.sources.manifest import change_feed_mor
+
+    feed = change_feed_mor(spark, _scratch(sf_smoke, "s36bfeed"), 1, 3)
+    scans = feed._ez_feed_scans
+    assert scans, "feed must expose its pre-pin scan plans"
+    for scan in scans:
+        assert_no_cartesian(scan)
+        p = plan_str(scan)
+        restricted = (
+            ("BroadcastHashJoin" in p and "LeftSemi" in p)  # executor path
+            or " IN (" in p
+            or "In(k" in p
+            or "isin" in p
+        )
+        assert restricted, f"no churn-key restriction in scan plan:\n{p}"
 
 
 def test_s36c_partitioned_mor_plan_no_cartesian(spark, sf_smoke):

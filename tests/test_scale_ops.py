@@ -3494,12 +3494,19 @@ def test_s35_change_feed_reads_only_touched_files_and_skips_maintenance(
     man2 = read_manifest(td)
 
     feed = change_feed(spark, td, 1, 2, key_col="k")
-    # (1) plan touches only the symmetric difference
+    # (1) the feed's I/O touches only the symmetric difference. r20: the
+    # delta pins per invocation (its own plan is a checkpoint scan), so
+    # the churn-proportional-read contract is attested through the
+    # _ez_feed_scans hook — the pre-pin plan that performed the reads.
     sym = {
         os.path.join(td, r)
         for r in set(man1["files"]).symmetric_difference(man2["files"])
     }
-    opened = {f.replace("file://", "") for f in feed.inputFiles()}
+    opened = {
+        f.replace("file://", "")
+        for scan in feed._ez_feed_scans
+        for f in scan.inputFiles()
+    }
     assert opened and opened <= sym, (opened - sym, sym)
     carried = {
         os.path.join(td, r) for r in set(man1["files"]) & set(man2["files"])
