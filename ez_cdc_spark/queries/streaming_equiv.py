@@ -2942,17 +2942,19 @@ def t43_manifest_stream_pipeline(spark, sf_dir):
 
     def relay(batch_df, epoch_id):
         rows = batch_df.persist()
-        if rows.count():
-            (
-                rows.write.format("ezmanifest")
-                .option("path", down)
-                .option("txnTag", "t43-relay")
-                .option("txnVersion", str(epoch_id))
-                .mode("append")
-                .save()
-            )
-            replays.append(epoch_id)
-        rows.unpersist()
+        try:  # r20 hygiene: release even when the relay write raises
+            if rows.count():
+                (
+                    rows.write.format("ezmanifest")
+                    .option("path", down)
+                    .option("txnTag", "t43-relay")
+                    .option("txnVersion", str(epoch_id))
+                    .mode("append")
+                    .save()
+                )
+                replays.append(epoch_id)
+        finally:
+            rows.unpersist()
 
     stream = spark.readStream.format("ezmanifest").option("path", up).load()
     q = (
